@@ -1,0 +1,111 @@
+"""Text-analysis column functions for LLM-data-pipeline use.
+
+Everything here returns a pyspark Column built from built-in functions
+(JVM-side, whole-stage codegen) — no Python UDFs. These are the primitives
+the dedup family and the text queries compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+
+# Tiny per-language stopword lists for the n-gram-free heuristic language
+# identifier. Public common-word lists; enough to separate the five testdata
+# languages on real text.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup / fingerprinting: lowercase, collapse
+    whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), WHITESPACE_RE, " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Cheap LLM-token estimate: count word-piece-ish units — runs of
+    letters, runs of digits, or single punctuation — via regex extraction.
+    ~chars/4 on English; a deterministic stand-in for a real BPE vocab."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text —
+    portable across engines (DuckDB md5 produces the identical hex)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_xxhash(col: Column) -> Column:
+    """64-bit engine-internal fingerprint (xxhash64) — faster than md5,
+    used for shuffling/bucketing keys rather than portable identity."""
+    return F.xxhash64(normalize_text(col))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return punct / F.greatest(nonspace, F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length documents,
+    low punctuation density, and reasonable mean token length — the
+    standard cheap pre-filter before expensive LLM-data cleaning."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    mean_tok_len = F.length(normalize_text(col)) / F.greatest(n_tok, F.lit(1))
+    tok_len_score = F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 1.0).otherwise(0.5)
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    return (len_score + tok_len_score + punct_score) / 3
+
+
+def _contains_any(words: list[str]):
+    """Single-arg lambda factory (a default-arg lambda would be mistaken
+    for pyspark's two-arg (element, index) form)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return lambda t: F.array_contains(arr, t)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: the language whose stopword list overlaps the
+    token set most ('und' when nothing matches; ties resolve to the
+    lexicographically last language code). Pure JVM expression — at 100 TB
+    this runs inside codegen with no Python round-trip."""
+    toks = F.array_distinct(tokens(col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, _contains_any(words))).alias("score"),
+                F.lit(code).alias("lang"),
+            )
+            for code, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(F.filter(scored, lambda s: s["score"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))

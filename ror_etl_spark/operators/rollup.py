@@ -1,0 +1,171 @@
+"""Ultimate-parent rollup: transitive closure of a parent-pointer forest.
+
+Reference semantics (georgetown-cset/ror-etl, ``get_ultimate_parent.py``):
+
+- :13-39 ``traverse_parents`` follows ``id -> parent`` pointers until it
+  reaches a self-loop (``ror_id == parent``), which marks a root.
+- :10 recursion is capped at depth 200; on hitting the cap (a cycle or an
+  absurdly deep chain) the pipeline does NOT fail — it alerts and uses the
+  current in-chain node as the answer (:25-39).
+- :76 parentless orgs map to themselves, so every id appears in the output.
+- :77-79 when multiple ``parent`` relationships exist, the LAST one in the
+  array wins, and the type match is case-insensitive.
+- :80-81 duplicate ids hard-fail.
+
+The reference walks the chain per-id recursively on one machine with the
+whole dataset in a dict — O(n·depth) work, O(n) driver memory. This
+implementation is a distributed **pointer-doubling fixpoint**: each
+iteration substitutes every node's current ancestor with that ancestor's
+ancestor, so reachable depth doubles per round — ⌈log2(depth)⌉ shuffles
+instead of depth, no driver materialization, memoization implicit.
+
+Scale notes (100 TB design):
+- the iterated frame is exactly two string/long columns (id, anc) — each
+  shuffle moves keys only, never record payload; the full-record join
+  happens once at the end (``attach_ultimate_parent``) and broadcasts when
+  the mapping is small.
+- ``localCheckpoint(eager=True)`` after each iteration truncates lineage
+  (otherwise the plan doubles per round and Catalyst analysis blows up)
+  and materializes the ~2-column frame. On a real cluster with flaky
+  executors prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``;
+  the ``use_local_checkpoint`` flag switches.
+- convergence is measured inside the same pass that computes the new
+  mapping (count of rows whose ancestor changed), so each iteration is
+  one shuffle join + one cheap aggregate over the checkpointed result.
+- cycles can never converge under doubling (ancestors rotate) — the
+  bounded iteration count is the termination guarantee, and in-cycle rows
+  end at an arbitrary in-cycle node, exactly the reference's alert-and-
+  continue behavior. ``RollupResult.n_unconverged`` is the alert signal.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RollupResult:
+    mapping: DataFrame  # columns: id, ultimate_parent
+    iterations: int
+    n_unconverged: int  # rows still changing at cutoff (cycles) — alert, don't fail
+
+
+class DuplicateIdError(ValueError):
+    """Raised when the input has duplicate ids (get_ultimate_parent.py:80-81)."""
+
+
+def assert_unique_ids(df: DataFrame, id_col: str = "id") -> None:
+    """Hard-fail on duplicate ids, mirroring the reference's assert.
+
+    Distributed check: groupBy + having instead of a driver-side dict probe.
+    """
+    dup = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(id_col)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise DuplicateIdError(f"Duplicate ID(s): {[r[0] for r in dup]}")
+
+
+def extract_parent_edges(
+    ror: DataFrame,
+    id_col: str = "id",
+    relationships_col: str = "relationships",
+) -> DataFrame:
+    """(id, parent) edges from nested ROR records — P1/P2/P3 of SURVEY §2.
+
+    Preserves the reference's exact semantics (get_ultimate_parent.py:74-79):
+    case-insensitive ``type == 'parent'`` match, LAST matching array element
+    wins, parentless ids map to themselves. Runs entirely JVM-side
+    (higher-order array functions; no Python UDF).
+    """
+    parents = F.filter(
+        F.col(relationships_col),
+        lambda r: F.lower(F.coalesce(r["type"], F.lit(""))) == "parent",
+    )
+    last_parent = F.element_at(parents, -1)["id"]
+    return ror.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(last_parent, F.col(id_col)).alias("parent"),
+    )
+
+
+def ultimate_parent(
+    edges: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_depth: int = 200,
+    use_local_checkpoint: bool = True,
+) -> RollupResult:
+    """Resolve every id to its forest root by pointer doubling.
+
+    ``edges`` is one row per id: (id, parent); roots are self-loops.
+    A parent id absent from the id column is treated as a terminal
+    (chain ends there) rather than an error, which is strictly more
+    permissive than the reference's KeyError on dirty data.
+
+    Depth covered after k iterations is 2^k, so ``ceil(log2(max_depth))+1``
+    iterations dominate the reference's depth-200 recursion cap; the loop
+    also exits early as soon as no ancestor changes.
+    """
+    n_iters = max(1, math.ceil(math.log2(max(2, max_depth))) + 1)
+    m = edges.select(F.col(id_col).alias("id"), F.col(parent_col).alias("anc"))
+    m = _materialize(m, use_local_checkpoint)
+
+    iterations = 0
+    n_changed = -1
+    for _ in range(n_iters):
+        iterations += 1
+        hop = m.select(F.col("id").alias("h_id"), F.col("anc").alias("h_anc"))
+        stepped = (
+            m.join(hop, m["anc"] == hop["h_id"], "left")
+            .select(
+                m["id"],
+                m["anc"].alias("prev_anc"),
+                F.coalesce(hop["h_anc"], m["anc"]).alias("anc"),
+            )
+        )
+        stepped = _materialize(stepped, use_local_checkpoint)
+        n_changed = stepped.filter(F.col("prev_anc") != F.col("anc")).count()
+        m = stepped.select("id", "anc")
+        if n_changed == 0:
+            break
+
+    mapping = m.select(F.col("id"), F.col("anc").alias("ultimate_parent"))
+    return RollupResult(mapping=mapping, iterations=iterations, n_unconverged=n_changed)
+
+
+def attach_ultimate_parent(
+    ror: DataFrame,
+    mapping: DataFrame,
+    id_col: str = "id",
+    broadcast_mapping: bool = True,
+) -> DataFrame:
+    """Append the derived ``ultimate_parent`` column to full records (T1).
+
+    The mapping is two narrow columns — broadcast it so the full-payload
+    side never shuffles (the reference does the same thing as a driver-side
+    dict lookup, get_ultimate_parent.py:84-88).
+    """
+    right = F.broadcast(mapping) if broadcast_mapping else mapping
+    joined = ror.join(right, ror[id_col] == mapping["id"], "left").drop(mapping["id"])
+    # REQUIRED semantics (schemas/ror.json:215-220): never null — ids missing
+    # from the mapping (shouldn't happen; every input id is mapped) fall back
+    # to self.
+    return joined.withColumn(
+        "ultimate_parent", F.coalesce(F.col("ultimate_parent"), F.col(id_col))
+    )
+
+
+def _materialize(df: DataFrame, use_local: bool) -> DataFrame:
+    if use_local:
+        return df.localCheckpoint(eager=True)
+    return df.checkpoint(eager=True)

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk``: exact cosine top-k of every corpus vector against a
+  query vector — one scan, no shuffle until the final top-k
+  (TakeOrderedAndProject). The correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH — bucket vectors by the sign pattern
+  of ``n_planes`` fixed pseudo-random hyperplanes, search only the query's
+  bucket (plus optional multi-probe neighbors). At 100 TB the corpus is
+  bucketed once (written partitioned by bucket key) and each query touches
+  ~corpus/2^n_planes vectors.
+
+Hyperplanes are generated deterministically from a seed via SplitMix64 so
+the operator needs no stored model state and is reproducible across runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ror_etl_spark.functions.vectors import as_double, cosine
+
+
+def _splitmix64(state: int) -> tuple[int, int]:
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return state, z ^ (z >> 31)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-ish hyperplanes: components are SplitMix64 draws
+    mapped to [-1, 1] (box, not gaussian — fine for sign-LSH)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state, z = _splitmix64(state)
+            v.append((z / 2**63) - 1.0)
+        planes.append(v)
+    return planes
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """Integer bucket id = sign bits of the vector against each plane."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(as_double(vec_col), lits, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    Returns (vec_id, cos) rounded to 6 dp, deterministically tie-broken by
+    id. The plan is scan → project(cosine) → TakeOrderedAndProject: no
+    shuffle of the corpus, ideal scaling."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(as_double(F.col(vec_col)), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact search restricted to the query's LSH bucket.
+
+    With n_planes=p the candidate set is ~corpus/2^p; recall is the
+    probability all top-k neighbors share the query's sign pattern
+    (improve by multi-probing or more tables — future work)."""
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    qbucket = _query_bucket(query_vec, planes)
+    bucketed = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    return brute_force_topk(
+        bucketed.filter(F.col("__bucket") == qbucket), query_vec, k, id_col, vec_col
+    )
+
+
+def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for i, plane in enumerate(planes):
+        d = math.fsum(x * y for x, y in zip(query_vec, plane))
+        if d >= 0:
+            b |= 1 << i
+    return b
+
+
+def all_pairs_above(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    threshold. Brute-force O(n²) via self-join — correct baseline; the
+    scale path buckets by LSH first (same hyperplane machinery) so only
+    in-bucket pairs materialize."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,27 @@
+"""Driver-contract query registry — import side effect populates
+``ror_etl_spark.registry.QUERIES`` / ``ORACLES``.
+"""
+
+from __future__ import annotations
+
+_LOADED = False
+
+
+def load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    from ror_etl_spark.queries import (  # noqa: F401
+        aggregates,
+        dedup,
+        graph,
+        relational,
+        scalars,
+        setops,
+        temporal,
+        text,
+        vector,
+        windows,
+    )
+
+    _LOADED = True

@@ -1,0 +1,242 @@
+"""Aggregation surface: multi-stat aggs, DISTINCT, ROLLUP/CUBE/GROUPING
+SETS, pivot, exact percentiles, approximate aggregates.
+
+All of these are single-shuffle partial+final HashAggregates in Spark;
+ROLLUP/CUBE expand grouping sets before the shuffle (Expand operator), so
+one pass over the fact table serves every grouping combination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+from ror_etl_spark.queries.util import r2, r4, ravg4
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                          AS n_rows,
+           round(sum(l_quantity), 2)         AS sum_qty,
+           round(min(l_extendedprice), 2)    AS min_price,
+           round(max(l_extendedprice), 2)    AS max_price,
+           round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           count(DISTINCT l_suppkey)         AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate battery incl. count-distinct (Expand + two-phase agg)."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.min("l_extendedprice")).alias("min_price"),
+            r2(F.max("l_extendedprice")).alias("max_price"),
+            ravg4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+            F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "distinct_exact",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP (hierarchical subtotals + grand total)."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), r2(F.sum("o_totalprice")).alias("total"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@query(
+    "cube_status_segment",
+    oracle="""
+    SELECT o_orderstatus, c_mktsegment,
+           count(*) AS n_orders,
+           round(avg(o_totalprice) + 1e-9, 4) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (o_orderstatus, c_mktsegment)
+    ORDER BY o_orderstatus NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+)
+def cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over a join result (all 4 grouping combinations, one scan)."""
+    t = Tables(spark, sf_dir)
+    j = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        j.cube("o_orderstatus", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), ravg4(F.avg("o_totalprice")).alias("avg_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("c_mktsegment").asc_nulls_first())
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan)."""
+    Tables(spark, sf_dir).view("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "pivot_segment_status",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders-per-status into columns per market segment.
+
+    Uses ``groupBy().pivot(values=...)`` — supplying the pivot values
+    up-front avoids the extra distinct-values job at scale.
+    """
+    t = Tables(spark, sf_dir)
+    j = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    p = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        p.select(
+            "c_mktsegment",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "percentile_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). The approximate scale path is
+    ``approx_distinct_quantiles`` (rows-only check)."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy("event_type")
+        .agg(
+            r4(F.expr("percentile(value, 0.5)")).alias("p50"),
+            r4(F.expr("percentile(value, 0.95)")).alias("p95"),
+            r4(F.expr("percentile(value, 0.99)")).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("approx_distinct_quantiles")  # no oracle: sketch outputs are engine-specific
+def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB path where exact distinct/quantile
+    would shuffle every value: HLL++ ``approx_count_distinct`` and
+    Greenwald-Khanna ``percentile_approx``. Sketch results are
+    engine-specific so the driver records a rows-only check; the pytest
+    suite asserts bounded relative error vs exact instead."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "check_id_unique",
+    oracle="""
+    SELECT (count(DISTINCT o_orderkey) = count(o_orderkey)) AS ids_unique,
+           count(*) AS n_rows
+    FROM orders
+    """,
+)
+def check_id_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality check Q1 of the reference (ror_dag.py:179-183):
+    id uniqueness as a single boolean row."""
+    o = Tables(spark, sf_dir).orders
+    return o.agg(
+        (F.count_distinct(F.col("o_orderkey")) == F.count("o_orderkey")).alias("ids_unique"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

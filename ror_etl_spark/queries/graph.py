@@ -1,0 +1,73 @@
+"""Driver-contract exposure of the ultimate-parent rollup kernel (SURVEY §2
+G1/G2, the reference's get_ultimate_parent.py re-expressed as a distributed
+pointer-doubling fixpoint — see ror_etl_spark.operators.rollup).
+
+The query derives a deterministic parent forest from the orders table:
+ids are 1..N by o_orderkey rank; each id points to id-1 except ids with
+``id % 10 == 1`` which are roots (self-loops). Chains are 10 deep, so the
+fixpoint needs ⌈log2 10⌉ = 4 doubling rounds — and the oracle is the
+closed form ``ultimate_parent = id - (id-1) % 10``, which checks every
+hop of the distributed loop without needing recursion in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ror_etl_spark.operators.rollup import ultimate_parent
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+
+
+def synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, parent) forest derived deterministically from orders."""
+    o = Tables(spark, sf_dir).orders
+    ranked = o.select(
+        F.row_number().over(W.orderBy("o_orderkey")).cast("long").alias("id")
+    )
+    return ranked.select(
+        "id",
+        F.when(F.col("id") % 10 == 1, F.col("id")).otherwise(F.col("id") - 1).alias("parent"),
+    )
+
+
+@query(
+    "ultimate_parent_rollup",
+    oracle="""
+    SELECT CAST(rn AS BIGINT) AS id,
+           CAST(rn - (rn - 1) % 10 AS BIGINT) AS ultimate_parent
+    FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    ORDER BY id
+    """,
+)
+def ultimate_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship kernel: resolve every node to its forest root."""
+    edges = synthetic_edges(spark, sf_dir)
+    result = ultimate_parent(edges, max_depth=16)
+    return result.mapping.orderBy("id")
+
+
+@query(
+    "ultimate_parent_deep_chain",
+    oracle="""
+    SELECT CAST(rn AS BIGINT) AS id, CAST(1 AS BIGINT) AS ultimate_parent
+    FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn <= 1000
+    ORDER BY id
+    """,
+)
+def ultimate_parent_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One chain 1000 deep (id → id-1, root=1): exercises the log-depth
+    guarantee — 1000 hops resolve in ⌈log2 1000⌉ = 10 doubling rounds,
+    where the reference's recursive walk would exceed its depth-200 cap."""
+    o = Tables(spark, sf_dir).orders
+    ids = (
+        o.select(F.row_number().over(W.orderBy("o_orderkey")).cast("long").alias("id"))
+        .filter(F.col("id") <= 1000)
+    )
+    edges = ids.select(
+        "id", F.greatest(F.col("id") - 1, F.lit(1).cast("long")).alias("parent")
+    )
+    result = ultimate_parent(edges, max_depth=1024)
+    return result.mapping.orderBy("id")

@@ -1,0 +1,106 @@
+"""Time-window aggregation (batch twins of the streaming demos) and the
+as-of join operator.
+
+``F.window`` works identically on batch and streaming DataFrames — the
+batch queries here are oracle-checked against DuckDB ``time_bucket``; the
+same plans run under readStream in ror_etl_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.operators.asof import asof_join
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+from ror_etl_spark.queries.util import r4
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY wstart, event_type
+    ORDER BY wstart, event_type
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows (epoch-aligned in both engines)."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("total"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total")
+        .orderBy("wstart", "event_type")
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS wstart,
+             value
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT wstart, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM slid
+    GROUP BY wstart
+    ORDER BY wstart
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — each event lands in 2 windows.
+
+    The oracle replays Spark's window-assignment rule (every 30-min-aligned
+    start s with s <= ts < s+1h) by unioning the two candidate buckets.
+    """
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "n", "total_value")
+        .orderBy("wstart")
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.event_id AS purchase_event_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the user's most recent prior-or-equal
+    purchase. Spark has no native ASOF JOIN — ror_etl_spark.operators.asof
+    implements it as union + last(ignorenulls) window (one shuffle on
+    user_id, no range explosion)."""
+    e = Tables(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        left=clicks,
+        right=purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        right_values=["purchase_event_id", "purchase_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "purchase_event_id", "purchase_value"
+    ).orderBy("event_id")

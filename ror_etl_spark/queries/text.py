@@ -1,0 +1,136 @@
+"""Text-analysis queries over the documents table (LLM-pipeline surface):
+token statistics, portable fingerprinting, quality scoring, language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    lang_id,
+    normalize_text,
+    punct_ratio,
+    token_count,
+    tokens,
+)
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+from ror_etl_spark.queries.util import r4
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(array_length(t) AS INT)                 AS n_tokens,
+           CAST(array_length(list_distinct(t)) AS INT)  AS n_unique,
+           round(CAST(array_length(list_distinct(t)) AS DOUBLE) / array_length(t), 4) AS ttr,
+           n_chars
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts and type-token ratio."""
+    d = Tables(spark, sf_dir).documents
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique"),
+        r4(F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5 fingerprint of normalized text (identical hex in any
+    engine — the exact-dedup key)."""
+    d = Tables(spark, sf_dir).documents
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+             length(regexp_replace(text, '\\s', '', 'g'))          AS nonspace,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(array_length(string_split(nt, ' ')) AS DOUBLE) AS n_tok,
+             CAST(length(nt) AS DOUBLE) AS n_chars_norm,
+             CAST(punct AS DOUBLE) / greatest(nonspace, 1) AS pr
+      FROM norm)
+    SELECT doc_id,
+           round(( least(n_tok / 50.0, 1.0)
+                 + (CASE WHEN n_chars_norm / greatest(n_tok, 1) BETWEEN 3 AND 10
+                         THEN 1.0 ELSE 0.5 END)
+                 + (1.0 - least(pr * 4, 1.0)) ) / 3, 4) AS quality
+    FROM feat
+    ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / token shape / punctuation)."""
+    d = Tables(spark, sf_dir).documents
+    n_tok = token_count(F.col("text")).cast("double")
+    mean_tok_len = F.length(normalize_text(F.col("text"))) / F.greatest(n_tok, F.lit(1.0))
+    len_score = F.least(n_tok / 50.0, F.lit(1.0))
+    tok_len_score = F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 1.0).otherwise(0.5)
+    punct_score = F.lit(1.0) - F.least(punct_ratio(F.col("text")) * 4, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        r4((len_score + tok_len_score + punct_score) / 3).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'), x -> x <> '')) AS INT) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate (letter runs / digit runs / punctuation)."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+@query("text_lang_id")  # heuristic scoring is engine-internal → rows-only check
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID vs the labeled lang column; unit tests
+    assert correct identification on real multilingual sentences."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )

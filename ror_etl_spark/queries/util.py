@@ -1,0 +1,38 @@
+"""Shared helpers for oracle-checked queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def r2(c: Column | str) -> Column:
+    """Round to 2 decimals — for large-magnitude money sums where fp
+    accumulation order (Spark partial aggs vs DuckDB sequential) can differ
+    in the last ulps but never by 0.005."""
+    return F.round(c, 2)
+
+
+def r4(c: Column | str) -> Column:
+    """Round to 4 decimals — for averages/ratios of moderate magnitude."""
+    return F.round(c, 4)
+
+
+def ravg4(c: Column) -> Column:
+    """Round an AVG of fixed-2-decimal data to 4 dp with an epsilon shift.
+
+    avg(2-decimal values) over counts like 8 or 32 yields exact decimal
+    values with 5 digits ending in 5 — exactly on the 4-dp rounding
+    boundary, where the last-ulp difference between Spark's partial-agg
+    summation and DuckDB's sequential sum flips the rounded digit. Adding
+    1e-9 (identically in the oracle SQL — see SQL_AVG_EPS) moves the
+    boundary off every such point."""
+    return F.round(c + 1e-9, 4)
+
+
+# Oracle-side twin of ravg4: use round(<expr> + 1e-9, 4) in DuckDB SQL.
+SQL_AVG_EPS = "+ 1e-9"
+
+
+def r6(c: Column | str) -> Column:
+    return F.round(c, 6)

@@ -1,0 +1,103 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.functions.vectors import as_double, cosine
+from ror_etl_spark.operators.similarity import all_pairs_above, lsh_topk
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+from ror_etl_spark.queries.util import r6
+
+_COS_SQL = """
+    list_dot_product({a}, {b})
+    / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
+"""
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+    SELECT e.vec_id, round({_COS_SQL.format(a='e.v', b='q.qv')}, 6) AS cos
+    FROM e, q
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (brute force baseline).
+
+    The 1-row query side is broadcast; the corpus never shuffles — the
+    plan ends in TakeOrderedAndProject. Dot products are sequential
+    left-folds in float64 on both engines, so rounding at 6 dp is exact."""
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select("vec_id", r6(cosine(F.col("v"), F.col("qv"))).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL.format(a='a.v', b='b.v')}, 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). Brute-force
+    all-pairs here (correctness baseline); the LSH-bucketed scale path is
+    ``embedding_knn_lsh``."""
+    emb = Tables(spark, sf_dir).embeddings
+    return all_pairs_above(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@query(
+    "embedding_centroid_norm",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))), 4) AS avg_sq_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics (squared-norm average) — array math
+    inside an aggregation."""
+    emb = Tables(spark, sf_dir).embeddings
+    v = as_double(F.col("embedding"))
+    sq = F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    return (
+        emb.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.round(F.avg("sq"), 4).alias("avg_sq_norm"))
+        .orderBy("label")
+    )
+
+
+@query("embedding_knn_lsh")  # approximate: bucket membership is engine-internal
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucket restriction, then exact
+    cosine inside the bucket. Unit tests assert the bucket contains the
+    query's true top-1 on planted data; driver records rows-only."""
+    emb = Tables(spark, sf_dir).embeddings
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4)
