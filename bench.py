@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Each query is timed to full materialization (count of the result) after a
+shared session warm-up, so JVM/codegen startup isn't billed to the first
+query. Run with --all to time every registered query instead of the
+headline set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ror_etl_spark import registry  # noqa: E402
+from ror_etl_spark.session import get_spark  # noqa: E402
+
+# Representative slice of the operator surface: scan-agg, star join, top-k,
+# windows, sessionization, time windows, graph fixpoint, dedup, text,
+# vector search — one per family so a regression anywhere is visible.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "agg_stats",
+    "cube_status_segment",
+    "window_topk_per_group",
+    "window_running_sum",
+    "sessionize_events",
+    "tumbling_window_counts",
+    "asof_join_events",
+    "ultimate_parent_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--all", action="store_true", help="bench every registered query")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    registry.load_all()
+    names = sorted(registry.QUERIES) if args.all else HEADLINE
+    sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    spark = get_spark("bench")
+    # warm up: JVM, parquet footer cache, codegen
+    spark.read.parquet(os.path.join(args.sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        best = None
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            fn(spark, args.sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

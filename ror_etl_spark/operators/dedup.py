@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ror_etl_spark.functions.text import normalize_text, fingerprint_md5
+from ror_etl_spark.operators.util import spread
 
 
 def shingles(text_col, k: int = 3):
@@ -63,18 +64,30 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, minhash: array<bigint>[num_hashes]) — minimum of xxhash64 with
-    ``num_hashes`` different seeds over the shingle set. Each seed is an
-    independent permutation approximation; P(minhash_i equal) = Jaccard."""
+    """(id, minhash: array<bigint>[num_hashes]).
+
+    Each shingle is string-hashed ONCE; the ``num_hashes`` lanes re-mix the
+    resulting 8-byte long with ``xxhash64(h, lane)`` — fixed-width input,
+    far cheaper than hashing the variable-length string per lane, which
+    matters when the corpus is 100 TB of text. (Multiplicative universal
+    hashing would be cheaper still but Spark 4's ANSI mode forbids wrapping
+    long multiply.) P(minhash_i equal) = Jaccard of the shingle sets."""
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    with_base = spread(df).select(F.col(id_col).alias("id"), base.alias("__hashes"))
+
+    def lane(i: int):
+        # factory: a single-arg lambda (default-arg lambdas are mistaken
+        # for pyspark's multi-arg higher-order-function form)
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, _i=i: F.xxhash64(s, F.lit(_i))))
-            .alias(f"h{i}")
+            F.array_min(F.transform(F.col("__hashes"), lane(i)))
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("minhash"))
+    return with_base.select("id", sig.alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -88,7 +101,7 @@ def lsh_candidate_pairs(
     is bounded because the bucket key includes all ``rows_per_band``
     minhashes."""
     assert bands * rows_per_band <= 1 << 10
-    banded = signatures.select(
+    banded = signatures.cache().select(
         "id",
         F.explode(
             F.array(
@@ -134,7 +147,7 @@ def jaccard_verify(
     Payload join happens only for candidates (tiny vs corpus), and the
     shingle sets are recomputed JVM-side — cheaper than shipping shingle
     arrays through the LSH shuffle."""
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
@@ -191,13 +204,50 @@ def simhash64(text_col, shingle_k: int = 2):
     return sim
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
+) -> DataFrame:
+    """(id, sim) SimHash signatures via explode + groupBy.
+
+    The nested-array formulation (``simhash64``) builds a 64-wide
+    zip_with per shingle — a huge codegen unit that compiles slowly and
+    evaluates worse. This shape instead explodes shingles and takes 64
+    flat ``sum(±1)`` aggregates: vectorized HashAggregate with map-side
+    partial aggregation, one shuffle keyed on id — the formulation that
+    scales to 100 TB corpora."""
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    hashed = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(_bit_mask(j))) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.lit(_bit_mask(j)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("id", sim.alias("sim"))
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit hash into
-    four 16-bit bands; any exact band match → candidate (pigeonhole: covers
-    all pairs with Hamming distance ≤ 3)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    four 16-bit bands; any exact band match -> candidate (pigeonhole: covers
+    all pairs with Hamming distance <= 3).
+
+    Signatures are cached before the self-join so the expensive hash pass
+    runs once, not once per join side."""
+    sig = simhash_signatures(df, text_col, id_col).cache()
     banded = sig.select(
         "id",
         "sim",

@@ -91,7 +91,9 @@ def extract_parent_edges(
         F.col(relationships_col),
         lambda r: F.lower(F.coalesce(r["type"], F.lit(""))) == "parent",
     )
-    last_parent = F.element_at(parents, -1)["id"]
+    # try_element_at: null (→ coalesce to self) when no parent relationship
+    # exists — plain element_at(-1) throws on empty arrays under ANSI mode
+    last_parent = F.try_element_at(parents, F.lit(-1))["id"]
     return ror.select(
         F.col(id_col).alias("id"),
         F.coalesce(last_parent, F.col(id_col)).alias("parent"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ror_etl_spark.functions.vectors import as_double, cosine
+from ror_etl_spark.operators.util import spread
 
 
 def _splitmix64(state: int) -> tuple[int, int]:
@@ -76,7 +77,7 @@ def brute_force_topk(
     id. The plan is scan → project(cosine) → TakeOrderedAndProject: no
     shuffle of the corpus, ideal scaling."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = corpus.select(
+    scored = spread(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.round(cosine(as_double(F.col(vec_col)), q), 6).alias("cos"),
     )
@@ -124,6 +125,7 @@ def all_pairs_above(
     threshold. Brute-force O(n²) via self-join — correct baseline; the
     scale path buckets by LSH first (same hyperplane machinery) so only
     in-bucket pairs materialize."""
+    corpus = spread(corpus)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

@@ -1,0 +1,52 @@
+"""Driver-contract consistency: entry() runs, every oracle key has a query,
+approximate aggregates stay within sketch error bounds."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as contract  # noqa: E402
+
+from tests.conftest import SF_SMALL  # noqa: E402
+
+
+def test_entry_smoke(spark):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_oracle_keys_subset_of_queries(spark):
+    qs, os_ = contract.queries(), contract.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 50
+
+
+def test_approx_aggregates_within_error(spark):
+    from ror_etl_spark.registry import QUERIES
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_distinct_quantiles"](spark, SF_SMALL).collect()
+    }
+    from ror_etl_spark.tables import Tables
+
+    e = Tables(spark, SF_SMALL).events
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("nd"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for k, a in approx.items():
+        assert abs(a["approx_users"] - exact[k]["nd"]) <= max(2, 0.05 * exact[k]["nd"])
+        assert abs(a["approx_p50"] - exact[k]["p50"]) <= 0.05 * max(1.0, abs(exact[k]["p50"]))

@@ -1,0 +1,110 @@
+"""Dedup family tests with planted duplicates (exact recall assertions the
+oracle can't express because hash seeds are engine-internal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ror_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    keep_best_per_key,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash_candidates,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old house near the river bank under the bright morning sun"
+)
+NEAR = BASE.replace("morning", "evening")  # one token differs
+FAR = (
+    "completely different text about spark partitions shuffles joins "
+    "aggregations catalysts and whole stage code generation with arrow "
+    "batches flowing between the jvm and python worker processes"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "  " + BASE.upper() + "  "),  # dup after normalization
+        (4, NEAR),  # near dup of 1
+        (5, FAR),
+        (6, FAR.replace("arrow", "feather")),  # near dup of 5
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    groups = exact_dedup(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    # 1,2,3 collapse (case/whitespace normalize); 4,5,6 unique
+    assert by_keep == {1: 3, 4: 1, 5: 1, 6: 1}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, num_hashes=32)
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    # exact dups always collide; the one-token-off pairs share most shingles
+    assert (1, 2) in cands
+    assert (1, 4) in cands or (2, 4) in cands
+    assert (5, 6) in cands
+    verified = jaccard_verify(
+        spark.createDataFrame(list(cands), "id_a long, id_b long"), docs, threshold=0.5
+    )
+    v = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(1, 2)] == 1.0
+    assert 0.5 <= v[(1, 4)] < 1.0
+
+
+def test_minhash_no_false_candidates_across_far_docs(spark):
+    docs = _docs(spark)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert (1, 5) not in cands and (2, 5) not in cands
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(docs).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert pairs[(1, 3)] == 0  # normalization collapses case/whitespace
+    if (1, 4) in pairs:  # near dup: small distance when banding catches it
+        assert pairs[(1, 4)] <= 16
+
+
+def test_simhash_signature_deterministic(spark):
+    docs = _docs(spark)
+    a = {r["id"]: r["sim"] for r in simhash_signatures(docs).collect()}
+    b = {r["id"]: r["sim"] for r in simhash_signatures(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]  # exact dups agree
+    assert a[1] != a[5]  # far docs differ
+
+
+def test_shingles_content(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_keep_best_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10, 1.0), (1, "x", 20, 2.0), (1, "y", 5, 3.0), (2, "x", 7, 4.0)],
+        "user long, kind string, ts long, v double",
+    )
+    kept = keep_best_per_key(df, keys=["user", "kind"], order_by=[F.desc("ts")])
+    rows = {(r["user"], r["kind"]): r["ts"] for r in kept.collect()}
+    assert rows == {(1, "x"): 20, (1, "y"): 5, (2, "x"): 7}

@@ -1,0 +1,81 @@
+"""Text-analysis function tests on real multilingual sentences (the
+testdata lang labels are synthetic, so language ID is validated here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ror_etl_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    lang_id,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+SENTENCES = [
+    ("en", "the cat sat on the mat and it was a sunny day in the park"),
+    ("de", "der hund und die katze sind nicht mit dem kind zu hause"),
+    ("es", "el perro y el gato están en la casa que es de madera"),
+    ("fr", "le chien et le chat sont dans la maison pour la nuit"),
+    ("zh", "我 的 朋友 是 一个 很 好 的 人 他 有 很多 书"),
+]
+
+
+def test_lang_id_on_real_sentences(spark):
+    df = spark.createDataFrame(SENTENCES, "lang string, text string")
+    out = {r["lang"]: r["pred"] for r in df.select("lang", lang_id(F.col("text")).alias("pred")).collect()}
+    assert out == {code: code for code, _ in SENTENCES}
+
+
+def test_lang_id_unknown(spark):
+    df = spark.createDataFrame([("xx xx xx",)], "text string")
+    assert df.select(lang_id(F.col("text")).alias("p")).collect()[0]["p"] == "und"
+
+
+def test_normalize_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("  Hello   World  ",), ("hello world",)], "text string"
+    )
+    rows = df.select(
+        normalize_text(F.col("text")).alias("n"),
+        fingerprint_md5(F.col("text")).alias("f"),
+    ).collect()
+    assert rows[0]["n"] == rows[1]["n"] == "hello world"
+    assert rows[0]["f"] == rows[1]["f"]
+    assert len(rows[0]["f"]) == 32
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("one two  three",)], "text string")
+    r = df.select(
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()[0]
+    assert r["n"] == 3
+    assert r["b"] == 3
+
+
+def test_bpe_ish_splits_mixed_runs(spark):
+    df = spark.createDataFrame([("abc123, def!",)], "text string")
+    # abc | 123 | , | def | ! → 5
+    assert df.select(bpe_ish_token_count(F.col("text")).alias("b")).collect()[0]["b"] == 5
+
+
+def test_quality_and_ratios_bounded(spark):
+    df = spark.createDataFrame(
+        [("a good long document " * 10,), ("!!! ??? ***",), ("",)], "text string"
+    )
+    rows = df.select(
+        quality_score(F.col("text")).alias("q"),
+        punct_ratio(F.col("text")).alias("p"),
+        stopword_ratio(F.col("text")).alias("s"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+        assert 0.0 <= r["p"] <= 1.0
+        assert 0.0 <= r["s"] <= 1.0
+    assert rows[1]["p"] == 1.0  # all punctuation
