@@ -51,7 +51,8 @@ from pyspark.sql import functions as F
 class RollupResult:
     mapping: DataFrame  # columns: id, ultimate_parent
     iterations: int
-    n_unconverged: int  # rows still changing at cutoff (cycles) — alert, don't fail
+    n_unconverged: int  # rows still changing at cutoff (odd cycles) — alert, don't fail
+    n_in_cycle: int  # rows whose resolved ancestor is not a true root (any cycle)
 
 
 class DuplicateIdError(ValueError):
@@ -142,7 +143,31 @@ def ultimate_parent(
             break
 
     mapping = m.select(F.col("id"), F.col("anc").alias("ultimate_parent"))
-    return RollupResult(mapping=mapping, iterations=iterations, n_unconverged=n_changed)
+
+    # Cycle detection beyond non-convergence: even-length cycles collapse to
+    # stable self-maps under doubling (X→Y,Y→X resolves to X→X,Y→Y in one
+    # round), so "converged" alone doesn't mean "reached a real root". A
+    # resolved ancestor is a true root iff its own parent edge is a
+    # self-loop (or it has no edge — terminal). Everything else is in/under
+    # a cycle → the reference's alert case (get_ultimate_parent.py:25-39).
+    roots = edges.filter(F.col(parent_col) == F.col(id_col)).select(
+        F.col(id_col).alias("r_id")
+    )
+    all_ids = edges.select(F.col(id_col).alias("e_id"))
+    non_terminal_ancs = (
+        mapping.join(all_ids, mapping["ultimate_parent"] == all_ids["e_id"], "left_semi")
+    )
+    n_in_cycle = (
+        non_terminal_ancs.join(
+            roots, non_terminal_ancs["ultimate_parent"] == roots["r_id"], "left_anti"
+        ).count()
+    )
+    return RollupResult(
+        mapping=mapping,
+        iterations=iterations,
+        n_unconverged=n_changed,
+        n_in_cycle=n_in_cycle,
+    )
 
 
 def attach_ultimate_parent(

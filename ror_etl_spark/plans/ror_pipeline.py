@@ -1,0 +1,184 @@
+"""Reference-parity ROR pipeline: the weekly ETL re-expressed as gated
+DataFrame stages (reference: ror_dag.py task chain :228-238).
+
+Stage map (reference → here):
+- clear_tmp_dir (ror_dag.py:53-55)            → ``clear_tmp``
+- download (GKE pod running fetch.py)          → sources.fetch (driver-side)
+- add_ultimate_parent (get_ultimate_parent.py) → rollup operators (distributed)
+- load_staging (ror_dag.py:166-175)            → schema-FAILFAST read + REQUIRED
+                                                 null-scan + overwrite parquet
+- checks (ror_dag.py:178-192)                  → ``check_unique_ids`` +
+                                                 ``check_monotonic_count``; any
+                                                 failure stops before promote,
+                                                 staging keeps the bad data for
+                                                 inspection (comment :51-52)
+- load_production (ror_dag.py:194-200)         → staging → prod overwrite copy
+- update descriptions (ror_dag.py:203-213)     → TBLPROPERTIES-style metadata
+                                                 written alongside prod
+- backup (ror_dag.py:216-223)                  → dated snapshot ``ror_YYYYMMDD``
+- success alert (ror_dag.py:226)               → observer callback hook
+
+Write semantics are the reference's: every table write is full replace
+(WRITE_TRUNCATE ≙ mode="overwrite"), snapshots are name-versioned by run
+date. At 100 TB the staging/prod/backup materializations stay Parquet
+directory writes (partition by a stable key upstream if needed); the
+intermediate rollup never materializes outside the fixpoint loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.operators.rollup import (
+    assert_unique_ids,
+    attach_ultimate_parent,
+    extract_parent_edges,
+    ultimate_parent,
+)
+from ror_etl_spark.sources.ror_schema import (
+    ROR_INPUT_SCHEMA,
+    TABLE_DESCRIPTION,
+    validate_required,
+)
+
+
+class CheckFailed(RuntimeError):
+    """A data-quality check failed; promotion is blocked
+    (BigQueryCheckOperator semantics, ror_dag.py:178-192)."""
+
+
+@dataclass
+class RorPipeline:
+    spark: SparkSession
+    root: str  # warehouse root: {root}/tmp, /staging, /prod, /backups
+    alert: Callable[[str], None] = field(default=lambda msg: None)
+    run_date: datetime | None = None
+
+    @property
+    def tmp_dir(self) -> str:
+        return os.path.join(self.root, "tmp")
+
+    @property
+    def staging_path(self) -> str:
+        return os.path.join(self.root, "staging", "ror")
+
+    @property
+    def prod_path(self) -> str:
+        return os.path.join(self.root, "prod", "ror")
+
+    def backup_path(self) -> str:
+        d = self.run_date or datetime.now(timezone.utc)
+        return os.path.join(self.root, "backups", f"ror_{d:%Y%m%d}")
+
+    # --- stages -----------------------------------------------------------
+
+    def clear_tmp(self) -> None:
+        """Clean tmp at run START — failed runs keep debris for debugging
+        (ror_dag.py:51-55)."""
+        shutil.rmtree(self.tmp_dir, ignore_errors=True)
+        os.makedirs(self.tmp_dir, exist_ok=True)
+
+    def load_input(self, jsonl_path: str) -> DataFrame:
+        """Schema-enforced read: FAILFAST rejects shape/type mismatches the
+        way the BigQuery load does; REQUIRED nulls are checked by
+        validate_required (Spark's reader can't — SURVEY §4.2)."""
+        df = (
+            self.spark.read.schema(ROR_INPUT_SCHEMA)
+            .option("mode", "FAILFAST")
+            .json(jsonl_path)
+        )
+        validate_required(df)
+        return df
+
+    def add_ultimate_parent(self, ror: DataFrame) -> DataFrame:
+        """The rollup kernel: duplicate-id hard gate → pointer-doubling
+        fixpoint → broadcast join-back; cycles alert but don't fail
+        (get_ultimate_parent.py semantics, SURVEY §2.2)."""
+        assert_unique_ids(ror)
+        result = ultimate_parent(extract_parent_edges(ror))
+        if result.n_unconverged or result.n_in_cycle:
+            self.alert(
+                f"rollup: {max(result.n_unconverged, result.n_in_cycle)} id(s) "
+                f"did not converge to a root (cycle or depth cap) — kept an "
+                f"in-chain ancestor"
+            )
+        return attach_ultimate_parent(ror, result.mapping)
+
+    def load_staging(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.staging_path)
+
+    def check_unique_ids(self) -> None:
+        """Q1: select count(distinct id) = count(id) (ror_dag.py:179-183)."""
+        row = (
+            self.spark.read.parquet(self.staging_path)
+            .agg(
+                (F.count_distinct(F.col("id")) == F.count("id")).alias("ok"),
+            )
+            .collect()[0]
+        )
+        if not row["ok"]:
+            raise CheckFailed("staging ror: duplicate ids")
+
+    def check_monotonic_count(self) -> None:
+        """Q2: staging rowcount must be >= current prod rowcount
+        (ror_dag.py:184-191); trivially passes when prod doesn't exist."""
+        staging_n = self.spark.read.parquet(self.staging_path).count()
+        if not os.path.exists(self.prod_path):
+            return
+        prod_n = self.spark.read.parquet(self.prod_path).count()
+        if staging_n < prod_n:
+            raise CheckFailed(
+                f"staging count {staging_n} < prod count {prod_n} (shrinking table)"
+            )
+
+    def promote(self) -> None:
+        """staging → prod full-replace copy (ror_dag.py:194-200)."""
+        self.spark.read.parquet(self.staging_path).write.mode("overwrite").parquet(
+            self.prod_path
+        )
+        self._write_descriptions()
+
+    def _write_descriptions(self) -> None:
+        """Metadata propagation (ror_dag.py:203-213): without a metastore,
+        descriptions land next to the table as JSON (with one, this becomes
+        ALTER TABLE ... SET TBLPROPERTIES)."""
+        meta = {
+            "table_description": TABLE_DESCRIPTION["ror"],
+            "columns": {
+                f.name: f.metadata.get("comment", "")
+                for f in self.spark.read.parquet(self.prod_path).schema.fields
+            },
+        }
+        with open(os.path.join(self.root, "prod", "ror_descriptions.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def backup(self) -> str:
+        """Dated snapshot prod → backups/ror_YYYYMMDD (ror_dag.py:216-223)."""
+        path = self.backup_path()
+        self.spark.read.parquet(self.prod_path).write.mode("overwrite").parquet(path)
+        return path
+
+    # --- orchestration ----------------------------------------------------
+
+    def run(self, jsonl_path: str) -> dict:
+        """Full gated chain. Check failures raise BEFORE promotion; staging
+        keeps the failed data (reference comment ror_dag.py:51-52)."""
+        self.clear_tmp()
+        ror = self.load_input(jsonl_path)
+        with_up = self.add_ultimate_parent(ror)
+        self.load_staging(with_up)
+        self.check_unique_ids()
+        self.check_monotonic_count()
+        self.promote()
+        backup = self.backup()
+        n = self.spark.read.parquet(self.prod_path).count()
+        self.alert(f"ROR pipeline succeeded: {n} rows promoted; backup at {backup}")
+        return {"rows": n, "backup": backup}

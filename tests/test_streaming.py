@@ -1,0 +1,52 @@
+"""Streaming demos driven to completion on the bounded events fixture;
+windowed aggregates must match their batch twins exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ror_etl_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+from ror_etl_spark.tables import Tables
+from tests.conftest import SF_SMALL
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(spark, tumbling_counts(stream), "t_tumbling", mode="complete")
+    got = {
+        (r["wstart"], r["event_type"]): (r["n"], r["total"]) for r in out.collect()
+    }
+    batch = (
+        Tables(spark, SF_SMALL)
+        .events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total")
+    )
+    want = {
+        (r["wstart"], r["event_type"]): (r["n"], r["total"]) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_produces_sessions(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(spark, session_counts(stream), "t_sessions", mode="complete")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+    # total events across sessions == total events
+    total = sum(r["n_events"] for r in rows)
+    assert total == Tables(spark, SF_SMALL).events.count()
+
+
+def test_dedup_within_watermark_drops_dupes(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(spark, dedup_within_watermark(stream), "t_dedup")
+    n = out.count()
+    assert n == Tables(spark, SF_SMALL).events.select("event_id").distinct().count()
