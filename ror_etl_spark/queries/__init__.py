@@ -15,11 +15,14 @@ def load() -> None:
         aggregates,
         dedup,
         graph,
+        misc,
         relational,
         scalars,
         setops,
+        subqueries,
         temporal,
         text,
+        tpch_more,
         vector,
         windows,
     )
