@@ -123,7 +123,39 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("text_lang_id")  # heuristic scoring is engine-internal → rows-only check
+def _lang_id_oracle() -> str:
+    """DuckDB twin of functions.text.lang_id: per-language distinct-token
+    stopword overlap, argmax with ties to the lexicographically largest
+    code (matching array_max over (score, lang) structs), 'und' on zero.
+    Generated from the same STOPWORDS lists so they cannot drift."""
+    from ror_etl_spark.functions.text import STOPWORDS
+
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    score_cols = ",\n".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[code])
+        + f"], x))) AS s_{code}"
+        for code in langs_desc
+    )
+    branches = []
+    for i, code in enumerate(langs_desc):
+        later = langs_desc[i + 1 :]
+        conds = [f"s_{code} > 0"] + [f"s_{code} >= s_{o}" for o in later]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{code}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+    WITH toks AS (
+      SELECT lang,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents),
+    scored AS (SELECT lang, {score_cols} FROM toks)
+    SELECT lang, pred, count(*) AS n FROM (SELECT lang, {case} AS pred FROM scored)
+    GROUP BY lang, pred
+    ORDER BY lang, pred
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID vs the labeled lang column; unit tests
     assert correct identification on real multilingual sentences."""

@@ -1,0 +1,88 @@
+"""Source/sink round-trips, salted skew join equivalence, stateful
+streaming operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ror_etl_spark.operators.skew import salted_join
+from ror_etl_spark.sources.io import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_partitioned,
+)
+from ror_etl_spark.tables import Tables
+from tests.conftest import SF_SMALL
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    src = Tables(spark, SF_SMALL).nation
+    path = str(tmp_path / "nation_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, src.schema)
+    assert sorted(r["n_nationkey"] for r in back.collect()) == list(range(25))
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = Tables(spark, SF_SMALL).region
+    path = str(tmp_path / "region_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, src.schema)
+    assert {(r["r_regionkey"], r["r_name"]) for r in back.collect()} == {
+        (r["r_regionkey"], r["r_name"]) for r in src.collect()
+    }
+
+
+def test_partitioned_write_prunes_layout(spark, tmp_path):
+    import os
+
+    src = Tables(spark, SF_SMALL).nation
+    path = str(tmp_path / "nation_part")
+    write_partitioned(src, path, "n_regionkey")
+    dirs = {d for d in os.listdir(path) if d.startswith("n_regionkey=")}
+    assert dirs == {f"n_regionkey={i}" for i in range(5)}
+    pruned = spark.read.parquet(path).filter(F.col("n_regionkey") == 3)
+    assert pruned.count() == 5
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = Tables(spark, SF_SMALL)
+    fact = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    dim = t.customer.select("c_custkey", "c_mktsegment")
+    plain = fact.join(dim, F.col("o_custkey") == F.col("c_custkey"))
+    salted = salted_join(fact, dim, "o_custkey", "c_custkey", n_salts=4)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.select("o_orderkey", "c_mktsegment").collect()}
+    b = {tuple(r) for r in salted.select("o_orderkey", "c_mktsegment").collect()}
+    assert a == b
+
+
+def test_stateful_running_user_stats(spark):
+    from ror_etl_spark.streaming.events import read_events_stream, run_to_memory
+    from ror_etl_spark.streaming.stateful import running_user_stats
+
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(
+        spark, running_user_stats(stream), "t_stateful", mode="update"
+    )
+    # with availableNow the whole fixture arrives; the last update per user
+    # must equal the batch aggregate
+    from pyspark.sql import Window as W
+
+    latest = (
+        out.withColumn(
+            "rn", F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n_events")))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = {r["user_id"]: (r["n_events"], r["total"]) for r in latest.collect()}
+    batch = (
+        Tables(spark, SF_SMALL)
+        .events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
