@@ -137,3 +137,52 @@ def all_pairs_above(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus to the
+    nearest of ``n_centroids`` centroids, then search only the ``nprobe``
+    centroid cells nearest the query.
+
+    Centroids here are a deterministic sample (the n_centroids smallest
+    ids) — one tiny collect — rather than trained k-means; the operator
+    shape (assign via argmin over a broadcast centroid list, partition by
+    cell, probe a few cells per query) is exactly the production IVF
+    layout, where the corpus is written partitioned by cell once and each
+    query reads nprobe/n_centroids of the data."""
+    rows = (
+        corpus.orderBy(F.asc(id_col)).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+
+    def centroid_dist_struct(i: int, c: list[float]):
+        lits = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(as_double(F.col(vec_col)), lits, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(d.alias("d"), F.lit(i).alias("cell"))
+
+    assignment = F.array_min(
+        F.array(*[centroid_dist_struct(i, c) for i, c in enumerate(centroids)])
+    )["cell"]
+
+    def qdist(c: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(query_vec, c))
+
+    probe_cells = sorted(range(len(centroids)), key=lambda i: (qdist(centroids[i]), i))[
+        :nprobe
+    ]
+    cells = corpus.withColumn("__cell", assignment)
+    return brute_force_topk(
+        cells.filter(F.col("__cell").isin(probe_cells)), query_vec, k, id_col, vec_col
+    )

@@ -22,6 +22,7 @@ def load() -> None:
         subqueries,
         temporal,
         text,
+        tpch_correlated,
         tpch_more,
         vector,
         windows,

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ror_etl_spark.operators.components import dedup_clusters
 from ror_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard_verify,
@@ -124,3 +125,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
     pairs = simhash_candidates(d)
     return pairs.filter(F.col("hamming") <= 8).orderBy("id_a", "id_b")
+
+
+@query("dedup_near_clusters")  # engine-internal hashes feed the pair graph
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup funnel: MinHash signatures → LSH candidates →
+    exact-Jaccard verification (≥0.5) → connected components → one keeper
+    per transitive duplicate cluster. Returns cluster summary rows."""
+    d = Tables(spark, sf_dir).documents
+    cands = lsh_candidate_pairs(minhash_signatures(d, num_hashes=32))
+    verified = jaccard_verify(cands, d, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup_clusters(d, verified)
+    return (
+        clusters.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+        )
+        .filter(F.col("size") > 1)
+        .orderBy("cluster")
+    )

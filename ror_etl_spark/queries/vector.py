@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ror_etl_spark.functions.vectors import as_double, cosine
-from ror_etl_spark.operators.similarity import all_pairs_above, lsh_topk
+from ror_etl_spark.operators.similarity import all_pairs_above, ivf_topk, lsh_topk
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 from ror_etl_spark.queries.util import r6
@@ -101,3 +101,16 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4)
+
+
+@query("embedding_knn_ivf")  # approximate: cell assignment is engine-internal
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: coarse-quantize to centroid cells, probe the 4
+    nearest cells, exact cosine inside. Unit tests assert the probed cells
+    contain the true top-1; driver records rows-only."""
+    emb = Tables(spark, sf_dir).embeddings
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=4
+    )

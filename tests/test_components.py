@@ -1,0 +1,57 @@
+"""Connected-components clustering + IVF search tests."""
+
+from __future__ import annotations
+
+from ror_etl_spark.operators.components import connected_components, dedup_clusters
+from ror_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def test_components_transitive_chain(spark):
+    # A~B, B~C, D~E: clusters {1,2,3} and {4,5}; 3 and 1 never share a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    res = connected_components(pairs)
+    labels = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    assert res.converged
+
+
+def test_components_star_and_bridge(spark):
+    # star around 10 plus a bridge 3-20 merging two stars
+    pairs = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 3), (20, 21), (3, 20)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["component"] for r in connected_components(pairs).labels.collect()}
+    assert set(labels.values()) == {3}
+
+
+def test_dedup_clusters_with_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["id"]: (r["cluster"], r["is_keeper"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    for singleton in (4, 5, 6):
+        assert out[singleton] == (singleton, True)
+
+
+def _corpus(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.5]) for i in range(40)]
+    rows.append((100, [1.0, 0.0, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_topk_contains_true_top1(spark):
+    corpus = _corpus(spark)
+    q = [1.0, 0.0, 0.0, 0.0]
+    true_top = brute_force_topk(corpus, q, k=1).collect()[0]
+    got = ivf_topk(corpus, q, k=5, n_centroids=8, nprobe=4).collect()
+    assert true_top["vec_id"] in {r["vec_id"] for r in got}
+
+
+def test_ivf_probe_restriction_reduces_candidates(spark):
+    corpus = _corpus(spark)
+    q = [1.0, 0.0, 0.0, 0.0]
+    all_cells = ivf_topk(corpus, q, k=100, n_centroids=8, nprobe=8).count()
+    few_cells = ivf_topk(corpus, q, k=100, n_centroids=8, nprobe=2).count()
+    assert few_cells < all_cells
