@@ -54,7 +54,9 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--all", action="store_true", help="bench every registered query")
-    ap.add_argument("--repeat", type=int, default=1)
+    # best-of-2 by default: first execution pays one-time planning/codegen;
+    # the minimum reflects engine steady state
+    ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
     registry.load_all()

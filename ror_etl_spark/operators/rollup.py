@@ -122,6 +122,8 @@ def ultimate_parent(
     n_iters = max(1, math.ceil(math.log2(max(2, max_depth))) + 1)
     m = edges.select(F.col(id_col).alias("id"), F.col(parent_col).alias("anc"))
     m = _materialize(m, use_local_checkpoint)
+    m0 = m  # checkpointed input copy — reused for root/cycle analysis below
+    # so the (possibly expensive) upstream edge lineage never re-executes
 
     iterations = 0
     n_changed = -1
@@ -150,10 +152,8 @@ def ultimate_parent(
     # resolved ancestor is a true root iff its own parent edge is a
     # self-loop (or it has no edge — terminal). Everything else is in/under
     # a cycle → the reference's alert case (get_ultimate_parent.py:25-39).
-    roots = edges.filter(F.col(parent_col) == F.col(id_col)).select(
-        F.col(id_col).alias("r_id")
-    )
-    all_ids = edges.select(F.col(id_col).alias("e_id"))
+    roots = m0.filter(F.col("anc") == F.col("id")).select(F.col("id").alias("r_id"))
+    all_ids = m0.select(F.col("id").alias("e_id"))
     non_terminal_ancs = (
         mapping.join(all_ids, mapping["ultimate_parent"] == all_ids["e_id"], "left_semi")
     )
