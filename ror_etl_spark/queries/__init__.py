@@ -22,8 +22,10 @@ def load() -> None:
         subqueries,
         temporal,
         text,
+        text_tf,
         tpch_correlated,
         tpch_more,
+        tpch_semi,
         vector,
         windows,
     )
