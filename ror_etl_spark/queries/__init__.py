@@ -18,6 +18,7 @@ def load() -> None:
         misc,
         relational,
         scalars,
+        scalars2,
         setops,
         subqueries,
         temporal,

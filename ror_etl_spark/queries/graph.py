@@ -3,16 +3,18 @@ G1/G2, the reference's get_ultimate_parent.py re-expressed as a distributed
 pointer-doubling fixpoint — see ror_etl_spark.operators.rollup).
 
 The query derives a deterministic parent forest from the orders table:
-ids are 1..N by o_orderkey rank; each id points to id-1 except ids with
-``id % 10 == 1`` which are roots (self-loops). Chains are 10 deep, so the
-fixpoint needs ⌈log2 10⌉ = 4 doubling rounds — and the oracle is the
-closed form ``ultimate_parent = id - (id-1) % 10``, which checks every
-hop of the distributed loop without needing recursion in DuckDB.
+ids are ``o_orderkey + 1`` (orderkeys are contiguous 0..N-1, so no
+global row_number window is needed — the derivation is embarrassingly
+parallel); each id points to id-1 except ids with ``id % 10 == 1`` which
+are roots (self-loops). Chains are 10 deep, so the fixpoint needs
+⌈log2 10⌉ = 4 doubling rounds — and the oracle is the closed form
+``ultimate_parent = id - (id-1) % 10``, which checks every hop of the
+distributed loop without needing recursion in DuckDB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ror_etl_spark.operators.rollup import ultimate_parent
@@ -23,10 +25,8 @@ from ror_etl_spark.tables import Tables
 def synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, parent) forest derived deterministically from orders."""
     o = Tables(spark, sf_dir).orders
-    ranked = o.select(
-        F.row_number().over(W.orderBy("o_orderkey")).cast("long").alias("id")
-    )
-    return ranked.select(
+    ids = o.select((F.col("o_orderkey") + 1).cast("long").alias("id"))
+    return ids.select(
         "id",
         F.when(F.col("id") % 10 == 1, F.col("id")).otherwise(F.col("id") - 1).alias("parent"),
     )
@@ -35,9 +35,9 @@ def synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ultimate_parent_rollup",
     oracle="""
-    SELECT CAST(rn AS BIGINT) AS id,
-           CAST(rn - (rn - 1) % 10 AS BIGINT) AS ultimate_parent
-    FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    SELECT CAST(o_orderkey + 1 AS BIGINT) AS id,
+           CAST(o_orderkey + 1 - o_orderkey % 10 AS BIGINT) AS ultimate_parent
+    FROM orders
     ORDER BY id
     """,
 )
@@ -51,9 +51,9 @@ def ultimate_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ultimate_parent_deep_chain",
     oracle="""
-    SELECT CAST(rn AS BIGINT) AS id, CAST(1 AS BIGINT) AS ultimate_parent
-    FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn <= 1000
+    SELECT CAST(o_orderkey + 1 AS BIGINT) AS id, CAST(1 AS BIGINT) AS ultimate_parent
+    FROM orders
+    WHERE o_orderkey < 1000
     ORDER BY id
     """,
 )
@@ -62,9 +62,8 @@ def ultimate_parent_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee — 1000 hops resolve in ⌈log2 1000⌉ = 10 doubling rounds,
     where the reference's recursive walk would exceed its depth-200 cap."""
     o = Tables(spark, sf_dir).orders
-    ids = (
-        o.select(F.row_number().over(W.orderBy("o_orderkey")).cast("long").alias("id"))
-        .filter(F.col("id") <= 1000)
+    ids = o.select((F.col("o_orderkey") + 1).cast("long").alias("id")).filter(
+        F.col("id") <= 1000
     )
     edges = ids.select(
         "id", F.greatest(F.col("id") - 1, F.lit(1).cast("long")).alias("parent")
