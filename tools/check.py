@@ -47,6 +47,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (like the external driver) instead of get_spark()",
+    )
     args = ap.parse_args()
 
     registry.load_all()
@@ -54,7 +59,17 @@ def main() -> int:
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
 
-    spark = get_spark("check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
