@@ -124,16 +124,27 @@ def all_pairs_above(
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     threshold. Brute-force O(n²) via self-join — correct baseline; the
     scale path buckets by LSH first (same hyperplane machinery) so only
-    in-bucket pairs materialize."""
+    in-bucket pairs materialize.
+
+    Vectors are L2-normalized ONCE per row before the pair join, so each
+    pair costs a single dot product instead of dot + two norms — 3× less
+    flops on the quadratic stage (the dominant term at any scale)."""
+    from ror_etl_spark.functions.vectors import dot, l2_norm
+
     corpus = spread(corpus)
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    v = as_double(F.col(vec_col))
+    unit = F.transform(v, lambda x: x / l2_norm(v))
+    normed = corpus.select(F.col(id_col).alias("id"), unit.alias("u")).localCheckpoint(
+        eager=False
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), 6).alias("cos"),
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
