@@ -35,28 +35,43 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     strict: bool = False,
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join. ``strict=True`` uses ``right_time < left_time``
     (excludes simultaneous rows) by ordering left rows before right rows
-    on time ties."""
+    on time ties. ``right_order`` columns break ties between right rows
+    sharing a timestamp (the LAST row in that order wins) — without it,
+    simultaneous right rows resolve arbitrarily."""
     lcols = left.columns
+    order_cols = [c for c in (right_order or []) if c not in right_values]
     l = left.withColumn(_SIDE, F.lit(1)).withColumn("__asof_t", F.col(left_time))
-    for v in right_values:
+    for v in right_values + order_cols:
         l = l.withColumn(v, F.lit(None))
     r = right.withColumn(_SIDE, F.lit(0)).withColumn("__asof_t", F.col(right_time))
     for c in lcols:
         if c not in right.columns:
             r = r.withColumn(c, F.lit(None))
-    cols = [on, "__asof_t", _SIDE] + [c for c in lcols if c != on] + right_values
+    cols = (
+        [on, "__asof_t", _SIDE]
+        + [c for c in lcols if c != on]
+        + right_values
+        + order_cols
+    )
     cols = list(dict.fromkeys(cols))
     unioned = l.select(*cols).unionByName(r.select(*cols))
 
     # Right rows must precede left rows on time ties so `<=` semantics hold
     # (strict mode flips the tie order to get `<`).
     tie = F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()
+    # right-row tiebreaks sort after the side flag: left rows hold nulls in
+    # these columns but sides are already separated, so nulls never reorder
+    # across the side boundary
+    order = [F.col("__asof_t").asc(), tie] + [
+        F.col(c).asc() for c in (right_order or [])
+    ]
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("__asof_t").asc(), tie)
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(
@@ -69,4 +84,4 @@ def asof_join(
     out = filled.filter(F.col(_SIDE) == 1)
     for v in right_values:
         out = out.withColumn(v, F.col(f"__asof_{v}")).drop(f"__asof_{v}")
-    return out.drop(_SIDE, "__asof_t")
+    return out.drop(_SIDE, "__asof_t", *order_cols)
