@@ -16,6 +16,7 @@ def load() -> None:
         dedup,
         graph,
         misc,
+        misc2,
         relational,
         scalars,
         scalars2,

@@ -55,13 +55,20 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
 ) -> None:
-    """Catalog-managed bucketed table (bucketBy requires saveAsTable)."""
-    (
+    """Catalog-managed bucketed table (bucketBy requires saveAsTable);
+    pass ``path`` for an external table outside the warehouse dir."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

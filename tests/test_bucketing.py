@@ -1,0 +1,44 @@
+"""Bucketed-table layout: equal bucketing on the join key must let
+SortMergeJoin run without any shuffle Exchange — the repeated-join layout
+for 100 TB fact tables."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from ror_etl_spark.sources.io import write_bucketed
+from ror_etl_spark.tables import Tables
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        t = Tables(spark, SF_SMALL)
+        write_bucketed(
+            t.orders, "b_orders", "o_orderkey", n_buckets=8,
+            path=str(tmp_path / "b_orders"),
+        )
+        write_bucketed(
+            t.lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8,
+            path=str(tmp_path / "b_lineitem"),
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it computes the right thing
+        assert joined.count() == t.lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
