@@ -177,3 +177,31 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 4).alias("v_last_hour"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice) + 1e-9, 6)       AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4) AS cov_qp,
+           round(var_samp(l_quantity) + 1e-9, 4)                    AS var_q,
+           round(var_pop(l_discount) + 1e-9, 6)                     AS varp_d
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: correlation, covariance, variance."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-9, 4).alias("cov_qp"),
+            F.round(F.var_samp("l_quantity") + 1e-9, 4).alias("var_q"),
+            F.round(F.var_pop("l_discount") + 1e-9, 6).alias("varp_d"),
+        )
+        .orderBy("l_returnflag")
+    )
