@@ -92,22 +92,81 @@ def embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_knn_lsh")  # approximate: bucket membership is engine-internal
+def _lsh_oracle() -> str:
+    """DuckDB twin of the hyperplane-LSH bucket restriction: the planes are
+    deterministic (seeded SplitMix64), so their float components inline as
+    SQL literals, and bucket membership reduces to matching the query's
+    sign on every plane. The query row itself supplies the cosine target.
+
+    NOTE: assumes a 64-dim embedding column (the testdata's layout) purely
+    for literal generation; the Spark operator is dimension-agnostic."""
+    from ror_etl_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 4, seed=42)
+    plane_sql = [
+        "[" + ", ".join(repr(x) for x in plane) + "]" for plane in planes
+    ]
+    sign_conds = " AND ".join(
+        f"((list_dot_product(e.v, {p}) >= 0) = (list_dot_product(q.qv, {p}) >= 0))"
+        for p in plane_sql
+    )
+    cos = (
+        "list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+    SELECT e.vec_id, round({cos}, 6) AS cos
+    FROM e, q
+    WHERE {sign_conds}
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("embedding_knn_lsh", oracle=_lsh_oracle())
 def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: random-hyperplane LSH bucket restriction, then exact
-    cosine inside the bucket. Unit tests assert the bucket contains the
-    query's true top-1 on planted data; driver records rows-only."""
+    cosine inside the bucket — oracle-checked because the seeded planes
+    are deterministic and expressible as SQL literals."""
     emb = Tables(spark, sf_dir).embeddings
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4)
 
 
-@query("embedding_knn_ivf")  # approximate: cell assignment is engine-internal
+_IVF_ORACLE = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS c
+      FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.idx AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.c), c.idx) AS rn
+        FROM e, cents c)
+      WHERE rn = 1),
+    probe AS (
+      SELECT c.idx FROM cents c, q ORDER BY list_distance(q.qv, c.c), c.idx LIMIT 4)
+    SELECT a.vec_id,
+           round(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+    FROM assign a, q
+    WHERE a.cell IN (SELECT idx FROM probe)
+    ORDER BY cos DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+@query("embedding_knn_ivf", oracle=_IVF_ORACLE)
 def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: coarse-quantize to centroid cells, probe the 4
-    nearest cells, exact cosine inside. Unit tests assert the probed cells
-    contain the true top-1; driver records rows-only."""
+    nearest cells, exact cosine inside — oracle-checked because centroid
+    choice (16 smallest ids) and probe ordering are deterministic rules
+    the oracle replays in SQL. Unit tests assert true-top-1 recall."""
     emb = Tables(spark, sf_dir).embeddings
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
