@@ -140,3 +140,28 @@ def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supp").alias("src"), F.col("s_suppkey").alias("custkey")
     )
     return cust.unionByName(supp, allowMissingColumns=True).orderBy("src", "custkey")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT a.nk AS k_nation, count(*) AS n_pairs
+    FROM (SELECT nullif(c_nationkey, 5) AS nk FROM customer) a
+    JOIN (SELECT nullif(s_nationkey, 5) AS nk FROM supplier) b
+      ON a.nk IS NOT DISTINCT FROM b.nk
+    GROUP BY a.nk
+    ORDER BY k_nation NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of dropping out."""
+    t = Tables(spark, sf_dir)
+    a = t.customer.select(F.nullif(F.col("c_nationkey"), F.lit(5)).alias("a_nk"))
+    b = t.supplier.select(F.nullif(F.col("s_nationkey"), F.lit(5)).alias("b_nk"))
+    return (
+        a.join(b, a["a_nk"].eqNullSafe(b["b_nk"]))
+        .groupBy(F.col("a_nk").alias("k_nation"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("k_nation").asc_nulls_first())
+    )

@@ -62,3 +62,16 @@ def test_frame_sample_explodes_by_metadata(spark):
     # n_frames=1 for image fixtures → exactly one frame row each
     assert len(rows) == 5
     assert all(r["frame_idx"] == 0 for r in rows)
+
+
+def test_video_frame_sampling(spark):
+    """Video-shaped metadata: n_frames drives the sample explosion."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, b"fakevideo", ("video", 640, 480, None, 5000, 100))]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, meta struct<kind:string,width:int,height:int,sample_rate:int,duration_ms:int,n_frames:int>"
+    )
+    out = frame_sample_stub(media, every_n=10).collect()
+    assert [r["frame_idx"] for r in out] == list(range(0, 100, 10))
+    assert all(r["meta"]["kind"] == "video" for r in out)
