@@ -124,6 +124,7 @@ def ultimate_parent(
     m = _materialize(m, use_local_checkpoint)
     m0 = m  # checkpointed input copy — reused for root/cycle analysis below
     # so the (possibly expensive) upstream edge lineage never re-executes
+    n_rows = m.count()
 
     iterations = 0
     n_changed = -1
@@ -139,7 +140,19 @@ def ultimate_parent(
             )
         )
         stepped = _materialize(stepped, use_local_checkpoint)
-        n_changed = stepped.filter(F.col("prev_anc") != F.col("anc")).count()
+        stats = stepped.agg(
+            F.sum((F.col("prev_anc") != F.col("anc")).cast("long")).alias("changed"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n_changed = stats["changed"] or 0
+        # duplicate ids make the self-join a multiplier: row count grows
+        # geometrically per round. Fail fast with the reference's
+        # duplicate-id error instead of running out the iteration budget.
+        if stats["n"] > n_rows:
+            raise DuplicateIdError(
+                f"edge set grew {n_rows} → {stats['n']} during fixpoint — "
+                f"duplicate ids in input (reference hard-fails these too)"
+            )
         m = stepped.select("id", "anc")
         if n_changed == 0:
             break

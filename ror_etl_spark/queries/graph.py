@@ -70,3 +70,43 @@ def ultimate_parent_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = ultimate_parent(edges, max_depth=1024)
     return result.mapping.orderBy("id")
+
+
+@query(
+    "ultimate_parent_rollup_wide",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln FROM lineitem)
+    SELECT CAST(k * 8 + ln AS BIGINT) AS id,
+           CAST(k * 8 + min(ln) OVER (PARTITION BY k) AS BIGINT) AS ultimate_parent
+    FROM pairs
+    ORDER BY id
+    """,
+)
+def ultimate_parent_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel at fact-table width: one node per distinct (orderkey,
+    linenumber) (≈480k at sf0.1); each node's parent is the previous
+    existing linenumber of the same order (per-order lag window — keyed,
+    parallel), the order's smallest linenumber is the root. The oracle is
+    the closed form min-linenumber per order.
+
+    The distinct() is load-bearing: duplicate node ids multiply through
+    every self-join round of the fixpoint, which is exactly why the
+    reference hard-fails duplicates (assert_unique_ids runs before the
+    kernel in the pipeline)."""
+    from pyspark.sql import Window as W
+
+    pairs = (
+        Tables(spark, sf_dir)
+        .lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"))
+        .distinct()
+    )
+    w = W.partitionBy("k").orderBy("ln")
+    edges = pairs.select(
+        (F.col("k") * 8 + F.col("ln")).cast("long").alias("id"),
+        F.coalesce(
+            (F.col("k") * 8 + F.lag("ln").over(w)).cast("long"),
+            (F.col("k") * 8 + F.col("ln")).cast("long"),
+        ).alias("parent"),
+    )
+    result = ultimate_parent(edges, max_depth=8)
+    return result.mapping.orderBy("id")

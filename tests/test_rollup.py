@@ -138,3 +138,14 @@ def test_end_to_end_pipeline_shape(spark):
         "b1": "r2",
         "solo": "solo",
     }
+
+
+def test_duplicate_ids_in_fixpoint_fail_fast(spark):
+    # the raw operator (without the pipeline's pre-gate) must detect the
+    # duplicate-id join explosion instead of hanging: B is duplicated AND
+    # pointed through by A, so A fans out on the first hop join
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("B", "C"), ("C", "C")], "id string, parent string"
+    )
+    with pytest.raises(DuplicateIdError, match="grew"):
+        ultimate_parent(edges)
