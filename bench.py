@@ -41,6 +41,7 @@ HEADLINE = [
     "tumbling_window_counts",
     "asof_join_events",
     "ultimate_parent_rollup",
+    "ultimate_parent_rollup_wide",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_token_stats",

@@ -205,3 +205,32 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity) + 1e-9, 4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Arrow-batched UDAF) computing a
+    quantity-weighted price — oracle-checked against the pure-SQL
+    formulation. Demonstrates the UDAF surface; the native twin is what
+    the hot path would use."""
+    from ror_etl_spark.functions.udfs import weighted_mean
+
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(weighted_mean("l_extendedprice", "l_quantity") + 1e-9, 4).alias(
+                "wavg_price"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
