@@ -41,13 +41,13 @@ def connected_components(
     sym = fwd.union(
         pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
 
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     iterations = 0
@@ -69,7 +69,7 @@ def connected_components(
                     labels["component"], F.coalesce(F.col("nmin"), labels["component"])
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_changed = updated.filter(F.col("prev") != F.col("component")).count()
         labels = updated.select("id", "component")

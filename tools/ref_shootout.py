@@ -1,0 +1,160 @@
+"""Single-node throughput shootout: this engine vs the reference's
+single-process approach on the same ROR-shaped workload.
+
+The 'reference style' contender reimplements (from SURVEY.md §3.3's
+description, not the reference code) what get_ultimate_parent.py does: read
+JSONL into memory, build an id→parent dict (last parent relationship wins,
+case-insensitive), recursively chase each id to its root with a depth cap
+and no memoization, append ultimate_parent, write JSONL.
+
+The Spark contender runs the engine's gated pipeline stage-equivalents:
+schema-enforced load → distributed pointer-doubling rollup → broadcast
+join-back → parquet write.
+
+Usage: python tools/ref_shootout.py [--n 110000]  (110k ≈ the real ROR
+registry size the reference processes weekly)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_orgs(n: int, path: str) -> None:
+    with open(path, "w") as f:
+        for i in range(n):
+            rels = []
+            if i % 100 != 0:
+                rels.append(
+                    {"id": f"https://ror.org/{i-1:06d}", "label": "", "type": "Parent"}
+                )
+            f.write(
+                json.dumps(
+                    {
+                        "id": f"https://ror.org/{i:06d}",
+                        "status": "active",
+                        "names": [{"value": f"Org {i}", "types": ["label"], "lang": "en"}],
+                        "established": 1900 + (i % 120),
+                        "relationships": rels,
+                    }
+                )
+                + "\n"
+            )
+
+
+def reference_style(jsonl_in: str, jsonl_out: str, depth_cap: int = 200) -> float:
+    """Faithful single-process restatement of the reference algorithm
+    (per SURVEY §3.3): full-record parse, dict build, per-id recursive
+    chase without memoization, row rewrite."""
+    t0 = time.perf_counter()
+    id_to_parent: dict[str, str] = {}
+    rows = []
+    with open(jsonl_in) as f:
+        for line in f:
+            js = json.loads(line)
+            rid = js["id"]
+            parent = rid
+            for rel in js.get("relationships") or []:
+                if (rel.get("type") or "").lower() == "parent":
+                    parent = rel["id"]  # last one wins
+            assert rid not in id_to_parent, f"Duplicate ID: {rid}"
+            id_to_parent[rid] = parent
+            rows.append(js)
+
+    def roll(i: str) -> str:
+        seen = 0
+        cur = i
+        while seen < depth_cap:
+            p = id_to_parent.get(cur)
+            if p is None or p == cur:
+                return cur
+            cur = p
+            seen += 1
+        return cur  # depth cap: alert-and-continue semantics
+
+    resolved = {rid: roll(rid) for rid in id_to_parent}
+    with open(jsonl_out, "w") as f:
+        for js in rows:
+            js["ultimate_parent"] = resolved[js["id"]]
+            f.write(json.dumps(js) + "\n")
+    return time.perf_counter() - t0
+
+
+def spark_style(spark, jsonl_in: str, parquet_out: str) -> float:
+    from ror_etl_spark.operators.rollup import (
+        assert_unique_ids,
+        attach_ultimate_parent,
+        extract_parent_edges,
+        ultimate_parent,
+    )
+    from ror_etl_spark.sources.ror_schema import ROR_INPUT_SCHEMA
+
+    t0 = time.perf_counter()
+    ror = spark.read.schema(ROR_INPUT_SCHEMA).option("mode", "FAILFAST").json(jsonl_in)
+    # parse the JSON once: three downstream stages (uniqueness gate, edge
+    # extraction, join-back) would otherwise each re-parse every record
+    ror = ror.persist()
+    try:
+        assert_unique_ids(ror)
+        result = ultimate_parent(extract_parent_edges(ror))
+        out = attach_ultimate_parent(ror, result.mapping)
+        out.write.mode("overwrite").parquet(parquet_out)
+    finally:
+        ror.unpersist()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=110_000)
+    args = ap.parse_args()
+
+    from ror_etl_spark.session import get_spark
+
+    spark = get_spark("shootout")
+    with tempfile.TemporaryDirectory() as tmp:
+        jsonl = os.path.join(tmp, "ror.jsonl")
+        make_orgs(args.n, jsonl)
+
+        ref_s = reference_style(jsonl, os.path.join(tmp, "ref_out.jsonl"))
+        spark.read.parquet  # session warm
+        eng_s = spark_style(spark, jsonl, os.path.join(tmp, "eng_out"))
+        # second run = steady state (JVM warm, code compiled)
+        eng_s2 = spark_style(spark, jsonl, os.path.join(tmp, "eng_out2"))
+
+        # sanity: identical results
+        ref = {}
+        with open(os.path.join(tmp, "ref_out.jsonl")) as f:
+            for line in f:
+                js = json.loads(line)
+                ref[js["id"]] = js["ultimate_parent"]
+        eng = {
+            r["id"]: r["ultimate_parent"]
+            for r in spark.read.parquet(os.path.join(tmp, "eng_out")).select(
+                "id", "ultimate_parent"
+            ).collect()
+        }
+        assert ref == eng, "engines disagree"
+
+        print(
+            json.dumps(
+                {
+                    "n_orgs": args.n,
+                    "reference_style_sec": round(ref_s, 2),
+                    "spark_cold_sec": round(eng_s, 2),
+                    "spark_warm_sec": round(eng_s2, 2),
+                    "results_identical": True,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
