@@ -41,3 +41,32 @@ def weighted_mean(values: pd.Series, weights: pd.Series) -> float:
     if denom == 0.0:
         return float("nan")
     return float((values * weights).sum() / denom)
+
+
+GROUP_ZSCORE_SCHEMA = "user_id long, event_id long, value double, zscore double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: z-score of value within the group. Ships one
+    Arrow batch per group; sd==0 groups emit 0.0 (not NaN) so downstream
+    aggregation stays total."""
+    sd = pdf["value"].std(ddof=1)
+    mean = pdf["value"].mean()
+    z = (pdf["value"] - mean) / sd if sd and sd > 0 else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "zscore": z,
+        }
+    )
+
+
+def zscore_per_user(events):
+    """groupBy().applyInPandas grouped-map transform — the surface for
+    per-group model scoring/resampling that truly needs pandas. The native
+    twin (avg/stddev window) is what the hot path uses; tests pin equality."""
+    return events.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        _zscore_group, schema=GROUP_ZSCORE_SCHEMA
+    )

@@ -42,3 +42,23 @@ def test_weighted_mean_udaf_matches_native(spark):
     assert set(a) == set(b)
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-9)
+
+
+def test_apply_in_pandas_zscore_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.functions.udfs import zscore_per_user
+
+    e = Tables(spark, SF_SMALL).events
+    got = {r["event_id"]: r["zscore"] for r in zscore_per_user(e).collect()}
+    w = W.partitionBy("user_id")
+    native = e.select(
+        "event_id",
+        (
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+        ).alias("z"),
+    )
+    want = {r["event_id"]: r["z"] for r in native.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-12)
