@@ -104,6 +104,13 @@ def main() -> int:
             print(f"FAIL  {name}: columns differ spark={scols} oracle={ocols}")
             n_fail += 1
             continue
+        dt_mismatch = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in scols
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        ]
+        if dt_mismatch:
+            print(f"warn  {name}: dtype mismatch {dt_mismatch}")
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             n_fail += 1
