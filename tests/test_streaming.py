@@ -50,3 +50,29 @@ def test_dedup_within_watermark_drops_dupes(spark):
     out = run_to_memory(spark, dedup_within_watermark(stream), "t_dedup")
     n = out.count()
     assert n == Tables(spark, SF_SMALL).events.select("event_id").distinct().count()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from ror_etl_spark.streaming.joins import clicks_with_recent_purchases
+
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(
+        spark, clicks_with_recent_purchases(stream), "t_ssjoin"
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+
+    e = Tables(spark, SF_SMALL).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("pts") <= F.col("cts")),
+    )
+    want = {(r["cid"], r["pid"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
