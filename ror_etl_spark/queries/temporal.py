@@ -147,3 +147,37 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "hypertable_daily_from_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total,
+           round(min(value), 4) AS mn,
+           round(max(value), 4) AS mx
+    FROM events
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+)
+def hypertable_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: daily stats served by re-aggregating a
+    materialized HOURLY rollup (operators/hypertable.py) — the oracle
+    aggregates the raw events directly, proving rollup-of-rollup is exact
+    for decomposable aggregates."""
+    from ror_etl_spark.operators.hypertable import hourly_rollup, reaggregate
+
+    e = Tables(spark, sf_dir).events
+    hourly = hourly_rollup(e, dims=["event_type"])
+    daily = reaggregate(hourly, "1 day", dims=["event_type"])
+    return daily.select(
+        "bucket",
+        "event_type",
+        "n",
+        r4(F.col("total")).alias("total"),
+        r4(F.col("mn")).alias("mn"),
+        r4(F.col("mx")).alias("mx"),
+    ).orderBy("bucket", "event_type")
