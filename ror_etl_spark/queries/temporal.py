@@ -181,3 +181,25 @@ def hypertable_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("mn")).alias("mn"),
         r4(F.col("mx")).alias("mx"),
     ).orderBy("bucket", "event_type")
+
+
+@query("sketch_distinct_users_rollup")  # sketch estimates are engine-specific
+def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg): build one sketch per DAY, then answer the
+    whole-period distinct-user question by UNIONING the daily sketches —
+    no raw re-scan. This is the sketch twin of the hypertable pattern:
+    distinct counts don't re-aggregate exactly, sketches make them
+    mergeable. Driver records rows-only; the pytest suite bounds the
+    union estimate against the exact count."""
+    e = Tables(spark, sf_dir).events
+    daily = (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.col("w.start").alias("day"), "sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_period"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    return merged

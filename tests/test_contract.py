@@ -50,3 +50,13 @@ def test_approx_aggregates_within_error(spark):
     for k, a in approx.items():
         assert abs(a["approx_users"] - exact[k]["nd"]) <= max(2, 0.05 * exact[k]["nd"])
         assert abs(a["approx_p50"] - exact[k]["p50"]) <= 0.05 * max(1.0, abs(exact[k]["p50"]))
+
+
+def test_sketch_union_matches_exact_within_error(spark):
+    from ror_etl_spark.registry import QUERIES
+    from ror_etl_spark.tables import Tables
+
+    row = QUERIES["sketch_distinct_users_rollup"](spark, SF_SMALL).collect()[0]
+    exact = Tables(spark, SF_SMALL).events.select("user_id").distinct().count()
+    assert row["n_daily_sketches"] >= 28  # ~30 days of data
+    assert abs(row["distinct_users_period"] - exact) <= max(2, 0.05 * exact)
