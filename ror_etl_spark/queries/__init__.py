@@ -26,6 +26,7 @@ def load() -> None:
         text,
         text_tf,
         tpch_correlated,
+        tpch_full,
         tpch_more,
         tpch_semi,
         vector,
