@@ -21,6 +21,7 @@ def load() -> None:
         scalars,
         scalars2,
         setops,
+        sketches,
         subqueries,
         temporal,
         text,

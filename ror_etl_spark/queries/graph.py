@@ -112,3 +112,40 @@ def ultimate_parent_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no ORDER BY: the correctness gate hashes order-insensitively, and a
     # global sort of the full mapping is pure overhead at scale
     return result.mapping
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE chase (id, cur) AS (
+      SELECT id, parent FROM parent_edges
+      UNION ALL
+      SELECT c.id, e.parent
+      FROM chase c JOIN parent_edges e ON c.cur = e.id
+      WHERE e.parent <> c.cur
+    )
+    SELECT c.id, c.cur AS ultimate_parent
+    FROM chase c JOIN parent_edges r ON c.cur = r.id AND r.parent = c.cur
+"""
+
+
+@query(
+    "ultimate_parent_recursive_cte",
+    oracle="""
+    SELECT CAST(o_orderkey + 1 AS BIGINT) AS id,
+           CAST(o_orderkey + 1 - o_orderkey % 10 AS BIGINT) AS ultimate_parent
+    FROM orders
+    ORDER BY id
+    """,
+)
+def ultimate_parent_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The G1 rollup expressed declaratively as a Spark 4 recursive CTE
+    (WITH RECURSIVE) over the same synthetic forest as
+    ultimate_parent_rollup — same closed-form oracle.
+
+    Each recursion level chases one parent hop and stops at self-loop
+    roots, so a chain of depth d costs d joins (linear) versus the
+    pointer-doubling kernel's ⌈log2 d⌉ — this variant documents the
+    declarative surface; the kernel remains the scale path for deep
+    chains. The final self-join keeps only rows whose ancestor is a
+    root, yielding exactly one row per id."""
+    synthetic_edges(spark, sf_dir).createOrReplaceTempView("parent_edges")
+    return spark.sql(_RECURSIVE_CTE_SQL)

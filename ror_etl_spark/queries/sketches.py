@@ -1,0 +1,101 @@
+"""Theta and KLL sketch queries (Apache DataSketches built into Spark 4).
+
+Theta sketches support set ALGEBRA (union / intersection / difference),
+which HLL cannot — and they are EXACT while the number of retained
+entries stays under the sketch's nominal k (default lgK=12 → 4096).
+The driver testdata has ≤1500 distinct users at every SF, so the theta
+queries here are exact and therefore fully DuckDB-oracle-checked —
+unlike the HLL rollup (sketch_distinct_users_rollup, rows-only). At
+true 100 TB cardinalities the same plans keep working with bounded
+error; only the oracle comparison would need a tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+
+
+@query(
+    "theta_user_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND value > 195),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 195)
+    SELECT (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+             AS n_union,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS n_inter,
+           (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+             AS n_click_only
+    """,
+)
+def theta_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via theta-sketch set algebra: high-value clickers
+    vs high-value purchasers. Each cohort collapses to ONE sketch in a
+    partial+final agg (no shuffle of user ids, just sketch merge), then
+    union/intersection/difference run on two tiny blobs driver-side.
+    At 100 TB this is the pattern for cross-segment overlap questions:
+    sketch once per segment, answer any boolean combination later."""
+    e = Tables(spark, sf_dir).events
+    a = e.filter((F.col("event_type") == "click") & (F.col("value") > 195)).agg(
+        F.expr("theta_sketch_agg(user_id)").alias("ska"))
+    b = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 195)).agg(
+        F.expr("theta_sketch_agg(user_id)").alias("skb"))
+    return a.crossJoin(b).select(
+        F.expr("theta_sketch_estimate(theta_union(ska, skb))").alias("n_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(ska, skb))").alias("n_inter"),
+        F.expr("theta_sketch_estimate(theta_difference(ska, skb))").alias("n_click_only"),
+    )
+
+
+@query(
+    "theta_rollup_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def theta_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup, theta edition: one sketch per
+    (event_type, day), then the per-type period answer is a sketch UNION
+    of the daily sketches — never re-scanning raw events. Because the
+    per-type cardinality is below the sketch's exact threshold here, the
+    estimate equals count(distinct) and the oracle checks it exactly
+    (the HLL twin of this query can only be rows-only checked)."""
+    e = Tables(spark, sf_dir).events
+    daily = (
+        e.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+@query("kll_value_quantiles")  # KLL estimates are engine-specific: rows-only
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (KLL) over event values, one sketch per
+    event_type merged into a global one. Rank error is ~1.7% at the
+    default k — the pytest suite bounds p50/p90/p99 against exact
+    percentiles. The mergeability is the point at scale: per-partition
+    or per-day sketches combine without re-scanning raw data, unlike
+    exact percentile_approx re-runs."""
+    e = Tables(spark, sf_dir).events
+    per_type = e.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk"))
+    return per_type.agg(
+        F.expr("kll_sketch_get_n_double(kll_merge_agg_double(sk))").alias("n"),
+        F.round(F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"), 4).alias("p50"),
+        F.round(F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.9)"), 4).alias("p90"),
+        F.round(F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.99)"), 4).alias("p99"),
+    )

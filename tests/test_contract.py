@@ -60,3 +60,42 @@ def test_sketch_union_matches_exact_within_error(spark):
     exact = Tables(spark, SF_SMALL).events.select("user_id").distinct().count()
     assert row["n_daily_sketches"] >= 28  # ~30 days of data
     assert abs(row["distinct_users_period"] - exact) <= max(2, 0.05 * exact)
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    from ror_etl_spark.registry import QUERIES
+    from ror_etl_spark.tables import Tables
+
+    row = QUERIES["kll_value_quantiles"](spark, SF_SMALL).collect()[0]
+    e = Tables(spark, SF_SMALL).events
+    n = e.count()
+    assert row["n"] == n
+    values = sorted(r["value"] for r in e.select("value").collect())
+    # KLL default-k normalized rank error is ~1.65%; allow 2.5% of rank
+    eps = 0.025
+    for q, got in ((0.5, row["p50"]), (0.9, row["p90"]), (0.99, row["p99"])):
+        lo = values[max(0, int((q - eps) * n) - 1)]
+        hi = values[min(n - 1, int((q + eps) * n))]
+        assert lo <= got <= hi, (q, got, lo, hi)
+
+
+def test_theta_setops_exact_at_fixture_cardinality(spark):
+    from ror_etl_spark.registry import QUERIES
+    from ror_etl_spark.tables import Tables
+
+    row = QUERIES["theta_user_setops"](spark, SF_SMALL).collect()[0]
+    e = Tables(spark, SF_SMALL).events
+    a = {
+        r["user_id"]
+        for r in e.filter((F.col("event_type") == "click") & (F.col("value") > 195))
+        .select("user_id").distinct().collect()
+    }
+    b = {
+        r["user_id"]
+        for r in e.filter((F.col("event_type") == "purchase") & (F.col("value") > 195))
+        .select("user_id").distinct().collect()
+    }
+    # below the sketch's nominal k the theta estimates are exact
+    assert row["n_union"] == len(a | b)
+    assert row["n_inter"] == len(a & b)
+    assert row["n_click_only"] == len(a - b)
