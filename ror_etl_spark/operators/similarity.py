@@ -92,18 +92,47 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 4,
     seed: int = 42,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact search restricted to the query's LSH bucket.
+    """Approximate top-k: exact search restricted to the query's LSH
+    bucket(s).
 
-    With n_planes=p the candidate set is ~corpus/2^p; recall is the
-    probability all top-k neighbors share the query's sign pattern
-    (improve by multi-probing or more tables — future work)."""
+    With n_planes=p the candidate set is ~nprobe×corpus/2^p.
+    ``nprobe > 1`` enables multi-probe LSH: also search the buckets
+    reached by flipping the sign bits whose hyperplanes the query is
+    CLOSEST to (smallest |margin|) — those are the buckets most likely
+    to hold missed neighbors, recovering most of the recall of multiple
+    hash tables at a fraction of the storage (Lv et al., VLDB'07
+    multi-probe LSH; public technique)."""
     planes = random_hyperplanes(len(query_vec), n_planes, seed)
-    qbucket = _query_bucket(query_vec, planes)
+    probes = _probe_sequence(query_vec, planes, nprobe)
     bucketed = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
     return brute_force_topk(
-        bucketed.filter(F.col("__bucket") == qbucket), query_vec, k, id_col, vec_col
+        bucketed.filter(F.col("__bucket").isin(probes)), query_vec, k, id_col, vec_col
     )
+
+
+def _probe_sequence(
+    query_vec: list[float], planes: list[list[float]], nprobe: int
+) -> list[int]:
+    """Buckets ranked by how cheaply the query reaches them: cost of a
+    bucket = sum of |signed margin| over the bits flipped relative to the
+    query's own bucket (0 flips = the home bucket, cost 0). Driver-side
+    enumeration over 2^p buckets — p is small by construction."""
+    margins = [math.fsum(x * y for x, y in zip(query_vec, p)) for p in planes]
+    base = 0
+    for i, d in enumerate(margins):
+        if d >= 0:
+            base |= 1 << i
+    n = len(planes)
+    ranked = sorted(
+        range(1 << n),
+        key=lambda mask: (
+            math.fsum(abs(margins[i]) for i in range(n) if mask & (1 << i)),
+            mask,
+        ),
+    )
+    return [base ^ mask for mask in ranked[: max(1, nprobe)]]
 
 
 def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
@@ -150,6 +179,69 @@ def all_pairs_above(
     )
 
 
+def _nearest_cell(vec_col, centroids: list[list[float]]):
+    """Column expr: index of the closest centroid (squared L2, ties to the
+    lower index). Centroids are literals — the argmin runs JVM-side in
+    whole-stage codegen, no UDF."""
+
+    def centroid_dist_struct(i: int, c: list[float]):
+        lits = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(as_double(vec_col), lits, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(d.alias("d"), F.lit(i).alias("cell"))
+
+    return F.array_min(
+        F.array(*[centroid_dist_struct(i, c) for i, c in enumerate(centroids)])
+    )["cell"]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF coarse quantization.
+
+    Init = the ``n_centroids`` smallest ids (deterministic, no RNG).
+    Each iteration: assign every vector to its nearest centroid
+    (broadcast literals, codegen argmin — no shuffle), then recompute
+    per-cell means with posexplode → groupBy(cell, pos) → avg — ONE
+    shuffle of (cell, dim, partial-sum) per iteration, map-side combined,
+    so the shuffled volume is ~n_centroids×dim rows regardless of corpus
+    size. Empty cells keep their previous centroid. At 100 TB train on
+    ``corpus.sample(...)`` — the centroid list is the only state and it
+    stays driver-sized."""
+    rows = (
+        corpus.orderBy(F.asc(id_col)).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    vecs = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(max(0, n_iters)):
+        cells = vecs.select(_nearest_cell(F.col("v"), centroids).alias("cell"), "v")
+        means = (
+            cells.select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            for pos, m in dims.items():
+                new[cell][pos] = m
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -158,34 +250,31 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus to the
     nearest of ``n_centroids`` centroids, then search only the ``nprobe``
     centroid cells nearest the query.
 
-    Centroids here are a deterministic sample (the n_centroids smallest
-    ids) — one tiny collect — rather than trained k-means; the operator
-    shape (assign via argmin over a broadcast centroid list, partition by
+    With ``train_iters=0`` centroids are a deterministic sample (the
+    n_centroids smallest ids) — one tiny collect. ``train_iters>0`` runs
+    that many Lloyd iterations (``kmeans_centroids``), which evens out
+    cell populations and pulls centroids toward the data's modes —
+    higher recall at the same nprobe. Either way the operator shape
+    (assign via argmin over a broadcast centroid list, partition by
     cell, probe a few cells per query) is exactly the production IVF
-    layout, where the corpus is written partitioned by cell once and each
-    query reads nprobe/n_centroids of the data."""
-    rows = (
-        corpus.orderBy(F.asc(id_col)).limit(n_centroids).select(id_col, vec_col).collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in rows]
-
-    def centroid_dist_struct(i: int, c: list[float]):
-        lits = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(as_double(F.col(vec_col)), lits, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    layout, where the corpus is written partitioned by cell once and
+    each query reads nprobe/n_centroids of the data."""
+    if train_iters > 0:
+        centroids = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+    else:
+        rows = (
+            corpus.orderBy(F.asc(id_col))
+            .limit(n_centroids)
+            .select(id_col, vec_col)
+            .collect()
         )
-        return F.struct(d.alias("d"), F.lit(i).alias("cell"))
-
-    assignment = F.array_min(
-        F.array(*[centroid_dist_struct(i, c) for i, c in enumerate(centroids)])
-    )["cell"]
+        centroids = [[float(x) for x in r[vec_col]] for r in rows]
 
     def qdist(c: list[float]) -> float:
         return math.fsum((x - y) ** 2 for x, y in zip(query_vec, c))
@@ -193,7 +282,7 @@ def ivf_topk(
     probe_cells = sorted(range(len(centroids)), key=lambda i: (qdist(centroids[i]), i))[
         :nprobe
     ]
-    cells = corpus.withColumn("__cell", assignment)
+    cells = corpus.withColumn("__cell", _nearest_cell(F.col(vec_col), centroids))
     return brute_force_topk(
         cells.filter(F.col("__cell").isin(probe_cells)), query_vec, k, id_col, vec_col
     )

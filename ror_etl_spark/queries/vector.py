@@ -173,3 +173,78 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=4
     )
+
+
+def _multiprobe_oracle(n_planes: int = 4, nprobe: int = 3) -> str:
+    """DuckDB twin of multi-probe LSH: replay the probe ranking in SQL.
+
+    The probe sequence is deterministic given the (seeded) planes and the
+    query vector: candidate bucket = query_bucket XOR mask, masks ranked
+    by the sum of |query margin| over flipped bits, ties by mask value.
+    The oracle enumerates all 2^p masks with their flip costs, takes the
+    top ``nprobe``, and keeps corpus vectors whose sign-bucket lands in
+    that probe set — bit-for-bit the operator's driver-side logic."""
+    from ror_etl_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, n_planes, seed=42)
+    plane_sql = ["[" + ", ".join(repr(x) for x in plane) + "]" for plane in planes]
+
+    def bucket_expr(v: str) -> str:
+        bits = [
+            f"(CASE WHEN list_dot_product({v}, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(plane_sql)
+        ]
+        return " + ".join(bits)
+
+    cost_terms = " + ".join(
+        f"(CASE WHEN (m & {1 << i}) <> 0 THEN abs(list_dot_product(q.qv, {p})) ELSE 0 END)"
+        for i, p in enumerate(plane_sql)
+    )
+    cos = (
+        "list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+         masks AS (SELECT CAST(range AS INT) AS m FROM range({1 << n_planes})),
+         probes AS (
+           SELECT xor(m, (SELECT {bucket_expr('q.qv')} FROM q q)) AS b
+           FROM masks, q
+           ORDER BY {cost_terms}, m
+           LIMIT {nprobe})
+    SELECT e.vec_id, round({cos}, 6) AS cos
+    FROM e, q
+    WHERE ({bucket_expr('e.v')}) IN (SELECT b FROM probes)
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("embedding_knn_lsh_multiprobe", oracle=_multiprobe_oracle())
+def embedding_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: besides the query's own bucket, probe the
+    buckets behind the 2 cheapest sign flips (smallest |margin|) —
+    recovers neighbors that fell just across a hyperplane, trading
+    3/2^4 of the corpus scanned for near-brute-force recall. The probe
+    ranking is deterministic, so the oracle replays it in SQL."""
+    emb = Tables(spark, sf_dir).embeddings
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4, nprobe=3)
+
+
+@query("embedding_knn_ivf_trained")  # k-means state not SQL-replayable: rows-only
+def embedding_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-trained centroids (3 Lloyd iterations) instead of
+    the deterministic id-sample: cells shrink toward the data's modes, so
+    the same nprobe=2 probes a better-targeted slice of the corpus. The
+    pytest suite asserts the quantization error never increases with
+    training and that probing all cells reproduces brute force exactly."""
+    emb = Tables(spark, sf_dir).embeddings
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=2,
+        train_iters=3,
+    )

@@ -58,3 +58,85 @@ def test_hyperplanes_deterministic():
     assert random_hyperplanes(8, 4, seed=7) != random_hyperplanes(8, 4, seed=8)
     for plane in random_hyperplanes(16, 4):
         assert all(-1.0 <= x <= 1.0 for x in plane)
+
+
+def _real_corpus(spark):
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    emb = Tables(spark, SF_SMALL).embeddings
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return emb.filter(F.col("vec_id") != 0), qv
+
+
+def _recall_at_10(approx_rows, exact_rows):
+    exact = {r["vec_id"] for r in exact_rows}
+    return len({r["vec_id"] for r in approx_rows} & exact) / len(exact)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    corpus, qv = _real_corpus(spark)
+    exact = brute_force_topk(corpus, qv, k=10).collect()
+    # recall@10 is monotone in the probe set: a candidate that displaces a
+    # true top-10 item from the approx answer must outscore it, so it is
+    # itself in the exact top-10. nprobe=16 probes everything → recall 1.
+    recalls = [
+        _recall_at_10(
+            lsh_topk(corpus, qv, k=10, n_planes=4, nprobe=p).collect(), exact
+        )
+        for p in (1, 4, 16)
+    ]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert recalls[1] > 0.0
+
+
+def test_multiprobe_full_probe_equals_brute_force(spark):
+    # probing every bucket = no restriction at all
+    corpus, qv = _real_corpus(spark)
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, qv, k=10).collect()}
+    full = {r["vec_id"] for r in lsh_topk(corpus, qv, k=10, n_planes=4, nprobe=16).collect()}
+    assert full == exact
+
+
+def test_kmeans_trained_ivf_recall(spark):
+    from ror_etl_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    corpus, qv = _real_corpus(spark)
+    exact = brute_force_topk(corpus, qv, k=10).collect()
+    trained = ivf_topk(corpus, qv, k=10, n_centroids=16, nprobe=2, train_iters=3).collect()
+    # per-query recall dominance over the untrained quantizer is NOT a
+    # theorem (training optimizes quantization error, not one query's
+    # neighborhood) — assert the guarantees that do hold: probing finds
+    # something real, and probing every cell is exhaustive.
+    assert _recall_at_10(trained, exact) > 0.0
+    full = ivf_topk(corpus, qv, k=10, n_centroids=16, nprobe=16, train_iters=3).collect()
+    assert {r["vec_id"] for r in full} == {r["vec_id"] for r in exact}
+    cents = kmeans_centroids(corpus, n_centroids=4, n_iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+
+
+def test_kmeans_centroids_move_toward_data(spark):
+    import math
+    from ror_etl_spark.operators.similarity import kmeans_centroids
+    from pyspark.sql import functions as F
+
+    corpus, _ = _real_corpus(spark)
+    init = kmeans_centroids(corpus, n_centroids=8, n_iters=0)
+    trained = kmeans_centroids(corpus, n_centroids=8, n_iters=3)
+    # quantization error (mean distance to nearest centroid) must not increase
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.select("embedding").limit(200).collect()
+    ]
+
+    def qerr(cents):
+        tot = 0.0
+        for v in vecs:
+            tot += min(
+                math.fsum((a - b) ** 2 for a, b in zip(v, c)) for c in cents
+            )
+        return tot / len(vecs)
+
+    assert qerr(trained) <= qerr(init) + 1e-9
