@@ -107,6 +107,7 @@ def ultimate_parent(
     parent_col: str = "parent",
     max_depth: int = 200,
     use_local_checkpoint: bool = True,
+    check_every: int = 1,
 ) -> RollupResult:
     """Resolve every id to its forest root by pointer doubling.
 
@@ -118,8 +119,19 @@ def ultimate_parent(
     Depth covered after k iterations is 2^k, so ``ceil(log2(max_depth))+1``
     iterations dominate the reference's depth-200 recursion cap; the loop
     also exits early as soon as no ancestor changes.
+
+    ``check_every``: run the convergence/duplicate-guard aggregate only on
+    every k-th iteration (always on the last). Each check is a Spark job
+    whose fixed scheduling cost rivals the join itself on small inputs, so
+    checking every other round nearly halves job count when the depth
+    bound is tight; doubling past the fixpoint is idempotent, so the only
+    cost is up to ``check_every - 1`` no-op joins after convergence. The
+    duplicate-explosion guard then fires up to that many rounds later —
+    still bounded. Keep 1 when the depth is unknown and max_depth is a
+    loose cap (early exit saves more than the checks cost).
     """
     n_iters = max(1, math.ceil(math.log2(max(2, max_depth))) + 1)
+    check_every = max(1, check_every)
     m = edges.select(F.col(id_col).alias("id"), F.col(parent_col).alias("anc"))
     m = _materialize(m, use_local_checkpoint)
     m0 = m  # checkpointed input copy — reused for root/cycle analysis below
@@ -128,7 +140,7 @@ def ultimate_parent(
 
     iterations = 0
     n_changed = -1
-    for _ in range(n_iters):
+    for it in range(n_iters):
         iterations += 1
         hop = m.select(F.col("id").alias("h_id"), F.col("anc").alias("h_anc"))
         stepped = (
@@ -140,6 +152,9 @@ def ultimate_parent(
             )
         )
         stepped = _materialize(stepped, use_local_checkpoint)
+        m = stepped.select("id", "anc")
+        if (it + 1) % check_every != 0 and it + 1 < n_iters:
+            continue  # lazy checkpoint materializes inside the next join's job
         stats = stepped.agg(
             F.sum((F.col("prev_anc") != F.col("anc")).cast("long")).alias("changed"),
             F.count(F.lit(1)).alias("n"),
@@ -153,7 +168,6 @@ def ultimate_parent(
                 f"edge set grew {n_rows} → {stats['n']} during fixpoint — "
                 f"duplicate ids in input (reference hard-fails these too)"
             )
-        m = stepped.select("id", "anc")
         if n_changed == 0:
             break
 

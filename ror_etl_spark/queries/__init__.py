@@ -30,6 +30,7 @@ def load() -> None:
         tpch_full,
         tpch_more,
         tpch_semi,
+        variant,
         vector,
         windows,
     )

@@ -44,7 +44,7 @@ def synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ultimate_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship kernel: resolve every node to its forest root."""
     edges = synthetic_edges(spark, sf_dir)
-    result = ultimate_parent(edges, max_depth=16)
+    result = ultimate_parent(edges, max_depth=16, check_every=2)
     return result.mapping
 
 
@@ -68,7 +68,7 @@ def ultimate_parent_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ids.select(
         "id", F.greatest(F.col("id") - 1, F.lit(1).cast("long")).alias("parent")
     )
-    result = ultimate_parent(edges, max_depth=1024)
+    result = ultimate_parent(edges, max_depth=1024, check_every=2)
     return result.mapping.orderBy("id")
 
 
@@ -108,7 +108,7 @@ def ultimate_parent_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") * 8 + F.col("ln")).cast("long"),
         ).alias("parent"),
     )
-    result = ultimate_parent(edges, max_depth=8)
+    result = ultimate_parent(edges, max_depth=8, check_every=2)
     # no ORDER BY: the correctness gate hashes order-insensitively, and a
     # global sort of the full mapping is pure overhead at scale
     return result.mapping

@@ -72,3 +72,24 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC source — same pushdown/pruning properties as parquet
+    (vectorized reader, predicate pushdown, column pruning)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source: one string column ``value`` per line —
+    the raw-ingest path for document corpora before schema imposition."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str) -> None:
+    """Text sink: requires a single string column."""
+    df.write.mode("overwrite").text(path)

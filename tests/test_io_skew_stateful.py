@@ -3,6 +3,8 @@ streaming operator."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ror_etl_spark.operators.skew import salted_join
@@ -86,3 +88,73 @@ def test_stateful_running_user_stats(spark):
     )
     want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
     assert got == want
+
+
+def _has_working_protobuf() -> bool:
+    """transformWithStateInPandas spawns a driver worker that imports
+    google.protobuf.descriptor; probe the exact import it needs."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_working_protobuf(),
+    reason="transformWithStateInPandas driver worker requires google.protobuf",
+)
+def test_transform_with_state_matches_batch(spark):
+    from ror_etl_spark.streaming.events import read_events_stream, run_to_memory
+    from ror_etl_spark.streaming.tws import running_user_stats_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(
+        spark, running_user_stats_tws(stream), "t_tws", mode="update"
+    )
+    from pyspark.sql import Window as W
+
+    latest = (
+        out.withColumn(
+            "rn", F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n_events")))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = {r["user_id"]: (r["n_events"], r["total"]) for r in latest.collect()}
+    batch = (
+        Tables(spark, SF_SMALL)
+        .events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from ror_etl_spark.sources.io import read_orc, write_orc
+
+    src = Tables(spark, SF_SMALL).nation
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+
+
+def test_text_roundtrip_and_filter_pushdown(spark, tmp_path):
+    from ror_etl_spark.sources.io import read_text, write_text
+
+    docs = Tables(spark, SF_SMALL).documents.select("text").limit(50)
+    path = str(tmp_path / "docs_txt")
+    write_text(docs, path)
+    back = read_text(spark, path)
+    assert back.columns == ["value"]
+    assert back.count() == 50
