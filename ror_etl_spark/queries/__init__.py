@@ -17,6 +17,7 @@ def load() -> None:
         graph,
         misc,
         misc2,
+        misc3,
         relational,
         scalars,
         scalars2,

@@ -1,0 +1,142 @@
+"""Operator-surface batch 3: bitmap-exact distinct counting, mode /
+percentile_disc aggregates, try_-function error handling, correlated
+LATERAL join, and LLM-pipeline document chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+from ror_etl_spark.queries.util import r2
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (Spark 3.5+ bitmap functions):
+    bucket ids into 32k-bit bitmaps, OR them per group, sum the bit
+    counts. Unlike HLL/theta this is exact at ANY cardinality, and the
+    shuffle carries one bitmap per (group, bucket) instead of one row
+    per distinct id — the standard high-cardinality COUNT(DISTINCT)
+    rewrite for integer keys at 100 TB."""
+    e = Tables(spark, sf_dir).events
+    per_bucket = (
+        e.groupBy("event_type", F.expr("bitmap_bucket_number(user_id)").alias("b"))
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").alias("c"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("c").alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_mode_percentile_disc",
+    oracle="""
+    SELECT CAST(mode(year(o_orderdate)) AS INT) AS mode_year,
+           quantile_disc(o_totalprice, 0.5) AS p50_disc,
+           quantile_disc(o_totalprice, 0.9) AS p90_disc
+    FROM orders
+    """,
+)
+def agg_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() and discrete percentiles. percentile_disc returns actual
+    data values (no interpolation), so cross-engine equality is exact
+    with no rounding; the fixture's per-year counts are distinct, so the
+    mode is unique and deterministic."""
+    o = Tables(spark, sf_dir).orders
+    return o.agg(
+        F.expr("mode(year(o_orderdate))").cast("int").alias("mode_year"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90_disc"),
+    )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(COALESCE(l_extendedprice / nullif(l_quantity - 10, 0), 0)), 2)
+             AS sum_try_div,
+           CAST(sum(CASE WHEN ([l_quantity, l_discount])[5] IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oob
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_ error-handling scalars: try_divide yields NULL on /0 instead
+    of failing under ANSI mode; try_element_at yields NULL out of bounds.
+    The oracle models them with nullif / out-of-range list access."""
+    li = Tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") < 1000)
+    tdiv = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 10)
+    oob = F.try_element_at(F.array("l_quantity", "l_discount"), F.lit(5))
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum(F.coalesce(tdiv, F.lit(0.0)))).alias("sum_try_div"),
+        F.sum(F.when(oob.isNull(), 1).otherwise(0)).cast("long").alias("n_oob"),
+    )
+
+
+_LATERAL_SQL = """
+    SELECT u.user_id, l.value AS top_value
+    FROM (SELECT DISTINCT user_id FROM events) u,
+    LATERAL (SELECT value FROM events e
+             WHERE e.user_id = u.user_id
+             ORDER BY value DESC, event_id LIMIT 1) l
+    ORDER BY u.user_id
+"""
+
+
+@query("lateral_top_event_per_user", oracle=_LATERAL_SQL)
+def lateral_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-key ORDER BY + LIMIT — the
+    SQL-standard form of per-group top-1. Catalyst decorrelates it into
+    a window/aggregate plan, so it shuffles once on the correlation key
+    instead of running the inner query per outer row."""
+    t = Tables(spark, sf_dir)
+    t.view("events")
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id, CAST((s - 1) / 40 AS BIGINT) AS chunk_no,
+           CAST(len(tk[s : least(s + 49, len(tk))]) AS BIGINT) AS n_tokens,
+           array_to_string(tk[s : least(s + 49, len(tk))], ' ') AS chunk_text
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk), 40)) AS s) g
+    ORDER BY doc_id, chunk_no
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline document chunking: fixed 50-token windows with
+    stride 40 (10-token overlap), one output row per chunk. Pure
+    built-ins — split → sequence → explode → slice — so chunking
+    runs in codegen with no Python, embarrassingly parallel over docs;
+    chunk_no is derived from the stride so no window function is
+    needed. At 100 TB this is the map-side prep stage feeding the
+    embedding / dedup operators."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    return (
+        toks.select(
+            "doc_id", "tk",
+            F.explode(F.sequence(F.lit(1), F.size("tk"), F.lit(40))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 40).cast("long").alias("chunk_no"),
+            F.size(F.slice("tk", F.col("s"), F.lit(50))).cast("long").alias("n_tokens"),
+            F.array_join(F.slice("tk", F.col("s"), F.lit(50)), " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )

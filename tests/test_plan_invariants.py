@@ -72,3 +72,42 @@ def test_rollup_fixpoint_truncates_lineage(spark):
     # RDD scans, not re-derive the whole iteration chain
     p = plan_of(spark, "ultimate_parent_rollup")
     assert "Scan ExistingRDD" in p
+
+
+def test_q8_star_join_broadcasts_dims(spark):
+    p = plan_of(spark, "q8_market_share")
+    # part/supplier/nation/region legs must broadcast; only the fact-side
+    # joins (lineitem-orders, orders-customer) may shuffle
+    assert p.count("BroadcastHashJoin") >= 4, p.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in p
+
+
+def test_q21_self_joins_are_semi_and_anti(spark):
+    p = plan_of(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark):
+    # the defining Q13 trap: filter in the ON clause, not WHERE. sf0.01 is
+    # the smallest fixture containing an all-urgent customer (c_count=0).
+    from pyspark.sql import functions as F
+
+    df = QUERIES["q13_customer_distribution"](spark, "/root/testdata/sf0.01")
+    zero = df.filter(F.col("c_count") == 0).collect()
+    assert zero, "customers with no qualifying orders must appear as c_count=0"
+
+
+def test_chunking_stays_in_codegen(spark):
+    # no Python UDF / no shuffle before the final sort: chunking is map-only
+    p = plan_of(spark, "text_chunk_documents")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_lateral_decorrelates_to_single_shuffle(spark):
+    # the correlated LATERAL must not execute per-row (no nested loop on
+    # the correlation key path); Catalyst rewrites it to window/aggregate
+    p = plan_of(spark, "lateral_top_event_per_user")
+    assert "CartesianProduct" not in p
