@@ -25,6 +25,7 @@ def load() -> None:
         sketches,
         subqueries,
         temporal,
+        temporal2,
         text,
         text_tf,
         tpch_correlated,

@@ -1,0 +1,151 @@
+"""Event-analytics operators over the events table: time-spine gap
+filling, funnel conversion, cohort retention — the hypertable-adjacent
+query shapes a telemetry/product-analytics workload runs at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+
+
+@query(
+    "gapfill_hourly_purchases",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-03 00:00:00',
+                                    TIMESTAMP '2024-01-04 23:00:00',
+                                    INTERVAL 1 HOUR)) AS h),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+             round(sum(value), 4) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT strftime(s.h, '%Y-%m-%d %H:00') AS hour,
+           COALESCE(a.n, 0) AS n, COALESCE(a.total, 0.0) AS total
+    FROM spine s LEFT JOIN agg a ON s.h = a.h ORDER BY hour
+    """,
+)
+def gapfill_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling (timescale-style): a generated hourly
+    spine LEFT JOINs the aggregated buckets so silent hours appear as
+    zero rows. The spine is a literal sequence → explode (no data scan),
+    and broadcasts onto the aggregate; at 100 TB the aggregation is the
+    only shuffling stage, exactly as without gap filling."""
+    e = Tables(spark, sf_dir).events
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-03 00:00:00").cast("timestamp"),
+                F.lit("2024-01-04 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("ah"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    return (
+        spine.join(agg, spine["h"] == agg["ah"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) FILTER (WHERE event_type='signup') AS t1
+               FROM events GROUP BY user_id),
+    cl AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s ON e.user_id = s.user_id
+           WHERE e.event_type='click' AND e.ts > s.t1 AND e.ts <= s.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN cl ON e.user_id = cl.user_id
+          WHERE e.event_type='purchase' AND e.ts > cl.t2 AND e.ts <= cl.t2 + INTERVAL 7 DAY
+          GROUP BY e.user_id)
+    SELECT (SELECT count(t1) FROM s) AS n_signup,
+           (SELECT count(*) FROM cl) AS n_click_7d,
+           (SELECT count(*) FROM p) AS n_purchase_7d
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with per-stage 7-day windows: signup → first
+    subsequent click (≤7d) → first subsequent purchase (≤7d). Each stage
+    is one keyed aggregation joined to the previous stage's anchor
+    timestamp — all equi-joins on user_id, so every stage co-partitions
+    on the same key and the funnel is one partitioning reused end to
+    end."""
+    e = Tables(spark, sf_dir).events
+    seven = F.expr("INTERVAL 7 DAYS")
+    s = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    cl = (
+        e.filter(F.col("event_type") == "click")
+        .join(s.select(F.col("user_id").alias("su"), "t1"),
+              (F.col("user_id") == F.col("su"))
+              & (F.col("ts") > F.col("t1"))
+              & (F.col("ts") <= F.col("t1") + seven))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cl.select(F.col("user_id").alias("cu"), "t2"),
+              (F.col("user_id") == F.col("cu"))
+              & (F.col("ts") > F.col("t2"))
+              & (F.col("ts") <= F.col("t2") + seven))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_signup = s.agg(F.count("t1").alias("n_signup"))
+    n_click = cl.agg(F.count(F.lit(1)).alias("n_click_7d"))
+    n_purchase = p.agg(F.count(F.lit(1)).alias("n_purchase_7d"))
+    return n_signup.crossJoin(n_click).crossJoin(n_purchase)
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH fp AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                FROM events WHERE event_type = 'purchase' AND value > 200
+                GROUP BY user_id)
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', f.cw, date_trunc('week', e.ts)) AS BIGINT)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN fp f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the week of their
+    first high-value purchase; each cell counts distinct cohort members
+    active in week cohort+offset. The cohort map is two narrow columns
+    (user, week) — broadcast onto the event scan; the only shuffle is
+    the final (cohort, offset) distinct-count."""
+    e = Tables(spark, sf_dir).events
+    fp = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+        .select(F.col("user_id").alias("fu"), "cw")
+    )
+    return (
+        e.join(F.broadcast(fp), F.col("user_id") == F.col("fu"))
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

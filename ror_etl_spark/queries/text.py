@@ -166,3 +166,31 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred")
     )
+
+
+@query(
+    "udtf_word_lengths",
+    oracle="""
+    SELECT w.word, CAST(length(w.word) AS INT) AS wlen, count(*) AS n
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split_regex(d.text, '\\s+')) AS word) w
+    WHERE d.doc_id < 50 AND w.word <> ''
+    GROUP BY w.word ORDER BY n DESC, w.word LIMIT 20
+    """,
+)
+def udtf_word_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a SQL lateral position (word_explode), aggregated.
+    The UDTF is the row-at-a-time API-surface demo; the oracle (and the
+    scale path) is the codegen explode/split form — both must agree
+    exactly."""
+    from ror_etl_spark.functions.udtfs import register_udtfs
+
+    t = Tables(spark, sf_dir)
+    t.view("documents")
+    register_udtfs(spark)
+    return spark.sql("""
+        SELECT w.word, w.wlen, count(*) AS n
+        FROM documents d, LATERAL word_explode(d.text) w
+        WHERE d.doc_id < 50
+        GROUP BY w.word, w.wlen ORDER BY n DESC, w.word LIMIT 20
+    """)
