@@ -113,7 +113,29 @@ class RorPipeline:
         return attach_ultimate_parent(ror, result.mapping)
 
     def load_staging(self, df: DataFrame) -> None:
-        df.write.mode("overwrite").parquet(self.staging_path)
+        """Staging write with INLINE quality metrics: an Observation rides
+        the write job, so row count and REQUIRED-null violations come out
+        of the same pass that writes the parquet — at 100 TB this saves
+        the full re-scan that a separate validation query (or the
+        reference's post-load BigQueryCheckOperator) would cost. The
+        observed count also feeds check_monotonic_count, which then needs
+        no staging re-read."""
+        from pyspark.sql import Observation
+
+        obs = Observation("staging_load")
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("ultimate_parent").isNull().cast("long")).alias("null_up"),
+        )
+        observed.write.mode("overwrite").parquet(self.staging_path)
+        metrics = obs.get
+        self._staging_metrics = metrics
+        if metrics["null_up"]:
+            raise CheckFailed(
+                f"staging ror: {metrics['null_up']} row(s) with NULL "
+                f"ultimate_parent (REQUIRED field, schemas/ror.json:215-220)"
+            )
 
     def check_unique_ids(self) -> None:
         """Q1: select count(distinct id) = count(id) (ror_dag.py:179-183)."""
@@ -129,8 +151,14 @@ class RorPipeline:
 
     def check_monotonic_count(self) -> None:
         """Q2: staging rowcount must be >= current prod rowcount
-        (ror_dag.py:184-191); trivially passes when prod doesn't exist."""
-        staging_n = self.spark.read.parquet(self.staging_path).count()
+        (ror_dag.py:184-191); trivially passes when prod doesn't exist.
+        Uses the count observed during the staging write when available
+        (no staging re-scan); falls back to a read for standalone use."""
+        metrics = getattr(self, "_staging_metrics", None)
+        if metrics is not None:
+            staging_n = metrics["n"]
+        else:
+            staging_n = self.spark.read.parquet(self.staging_path).count()
         if not os.path.exists(self.prod_path):
             return
         prod_n = self.spark.read.parquet(self.prod_path).count()
