@@ -140,3 +140,33 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_no")
     )
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT source, count(*) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           min(sha256(text)) AS min_sha
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column statistics — the multimodal data model's
+    query surface (SURVEY §2.3): payloads live as binary with typed
+    metadata beside them; here text is encoded to UTF-8 bytes standing
+    in for image/audio blobs (the fixtures carry no real media). Byte
+    lengths and content digests aggregate per source shard, all in
+    codegen (encode/octet_length/sha2 are JVM built-ins)."""
+    d = Tables(spark, sf_dir).documents
+    b = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.select("source", b.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("b")).alias("total_bytes"),
+            F.min(F.sha2("b", 256)).alias("min_sha"),
+        )
+        .orderBy("source")
+    )
