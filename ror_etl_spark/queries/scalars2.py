@@ -234,3 +234,24 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "collation_insensitive_match",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE lower(n_name) = 'nation_7' ORDER BY n_nationkey
+    """,
+)
+def collation_insensitive_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 COLLATE): UTF8_LCASE equality
+    matches case-insensitively without rewriting both sides through
+    lower() — the collation is part of the comparison operator, so it
+    stays sargable for pushdown/pruning paths that understand it. Oracle
+    models the semantics with lower()."""
+    n = Tables(spark, sf_dir).nation
+    return (
+        n.filter(F.expr("n_name = 'nation_7' COLLATE UTF8_LCASE"))
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )

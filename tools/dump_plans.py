@@ -19,6 +19,11 @@ PICKS = {
     "topk_global": "global top-k: TakeOrderedAndProject, no full sort",
     "ultimate_parent_rollup": "iterative fixpoint: checkpointed RDD scans (truncated lineage)",
     "dedup_minhash_lsh": "LSH funnel: signatures cached (InMemoryTableScan), candidate join on banded buckets",
+    "q8_market_share": "8-table star: 4+ BroadcastHashJoins, only fact-side edges shuffle",
+    "q21_waiting_supplier": "EXISTS/NOT EXISTS as LeftSemi/LeftAnti self-joins co-partitioned on l_orderkey",
+    "text_chunk_documents": "LLM chunking entirely in codegen: split/sequence/explode/slice, no Python",
+    "lateral_top_event_per_user": "correlated LATERAL decorrelated by Catalyst (no per-row execution)",
+    "bitmap_distinct_users": "exact COUNT(DISTINCT) as two-level bitmap aggregate",
 }
 
 
