@@ -33,11 +33,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without a recorded driver verdict come first: the
+    driver checks in dict order with a cap (r1 = exactly the first 50), so
+    this makes each round's correctness artifact cover new ground instead
+    of re-confirming last round's green rows."""
     from ror_etl_spark import registry
 
     registry.load_all()
-    return dict(registry.QUERIES)
+    return registry.ordered_queries(_REPO_ROOT)
 
 
 def oracle_sql() -> dict[str, str]:

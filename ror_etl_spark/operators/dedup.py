@@ -57,6 +57,49 @@ def exact_dedup(
     )
 
 
+MERSENNE31 = 2147483647  # 2^31 - 1, prime modulus for the lane remixes
+
+
+def _splitmix64(state: int) -> tuple[int, int]:
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return state, z ^ (z >> 31)
+
+
+def lane_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per minhash lane: a ∈ [1, M-1], b ∈ [0, M-1].
+
+    Shared by the Spark operator and the DuckDB oracle generator so both
+    engines compute bit-identical signatures."""
+    out = []
+    state = seed
+    while len(out) < num_hashes:
+        state, za = _splitmix64(state)
+        state, zb = _splitmix64(state)
+        a = za % (MERSENNE31 - 1) + 1
+        b = zb % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def md5_hash31(col):
+    """Portable 31-bit string hash: top 8 hex chars of md5, sign bit
+    dropped. md5 produces identical bytes in Spark and DuckDB (unlike
+    xxhash64/murmur, which are engine-internal), so every operator built
+    on this hash can be replayed exactly by a DuckDB oracle:
+
+        Spark:  conv(substring(md5(s), 1, 8), 16, 10) & 0x7FFFFFFF
+        DuckDB: ('0x' || substr(md5(s), 1, 8))::BIGINT & 2147483647
+    """
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -66,25 +109,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash: array<bigint>[num_hashes]).
 
-    Each shingle is string-hashed ONCE; the ``num_hashes`` lanes re-mix the
-    resulting 8-byte long with ``xxhash64(h, lane)`` — fixed-width input,
-    far cheaper than hashing the variable-length string per lane, which
-    matters when the corpus is 100 TB of text. (Multiplicative universal
-    hashing would be cheaper still but Spark 4's ANSI mode forbids wrapping
-    long multiply.) P(minhash_i equal) = Jaccard of the shingle sets."""
+    Each shingle is md5-digested ONCE; the ``num_hashes`` lanes re-mix the
+    31-bit base with multiplicative universal hashing
+    ``(a_i·h + b_i) mod (2^31-1)`` — fixed-width arithmetic, far cheaper
+    than hashing the variable-length string per lane, which matters when
+    the corpus is 100 TB of text. 31-bit operands keep the multiply inside
+    a 64-bit long, so ANSI mode can't overflow. The md5 base (instead of
+    the faster engine-internal xxhash64) makes the whole signature
+    replayable in DuckDB SQL — the correctness gate hash-checks the
+    operator end to end. P(minhash_i equal) = Jaccard of the shingle
+    sets."""
+    params = lane_params(num_hashes)
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
-    base = F.transform(sh, lambda s: F.xxhash64(s))
+    base = F.transform(sh, lambda s: md5_hash31(s))
     with_base = spread(df).select(F.col(id_col).alias("id"), base.alias("__hashes"))
 
-    def lane(i: int):
+    def lane(a: int, b: int):
         # factory: a single-arg lambda (default-arg lambdas are mistaken
         # for pyspark's multi-arg higher-order-function form)
-        return lambda h: F.xxhash64(h, F.lit(i))
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__hashes"), lane(i)))
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("__hashes"), lane(a, b)))
+            for a, b in params
         ]
     )
     return with_base.select("id", sig.alias("minhash"))
@@ -95,11 +143,12 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded minhash signatures.
 
-    Docs agreeing on ALL rows of ANY band share a bucket. The bucket join
-    shuffles only (band, 8-byte bucket hash, id); a self-join per bucket
-    yields pairs. Bucket skew (a degenerate shingle shared by everything)
-    is bounded because the bucket key includes all ``rows_per_band``
-    minhashes."""
+    Docs agreeing on ALL rows of ANY band share a bucket. The bucket key is
+    the concatenation of the band's minhash values (portable — the DuckDB
+    oracle builds the identical key); the bucket join shuffles only
+    (band, key, id) and a self-join per bucket yields pairs. Bucket skew
+    (a degenerate shingle shared by everything) is bounded because the
+    bucket key includes all ``rows_per_band`` minhashes."""
     assert bands * rows_per_band <= 1 << 10
     banded = signatures.cache().select(
         "id",
@@ -108,11 +157,12 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.concat_ws(
+                            ",",
                             *[
                                 F.element_at("minhash", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
-                            ]
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -167,75 +217,68 @@ def jaccard_verify(
     )
 
 
-def _bit_mask(j: int) -> int:
-    """Signed-64 mask for bit j (bit 63 is the sign bit)."""
-    return (1 << j) if j < 63 else -(1 << 63)
+def _md5_half(s, hi: bool):
+    """Portable 32-bit value from the top (hi) or next (lo) 8 hex chars of
+    md5(s) — bit-identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1 if hi else 9, 8), 16, 10).cast("long")
 
 
-def _sign_bits(s):
-    """array<long>[64] of ±1 per bit of xxhash64(s). Masks are Python-int
-    literals (shift amounts can't be Columns in shiftright)."""
-    h = F.xxhash64(s)
-    return F.array(
-        *[
-            F.when(h.bitwiseAND(F.lit(_bit_mask(j))) != 0, F.lit(1).cast("long"))
-            .otherwise(F.lit(-1).cast("long"))
-            for j in range(64)
-        ]
-    )
-
-
-def simhash64(text_col, shingle_k: int = 2):
-    """64-bit SimHash Column over shingles: sum ±1 per bit across shingle
-    hashes, take the sign bit pattern. Built from aggregate/zip_with —
-    64 lanes per shingle, all in codegen."""
-    sh = F.array_distinct(shingles(text_col, shingle_k))
-    counts = F.aggregate(
-        sh,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, s: F.zip_with(acc, _sign_bits(s), lambda a, b: a + b),
-    )
-    sim = F.lit(0).cast("long")
-    for j in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.element_at(counts, j + 1) > 0, F.lit(_bit_mask(j)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return sim
+def _half_bit(half_col, j: int):
+    """Bit j (0-31) of a 32-bit half as 0/1."""
+    return F.shiftright(half_col, j).bitwiseAND(F.lit(1))
 
 
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
 ) -> DataFrame:
-    """(id, sim) SimHash signatures via explode + groupBy.
+    """(id, sim, k0..k3) SimHash signatures via explode + groupBy.
 
-    The nested-array formulation (``simhash64``) builds a 64-wide
-    zip_with per shingle — a huge codegen unit that compiles slowly and
-    evaluates worse. This shape instead explodes shingles and takes 64
-    flat ``sum(±1)`` aggregates: vectorized HashAggregate with map-side
-    partial aggregation, one shuffle keyed on id — the formulation that
-    scales to 100 TB corpora."""
+    ``sim`` is the 64-bit SimHash; ``k0..k3`` are its four 16-bit bands
+    (k_b = bits [16b, 16b+16)), kept as separate columns so banding and
+    Hamming distance never touch the sign bit.
+
+    Shape: explode shingles → 64 flat ``sum(±1)`` aggregates — vectorized
+    HashAggregate with map-side partial aggregation, one shuffle keyed on
+    id — the formulation that scales to 100 TB corpora (a nested
+    aggregate/zip_with over a 64-wide array compiles a huge codegen unit
+    and loses map-side combine). Bit source is the two 32-bit halves of
+    md5 (portable) rather than engine-internal xxhash64, so the DuckDB
+    oracle replays signatures exactly."""
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
     hashed = (
         spread(df)
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
-        .select("id", F.xxhash64("s").alias("h"))
+        .select("id", _md5_half(F.col("s"), hi=False).alias("lo"),
+                _md5_half(F.col("s"), hi=True).alias("hi"))
     )
+
+    def bit(j: int):
+        src = F.col("lo") if j < 32 else F.col("hi")
+        return _half_bit(src, j % 32)
+
     sums = hashed.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(_bit_mask(j))) != 0, 1).otherwise(-1)
-            ).alias(f"b{j}")
+            F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
             for j in range(64)
         ]
     )
+
+    def band_key(b: int):
+        key = F.lit(0).cast("long")
+        for t in range(16):
+            j = b * 16 + t
+            key = key + F.when(F.col(f"b{j}") > 0, F.lit(1 << t).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return key
+
+    keys = [band_key(b).alias(f"k{b}") for b in range(4)]
     sim = F.lit(0).cast("long")
-    for j in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{j}") > 0, F.lit(_bit_mask(j)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return sums.select("id", sim.alias("sim"))
+    for b in range(4):
+        # bit-pattern shift into the top band is fine: shiftleft is a
+        # bitwise op, not checked arithmetic
+        sim = sim.bitwiseOR(F.shiftleft(band_key(b), 16 * b))
+    return sums.select("id", sim.alias("sim"), *keys)
 
 
 def simhash_candidates(
@@ -254,10 +297,7 @@ def simhash_candidates(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("key"))
                     for b in range(4)
                 ]
             )
@@ -274,7 +314,9 @@ def simhash_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
     )

@@ -105,11 +105,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # xxhash-based signatures are engine-internal
+def _shingle_cte(k: int = 3) -> str:
+    """DuckDB CTEs replaying ror_etl_spark.operators.dedup.shingles: (doc_id,
+    s = distinct k-token shingles of normalized text)."""
+    concat = "concat(" + ", ' ', ".join(f"t[i+{j}]" for j in range(k)) + ")"
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(array_length(t) - {k - 1}, 1) + 1),
+               i -> {concat})) AS s
+      FROM toks)"""
+
+
+_JACCARD = """
+    CAST(array_length(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+    / greatest(array_length(list_distinct(list_concat(sa.s, sb.s))), 1)"""
+
+
+def _minhash_ctes(num_hashes: int = 32, bands: int = 8, rows: int = 4) -> str:
+    """DuckDB replay of minhash_signatures + lsh_candidate_pairs: the md5
+    base hash and the (a·h + b) mod 2^31-1 lane remixes are portable, so
+    the oracle computes bit-identical signatures, band keys and candidate
+    pairs (operators/dedup.py:md5_hash31 documents the hash pairing)."""
+    from ror_etl_spark.operators.dedup import lane_params
+
+    lanes = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 2147483647))"
+        for a, b in lane_params(num_hashes)
+    )
+    keys = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(f"m[{b * rows + r + 1}]" for r in range(rows))
+        + f") AS k{b}"
+        for b in range(bands)
+    )
+    band_structs = ", ".join(f"{{'band': {b}, 'key': k{b}}}" for b in range(bands))
+    return f"""
+    {_shingle_cte(3)},
+    hs AS (
+      SELECT doc_id, s,
+             list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647) AS hs
+      FROM sh),
+    sig AS (SELECT doc_id, [{lanes}] AS m FROM hs),
+    keys AS (SELECT doc_id, {keys} FROM sig),
+    bandrows AS (
+      SELECT doc_id, u.band AS band, u.key AS key
+      FROM (SELECT doc_id, unnest([{band_structs}]) AS u FROM keys)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_ctes()}
+    SELECT c.id_a, c.id_b, round({_JACCARD}, 4) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE {_JACCARD} >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    priority=2,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4) candidate pairs, Jaccard-verified at
-    ≥ 0.5. Unit tests plant near-duplicates and assert recall; the driver
-    records a rows-only check (hash seeds are engine-internal)."""
+    ≥ 0.5. The md5-based portable signature hash lets the DuckDB oracle
+    replay the whole funnel — banding, candidates and verification are
+    hash-checked end to end, not just row-counted."""
     d = Tables(spark, sf_dir).documents
     sigs = minhash_signatures(d, num_hashes=32)
     cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
@@ -119,19 +189,93 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # engine-internal 64-bit hashes
+def _simhash_oracle() -> str:
+    """DuckDB replay of simhash_signatures + simhash_candidates: the bit
+    source is the two 32-bit md5 halves (portable), bands are four 16-bit
+    keys, Hamming distance sums per-band bit_count(xor)."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        if j < 32
+        else f"sum(CASE WHEN (hi >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    band_keys = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN b{b * 16 + t} > 0 THEN {1 << t} ELSE 0 END)" for t in range(16)
+        )
+        + f")::BIGINT AS k{b}"
+        for b in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.k{b}, b.k{b}))" for b in range(4))
+    return f"""
+    WITH {_shingle_cte(2)},
+    hh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 9, 8))::BIGINT AS lo,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT AS hi
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    bits AS (SELECT doc_id, {bit_sums} FROM hh GROUP BY doc_id),
+    keys AS (SELECT doc_id, {band_keys} FROM bits),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({hamming} AS BIGINT) AS hamming
+      FROM keys a JOIN keys b
+        ON a.doc_id < b.doc_id
+       AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3))
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), priority=2)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-banded near-dup candidates with Hamming distance ≤ 8."""
+    """SimHash-banded near-dup candidates with Hamming distance ≤ 8,
+    hash-checked against a DuckDB replay of the full signature/banding
+    computation (portable md5 bit source)."""
     d = Tables(spark, sf_dir).documents
     pairs = simhash_candidates(d)
-    return pairs.filter(F.col("hamming") <= 8).orderBy("id_a", "id_b")
+    return pairs.select("id_a", "id_b", "hamming").filter(
+        F.col("hamming") <= 8
+    ).orderBy("id_a", "id_b")
 
 
-@query("dedup_near_clusters")  # engine-internal hashes feed the pair graph
+@query(
+    "dedup_near_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE {_JACCARD} >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM ver),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(sum(CASE WHEN id = cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers
+    FROM comp
+    GROUP BY cluster
+    HAVING count(*) > 1
+    ORDER BY cluster
+    """,
+    priority=2,
+)
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dedup funnel: MinHash signatures → LSH candidates →
     exact-Jaccard verification (≥0.5) → connected components → one keeper
-    per transitive duplicate cluster. Returns cluster summary rows."""
+    per transitive duplicate cluster. Returns cluster summary rows. The
+    oracle replays the portable-hash funnel and closes the pair graph
+    with a recursive CTE — two independent transitive-closure algorithms
+    must agree."""
     d = Tables(spark, sf_dir).documents
     cands = lsh_candidate_pairs(minhash_signatures(d, num_hashes=32))
     verified = jaccard_verify(cands, d, threshold=0.5).select("id_a", "id_b")

@@ -23,11 +23,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+PRIORITY: dict[str, int] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, priority: int = 0
+) -> Callable[[QueryFn], QueryFn]:
     """Register a driver-contract query; ``oracle`` is DuckDB SQL or None
     for non-SQL-expressible operators (driver then does a rows-only check).
+    ``priority`` > 0 moves the query earlier within its evidence tier (see
+    ``ordered_queries``) — use for newly added queries that should reach
+    the driver's capped correctness run this round.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -36,6 +42,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
+        if priority:
+            PRIORITY[name] = priority
         return fn
 
     return deco
@@ -46,3 +54,55 @@ def load_all() -> None:
     from ror_etl_spark import queries  # noqa: F401
 
     queries.load()
+
+
+def _past_verdicts(repo_root: str) -> dict[str, bool]:
+    """name -> True if some past CORRECTNESS_r*.json has it fully green
+    (hash_match), False if it appeared but never green. Absent = never
+    checked by the driver."""
+    import glob
+    import json
+    import os
+
+    seen: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            green = bool(isinstance(row, dict) and row.get("hash_match"))
+            seen[name] = seen.get(name, False) or green
+    return seen
+
+
+def ordered_queries(repo_root: str) -> dict[str, QueryFn]:
+    """Registry in driver-priority order.
+
+    The external driver checks queries in dict order with a cap (r1
+    recorded exactly the first 50 of 133), so ordering decides which
+    queries accumulate hard correctness evidence. Priority:
+
+    0. oracle available but no green driver hash yet — never checked, or
+       checked rows-only/failed before an oracle or fix landed
+    1. never checked, no oracle  (weaker rows-only signal)
+    2. already green in a past round  (re-confirmation only)
+
+    Within each tier, PRIORITY (desc) then registration order. Self-
+    maintaining: each round's artifact pushes newly-green names to the
+    back.
+    """
+    seen = _past_verdicts(repo_root)
+    def tier(name: str) -> int:
+        has_oracle = name in ORACLES
+        if has_oracle:
+            return 0 if not seen.get(name, False) else 2
+        return 1 if name not in seen else 2
+
+    names = list(QUERIES)
+    ranked = sorted(
+        range(len(names)),
+        key=lambda i: (tier(names[i]), -PRIORITY.get(names[i], 0), i),
+    )
+    return {names[i]: QUERIES[names[i]] for i in ranked}

@@ -34,6 +34,17 @@ def norm_cell(v):
     return repr(v)
 
 
+def norm_dtypes(pdf):
+    """Normalize datetime resolution to microseconds (Spark's toPandas
+    yields ns, DuckDB's .df() yields us; the driver's r1 artifact proves it
+    tolerates this — q3_shipping_priority was fully green with the same
+    mismatch). All other dtype differences stay hard failures."""
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    return pdf
+
+
 def df_key(pdf):
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
@@ -98,6 +109,7 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        sdf, odf = norm_dtypes(sdf), norm_dtypes(odf)
         scols, srows = df_key(sdf)
         ocols, orows = df_key(odf)
         if scols != ocols:
@@ -110,7 +122,11 @@ def main() -> int:
             if str(sdf[c].dtype) != str(odf[c].dtype)
         ]
         if dt_mismatch:
-            print(f"warn  {name}: dtype mismatch {dt_mismatch}")
+            # Fail, don't warn: the external driver's schema comparison may
+            # be strict, so the local gate must be at least as strict.
+            print(f"FAIL  {name}: dtype mismatch {dt_mismatch}")
+            n_fail += 1
+            continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             n_fail += 1
