@@ -144,6 +144,80 @@ def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
     return b
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 4,
+    base_seed: int = 101,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    LSH: candidates = pairs sharing any table's sign-bucket, then exact
+    cosine verification on the candidate set only.
+
+    This is the scale shape: the corpus shuffles as (table, bucket, id)
+    triples — 3 longs per table per row, never the vectors — and the
+    quadratic work collapses to within-bucket pairs. Vectors are joined
+    back (normalized once) only for the surviving candidates. Contrast
+    ``all_pairs_above``: a cartesian self-join that cannot survive a 100×
+    scale-up; it remains the oracle/recall baseline in tests.
+
+    Recall is the standard multi-table OR-construction: a pair at angle θ
+    survives one table with (1-θ/π)^n_planes, any of T tables with
+    1-(1-p)^T. Tune (n_tables, n_planes) to the threshold: high-similarity
+    dedup (cos ≥ 0.9) needs few tables; the testdata's low 0.4 threshold
+    sits deliberately in the hard regime and the registered query's oracle
+    replays the same buckets rather than pretending full recall."""
+    from ror_etl_spark.functions.vectors import dot, l2_norm
+
+    corpus = spread(corpus)
+    v = as_double(F.col(vec_col))
+    unit = F.transform(v, lambda x: x / l2_norm(v))
+    normed = corpus.select(F.col(id_col).alias("id"), unit.alias("u")).localCheckpoint(
+        eager=False
+    )
+
+    tables = [
+        random_hyperplanes(dim, n_planes, base_seed + t) for t in range(n_tables)
+    ]
+    buckets = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.tbl", "tb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = normed.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    vb = normed.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def all_pairs_above(
     corpus: DataFrame,
     threshold: float,

@@ -170,3 +170,47 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'png' AS fmt,
+           CAST(length(text) % 64 + 1 AS BIGINT) AS width,
+           CAST(length(text) % 48 + 1 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST((length(text) % 64 + 1) * (length(text) % 48 + 1) AS BIGINT) AS n_pixels,
+           round(list_aggregate(
+             list_transform(range(0, length(text) % 48 + 1), y -> (doc_id + y) % 256),
+             'avg'), 4) AS mean_px
+    FROM documents
+    ORDER BY media_id
+    """,
+    priority=2,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over a binary media column: every document becomes
+    a valid PNG (dimensions/pixels derived from its columns, PNG filters
+    None/Sub/Up rotated per row), then the pure-Python codec
+    (sources/multimodal.py: inflate + scanline unfilter, no PIL/ffmpeg)
+    recovers header fields and the mean pixel value per image inside an
+    Arrow-batched mapInPandas. The oracle predicts every decoded value
+    from the generation rule — a decoder bug (filter math, channel
+    layout, dimension parse) breaks the hash."""
+    from ror_etl_spark.sources.multimodal import decode_stats, png_media_from_documents
+
+    d = Tables(spark, sf_dir).documents
+    media = png_media_from_documents(d)
+    stats = decode_stats(media)
+    return stats.select(
+        "media_id",
+        "fmt",
+        "width",
+        "height",
+        "channels",
+        "bit_depth",
+        "n_pixels",
+        F.round("mean_px", 4).alias("mean_px"),
+    ).orderBy("media_id")

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ror_etl_spark.functions.vectors import as_double, cosine
-from ror_etl_spark.operators.similarity import all_pairs_above, ivf_topk, lsh_topk
+from ror_etl_spark.operators.similarity import ivf_topk, lsh_near_dup_pairs, lsh_topk
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 from ror_etl_spark.queries.util import r6
@@ -47,23 +47,51 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_COS_SQL.format(a='a.v', b='b.v')}, 6) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.4
+def _near_dup_oracle(n_tables: int = 8, n_planes: int = 4, base_seed: int = 101) -> str:
+    """DuckDB replay of lsh_near_dup_pairs: per-table sign buckets from the
+    same seeded hyperplanes (inlined as literals), candidates = pairs
+    sharing any table's bucket, exact cosine ≥ threshold on candidates."""
+    from ror_etl_spark.operators.similarity import random_hyperplanes
+
+    def bucket_expr(v: str, planes) -> str:
+        bits = [
+            f"(CASE WHEN list_dot_product({v}, ["
+            + ", ".join(repr(x) for x in plane)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        ]
+        return " + ".join(bits)
+
+    tables = [
+        random_hyperplanes(64, n_planes, base_seed + t) for t in range(n_tables)
+    ]
+    bucket_cols = ", ".join(
+        f"({bucket_expr('v', planes)}) AS t{t}" for t, planes in enumerate(tables)
+    )
+    any_shared = " OR ".join(f"a.t{t} = b.t{t}" for t in range(n_tables))
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS (SELECT vec_id, v, {bucket_cols} FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+    FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({any_shared})
+    WHERE round({cos}, 6) >= 0.4
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@query("embedding_near_dup_pairs", oracle=_near_dup_oracle(), priority=2)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). Brute-force
-    all-pairs here (correctness baseline); the LSH-bucketed scale path is
-    ``embedding_knn_lsh``."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) on the LSH-bucketed
+    scale path: 8 hyperplane tables × 4 planes generate candidates (pairs
+    sharing any table's sign bucket — shuffles (table, bucket, id) triples,
+    never vectors), then exact cosine verifies candidates only. No
+    cartesian/BroadcastNestedLoopJoin anywhere in the plan (pinned by
+    tests/test_plan_invariants.py); the brute-force all_pairs_above stays
+    as the tests' recall baseline. The oracle replays the seeded buckets in
+    SQL, so the result is hash-checked end to end."""
     emb = Tables(spark, sf_dir).embeddings
-    return all_pairs_above(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return lsh_near_dup_pairs(emb, threshold=0.4, dim=64).orderBy("id_a", "id_b")
 
 
 @query(

@@ -47,9 +47,108 @@ def test_extract_features_sha_matches_content(spark):
         assert out[mid] == hashlib.sha256(content).hexdigest()
 
 
-def test_real_decoder_seam_raises(spark):
-    with pytest.raises(Exception, match="PIL|ffmpeg|NotImplemented"):
+def test_real_decoder_rejects_non_image_payloads(spark):
+    # text-bytes fixtures are not PNGs/JPEGs; the real codec must say so
+    # rather than hallucinate features
+    with pytest.raises(Exception, match="unknown image format"):
         extract_features(_media(spark, n=2), decoder="real").collect()
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from ror_etl_spark.sources.multimodal import png_decode, png_encode
+
+    for channels in (1, 3, 4):
+        for ft in (0, 1, 2):
+            data = png_encode(7, 5, channels, lambda y: (3 + y) % 256, ft)
+            px = png_decode(data)
+            assert px.shape == (5, 7, channels), (channels, ft)
+            expect = np.array([[(3 + y) % 256] * 7 * channels for y in range(5)])
+            assert (px.reshape(5, -1) == expect).all(), (channels, ft)
+
+
+def test_png_decode_average_and_paeth_filters():
+    # hand-filter a known image with Average (3) and Paeth (4) scanlines —
+    # the decoder must invert both (spec §9 reference arithmetic)
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ror_etl_spark.sources.multimodal import PNG_SIG, png_decode
+
+    rng = np.random.default_rng(42)
+    w, h, c = 6, 4, 3
+    img = rng.integers(0, 256, size=(h, w * c), dtype=np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        ft = 3 if y % 2 == 0 else 4
+        raw.append(ft)
+        for x in range(w * c):
+            a = int(img[y, x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            pred = (a + b) // 2 if ft == 3 else paeth(a, b, cc)
+            raw.append((int(img[y, x]) - pred) & 0xFF)
+        prev = img[y]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (png_decode(data).reshape(h, -1) == img).all()
+
+
+def test_jpeg_header_parse():
+    import struct
+
+    from ror_etl_spark.sources.multimodal import decode_image_meta
+
+    sof = struct.pack(">BHHB", 8, 480, 640, 3)  # precision, h, w, ncomp
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"  # APP0 filler
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    )
+    meta = decode_image_meta(jpeg)
+    assert meta == {
+        "fmt": "jpeg", "width": 640, "height": 480, "channels": 3, "bit_depth": 8,
+    }
+
+
+def test_real_features_from_png_media(spark):
+    from ror_etl_spark.sources.multimodal import png_media_from_documents
+
+    docs = Tables(spark, SF_SMALL).documents.limit(6)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(png_media_from_documents(docs), decoder="real").collect()
+    }
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for mid, f in feats.items():
+        assert f[0] == float(len(raw[mid]) % 64 + 1)  # width
+        assert f[1] == float(len(raw[mid]) % 48 + 1)  # height
+        assert f[2] == (1.0 if mid % 2 == 0 else 3.0)  # channels
+        assert f[3] == 8.0  # bit depth
 
 
 def test_resize_updates_meta_only(spark):

@@ -36,6 +36,10 @@ NO_NESTED_LOOP = [
     "events_band_self_join",
     "dedup_ngram_jaccard",
     "join_theta",
+    # the LSH-bucketed near-dup path must never fall back to the
+    # cartesian shape it replaces (VERDICT r1: all_pairs_above was the
+    # one scale-killer plan)
+    "embedding_near_dup_pairs",
 ]
 
 
