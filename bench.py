@@ -32,7 +32,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q18_large_orders",
+    "q21_waiting_supplier",
     "agg_stats",
     "cube_status_segment",
     "window_topk_per_group",
@@ -45,7 +49,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_token_stats",
+    "text_tfidf_top_terms",
     "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "sketch_distinct_users_rollup",
 ]
 
 
@@ -55,9 +62,11 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--all", action="store_true", help="bench every registered query")
-    # best-of-2 by default: first execution pays one-time planning/codegen;
-    # the minimum reflects engine steady state
-    ap.add_argument("--repeat", type=int, default=2)
+    # best-of-3 by default: early executions pay one-time planning, codegen
+    # compilation and JVM JIT warm-up (the HOF-heavy vector queries need
+    # two runs before the interpreted paths are JIT-compiled); the minimum
+    # reflects engine steady state
+    ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args()
 
     registry.load_all()
@@ -74,7 +83,10 @@ def main() -> None:
         best = None
         for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
-            fn(spark, args.sf_dir).count()
+            # noop write evaluates EVERY output expression (count() lets
+            # Catalyst prune computed projections, under-measuring
+            # projection-heavy queries)
+            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

@@ -16,10 +16,16 @@ shuffle volume per round is the edge list keyed by node, payload one long.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Min-label propagation hit its iteration cap with labels still
+    changing — components would be silently split if results were used."""
 
 
 @dataclass
@@ -84,11 +90,29 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_iters: int = 20,
+    alert: Callable[[str], None] | None = None,
 ) -> DataFrame:
     """(id, cluster, is_keeper) for every document: near-dup pairs close
     transitively into clusters labeled by their minimum id; docs in no pair
-    are their own singleton cluster; the keeper is the minimum id."""
-    comp = connected_components(pairs).labels
+    are their own singleton cluster; the keeper is the minimum id.
+
+    Non-convergence (a component with diameter > max_iters) would silently
+    split clusters, so it is never ignored: with an ``alert`` callback the
+    pipeline alerts and continues (the reference's alert-don't-fail shape,
+    get_ultimate_parent.py:25-39); without one it raises
+    ``ConvergenceError``."""
+    result = connected_components(pairs, max_iters=max_iters)
+    if not result.converged:
+        msg = (
+            f"dedup_clusters: label propagation still changing after "
+            f"{result.iterations} iterations — a duplicate cluster has "
+            f"diameter > {max_iters} and would be split"
+        )
+        if alert is None:
+            raise ConvergenceError(msg)
+        alert(msg)
+    comp = result.labels
     all_ids = docs.select(F.col(id_col).alias("id"))
     labeled = (
         all_ids.join(comp, "id", "left")

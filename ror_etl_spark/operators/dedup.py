@@ -100,6 +100,33 @@ def md5_hash31(col):
     )
 
 
+HORNER_BASE = 1000003  # shingle combine base (31-bit-safe multiplier)
+
+
+def shingle_hashes(text_col, k: int = 3):
+    """array<bigint> of distinct k-shingle hashes WITHOUT materializing
+    shingle strings: each TOKEN is md5-hashed once, then a Horner combine
+    ``h = (h·B + tok_hash) mod 2^31-1`` folds k consecutive token hashes
+    into the shingle hash. vs hashing shingle strings this digests ~k×
+    fewer bytes and allocates no concatenated strings — the dominant cost
+    of the signature pass on a 100 TB corpus. Every step is portable
+    arithmetic on md5_hash31 values, so DuckDB oracles replay it
+    exactly."""
+    toks = F.split(normalize_text(text_col), " ")
+    th = F.transform(toks, lambda t: md5_hash31(t))
+    n = F.size(th)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+
+    def combine(i):
+        h = F.coalesce(F.try_element_at(th, i), F.lit(0).cast("long"))
+        for j in range(1, k):
+            nxt = F.coalesce(F.try_element_at(th, i + j), F.lit(0).cast("long"))
+            h = (h * F.lit(HORNER_BASE) + nxt) % F.lit(MERSENNE31)
+        return h
+
+    return F.array_distinct(F.transform(idx, combine))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -109,19 +136,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash: array<bigint>[num_hashes]).
 
-    Each shingle is md5-digested ONCE; the ``num_hashes`` lanes re-mix the
-    31-bit base with multiplicative universal hashing
+    Tokens are md5-digested ONCE and Horner-combined into shingle hashes
+    (``shingle_hashes``); the ``num_hashes`` lanes then re-mix each
+    31-bit shingle hash with multiplicative universal hashing
     ``(a_i·h + b_i) mod (2^31-1)`` — fixed-width arithmetic, far cheaper
-    than hashing the variable-length string per lane, which matters when
-    the corpus is 100 TB of text. 31-bit operands keep the multiply inside
-    a 64-bit long, so ANSI mode can't overflow. The md5 base (instead of
-    the faster engine-internal xxhash64) makes the whole signature
-    replayable in DuckDB SQL — the correctness gate hash-checks the
-    operator end to end. P(minhash_i equal) = Jaccard of the shingle
-    sets."""
+    than hashing variable-length strings per lane, which matters when
+    the corpus is 100 TB of text. 31-bit operands keep every multiply
+    inside a 64-bit long, so ANSI mode can't overflow. The md5 base
+    (instead of the faster engine-internal xxhash64) makes the whole
+    signature replayable in DuckDB SQL — the correctness gate
+    hash-checks the operator end to end. P(minhash_i equal) = Jaccard of
+    the shingle sets."""
     params = lane_params(num_hashes)
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
-    base = F.transform(sh, lambda s: md5_hash31(s))
+    base = shingle_hashes(F.col(text_col), shingle_k)
     with_base = spread(df).select(F.col(id_col).alias("id"), base.alias("__hashes"))
 
     def lane(a: int, b: int):

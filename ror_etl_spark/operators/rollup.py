@@ -52,7 +52,38 @@ class RollupResult:
     mapping: DataFrame  # columns: id, ultimate_parent
     iterations: int
     n_unconverged: int  # rows still changing at cutoff (odd cycles) — alert, don't fail
-    n_in_cycle: int  # rows whose resolved ancestor is not a true root (any cycle)
+    _m0: DataFrame | None = None  # checkpointed input edges, for cycle analysis
+    _n_in_cycle: int | None = None
+
+    @property
+    def n_in_cycle(self) -> int:
+        """Rows whose resolved ancestor is not a true root (any cycle).
+
+        Computed lazily on first access (two semi/anti joins + a count):
+        alert consumers (the pipeline) pay for it; mapping-only consumers
+        don't run the extra jobs.
+
+        Cycle detection beyond non-convergence: even-length cycles collapse
+        to stable self-maps under doubling (X→Y,Y→X resolves to X→X,Y→Y in
+        one round), so "converged" alone doesn't mean "reached a real
+        root". A resolved ancestor is a true root iff its own parent edge
+        is a self-loop (or it has no edge — terminal). Everything else is
+        in/under a cycle → the reference's alert case
+        (get_ultimate_parent.py:25-39)."""
+        if self._n_in_cycle is None:
+            m0 = self._m0
+            assert m0 is not None
+            roots = m0.filter(F.col("anc") == F.col("id")).select(
+                F.col("id").alias("r_id")
+            )
+            all_ids = m0.select(F.col("id").alias("e_id"))
+            non_terminal = self.mapping.join(
+                all_ids, self.mapping["ultimate_parent"] == all_ids["e_id"], "left_semi"
+            )
+            self._n_in_cycle = non_terminal.join(
+                roots, non_terminal["ultimate_parent"] == roots["r_id"], "left_anti"
+            ).count()
+        return self._n_in_cycle
 
 
 class DuplicateIdError(ValueError):
@@ -134,9 +165,16 @@ def ultimate_parent(
     check_every = max(1, check_every)
     m = edges.select(F.col(id_col).alias("id"), F.col(parent_col).alias("anc"))
     m = _materialize(m, use_local_checkpoint)
-    m0 = m  # checkpointed input copy — reused for root/cycle analysis below
+    m0 = m  # checkpointed input copy — reused for root/cycle analysis
     # so the (possibly expensive) upstream edge lineage never re-executes
-    n_rows = m.count()
+
+    # No dedicated input-count job: the first convergence check also
+    # computes count_distinct(id), which both seeds the duplicate-
+    # explosion baseline and catches duplicate ids authoritatively in the
+    # same pass. On small inputs every job carries ~0.1-0.4 s of fixed
+    # local scheduling cost, so each job folded away is measurable at
+    # sf0.1 (and free at 100 TB).
+    n_rows: int | None = None
 
     iterations = 0
     n_changed = -1
@@ -155,45 +193,34 @@ def ultimate_parent(
         m = stepped.select("id", "anc")
         if (it + 1) % check_every != 0 and it + 1 < n_iters:
             continue  # lazy checkpoint materializes inside the next join's job
-        stats = stepped.agg(
+        aggs = [
             F.sum((F.col("prev_anc") != F.col("anc")).cast("long")).alias("changed"),
             F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
+        ]
+        if n_rows is None:
+            aggs.append(F.count_distinct(F.col("id")).alias("n_ids"))
+        stats = stepped.agg(*aggs).collect()[0]
         n_changed = stats["changed"] or 0
+        if n_rows is None:
+            n_rows = stats["n_ids"]
         # duplicate ids make the self-join a multiplier: row count grows
         # geometrically per round. Fail fast with the reference's
         # duplicate-id error instead of running out the iteration budget.
         if stats["n"] > n_rows:
             raise DuplicateIdError(
-                f"edge set grew {n_rows} → {stats['n']} during fixpoint — "
-                f"duplicate ids in input (reference hard-fails these too)"
+                f"edge set grew beyond {n_rows} distinct id(s) (now "
+                f"{stats['n']} rows) during fixpoint — duplicate ids in "
+                f"input (reference hard-fails these too)"
             )
         if n_changed == 0:
             break
 
     mapping = m.select(F.col("id"), F.col("anc").alias("ultimate_parent"))
-
-    # Cycle detection beyond non-convergence: even-length cycles collapse to
-    # stable self-maps under doubling (X→Y,Y→X resolves to X→X,Y→Y in one
-    # round), so "converged" alone doesn't mean "reached a real root". A
-    # resolved ancestor is a true root iff its own parent edge is a
-    # self-loop (or it has no edge — terminal). Everything else is in/under
-    # a cycle → the reference's alert case (get_ultimate_parent.py:25-39).
-    roots = m0.filter(F.col("anc") == F.col("id")).select(F.col("id").alias("r_id"))
-    all_ids = m0.select(F.col("id").alias("e_id"))
-    non_terminal_ancs = (
-        mapping.join(all_ids, mapping["ultimate_parent"] == all_ids["e_id"], "left_semi")
-    )
-    n_in_cycle = (
-        non_terminal_ancs.join(
-            roots, non_terminal_ancs["ultimate_parent"] == roots["r_id"], "left_anti"
-        ).count()
-    )
     return RollupResult(
         mapping=mapping,
         iterations=iterations,
         n_unconverged=n_changed,
-        n_in_cycle=n_in_cycle,
+        _m0=m0,
     )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -144,6 +146,53 @@ def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
     return b
 
 
+def _table_buckets_udf(tables: list[list[list[float]]]):
+    """Arrow-batched bucket assignment: one (n_tables·n_planes × dim)
+    matrix multiply per batch in numpy, returning the per-table bucket
+    ids as array<long>.
+
+    Why a Pandas UDF and not the ``hyperplane_bucket`` expression here:
+    Catalyst higher-order functions (zip_with/aggregate) are
+    CodegenFallback — interpreted per element, with allocation per row —
+    so 48 fold-dots per row run 10-50× slower than one vectorized BLAS
+    multiply over an Arrow batch. For dense fixed-width vector math the
+    Arrow+numpy path IS the scale path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([p for tbl in tables for p in tbl], dtype=np.float64)
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (m @ planes.T) >= 0  # (batch, n_tables*n_planes)
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        ids = (signs * weights).sum(axis=2)  # (batch, n_tables)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def _pair_dot_udf():
+    """Arrow-batched dot product of two unit-vector columns (float64) —
+    the candidate-verification kernel. Summation runs in C (pairwise) —
+    equality with the sequential-fold oracle holds after 6 dp rounding
+    (pinned by the correctness gate)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return pair_dot
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -151,7 +200,7 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
-    n_planes: int = 4,
+    n_planes: int = 6,
     base_seed: int = 101,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane
@@ -171,7 +220,7 @@ def lsh_near_dup_pairs(
     dedup (cos ≥ 0.9) needs few tables; the testdata's low 0.4 threshold
     sits deliberately in the hard regime and the registered query's oracle
     replays the same buckets rather than pretending full recall."""
-    from ror_etl_spark.functions.vectors import dot, l2_norm
+    from ror_etl_spark.functions.vectors import l2_norm
 
     corpus = spread(corpus)
     v = as_double(F.col(vec_col))
@@ -183,20 +232,11 @@ def lsh_near_dup_pairs(
     tables = [
         random_hyperplanes(dim, n_planes, base_seed + t) for t in range(n_tables)
     ]
-    buckets = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "tb.tbl", "tb.bucket")
+    bucket_fn = _table_buckets_udf(tables)
+    buckets = (
+        corpus.select(F.col(id_col).alias("id"), bucket_fn(as_double(F.col(vec_col))).alias("bs"))
+        .select("id", F.posexplode("bs").alias("tbl", "bucket"))
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
@@ -210,10 +250,18 @@ def lsh_near_dup_pairs(
     )
     va = normed.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
     vb = normed.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
+    pair_dot = _pair_dot_udf()
+    # AQE sizes the candidate shuffle by its (tiny) pair-id bytes, but the
+    # verify stage fans each pair out to 2×dim doubles through Arrow —
+    # spread the pairs explicitly so that work isn't squeezed onto a
+    # couple of post-coalesce tasks
+    cands = spread(cands)
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos"))
+        .select(
+            "id_a", "id_b", F.round(pair_dot(F.col("ua"), F.col("ub")), 6).alias("cos")
+        )
         .filter(F.col("cos") >= threshold)
     )
 

@@ -37,22 +37,48 @@ def scd2_apply(
 
     ``history`` columns: payload + key + valid_from + valid_to (null = open
     row). ``updates`` columns: payload + key + ts_col (change timestamp).
-    Open rows for updated keys close at the update timestamp; every update
-    opens a new row. One shuffle on the key."""
+
+    Handles multiple updates per key in one batch: updates are chained per
+    key in timestamp order with a ``lead()`` window — each update row's
+    validity ends where the next one starts, only the latest stays open —
+    and the previously-open history row closes at the EARLIEST update's
+    timestamp (exactly once). One shuffle on the key. The window's order
+    must be total per key, so equal timestamps for one key are rejected —
+    they'd make which-update-wins undefined."""
+    from pyspark.sql import Window as W
+
     upd_keyed = updates.withColumnRenamed(ts_col, "__new_from")
+    dup_ts = (
+        upd_keyed.groupBy(key, "__new_from")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup_ts:
+        r = dup_ts[0]
+        raise ValueError(
+            f"scd2_apply: {r['n']} updates share key={r[key]!r} "
+            f"ts={r['__new_from']!r}; per-key timestamps must be unique"
+        )
+    w = W.partitionBy(key).orderBy("__new_from")
+    chained = upd_keyed.withColumn("__next_from", F.lead("__new_from").over(w))
+    first_per_key = upd_keyed.groupBy(key).agg(F.min("__new_from").alias("__new_from"))
+
     open_rows = history.filter(F.col(valid_to).isNull())
     closed_rows = history.filter(F.col(valid_to).isNotNull())
 
     closing = (
-        open_rows.join(
-            F.broadcast(upd_keyed.select(key, "__new_from")), on=key, how="inner"
-        )
+        open_rows.join(F.broadcast(first_per_key), on=key, how="inner")
         .withColumn(valid_to, F.col("__new_from"))
         .drop("__new_from")
     )
     still_open = open_rows.join(upd_keyed.select(key), on=key, how="left_anti")
     opening = (
-        upd_keyed.withColumnRenamed("__new_from", valid_from)
-        .withColumn(valid_to, F.lit(None).cast(history.schema[valid_to].dataType))
+        chained.withColumnRenamed("__new_from", valid_from)
+        .withColumn(
+            valid_to, F.col("__next_from").cast(history.schema[valid_to].dataType)
+        )
+        .drop("__next_from")
     )
     return closed_rows.unionByName(closing).unionByName(still_open).unionByName(opening)

@@ -129,10 +129,12 @@ _JACCARD = """
 
 def _minhash_ctes(num_hashes: int = 32, bands: int = 8, rows: int = 4) -> str:
     """DuckDB replay of minhash_signatures + lsh_candidate_pairs: the md5
-    base hash and the (a·h + b) mod 2^31-1 lane remixes are portable, so
-    the oracle computes bit-identical signatures, band keys and candidate
-    pairs (operators/dedup.py:md5_hash31 documents the hash pairing)."""
-    from ror_etl_spark.operators.dedup import lane_params
+    token hashes, the Horner shingle combine, and the (a·h + b) mod 2^31-1
+    lane remixes are all portable arithmetic, so the oracle computes
+    bit-identical signatures, band keys and candidate pairs
+    (operators/dedup.py:md5_hash31 / shingle_hashes document the
+    pairing)."""
+    from ror_etl_spark.operators.dedup import HORNER_BASE, lane_params
 
     lanes = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 2147483647))"
@@ -145,12 +147,24 @@ def _minhash_ctes(num_hashes: int = 32, bands: int = 8, rows: int = 4) -> str:
         for b in range(bands)
     )
     band_structs = ", ".join(f"{{'band': {b}, 'key': k{b}}}" for b in range(bands))
+    B = HORNER_BASE
+    horner = (
+        f"((coalesce(th[i], 0) * {B} + coalesce(th[i+1], 0)) % 2147483647"
+        f" * {B} + coalesce(th[i+2], 0)) % 2147483647"
+    )
     return f"""
     {_shingle_cte(3)},
+    tokh AS (
+      SELECT doc_id,
+             list_transform(
+               t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647) AS th
+      FROM toks),
     hs AS (
-      SELECT doc_id, s,
-             list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647) AS hs
-      FROM sh),
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(array_length(th) - 2, 1) + 1),
+               i -> {horner})) AS hs
+      FROM tokh),
     sig AS (SELECT doc_id, [{lanes}] AS m FROM hs),
     keys AS (SELECT doc_id, {keys} FROM sig),
     bandrows AS (

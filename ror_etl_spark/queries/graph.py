@@ -44,7 +44,10 @@ def synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ultimate_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship kernel: resolve every node to its forest root."""
     edges = synthetic_edges(spark, sf_dir)
-    result = ultimate_parent(edges, max_depth=16, check_every=2)
+    # chains are 10 deep: 4 doubling rounds reach 16; a single combined
+    # convergence+duplicate check lands on round 4 (check_every=4) and
+    # exits there — one aggregate job for the whole fixpoint
+    result = ultimate_parent(edges, max_depth=16, check_every=4)
     return result.mapping
 
 
@@ -89,26 +92,30 @@ def ultimate_parent_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel), the order's smallest linenumber is the root. The oracle is
     the closed form min-linenumber per order.
 
-    The distinct() is load-bearing: duplicate node ids multiply through
-    every self-join round of the fixpoint, which is exactly why the
-    reference hard-fails duplicates (assert_unique_ids runs before the
-    kernel in the pipeline)."""
-    from pyspark.sql import Window as W
-
-    pairs = (
-        Tables(spark, sf_dir)
-        .lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"))
-        .distinct()
+    Edge derivation is ONE shuffle: groupBy(order) + collect_set(line
+    numbers) — map-side combined, per-group state bounded at 7 ints —
+    then sort_array + an indexed transform emits (id, parent) pairs
+    per order. The naive formulation (distinct, then a lag() window)
+    shuffles the fact table twice for the same result; collapsing it
+    halved this query's pre-fixpoint cost at sf0.1."""
+    li = Tables(spark, sf_dir).lineitem
+    grouped = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sort_array(F.collect_set("l_linenumber")).alias("lns")
     )
-    w = W.partitionBy("k").orderBy("ln")
-    edges = pairs.select(
-        (F.col("k") * 8 + F.col("ln")).cast("long").alias("id"),
-        F.coalesce(
-            (F.col("k") * 8 + F.lag("ln").over(w)).cast("long"),
-            (F.col("k") * 8 + F.col("ln")).cast("long"),
-        ).alias("parent"),
+    lns = F.col("lns")
+    pairs = F.transform(
+        lns,
+        lambda x, i: F.struct(
+            (F.col("k") * 8 + x).cast("long").alias("id"),
+            # previous linenumber via 0-based F.get (null at index -1 →
+            # coalesce to self: the smallest linenumber is the root)
+            (F.col("k") * 8 + F.coalesce(F.get(lns, i - 1), x))
+            .cast("long")
+            .alias("parent"),
+        ),
     )
-    result = ultimate_parent(edges, max_depth=8, check_every=2)
+    edges = grouped.select(F.explode(pairs).alias("e")).select("e.id", "e.parent")
+    result = ultimate_parent(edges, max_depth=8, check_every=4)
     # no ORDER BY: the correctness gate hashes order-insensitively, and a
     # global sort of the full mapping is pure overhead at scale
     return result.mapping

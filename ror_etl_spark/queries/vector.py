@@ -47,7 +47,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_oracle(n_tables: int = 8, n_planes: int = 4, base_seed: int = 101) -> str:
+def _near_dup_oracle(n_tables: int = 8, n_planes: int = 6, base_seed: int = 101) -> str:
     """DuckDB replay of lsh_near_dup_pairs: per-table sign buckets from the
     same seeded hyperplanes (inlined as literals), candidates = pairs
     sharing any table's bucket, exact cosine ≥ threshold on candidates."""
@@ -83,7 +83,7 @@ def _near_dup_oracle(n_tables: int = 8, n_planes: int = 4, base_seed: int = 101)
 @query("embedding_near_dup_pairs", oracle=_near_dup_oracle(), priority=2)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) on the LSH-bucketed
-    scale path: 8 hyperplane tables × 4 planes generate candidates (pairs
+    scale path: 8 hyperplane tables × 6 planes generate candidates (pairs
     sharing any table's sign bucket — shuffles (table, bucket, id) triples,
     never vectors), then exact cosine verifies candidates only. No
     cartesian/BroadcastNestedLoopJoin anywhere in the plan (pinned by
@@ -91,7 +91,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the tests' recall baseline. The oracle replays the seeded buckets in
     SQL, so the result is hash-checked end to end."""
     emb = Tables(spark, sf_dir).embeddings
-    return lsh_near_dup_pairs(emb, threshold=0.4, dim=64).orderBy("id_a", "id_b")
+    return lsh_near_dup_pairs(emb, threshold=0.4, dim=64, n_planes=6).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @query(

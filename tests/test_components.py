@@ -55,3 +55,28 @@ def test_ivf_probe_restriction_reduces_candidates(spark):
     all_cells = ivf_topk(corpus, q, k=100, n_centroids=8, nprobe=8).count()
     few_cells = ivf_topk(corpus, q, k=100, n_centroids=8, nprobe=2).count()
     assert few_cells < all_cells
+
+
+def test_dedup_clusters_nonconvergence_raises_or_alerts(spark):
+    import pytest
+
+    from ror_etl_spark.operators.components import ConvergenceError, dedup_clusters
+
+    # a 30-edge path graph has diameter 30 > max_iters=3
+    docs = spark.createDataFrame([(i,) for i in range(31)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(ConvergenceError, match="diameter"):
+        dedup_clusters(docs, pairs, max_iters=3).collect()
+
+    alerts: list[str] = []
+    out = dedup_clusters(docs, pairs, max_iters=3, alert=alerts.append)
+    assert out.count() == 31  # alert-and-continue still yields labels
+    assert len(alerts) == 1 and "diameter" in alerts[0]
+
+    # with enough rounds the same graph converges to one cluster, silently
+    alerts.clear()
+    ok = dedup_clusters(docs, pairs, max_iters=40, alert=alerts.append)
+    assert alerts == []
+    assert {r["cluster"] for r in ok.collect()} == {0}
