@@ -104,11 +104,10 @@ class RorPipeline:
         (get_ultimate_parent.py semantics, SURVEY §2.2)."""
         assert_unique_ids(ror)
         result = ultimate_parent(extract_parent_edges(ror))
-        if result.n_unconverged or result.n_in_cycle:
+        if result.n_in_cycle:
             self.alert(
-                f"rollup: {max(result.n_unconverged, result.n_in_cycle)} id(s) "
-                f"did not converge to a root (cycle or depth cap) — kept an "
-                f"in-chain ancestor"
+                f"rollup: {result.n_in_cycle} id(s) did not converge to a "
+                f"root (cycle or depth cap) — kept an in-chain ancestor"
             )
         return attach_ultimate_parent(ror, result.mapping)
 

@@ -20,7 +20,7 @@ from ror_etl_spark.queries.util import r4
 @query(
     "tumbling_window_counts",
     oracle="""
-    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP_NS) AS wstart,
            event_type,
            count(*) AS n,
            round(sum(value), 4) AS total
@@ -48,7 +48,8 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              value
       FROM events, (SELECT unnest([0, 1]) AS k)
     )
-    SELECT wstart, count(*) AS n, round(sum(value), 4) AS total_value
+    SELECT CAST(wstart AS TIMESTAMP_NS) AS wstart,
+           count(*) AS n, round(sum(value), 4) AS total_value
     FROM slid
     GROUP BY wstart
     ORDER BY wstart
@@ -72,7 +73,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "asof_join_events",
     oracle="""
-    SELECT c.event_id, c.user_id, c.ts,
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP_NS) AS ts,
            p.event_id AS purchase_event_id, p.value AS purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -120,8 +121,8 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
       FROM flagged)
     SELECT user_id,
-           min(ts)                        AS session_start,
-           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           CAST(min(ts) AS TIMESTAMP_NS)                      AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP_NS) AS session_end,
            count(*)                       AS n_events,
            round(sum(value), 4)           AS total_value
     FROM sessions
@@ -152,7 +153,7 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "hypertable_daily_from_hourly",
     oracle="""
-    SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket,
+    SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP_NS) AS bucket,
            event_type,
            count(*) AS n,
            round(sum(value), 4) AS total,

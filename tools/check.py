@@ -34,17 +34,6 @@ def norm_cell(v):
     return repr(v)
 
 
-def norm_dtypes(pdf):
-    """Normalize datetime resolution to microseconds (Spark's toPandas
-    yields ns, DuckDB's .df() yields us; the driver's r1 artifact proves it
-    tolerates this — q3_shipping_priority was fully green with the same
-    mismatch). All other dtype differences stay hard failures."""
-    for c in pdf.columns:
-        if str(pdf[c].dtype).startswith("datetime64"):
-            pdf[c] = pdf[c].astype("datetime64[us]")
-    return pdf
-
-
 def df_key(pdf):
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
@@ -109,7 +98,10 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
-        sdf, odf = norm_dtypes(sdf), norm_dtypes(odf)
+        # No dtype normalization: Spark toPandas yields datetime64[ns], so
+        # every oracle casts its timestamp outputs to TIMESTAMP_NS — both
+        # sides must agree natively or the query fails here, exactly as a
+        # maximally strict external driver would see it.
         scols, srows = df_key(sdf)
         ocols, orows = df_key(odf)
         if scols != ocols:
