@@ -109,3 +109,40 @@ def lang_id(col: Column) -> Column:
     )
     best = F.array_max(F.filter(scored, lambda s: s["score"] > 0))
     return F.coalesce(best["lang"], F.lit("und"))
+
+
+def winnow_hashes(col: Column, k: int = 8) -> Column:
+    """All character-k-gram md5 fingerprints of the normalized text, in
+    positional order. md5 hex is portable (DuckDB produces identical
+    strings), so lexicographic min == deterministic hash min on both
+    engines. Empty array when the text is shorter than k — guarded because
+    Spark's ``sequence(1, 0)`` counts DOWN instead of returning []."""
+    s = normalize_text(col)
+    n = F.length(s) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.md5(F.substr(s, i, F.lit(k)))
+    )
+    return F.when(n >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_select(hashes: Column, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, MOSS):
+    the distinct set of per-window minima over the rolling k-gram hash
+    sequence, window size ``w``. Guarantees any shared substring of length
+    ≥ k + w - 1 contributes at least one common fingerprint — the standard
+    rolling-hash fingerprint for plagiarism/near-dup detection, here as a
+    pure JVM array expression (no UDF; scales inside codegen).
+
+    ``hashes`` MUST be a materialized column (project :func:`winnow_hashes`
+    in a separate select first), not the hash expression itself: each
+    window's ``slice`` repeats the reference, and inlining the k-gram
+    pipeline there makes every window re-hash the whole document —
+    O(n²) md5 calls per row. Against a bound column it's O(n·w)."""
+    n_win = F.size(hashes) - (w - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_distinct(
+        F.when(n_win >= 1, wins).otherwise(F.array().cast("array<string>"))
+    )

@@ -19,6 +19,7 @@ def load() -> None:
         misc2,
         misc3,
         relational,
+        sampling,
         scalars,
         scalars2,
         setops,

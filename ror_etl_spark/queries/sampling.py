@@ -1,0 +1,87 @@
+"""Deterministic sampling queries (training-data pipeline surface).
+
+Engine-grade sampling must be reproducible across runs, engines, and
+partitionings — Spark's TABLESAMPLE / df.sample are seeded per-partition
+(repartition the input and the sample changes), so the portable form is
+content-hash Bernoulli: keep a row iff a hash of its key falls under the
+rate threshold. md5-hex prefixes compare identically in Spark and DuckDB,
+which makes the whole family oracle-checkable, and the filter is a pure
+codegen expression that pushes down like any other predicate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+
+# first 4 md5-hex chars are uniform over [0x0000, 0xffff]; '1999' ≈ 10.0%
+_BERNOULLI_CUT = "1999"
+
+
+def _hash4(col: F.Column) -> F.Column:
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 4)
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '{_BERNOULLI_CUT}'
+    ORDER BY o_orderkey
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic Bernoulli sample of orders keyed on the order id.
+
+    Same rows come back no matter how the table is partitioned or which
+    engine runs it — the property df.sample(seed=) does NOT have."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.filter(_hash4("o_orderkey") < _BERNOULLI_CUT)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# per-stratum rates: heavily downsample the dominant strata, keep rare ones
+_STRATUM_CUTS = {"O": "0ccc", "F": "3333", "P": "ffff"}  # ≈5%, 20%, 100%
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           round(sum(o_totalprice), 2) AS sampled_total
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
+          CASE o_orderstatus
+            WHEN 'O' THEN '{_STRATUM_CUTS["O"]}'
+            WHEN 'F' THEN '{_STRATUM_CUTS["F"]}'
+            ELSE '{_STRATUM_CUTS["P"]}' END
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-status rates (O≈5%, F≈20%,
+    P=100%) — the rebalancing step every training-data pipeline runs to
+    downsample dominant sources. Same hash trick as the Bernoulli form, so
+    it composes with pushdown and stays exactly reproducible; df.sampleBy
+    is the nondeterministic built-in analogue."""
+    o = Tables(spark, sf_dir).orders
+    cut = F.when(F.col("o_orderstatus") == "O", _STRATUM_CUTS["O"]).when(
+        F.col("o_orderstatus") == "F", _STRATUM_CUTS["F"]
+    ).otherwise(_STRATUM_CUTS["P"])
+    return (
+        o.filter(_hash4("o_orderkey") < cut)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

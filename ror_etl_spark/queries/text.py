@@ -194,3 +194,102 @@ def udtf_word_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         GROUP BY w.word, w.wlen ORDER BY n DESC, w.word LIMIT 20
     """)
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
+                            i -> md5(substr(s, CAST(i AS INT), 8))) AS hs
+      FROM d)
+    SELECT doc_id,
+           CAST(len(hs) AS INT) AS n_kgrams,
+           CAST(len(list_distinct(
+             list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                            j -> list_min(list_slice(hs, CAST(j AS INT),
+                                                     CAST(j + 3 AS INT))))
+           )) AS INT) AS n_fingerprints,
+           list_min(hs) AS min_fp
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (k=8 char-grams,
+    window w=4): per document, the k-gram count, the size of the selected
+    fingerprint set, and the global minimum hash.
+
+    The whole pipeline — shingling, hashing, windowed minima, dedup — is
+    array expressions inside whole-stage codegen; per-row state is
+    O(doc_len), nothing shuffles but the final sort. The hash array is
+    projected once and the window pass references the bound column (two
+    selects — Catalyst keeps them separate because the alias is used
+    repeatedly), so each k-gram is hashed exactly once. md5-hex minima
+    are lexicographic, so the DuckDB oracle replays every window exactly."""
+    from ror_etl_spark.functions.text import winnow_hashes, winnow_select
+
+    d = Tables(spark, sf_dir).documents
+    hashed = d.select("doc_id", winnow_hashes(F.col("text")).alias("hs"))
+    return hashed.select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        F.size(winnow_select(F.col("hs"))).alias("n_fingerprints"),
+        F.array_min("hs").alias("min_fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "pack_token_bins",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             array_length(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT source, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok) / 512) AS BIGINT) AS bin
+      FROM t)
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM b
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM training: documents are packed in
+    doc_id order into contiguous ~512-token bins, independently per
+    source. The bin id is a closed form over the running token count
+    (cumsum exclusive of the current doc, floor-divided by the bin size),
+    so packing is a keyed window — parallel across sources, one shuffle,
+    no stateful loop — and DuckDB replays it exactly."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col("text"))
+    return (
+        d.select("source", "doc_id", n_tok.alias("n_tok"))
+        .select(
+            "source",
+            "n_tok",
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("source", "bin")
+    )

@@ -79,3 +79,48 @@ def test_quality_and_ratios_bounded(spark):
         assert 0.0 <= r["p"] <= 1.0
         assert 0.0 <= r["s"] <= 1.0
     assert rows[1]["p"] == 1.0  # all punctuation
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing invariant (MOSS): two texts sharing a substring of length
+    >= k + w - 1 (= 11) share at least one fingerprint."""
+    from ror_etl_spark.functions.text import winnow_hashes, winnow_select
+
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [(1, f"AAAA {shared} BBBB"), (2, f"zzzz {shared} qqqq"), (3, "totally different words here")],
+        "id long, text string",
+    )
+    rows = (
+        df.select("id", winnow_hashes(F.col("text")).alias("hs"))
+        .select("id", winnow_select(F.col("hs")).alias("fps"))
+        .collect()
+    )
+    fps = {r["id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "shared substring must yield a common fingerprint"
+    # every fingerprint is an element of the k-gram hash multiset
+    assert all(len(v) > 0 for v in fps.values())
+
+
+def test_winnow_short_text_empty(spark):
+    from ror_etl_spark.functions.text import winnow_hashes, winnow_select
+
+    df = spark.createDataFrame([("short",), ("",)], "text string")
+    rows = (
+        df.select(winnow_hashes(F.col("text")).alias("hs"))
+        .select(F.size("hs").alias("n"), F.size(winnow_select(F.col("hs"))).alias("nf"))
+        .collect()
+    )
+    # len("short")=5 < k=8 -> no k-grams, no fingerprints (and no crash)
+    assert [(r["n"], r["nf"]) for r in rows] == [(0, 0), (0, 0)]
+
+
+def test_hash_sample_deterministic_under_repartition(spark):
+    """The content-hash Bernoulli sample returns identical rows regardless
+    of physical partitioning — the property df.sample(seed) lacks."""
+    df = spark.range(0, 2000).select(F.col("id").alias("o_orderkey"))
+    pred = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "1999"
+    a = {r[0] for r in df.filter(pred).collect()}
+    b = {r[0] for r in df.repartition(13).filter(pred).collect()}
+    assert a == b
+    assert 100 < len(a) < 300  # ~10% of 2000
