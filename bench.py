@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_token_stats",
     "text_tfidf_top_terms",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "pack_token_bins",
+    "sample_stratified_hash",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "sketch_distinct_users_rollup",

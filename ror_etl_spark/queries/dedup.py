@@ -303,3 +303,110 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("size") > 1)
         .orderBy("cluster")
     )
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
+                            i -> md5(substr(s, CAST(i AS INT), 8))) AS hs
+      FROM d),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                            j -> list_min(list_slice(hs, CAST(j AS INT),
+                                                     CAST(j + 3 AS INT))))) AS fps
+      FROM g),
+    x0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    capped AS (SELECT doc_id, fp
+               FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                     FROM x0)
+               WHERE df <= 50),
+    x AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS nf
+          FROM capped)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(count(*) AS DOUBLE)
+                 / (any_value(a.nf) + any_value(b.nf) - count(*)), 4) AS jac
+    FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING jac >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    priority=2,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint Jaccard (MOSS):
+    documents sharing selected rolling-hash fingerprints, scored by
+    |shared| / |union| over the fingerprint sets, threshold 0.5.
+
+    The scale shape mirrors MinHash-LSH: only (doc_id, fingerprint)
+    pairs shuffle — never text — and the quadratic term is confined to
+    per-fingerprint buckets. Frequent fingerprints (boilerplate grams
+    shared by hundreds of documents) make per-bucket pair counts
+    quadratic — the uncapped join OOMs at sf0.1 — so fingerprints seen
+    in more than 50 documents are dropped before the self-join (the
+    standard stop-gram suppression; near-dup signal lives in RARE
+    fingerprints, and the Jaccard denominator counts only kept ones on
+    both sides, so the oracle replays the cap exactly).
+
+    Winnowing here is the RELATIONAL form (posexplode + per-doc window
+    min) rather than the array expression ``winnow_select``: the pair
+    join needs the fingerprints exploded anyway, and consuming the hash
+    array through a single-reference projection invites Catalyst's
+    CollapseProject to inline the md5 pipeline into every window slice —
+    O(n²) re-hashing per document (see winnow_select's docstring). The
+    generator + window evaluates each k-gram hash exactly once."""
+    from pyspark.sql.window import Window
+
+    from ror_etl_spark.functions.text import winnow_hashes
+    from ror_etl_spark.operators.util import spread
+
+    # single-file parquet reads as ONE partition; the per-row hash work is
+    # the expensive part, so fan it out before computing anything
+    d = spread(Tables(spark, sf_dir).documents)
+    hashed = d.select("doc_id", winnow_hashes(F.col("text")).alias("hs"))
+    # posexplode_OUTER, not posexplode: for inner explode Catalyst infers
+    # a `size(hs) > 0 AND isnotnull(hs)` filter and pushes it below the
+    # spread() exchange — re-evaluating the whole md5 pipeline twice per
+    # row on the unspread input (measured 34s vs 0.6s at sf0.1). Outer
+    # explode infers nothing; the null row an empty array produces is
+    # dropped on the generate OUTPUT, which cannot be pushed down.
+    grams = hashed.select(
+        "doc_id", F.posexplode_outer("hs").alias("pos", "h")
+    ).filter(F.col("h").isNotNull())
+    per_doc = Window.partitionBy("doc_id")
+    wmin = per_doc.orderBy("pos").rowsBetween(Window.currentRow, 3)
+    fps = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wmin).alias("fp"),
+            F.max("pos").over(per_doc).alias("maxp"),
+        )
+        .filter(F.col("pos") <= F.col("maxp") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    capped = fps.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("df") <= 50)
+    x = capped.select("doc_id", "fp").withColumn(
+        "nf", F.count(F.lit(1)).over(per_doc)
+    )
+    a, b = x.alias("a"), x.alias("b")
+    shared = F.count(F.lit(1)).cast("double")
+    jac = F.round(
+        shared / (F.any_value(F.col("a.nf")) + F.any_value(F.col("b.nf")) - shared), 4
+    )
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )

@@ -232,8 +232,9 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeatedly), so each k-gram is hashed exactly once. md5-hex minima
     are lexicographic, so the DuckDB oracle replays every window exactly."""
     from ror_etl_spark.functions.text import winnow_hashes, winnow_select
+    from ror_etl_spark.operators.util import spread
 
-    d = Tables(spark, sf_dir).documents
+    d = spread(Tables(spark, sf_dir).documents)
     hashed = d.select("doc_id", winnow_hashes(F.col("text")).alias("hs"))
     return hashed.select(
         "doc_id",
