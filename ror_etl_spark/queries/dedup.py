@@ -410,3 +410,51 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= 0.5)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+    SELECT n.doc_id, n.fingerprint,
+           CASE WHEN c.fingerprint IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus
+    FROM (SELECT * FROM fp WHERE doc_id >= 250) n
+    LEFT JOIN (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250) c
+      ON n.fingerprint = c.fingerprint
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag documents of an incoming batch (doc_id >=
+    250) that already exist in the indexed corpus (doc_id < 250) by exact
+    fingerprint — the production shape where the corpus fingerprint index
+    is maintained across runs and each new crawl joins against it.
+
+    The corpus side reduces to distinct 16-byte fingerprints before the
+    join, so at scale it is a compact bucketed index (or broadcast when
+    small); the batch side streams through unshuffled when the index is
+    broadcast."""
+    from ror_etl_spark.functions.text import fingerprint_md5
+
+    d = Tables(spark, sf_dir).documents
+    fp = d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+    batch = fp.filter(F.col("doc_id") >= 250)
+    corpus = (
+        fp.filter(F.col("doc_id") < 250)
+        .select(F.col("fingerprint").alias("c_fp"))
+        .distinct()
+    )
+    return (
+        batch.join(
+            F.broadcast(corpus), batch["fingerprint"] == corpus["c_fp"], "left"
+        )
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("c_fp").isNotNull(), 1).otherwise(0).alias("dup_of_corpus"),
+        )
+        .orderBy("doc_id")
+    )

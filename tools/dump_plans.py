@@ -24,6 +24,9 @@ PICKS = {
     "text_chunk_documents": "LLM chunking entirely in codegen: split/sequence/explode/slice, no Python",
     "lateral_top_event_per_user": "correlated LATERAL decorrelated by Catalyst (no per-row execution)",
     "bitmap_distinct_users": "exact COUNT(DISTINCT) as two-level bitmap aggregate",
+    "dedup_winnow_pairs": "winnowing near-dup: outer-explode (no pushed re-eval), window min, capped fp self-join",
+    "pack_token_bins": "token packing: keyed cumsum window, single shuffle per source partition",
+    "sample_hash_bernoulli": "deterministic sampling: md5 filter evaluated post-scan, pure codegen",
 }
 
 
