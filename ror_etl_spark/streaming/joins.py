@@ -48,3 +48,22 @@ def clicks_with_recent_purchases(
         ),
         "inner",
     ).select("click_id", "purchase_id", "c_user", "c_ts", "p_ts", "purchase_value")
+
+
+def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each event decorated from a static
+    dimension table (no watermark needed — the static side is re-read per
+    micro-batch, so a dim refresh is picked up without restarting).
+
+    The static side should be broadcast when small (Spark plans this
+    automatically under the threshold); the stream side then never
+    shuffles — the canonical 100 TB/day ingest-enrich shape."""
+    small = F.broadcast(dim)
+    return events.join(small, events["user_id"] == dim["dim_user_id"], "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.coalesce(F.col("user_segment"), F.lit("unknown")).alias("user_segment"),
+    )

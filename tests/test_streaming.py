@@ -76,3 +76,29 @@ def test_stream_stream_join_matches_batch(spark):
     )
     want = {(r["cid"], r["pid"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from ror_etl_spark.streaming.joins import enrich_with_static_dim
+
+    # static dimension derived deterministically: user_id % 3 → segment
+    dim = (
+        Tables(spark, SF_SMALL)
+        .events.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the users have a row
+        .select(
+            F.col("user_id").alias("dim_user_id"),
+            F.concat(F.lit("seg_"), (F.col("user_id") % 3).cast("string")).alias(
+                "user_segment"
+            ),
+        )
+    )
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(spark, enrich_with_static_dim(stream, dim), "t_enrich")
+    batch = enrich_with_static_dim(Tables(spark, SF_SMALL).events, dim)
+    got = {(r["event_id"], r["user_segment"]) for r in out.collect()}
+    want = {(r["event_id"], r["user_segment"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # left join: unmatched users fall back to 'unknown'
+    assert any(s == "unknown" for _, s in got)
