@@ -214,3 +214,41 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         F.round("mean_px", 4).alias("mean_px"),
     ).orderBy("media_id")
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(length(text) * 4 AS BIGINT) AS n_samples,
+           CAST(length(text) * 4 * 1000 // 8000 AS BIGINT) AS duration_ms,
+           round(list_aggregate(
+             list_transform(range(0, length(text) * 4),
+                            i -> (doc_id * 31 + i) % 65536 - 32768),
+             'avg'), 4) AS mean_amp
+    FROM documents
+    ORDER BY media_id
+    """,
+    priority=2,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over a binary media column: every document becomes
+    a valid PCM16 mono WAV (samples derived from its columns), then the
+    chunk-walking RIFF parse (sources/multimodal.py:wav_parse, stdlib
+    struct only) recovers sample rate, duration and mean amplitude per
+    file inside Arrow-batched mapInPandas. The oracle predicts every
+    decoded value from the generation rule — a header-offset or
+    endianness bug breaks the hash."""
+    from ror_etl_spark.sources.multimodal import audio_stats, wav_media_from_documents
+
+    d = Tables(spark, sf_dir).documents
+    media = wav_media_from_documents(d)
+    stats = audio_stats(media)
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("mean_amp", 4).alias("mean_amp"),
+    ).orderBy("media_id")

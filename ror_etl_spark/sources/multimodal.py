@@ -441,3 +441,104 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(frames).alias("frame_idx"),
         F.col("meta"),
     )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+    ]
+)
+
+
+def wav_encode(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal valid PCM16 mono WAV (RIFF/fmt/data) — stdlib struct only."""
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_parse(data: bytes) -> dict:
+    """Chunk-walking WAV parse: validates RIFF/WAVE, reads fmt, returns
+    sample rate and the int16 samples — a real (if minimal) audio decode
+    with no codec library."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            _, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif tag == b"data":
+            samples = struct.unpack(f"<{size // 2}h", body)
+        pos += 8 + size + (size % 2)
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return {"sample_rate": sample_rate, "samples": samples}
+
+
+def wav_media_from_documents(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Real-WAV audio fixture: one PCM16 file per document with content an
+    external oracle can predict without a codec:
+
+        n_samples = n_chars * 4
+        sample[i] = ((doc_id * 31 + i) % 65536) - 32768
+    """
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) * 4
+                samples = [((doc_id * 31 + i) % 65536) - 32768 for i in range(n)]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "content": wav_encode(sample_rate, samples),
+                        "meta": {
+                            "kind": "audio",
+                            "width": None,
+                            "height": None,
+                            "sample_rate": sample_rate,
+                            "duration_ms": n * 1000 // sample_rate,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-file decoded audio statistics via the chunk-walking WAV parse —
+    Arrow-batched; payload bytes cross to Python once per batch."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                parsed = wav_parse(bytes(content))
+                s = parsed["samples"]
+                n = len(s)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": parsed["sample_rate"],
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // parsed["sample_rate"],
+                        "mean_amp": float(sum(s)) / n if n else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batch_fn, schema=AUDIO_STATS_SCHEMA)

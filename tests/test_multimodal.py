@@ -174,3 +174,32 @@ def test_video_frame_sampling(spark):
     out = frame_sample_stub(media, every_n=10).collect()
     assert [r["frame_idx"] for r in out] == list(range(0, 100, 10))
     assert all(r["meta"]["kind"] == "video" for r in out)
+
+
+def test_wav_roundtrip_and_parse_errors():
+    from ror_etl_spark.sources.multimodal import wav_encode, wav_parse
+
+    samples = [0, 1, -1, 32767, -32768, 12345]
+    parsed = wav_parse(wav_encode(44100, samples))
+    assert parsed["sample_rate"] == 44100
+    assert list(parsed["samples"]) == samples
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        wav_parse(b"\x89PNG\r\n\x1a\nnot audio")
+
+
+def test_audio_stats_matches_generation_rule(spark):
+    from ror_etl_spark.sources.multimodal import audio_stats, wav_media_from_documents
+
+    docs = spark.createDataFrame(
+        [(7, "abcdefgh"), (8, "xy")], "doc_id long, text string"
+    )
+    rows = {r["media_id"]: r for r in audio_stats(wav_media_from_documents(docs)).collect()}
+    # doc 7: 32 samples of ((7*31+i) % 65536) - 32768
+    exp = [((7 * 31 + i) % 65536) - 32768 for i in range(32)]
+    assert rows[7]["n_samples"] == 32
+    assert rows[7]["duration_ms"] == 32 * 1000 // 8000
+    assert abs(rows[7]["mean_amp"] - sum(exp) / 32) < 1e-9
+    assert rows[8]["n_samples"] == 8
