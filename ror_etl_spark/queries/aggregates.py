@@ -240,3 +240,35 @@ def check_id_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count_distinct(F.col("o_orderkey")) == F.count("o_orderkey")).alias("ids_unique"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "histogram_width_bucket",
+    oracle="""
+    SELECT event_type,
+           least(greatest(CAST(floor(value / 1000.0 * 20) AS BIGINT) + 1, 0), 21) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per type via width_bucket
+    (20 buckets over [0, 1000), bucket 0/21 = out-of-range sentinels) —
+    the single-pass distributed histogram; DuckDB lacks width_bucket so
+    the oracle replays the bucket formula with floor arithmetic."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.select(
+            "event_type",
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(1000.0), F.lit(20)).alias(
+                "bucket"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("event_type", "bucket")
+    )

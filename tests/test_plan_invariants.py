@@ -40,6 +40,10 @@ NO_NESTED_LOOP = [
     # cartesian shape it replaces (VERDICT r1: all_pairs_above was the
     # one scale-killer plan)
     "embedding_near_dup_pairs",
+    # winnowing/fuzzy dedup must stay blocked joins (fingerprint buckets /
+    # sorted neighborhood), never a cartesian pair enumeration
+    "dedup_winnow_pairs",
+    "fuzzy_dedup_sorted_neighborhood",
 ]
 
 
