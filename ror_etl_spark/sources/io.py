@@ -93,3 +93,51 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 def write_text(df: DataFrame, path: str) -> None:
     """Text sink: requires a single string column."""
     df.write.mode("overwrite").text(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    The small-files problem is the silent killer of long-lived ingest at
+    scale — a streaming sink or hourly batch leaves thousands of KB-sized
+    files per partition and every downstream scan pays per-file open
+    cost, footer reads and scheduler pressure. Compaction is a pure
+    re-write: file sizes come from the driver-side listing (no data
+    scan), the data itself moves through one narrow round-robin shuffle.
+
+    Returns a manifest dict (files/bytes before and after) so callers
+    can log or assert on the layout — the shape a table-maintenance job
+    (OPTIMIZE in lakehouse formats) reports."""
+    import math
+    import os
+
+    def listing(path: str) -> tuple[int, int]:
+        n, total = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, fn))
+        return n, total
+
+    n_before, bytes_before = listing(src)
+    n_target = max(1, math.ceil(bytes_before / target_file_bytes))
+    df = spark.read.parquet(src)
+    # repartition (not coalesce): coalesce to few partitions also narrows
+    # the READ parallelism of the same stage; a round-robin shuffle keeps
+    # the scan wide and only the write narrow
+    df.repartition(n_target).write.mode("overwrite").parquet(dst)
+    n_after, bytes_after = listing(dst)
+    return {
+        "files_before": n_before,
+        "bytes_before": bytes_before,
+        "files_after": n_after,
+        "bytes_after": bytes_after,
+        "target_files": n_target,
+    }

@@ -42,3 +42,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from ror_etl_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    manifest = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    assert manifest["files_before"] == 40
+    assert manifest["files_after"] == 1  # everything fits one target file
+    # content preserved
+    assert spark.read.parquet(dst).count() == 4000
+    got = spark.read.parquet(dst).agg({"id": "sum"}).collect()[0][0]
+    assert got == sum(range(4000))
