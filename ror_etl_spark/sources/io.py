@@ -141,3 +141,39 @@ def compact_parquet(
         "bytes_after": bytes_after,
         "target_files": n_target,
     }
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingest with quarantine: returns (good, bad) frames.
+
+    The FAILFAST readers above are the warehouse-load gate; at crawl
+    scale a single malformed line must not kill a 100 TB ingest, so the
+    production pattern is PERMISSIVE parse with the raw text of bad
+    records captured in ``_corrupt_record``, split into a clean frame
+    (quarantine column dropped) and a quarantine frame (raw line + file)
+    for replay/triage. Spark requires the corrupt column to be cached or
+    re-read for filtering — a cache() on the parsed frame keeps this one
+    scan."""
+    from pyspark.sql import functions as F
+
+    with_corrupt = schema.add("_corrupt_record", T.StringType())
+    parsed = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # input_file_name() must be captured at scan time — it evaluates
+        # empty once rows come back out of the cache
+        .withColumn("_src_file", F.input_file_name())
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record", "_src_file"
+    )
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw"),
+        F.col("_src_file").alias("src_file"),
+    )
+    return good, bad

@@ -158,3 +158,26 @@ def test_text_roundtrip_and_filter_pushdown(spark, tmp_path):
     back = read_text(spark, path)
     assert back.columns == ["value"]
     assert back.count() == 50
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from ror_etl_spark.sources.io import read_jsonl_quarantine
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": "a", "n": 1}\n'
+        "this is not json at all\n"
+        '{"id": "b", "n": 2}\n'
+        '{"id": "c", "n": "not-a-number"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    assert {(r["id"], r["n"]) for r in good.collect()} == {("a", 1), ("b", 2)}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2  # the non-json line and the type violation
+    assert all(r["raw"] for r in bad_rows)
+    assert all(r["src_file"].endswith("mixed.jsonl") for r in bad_rows)
