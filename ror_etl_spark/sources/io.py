@@ -177,3 +177,20 @@ def read_jsonl_quarantine(
         F.col("_src_file").alias("src_file"),
     )
     return good, bad
+
+
+def export_sorted_shards(
+    df: DataFrame, path: str, sort_col: str, n_shards: int
+) -> None:
+    """Globally-sorted sharded export: repartitionByRange splits the key
+    space into ``n_shards`` contiguous ranges (sampled boundaries),
+    sortWithinPartitions orders inside each, so shard k's every key <
+    shard k+1's — a total order across files without a single-reducer
+    global sort. The layout training loaders want for sequential reads
+    and range-based resume, and the same plan shape at any scale."""
+    (
+        df.repartitionByRange(n_shards, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

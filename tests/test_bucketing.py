@@ -58,3 +58,29 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 4000
     got = spark.read.parquet(dst).agg({"id": "sum"}).collect()[0][0]
     assert got == sum(range(4000))
+
+
+def test_export_sorted_shards_total_order(spark, tmp_path):
+    import glob
+
+    from ror_etl_spark.sources.io import export_sorted_shards
+
+    dst = str(tmp_path / "shards")
+    df = spark.range(0, 5000).selectExpr(
+        "cast(hash(id) % 10000 as long) as k", "id as payload"
+    )
+    export_sorted_shards(df, dst, "k", 4)
+    files = sorted(glob.glob(dst + "/part-*.parquet"))
+    assert len(files) == 4
+    # each file internally sorted; file ranges non-overlapping -> total order
+    ranges = []
+    for f in files:
+        ks = [r["k"] for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks)
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # nothing lost
+    assert spark.read.parquet(dst).count() == 5000
