@@ -119,3 +119,23 @@ def test_lateral_decorrelates_to_single_shuffle(spark):
     # the correlation key path); Catalyst rewrites it to window/aggregate
     p = plan_of(spark, "lateral_top_event_per_user")
     assert "CartesianProduct" not in p
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Optimizer-control surface: per-join strategy hints override the
+    cost-based pick — the knob used when statistics mislead at scale."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.tables import Tables
+
+    t = Tables(spark, SF_SMALL)
+    o, c = t.orders, t.customer
+
+    merge = o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+
+    shj = o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+    bc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()

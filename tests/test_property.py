@@ -78,3 +78,46 @@ def test_asof_matches_reference_scan(spark, data):
 
     want = {lid: expected(k, t) for (k, t, lid) in left_rows}
     assert got == want
+
+
+@st.composite
+def doc_pairs(draw):
+    """Two documents sharing a random common substring, plus noise."""
+    alphabet = st.text(alphabet="abcdefgh ", min_size=0, max_size=30)
+    shared = draw(st.text(alphabet="abcdefgh ", min_size=11, max_size=40))
+    pre_a, post_a = draw(alphabet), draw(alphabet)
+    pre_b, post_b = draw(alphabet), draw(alphabet)
+    return (pre_a + shared + post_a, pre_b + shared + post_b)
+
+
+@given(doc_pairs())
+@settings(max_examples=12, deadline=None)
+def test_winnow_shared_substring_property(spark, pair):
+    """MOSS guarantee under random inputs: any shared substring of length
+    >= k + w - 1 (11) in the NORMALIZED text yields a common fingerprint.
+    Normalization can shorten the shared run (whitespace collapse at the
+    seams), so only assert when the normalized forms still share 11+."""
+    from ror_etl_spark.functions.text import winnow_hashes, winnow_select
+    from pyspark.sql import functions as F
+
+    a, b = pair
+
+    def norm(s: str) -> str:
+        import re
+
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    def shares_11(x: str, y: str) -> bool:
+        xs = {x[i : i + 11] for i in range(max(0, len(x) - 10))}
+        return any(sub in y for sub in xs)
+
+    if not shares_11(norm(a), norm(b)):
+        return  # normalization broke the planted overlap; property vacuous
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+    rows = (
+        df.select("id", winnow_hashes(F.col("text")).alias("hs"))
+        .select("id", winnow_select(F.col("hs")).alias("fps"))
+        .collect()
+    )
+    fps = {r["id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2]
