@@ -272,3 +272,36 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "decimal_exact_totals",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS exact_total,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS exact_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic: revenue totals aggregated in DECIMAL(18,4)
+    (no float drift — the sum is exact and associative, so partial/final
+    aggregation order can't change the answer, unlike double sums whose
+    result depends on partitioning). Cast to DOUBLE only at output; both
+    engines agree bit-for-bit because the internal arithmetic is exact."""
+    li = Tables(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("double").alias("exact_total"),
+            F.sum(price * disc).cast("double").alias("exact_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
