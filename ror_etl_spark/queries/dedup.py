@@ -89,7 +89,11 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between consecutive doc ids — the verification
     kernel of the near-dedup funnel, oracle-checked end to end."""
-    d = Tables(spark, sf_dir).documents
+    from ror_etl_spark.operators.util import spread
+
+    # shingle arrays + intersect/union are the hot per-row work; the
+    # single-file scan must fan out first (31s -> ~2s at sf0.1)
+    d = spread(Tables(spark, sf_dir).documents)
     sh = d.select(
         "doc_id",
         F.array_distinct(shingles(F.col("text"), 3)).alias("s"),

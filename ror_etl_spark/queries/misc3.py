@@ -201,7 +201,11 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, dimension parse) breaks the hash."""
     from ror_etl_spark.sources.multimodal import decode_stats, png_media_from_documents
 
-    d = Tables(spark, sf_dir).documents
+    from ror_etl_spark.operators.util import spread
+
+    # PNG encode+decode is CPU-bound Python work per row — fan the
+    # single-file scan out before mapInPandas (14s -> ~1s at sf0.1)
+    d = spread(Tables(spark, sf_dir).documents)
     media = png_media_from_documents(d)
     stats = decode_stats(media)
     return stats.select(
@@ -242,7 +246,9 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     endianness bug breaks the hash."""
     from ror_etl_spark.sources.multimodal import audio_stats, wav_media_from_documents
 
-    d = Tables(spark, sf_dir).documents
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents)
     media = wav_media_from_documents(d)
     stats = audio_stats(media)
     return stats.select(
