@@ -99,3 +99,30 @@ def test_theta_setops_exact_at_fixture_cardinality(spark):
     assert row["n_union"] == len(a | b)
     assert row["n_inter"] == len(a & b)
     assert row["n_click_only"] == len(a - b)
+
+
+def test_every_oracle_schema_matches_spark_columns(spark):
+    """Alias parity, analysis-only: the driver's compare sorts columns by
+    name before hashing, so a Spark/oracle column-name mismatch fails the
+    gate even with identical values. DESCRIBE-ing the oracle in DuckDB
+    and analyzing the Spark frame (no execution on either side) pins
+    every pair in seconds — the cheap pre-flight for the full sweep."""
+    import duckdb
+
+    from ror_etl_spark.registry import ORACLES, QUERIES
+    from ror_etl_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    mismatches = []
+    for name, sql in ORACLES.items():
+        spark_cols = sorted(QUERIES[name](spark, SF_SMALL).columns)
+        oracle_cols = sorted(
+            r[0] for r in con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+        )
+        if spark_cols != oracle_cols:
+            mismatches.append((name, spark_cols, oracle_cols))
+    assert not mismatches, mismatches[:5]
