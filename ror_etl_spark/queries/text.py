@@ -159,7 +159,11 @@ def _lang_id_oracle() -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID vs the labeled lang column; unit tests
     assert correct identification on real multilingual sentences."""
-    d = Tables(spark, sf_dir).documents
+    from ror_etl_spark.operators.util import spread
+
+    # the per-doc tokenize + 5-language filter argmax is the hot loop —
+    # fan out the single-file scan before computing it
+    d = spread(Tables(spark, sf_dir).documents)
     return (
         d.select("lang", lang_id(F.col("text")).alias("pred"))
         .groupBy("lang", "pred")
