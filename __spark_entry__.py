@@ -46,9 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; engine-
-    internal operators (hash-seeded LSH, sketches) are omitted and get the
-    driver's rows-only check."""
+    """DuckDB-equivalent SQL for EVERY registered query — since round 4
+    the registry carries no oracle-less entries (the driver records
+    ``err: no_oracle`` for those rather than a rows-only pass, observed
+    r1/r3). Engine-internal sketches (KLL, HLL, theta-above-capacity)
+    stay as pytest-verified operators with deterministic registered twins
+    (KMV bottom-k, capacity-exact KLL) that hash-check end to end."""
     from ror_etl_spark import registry
 
     registry.load_all()

@@ -57,6 +57,14 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "sketch_distinct_users_rollup",
+    # round 4: newest perf-sensitive paths (VERDICT r2 item 7) + the new
+    # LLM-prep and iterative-graph families
+    "fuzzy_dedup_sorted_neighborhood",
+    "dedup_incremental_new_batch",
+    "multimodal_decode_stats",
+    "text_boilerplate_ngrams",
+    "text_repetition_filter",
+    "pagerank_nation_trade",
 ]
 
 

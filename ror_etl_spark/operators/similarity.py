@@ -326,6 +326,7 @@ def kmeans_centroids(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_means: int | None = None,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for IVF coarse quantization.
 
@@ -337,7 +338,12 @@ def kmeans_centroids(
     so the shuffled volume is ~n_centroids×dim rows regardless of corpus
     size. Empty cells keep their previous centroid. At 100 TB train on
     ``corpus.sample(...)`` — the centroid list is the only state and it
-    stays driver-sized."""
+    stays driver-sized.
+
+    ``round_means`` (decimals) quantizes each recomputed mean: the whole
+    training trajectory then depends only on the data, not on fp
+    summation order, so an external engine (the DuckDB oracle) replaying
+    the same iterations lands on bit-identical centroids."""
     rows = (
         corpus.orderBy(F.asc(id_col)).limit(n_centroids).select(vec_col).collect()
     )
@@ -357,7 +363,7 @@ def kmeans_centroids(
             by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
         for cell, dims in by_cell.items():
             for pos, m in dims.items():
-                new[cell][pos] = m
+                new[cell][pos] = m if round_means is None else round(m, round_means)
         if new == centroids:
             break
         centroids = new
@@ -373,6 +379,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     train_iters: int = 0,
+    round_means: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus to the
     nearest of ``n_centroids`` centroids, then search only the ``nprobe``
@@ -388,7 +395,9 @@ def ivf_topk(
     layout, where the corpus is written partitioned by cell once and
     each query reads nprobe/n_centroids of the data."""
     if train_iters > 0:
-        centroids = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+        centroids = kmeans_centroids(
+            corpus, n_centroids, train_iters, id_col, vec_col, round_means
+        )
     else:
         rows = (
             corpus.orderBy(F.asc(id_col))

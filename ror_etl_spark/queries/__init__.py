@@ -14,7 +14,9 @@ def load() -> None:
     from ror_etl_spark.queries import (  # noqa: F401
         aggregates,
         dedup,
+        engineops,
         graph,
+        llmprep,
         misc,
         misc2,
         misc3,

@@ -206,22 +206,94 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_quantiles")  # no oracle: sketch outputs are engine-specific
+_ADQ_KU = 2048  # KMV sketch size for per-group distinct users
+_ADQ_KS = 4096  # bottom-k row-sample size for the quantile estimate
+_ADQ_SCALE = float(1 << 52)
+
+_UH52 = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT"
+_EH52 = "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT"
+
+
+@query(
+    "approx_distinct_quantiles",
+    oracle=f"""
+    WITH uh AS (
+      SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM (SELECT DISTINCT event_type, {_UH52} / {_ADQ_SCALE!r} AS h FROM events)),
+    users AS (
+      SELECT event_type,
+             CASE WHEN count(*) < {_ADQ_KU} THEN CAST(count(*) AS DOUBLE)
+                  ELSE round({_ADQ_KU - 1} / max(h), 4) END AS approx_users
+      FROM uh WHERE rn <= {_ADQ_KU} GROUP BY event_type),
+    sample AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {_EH52}, event_id) AS rn
+      FROM events),
+    p50 AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 4) AS approx_p50
+      FROM sample WHERE rn <= {_ADQ_KS} GROUP BY event_type)
+    SELECT users.event_type, approx_users, approx_p50
+    FROM users JOIN p50 USING (event_type)
+    ORDER BY event_type
+    """,
+    priority=3,
+)
 def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — the 100 TB path where exact distinct/quantile
-    would shuffle every value: HLL++ ``approx_count_distinct`` and
-    Greenwald-Khanna ``percentile_approx``. Sketch results are
-    engine-specific so the driver records a rows-only check; the pytest
-    suite asserts bounded relative error vs exact instead."""
+    """Approximate per-group aggregates on DETERMINISTIC sketches, so the
+    scale path stays hash-checkable: distinct users via a KMV bottom-k
+    sketch of md5-hashed ids (estimate (k-1)/h_k, exact below k), and the
+    median via exact percentile over a bottom-k-by-hash row sample (a
+    uniform deterministic sample — rank error ~1/sqrt(k)). The
+    engine-internal twins (HLL++ ``approx_count_distinct``,
+    ``percentile_approx``) produce engine-specific estimates no oracle
+    can replay; they remain pytest-bounded via this query's error test,
+    which asserts both estimators against exact answers. At 100 TB both
+    sketches shuffle only (group, hash) pairs capped at k per group."""
     e = Tables(spark, sf_dir).events
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    from pyspark.sql import Window
+
+    uh = (
+        e.select(
+            "event_type",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+                ).cast("long")
+                / F.lit(_ADQ_SCALE)
+            ).alias("h"),
         )
-        .orderBy("event_type")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= _ADQ_KU)
     )
+    users = uh.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < _ADQ_KU, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.round(F.lit(float(_ADQ_KU - 1)) / F.max("h"), 4))
+        .alias("approx_users")
+    )
+    eh = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    sample = (
+        e.select("event_type", "value", "event_id", eh.alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "event_id")
+            ),
+        )
+        .filter(F.col("rn") <= _ADQ_KS)
+    )
+    p50 = sample.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("approx_p50")
+    )
+    return users.join(p50, "event_type").orderBy("event_type")
 
 
 @query(

@@ -1,0 +1,255 @@
+"""LLM training-data preparation queries: boilerplate detection,
+repetition filtering, token-entropy scoring, C4-style quality rules, and
+PII redaction.
+
+These are the corpus-cleaning passes a 100 TB pretraining pipeline runs
+between raw crawl and tokenization (the C4 paper's heuristics, Gopher's
+repetition rules, every pipeline's PII scrub). Each is expressed as pure
+DataFrame ops (no UDFs — everything stays in whole-stage codegen) and is
+hash-checked against a DuckDB oracle replaying identical rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+
+_NGRAM_N = 3
+_BOILER_MIN_DOCS = 5
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_NGRAM_N}),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {_NGRAM_N - 2})) AS i FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i : i + {_NGRAM_N - 1}], ' ') AS phrase
+      FROM pos),
+    freq AS (
+      SELECT phrase, count(*) AS n_docs FROM grams GROUP BY phrase)
+    SELECT phrase, n_docs FROM freq
+    WHERE n_docs >= {_BOILER_MIN_DOCS}
+    ORDER BY n_docs DESC, phrase
+    LIMIT 50
+    """,
+    priority=2,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4 'repeated lines' rule,
+    n-gram edition since this corpus is single-line): 3-gram phrases that
+    appear in ≥5 distinct documents are template text, not content.
+    Distinct-per-doc BEFORE the count means each doc votes once.
+
+    Shuffle profile: only (doc_id, phrase-hash-sized string) pairs move;
+    the groupBy count partial-aggregates map-side. At 100 TB you'd hash
+    phrases to 64-bit before the shuffle and resolve strings for the
+    survivors only — the plan shape is unchanged."""
+    d = Tables(spark, sf_dir).documents
+    t = F.split(F.col("text"), " ")
+    grams = (
+        d.filter(F.size(t) >= _NGRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - _NGRAM_N),
+                    lambda i: F.array_join(F.slice(t, i + 1, _NGRAM_N), " "),
+                )
+            ).alias("phrase"),
+        )
+        .distinct()
+    )
+    return (
+        grams.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("phrase"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM pos),
+    cnt AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
+    top AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           round(top_c / n_bigrams, 4) AS top_share,
+           (top_c / n_bigrams >= 0.05) AS is_repetitive
+    FROM top
+    ORDER BY doc_id
+    """,
+    priority=2,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rule: the share of the single most frequent
+    bigram. Machine-generated / low-quality text repeats phrases; a top
+    bigram covering ≥5% of all bigrams flags the doc. Two map-side-
+    combined aggregations keyed by doc_id — no joins, no UDFs."""
+    d = Tables(spark, sf_dir).documents
+    t = F.split(F.col("text"), " ")
+    bi = d.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_c")
+    )
+    share = F.col("top_c") / F.col("n_bigrams")
+    return top.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(share, 4).alias("top_share"),
+        (share >= 0.05).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    tot AS (
+      SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id,
+           round(-sum((c / n) * log2(c / n)), 4) AS token_entropy,
+           count(*) AS n_unique
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id
+    ORDER BY cnt.doc_id
+    """,
+    priority=2,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — a cheap
+    perplexity proxy: near-zero entropy means degenerate repetition,
+    unusually high means random token soup; both are filtered in
+    pretraining pipelines. Everything is codegen'd aggregation arithmetic;
+    the entropy sum is over ≤vocabulary-size terms so fp order can't move
+    the 4-dp rounding."""
+    d = Tables(spark, sf_dir).documents
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    return (
+        cnt.withColumn("term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term"), 4).alias("token_entropy"),
+            F.count(F.lit(1)).alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "c4_quality_rules",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             (n_chars - len(string_split(text, ' ')) + 1.0)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents)
+    SELECT doc_id,
+           n_words,
+           round(mean_word_len, 4) AS mean_word_len,
+           (n_words >= 50) AS len_ok,
+           (mean_word_len BETWEEN 3 AND 10) AS word_len_ok,
+           (lang = 'en') AS lang_ok,
+           (n_words >= 50 AND mean_word_len BETWEEN 3 AND 10 AND lang = 'en')
+             AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+    priority=2,
+)
+def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule filter, each rule surfaced as its own boolean column
+    so downstream can audit WHY a doc was dropped (the pipeline-debugging
+    shape real corpus builds use): minimum length, sane mean word length,
+    language gate. mean_word_len is derived arithmetically from n_chars
+    and the word count (chars minus separators over words) — no second
+    pass over the text."""
+    d = Tables(spark, sf_dir).documents
+    n_words = F.size(F.split("text", " "))
+    mean_wl = (F.col("n_chars") - n_words + F.lit(1.0)) / n_words
+    len_ok = n_words >= 50
+    wl_ok = (mean_wl >= 3) & (mean_wl <= 10)
+    lang_ok = F.col("lang") == "en"
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        len_ok.alias("len_ok"),
+        wl_ok.alias("word_len_ok"),
+        lang_ok.alias("lang_ok"),
+        (len_ok & wl_ok & lang_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "pii_redact_customers",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS redacted,
+           len(regexp_extract_all(c_name, '[0-9]{6,}')) AS n_id_runs,
+           len(regexp_extract_all(
+             c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_emails
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 1000
+    """,
+    priority=2,
+)
+def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: replace long digit runs (account/customer numbers)
+    with a placeholder and count email-shaped tokens (zero in this corpus
+    — the detector still runs). Pure regexp codegen expressions; at
+    100 TB this is embarrassingly parallel per-row compute with no
+    shuffle at all (the ORDER BY+LIMIT here exists only to keep the
+    checked result bounded)."""
+    c = Tables(spark, sf_dir).customer
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_replace("c_name", r"[0-9]{6,}", "[ID]").alias("redacted"),
+            F.regexp_count("c_name", F.lit(r"[0-9]{6,}")).cast("long").alias("n_id_runs"),
+            F.regexp_count("c_name", F.lit(email)).cast("long").alias("n_emails"),
+        )
+        .orderBy("c_custkey")
+        .limit(1000)
+    )

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
-from ror_etl_spark.queries.util import r2, r6
+from ror_etl_spark.queries.util import epoch_us, r2, r6
 
 
 @query(
@@ -168,7 +168,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).events
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(

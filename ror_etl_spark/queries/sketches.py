@@ -79,14 +79,22 @@ def theta_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kll_value_quantiles")  # KLL estimates are engine-specific: rows-only
 def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (KLL) over event values, one sketch per
     event_type merged into a global one. Rank error is ~1.7% at the
     default k — the pytest suite bounds p50/p90/p99 against exact
     percentiles. The mergeability is the point at scale: per-partition
     or per-day sketches combine without re-scanning raw data, unlike
-    exact percentile_approx re-runs."""
+    exact percentile_approx re-runs.
+
+    NOT driver-registered: KLL compaction state is engine-internal, so no
+    DuckDB oracle can replay it and the driver records `err: no_oracle`
+    for oracle-less entries (observed r1/r3). The operator stays covered
+    two ways instead: this function's pytest rank-error bound, and two
+    registered green twins — ``kll_exact_capacity_quantiles`` (same
+    shard→merge→query path, capacity-exact) and
+    ``quantile_sketch_bottomk`` (deterministic mergeable sample sketch,
+    hash-checked end to end)."""
     e = Tables(spark, sf_dir).events
     per_type = e.groupBy("event_type").agg(
         F.expr("kll_sketch_agg_double(value)").alias("sk"))
@@ -99,6 +107,53 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(
             "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.99)"), 4).alias("p99"),
     )
+
+
+_BK = 4096  # bottom-k sample size for the deterministic quantile sketch
+
+_H52 = "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT"
+
+
+@query(
+    "quantile_sketch_bottomk",
+    oracle=f"""
+    WITH bk AS (
+      SELECT value FROM events
+      ORDER BY {_H52}, event_id
+      LIMIT {_BK})
+    SELECT (SELECT count(*) FROM events) AS n,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM bk
+    """,
+    priority=3,
+)
+def quantile_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch: a bottom-k sample keyed by
+    a portable md5-derived 52-bit hash of the row id. Bottom-k under a
+    fixed total order is distributive — per-partition (or per-day) top-k
+    heaps merge into the global bottom-k without re-scanning raw data,
+    which is exactly the mergeability KLL provides, traded for a slightly
+    worse rank-error constant (~1/sqrt(k)). Because the sample is a pure
+    function of the data, the DuckDB oracle replays it bit-for-bit —
+    unlike KLL's engine-internal compaction (see ``kll_value_quantiles``).
+
+    Plan shape: the orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k, no full sort/shuffle), then exact percentiles
+    run over the k-row sample. At 100 TB k stays 4096; only the sample's
+    representativeness, not the plan, changes."""
+    e = Tables(spark, sf_dir).events
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    bk = e.select("event_id", "value", h.alias("h")).orderBy("h", "event_id").limit(_BK)
+    n_total = e.agg(F.count(F.lit(1)).alias("n"))
+    return bk.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    ).crossJoin(n_total).select("n", "p50", "p90", "p99")
 
 
 @query(

@@ -184,23 +184,71 @@ def hypertable_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket", "event_type")
 
 
-@query("sketch_distinct_users_rollup")  # sketch estimates are engine-specific
+_KMV_K = 2048
+_KMV_SCALE = float(1 << 52)  # 52-bit md5 prefix → exact double in [0, 2^52)
+
+
+def _kmv_hash(col):
+    """Portable 52-bit uniform hash as a double in [0, 1): top 13 hex
+    chars of md5 — bit-identical in Spark and DuckDB, and 52 bits fit a
+    double mantissa exactly, so the division is lossless."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("long")
+        / F.lit(_KMV_SCALE)
+    )
+
+
+@query(
+    "sketch_distinct_users_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+                        / {_KMV_SCALE!r} AS h
+      FROM events),
+    bk AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K})
+    SELECT CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                ELSE round({_KMV_K - 1} / max(h), 4) END AS distinct_users_period,
+           (SELECT count(DISTINCT date_trunc('day', ts)) FROM events)
+             AS n_daily_sketches
+    FROM bk
+    """,
+    priority=3,
+)
 def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Apache DataSketches HLL via
-    hll_sketch_agg): build one sketch per DAY, then answer the
-    whole-period distinct-user question by UNIONING the daily sketches —
-    no raw re-scan. This is the sketch twin of the hypertable pattern:
+    """Mergeable distinct-count sketch rollup, KMV (k-minimum-values)
+    edition: one bottom-k sketch of md5-hashed user ids per DAY, then the
+    whole-period distinct-user answer is the UNION of the daily sketches
+    (union = concat + re-take bottom-k — KMV's merge operator), estimate
+    (k-1)/h_k. This is the sketch twin of the hypertable pattern:
     distinct counts don't re-aggregate exactly, sketches make them
-    mergeable. Driver records rows-only; the pytest suite bounds the
-    union estimate against the exact count."""
+    mergeable. KMV's estimator has the same ~1/sqrt(k) error as HLL at
+    far larger state (k hashes vs k registers) — the price paid for a
+    deterministic, engine-portable sketch the DuckDB oracle replays
+    exactly (the HLL/theta twins keep the compact-state role:
+    ``theta_rollup_distinct_users`` is the green production path).
+    Below k distinct the sketch is lossless and the estimate exact.
+
+    Shuffle profile: collect_set dedups map-side, so at most k + per-day
+    distinct hashes move per day — never raw events."""
     e = Tables(spark, sf_dir).events
     daily = (
-        e.groupBy(F.window("ts", "1 day").alias("w"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .select(F.col("w.start").alias("day"), "sk")
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(_kmv_hash(F.col("user_id")))), 1, _KMV_K
+            ).alias("sk")
+        )
     )
-    merged = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_period"),
-        F.count(F.lit(1)).alias("n_daily_sketches"),
+    merged_bk = (
+        daily.select(F.explode("sk").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
     )
-    return merged
+    est = merged_bk.agg(
+        F.when(F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.round(F.lit(float(_KMV_K - 1)) / F.max("h"), 4))
+        .alias("distinct_users_period")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_daily_sketches"))
+    return est.crossJoin(n_days)

@@ -36,3 +36,13 @@ SQL_AVG_EPS = "+ 1e-9"
 
 def r6(c: Column | str) -> Column:
     return F.round(c, 6)
+
+
+def epoch_us(c: Column | str) -> Column:
+    """Microseconds since epoch for a TIMESTAMP_NTZ column, timezone-free
+    (``unix_micros`` only accepts TIMESTAMP and a ntz→ltz cast would drag
+    the session timezone into the result). Matches DuckDB ``epoch_us``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )

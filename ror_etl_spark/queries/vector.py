@@ -264,17 +264,90 @@ def embedding_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4, nprobe=3)
 
 
-@query("embedding_knn_ivf_trained")  # k-means state not SQL-replayable: rows-only
+def _ivf_trained_oracle(
+    n_centroids: int = 16,
+    iters: int = 3,
+    nprobe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    round_means: int = 6,
+) -> str:
+    """DuckDB replay of the FULL k-means training loop: Lloyd's algorithm
+    here is a pure function of the data (init = n_centroids smallest ids,
+    argmin ties to the lower cell, empty cells keep their centroid, means
+    quantized to ``round_means`` decimals each iteration so fp summation
+    order can't drift the trajectory) — so ``iters`` assignment+update
+    rounds unroll into chained CTEs and land on bit-identical centroids.
+    The final SELECT replays probe ranking and in-cell exact cosine."""
+
+    def assign(a: str, cents: str) -> str:
+        return f"""
+    {a} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.c), c.cell) AS rn
+        FROM e, {cents} c)
+      WHERE rn = 1)"""
+
+    ctes = [
+        f"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)""",
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0)""",
+        f"""p AS (SELECT CAST(range AS INT) AS pos FROM range(1, {dim + 1}))""",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids}))""",
+    ]
+    for i in range(iters):
+        ctes.append(assign(f"a{i}", f"c{i}"))
+        ctes.append(
+            f"""m{i} AS (
+      SELECT cell, pos, round(avg(x), {round_means}) AS m
+      FROM (SELECT a.cell, p.pos, a.v[p.pos] AS x FROM a{i} a CROSS JOIN p)
+      GROUP BY cell, pos)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+      SELECT c.cell, list(coalesce(m.m, c.c[p.pos]) ORDER BY p.pos) AS c
+      FROM c{i} c CROSS JOIN p
+      LEFT JOIN m{i} m ON m.cell = c.cell AND m.pos = p.pos
+      GROUP BY c.cell)"""
+        )
+    ctes.append(assign("af", f"c{iters}"))
+    ctes.append(
+        f"""probe AS (
+      SELECT c.cell FROM c{iters} c, q
+      ORDER BY list_distance(q.qv, c.c), c.cell LIMIT {nprobe})"""
+    )
+    cos = _COS_SQL.format(a="af.v", b="q.qv")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT af.vec_id, round({cos}, 6) AS cos
+    FROM af, q
+    WHERE af.cell IN (SELECT cell FROM probe)
+    ORDER BY cos DESC, af.vec_id
+    LIMIT {k}
+    """
+    )
+
+
+@query("embedding_knn_ivf_trained", oracle=_ivf_trained_oracle(), priority=3)
 def embedding_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means-trained centroids (3 Lloyd iterations) instead of
     the deterministic id-sample: cells shrink toward the data's modes, so
     the same nprobe=2 probes a better-targeted slice of the corpus. The
     pytest suite asserts the quantization error never increases with
-    training and that probing all cells reproduces brute force exactly."""
+    training and that probing all cells reproduces brute force exactly.
+    Training is fully deterministic (id-ordered init, ties to lower cell,
+    means rounded to 6 dp each iteration), so the DuckDB oracle unrolls
+    the whole training loop in SQL and hash-checks the result end to end."""
     emb = Tables(spark, sf_dir).embeddings
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
     return ivf_topk(
         emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=2,
-        train_iters=3,
+        train_iters=3, round_means=6,
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
-from ror_etl_spark.queries.util import r2, r4, ravg4
+from ror_etl_spark.queries.util import epoch_us, r2, r4, ravg4
 
 
 @query(
@@ -201,7 +201,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision on both sides (events.ts has sub-second values;
     # a seconds cast would disagree with the oracle's INTERVAL comparison)
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     flagged = e.withColumn(
         "new_session",
         F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),

@@ -415,7 +415,10 @@ def decode_stats(media: DataFrame) -> DataFrame:
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes payload through mapInPandas with updated
-    metadata; the pixel work is the documented NotImplementedError seam."""
+    metadata. Unlike decode (real PNG/JPEG/WAV codecs above), the pixel
+    resample itself stays a deliberate stub — this container has no image
+    libs and a hand-rolled resampler would be dead weight; the Spark side
+    (schema, Arrow batching, metadata rewrite) is the tested surface."""
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long ns
+        T.StructField("ts", T.TimestampNTZType()),  # parquet timestamp[us]
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,8 +34,11 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns → µs timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet. The file's
+    timestamp[us] surfaces as TIMESTAMP_NTZ, but watermarks demand
+    TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the cast keeps the
+    wall-clock value, so stream results collect identically to the batch
+    twins reading ntz."""
     # the streaming file source wants a directory — point it at sf_dir and
     # glob-filter down to the single events file
     raw = (
@@ -44,7 +47,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

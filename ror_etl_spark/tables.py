@@ -40,10 +40,12 @@ class Tables:
             # runtime-settable and required to read TIMESTAMP(NANOS) parquet
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
-        if name == "events":
-            # events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long ns
-            # (spark.sql.legacy.parquet.nanosAsLong). Integer-divide to
-            # micros — exact, and identical to DuckDB's ns→us truncation.
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # Some driver datasets write events.ts as TIMESTAMP(NANOS),
+            # surfaced as long ns under nanosAsLong; current ones write
+            # micros (read natively as timestamp). When ns-as-long shows
+            # up, integer-divide to micros — exact, and identical to
+            # DuckDB's ns→us truncation.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
 

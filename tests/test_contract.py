@@ -63,10 +63,12 @@ def test_sketch_union_matches_exact_within_error(spark):
 
 
 def test_kll_quantiles_within_rank_error(spark):
-    from ror_etl_spark.registry import QUERIES
+    # kll_value_quantiles is deliberately NOT driver-registered (KLL state
+    # is engine-internal, no replayable oracle) — pytest is its evidence.
+    from ror_etl_spark.queries.sketches import kll_value_quantiles
     from ror_etl_spark.tables import Tables
 
-    row = QUERIES["kll_value_quantiles"](spark, SF_SMALL).collect()[0]
+    row = kll_value_quantiles(spark, SF_SMALL).collect()[0]
     e = Tables(spark, SF_SMALL).events
     n = e.count()
     assert row["n"] == n

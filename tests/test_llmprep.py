@@ -1,0 +1,134 @@
+"""Semantic tests for the LLM-prep and engine-ops query families (round 4).
+
+The driver gate already hash-checks these against DuckDB oracles; the
+tests here pin the SEMANTICS (invariants the oracle replay alone can't
+distinguish from a consistently-wrong implementation on both sides).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ror_etl_spark.registry import QUERIES, load_all
+from ror_etl_spark.tables import Tables
+from tests.conftest import SF_SMALL
+
+load_all()
+
+
+def test_boilerplate_ngrams_are_real_phrases(spark):
+    rows = QUERIES["text_boilerplate_ngrams"](spark, SF_SMALL).collect()
+    assert rows, "threshold should fire on the synthetic corpus"
+    docs = [r["text"] for r in Tables(spark, SF_SMALL).documents.collect()]
+    for r in rows[:5]:
+        assert len(r["phrase"].split(" ")) == 3
+        n_docs_exact = sum(1 for t in docs if r["phrase"] in t)
+        # containment can over-count (phrase inside a longer run still
+        # tokenizes identically here) — it is a lower-bound sanity check
+        assert n_docs_exact >= r["n_docs"] >= 5
+
+
+def test_repetition_filter_flags_match_share(spark):
+    for r in QUERIES["text_repetition_filter"](spark, SF_SMALL).collect():
+        assert 0 < r["top_share"] <= 1
+        assert r["is_repetitive"] == (r["top_share"] >= 0.05 or
+                                      (abs(r["top_share"] - 0.05) < 5e-5))
+
+
+def test_token_entropy_bounds(spark):
+    for r in QUERIES["text_token_entropy"](spark, SF_SMALL).collect():
+        assert r["token_entropy"] >= 0
+        assert r["token_entropy"] <= math.log2(r["n_unique"]) + 1e-6
+
+
+def test_c4_keep_is_conjunction(spark):
+    rows = QUERIES["c4_quality_rules"](spark, SF_SMALL).collect()
+    assert any(r["keep"] for r in rows)
+    for r in rows:
+        assert r["keep"] == (r["len_ok"] and r["word_len_ok"] and r["lang_ok"])
+
+
+def test_pii_redaction_removes_digit_runs(spark):
+    rows = QUERIES["pii_redact_customers"](spark, SF_SMALL).collect()
+    assert all(not re.search(r"[0-9]{6,}", r["redacted"]) for r in rows)
+    assert all((("[ID]" in r["redacted"]) == (r["n_id_runs"] > 0)) for r in rows)
+    assert any(r["n_id_runs"] > 0 for r in rows)
+
+
+def test_pagerank_mass_and_positivity(spark):
+    rows = QUERIES["pagerank_nation_trade"](spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    # teleport mass is exact; link mass can leak via dangling nations only
+    assert 0.14 < total <= 1.0 + 1e-6
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_salted_join_equals_plain_join(spark):
+    t = Tables(spark, SF_SMALL)
+    got = {
+        (r["c_mktsegment"], r["n_orders"], r["revenue"])
+        for r in QUERIES["salted_join_segment_revenue"](spark, SF_SMALL).collect()
+    }
+    plain = {
+        (r["c_mktsegment"], r["n_orders"], r["revenue"])
+        for r in t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == plain
+
+
+def test_column_profile_matches_direct_aggregates(spark):
+    o = Tables(spark, SF_SMALL).orders
+    n = o.count()
+    prof = {r["col"]: r for r in QUERIES["column_profile_orders"](spark, SF_SMALL).collect()}
+    assert set(prof) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+    }
+    assert all(r["n"] == n for r in prof.values())
+    assert prof["o_orderkey"]["n_distinct"] == n  # primary key
+    assert int(prof["o_orderkey"]["min_v"]) <= int(prof["o_orderkey"]["max_v"])
+
+
+def test_bottomk_quantile_sketch_within_rank_error(spark):
+    row = QUERIES["quantile_sketch_bottomk"](spark, SF_SMALL).collect()[0]
+    e = Tables(spark, SF_SMALL).events
+    n = e.count()
+    assert row["n"] == n
+    values = sorted(r["value"] for r in e.select("value").collect())
+    # k=4096 ≥ n at this SF → the sample is the full data → exact ranks;
+    # allow interpolation slack of one position either side
+    eps = 0.005 if n <= 4096 else 0.03
+    for q, got in ((0.5, row["p50"]), (0.9, row["p90"]), (0.99, row["p99"])):
+        lo = values[max(0, int((q - eps) * n) - 1)]
+        hi = values[min(n - 1, int((q + eps) * n))]
+        assert lo <= got <= hi, (q, got, lo, hi)
+
+
+def test_kmv_estimator_accuracy_above_capacity(spark):
+    """Force the KMV estimate path (k << distinct) and bound its error:
+    synthetic 20k distinct ids against k=256 → rel error ≲ 3/sqrt(k)."""
+    from ror_etl_spark.queries.temporal import _kmv_hash
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("s"))
+    k = 256
+    bk = (
+        df.select(_kmv_hash(F.col("s")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    hk = bk.agg(F.max("h").alias("m")).collect()[0]["m"]
+    est = (k - 1) / hk
+    assert abs(est - 20000) / 20000 < 3 / math.sqrt(k)
