@@ -216,3 +216,237 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for other in legs[1:]:
         out = out.unionAll(other)
     return out.orderBy("col")
+
+
+_ZBITS = 10
+
+
+def _zorder_sql(a: str, b: str) -> str:
+    """Bit-interleave two _ZBITS-bit ints into a z-order key (SQL)."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_cluster_key",
+    oracle=f"""
+    WITH z AS (
+      SELECT o_orderkey,
+             {_zorder_sql("(o_custkey & 1023)", "(o_orderkey & 1023)")} AS zkey
+      FROM orders)
+    SELECT o_orderkey, zkey FROM z
+    ORDER BY zkey, o_orderkey
+    LIMIT 1000
+    """,
+)
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two join/
+    filter dimensions so that sorting by the single zkey co-locates rows
+    that are close in BOTH dimensions — the standard multi-dimensional
+    data-skipping layout (Delta OPTIMIZE ZORDER, Iceberg sort orders).
+    The key is pure bit arithmetic in whole-stage codegen; at 100 TB the
+    write path is ``repartitionByRange(zkey).sortWithinPartitions(zkey)``
+    and every parquet row group gets tight min/max on both dimensions.
+    Registered as the key computation + deterministic inspection slice."""
+    o = Tables(spark, sf_dir).orders
+    a = F.col("o_custkey").bitwiseAND(F.lit(1023))
+    b = F.col("o_orderkey").bitwiseAND(F.lit(1023))
+    zkey = None
+    for i in range(_ZBITS):
+        pa = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        pb = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        zkey = pa + pb if zkey is None else zkey + pa + pb
+    return (
+        o.select("o_orderkey", zkey.alias("zkey"))
+        .orderBy("zkey", "o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "triangle_count_nations",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+                      greatest(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey)
+    SELECT count(*) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the undirected nation-trade graph — the third
+    graph primitive (after connected components and PageRank): canonical
+    a<b edge orientation, then the two-path + closing-edge join. Each
+    triangle a<b<c is counted exactly once. At 100 TB the same plan holds
+    with the standard degree-ordering refinement (orient edges from low-
+    to high-degree endpoint) so no reducer owns a celebrity vertex's
+    whole neighborhood — noted here, unnecessary at 25 nodes."""
+    t = Tables(spark, sf_dir)
+    und = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "equidepth_bin_assign",
+    oracle="""
+    WITH bounds AS (
+      SELECT unnest([quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+                     quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+                     quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+                     quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+                     quantile_cont(o_totalprice, 0.9)]) AS b
+      FROM orders),
+    assigned AS (
+      SELECT o_orderkey, o_totalprice,
+             (SELECT count(*) FROM bounds WHERE o_totalprice > b) AS bin
+      FROM orders)
+    SELECT bin, count(*) AS n,
+           round(min(o_totalprice), 2) AS mn,
+           round(max(o_totalprice), 2) AS mx
+    FROM assigned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def equidepth_bin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature binning WITHOUT a global window: exact
+    decile boundaries come from one aggregation, broadcast as a 9-element
+    array, and each row's bin is the count of boundaries below its value
+    (an array fold in codegen). The naive ntile() alternative drags every
+    row through a single-partition sort — this shape is the one that
+    survives 100 TB, and it is how feature-engineering pipelines bin
+    continuous columns for embedding-table lookups."""
+    o = Tables(spark, sf_dir).orders
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = o.agg(
+        F.expr(
+            "array(" + ", ".join(f"percentile(o_totalprice, {q})" for q in qs) + ")"
+        ).alias("bs")
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.aggregate(
+            F.col("bs"),
+            F.lit(0),
+            lambda acc, bnd: acc + F.when(F.col("o_totalprice") > bnd, 1).otherwise(0),
+        ).cast("long").alias("bin"),
+    )
+    return (
+        assigned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("mn"),
+            F.round(F.max("o_totalprice"), 2).alias("mx"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "train_test_split_assign",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    SELECT split, count(*) AS n, round(avg(n_chars) + 1e-9, 4) AS avg_chars
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def train_test_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% holdout split keyed on a content-stable hash —
+    reproducible across runs, partitionings, and engines (no rand()), and
+    leak-free: a document's split never changes when the corpus grows.
+    '1a' hex = 26/256 ≈ 10.2% to test. The same pattern keyed on a GROUP
+    id (site, author) prevents near-duplicate train/test contamination."""
+    d = Tables(spark, sf_dir).documents
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "test"
+    ).otherwise("train")
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars") + 1e-9, 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM lineitem) AS n_rows,
+      (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS n_null_qty,
+      (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1) AS n_bad_discount,
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+      (SELECT count(*) FROM (
+         SELECT l_orderkey, l_linenumber FROM lineitem
+         GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS n_dup_lines
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite report (the Great-Expectations shape): null
+    checks, domain checks, referential integrity (anti join), and
+    key-uniqueness violations, emitted as ONE summary row a pipeline can
+    gate promotion on — the generalization of the reference's two
+    BigQuery check operators (ror_dag.py:179-195) to arbitrary rule sets.
+    Each check is a separate aggregation over one scan + one broadcast
+    anti join; nothing collects to the driver."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    base = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("n_null_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("n_bad_discount"),
+    )
+    orphans = (
+        li.join(
+            t.orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_lines"))
+    )
+    return base.crossJoin(orphans).crossJoin(dups)

@@ -132,3 +132,73 @@ def test_kmv_estimator_accuracy_above_capacity(spark):
     hk = bk.agg(F.max("h").alias("m")).collect()[0]["m"]
     est = (k - 1) / hk
     assert abs(est - 20000) / 20000 < 3 / math.sqrt(k)
+
+
+def test_zorder_key_locality(spark):
+    """Morton-adjacent keys must be close in both dimensions: decoding the
+    zkey recovers the masked inputs exactly."""
+    rows = QUERIES["zorder_cluster_key"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:50]:
+        z = r["zkey"]
+        a = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+        b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert b == r["o_orderkey"] & 1023
+        assert 0 <= a < 1024
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    t = Tables(spark, SF_SMALL)
+    got = QUERIES["triangle_count_nations"](spark, SF_SMALL).collect()[0]["n_triangles"]
+    edges = {
+        (min(r["s_nationkey"], r["c_nationkey"]), max(r["s_nationkey"], r["c_nationkey"]))
+        for r in t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select("s_nationkey", "c_nationkey").distinct().collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert got == brute
+
+
+def test_equidepth_bins_are_balanced(spark):
+    rows = QUERIES["equidepth_bin_assign"](spark, SF_SMALL).collect()
+    n = sum(r["n"] for r in rows)
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["n"] - n / 10) <= max(2, 0.02 * n)  # exact deciles ±ties
+        assert r["mn"] <= r["mx"]
+
+
+def test_train_test_split_disjoint_and_stable(spark):
+    rows = {r["split"]: r["n"] for r in QUERIES["train_test_split_assign"](spark, SF_SMALL).collect()}
+    total = sum(rows.values())
+    assert total == Tables(spark, SF_SMALL).documents.count()
+    assert 0.04 * total < rows.get("test", 0) < 0.20 * total
+
+
+def test_data_quality_report_detects_fixture_state(spark):
+    """The fixture is clean on nulls/domains/referential integrity but
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    the report must surface that violation, not assume a clean PK."""
+    r = QUERIES["data_quality_report"](spark, SF_SMALL).collect()[0]
+    li = Tables(spark, SF_SMALL).lineitem
+    assert r["n_rows"] == li.count() > 0
+    assert r["n_null_qty"] == 0
+    assert r["n_bad_discount"] == 0
+    assert r["n_orphans"] == 0
+    dup_direct = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert r["n_dup_lines"] == dup_direct > 0
