@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ror_etl_spark.operators.util import spread
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 
@@ -52,7 +53,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy count partial-aggregates map-side. At 100 TB you'd hash
     phrases to 64-bit before the shuffle and resolve strings for the
     survivors only — the plan shape is unchanged."""
-    d = Tables(spark, sf_dir).documents
+    d = spread(Tables(spark, sf_dir).documents)
     t = F.split(F.col("text"), " ")
     grams = (
         d.filter(F.size(t) >= _NGRAM_N)
@@ -105,7 +106,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram. Machine-generated / low-quality text repeats phrases; a top
     bigram covering ≥5% of all bigrams flags the doc. Two map-side-
     combined aggregations keyed by doc_id — no joins, no UDFs."""
-    d = Tables(spark, sf_dir).documents
+    d = spread(Tables(spark, sf_dir).documents)
     t = F.split(F.col("text"), " ")
     bi = d.filter(F.size(t) >= 2).select(
         "doc_id",
@@ -154,7 +155,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipelines. Everything is codegen'd aggregation arithmetic;
     the entropy sum is over ≤vocabulary-size terms so fp order can't move
     the 4-dp rounding."""
-    d = Tables(spark, sf_dir).documents
+    d = spread(Tables(spark, sf_dir).documents)
     cnt = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
