@@ -348,7 +348,12 @@ def kmeans_centroids(
         corpus.orderBy(F.asc(id_col)).limit(n_centroids).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
-    vecs = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    # lazy checkpoint: the cast vectors materialize once on the first
+    # iteration's aggregate and every later iteration re-reads the cached
+    # 2-column frame instead of re-scanning parquet + re-casting
+    vecs = corpus.select(as_double(F.col(vec_col)).alias("v")).localCheckpoint(
+        eager=False
+    )
     for _ in range(max(0, n_iters)):
         cells = vecs.select(_nearest_cell(F.col("v"), centroids).alias("cell"), "v")
         means = (

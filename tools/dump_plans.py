@@ -27,6 +27,10 @@ PICKS = {
     "dedup_winnow_pairs": "winnowing near-dup: outer-explode (no pushed re-eval), window min, capped fp self-join",
     "pack_token_bins": "token packing: keyed cumsum window, single shuffle per source partition",
     "sample_hash_bernoulli": "deterministic sampling: md5 filter evaluated post-scan, pure codegen",
+    "pagerank_nation_trade": "iterative PageRank: per-iteration single shuffle (join on u, reduce on v), checkpointed edge fractions",
+    "equidepth_bin_assign": "equi-depth binning: exact decile bounds as 1-row broadcast, no global sort of the fact side",
+    "text_repetition_filter": "Gopher repetition rule: fan-out repartition, explode, two map-side-combined aggregations",
+    "salted_join_segment_revenue": "8-way salted join: dim exploded per salt, fact hot keys spread across reducers",
 }
 
 
