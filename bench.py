@@ -65,6 +65,7 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "text_repetition_filter",
     "pagerank_nation_trade",
+    "dedup_prefix_filter_jaccard",
 ]
 
 

@@ -523,3 +523,103 @@ def fuzzy_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("dist").between(1, 5))
         .orderBy("id_a", "id_b")
     )
+
+
+_PF_T = 0.6  # Jaccard threshold for the prefix-filtered similarity join
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {{shingle_cte}},
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(array_length(list_filter(a.s, x -> list_contains(b.s, x)))
+                  AS DOUBLE) AS i,
+             array_length(a.s) AS na, array_length(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT da AS id_a, db AS id_b, round(i / (na + nb - i), 4) AS jac
+    FROM pairs
+    WHERE i / (na + nb - i) >= {_PF_T}
+    ORDER BY id_a, id_b
+    """.format(shingle_cte=_shingle_cte(3)),
+    priority=2,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs set-similarity join (3-gram-shingle Jaccard ≥ 0.6)
+    via prefix filtering (Bayardo et al., WWW'07 / PPJoin family) — the
+    exact counterpart of the MinHash-LSH funnel: order shingles globally
+    by (document frequency asc, shingle), keep each document's first
+    ⌊(1-t)·|d|⌋+1 as its PREFIX, and generate candidates only from pairs
+    sharing a prefix shingle. The prefix lemma guarantees every pair at
+    or above the threshold shares one, so — unlike LSH — recall is
+    provably 1.0. The ORACLE computes the brute-force quadratic join, so
+    the hash check proves the pruning loses nothing, not merely that both
+    engines replay the same heuristic.
+
+    Shuffle profile: only (shingle, doc_id) pairs from PREFIXES enter the
+    candidate join (rarest-first ordering keeps buckets small), and exact
+    Jaccard runs on candidates only — at 100 TB this is the published
+    scale recipe for exact near-dup sweeps."""
+    from pyspark.sql.window import Window
+
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents)
+    # the (doc_id, shingle) expansion feeds five consumers (df counts, doc
+    # sizes, ranking, and both sides of the verify join) — checkpoint it
+    # once or the normalize/split/concat pipeline re-executes per consumer
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh")
+    ).localCheckpoint(eager=False)
+    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    nt = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ranked = (
+        toks.join(dfreq, "sh")
+        .join(nt, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.floor((1 - _PF_T) * F.col("nt")) + 1
+    ).select("doc_id", "sh", "rk", "nt")
+    # PPJoin refinements (both exact — the brute-force oracle checks it):
+    # length filter: jac >= t forces min(|a|,|b|) >= t * max(|a|,|b|);
+    # positional filter: a prefix match at ranks (i, j) caps the overlap
+    # at 1 + min(|a|-i, |b|-j), which must reach ceil(t/(1+t)*(|a|+|b|)).
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    na, nb = F.col("pa.nt"), F.col("pb.nt")
+    alpha = F.ceil(F.lit(_PF_T / (1 + _PF_T)) * (na + nb))
+    ubound = F.least(na - F.col("pa.rk"), nb - F.col("pb.rk")) + 1
+    cand = (
+        pa.join(pb, F.col("pa.sh") == F.col("pb.sh"))
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .filter(F.least(na, nb) >= _PF_T * F.greatest(na, nb))
+        .filter(ubound >= alpha)
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    tb = toks.select(F.col("doc_id").alias("rid"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, (F.col("id_b") == F.col("rid")) & (F.col("sha") == F.col("shb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    na = nt.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("na"))
+    nb = nt.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(jac >= _PF_T)
+        .select("id_a", "id_b", r4(jac).alias("jac"))
+        .orderBy("id_a", "id_b")
+    )

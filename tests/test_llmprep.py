@@ -202,3 +202,31 @@ def test_data_quality_report_detects_fixture_state(spark):
         .count()
     )
     assert r["n_dup_lines"] == dup_direct > 0
+
+
+def test_prefix_filter_jaccard_exact_and_complete(spark):
+    """Prefix filtering must be lossless: compare against a brute-force
+    all-pairs Jaccard computed with plain array ops on the same shingles."""
+    from ror_etl_spark.queries.dedup import shingles
+
+    d = Tables(spark, SF_SMALL).documents.limit(120)
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in d.select(
+            "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("s")
+        ).collect()
+    }
+    brute = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            jac = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if jac >= 0.6:
+                brute[(a, b)] = round(jac, 4)
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in QUERIES["dedup_prefix_filter_jaccard"](spark, SF_SMALL).collect()
+        if r["id_a"] in sh and r["id_b"] in sh
+    }
+    assert got == brute

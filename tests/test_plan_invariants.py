@@ -44,6 +44,9 @@ NO_NESTED_LOOP = [
     # sorted neighborhood), never a cartesian pair enumeration
     "dedup_winnow_pairs",
     "fuzzy_dedup_sorted_neighborhood",
+    # exact set-similarity join: candidates must come from the prefix
+    # bucket join, never a quadratic pair enumeration
+    "dedup_prefix_filter_jaccard",
 ]
 
 
@@ -139,3 +142,41 @@ def test_join_strategy_hints_are_honored(spark):
 
     bc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
     assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pagerank_nation_trade", "triangle_count_nations", "salted_join_segment_revenue"],
+)
+def test_round4_graph_and_skew_plans_have_no_nested_loop(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, name
+    assert "BroadcastNestedLoop" not in p, name
+
+
+def test_llmprep_queries_stay_in_codegen(spark):
+    """The corpus filters are pure expression pipelines — any Python
+    evaluation node in the plan means a UDF snuck into the hot path."""
+    for name in (
+        "text_boilerplate_ngrams",
+        "text_repetition_filter",
+        "text_token_entropy",
+        "c4_quality_rules",
+        "pii_redact_customers",
+        "zorder_cluster_key",
+    ):
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_equidepth_binning_broadcasts_bounds(spark):
+    """The decile boundaries join must be a 1-row broadcast, and the big
+    side must NOT be globally sorted (the whole point vs ntile)."""
+    p = plan_of(spark, "equidepth_bin_assign")
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bounds × orders: intended
+    # no global Sort over the full orders relation before aggregation —
+    # the only sort allowed is the final 10-row orderBy("bin")
+    body = p.split("== Physical Plan ==")[1]
+    n_sorts = body.count("Sort [")
+    assert n_sorts <= 1, f"unexpected global sort in binning plan:\n{p}"
