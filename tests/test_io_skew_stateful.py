@@ -181,3 +181,46 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     assert len(bad_rows) == 2  # the non-json line and the type violation
     assert all(r["raw"] for r in bad_rows)
     assert all(r["src_file"].endswith("mixed.jsonl") for r in bad_rows)
+
+
+def test_streaming_kmv_sketch_equals_batch_sketch(spark):
+    """The stateful KMV sketch must converge to EXACTLY the batch KMV
+    answer on the same data — the sketch is a pure function of the
+    distinct ids, so micro-batching cannot change it."""
+    from ror_etl_spark.streaming.events import read_events_stream, run_to_memory
+    from ror_etl_spark.streaming.stateful import KMV_K, kmv_distinct_users_stream
+    from ror_etl_spark.queries.temporal import _kmv_hash
+
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(spark, kmv_distinct_users_stream(stream), "t_kmv", mode="update")
+    from pyspark.sql import Window as W
+
+    latest = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.desc("sketch_size"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    got = {r["event_type"]: r["distinct_users"] for r in latest.collect()}
+
+    e = Tables(spark, SF_SMALL).events
+    bk = (
+        e.select("event_type", _kmv_hash(F.col("user_id")).alias("h"))
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+    )
+    want = {
+        r["event_type"]: (
+            float(r["m"]) if r["m"] < KMV_K else round((KMV_K - 1) / r["mx"], 4)
+        )
+        for r in bk.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("mx"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
