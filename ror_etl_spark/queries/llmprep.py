@@ -254,3 +254,71 @@ def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(1000)
     )
+
+
+_DECON_N = 5  # n-gram size for contamination detection
+_EVAL_MAX_ID = 25  # doc_id < 25 plays the held-out benchmark set
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_DECON_N}),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {_DECON_N - 2})) AS i FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i : i + {_DECON_N - 1}], ' ') AS g
+      FROM pos),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < {_EVAL_MAX_ID}),
+    hits AS (
+      SELECT grams.doc_id, count(*) AS n_shared
+      FROM grams JOIN eval_grams USING (g)
+      WHERE grams.doc_id >= {_EVAL_MAX_ID}
+      GROUP BY grams.doc_id)
+    SELECT doc_id, n_shared, (n_shared >= 3) AS contaminated
+    FROM hits
+    ORDER BY doc_id
+    """,
+    priority=2,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pass every serious pretraining run
+    does before training: find corpus documents sharing {n}-gram spans
+    with a held-out evaluation set (here doc_id < 25 plays the benchmark)
+    and flag likely leaks (≥3 distinct shared 5-grams). The eval side's
+    distinct grams are tiny and BROADCAST, so the corpus side is a single
+    map-side semi-join pass — no shuffle of corpus grams at all; that is
+    the 100 TB shape (the benchmark is always driver-scale, the corpus
+    never is). Reported per contaminated doc so the pipeline can drop or
+    audit them."""
+    d = spread(Tables(spark, sf_dir).documents)
+    t = F.split(F.col("text"), " ")
+    grams = (
+        d.filter(F.size(t) >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - _DECON_N),
+                    lambda i: F.array_join(F.slice(t, i + 1, _DECON_N), " "),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") >= _EVAL_MAX_ID)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("contaminated")
+    ).orderBy("doc_id")

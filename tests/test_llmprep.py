@@ -230,3 +230,23 @@ def test_prefix_filter_jaccard_exact_and_complete(spark):
         if r["id_a"] in sh and r["id_b"] in sh
     }
     assert got == brute
+
+
+def test_decontamination_flags_real_overlap(spark):
+    """Flagged docs must genuinely share >= 3 distinct 5-grams with the
+    eval slice (doc_id < 25), verified against in-memory set math."""
+    rows = QUERIES["decontaminate_ngram_overlap"](spark, SF_SMALL).collect()
+    assert rows, "synthetic corpus contains planted near-dups of early docs"
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in Tables(spark, SF_SMALL).documents.collect()
+    }
+
+    def grams(toks):
+        return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+
+    eval_g = set().union(*(grams(t) for i, t in docs.items() if i < 25))
+    for r in rows:
+        shared = len(grams(docs[r["doc_id"]]) & eval_g)
+        assert shared == r["n_shared"] >= 1
+        assert r["contaminated"] == (shared >= 3)
