@@ -149,3 +149,147 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "outlier_iqr_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(b.q1, 4) AS q1, round(b.q3, 4) AS q3
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.q1, b.q3
+    ORDER BY e.event_type
+    """,
+)
+def outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: exact quartiles feed
+    1.5·IQR fences, events are flagged against their group's fences in a
+    second pass over the same scan. The quartile frame is group-count
+    sized and broadcasts; the big side shuffles once for its own
+    aggregation — the standard shape for statistical data-cleaning at
+    scale (bad-sensor removal, spam-score clipping)."""
+    e = Tables(spark, sf_dir).events
+    b = e.groupBy(F.col("event_type").alias("bt")).agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(b), F.col("event_type") == F.col("bt"))
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "interpolate_hourly_gaps",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-03 00:00:00',
+                                    TIMESTAMP '2024-01-04 23:00:00',
+                                    INTERVAL 1 HOUR)) AS h),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (
+      SELECT s.h, a.v,
+             epoch(s.h) / 3600.0 AS hh
+      FROM spine s LEFT JOIN agg a ON s.h = a.h),
+    anchored AS (
+      SELECT h, v, hh,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS) OVER wp AS ph,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS) OVER wn AS nh
+      FROM j
+      WINDOW wp AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+           (v IS NULL) AS was_gap,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (hh - ph) / (nh - ph) END, 4)
+             AS filled
+    FROM anchored
+    ORDER BY hour
+    """,
+)
+def interpolate_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR interpolation (the timeseries-database
+    `interpolate()` beside `gapfill`'s zero-fill): silent hours get the
+    straight line between the surrounding observed hourly averages, edges
+    fall back to nearest-value. Anchors come from last/first IGNORE NULLS
+    windows over the 48-row spine — the window is spine-sized (one row
+    per bucket), never event-sized, so the unpartitioned ordering is a
+    driver-scale detail, not a scale hazard."""
+    from pyspark.sql import Window as W
+
+    e = Tables(spark, sf_dir).events
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-03 00:00:00").cast("timestamp"),
+                F.lit("2024-01-04 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("ah"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    hh = F.col("h").cast("double") / 3600.0
+    j = spine.join(agg, spine["h"] == agg["ah"], "left").select("h", "v", hh.alias("hh"))
+    wp = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.orderBy("h").rowsBetween(W.currentRow, W.unboundedFollowing)
+    anchor_h = F.when(F.col("v").isNotNull(), F.col("hh"))
+    anchored = j.select(
+        "h",
+        "v",
+        "hh",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(anchor_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(anchor_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hh") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return anchored.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("v").isNull().alias("was_gap"),
+        F.round(filled, 4).alias("filled"),
+    ).orderBy("hour")

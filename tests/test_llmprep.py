@@ -250,3 +250,34 @@ def test_decontamination_flags_real_overlap(spark):
         shared = len(grams(docs[r["doc_id"]]) & eval_g)
         assert shared == r["n_shared"] >= 1
         assert r["contaminated"] == (shared >= 3)
+
+
+def test_interpolation_is_linear_and_anchored(spark):
+    rows = QUERIES["interpolate_hourly_gaps"](spark, SF_SMALL).collect()
+    assert len(rows) == 48
+    assert any(r["was_gap"] for r in rows) and any(not r["was_gap"] for r in rows)
+    vals = [r["filled"] for r in rows]
+    assert all(v is not None for v in vals)
+    # every gap value must lie within [min, max] of the observed anchors
+    observed = [r["filled"] for r in rows if not r["was_gap"]]
+    lo, hi = min(observed), max(observed)
+    for r in rows:
+        if r["was_gap"]:
+            assert lo - 1e-9 <= r["filled"] <= hi + 1e-9
+
+
+def test_iqr_outlier_counts_match_direct(spark):
+    e = Tables(spark, SF_SMALL).events
+    got = {r["event_type"]: r for r in QUERIES["outlier_iqr_events"](spark, SF_SMALL).collect()}
+    import numpy as np
+
+    for etype, r in got.items():
+        vals = np.array(
+            [x["value"] for x in e.filter(F.col("event_type") == etype).collect()]
+        )
+        q1, q3 = np.percentile(vals, [25, 75])
+        iqr = q3 - q1
+        n_out = int(((vals < q1 - 1.5 * iqr) | (vals > q3 + 1.5 * iqr)).sum())
+        assert r["n"] == len(vals)
+        assert r["n_outliers"] == n_out
+        assert abs(r["q1"] - q1) < 1e-3 and abs(r["q3"] - q3) < 1e-3
