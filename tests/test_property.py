@@ -121,3 +121,75 @@ def test_winnow_shared_substring_property(spark, pair):
     )
     fps = {r["id"]: set(r["fps"]) for r in rows}
     assert fps[1] & fps[2]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_bottomk_merge_is_distributive(values, n_batches):
+    """KMV merge law: splitting a stream into arbitrary micro-batches and
+    merging per-batch bottom-k sketches must equal the bottom-k of the
+    whole — the exact property the streaming KMV operator relies on."""
+    import hashlib
+
+    k = 16
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+
+    whole = sorted({h(v) for v in values})[:k]
+    batches = [values[i::n_batches] for i in range(n_batches)]
+    merged: set = set()
+    for b in batches:
+        sketch = sorted({h(v) for v in b})[:k]  # per-batch bottom-k
+        merged = set(sorted(merged | set(sketch))[:k])  # KMV union
+    assert sorted(merged) == whole
+
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=60), min_size=1, max_size=30),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lemma_never_loses_pairs(sets):
+    """The prefix-filter pruning rule used by dedup_prefix_filter_jaccard:
+    with a global (df asc, token) order and prefix length floor((1-t)n)+1,
+    every pair with Jaccard >= t must share a token inside BOTH prefixes —
+    including the PPJoin length and positional refinements. An off-by-one
+    in any constant would silently drop pairs on some input; the fixture
+    oracle can't explore that space, hypothesis can."""
+    import math as m
+
+    t = 0.6
+    from collections import Counter
+
+    df = Counter(tok for s in sets for tok in s)
+    order = lambda tok: (df[tok], tok)
+
+    def prefix(s):
+        ordered = sorted(s, key=order)
+        return ordered[: int(m.floor((1 - t) * len(s))) + 1]
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            jac = inter / (len(a) + len(b) - inter)
+            if jac < t:
+                continue
+            pa = {tok: rk + 1 for rk, tok in enumerate(prefix(a))}
+            pb = {tok: rk + 1 for rk, tok in enumerate(prefix(b))}
+            shared = set(pa) & set(pb)
+            assert shared, (a, b, jac)
+            # length filter must keep the pair
+            assert min(len(a), len(b)) >= t * max(len(a), len(b))
+            # positional filter must keep it for at least one shared token
+            alpha = m.ceil(t / (1 + t) * (len(a) + len(b)))
+            assert any(
+                1 + min(len(a) - pa[s], len(b) - pb[s]) >= alpha for s in shared
+            ), (a, b, jac)
