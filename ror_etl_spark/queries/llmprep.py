@@ -322,3 +322,116 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("contaminated")
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, text, n_chars,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 50
+        AND (n_chars - len(string_split(text, ' ')) + 1.0)
+              / len(string_split(text, ' ')) BETWEEN 3 AND 10
+        AND lang = 'en'),
+    exact AS (
+      SELECT * FROM kept
+      WHERE doc_id IN (
+        SELECT min(doc_id) FROM kept
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {_DECON_N - 2})) AS i FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + {_DECON_N - 1}], ' ') AS g
+      FROM pos),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < {_EVAL_MAX_ID}),
+    contaminated AS (
+      SELECT grams.doc_id FROM grams JOIN eval_grams USING (g)
+      WHERE grams.doc_id >= {_EVAL_MAX_ID}
+      GROUP BY grams.doc_id HAVING count(*) >= 3),
+    final AS (
+      SELECT e.doc_id, e.n_words,
+             CASE WHEN substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM exact e
+      WHERE e.doc_id >= {_EVAL_MAX_ID}
+        AND e.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT split, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM final GROUP BY split ORDER BY split
+    """,
+    priority=2,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep funnel as ONE declarative plan — quality
+    rules → exact dedup (keep lowest doc_id per normalized fingerprint)
+    → benchmark decontamination → leak-free holdout split → per-split
+    doc/token counts. Each stage is the already-verified operator, but
+    chaining them in a single DataFrame expression is the point: Catalyst
+    sees the full pipeline, so the text column is read once, filters
+    merge into the scan, and the only shuffles are the dedup groupBy and
+    the gram semi-join. This is the shape a 100 TB corpus build actually
+    runs — not N materialized intermediate tables.
+
+    Eval docs (doc_id < 25) are excluded from the OUTPUT corpus but vote
+    their n-grams into the contamination index."""
+    from ror_etl_spark.functions.text import fingerprint_md5
+    from pyspark.sql import Window
+
+    d = spread(Tables(spark, sf_dir).documents)
+    t = F.split(F.col("text"), " ")
+    n_words = F.size(t)
+    mean_wl = (F.col("n_chars") - n_words + F.lit(1.0)) / n_words
+    kept = d.filter(
+        (n_words >= 50) & (mean_wl >= 3) & (mean_wl <= 10) & (F.col("lang") == "en")
+    ).select("doc_id", "text", n_words.alias("n_words"))
+    exact = (
+        kept.withColumn("fp", fingerprint_md5(F.col("text")))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("fp", "rn")
+    )
+    grams = (
+        exact.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.split("text", " ")) - _DECON_N),
+                    lambda i: F.array_join(
+                        F.slice(F.split(F.col("text"), " "), i + 1, _DECON_N), " "
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    eval_grams = grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") >= _EVAL_MAX_ID)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") >= 3)
+        .select("doc_id")
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "test"
+    ).otherwise("train")
+    final = (
+        exact.filter(F.col("doc_id") >= _EVAL_MAX_ID)
+        .join(contaminated, "doc_id", "left_anti")
+        .select(split.alias("split"), "n_words")
+    )
+    return (
+        final.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -281,3 +281,15 @@ def test_iqr_outlier_counts_match_direct(spark):
         assert r["n"] == len(vals)
         assert r["n_outliers"] == n_out
         assert abs(r["q1"] - q1) < 1e-3 and abs(r["q3"] - q3) < 1e-3
+
+
+def test_llm_corpus_pipeline_funnel_is_monotone(spark):
+    """Each funnel stage only removes documents; the final split counts
+    must be consistent with the standalone stage queries."""
+    rows = {r["split"]: r for r in QUERIES["llm_corpus_pipeline"](spark, SF_SMALL).collect()}
+    total_out = sum(r["n_docs"] for r in rows.values())
+    n_docs = Tables(spark, SF_SMALL).documents.count()
+    kept = sum(1 for r in QUERIES["c4_quality_rules"](spark, SF_SMALL).collect() if r["keep"])
+    assert 0 < total_out <= kept <= n_docs
+    assert set(rows) <= {"train", "test"}
+    assert all(r["n_tokens"] >= r["n_docs"] * 50 for r in rows.values())
