@@ -193,7 +193,8 @@ def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
     ``quantile_cont``). The approximate scale path is
-    ``approx_distinct_quantiles`` (rows-only check)."""
+    ``approx_distinct_quantiles`` (KMV + bottom-k sample, also
+    oracle-checked since r4)."""
     e = Tables(spark, sf_dir).events
     return (
         e.groupBy("event_type")
@@ -376,4 +377,62 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)      AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-database least squares (regr_* aggregate family): price ~
+    quantity per return flag. One distributed pass accumulating the five
+    sufficient moments — the way a 100 TB feature pipeline fits per-group
+    trend lines without collecting anything."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)") + 1e-9, 4).alias("slope"),
+            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)") + 1e-9, 4).alias("intercept"),
+            F.round(F.expr("regr_r2(l_extendedprice, l_quantity)") + 1e-9, 6).alias("r2"),
+            F.expr("regr_count(l_extendedprice, l_quantity)").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_string_concat_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): collect_list is
+    non-deterministic under parallel merge, so the portable form sorts
+    the collected array before joining — same answer on any partitioning,
+    which is what makes it hash-checkable at all."""
+    n = Tables(spark, sf_dir).nation
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
     )
