@@ -66,6 +66,7 @@ HEADLINE = [
     "text_repetition_filter",
     "pagerank_nation_trade",
     "dedup_prefix_filter_jaccard",
+    "llm_corpus_pipeline",
 ]
 
 
