@@ -192,7 +192,7 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading the same cached scan."""
     o = Tables(spark, sf_dir).orders
 
-    def leg(col: str, minmax_cast: bool = True, round2: bool = False) -> DataFrame:
+    def leg(col: str, round2: bool = False) -> DataFrame:
         mn, mx = F.min(col), F.max(col)
         if round2:
             mn, mx = F.round(mn, 2), F.round(mx, 2)
@@ -317,11 +317,11 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equidepth_bin_assign",
     oracle="""
     WITH bounds AS (
-      SELECT unnest([quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
-                     quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
-                     quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
-                     quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
-                     quantile_cont(o_totalprice, 0.9)]) AS b
+      SELECT unnest([round(quantile_cont(o_totalprice, 0.1), 6), round(quantile_cont(o_totalprice, 0.2), 6),
+                     round(quantile_cont(o_totalprice, 0.3), 6), round(quantile_cont(o_totalprice, 0.4), 6),
+                     round(quantile_cont(o_totalprice, 0.5), 6), round(quantile_cont(o_totalprice, 0.6), 6),
+                     round(quantile_cont(o_totalprice, 0.7), 6), round(quantile_cont(o_totalprice, 0.8), 6),
+                     round(quantile_cont(o_totalprice, 0.9), 6)]) AS b
       FROM orders),
     assigned AS (
       SELECT o_orderkey, o_totalprice,
@@ -347,7 +347,9 @@ def equidepth_bin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [i / 10 for i in range(1, 10)]
     bounds = o.agg(
         F.expr(
-            "array(" + ", ".join(f"percentile(o_totalprice, {q})" for q in qs) + ")"
+            "array("
+            + ", ".join(f"round(percentile(o_totalprice, {q}), 6)" for q in qs)
+            + ")"
         ).alias("bs")
     )
     assigned = o.crossJoin(F.broadcast(bounds)).select(

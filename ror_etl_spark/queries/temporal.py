@@ -228,17 +228,22 @@ def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``theta_rollup_distinct_users`` is the green production path).
     Below k distinct the sketch is lossless and the estimate exact.
 
-    Shuffle profile: collect_set dedups map-side, so at most k + per-day
-    distinct hashes move per day — never raw events."""
+    Shuffle profile: the (day, hash) pairs dedup with a map-side partial
+    aggregate, then a per-day row_number window keeps only the bottom k
+    BEFORE any collect — no single aggregation row ever holds a full
+    day's distinct set, so per-day state is bounded at k regardless of
+    daily cardinality (matching the capped streaming KMV twin)."""
+    from pyspark.sql import Window as W
+
     e = Tables(spark, sf_dir).events
-    daily = (
-        e.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_set(_kmv_hash(F.col("user_id")))), 1, _KMV_K
-            ).alias("sk")
-        )
-    )
+    pairs = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        _kmv_hash(F.col("user_id")).alias("h"),
+    ).distinct()
+    capped = pairs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("day").orderBy("h"))
+    ).filter(F.col("rn") <= _KMV_K)
+    daily = capped.groupBy("day").agg(F.array_sort(F.collect_list("h")).alias("sk"))
     merged_bk = (
         daily.select(F.explode("sk").alias("h"))
         .distinct()

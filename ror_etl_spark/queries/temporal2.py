@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ror_etl_spark.queries.util import ravg4
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 
@@ -156,8 +157,8 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT event_type,
-             quantile_cont(value, 0.25) AS q1,
-             quantile_cont(value, 0.75) AS q3
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q3
       FROM events GROUP BY event_type)
     SELECT e.event_type,
            count(*) AS n,
@@ -176,11 +177,14 @@ def outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass over the same scan. The quartile frame is group-count
     sized and broadcasts; the big side shuffles once for its own
     aggregation — the standard shape for statistical data-cleaning at
-    scale (bad-sensor removal, spam-score clipping)."""
+    scale (bad-sensor removal, spam-score clipping). Quartiles are
+    quantized to 6 dp on BOTH engines before the fence math so a value
+    sitting exactly on a fence cannot flip on a last-ulp interpolation
+    difference between Spark percentile and DuckDB quantile_cont."""
     e = Tables(spark, sf_dir).events
     b = e.groupBy(F.col("event_type").alias("bt")).agg(
-        F.expr("percentile(value, 0.25)").alias("q1"),
-        F.expr("percentile(value, 0.75)").alias("q3"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
@@ -212,7 +216,7 @@ def outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     TIMESTAMP '2024-01-04 23:00:00',
                                     INTERVAL 1 HOUR)) AS h),
     agg AS (
-      SELECT date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+      SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 4) AS v
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
     j AS (
       SELECT s.h, a.v,
@@ -261,7 +265,7 @@ def interpolate_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", "ts").alias("ah"))
-        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .agg(ravg4(F.avg("value")).alias("v"))
     )
     hh = F.col("h").cast("double") / 3600.0
     j = spine.join(agg, spine["h"] == agg["ah"], "left").select("h", "v", hh.alias("hh"))

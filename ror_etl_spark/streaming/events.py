@@ -19,34 +19,31 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),  # parquet timestamp[us]
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet. The file's
-    timestamp[us] surfaces as TIMESTAMP_NTZ, but watermarks demand
-    TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the cast keeps the
+    """File-source stream over the events parquet, schema derived from a
+    batch probe of the same file so stream and batch can never disagree
+    on the ts dtype. The driver has shipped events.ts both as
+    timestamp[us] (surfaces as TIMESTAMP_NTZ) and as TIMESTAMP(NANOS)
+    (surfaces as long under nanosAsLong) across rounds; the batch path in
+    tables.py adapts at read time, and this mirrors it — probe the batch
+    schema, feed it to readStream, then apply the identical ns→us
+    conversion when the raw dtype is bigint. Watermarks demand TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the final cast keeps the
     wall-clock value, so stream results collect identically to the batch
-    twins reading ntz."""
+    twins."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the streaming file source wants a directory — point it at sf_dir and
     # glob-filter down to the single events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .format("parquet")
         .load(sf_dir)
     )
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
