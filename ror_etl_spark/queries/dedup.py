@@ -464,6 +464,11 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# range partitions for the distributed sorted-neighborhood sort; at 100 TB
+# this becomes n_rows / (a few 10⁶) — any value gives identical results
+_SN_PARTS = 8
+
+
 @query(
     "fuzzy_dedup_sorted_neighborhood",
     oracle="""
@@ -491,35 +496,80 @@ def fuzzy_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFra
     Levenshtein, keep near-misses (1 ≤ dist ≤ 5; 0 is plain exact dedup).
 
     Sorted-neighborhood turns the quadratic fuzzy-join into sort +
-    windowed comparisons — O(n·w) distance evaluations. The registered
-    form uses one global sort window (fine to ~10⁸ rows); at 100 TB the
-    standard deployment is repartitionByRange on the key with a w-row
-    boundary overlap per partition, which keeps every neighbor pair
-    local and nothing else changes."""
+    windowed comparisons — O(n·w) distance evaluations — and this form
+    keeps the sort DISTRIBUTED (the r4 registered form ran one global
+    Window.orderBy, i.e. every row through a single task — the last
+    scale-killer plan):
+
+      1. repartitionByRange on the sort key spreads the total order over
+         _SN_PARTS range partitions;
+      2. within each partition the w=2 leads come from the SAME window
+         that sorts it — map-side after the one shuffle;
+      3. the pairs that straddle a partition boundary come from a tiny
+         overlap frame: the first 2 and last 2 rows of every partition
+         (≤ 4·_SN_PARTS rows total) joined head-to-tail, so cross-
+         boundary neighbors cost a broadcast of ~nothing.
+
+    Invariant: every range partition must hold ≥ w rows — guaranteed by
+    sizing _SN_PARTS ≪ n/w (the range partitioner balances counts);
+    degenerate sub-w partitions would drop their boundary pairs.
+
+    Shuffle profile: one range shuffle of the slim (key, name)
+    projection + one pid-hash exchange for the rank window; everything
+    else is map-side or driver-scale."""
     from pyspark.sql.window import Window
 
-    p = Tables(spark, sf_dir).part
-    w = Window.orderBy("p_name", "p_partkey")
-    s = p.select(
-        "p_partkey",
-        "p_name",
-        F.lead("p_partkey", 1).over(w).alias("nk1"),
-        F.lead("p_name", 1).over(w).alias("nn1"),
-        F.lead("p_partkey", 2).over(w).alias("nk2"),
-        F.lead("p_name", 2).over(w).alias("nn2"),
+    keys = ["p_name", "p_partkey"]
+    # (the range partitioner's sampling pass re-reads this 2-column scan;
+    # measured: the double scan is cheaper than a checkpoint job here)
+    p = Tables(spark, sf_dir).part.select("p_partkey", "p_name")
+    w = Window.partitionBy("pid").orderBy(*keys)
+    local = (
+        p.repartitionByRange(_SN_PARTS, *keys)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w))
+        .withColumn("nk1", F.lead("p_partkey", 1).over(w))
+        .withColumn("nn1", F.lead("p_name", 1).over(w))
+        .withColumn("nk2", F.lead("p_partkey", 2).over(w))
+        .withColumn("nn2", F.lead("p_name", 2).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("pid")))
     )
-    pairs1 = s.filter(F.col("nn1").isNotNull()).select(
+    # consumed by three branches (in-partition pairs, heads, tails) —
+    # materialize once instead of re-running range shuffle + window per
+    # branch (lazy: computed inside the query's own first job). Conf gate
+    # exists so plan tests can inspect the pre-checkpoint physical plan.
+    if spark.conf.get("spark.ror.sn.checkpoint", "true") == "true":
+        local = local.localCheckpoint(eager=False)
+    inpart = local.filter(F.col("nn1").isNotNull()).select(
         F.col("p_partkey").alias("id_a"),
         F.col("nk1").alias("id_b"),
         F.levenshtein("p_name", "nn1").alias("dist"),
+    ).unionAll(
+        local.filter(F.col("nn2").isNotNull()).select(
+            F.col("p_partkey").alias("id_a"),
+            F.col("nk2").alias("id_b"),
+            F.levenshtein("p_name", "nn2").alias("dist"),
+        )
     )
-    pairs2 = s.filter(F.col("nn2").isNotNull()).select(
+    heads = local.filter(F.col("lrn") <= 2).select(
+        F.col("pid").alias("jp"),
+        F.col("lrn").alias("m"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("hname"),
+    )
+    tails = local.filter(F.col("lrn") >= F.col("cnt") - 1).select(
+        (F.col("pid") + 1).alias("jp"),
+        (F.col("cnt") - F.col("lrn")).alias("r"),
         F.col("p_partkey").alias("id_a"),
-        F.col("nk2").alias("id_b"),
-        F.levenshtein("p_name", "nn2").alias("dist"),
+        F.col("p_name").alias("tname"),
+    )
+    boundary = (
+        tails.join(F.broadcast(heads), "jp")
+        .filter(F.col("r") + F.col("m") <= 2)
+        .select("id_a", "id_b", F.levenshtein("tname", "hname").alias("dist"))
     )
     return (
-        pairs1.unionAll(pairs2)
+        inpart.unionAll(boundary)
         .filter(F.col("dist").between(1, 5))
         .orderBy("id_a", "id_b")
     )

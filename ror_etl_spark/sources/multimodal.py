@@ -123,21 +123,22 @@ def png_encode(
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     stride = width * channels
     raw = bytearray()
-    prev = bytes(stride)
+    pv = 0
     for y in range(height):
-        row = bytes([row_value(y) & 0xFF]) * stride
+        # every sample in row y is the same value v, so the filtered
+        # scanline is closed-form — no per-byte loop:
+        #   None: v everywhere; Sub: v for the first pixel then zeros;
+        #   Up: (v - prev_v) everywhere
+        v = row_value(y) & 0xFF
         if filter_type == 0:
-            filtered = row
-        elif filter_type == 1:  # Sub: delta vs the sample `channels` back
-            filtered = bytes(
-                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
-                for i in range(stride)
-            )
-        else:  # Up: delta vs the same sample one scanline up
-            filtered = bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+            filtered = bytes([v]) * stride
+        elif filter_type == 1:
+            filtered = bytes([v]) * channels + bytes(stride - channels)
+        else:
+            filtered = bytes([(v - pv) & 0xFF]) * stride
         raw.append(filter_type)
         raw.extend(filtered)
-        prev = row
+        pv = v
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -235,36 +236,73 @@ def png_decode(data: bytes):
     if len(raw) != h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
 
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fts, lines = arr[:, 0], arr[:, 1:]
+    # whole-image fast paths when every scanline uses the same filter
+    # (the common writer behavior, and our fixtures): one or two numpy
+    # calls instead of a per-row loop of tiny array ops
+    ft0 = int(fts[0])
+    if (fts == ft0).all():
+        if ft0 == 0:
+            return lines.reshape(h, w, c).copy()
+        if ft0 == 2:  # Up everywhere — column-wise prefix sum mod 256
+            return (
+                (np.cumsum(lines, axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(h, w, c)
+            )
+        if ft0 == 1:  # Sub everywhere — per-row channel-lane prefix sum
+            return (
+                (np.cumsum(lines.reshape(h, w, c), axis=1, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+            )
+
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
+    rowlen = stride + 1
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
+        ft = raw[y * rowlen]
+        off = y * rowlen + 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off)
         if ft == 0:
             rec = line
-        elif ft == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - c] if x >= c else 0
-                b = int(prev[x])
-                if ft == 1:
-                    rec[x] = (line[x] + a) & 0xFF
-                elif ft == 3:
-                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
-                else:
-                    cc = int(prev[x - c]) if x >= c else 0
+        elif ft == 2:  # Up — uint8 addition wraps mod 256, which IS the spec
+            rec = line + prev
+        elif ft == 1:
+            # Sub: rec[x] = line[x] + rec[x-c] — a per-channel-lane prefix
+            # sum mod 256 (mod distributes over +), so one cumsum over the
+            # (w, c) view replaces the per-byte Python loop
+            rec = (
+                (np.cumsum(line.reshape(w, c), axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft in (3, 4):
+            # Average / Paeth carry a true left-to-right data dependence
+            # (floor-div / 3-way min of the running value) — keep the
+            # scalar loop but on Python lists: list indexing beats numpy
+            # scalar indexing several-fold in this shape
+            lb = raw[off : off + stride]
+            pl = prev.tolist()
+            rl = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    a = rl[x - c] if x >= c else 0
+                    rl[x] = (lb[x] + ((a + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = rl[x - c] if x >= c else 0
+                    b = pl[x]
+                    cc = pl[x - c] if x >= c else 0
                     p = a + b - cc
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
-                    rec[x] = (line[x] + pred) & 0xFF
+                    rl[x] = (lb[x] + pred) & 0xFF
+            rec = np.array(rl, dtype=np.uint8)
         else:
             raise ValueError(f"bad filter type {ft}")
-        out[y] = rec.astype(np.uint8)
-        prev = out[y].astype(np.uint8)
+        out[y] = rec
+        prev = out[y]
     return out.reshape(h, w, c)
 
 

@@ -68,6 +68,65 @@ def test_png_roundtrip_all_filters():
             assert (px.reshape(5, -1) == expect).all(), (channels, ft)
 
 
+def test_png_decode_sub_filter_random_pixels():
+    # the Sub unfilter is a vectorized per-lane cumsum — uniform-row
+    # fixtures (png_encode) leave it mostly zeros, so drive it with
+    # random pixels, every channel count, and Sub mixed among other
+    # filters (the carry into/out of a Sub row must survive)
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ror_etl_spark.sources.multimodal import PNG_SIG, png_decode
+
+    rng = np.random.default_rng(11)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for c, color_type in ((1, 0), (2, 4), (3, 2), (4, 6)):
+        for filters in ((1,), (1, 2, 1, 0), (4, 1, 3)):
+            h, w = 9, 11
+            img = rng.integers(0, 256, size=(h, w * c), dtype=np.int32)
+            raw = bytearray()
+            prev = np.zeros(w * c, dtype=np.int32)
+            for y in range(h):
+                ft = filters[y % len(filters)]
+                raw.append(ft)
+                for x in range(w * c):
+                    a = int(img[y, x - c]) if x >= c else 0
+                    b = int(prev[x])
+                    cc = int(prev[x - c]) if x >= c else 0
+                    if ft == 0:
+                        pred = 0
+                    elif ft == 1:
+                        pred = a
+                    elif ft == 2:
+                        pred = b
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - cc
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    raw.append((int(img[y, x]) - pred) & 0xFF)
+                prev = img[y]
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+            data = (
+                PNG_SIG
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+            assert (png_decode(data).reshape(h, -1) == img).all(), (c, filters)
+
+
 def test_png_decode_average_and_paeth_filters():
     # hand-filter a known image with Average (3) and Paeth (4) scanlines —
     # the decoder must invert both (spec §9 reference arithmetic)

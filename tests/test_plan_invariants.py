@@ -57,6 +57,20 @@ def test_no_nested_loop_join(spark, name):
     assert "BroadcastNestedLoop" not in p, name
 
 
+def test_sorted_neighborhood_sort_is_distributed(spark):
+    # the r4 form ran one global Window.orderBy — every row through a
+    # single task. The fix must keep the sort range-partitioned (>1
+    # partition) and rank rows per-partition, never globally. The
+    # checkpoint is disabled so the pre-checkpoint plan is inspectable.
+    spark.conf.set("spark.ror.sn.checkpoint", "false")
+    try:
+        p = plan_of(spark, "fuzzy_dedup_sorted_neighborhood")
+    finally:
+        spark.conf.set("spark.ror.sn.checkpoint", "true")
+    assert "rangepartitioning(p_name" in p, "sort must spread over range partitions"
+    assert "hashpartitioning(pid" in p, "rank window must partition by pid"
+
+
 def test_q1_pushdown_and_pruning(spark):
     p = plan_of(spark, "q1_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate)" in p
