@@ -221,6 +221,50 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(32 AS BIGINT) AS width,
+           CAST(24 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           CAST(32 * 24 AS BIGINT) AS n_pixels,
+           round(list_aggregate(
+             list_transform(range(0, 24),
+               y -> (doc_id + (y * (length(text) % 48 + 1)) // 24) % 256),
+             'avg'), 4) AS mean_px
+    FROM documents
+    ORDER BY media_id
+    """,
+    priority=2,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (SURVEY §2.3 multimodal row, last stubbed step
+    now implemented): PNG fixtures are decoded, nearest-neighbor
+    resampled to 32×24 by integer index sampling (src = dst·size//24),
+    re-encoded, then decoded AGAIN for stats — so a resampling bug
+    anywhere (index math, re-encode, second decode) breaks the hash. The
+    oracle replays the sampling rule in SQL: resized row y' shows source
+    row (y'·h)//24, whose every pixel is (doc_id + y) % 256."""
+    from ror_etl_spark.operators.util import spread
+    from ror_etl_spark.sources.multimodal import (
+        decode_stats,
+        png_media_from_documents,
+        resize_nearest,
+    )
+
+    d = spread(Tables(spark, sf_dir).documents)
+    stats = decode_stats(resize_nearest(png_media_from_documents(d), 32, 24))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_pixels",
+        F.round("mean_px", 4).alias("mean_px"),
+    ).orderBy("media_id")
+
+
+@query(
     "multimodal_audio_stats",
     oracle="""
     SELECT doc_id AS media_id,

@@ -147,6 +147,50 @@ def png_encode(
     )
 
 
+def png_encode_pixels(px, filter_type: int = 0) -> bytes:
+    """PNG writer for an ARBITRARY (h, w, c) uint8 pixel array (8-bit,
+    c in {1,2,3,4}, no interlace) — the encoder the resize path needs,
+    where scanlines are no longer uniform. Filter 0 keeps the filtered
+    stream a plain memory copy; zlib does the compression."""
+    import numpy as np
+
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if filter_type != 0:
+        raise ValueError("png_encode_pixels writes filter 0 only")
+    # one filter byte per scanline then raw samples: build as one array
+    flat = np.zeros((h, w * c + 1), dtype=np.uint8)
+    flat[:, 1:] = np.ascontiguousarray(px, dtype=np.uint8).reshape(h, w * c)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(flat.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest_px(px, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, c) array by integer index
+    sampling: source index = (dst_index * src_size) // dst_size — pure
+    numpy fancy indexing, exactly replayable in SQL for oracles."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs, :]
+
+
 def png_parse_header(data: bytes) -> dict:
     """(fmt, width, height, channels, bit_depth) from the IHDR chunk."""
     if data[:8] != PNG_SIG:
@@ -451,20 +495,30 @@ def decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batch_fn, schema=DECODE_STATS_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payload through mapInPandas with updated
-    metadata. Unlike decode (real PNG/JPEG/WAV codecs above), the pixel
-    resample itself stays a deliberate stub — this container has no image
-    libs and a hand-rolled resampler would be dead weight; the Spark side
-    (schema, Arrow batching, metadata rewrite) is the tested surface."""
+def resize_nearest(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over the binary media column: PNG payloads are
+    decoded (inflate + unfilter), nearest-neighbor resampled by integer
+    index sampling (src = (dst * src_size) // dst_size), and re-encoded —
+    no image libraries, pure numpy inside the Arrow-batched mapInPandas.
+    Non-PNG payloads pass through untouched (metadata included): WAV/JPEG
+    resampling is a different codec's job and silently rewriting their
+    meta would lie about the bytes."""
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                data = bytes(content)
+                if data[:8] == PNG_SIG:
+                    resized = resize_nearest_px(png_decode(data), width, height)
+                    contents.append(png_encode_pixels(resized))
+                    metas.append({**meta, "width": width, "height": height})
+                else:
+                    contents.append(data)
+                    metas.append(meta)
             out = pdf.copy()
-            out["meta"] = out["meta"].map(
-                lambda m: {**m, "width": width, "height": height}
-            )
-            # real implementation: out["content"] = decode→resize→encode
+            out["content"] = contents
+            out["meta"] = metas
             yield out
 
     return media.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)

@@ -10,7 +10,7 @@ from ror_etl_spark.sources.multimodal import (
     extract_features,
     frame_sample_stub,
     media_from_documents,
-    resize_stub,
+    resize_nearest,
 )
 from ror_etl_spark.tables import Tables
 from tests.conftest import SF_SMALL
@@ -210,9 +210,40 @@ def test_real_features_from_png_media(spark):
         assert f[3] == 8.0  # bit depth
 
 
-def test_resize_updates_meta_only(spark):
-    out = resize_stub(_media(spark, n=5), 64, 48).collect()
-    assert all(r["meta"]["width"] == 64 and r["meta"]["height"] == 48 for r in out)
+def test_resize_nearest_real_pixels(spark):
+    # real resample: decode the resized payload and check BOTH dimensions
+    # and exact pixel identity against index-sampling the original decode
+    from ror_etl_spark.sources.multimodal import (
+        png_decode,
+        png_media_from_documents,
+        resize_nearest_px,
+    )
+
+    docs = Tables(spark, SF_SMALL).documents.limit(6)
+    media = png_media_from_documents(docs)
+    orig = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    out = resize_nearest(media, 32, 24).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+        px = png_decode(bytes(r["content"]))
+        assert px.shape[:2] == (24, 32)
+        expect = resize_nearest_px(png_decode(orig[r["media_id"]]), 32, 24)
+        assert (px == expect).all(), r["media_id"]
+
+
+def test_resize_nearest_passes_non_png_through(spark):
+    # fake (non-PNG) payloads must come back byte-identical, meta intact —
+    # rewriting meta for bytes we didn't touch would lie
+    src = {
+        r["media_id"]: (bytes(r["content"]), r["meta"])
+        for r in _media(spark, n=5).collect()
+    }
+    out = resize_nearest(_media(spark, n=5), 64, 48).collect()
+    for r in out:
+        content, meta = src[r["media_id"]]
+        assert bytes(r["content"]) == content
+        assert r["meta"] == meta
 
 
 def test_frame_sample_explodes_by_metadata(spark):
