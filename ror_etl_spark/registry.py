@@ -49,11 +49,36 @@ def query(
     return deco
 
 
+# Queries whose results depend on the events.ts timestamp encoding — the
+# one column the driver's testdata regenerator has already drifted (r4:
+# TIMESTAMP(NANOS) -> timestamp[us]). Kept at elevated priority so every
+# round's capped driver window re-confirms them against freshly generated
+# data instead of spending all 50 slots on drift-immune re-confirmations.
+_DRIFT_SENSITIVE = [
+    "asof_join_events",
+    "sessionize_events",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_batch",
+    "gapfill_hourly_purchases",
+    "interpolate_hourly_gaps",
+    "outlier_iqr_events",
+    "hypertable_daily_from_hourly",
+    "funnel_signup_click_purchase",
+    "cohort_retention",
+    "events_band_self_join",
+    "sketch_distinct_users_rollup",
+]
+
+
 def load_all() -> None:
     """Import every query module (idempotent)."""
     from ror_etl_spark import queries  # noqa: F401
 
     queries.load()
+    for name in _DRIFT_SENSITIVE:
+        if name in QUERIES:
+            PRIORITY[name] = max(PRIORITY.get(name, 0), 4)
 
 
 def _past_verdicts(repo_root: str) -> dict[str, bool]:
