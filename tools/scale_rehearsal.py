@@ -1,0 +1,203 @@
+"""Scale rehearsal: measure the heaviest query families ONE decade past
+the bench tier (sf0.1 → sf≈1) so the 100 TB claim rests on a measured
+two-decade trend instead of a single 10× step (VERDICT r4 top item).
+
+``--gen`` synthesizes a 10× documents/embeddings corpus at
+/tmp/sparkgraft_sf1 drawn from the same generative family as the driver
+data (same 31-word vocabulary, 10-100 word lengths, same lang/source
+marginals, same planted exact-duplicate RATE, unit-normalized 64-dim
+embeddings with the same weak cluster structure plus a linear rate of
+planted near-dup twins) — matching the distribution keeps candidate-pair
+densities honest, whereas replicating rows 10× would square the
+similarity-join output and fake a superlinear blowup. Remaining tables
+are symlinked from sf0.1 so multi-table queries resolve.
+
+``--run`` times the heavy families at sf0.1 and sf1 (best-of-2,
+noop-write materialization) and prints the 10× step ratio per query.
+
+Usage:
+    python tools/scale_rehearsal.py --gen
+    python tools/scale_rehearsal.py --run
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1_DIR = "/tmp/sparkgraft_sf1"
+SF01_DIR = "/root/testdata/sf0.1"
+
+N_DOCS = 50_000  # 10x sf0.1
+N_VECS = 20_000  # 10x sf0.1
+DIM = 64
+
+VOCAB = [
+    "the", "line", "small", "group", "spark", "fast", "customer", "batch",
+    "data", "sort", "value", "hash", "filter", "big", "dup", "part", "scan",
+    "slow", "agg", "key", "window", "table", "merge", "join", "query", "row",
+    "stream", "column", "order", "a", "vector",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
+
+HEAVY = [
+    "dedup_winnow_pairs",
+    "dedup_prefix_filter_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "embedding_near_dup_pairs",
+    "embedding_cosine_topk",
+    "multimodal_decode_stats",
+    "llm_corpus_pipeline",
+    "text_boilerplate_ngrams",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+]
+
+
+def gen() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4242)
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    # --- documents ---
+    lengths = rng.integers(10, 101, size=N_DOCS)
+    word_idx = rng.integers(0, len(VOCAB), size=int(lengths.sum()))
+    texts: list[str] = []
+    pos = 0
+    for n in lengths:
+        texts.append(" ".join(VOCAB[i] for i in word_idx[pos : pos + n]))
+        pos += n
+    # planted exact duplicates at the sf0.1 rate (8 pairs / 5000 docs)
+    n_dup_pairs = round(N_DOCS * 8 / 5000)
+    dup_src = rng.choice(N_DOCS, size=2 * n_dup_pairs, replace=False)
+    for a, b in dup_src.reshape(-1, 2):
+        texts[b] = texts[a]
+    langs = rng.choice(LANGS, size=N_DOCS, p=LANG_W)
+    sources = np.array([f"src{i}" for i in rng.integers(0, 20, size=N_DOCS)])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs.tolist(), type=pa.string()),
+            "source": pa.array(sources.tolist(), type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(SF1_DIR, "documents.parquet"))
+
+    # --- embeddings: weak 10-cluster structure on the unit sphere, plus a
+    # linear rate of planted near-dup twins (vec + small noise) ---
+    labels = rng.integers(0, 10, size=N_VECS)
+    centroids = rng.normal(0, 0.07, size=(10, DIM))
+    V = centroids[labels] + rng.normal(0, 0.125, size=(N_VECS, DIM))
+    n_twin = round(N_VECS * 10 / 2000)  # ~10 planted twins per 2000 at sf0.1
+    twin_src = rng.choice(N_VECS, size=2 * n_twin, replace=False).reshape(-1, 2)
+    for a, b in twin_src:
+        V[b] = V[a] + rng.normal(0, 0.01, size=DIM)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in V], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype("int32"), type=pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(SF1_DIR, "embeddings.parquet"))
+
+    # --- remaining tables: symlink from sf0.1 ---
+    for name in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events",
+    ):
+        dst = os.path.join(SF1_DIR, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF01_DIR, f"{name}.parquet"), dst)
+    print(f"wrote {SF1_DIR}: {N_DOCS} docs, {N_VECS} vecs")
+
+
+def run() -> None:
+    from ror_etl_spark import registry
+    from ror_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("scale-rehearsal")
+    spark.read.parquet(os.path.join(SF01_DIR, "nation.parquet")).count()
+
+    print(f"{'query':35s} {'sf0.1':>7s} {'sf1':>7s}  step")
+    rows = []
+    for name in HEAVY:
+        fn = registry.QUERIES[name]
+        times = []
+        for sf_dir in (SF01_DIR, SF1_DIR):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append(best)
+        ratio = times[1] / max(times[0], 1e-9)
+        rows.append((name, times[0], times[1], ratio))
+        print(f"{name:35s} {times[0]:7.2f} {times[1]:7.2f}  x{ratio:.1f}")
+    worst = max(rows, key=lambda r: r[3])
+    print(f"\nworst step: {worst[0]} x{worst[3]:.1f}")
+
+
+def kernel(n: int = 20_000_000, depth: int = 100) -> None:
+    """Re-run the synthetic fixpoint-rollup tier (NOTES.md kernel table)
+    with the current kernel: n nodes in chains of the given depth, built
+    from spark.range (no fixture dependence), correctness asserted by
+    closed form (root of id is id - id % depth)."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.operators.rollup import ultimate_parent
+    from ror_etl_spark.session import get_spark
+
+    spark = get_spark("kernel-scale")
+    edges = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % depth == 0, F.col("id"))
+        .otherwise(F.col("id") - 1)
+        .alias("parent"),
+    )
+    t0 = time.perf_counter()
+    res = ultimate_parent(edges, max_depth=depth, check_every=2)
+    bad = res.mapping.filter(
+        F.col("ultimate_parent") != F.col("id") - F.col("id") % depth
+    ).count()
+    wall = time.perf_counter() - t0
+    print(
+        f"kernel: n={n:,} depth={depth} iterations={res.iterations} "
+        f"wall={wall:.1f}s wrong_roots={bad}"
+    )
+    assert bad == 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--kernel", action="store_true")
+    ap.add_argument("--kernel-n", type=int, default=20_000_000)
+    ap.add_argument("--kernel-depth", type=int, default=100)
+    args = ap.parse_args()
+    if args.gen:
+        gen()
+    if args.run:
+        run()
+    if args.kernel:
+        kernel(args.kernel_n, args.kernel_depth)
+    if not (args.gen or args.run or args.kernel):
+        print("pass --gen, --run and/or --kernel")
