@@ -265,6 +265,59 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(length(text) % 16 + 1 AS BIGINT) AS width,
+           CAST(length(text) % 12 + 1 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           round(list_aggregate(
+             list_transform(range(0, length(text) % 12 + 1),
+                            y -> (doc_id + 7 * f + y) % 256),
+             'avg'), 4) AS mean_px
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, length(text) % 6 + 2, 2)) AS f) g
+    ORDER BY media_id, frame_idx
+    """,
+    priority=2,
+)
+def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (SURVEY §2.3 multimodal row — the last
+    stubbed step, now implemented): every document becomes a valid APNG
+    (2-7 full-size frames, acTL/fcTL/fdAT per the PNG spec 3rd edition,
+    frame pixels closed-form in doc_id/frame/row), the sampler decodes the
+    animation chunk-walk + per-frame inflate/unfilter, keeps every 2nd
+    frame, re-encodes each kept frame as a standalone still PNG, and the
+    stats pass decodes those AGAIN — so container parse, frame split,
+    re-encode and second decode are all under the hash. frame_idx rides
+    through the still-image stats helper packed into the key (16 > max
+    n_frames), unpacked afterwards; the oracle predicts every value from
+    the generation rule."""
+    from ror_etl_spark.operators.util import spread
+    from ror_etl_spark.sources.multimodal import (
+        apng_media_from_documents,
+        decode_stats,
+        frame_sample,
+    )
+
+    d = spread(Tables(spark, sf_dir).documents)
+    frames = frame_sample(apng_media_from_documents(d), every_n=2)
+    packed = frames.select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"), "content"
+    )
+    stats = decode_stats(packed)
+    return stats.select(
+        F.floor(F.col("media_id") / 16).cast("long").alias("media_id"),
+        (F.col("media_id") % 16).cast("long").alias("frame_idx"),
+        "width",
+        "height",
+        "channels",
+        F.round("mean_px", 4).alias("mean_px"),
+    ).orderBy("media_id", "frame_idx")
+
+
+@query(
     "multimodal_audio_stats",
     oracle="""
     SELECT doc_id AS media_id,

@@ -99,6 +99,40 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    """length + tag + body + CRC32(tag+body) — PNG chunk framing."""
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _uniform_filtered_scanlines(
+    width: int, height: int, channels: int, row_value, filter_type: int
+) -> bytes:
+    """Filtered scanline stream for an image whose every row y is the
+    uniform value row_value(y): the filtered bytes are closed-form —
+    None: v everywhere; Sub: v for the first pixel then zeros;
+    Up: (v - prev_v) everywhere — so no per-byte loop."""
+    stride = width * channels
+    raw = bytearray()
+    pv = 0
+    for y in range(height):
+        v = row_value(y) & 0xFF
+        if filter_type == 0:
+            filtered = bytes([v]) * stride
+        elif filter_type == 1:
+            filtered = bytes([v]) * channels + bytes(stride - channels)
+        else:
+            filtered = bytes([(v - pv) & 0xFF]) * stride
+        raw.append(filter_type)
+        raw.extend(filtered)
+        pv = v
+    return bytes(raw)
+
+
 def png_encode(
     width: int,
     height: int,
@@ -111,39 +145,13 @@ def png_encode(
     ``filter_type`` 0 (None), 1 (Sub) or 2 (Up) is applied to every
     scanline so decoders must actually run the unfilter pass."""
     color_type = {1: 0, 3: 2, 4: 6}[channels]
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    stride = width * channels
-    raw = bytearray()
-    pv = 0
-    for y in range(height):
-        # every sample in row y is the same value v, so the filtered
-        # scanline is closed-form — no per-byte loop:
-        #   None: v everywhere; Sub: v for the first pixel then zeros;
-        #   Up: (v - prev_v) everywhere
-        v = row_value(y) & 0xFF
-        if filter_type == 0:
-            filtered = bytes([v]) * stride
-        elif filter_type == 1:
-            filtered = bytes([v]) * channels + bytes(stride - channels)
-        else:
-            filtered = bytes([(v - pv) & 0xFF]) * stride
-        raw.append(filter_type)
-        raw.extend(filtered)
-        pv = v
+    raw = _uniform_filtered_scanlines(width, height, channels, row_value, filter_type)
     return (
         PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -156,15 +164,6 @@ def png_encode_pixels(px, filter_type: int = 0) -> bytes:
 
     h, w, c = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     if filter_type != 0:
         raise ValueError("png_encode_pixels writes filter 0 only")
@@ -173,9 +172,9 @@ def png_encode_pixels(px, filter_type: int = 0) -> bytes:
     flat[:, 1:] = np.ascontiguousarray(px, dtype=np.uint8).reshape(h, w * c)
     return (
         PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(flat.tobytes()))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(flat.tobytes()))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -275,7 +274,15 @@ def png_decode(data: bytes):
         if tag == b"IEND":
             break
         i += 12 + length
-    raw = zlib.decompress(bytes(idat))
+    return _unfilter(zlib.decompress(bytes(idat)), w, h, c)
+
+
+def _unfilter(raw: bytes, w: int, h: int, c: int):
+    """Inflated filtered scanline stream → (h, w, c) uint8 pixels: the
+    PNG unfilter pass (spec §9), shared by the still decoder and the
+    per-frame APNG decoder."""
+    import numpy as np
+
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
@@ -452,6 +459,51 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
 
 
+def apng_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Real-APNG video fixture: one valid animated PNG per document,
+    every field derived deterministically from document columns so an
+    external oracle can predict per-frame decoded stats without a codec:
+
+        n_frames    = char_length(text) % 6 + 2     (2..7 frames)
+        width       = char_length(text) % 16 + 1
+        height      = char_length(text) % 12 + 1
+        channels    = 1 if doc_id even else 3
+        pixel[f, y] = (doc_id + 7*f + y) % 256      (uniform scanlines)
+        filter      = doc_id % 3                    (None / Sub / Up)
+    """
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = len(text) % 6 + 2
+                w = len(text) % 16 + 1
+                h = len(text) % 12 + 1
+                c = 1 if doc_id % 2 == 0 else 3
+                content = apng_encode(
+                    w, h, c, n_frames,
+                    lambda f, y, d=doc_id: (d + 7 * f + y) % 256,
+                    int(doc_id % 3),
+                )
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "content": content,
+                        "meta": {
+                            "kind": "video",
+                            "width": w,
+                            "height": h,
+                            "sample_rate": None,
+                            "duration_ms": n_frames * 40,
+                            "n_frames": n_frames,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
 DECODE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -524,18 +576,171 @@ def resize_nearest(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
 
 
-def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing: one output row per kept frame index,
-    metadata-driven (n_frames), payload untouched in the stub."""
-    frames = F.sequence(
-        F.lit(0), F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
-        F.lit(every_n),
-    )
-    return media.select(
-        "media_id",
-        F.explode(frames).alias("frame_idx"),
-        F.col("meta"),
-    )
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the video container for the frame sampler. APNG is
+# part of the PNG specification (W3C PNG 3rd edition §12: acTL / fcTL / fdAT
+# chunks); frames here are full-size (no sub-rectangle offsets), each frame's
+# pixel data an independent zlib stream, so every frame decodes with the same
+# inflate + unfilter pass as a still PNG.
+# ---------------------------------------------------------------------------
+
+_FCTL_FULL = struct.Struct(">IIIIIHHBB")  # seq, w, h, x, y, delay n/d, dispose, blend
+
+
+def apng_encode(
+    width: int,
+    height: int,
+    channels: int,
+    n_frames: int,
+    frame_row_value,  # callable (f, y) -> pixel value for every sample in row y
+    filter_type: int = 0,
+    delay_ms: int = 40,
+) -> bytes:
+    """Minimal pure-Python APNG writer: IHDR + acTL + (fcTL+IDAT for frame
+    0, the default image) + (fcTL+fdAT per later frame) + IEND. Full-size
+    frames, dispose NONE / blend SOURCE, one zlib stream per frame."""
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = bytearray(PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    seq = 0
+    for f in range(n_frames):
+        fctl = _FCTL_FULL.pack(seq, width, height, 0, 0, delay_ms, 1000, 0, 0)
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        raw = _uniform_filtered_scanlines(
+            width, height, channels, lambda y, f=f: frame_row_value(f, y), filter_type
+        )
+        data = zlib.compress(raw)
+        if f == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_decode_frames(data: bytes) -> list:
+    """Full APNG decode → list of (h, w, c) uint8 arrays, one per frame.
+
+    Chunk walk collects acTL/fcTL/IDAT/fdAT; each frame's (possibly
+    multi-chunk) data is one zlib stream, inflated and unfiltered with the
+    same `_unfilter` pass as still PNGs. Only the subset our writer emits
+    is supported (full-size frames at offset 0, default image is frame 0);
+    a plain PNG (no acTL) decodes as a single frame."""
+    hdr = png_parse_header(data)
+    w, h, c = hdr["width"], hdr["height"], hdr["channels"]
+    frames: list[bytearray] = []
+    n_declared = None
+    in_frame = False
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if tag == b"acTL":
+            n_declared = struct.unpack(">II", body)[0]
+        elif tag == b"fcTL":
+            _, fw, fh, fx, fy = struct.unpack(">IIIII", body[:20])
+            if (fw, fh, fx, fy) != (w, h, 0, 0):
+                raise ValueError("sub-rectangle APNG frames not supported")
+            frames.append(bytearray())
+            in_frame = True
+        elif tag == b"IDAT":
+            if not in_frame:  # plain PNG or default image outside animation
+                frames.append(bytearray())
+                in_frame = True
+            frames[-1].extend(body)
+        elif tag == b"fdAT":
+            frames[-1].extend(body[4:])  # skip the 4-byte sequence number
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if n_declared is not None and n_declared != len(frames):
+        raise ValueError("acTL frame count mismatch")
+    return [_unfilter(zlib.decompress(bytes(fr)), w, h, c) for fr in frames]
+
+
+def _is_apng(data: bytes) -> bool:
+    """Exact animation check: walk chunk tags until acTL or IDAT — a
+    substring scan could false-positive on compressed payload bytes."""
+    if data[:8] != PNG_SIG:
+        return False
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        if tag == b"acTL":
+            return True
+        if tag in (b"IDAT", b"IEND"):
+            return False
+        i += 12 + length
+    return False
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling over the binary media column: APNG
+    payloads are decoded (chunk walk + per-frame inflate/unfilter), every
+    ``every_n``-th frame kept, and each kept frame re-encoded as a
+    standalone still PNG — one output row per kept frame, pure stdlib +
+    numpy inside Arrow-batched mapInPandas. Non-animated payloads keep the
+    metadata-driven plumbing: one row per sampled frame index from
+    meta.n_frames, payload passed through untouched (no codec for that
+    container lives here, and rewriting its bytes would lie)."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                data = bytes(content)
+                if _is_apng(data):
+                    frames = apng_decode_frames(data)
+                    for f in range(0, len(frames), every_n):
+                        h, w, _ = frames[f].shape
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": f,
+                                "content": png_encode_pixels(frames[f]),
+                                "meta": {
+                                    **meta,
+                                    "kind": "image",
+                                    "width": w,
+                                    "height": h,
+                                    "n_frames": 1,
+                                },
+                            }
+                        )
+                else:
+                    n = max(int(meta["n_frames"] or 1), 1)
+                    for f in range(0, n, every_n):
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": f,
+                                "content": data,
+                                "meta": dict(meta),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batch_fn, schema=FRAME_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

@@ -8,7 +8,7 @@ import pytest
 from ror_etl_spark.sources.multimodal import (
     FEATURE_DIM,
     extract_features,
-    frame_sample_stub,
+    frame_sample,
     media_from_documents,
     resize_nearest,
 )
@@ -247,23 +247,88 @@ def test_resize_nearest_passes_non_png_through(spark):
 
 
 def test_frame_sample_explodes_by_metadata(spark):
-    rows = frame_sample_stub(_media(spark, n=5), every_n=1).collect()
-    # n_frames=1 for image fixtures → exactly one frame row each
+    # non-APNG payloads keep the metadata-driven plumbing: n_frames=1 for
+    # image fixtures → exactly one frame row each, payload untouched
+    src = {r["media_id"]: bytes(r["content"]) for r in _media(spark, n=5).collect()}
+    rows = frame_sample(_media(spark, n=5), every_n=1).collect()
     assert len(rows) == 5
     assert all(r["frame_idx"] == 0 for r in rows)
+    assert all(bytes(r["content"]) == src[r["media_id"]] for r in rows)
 
 
-def test_video_frame_sampling(spark):
-    """Video-shaped metadata: n_frames drives the sample explosion."""
-    from pyspark.sql import functions as F
-
+def test_video_frame_sampling_metadata_fallback(spark):
+    """Non-APNG video payload: n_frames metadata drives the explosion."""
     rows = [(1, b"fakevideo", ("video", 640, 480, None, 5000, 100))]
     media = spark.createDataFrame(
         rows, "media_id long, content binary, meta struct<kind:string,width:int,height:int,sample_rate:int,duration_ms:int,n_frames:int>"
     )
-    out = frame_sample_stub(media, every_n=10).collect()
+    out = frame_sample(media, every_n=10).collect()
     assert [r["frame_idx"] for r in out] == list(range(0, 100, 10))
     assert all(r["meta"]["kind"] == "video" for r in out)
+
+
+def test_apng_roundtrip_all_filters():
+    import numpy as np
+
+    from ror_etl_spark.sources.multimodal import apng_decode_frames, apng_encode
+
+    for c in (1, 3, 4):
+        for ft in (0, 1, 2):
+            data = apng_encode(
+                7, 5, c, 4, lambda f, y: (11 * f + 3 * y) % 256, ft
+            )
+            frames = apng_decode_frames(data)
+            assert len(frames) == 4
+            for f, px in enumerate(frames):
+                assert px.shape == (5, 7, c)
+                expect = np.array(
+                    [[(11 * f + 3 * y) % 256] * 7 * c for y in range(5)],
+                    dtype=np.uint8,
+                ).reshape(5, 7, c)
+                assert (px == expect).all(), (c, ft, f)
+
+
+def test_plain_png_decodes_as_single_frame():
+    from ror_etl_spark.sources.multimodal import (
+        apng_decode_frames,
+        png_decode,
+        png_encode,
+    )
+
+    data = png_encode(6, 4, 3, lambda y: (40 + y) % 256, 1)
+    frames = apng_decode_frames(data)
+    assert len(frames) == 1
+    assert (frames[0] == png_decode(data)).all()
+
+
+def test_real_frame_sampling_decodes_kept_frames(spark):
+    """APNG payloads: every kept output row is a standalone still PNG whose
+    pixels equal the source animation's frame — real decode, not metadata."""
+    from ror_etl_spark.sources.multimodal import (
+        apng_media_from_documents,
+        png_decode,
+    )
+
+    docs = Tables(spark, SF_SMALL).documents.limit(8)
+    media = apng_media_from_documents(docs)
+    n_frames = {
+        r["media_id"]: r["meta"]["n_frames"] for r in media.collect()
+    }
+    out = frame_sample(media, every_n=2).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        assert [r["frame_idx"] for r in rows] == list(range(0, n_frames[mid], 2))
+        for r in rows:
+            px = png_decode(bytes(r["content"]))
+            f = r["frame_idx"]
+            # fixture rule: pixel[f, y] = (doc_id + 7 f + y) % 256
+            assert all(
+                (px[y] == (mid + 7 * f + y) % 256).all()
+                for y in range(px.shape[0])
+            )
+            assert r["meta"]["n_frames"] == 1 and r["meta"]["kind"] == "image"
 
 
 def test_wav_roundtrip_and_parse_errors():

@@ -54,6 +54,9 @@ HEAVY = [
     "embedding_near_dup_pairs",
     "embedding_cosine_topk",
     "multimodal_decode_stats",
+    "multimodal_frame_sample_stats",  # documents-based like the rest;
+    # fuzzy_dedup_sorted_neighborhood is excluded: it reads `part`, which
+    # is symlinked (not scaled) at sf1, so its ratio would be meaningless
     "llm_corpus_pipeline",
     "text_boilerplate_ngrams",
     "text_token_stats",
