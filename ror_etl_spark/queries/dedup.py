@@ -655,21 +655,33 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
-    tb = toks.select(F.col("doc_id").alias("rid"), F.col("sh").alias("shb"))
+    # Verify on a FORWARD INDEX (one row per doc: its full shingle set as
+    # an array) instead of re-joining the token expansion: the token form
+    # explodes |cand| × avg_shingles narrow rows (≈1G at 10M candidates)
+    # through two shuffles and a huge hash aggregate — measured 97.5 s at
+    # the sf1 rehearsal — while the index form shuffles only the slim
+    # candidate pairs plus 2 bounded array attachments and computes the
+    # intersection size per row in one pass (set-semantics arrays, so
+    # array_intersect size IS the overlap). Neither index side is
+    # broadcast: at 100 TB the forward index is corpus-sized, so both
+    # attachments stay shuffle joins on the candidate's doc keys.
+    arrs = toks.groupBy("doc_id").agg(F.array_sort(F.collect_list("sh")).alias("ss"))
+    sa = arrs.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ssa"))
+    sb = arrs.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ssb"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, (F.col("id_b") == F.col("rid")) & (F.col("sha") == F.col("shb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ssa", "ssb")).cast("double").alias("i"),
+            F.size("ssa").alias("na"),
+            F.size("ssb").alias("nb"),
+        )
     )
-    na = nt.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("na"))
-    nb = nt.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nb"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(jac >= _PF_T)
+        inter.filter(jac >= _PF_T)
         .select("id_a", "id_b", r4(jac).alias("jac"))
         .orderBy("id_a", "id_b")
     )
