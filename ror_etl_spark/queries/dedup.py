@@ -668,7 +668,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_intersect size IS the overlap). Neither index side is
     # broadcast: at 100 TB the forward index is corpus-sized, so both
     # attachments stay shuffle joins on the candidate's doc keys.
-    arrs = toks.groupBy("doc_id").agg(F.array_sort(F.collect_list("sh")).alias("ss"))
+    # both candidate sides consume the index; recomputing the agg per side
+    # beats materializing it (measured: a localCheckpoint here costs ~10%
+    # at BOTH sf0.1 and sf1 — the wide array column is expensive to spill
+    # and cheap to rebuild from the checkpointed toks)
+    arrs = toks.groupBy("doc_id").agg(F.collect_list("sh").alias("ss"))
     sa = arrs.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ssa"))
     sb = arrs.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ssb"))
     inter = (
