@@ -103,7 +103,10 @@ class RorPipeline:
         fixpoint → broadcast join-back; cycles alert but don't fail
         (get_ultimate_parent.py semantics, SURVEY §2.2)."""
         assert_unique_ids(ror)
-        result = ultimate_parent(extract_parent_edges(ror))
+        # check_every=2 halves the convergence-aggregate jobs (each is a
+        # fixed ~0.3 s shuffle round locally); results are identical and
+        # the duplicate-explosion guard still fires at the first check
+        result = ultimate_parent(extract_parent_edges(ror), check_every=2)
         if result.n_in_cycle:
             self.alert(
                 f"rollup: {result.n_in_cycle} id(s) did not converge to a "

@@ -123,11 +123,20 @@ def main() -> None:
         jsonl = os.path.join(tmp, "ror.jsonl")
         make_orgs(args.n, jsonl)
 
-        ref_s = reference_style(jsonl, os.path.join(tmp, "ref_out.jsonl"))
+        # best-of-3 on BOTH engines (the host is a shared VM — ambient
+        # load drifts; single-shot timings flapped ±30% between rounds)
+        ref_s = min(
+            reference_style(jsonl, os.path.join(tmp, f"ref_out{i}.jsonl"))
+            for i in range(3)
+        )
+        os.replace(os.path.join(tmp, "ref_out0.jsonl"), os.path.join(tmp, "ref_out.jsonl"))
         spark.read.parquet  # session warm
         eng_s = spark_style(spark, jsonl, os.path.join(tmp, "eng_out"))
-        # second run = steady state (JVM warm, code compiled)
-        eng_s2 = spark_style(spark, jsonl, os.path.join(tmp, "eng_out2"))
+        # later runs = steady state (JVM warm, code compiled)
+        eng_s2 = min(
+            spark_style(spark, jsonl, os.path.join(tmp, f"eng_out{i+2}"))
+            for i in range(3)
+        )
 
         # sanity: identical results
         ref = {}
