@@ -31,6 +31,9 @@ PICKS = {
     "equidepth_bin_assign": "equi-depth binning: exact decile bounds as 1-row broadcast, no global sort of the fact side",
     "text_repetition_filter": "Gopher repetition rule: fan-out repartition, explode, two map-side-combined aggregations",
     "salted_join_segment_revenue": "8-way salted join: dim exploded per salt, fact hot keys spread across reducers",
+    "dedup_prefix_filter_jaccard": "exact similarity join: prefix-bucket candidates (no NLJ), forward-index verify via array_intersect (r5 rewrite)",
+    "fuzzy_dedup_sorted_neighborhood": "sorted-neighborhood: range-partitioned distributed sort + per-pid window, broadcast boundary overlap (r5 rewrite)",
+    "multimodal_frame_sample_stats": "APNG frame sampling: metadata-pruned scan feeding chained Arrow-batched mapInPandas stages",
 }
 
 
