@@ -188,13 +188,72 @@ def kernel(n: int = 20_000_000, depth: int = 100) -> None:
     assert bad == 0
 
 
+def sn(n: int = 5_000_000) -> None:
+    """Scale tier for the r5 distributed sorted-neighborhood rewrite
+    (queries/dedup.py): 5M synthetic part names (the registered query's
+    input is `part`, which the corpus generator doesn't scale), run the
+    REGISTERED query untouched against a tmp table dir, and cross-check
+    pair count + total distance against DuckDB computing the same
+    neighborhood with its own global window — an independent engine, so
+    partition-boundary pair loss (the failure mode the overlap frame
+    exists to prevent) cannot hide."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark import registry
+    from ror_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("sn-scale")
+    sn_dir = "/tmp/sparkgraft_sn"
+    os.makedirs(sn_dir, exist_ok=True)
+    path = os.path.join(sn_dir, "part.parquet")
+    if not os.path.exists(path):
+        # names sort like ids but with digit-carry near-misses, so the
+        # lead-window distances are non-trivial (1..len on carry runs)
+        spark.range(n).select(
+            F.col("id").alias("p_partkey"),
+            F.format_string("n%09d", F.col("id")).alias("p_name"),
+        ).coalesce(8).write.mode("overwrite").parquet(path)
+
+    fn = registry.QUERIES["fuzzy_dedup_sorted_neighborhood"]
+    t0 = time.perf_counter()
+    got = fn(spark, sn_dir).agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("dist").alias("sum_dist")
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    exp = duckdb.sql(
+        f"""
+        WITH s AS (
+          SELECT p_partkey, p_name,
+                 lead(p_name, 1) OVER (ORDER BY p_name, p_partkey) AS nn1,
+                 lead(p_name, 2) OVER (ORDER BY p_name, p_partkey) AS nn2
+          FROM read_parquet('{path}/*.parquet'))
+        SELECT count(*) AS n_pairs, sum(dist) AS sum_dist FROM (
+          SELECT levenshtein(p_name, nn1) AS dist FROM s WHERE nn1 IS NOT NULL
+          UNION ALL
+          SELECT levenshtein(p_name, nn2) FROM s WHERE nn2 IS NOT NULL)
+        WHERE dist BETWEEN 1 AND 5
+        """
+    ).fetchone()
+    ok = (got["n_pairs"], int(got["sum_dist"])) == (exp[0], int(exp[1]))
+    print(
+        f"sorted-neighborhood: n={n:,} pairs={got['n_pairs']:,} "
+        f"sum_dist={int(got['sum_dist'])} wall={wall:.1f}s "
+        f"duckdb_match={ok}"
+    )
+    assert ok, (got, exp)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--kernel", action="store_true")
+    ap.add_argument("--sn", action="store_true")
     ap.add_argument("--kernel-n", type=int, default=20_000_000)
     ap.add_argument("--kernel-depth", type=int, default=100)
+    ap.add_argument("--sn-n", type=int, default=5_000_000)
     args = ap.parse_args()
     if args.gen:
         gen()
@@ -202,5 +261,7 @@ if __name__ == "__main__":
         run()
     if args.kernel:
         kernel(args.kernel_n, args.kernel_depth)
-    if not (args.gen or args.run or args.kernel):
-        print("pass --gen, --run and/or --kernel")
+    if args.sn:
+        sn(args.sn_n)
+    if not (args.gen or args.run or args.kernel or args.sn):
+        print("pass --gen, --run, --kernel and/or --sn")
