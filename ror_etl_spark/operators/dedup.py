@@ -232,8 +232,11 @@ def jaccard_verify(
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
+    # sh_a/sh_b are distinct, so |A∪B| = |A|+|B|-|A∩B|: one intersect per
+    # row instead of intersect + a materialized union array (CSE folds the
+    # repeated intersect into a single evaluation in codegen)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         j.select(
             "id_a",

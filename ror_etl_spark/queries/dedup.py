@@ -101,8 +101,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    # both sides are already distinct, so |A∪B| = |A|+|B|-|A∩B| — one
+    # array_intersect per row instead of also materializing the distinct
+    # concat (the second-largest per-row cost at the sf1 rehearsal tier)
+    inter_sz = F.size(F.array_intersect("sa", "sb"))  # CSE folds the reuse
+    inter = inter_sz.cast("double")
+    union = F.size("sa") + F.size("sb") - inter_sz
     return (
         j.select("id_a", "id_b", r4(inter / F.greatest(union, F.lit(1))).alias("jaccard"))
         .orderBy("id_a")

@@ -103,7 +103,12 @@ def spark_style(spark, jsonl_in: str, parquet_out: str) -> float:
     ror = ror.persist()
     try:
         assert_unique_ids(ror)
-        result = ultimate_parent(extract_parent_edges(ror))
+        # same kernel configuration as the gated pipeline stage this
+        # contender mirrors (plans/ror_pipeline.py:add_ultimate_parent):
+        # batching the convergence aggregate halves job count on tight
+        # depth bounds, and the shootout should measure the shipped
+        # configuration, not the conservative default
+        result = ultimate_parent(extract_parent_edges(ror), check_every=2)
         out = attach_ultimate_parent(ror, result.mapping)
         out.write.mode("overwrite").parquet(parquet_out)
     finally:
