@@ -233,18 +233,30 @@ def jaccard_verify(
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
     # sh_a/sh_b are distinct, so |A∪B| = |A|+|B|-|A∩B|: one intersect per
-    # row instead of intersect + a materialized union array (CSE folds the
-    # repeated intersect into a single evaluation in codegen)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        j.select(
-            "id_a",
-            "id_b",
-            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # candidate pair instead of intersect + a materialized union array.
+    # The threshold predicate is pre-rearranged to reference the intersect
+    # size ONCE — i/(ab-i) ≥ t ⟺ (1+t)·i ≥ t·ab when the union is
+    # non-empty — because Catalyst substitutes projection aliases when it
+    # pushes the filter into the join condition: a predicate written as
+    # i/greatest(ab-i,1) ≥ t would re-inline array_intersect twice and
+    # double the per-candidate array work that dominates this plan.
+    # (ab > 0 excludes the both-empty pair, which the division form sends
+    # to jaccard 0/1 = 0 < t; exactness of the two multiplications is the
+    # ulp-level boundary already accepted for division, and is exact for
+    # dyadic thresholds like the 0.5 the registered queries pin.)
+    assert threshold > 0, "threshold must be positive"
+    t = float(threshold)
+    sized = j.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+        (F.size("sh_a") + F.size("sh_b")).alias("ab"),
     )
+    kept = sized.filter(
+        (F.lit(1.0 + t) * F.col("i") >= F.lit(t) * F.col("ab")) & (F.col("ab") > 0)
+    )
+    jac = F.col("i") / F.greatest(F.col("ab") - F.col("i"), F.lit(1))
+    return kept.select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def _md5_half(s, hi: bool):

@@ -103,14 +103,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     # both sides are already distinct, so |A∪B| = |A|+|B|-|A∩B| — one
     # array_intersect per row instead of also materializing the distinct
-    # concat (the second-largest per-row cost at the sf1 rehearsal tier)
-    inter_sz = F.size(F.array_intersect("sa", "sb"))  # CSE folds the reuse
-    inter = inter_sz.cast("double")
-    union = F.size("sa") + F.size("sb") - inter_sz
-    return (
-        j.select("id_a", "id_b", r4(inter / F.greatest(union, F.lit(1))).alias("jaccard"))
-        .orderBy("id_a")
+    # concat (the second-largest per-row cost at the sf1 rehearsal tier).
+    # Two-step projection so the intersect is structurally evaluated once:
+    # CollapseProject refuses to inline a non-cheap alias referenced twice.
+    sized = j.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sa", "sb")).alias("i"),
+        (F.size("sa") + F.size("sb")).alias("ab"),
     )
+    jac = F.col("i").cast("double") / F.greatest(F.col("ab") - F.col("i"), F.lit(1))
+    return sized.select("id_a", "id_b", r4(jac).alias("jaccard")).orderBy("id_a")
 
 
 def _shingle_cte(k: int = 3) -> str:

@@ -194,3 +194,25 @@ def test_equidepth_binning_broadcasts_bounds(spark):
     body = p.split("== Physical Plan ==")[1]
     n_sorts = body.count("Sort [")
     assert n_sorts <= 1, f"unexpected global sort in binning plan:\n{p}"
+
+
+def test_jaccard_verify_computes_one_intersect_per_side(spark):
+    """The Jaccard verifies derive the union size by inclusion-exclusion
+    (|A|+|B|-|A∩B|) instead of materializing a union array, and the
+    two-step projection must keep exactly ONE array_intersect evaluation
+    per candidate pair — CollapseProject would re-inline the expression
+    at every use site if the aliasing shape regressed, doubling the
+    per-pair array work that dominates these plans at the sf1 tier."""
+    # dedup_ngram_jaccard: no threshold filter → one intersect site (the
+    # output projection). dedup_minhash_lsh: the rearranged threshold
+    # predicate ((1+t)·i ≥ t·ab) lands in the join condition with ONE
+    # intersect, plus one in the survivors' output projection — the
+    # division-form predicate would substitute to two in the condition.
+    for name, max_sites in (("dedup_ngram_jaccard", 1), ("dedup_minhash_lsh", 2)):
+        p = plan_of(spark, name)
+        body = p.split("== Physical Plan ==")[1]
+        n = body.count("array_intersect")
+        assert n <= max_sites, f"{name}: expected ≤{max_sites} array_intersect, saw {n}"
+        assert "array_union" not in body, name
+        # the old shape: distinct over a concat of both shingle arrays
+        assert "array_distinct(concat(" not in body, name
