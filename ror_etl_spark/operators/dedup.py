@@ -211,6 +211,32 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_at_least(i, total, threshold: float):
+    """Integer-exact predicate for intersect/union Jaccard ≥ threshold.
+
+    ``i`` is the intersect size and ``total`` = |A| + |B| (so the union is
+    ``total - i``). Written as ``(d+n)·i >= n·total`` with n/d the exact
+    rational of the threshold's decimal literal, it is pure integer math:
+
+    - it references ``i`` ONCE, so when Catalyst pushes the predicate into
+      a join condition and substitutes the projection alias, the (costly)
+      intersect expression is inlined a single time — the division form
+      ``i/(total-i) >= t`` would inline it twice and double the dominant
+      per-candidate work (see test_plan_invariants single-intersect pins);
+    - it is exact: equivalent over the integers to the REAL predicate
+      i/union ≥ n/d (for union > 0 — guard separately if both sides can
+      be empty), with no float rounding to diverge from a DuckDB oracle's
+      division-form comparison at ratio-equals-threshold boundaries
+      (e.g. i/u = 3/5 against t = 0.6, where float multiplication by
+      0.6̂/1.6̂ can flip the decision).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))  # decimal-literal exact, not repr(float)
+    n, d = frac.numerator, frac.denominator
+    return (F.lit(d + n) * i) >= (F.lit(n) * total)
+
+
 def jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,
@@ -234,18 +260,14 @@ def jaccard_verify(
     )
     # sh_a/sh_b are distinct, so |A∪B| = |A|+|B|-|A∩B|: one intersect per
     # candidate pair instead of intersect + a materialized union array.
-    # The threshold predicate is pre-rearranged to reference the intersect
-    # size ONCE — i/(ab-i) ≥ t ⟺ (1+t)·i ≥ t·ab when the union is
-    # non-empty — because Catalyst substitutes projection aliases when it
-    # pushes the filter into the join condition: a predicate written as
-    # i/greatest(ab-i,1) ≥ t would re-inline array_intersect twice and
-    # double the per-candidate array work that dominates this plan.
-    # (ab > 0 excludes the both-empty pair, which the division form sends
-    # to jaccard 0/1 = 0 < t; exactness of the two multiplications is the
-    # ulp-level boundary already accepted for division, and is exact for
-    # dyadic thresholds like the 0.5 the registered queries pin.)
+    # The threshold predicate uses the integer-exact rearranged form
+    # (jaccard_at_least) that references the intersect size ONCE — Catalyst
+    # substitutes projection aliases when it pushes the filter into the
+    # join condition, and the division form i/greatest(ab-i,1) ≥ t would
+    # re-inline array_intersect twice there, doubling the per-candidate
+    # array work that dominates this plan. (ab > 0 excludes the both-empty
+    # pair, which the division form sends to jaccard 0/1 = 0 < t.)
     assert threshold > 0, "threshold must be positive"
-    t = float(threshold)
     sized = j.select(
         "id_a",
         "id_b",
@@ -253,7 +275,7 @@ def jaccard_verify(
         (F.size("sh_a") + F.size("sh_b")).alias("ab"),
     )
     kept = sized.filter(
-        (F.lit(1.0 + t) * F.col("i") >= F.lit(t) * F.col("ab")) & (F.col("ab") > 0)
+        jaccard_at_least(F.col("i"), F.col("ab"), threshold) & (F.col("ab") > 0)
     )
     jac = F.col("i") / F.greatest(F.col("ab") - F.col("i"), F.lit(1))
     return kept.select("id_a", "id_b", jac.alias("jaccard"))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ror_etl_spark.operators.components import dedup_clusters
 from ror_etl_spark.operators.dedup import (
     exact_dedup,
+    jaccard_at_least,
     jaccard_verify,
     keep_best_per_key,
     lsh_candidate_pairs,
@@ -688,14 +689,19 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("ssa", "ssb")).cast("double").alias("i"),
+            F.size(F.array_intersect("ssa", "ssb")).alias("i"),
             F.size("ssa").alias("na"),
             F.size("ssb").alias("nb"),
         )
     )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    # integer-exact threshold predicate referencing the intersect size once
+    # (jaccard_at_least docstring): the division form would re-inline
+    # array_intersect twice when Catalyst pushes it into the verify join
+    kept = inter.filter(
+        jaccard_at_least(F.col("i"), F.col("na") + F.col("nb"), _PF_T)
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.filter(jac >= _PF_T)
-        .select("id_a", "id_b", r4(jac).alias("jac"))
+        kept.select("id_a", "id_b", r4(jac).alias("jac"))
         .orderBy("id_a", "id_b")
     )

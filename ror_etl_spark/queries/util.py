@@ -46,3 +46,4 @@ def epoch_us(c: Column | str) -> Column:
     return F.timestamp_diff(
         "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
     )
+

@@ -208,7 +208,11 @@ def test_jaccard_verify_computes_one_intersect_per_side(spark):
     # predicate ((1+t)·i ≥ t·ab) lands in the join condition with ONE
     # intersect, plus one in the survivors' output projection — the
     # division-form predicate would substitute to two in the condition.
-    for name, max_sites in (("dedup_ngram_jaccard", 1), ("dedup_minhash_lsh", 2)):
+    for name, max_sites in (
+        ("dedup_ngram_jaccard", 1),
+        ("dedup_minhash_lsh", 2),
+        ("dedup_prefix_filter_jaccard", 2),
+    ):
         p = plan_of(spark, name)
         body = p.split("== Physical Plan ==")[1]
         n = body.count("array_intersect")
