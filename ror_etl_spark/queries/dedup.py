@@ -86,6 +86,10 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
     ORDER BY id_a
     """,
+    # r5: union computation rewritten (inclusion-exclusion, two-step
+    # projection) — keep it inside the driver's 50-query window so the
+    # change re-proves against the driver's own oracle run
+    priority=2,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between consecutive doc ids — the verification
