@@ -99,13 +99,19 @@ class RorPipeline:
         return df
 
     def add_ultimate_parent(self, ror: DataFrame) -> DataFrame:
-        """The rollup kernel: duplicate-id hard gate → pointer-doubling
-        fixpoint → broadcast join-back; cycles alert but don't fail
-        (get_ultimate_parent.py semantics, SURVEY §2.2)."""
+        """The rollup kernel: duplicate-id hard gate → adaptive rollup
+        (single-task doubling at registry scale, distributed pointer-
+        doubling fixpoint above the size threshold) → broadcast join-back;
+        cycles alert but don't fail (get_ultimate_parent.py semantics,
+        SURVEY §2.2)."""
         assert_unique_ids(ror)
         # check_every=2 halves the convergence-aggregate jobs (each is a
         # fixed ~0.3 s shuffle round locally); results are identical and
-        # the duplicate-explosion guard still fires at the first check
+        # the duplicate-explosion guard still fires at the first check.
+        # local_threshold stays on its adaptive default: the real ROR
+        # registry is ~110k orgs, which routes to the single-task strategy
+        # and beats the reference's in-memory walk outright (shootout:
+        # 1.73 s vs 2.43 s warm); a 100 TB input routes to the fixpoint.
         result = ultimate_parent(extract_parent_edges(ror), check_every=2)
         if result.n_in_cycle:
             self.alert(

@@ -47,7 +47,12 @@ def ultimate_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains are 10 deep: 4 doubling rounds reach 16; a single combined
     # convergence+duplicate check lands on round 4 (check_every=4) and
     # exits there — one aggregate job for the whole fixpoint
-    result = ultimate_parent(edges, max_depth=16, check_every=4)
+    # local_threshold=0 pins the DISTRIBUTED fixpoint: this registered
+    # query is the bench/plan-test evidence surface of the scale path —
+    # the adaptive default would route an input this small to the
+    # single-task strategy (covered by the shootout, the pipeline, and
+    # the path-equivalence tests)
+    result = ultimate_parent(edges, max_depth=16, check_every=4, local_threshold=0)
     return result.mapping
 
 
@@ -71,7 +76,7 @@ def ultimate_parent_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ids.select(
         "id", F.greatest(F.col("id") - 1, F.lit(1).cast("long")).alias("parent")
     )
-    result = ultimate_parent(edges, max_depth=1024, check_every=2)
+    result = ultimate_parent(edges, max_depth=1024, check_every=2, local_threshold=0)
     return result.mapping.orderBy("id")
 
 
@@ -115,7 +120,7 @@ def ultimate_parent_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     edges = grouped.select(F.explode(pairs).alias("e")).select("e.id", "e.parent")
-    result = ultimate_parent(edges, max_depth=8, check_every=4)
+    result = ultimate_parent(edges, max_depth=8, check_every=4, local_threshold=0)
     # no ORDER BY: the correctness gate hashes order-insensitively, and a
     # global sort of the full mapping is pure overhead at scale
     return result.mapping

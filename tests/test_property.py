@@ -4,6 +4,7 @@ inputs — the strongest guard against fixpoint/window edge cases."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from ror_etl_spark.operators.asof import asof_join
@@ -25,15 +26,22 @@ def _chase(parents: list[int], i: int) -> int:
     return i
 
 
+@pytest.mark.parametrize("lt", [0, 10**6], ids=["distributed", "single-task"])
 @given(forests())
 @settings(max_examples=15, deadline=None)
-def test_rollup_matches_reference_chase(spark, parents):
+def test_rollup_matches_reference_chase(spark, lt, parents):
+    # both physical strategies must match the sequential reference chase
+    # on arbitrary forests (the adaptive default would route these small
+    # inputs to single-task; lt=0 keeps hypothesis pressure on the
+    # distributed fixpoint too)
     edges = spark.createDataFrame(
         [(i, p) for i, p in enumerate(parents)], "id long, parent long"
     )
     got = {
         r["id"]: r["ultimate_parent"]
-        for r in ultimate_parent(edges, max_depth=64).mapping.collect()
+        for r in ultimate_parent(
+            edges, max_depth=64, local_threshold=lt
+        ).mapping.collect()
     }
     want = {i: _chase(parents, i) for i in range(len(parents))}
     assert got == want

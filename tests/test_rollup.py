@@ -21,33 +21,45 @@ def _mapping(result):
     return {r["id"]: r["ultimate_parent"] for r in result.mapping.collect()}
 
 
-def test_reference_golden_chain(spark):
+# every kernel-semantics test runs on BOTH physical strategies: the
+# distributed pointer-doubling fixpoint (local_threshold=0) and the
+# adaptive single-task numpy path any input this small routes to by
+# default (see _ultimate_parent_single_task)
+BOTH_PATHS = pytest.mark.parametrize(
+    "lt", [0, 1_000_000], ids=["distributed", "single-task"]
+)
+
+
+@BOTH_PATHS
+def test_reference_golden_chain(spark, lt):
     # A→B→C→D(root), E(root)  — expected {A:D, B:D, C:D, D:D, E:E}
     edges = spark.createDataFrame(
         [("A", "B"), ("B", "C"), ("C", "D"), ("D", "D"), ("E", "E")],
         "id string, parent string",
     )
-    res = ultimate_parent(edges)
+    res = ultimate_parent(edges, local_threshold=lt)
     assert _mapping(res) == {"A": "D", "B": "D", "C": "D", "D": "D", "E": "E"}
     assert res.n_unconverged == 0
 
 
-def test_two_cycle_terminates_without_failing(spark):
+@BOTH_PATHS
+def test_two_cycle_terminates_without_failing(spark, lt):
     # X→Y→X: reference alerts and returns an arbitrary in-cycle node
     edges = spark.createDataFrame(
         [("X", "Y"), ("Y", "X"), ("Z", "Z")], "id string, parent string"
     )
-    res = ultimate_parent(edges)
+    res = ultimate_parent(edges, local_threshold=lt)
     m = _mapping(res)
     assert m["Z"] == "Z"
     assert m["X"] in {"X", "Y"} and m["Y"] in {"X", "Y"}
 
 
-def test_three_cycle_terminates(spark):
+@BOTH_PATHS
+def test_three_cycle_terminates(spark, lt):
     edges = spark.createDataFrame(
         [("X", "Y"), ("Y", "Z"), ("Z", "X")], "id string, parent string"
     )
-    res = ultimate_parent(edges)
+    res = ultimate_parent(edges, local_threshold=lt)
     m = _mapping(res)
     assert set(m) == {"X", "Y", "Z"}
     assert all(v in {"X", "Y", "Z"} for v in m.values())
@@ -55,24 +67,26 @@ def test_three_cycle_terminates(spark):
     assert res.n_unconverged > 0
 
 
-def test_deep_chain_beyond_reference_recursion_cap(spark):
+@BOTH_PATHS
+def test_deep_chain_beyond_reference_recursion_cap(spark, lt):
     # 250-deep chain: the reference's recursive walk would blow its
     # depth-200 cap and fall back; pointer doubling resolves it exactly.
     n = 250
     rows = [(f"c{i}", f"c{i+1}") for i in range(n)] + [(f"c{n}", f"c{n}")]
     edges = spark.createDataFrame(rows, "id string, parent string")
-    res = ultimate_parent(edges, max_depth=256)
+    res = ultimate_parent(edges, max_depth=256, local_threshold=lt)
     m = _mapping(res)
     assert m["c0"] == f"c{n}"
     assert m[f"c{n}"] == f"c{n}"
     assert res.n_unconverged == 0
 
 
-def test_missing_parent_is_terminal(spark):
+@BOTH_PATHS
+def test_missing_parent_is_terminal(spark, lt):
     # parent not present as an id: chain ends there (more permissive than
     # the reference's KeyError on dirty data)
     edges = spark.createDataFrame([("A", "GHOST")], "id string, parent string")
-    assert _mapping(ultimate_parent(edges)) == {"A": "GHOST"}
+    assert _mapping(ultimate_parent(edges, local_threshold=lt)) == {"A": "GHOST"}
 
 
 ROR_SCHEMA = (
@@ -140,12 +154,49 @@ def test_end_to_end_pipeline_shape(spark):
     }
 
 
-def test_duplicate_ids_in_fixpoint_fail_fast(spark):
+@BOTH_PATHS
+def test_duplicate_ids_in_fixpoint_fail_fast(spark, lt):
     # the raw operator (without the pipeline's pre-gate) must detect the
     # duplicate-id join explosion instead of hanging: B is duplicated AND
-    # pointed through by A, so A fans out on the first hop join
+    # pointed through by A, so A fans out on the first hop join. Both
+    # strategies raise DuplicateIdError — the distributed loop via the
+    # growth guard ("grew"), the single-task path via its direct
+    # duplicated() probe.
     edges = spark.createDataFrame(
         [("A", "B"), ("B", "C"), ("B", "C"), ("C", "C")], "id string, parent string"
     )
-    with pytest.raises(DuplicateIdError, match="grew"):
-        ultimate_parent(edges)
+    with pytest.raises(DuplicateIdError, match="grew|Duplicate"):
+        ultimate_parent(edges, local_threshold=lt).mapping.collect()
+
+
+def test_strategies_produce_identical_mappings(spark):
+    """Row-identical output across the two physical strategies on every
+    semantic shape at once — chains, a 2-cycle (collapses to stable
+    self-maps), a 3-cycle (rotates forever), a terminal ghost parent, an
+    isolated root. Cycle results are deterministic-but-arbitrary, so
+    byte-equality here is the proof the single-task path replays the
+    exact doubling recurrence rather than merely 'some' resolution."""
+    rows = (
+        [(f"c{i}", f"c{i+1}") for i in range(40)]
+        + [("c40", "c40"), ("X", "Y"), ("Y", "X"), ("P", "Q"), ("Q", "R"),
+           ("R", "P"), ("A", "GHOST"), ("lone", "lone")]
+    )
+    edges = spark.createDataFrame(rows, "id string, parent string")
+    dist = _mapping(ultimate_parent(edges, max_depth=64, local_threshold=0))
+    local = _mapping(ultimate_parent(edges, max_depth=64, local_threshold=10**6))
+    assert dist == local
+
+
+def test_small_input_routes_to_single_task(spark):
+    """The adaptive default routes a registry-sized input to the
+    single-task strategy and local_threshold=0 pins the distributed
+    fixpoint (the lazy localCheckpoint boundary hides plan internals, so
+    the routing decision is asserted via RollupResult.strategy)."""
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "B")], "id string, parent string"
+    )
+    adaptive = ultimate_parent(edges)
+    assert adaptive.strategy == "single-task"
+    assert _mapping(adaptive) == {"A": "B", "B": "B"}
+    pinned = ultimate_parent(edges, local_threshold=0)
+    assert pinned.strategy == "doubling"
