@@ -40,6 +40,10 @@ def synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY id
     """,
+    # r5: the kernel gained adaptive strategy routing — keep the flagship
+    # (pinned-distributed) rollup in the driver's capped window so the
+    # changed code path re-proves against the driver's own oracle run
+    priority=2,
 )
 def ultimate_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship kernel: resolve every node to its forest root."""
@@ -89,6 +93,7 @@ def ultimate_parent_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     ORDER BY id
     """,
+    priority=2,  # r5 kernel change — see ultimate_parent_rollup
 )
 def ultimate_parent_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel at fact-table width: one node per distinct (orderkey,
