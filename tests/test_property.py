@@ -201,3 +201,35 @@ def test_prefix_filter_lemma_never_loses_pairs(sets):
             assert any(
                 1 + min(len(a) - pa[s], len(b) - pb[s]) >= alpha for s in shared
             ), (a, b, jac)
+
+
+def test_jaccard_at_least_matches_exact_rational(spark):
+    """The integer-rearranged threshold predicate (jaccard_at_least) must
+    agree with exact rational arithmetic i/union >= t on every (i, union)
+    pair — including ratio-equals-threshold boundaries, where a float
+    multiplication form can flip against the division form the DuckDB
+    oracles compute. Deterministic dense sweep: all 0 <= i <= u <= 40
+    against the thresholds the registered queries pin plus non-dyadic
+    neighbors."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.operators.dedup import jaccard_at_least
+
+    rows = [(i, u) for u in range(1, 41) for i in range(0, u + 1)]
+    df = spark.createDataFrame(rows, "i long, u long")
+    for t in (0.5, 0.6, 0.7, 0.3, 0.9):
+        got = {
+            (r["i"], r["u"]): r["keep"]
+            for r in df.select(
+                "i",
+                "u",
+                jaccard_at_least(
+                    F.col("i"), F.col("u") + F.col("i"), t  # total = |A|+|B| = u+i
+                ).alias("keep"),
+            ).collect()
+        }
+        frac = Fraction(str(t))
+        for (i, u), keep in got.items():
+            assert keep == (Fraction(i, u) >= frac), (i, u, t)
