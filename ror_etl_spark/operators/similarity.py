@@ -36,6 +36,51 @@ def _splitmix64(state: int) -> tuple[int, int]:
     return state, z ^ (z >> 31)
 
 
+def tuned_lsh_params(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    target_occupancy: int = 64,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(n_tables, n_planes) for ``near_dup_pairs`` scaled to the corpus.
+
+    Fixed LSH parameters make in-bucket candidate pairs grow
+    quadratically with corpus size (the sf1 rehearsal measured
+    ``embedding_near_dup_pairs`` at a x8-11 data-step with the registered
+    query's pinned 8×6 — SCALING.md); the deployment answer is to re-tune
+    bucket width as the corpus grows, which this function makes a closed
+    form instead of folklore:
+
+    - ``n_planes = max(4, ⌈log2(n_rows / target_occupancy)⌉)`` holds the
+      EXPECTED bucket occupancy ~constant, so per-table candidate pairs
+      stay ~``n_rows · occupancy / 2`` — linear in the corpus
+      (test_similarity pins the measured growth).
+    - ``n_tables`` restores recall lost to the longer sign prefix via the
+      standard OR-construction bound: a pair exactly AT the cosine
+      threshold collides per plane with ``p1 = 1 - arccos(t)/π``, per
+      table with ``p1^n_planes``, in any of T tables with
+      ``1 - (1 - p1^n_planes)^T`` — solve for the smallest T reaching
+      ``target_recall`` (capped: past ``max_tables`` you want a different
+      algorithm, not more tables).
+
+    Pairs strictly above the threshold collide strictly more often, so
+    the bound is conservative for everything the query keeps. The
+    registered query keeps its pinned 8×6 (its DuckDB oracle replays
+    those exact buckets); scale deployments call this with the corpus
+    count they already know.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    n_planes = max(4, math.ceil(math.log2(max(2, n_rows / max(1, target_occupancy)))))
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    p_table = p1**n_planes
+    if p_table <= 0.0:
+        return max_tables, n_planes
+    n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table))
+    return max(1, min(max_tables, n_tables)), n_planes
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-ish hyperplanes: components are SplitMix64 draws
     mapped to [-1, 1] (box, not gaussian — fine for sign-LSH)."""

@@ -140,3 +140,59 @@ def test_kmeans_centroids_move_toward_data(spark):
         return tot / len(vecs)
 
     assert qerr(trained) <= qerr(init) + 1e-9
+
+
+def test_tuned_lsh_params_hold_candidate_growth_linear(spark):
+    """Auto-tuned LSH parameters must keep candidate-pair counts ~linear
+    in corpus size (fixed parameters grow them quadratically — the sf1
+    rehearsal's x8-11 step), while still finding the planted near-dup
+    pairs. Same generative family at n and 4n; the candidate ratio under
+    tuning must come in well under the quadratic 16x."""
+    import numpy as np
+
+    from ror_etl_spark.operators.similarity import lsh_near_dup_pairs, tuned_lsh_params
+
+    def corpus(n, seed):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # plant a near-dup twin for every 20th vector
+        for i in range(0, n - 1, 20):
+            base[i + 1] = base[i] + rng.normal(scale=0.02, size=16)
+            base[i + 1] /= np.linalg.norm(base[i + 1])
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+            "vec_id long, embedding array<double>",
+        )
+
+    threshold = 0.9
+    counts = {}
+    for n in (1500, 6000):
+        t, p = tuned_lsh_params(n, threshold)
+        df = corpus(n, 7)
+        cands = lsh_near_dup_pairs(
+            df, dim=16, threshold=threshold, n_tables=t, n_planes=p
+        )
+        found = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        planted = {(i, i + 1) for i in range(0, n - 1, 20)}
+        recall = len(found & planted) / len(planted)
+        assert recall >= 0.85, (n, t, p, recall)
+        # occupancy-normalized candidate volume: count in-bucket pairs
+        # (pre-verify) the way the operator generates them
+        from ror_etl_spark.operators.similarity import random_hyperplanes, _table_buckets_udf
+        from pyspark.sql import functions as F
+
+        tables = [random_hyperplanes(16, p, 101 + i) for i in range(t)]
+        buckets = df.select(
+            F.col("vec_id").alias("id"),
+            _table_buckets_udf(tables)(F.col("embedding")).alias("bs"),
+        ).select("id", F.posexplode("bs").alias("tbl", "bucket"))
+        occ = buckets.groupBy("tbl", "bucket").count()
+        n_cand = occ.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c")
+        ).collect()[0]["c"]
+        counts[n] = float(n_cand)
+
+    growth = counts[6000] / max(counts[1500], 1.0)
+    # 4x the corpus: linear-ish growth stays well under the quadratic 16x
+    assert growth <= 8.0, counts
