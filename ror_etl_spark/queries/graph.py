@@ -61,6 +61,27 @@ def ultimate_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ultimate_parent_rollup_adaptive",
+    oracle="""
+    SELECT CAST(o_orderkey + 1 AS BIGINT) AS id,
+           CAST(o_orderkey + 1 - o_orderkey % 10 AS BIGINT) AS ultimate_parent
+    FROM orders
+    ORDER BY id
+    """,
+)
+def ultimate_parent_rollup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same forest as ultimate_parent_rollup resolved through the
+    kernel's ADAPTIVE routing (no local_threshold pin): at every test SF
+    the edge count sits below the threshold, so this registers the
+    single-task numpy-doubling strategy against the same closed-form
+    oracle the distributed twin answers — driver-gate coverage for both
+    physical strategies, not just pytest equivalence."""
+    edges = synthetic_edges(spark, sf_dir)
+    result = ultimate_parent(edges, max_depth=16, check_every=4)
+    return result.mapping.orderBy("id")
+
+
+@query(
     "ultimate_parent_deep_chain",
     oracle="""
     SELECT CAST(o_orderkey + 1 AS BIGINT) AS id, CAST(1 AS BIGINT) AS ultimate_parent
