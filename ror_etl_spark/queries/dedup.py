@@ -102,7 +102,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id",
         F.array_distinct(shingles(F.col("text"), 3)).alias("s"),
-    )
+    # both join sides consume this frame: without a checkpoint the
+    # normalize/split/shingle pipeline re-executes per side (measured
+    # 17 s -> 6.6 s at the sf1 rehearsal tier; same fix as the prefix
+    # filter's token expansion)
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
