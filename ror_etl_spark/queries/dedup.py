@@ -415,6 +415,10 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = fps.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     ).filter(F.col("df") <= 50)
+    # the self-join's two sides are canonically identical, so the runtime
+    # computes the pre-join shuffle once (unlike the CONSECUTIVE-id ngram
+    # join, whose asymmetric keys defeat reuse and need the checkpoint) —
+    # measured: a localCheckpoint here changes nothing at either tier
     x = capped.select("doc_id", "fp").withColumn(
         "nf", F.count(F.lit(1)).over(per_doc)
     )
