@@ -196,12 +196,17 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_distinct_quantiles`` (KMV + bottom-k sample, also
     oracle-checked since r4)."""
     e = Tables(spark, sf_dir).events
+    # one percentile aggregate with an array of percentages: three
+    # separate exact-percentile expressions each buffer the whole group,
+    # so the array form carries a third of the per-group state at scale
     return (
         e.groupBy("event_type")
-        .agg(
-            r4(F.expr("percentile(value, 0.5)")).alias("p50"),
-            r4(F.expr("percentile(value, 0.95)")).alias("p95"),
-            r4(F.expr("percentile(value, 0.99)")).alias("p99"),
+        .agg(F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("ps"))
+        .select(
+            "event_type",
+            r4(F.col("ps")[0]).alias("p50"),
+            r4(F.col("ps")[1]).alias("p95"),
+            r4(F.col("ps")[2]).alias("p99"),
         )
         .orderBy("event_type")
     )

@@ -334,6 +334,7 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bin
     ORDER BY bin
     """,
+    priority=2,  # r5: bounds agg rewritten to the single-array percentile
 )
 def equidepth_bin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (decile) feature binning WITHOUT a global window: exact
@@ -345,11 +346,15 @@ def equidepth_bin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous columns for embedding-table lookups."""
     o = Tables(spark, sf_dir).orders
     qs = [i / 10 for i in range(1, 10)]
+    # ONE percentile aggregate over an array of percentages, not nine:
+    # each exact-percentile expression buffers every value independently,
+    # so the single-call form cuts the aggregation state 9x and measured
+    # 1.5 s -> 0.27 s for the bounds job at sf0.1 (identical values)
     bounds = o.agg(
         F.expr(
-            "array("
-            + ", ".join(f"round(percentile(o_totalprice, {q}), 6)" for q in qs)
-            + ")"
+            "transform(percentile(o_totalprice, array("
+            + ", ".join(str(q) for q in qs)
+            + ")), x -> round(x, 6))"
         ).alias("bs")
     )
     assigned = o.crossJoin(F.broadcast(bounds)).select(

@@ -182,9 +182,14 @@ def outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sitting exactly on a fence cannot flip on a last-ulp interpolation
     difference between Spark percentile and DuckDB quantile_cont."""
     e = Tables(spark, sf_dir).events
+    # single two-percentage percentile call: halves the per-group
+    # aggregation buffer vs two independent exact-percentile expressions
     b = e.groupBy(F.col("event_type").alias("bt")).agg(
-        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
-        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+        F.expr("percentile(value, array(0.25, 0.75))").alias("qs")
+    ).select(
+        "bt",
+        F.round(F.col("qs")[0], 6).alias("q1"),
+        F.round(F.col("qs")[1], 6).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
