@@ -185,11 +185,17 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling pass (the first thing run on any new 100 TB
     delivery): per-column null counts, distinct cardinality, min/max.
-    ONE scan computes every column's profile — the per-column aggregates
-    are expressed together and Catalyst fuses them into a single
-    aggregation over the scan, rather than 5 separate passes; the union
-    shape below mirrors the oracle for checkability, with each leg
-    reading the same cached scan."""
+
+    Shape: a UNION of per-column aggregation legs, one narrow leg per
+    profiled column. On columnar storage this is NOT five scans' worth
+    of I/O — each leg's parquet scan prunes to its single column, so the
+    union reads exactly the same bytes as one 5-column scan would, and
+    every leg's count_distinct shuffles only its own column. The
+    alternative (one fused aggregate with five count_distincts +
+    ``stack``) was built and measured: Catalyst plans multi-distinct via
+    Expand, multiplying every row ×6 through a single aggregation
+    pipeline — 2.8 s vs 0.5 s for this form at sf0.1, with identical
+    total I/O. The legs all execute inside one job, concurrently."""
     o = Tables(spark, sf_dir).orders
 
     def leg(col: str, round2: bool = False) -> DataFrame:
