@@ -64,12 +64,14 @@ HEAVY = [
 ]
 
 
-def gen() -> None:
+def gen(out_dir: str = SF1_DIR, n_docs: int = N_DOCS, n_vecs: int = N_VECS, seed: int = 4242) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rng = np.random.default_rng(4242)
+    N_DOCS, N_VECS = n_docs, n_vecs  # shadow module constants locally
+    SF1_DIR = out_dir
+    rng = np.random.default_rng(seed)
     os.makedirs(SF1_DIR, exist_ok=True)
 
     # --- documents ---
@@ -130,7 +132,7 @@ def gen() -> None:
     print(f"wrote {SF1_DIR}: {N_DOCS} docs, {N_VECS} vecs")
 
 
-def run() -> None:
+def run(queries: list[str] | None = None, lo_dir: str = SF01_DIR, hi_dir: str = SF1_DIR, labels: tuple[str, str] = ("sf0.1", "sf1")) -> None:
     from ror_etl_spark import registry
     from ror_etl_spark.session import get_spark
 
@@ -138,12 +140,12 @@ def run() -> None:
     spark = get_spark("scale-rehearsal")
     spark.read.parquet(os.path.join(SF01_DIR, "nation.parquet")).count()
 
-    print(f"{'query':35s} {'sf0.1':>7s} {'sf1':>7s}  step")
+    print(f"{'query':35s} {labels[0]:>7s} {labels[1]:>7s}  step")
     rows = []
-    for name in HEAVY:
+    for name in (queries or HEAVY):
         fn = registry.QUERIES[name]
         times = []
-        for sf_dir in (SF01_DIR, SF1_DIR):
+        for sf_dir in (lo_dir, hi_dir):
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -245,9 +247,31 @@ def sn(n: int = 5_000_000) -> None:
     assert ok, (got, exp)
 
 
+SF10_DIR = "/tmp/sparkgraft_sf10"
+
+# Third decade (sf1 → sf≈10): only the families whose r5 plans are
+# expected ~linear — the quadratic-candidate regimes under the closed
+# testdata vocabulary (prefix filter, winnow pairs, LSH near-dup at
+# fixed bucket width) are diagnosed in SCALING.md and measured through
+# the second decade; re-measuring them at 10x the saturated corpus
+# would take minutes to confirm what the candidate-count math already
+# states.
+LINEAR = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_boilerplate_ngrams",
+    "embedding_cosine_topk",
+    "llm_corpus_pipeline",
+]
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen", action="store_true")
+    ap.add_argument("--gen10", action="store_true", help="synthesize the sf~10 tier (500k docs)")
+    ap.add_argument("--run10", action="store_true", help="time the LINEAR families sf1 -> sf10")
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--kernel", action="store_true")
     ap.add_argument("--sn", action="store_true")
@@ -257,11 +281,15 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.gen:
         gen()
+    if args.gen10:
+        gen(SF10_DIR, n_docs=500_000, n_vecs=200_000, seed=777)
     if args.run:
         run()
+    if args.run10:
+        run(LINEAR, lo_dir=SF1_DIR, hi_dir=SF10_DIR, labels=("sf1", "sf10"))
     if args.kernel:
         kernel(args.kernel_n, args.kernel_depth)
     if args.sn:
         sn(args.sn_n)
-    if not (args.gen or args.run or args.kernel or args.sn):
-        print("pass --gen, --run, --kernel and/or --sn")
+    if not (args.gen or args.gen10 or args.run or args.run10 or args.kernel or args.sn):
+        print("pass --gen/--gen10, --run/--run10, --kernel and/or --sn")
