@@ -46,7 +46,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluated the regex split for every expression that referenced
     it — three times per row) and the single-file scan fans out before
     the per-row work (the round-2 spread lesson; without it 500k rows
-    tokenized on one core at the sf10 tier: measured 22.9 s → 3.3 s)."""
+    tokenized on one core at the sf10 tier: measured 22.9 s → 3.0 s)."""
     from ror_etl_spark.operators.util import spread
 
     d = spread(Tables(spark, sf_dir).documents)
