@@ -217,7 +217,15 @@ def ultimate_parent(
         # first iteration's aggregate would have done anyway) and computes
         # the same count/count_distinct pair the distributed path's first
         # convergence check uses — so the duplicate-id hard-fail stays an
-        # authoritative DRIVER-side DuplicateIdError on both strategies
+        # authoritative DRIVER-side DuplicateIdError on both strategies.
+        # Accepted routing cost: vs the pinned path (local_threshold=0,
+        # which folds this into the first convergence check) an
+        # above-threshold input pays one extra map-side-combined scan of
+        # the checkpointed 2-column frame before the loop. Deployments
+        # that KNOW the input is huge pin local_threshold=0 — exactly
+        # what the registered bench/graph queries do — and skip it; the
+        # adaptive default trades that one pass for picking the right
+        # physical strategy from the observed size instead of from hope.
         stats = m.agg(
             F.count(F.lit(1)).alias("n"), F.count_distinct("id").alias("n_ids")
         ).collect()[0]
@@ -309,9 +317,17 @@ def _ultimate_parent_single_task(
     ``n_iters = ⌈log2 max_depth⌉`` rounds the distributed loop is
     budgeted for. Doubling past a fixpoint is idempotent, so skipping the
     early-exit changes nothing; cycle nodes rotate to the same
-    (2^n_iters mod cycle_len)-th successor either way. Duplicate ids
-    raise the same ``DuplicateIdError`` the distributed growth guard
-    raises. The data never touches the driver — ``mapInPandas`` runs the
+    (2^n_iters mod cycle_len)-th successor either way. Null parents get
+    the distributed left-join's exact semantics: the node itself resolves
+    to null (a null anc joins nothing, so it can never change), while
+    chains running THROUGH the node stop at it (its children coalesce
+    back to their own anc). Duplicate ids raise the same
+    ``DuplicateIdError`` the distributed growth guard raises — as a
+    BACKSTOP only: the driver-side routing gate always runs first on
+    this path and raises a catchable DuplicateIdError; if the in-executor
+    check ever fired directly it would surface as a Spark task failure
+    wrapping the error, not as a driver-catchable exception. The data
+    never touches the driver — ``mapInPandas`` runs the
     resolve on an executor, Arrow-batched, and the result is lazily
     checkpointed for its two consumers (attach join, cycle analysis).
     """
@@ -335,12 +351,22 @@ def _ultimate_parent_single_task(
         codes, uniques = pd.factorize(both)
         n = len(pdf)
         id_codes = codes[:n]
+        parent_codes = codes[n:].copy()
+        # factorize codes null parents as -1, which numpy indexing would
+        # read as "last element" — an arbitrary unrelated node. Match the
+        # distributed left-join instead: a null-parent node acts as a
+        # terminal for chains passing through it (self-loop in the array)
+        # and resolves to null itself (restored after the doubling).
+        null_parent = parent_codes < 0
+        parent_codes[null_parent] = id_codes[null_parent]
         anc = np.arange(len(uniques), dtype=np.int64)  # terminals: self
-        anc[id_codes] = codes[n:]
+        anc[id_codes] = parent_codes
         for _ in range(k):
             anc = anc[anc]
         uniq = np.asarray(uniques)
-        yield pd.DataFrame({"id": ids, "anc": uniq[anc[id_codes]]})
+        roots = uniq[anc[id_codes]].astype(object)
+        roots[null_parent] = None
+        yield pd.DataFrame({"id": ids, "anc": roots})
 
     out = m.coalesce(1).mapInPandas(resolve, schema=out_schema)
     out = out.localCheckpoint(eager=False)

@@ -72,6 +72,8 @@ def tuned_lsh_params(
     """
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
     n_planes = max(4, math.ceil(math.log2(max(2, n_rows / max(1, target_occupancy)))))
     p1 = 1.0 - math.acos(threshold) / math.pi
     p_table = p1**n_planes

@@ -89,6 +89,23 @@ def test_missing_parent_is_terminal(spark, lt):
     assert _mapping(ultimate_parent(edges, local_threshold=lt)) == {"A": "GHOST"}
 
 
+@BOTH_PATHS
+def test_null_parent_matches_distributed_semantics(spark, lt):
+    # dirty data reaching the public operator directly (the pipeline's
+    # extract_parent_edges coalesces nulls away): a null-parent node
+    # resolves to null — a null anc joins nothing in the distributed
+    # left-join — while a chain running THROUGH it stops at the node.
+    # Regression for the single-task path, where pd.factorize codes null
+    # as -1 and unguarded numpy indexing resolved (A, null) to an
+    # arbitrary unrelated node instead of null.
+    edges = spark.createDataFrame(
+        [("A", None), ("B", "A"), ("C", "B"), ("D", "D")],
+        "id string, parent string",
+    )
+    m = _mapping(ultimate_parent(edges, local_threshold=lt))
+    assert m == {"A": None, "B": "A", "C": "A", "D": "D"}
+
+
 ROR_SCHEMA = (
     "id string, relationships array<struct<id:string,label:string,type:string>>"
 )

@@ -69,13 +69,11 @@ def gen(out_dir: str = SF1_DIR, n_docs: int = N_DOCS, n_vecs: int = N_VECS, seed
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    N_DOCS, N_VECS = n_docs, n_vecs  # shadow module constants locally
-    SF1_DIR = out_dir
     rng = np.random.default_rng(seed)
-    os.makedirs(SF1_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     # --- documents ---
-    lengths = rng.integers(10, 101, size=N_DOCS)
+    lengths = rng.integers(10, 101, size=n_docs)
     word_idx = rng.integers(0, len(VOCAB), size=int(lengths.sum()))
     texts: list[str] = []
     pos = 0
@@ -83,53 +81,53 @@ def gen(out_dir: str = SF1_DIR, n_docs: int = N_DOCS, n_vecs: int = N_VECS, seed
         texts.append(" ".join(VOCAB[i] for i in word_idx[pos : pos + n]))
         pos += n
     # planted exact duplicates at the sf0.1 rate (8 pairs / 5000 docs)
-    n_dup_pairs = round(N_DOCS * 8 / 5000)
-    dup_src = rng.choice(N_DOCS, size=2 * n_dup_pairs, replace=False)
+    n_dup_pairs = round(n_docs * 8 / 5000)
+    dup_src = rng.choice(n_docs, size=2 * n_dup_pairs, replace=False)
     for a, b in dup_src.reshape(-1, 2):
         texts[b] = texts[a]
-    langs = rng.choice(LANGS, size=N_DOCS, p=LANG_W)
-    sources = np.array([f"src{i}" for i in rng.integers(0, 20, size=N_DOCS)])
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_W)
+    sources = np.array([f"src{i}" for i in rng.integers(0, 20, size=n_docs)])
     tbl = pa.table(
         {
-            "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
             "text": pa.array(texts, type=pa.string()),
             "lang": pa.array(langs.tolist(), type=pa.string()),
             "source": pa.array(sources.tolist(), type=pa.string()),
             "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
         }
     )
-    pq.write_table(tbl, os.path.join(SF1_DIR, "documents.parquet"))
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
 
     # --- embeddings: weak 10-cluster structure on the unit sphere, plus a
     # linear rate of planted near-dup twins (vec + small noise) ---
-    labels = rng.integers(0, 10, size=N_VECS)
+    labels = rng.integers(0, 10, size=n_vecs)
     centroids = rng.normal(0, 0.07, size=(10, DIM))
-    V = centroids[labels] + rng.normal(0, 0.125, size=(N_VECS, DIM))
-    n_twin = round(N_VECS * 10 / 2000)  # ~10 planted twins per 2000 at sf0.1
-    twin_src = rng.choice(N_VECS, size=2 * n_twin, replace=False).reshape(-1, 2)
+    V = centroids[labels] + rng.normal(0, 0.125, size=(n_vecs, DIM))
+    n_twin = round(n_vecs * 10 / 2000)  # ~10 planted twins per 2000 at sf0.1
+    twin_src = rng.choice(n_vecs, size=2 * n_twin, replace=False).reshape(-1, 2)
     for a, b in twin_src:
         V[b] = V[a] + rng.normal(0, 0.01, size=DIM)
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
     emb = pa.table(
         {
-            "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+            "vec_id": pa.array(range(n_vecs), type=pa.int64()),
             "embedding": pa.array(
                 [row.astype(np.float32) for row in V], type=pa.list_(pa.float32())
             ),
             "label": pa.array(labels.astype("int32"), type=pa.int32()),
         }
     )
-    pq.write_table(emb, os.path.join(SF1_DIR, "embeddings.parquet"))
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
 
     # --- remaining tables: symlink from sf0.1 ---
     for name in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events",
     ):
-        dst = os.path.join(SF1_DIR, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SF01_DIR, f"{name}.parquet"), dst)
-    print(f"wrote {SF1_DIR}: {N_DOCS} docs, {N_VECS} vecs")
+    print(f"wrote {out_dir}: {n_docs} docs, {n_vecs} vecs")
 
 
 def run(queries: list[str] | None = None, lo_dir: str = SF01_DIR, hi_dir: str = SF1_DIR, labels: tuple[str, str] = ("sf0.1", "sf1")) -> None:
