@@ -91,6 +91,11 @@ def main() -> None:
     # warm up: JVM, parquet footer cache, codegen
     spark.read.parquet(os.path.join(args.sf_dir, "nation.parquet")).count()
 
+    # host-ambient context: this host's timings flap ±30% with hypervisor
+    # load; recording 1-min loadavg at start and end lets a reader
+    # attribute a cross-round delta to code vs host without forensics
+    load_start = os.getloadavg()[0]
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
@@ -113,6 +118,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeat": max(1, args.repeat),
+                "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
             }
         )
     )

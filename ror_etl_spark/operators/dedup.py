@@ -16,10 +16,15 @@ exact → MinHash-LSH candidates → verified near-dup clusters:
   pairs (the verification step after either LSH).
 
 All expression-level work is built-in higher-order functions (JVM
-codegen); there is no Python UDF anywhere in this module.
+codegen). The one Arrow-batched kernel (``_lane_min_udf``) exists for the
+tuned large-num_hashes regime, where interpreted HOF lambdas lose to one
+numpy broadcast by the lane count; it is bit-identical to the expression
+path and there is no row-at-a-time Python UDF anywhere in this module.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -84,6 +89,55 @@ def lane_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return out
 
 
+def tuned_band_rows(
+    n_rows: int, key_budget: int = 250, min_rows: int = 4, max_rows: int = 16
+) -> int:
+    """rows-per-band for MinHash-LSH scaled to the corpus: the smallest
+    ``r ≥ min_rows`` with ``key_budget · 2^r ≥ n_rows``.
+
+    Fixed band width makes in-bucket candidate pairs grow ~quadratically
+    with corpus size (the sf1→sf10 rehearsal measured the registered
+    32/8/4 scheme at x13.6 — SCALING.md); lengthening the band key with
+    ``log2`` of the corpus multiplies the key space by the corpus growth,
+    holding expected per-band bucket occupancy ~constant so candidates
+    stay ~linear. Pure integer arithmetic (no log/ceil floats), so a
+    DuckDB oracle replays the rule bit-exactly as a range scan:
+    ``min(r) FROM range(min, max+1) WHERE key_budget * (1 << r) >= n``.
+    Beyond ``max_rows`` (n > key_budget·2^max_rows, i.e. ~16M docs at the
+    defaults) the rule clamps — extend max_rows for larger corpora; the
+    closed form is the same."""
+    for r in range(min_rows, max_rows + 1):
+        if key_budget * (1 << r) >= n_rows:
+            return r
+    return max_rows
+
+
+def tuned_bands_for_rows(
+    r: int, threshold: float = 0.8, target_recall: float = 0.9, max_bands: int = 32
+) -> int:
+    """Bands restoring recall at the Jaccard threshold for band width r.
+
+    Standard OR-construction: a pair exactly AT Jaccard t agrees on one
+    band with ``t^r``, on any of b bands with ``1-(1-t^r)^b`` — the
+    smallest b reaching ``target_recall``, capped (past ``max_bands`` the
+    hash budget says use a different algorithm, not more bands). Pairs
+    above the threshold collide strictly more often, so the bound is
+    conservative for everything the verify step keeps. Evaluated in
+    PYTHON only — the oracle generator inlines b(r) for every r as a SQL
+    CASE lookup, so no float log ever runs inside two engines."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p_band = threshold**r
+    if p_band <= 0.0:
+        return max_bands
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return max(1, min(max_bands, b))
+
+
 def md5_hash31(col):
     """Portable 31-bit string hash: top 8 hex chars of md5, sign bit
     dropped. md5 produces identical bytes in Spark and DuckDB (unlike
@@ -127,12 +181,55 @@ def shingle_hashes(text_col, k: int = 3):
     return F.array_distinct(F.transform(idx, combine))
 
 
+def _lane_min_udf(params: list[tuple[int, int]]):
+    """Arrow-batched minhash lane remix + min: one numpy broadcast per
+    batch computes every lane's ``(a·h + b) mod 2^31-1`` and segment-min.
+
+    Why a Pandas UDF and not the ``array_min(transform(...))`` expression:
+    Catalyst higher-order functions are CodegenFallback — interpreted per
+    element with allocation per lambda call — so ``num_hashes`` folds over
+    each row's shingle array cost ~nh·|shingles| interpreted evaluations.
+    The tuned scheme grows num_hashes past 100 (see ``tuned_band_rows`` /
+    ``tuned_bands_for_rows``), where the HOF path's constant dominates the
+    query; the numpy form runs the identical integer arithmetic in C
+    (31-bit operands: a·h < 2^62 stays inside int64, exactly as the JVM
+    expression), so signatures are BIT-IDENTICAL to the expression path
+    (pinned by test_dedup parity) and to the DuckDB oracle replay. Lanes
+    are processed in chunks of 32 to bound the temporary to
+    ~32·Σ|shingles| int64 per Arrow batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(h, dtype=np.int64) for h in hs]
+        if not arrs:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate(arrs)[None, :]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        offs = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        mins = np.empty((len(params), len(arrs)), dtype=np.int64)
+        for i in range(0, len(params), 32):
+            vals = (A[i : i + 32] * flat + B[i : i + 32]) % MERSENNE31
+            # every segment is non-empty (shingle_hashes emits >= 1 hash
+            # per doc), so reduceat is a plain per-row min
+            mins[i : i + 32] = np.minimum.reduceat(vals, offs, axis=1)
+        return pd.Series(list(mins.T))
+
+    return sig
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    vectorized: bool = False,
 ) -> DataFrame:
     """(id, minhash: array<bigint>[num_hashes]).
 
@@ -146,10 +243,18 @@ def minhash_signatures(
     (instead of the faster engine-internal xxhash64) makes the whole
     signature replayable in DuckDB SQL — the correctness gate
     hash-checks the operator end to end. P(minhash_i equal) = Jaccard of
-    the shingle sets."""
+    the shingle sets.
+
+    ``vectorized=True`` computes the lane remixes in an Arrow-batched
+    numpy kernel (``_lane_min_udf``) instead of JVM higher-order
+    functions — bit-identical output, far cheaper per lane; use it when
+    ``num_hashes`` is large (the tuned scheme's regime)."""
     params = lane_params(num_hashes)
     base = shingle_hashes(F.col(text_col), shingle_k)
     with_base = spread(df).select(F.col(id_col).alias("id"), base.alias("__hashes"))
+    if vectorized:
+        lane_min = _lane_min_udf(params)
+        return with_base.select("id", lane_min(F.col("__hashes")).alias("minhash"))
 
     def lane(a: int, b: int):
         # factory: a single-arg lambda (default-arg lambdas are mistaken

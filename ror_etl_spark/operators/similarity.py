@@ -65,22 +65,59 @@ def tuned_lsh_params(
       algorithm, not more tables).
 
     Pairs strictly above the threshold collide strictly more often, so
-    the bound is conservative for everything the query keeps. The
+    the bound is conservative for everything the query keeps. The fixed
     registered query keeps its pinned 8×6 (its DuckDB oracle replays
-    those exact buckets); scale deployments call this with the corpus
-    count they already know.
+    those exact buckets); since r6 the TUNED registered twin
+    (``embedding_near_dup_pairs_tuned``) derives its params from the
+    corpus count through the integer-exact ``tuned_planes`` /
+    ``tuned_tables_for_planes`` split below, which its oracle re-derives
+    inside the SQL.
     """
+    n_planes = tuned_planes(n_rows, target_occupancy, max_planes=62)
+    n_tables = tuned_tables_for_planes(n_planes, threshold, target_recall, max_tables)
+    return n_tables, n_planes
+
+
+def tuned_planes(
+    n_rows: int,
+    target_occupancy: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 16,
+) -> int:
+    """Integer-exact plane count: the smallest ``p ≥ min_planes`` with
+    ``target_occupancy · 2^p ≥ n_rows`` — identical to
+    ``⌈log2(n/occupancy)⌉`` but computed with integer comparisons only,
+    so a DuckDB oracle replays the rule bit-exactly as a range scan with
+    no float-log edge cases at powers of two. Clamps at ``max_planes``
+    (n > occupancy·2^max_planes); the default 16 covers ~1M-row corpora
+    at occupancy 64 — raise it for more (bucket ids use long bits, so the
+    hard ceiling is 62)."""
+    for p in range(min_planes, max_planes + 1):
+        if target_occupancy * (1 << p) >= n_rows:
+            return p
+    return max_planes
+
+
+def tuned_tables_for_planes(
+    n_planes: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    max_tables: int = 64,
+) -> int:
+    """Tables restoring recall for a given sign-prefix length — the
+    OR-construction bound factored out of ``tuned_lsh_params`` so the
+    oracle generator can inline T(p) for every p as a SQL CASE lookup
+    (the acos/log floats run ONCE, in Python, never in two engines)."""
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
-    n_planes = max(4, math.ceil(math.log2(max(2, n_rows / max(1, target_occupancy)))))
     p1 = 1.0 - math.acos(threshold) / math.pi
     p_table = p1**n_planes
     if p_table <= 0.0:
-        return max_tables, n_planes
+        return max_tables
     n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table))
-    return max(1, min(max_tables, n_tables)), n_planes
+    return max(1, min(max_tables, n_tables))
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -350,8 +387,11 @@ def all_pairs_above(
 
 def _nearest_cell(vec_col, centroids: list[list[float]]):
     """Column expr: index of the closest centroid (squared L2, ties to the
-    lower index). Centroids are literals — the argmin runs JVM-side in
-    whole-stage codegen, no UDF."""
+    lower index). Kept as the reference formulation and for tests; the
+    hot paths use ``_nearest_cell_udf`` — Catalyst higher-order functions
+    are CodegenFallback (interpreted per element), so k centroids × dim
+    dims of fold per row made centroid assignment the dominant constant
+    of the IVF queries (r5 full-registry bench: 5.04 s, worst of 168)."""
 
     def centroid_dist_struct(i: int, c: list[float]):
         lits = F.array(*[F.lit(float(x)) for x in c])
@@ -365,6 +405,32 @@ def _nearest_cell(vec_col, centroids: list[list[float]]):
     return F.array_min(
         F.array(*[centroid_dist_struct(i, c) for i, c in enumerate(centroids)])
     )["cell"]
+
+
+def _nearest_cell_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment: one (batch × k × dim)
+    numpy broadcast per batch, argmin per row (numpy argmin returns the
+    FIRST minimum — the same lower-index tie-break as the struct-min
+    expression and the oracle's ``ORDER BY list_distance, cell``).
+
+    Same rationale as ``_table_buckets_udf``: the HOF argmin is
+    interpreted per element, the numpy form is one vectorized pass. The
+    output is an integer cell id — no rounding is involved, so the only
+    cross-engine divergence risk is an exact distance tie between two
+    distinct centroids at float64 resolution, which the quantized
+    (round_means) training trajectory makes measure-zero."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return cell
 
 
 def kmeans_centroids(
@@ -402,7 +468,8 @@ def kmeans_centroids(
         eager=False
     )
     for _ in range(max(0, n_iters)):
-        cells = vecs.select(_nearest_cell(F.col("v"), centroids).alias("cell"), "v")
+        assign = _nearest_cell_udf(centroids)
+        cells = vecs.select(assign(F.col("v")).alias("cell"), "v")
         means = (
             cells.select("cell", F.posexplode("v"))
             .groupBy("cell", "pos")
@@ -465,7 +532,8 @@ def ivf_topk(
     probe_cells = sorted(range(len(centroids)), key=lambda i: (qdist(centroids[i]), i))[
         :nprobe
     ]
-    cells = corpus.withColumn("__cell", _nearest_cell(F.col(vec_col), centroids))
+    assign = _nearest_cell_udf(centroids)
+    cells = corpus.withColumn("__cell", assign(as_double(F.col(vec_col))))
     return brute_force_topk(
         cells.filter(F.col("__cell").isin(probe_cells)), query_vec, k, id_col, vec_col
     )

@@ -17,6 +17,8 @@ from ror_etl_spark.operators.dedup import (
     minhash_signatures,
     shingles,
     simhash_candidates,
+    tuned_band_rows,
+    tuned_bands_for_rows,
 )
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
@@ -221,6 +223,118 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("id_a", "id_b", r4(F.col("jaccard")).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )
+
+
+def _minhash_tuned_oracle(threshold: float = 0.8, target_recall: float = 0.9) -> str:
+    """DuckDB replay of the TUNED MinHash-LSH funnel, with the band scheme
+    derived from the corpus row count INSIDE the SQL:
+
+    - ``r`` (rows per band) comes from the same integer-exact rule as
+      ``tuned_band_rows`` — ``min(r) FROM range(4,17) WHERE
+      250·2^r ≥ count(*)`` — pure integer comparisons, no float logs;
+    - ``b`` (bands) is a CASE lookup over r whose values the generator
+      computes ONCE in Python via ``tuned_bands_for_rows`` (the float log
+      never runs in two engines);
+    - lane (a,b) constants are inlined for the MAXIMUM supported scheme
+      (32 bands × 16 rows = 512 lanes); ``lane_params`` draws lanes
+      sequentially from one seeded stream, so any smaller b·r uses an
+      exact PREFIX of the literal arrays — bit-identical to the Spark
+      operator's ``lane_params(b*r)``.
+
+    Everything downstream (signatures, band keys, candidates, Jaccard
+    verify) is the fixed oracle's portable arithmetic, just with dynamic
+    extents, so the driver hash-checks the tuned funnel end to end at ANY
+    scale factor."""
+    from ror_etl_spark.operators.dedup import HORNER_BASE, MERSENNE31, lane_params
+
+    params = lane_params(32 * 16)
+    al = "[" + ",".join(str(a) for a, _ in params) + "]"
+    bl = "[" + ",".join(str(b) for _, b in params) + "]"
+    b_case = " ".join(
+        f"WHEN {r} THEN {tuned_bands_for_rows(r, threshold, target_recall)}"
+        for r in range(4, 17)
+    )
+    B = HORNER_BASE
+    horner = (
+        f"((coalesce(th[i], 0) * {B} + coalesce(th[i+1], 0)) % {MERSENNE31}"
+        f" * {B} + coalesce(th[i+2], 0)) % {MERSENNE31}"
+    )
+    return f"""
+    WITH {_shingle_cte(3)},
+    tokh AS (
+      SELECT doc_id,
+             list_transform(
+               t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647) AS th
+      FROM toks),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(array_length(th) - 2, 1) + 1),
+               i -> {horner})) AS hs
+      FROM tokh),
+    nn AS (SELECT count(*) AS n FROM documents),
+    p0 AS (SELECT coalesce(min(range), 16)::INT AS r
+           FROM range(4, 17), nn WHERE 250 * (1::BIGINT << range) >= nn.n),
+    prm AS (SELECT r, (CASE r {b_case} END)::INT AS b FROM p0),
+    lanep AS (
+      SELECT l, ({al})[l] AS a, ({bl})[l] AS bb
+      FROM (SELECT unnest(range(1, b * r + 1)) AS l FROM prm)),
+    sigrow AS (
+      SELECT h.doc_id, lp.l,
+             list_min(list_transform(h.hs, x -> (lp.a * x + lp.bb) % {MERSENNE31})) AS v
+      FROM hs h CROSS JOIN lanep lp),
+    sig AS (SELECT doc_id, list(v ORDER BY l) AS m FROM sigrow GROUP BY doc_id),
+    bidx AS (SELECT unnest(range(0, b)) AS band, r FROM prm),
+    bandrows AS (
+      SELECT s.doc_id, bi.band,
+             array_to_string(
+               list_transform(range(bi.band * bi.r + 1, (bi.band + 1) * bi.r + 1),
+                              i -> s.m[i]), ',') AS key
+      FROM sig s CROSS JOIN bidx bi),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, round({_JACCARD}, 4) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE {_JACCARD} >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_lsh_tuned", oracle=_minhash_tuned_oracle(), priority=3)
+def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the band scheme DERIVED FROM THE
+    CORPUS SIZE — the scale-safe form of ``dedup_minhash_lsh``.
+
+    The fixed 32/8/4 twin measured a x13.6 sf1→sf10 step (SCALING.md):
+    at fixed band width, band-key collisions grow with the corpus, so
+    in-bucket candidate pairs grow ~quadratically. Here
+    ``tuned_band_rows`` lengthens the band key with log2(n) (holding
+    expected bucket occupancy ~constant → candidates ~linear) and
+    ``tuned_bands_for_rows`` restores recall at the Jaccard threshold
+    with the OR-construction bound. The verify threshold is 0.8 — the
+    production near-dup regime, where the band counts the bound demands
+    stay within the 512-lane budget. One driver-side count() routes the
+    params (at 100 TB that n comes from table stats); the signature lanes
+    run in the Arrow-batched numpy kernel (``_lane_min_udf``) because the
+    tuned lane count (20 at sf0.01, 104 at sf1, 286 at sf10) is past
+    where interpreted HOF lambdas are economical — output bit-identical
+    to the expression path (parity-pinned in test_dedup). The DuckDB
+    oracle derives THE SAME (b, r) from count(*) inside the SQL, so the
+    funnel stays hash-checked end to end at any scale factor."""
+    d = Tables(spark, sf_dir).documents
+    n = d.count()
+    r = tuned_band_rows(n)
+    b = tuned_bands_for_rows(r, threshold=0.8, target_recall=0.9)
+    sigs = minhash_signatures(d, num_hashes=b * r, vectorized=True)
+    cands = lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
+    verified = jaccard_verify(cands, d, threshold=0.8)
+    return verified.select(
+        "id_a", "id_b", r4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _simhash_oracle() -> str:

@@ -96,6 +96,124 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_tuned_oracle(
+    threshold: float = 0.4,
+    target_recall: float = 0.9,
+    base_seed: int = 101,
+    max_tables: int = 32,
+    max_planes: int = 16,
+) -> str:
+    """DuckDB replay of the TUNED hyperplane-LSH near-dup funnel, with
+    (n_tables, n_planes) derived from the corpus row count INSIDE the
+    SQL:
+
+    - ``p`` comes from the same integer-exact occupancy rule as
+      ``tuned_planes`` (``min(p) FROM range(4,17) WHERE 64·2^p ≥
+      count(*)``) — no float logs in either engine;
+    - ``t`` is a CASE lookup over p whose values the generator computes
+      once in Python via ``tuned_tables_for_planes``;
+    - hyperplanes are inlined for the MAXIMUM scheme (max_tables ×
+      max_planes); ``random_hyperplanes`` draws planes sequentially per
+      table from seed ``base_seed + t``, so any smaller p uses an exact
+      PREFIX of table t's literal planes — identical to the Spark
+      operator's generation.
+
+    Bucket = the sign pattern of the first p planes of each of the first
+    t tables; candidates share any table's bucket; exact cosine ≥
+    threshold verifies candidates only — the whole funnel hash-checked
+    at ANY scale factor."""
+    from ror_etl_spark.operators.similarity import (
+        random_hyperplanes,
+        tuned_tables_for_planes,
+    )
+
+    t_case = " ".join(
+        f"WHEN {p} THEN {tuned_tables_for_planes(p, threshold, target_recall, max_tables)}"
+        for p in range(4, max_planes + 1)
+    )
+    planes_flat = [
+        plane
+        for t in range(max_tables)
+        for plane in random_hyperplanes(64, max_planes, base_seed + t)
+    ]
+    pl = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in plane) + "]" for plane in planes_flat
+        )
+        + "]"
+    )
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    p0 AS (SELECT coalesce(min(range), {max_planes})::INT AS p
+           FROM range(4, {max_planes + 1}), nn
+           WHERE 64 * (1::BIGINT << range) >= nn.n),
+    prm AS (SELECT p, (CASE p {t_case} END)::INT AS t FROM p0),
+    tb AS (SELECT unnest(range(0, t)) AS tbl, p FROM prm),
+    pls AS (
+      SELECT unnest(range(1, {max_tables * max_planes + 1})) AS k,
+             unnest({pl}) AS plane),
+    ap AS (
+      SELECT tb.tbl, pls.k - tb.tbl * {max_planes} AS i, pls.plane
+      FROM tb JOIN pls
+        ON pls.k > tb.tbl * {max_planes}
+       AND pls.k <= tb.tbl * {max_planes} + tb.p),
+    bk AS (
+      SELECT e.vec_id, ap.tbl,
+             sum(CASE WHEN list_dot_product(e.v, ap.plane) >= 0
+                      THEN (1::BIGINT << (ap.i - 1)) ELSE 0 END) AS bucket
+      FROM e CROSS JOIN ap
+      GROUP BY e.vec_id, ap.tbl),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cos
+    FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+    WHERE round({cos}, 6) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("embedding_near_dup_pairs_tuned", oracle=_near_dup_tuned_oracle(), priority=3)
+def embedding_near_dup_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs with LSH parameters DERIVED FROM
+    THE CORPUS SIZE — the scale-safe form of ``embedding_near_dup_pairs``.
+
+    The fixed 8×6 twin measured a x8.3 sf0.1→1 step (SCALING.md): at
+    fixed sign-prefix length, bucket occupancy grows linearly with the
+    corpus and in-bucket candidate pairs ~quadratically. Here
+    ``tuned_planes`` lengthens the prefix with log2(n) (expected
+    occupancy ~constant → per-table candidates ~linear) and
+    ``tuned_tables_for_planes`` restores recall at the cosine threshold
+    via the OR-construction bound. Threshold 0.4 matches the
+    fixed twin's deliberately-hard regime (the driver corpus's densest
+    pairs sit at cos 0.4-0.5, so the query returns real rows); at that
+    threshold the table bound hits the 32-table cap for p >= 6 — the
+    documented recall decay of low-threshold sign-LSH — while the
+    planted cos≈0.999 twins of the rehearsal corpora survive any p with
+    a single table. What the tuning buys is the CANDIDATE side:
+    occupancy stays ~constant, so verify work grows ~linearly with the
+    corpus where the fixed scheme measured x8.3 in one decade. One
+    driver-side count() routes the params — deterministic, so the DuckDB
+    oracle re-derives THE SAME (t, p) from count(*) inside the SQL and
+    replays the seeded-prefix hyperplane buckets bit-exactly."""
+    from ror_etl_spark.operators.similarity import (
+        tuned_planes,
+        tuned_tables_for_planes,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    n = emb.count()
+    p = tuned_planes(n)
+    t = tuned_tables_for_planes(p, threshold=0.4, target_recall=0.9, max_tables=32)
+    return lsh_near_dup_pairs(
+        emb, threshold=0.4, dim=64, n_tables=t, n_planes=p
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "embedding_centroid_norm",
     oracle="""

@@ -108,3 +108,72 @@ def test_keep_best_per_key(spark):
     kept = keep_best_per_key(df, keys=["user", "kind"], order_by=[F.desc("ts")])
     rows = {(r["user"], r["kind"]): r["ts"] for r in kept.collect()}
     assert rows == {(1, "x"): 20, (1, "y"): 5, (2, "x"): 7}
+
+
+def test_vectorized_signatures_bit_identical_to_expression_path(spark):
+    """The Arrow/numpy lane kernel must produce byte-equal signatures to
+    the JVM higher-order-function path — same lane params, same 31-bit
+    arithmetic — at a lane count above one numpy chunk (32)."""
+    from ror_etl_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hof = minhash_signatures(d, num_hashes=40).orderBy("id").collect()
+    vec = minhash_signatures(d, num_hashes=40, vectorized=True).orderBy("id").collect()
+    assert len(hof) == len(vec) > 0
+    for a, b in zip(hof, vec):
+        assert a["id"] == b["id"]
+        assert list(a["minhash"]) == list(b["minhash"])
+
+
+def test_tuned_minhash_params_rules():
+    """Integer-exact band-width rule and the OR-construction band count:
+    the exact values the tuned oracle's SQL CASE inlines."""
+    from ror_etl_spark.operators.dedup import tuned_band_rows, tuned_bands_for_rows
+
+    # smallest r >= 4 with 250 * 2^r >= n
+    assert tuned_band_rows(500) == 4
+    assert tuned_band_rows(4000) == 4
+    assert tuned_band_rows(4001) == 5
+    assert tuned_band_rows(50_000) == 8
+    assert tuned_band_rows(500_000) == 11
+    assert tuned_band_rows(10**9) == 16  # clamps at max_rows
+    # recall bound at t=0.8: b grows with r, capped at 32
+    assert tuned_bands_for_rows(4) == 5
+    assert tuned_bands_for_rows(8) == 13
+    assert tuned_bands_for_rows(11) == 26
+    assert tuned_bands_for_rows(16) == 32
+    for bad in (0.0, 1.0, -1.0):
+        import pytest
+
+        with pytest.raises(ValueError):
+            tuned_bands_for_rows(4, target_recall=bad)
+
+
+def test_tuned_minhash_finds_planted_duplicates(spark):
+    """The tuned funnel (params from corpus size) must keep the planted
+    exact-duplicate pairs: Jaccard 1.0 docs agree on every band, so any
+    band count finds them regardless of tuning regime."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        tuned_band_rows,
+        tuned_bands_for_rows,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant duplicates explicitly: copy five docs under fresh ids
+    planted = base.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    d = base.unionByName(planted)
+    exact_pairs = {(i, i + 100_000) for i in range(5)}
+    n = d.count()
+    r = tuned_band_rows(n)
+    b = tuned_bands_for_rows(r)
+    sigs = minhash_signatures(d, num_hashes=b * r, vectorized=True)
+    cands = lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
+    found = {(x["id_a"], x["id_b"]) for x in jaccard_verify(cands, d, threshold=0.8).collect()}
+    assert exact_pairs <= found
