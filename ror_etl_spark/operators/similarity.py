@@ -260,21 +260,15 @@ def _table_buckets_udf(tables: list[list[list[float]]]):
     return buckets
 
 
-def _pair_dot_udf():
-    """Arrow-batched dot product of two unit-vector columns (float64) —
-    the candidate-verification kernel. Summation runs in C (pairwise) —
-    equality with the sequential-fold oracle holds after 6 dp rounding
-    (pinned by the correctness gate)."""
+def _round6_half_up(a):
+    """numpy HALF_UP rounding to 6 dp (ties away from zero) — matching
+    Spark's BigDecimal ROUND_HALF_UP and DuckDB's round(); np.round is
+    half-to-even, which differs on exact .5-at-6dp values."""
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.array(a.tolist(), dtype=np.float64)
-        mb = np.array(b.tolist(), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
-    return pair_dot
+    return np.where(
+        a >= 0, np.floor(a * 1e6 + 0.5) / 1e6, np.ceil(a * 1e6 - 0.5) / 1e6
+    )
 
 
 def lsh_near_dup_pairs(
@@ -286,68 +280,87 @@ def lsh_near_dup_pairs(
     n_tables: int = 8,
     n_planes: int = 6,
     base_seed: int = 101,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane
-    LSH: candidates = pairs sharing any table's sign-bucket, then exact
-    cosine verification on the candidate set only.
+    LSH with IN-BUCKET verification: vectors ship through the bucket
+    shuffle once per table replica, and each (table, bucket) group
+    verifies its own pairs with one numpy GEMM — only OUTPUT-sized pair
+    rows ever materialize.
 
-    This is the scale shape: the corpus shuffles as (table, bucket, id)
-    triples — 3 longs per table per row, never the vectors — and the
-    quadratic work collapses to within-bucket pairs. Vectors are joined
-    back (normalized once) only for the surviving candidates. Contrast
-    ``all_pairs_above``: a cartesian self-join that cannot survive a 100×
-    scale-up; it remains the oracle/recall baseline in tests.
+    Why not "candidate pairs join vectors back"? That was the r1-r5
+    shape, and the sf10 rehearsal killed it: with candidates ~n·occ·T/2
+    (~10^8 at 200k clustered vectors), the second vector join sorts a
+    candidates × 2·dim-doubles intermediate — a ~100 GB spill that
+    filled the disk. Here the wide data is the BUCKET table
+    (n·T rows × dim doubles ≈ 3 GB at the same tier), the quadratic
+    work is FLOPs inside bounded groups (Σ occ²·dim — seconds of BLAS),
+    and the only pair-shaped shuffle is the final output-sized
+    aggregate. That aggregate (min over per-table cos replicas of the
+    same pair) also collapses last-ulp GEMM differences between tables,
+    which a plain distinct would keep as spurious duplicates.
+
+    ``max_bucket`` drops (table, bucket) groups holding more ids — a
+    bucket at many times the target occupancy means those sign bits do
+    not discriminate there (a dense region hashed together), its pairs
+    are overwhelmingly below threshold, and its occ²·dim GEMM is pure
+    waste; dropping is the standard production trade (bucket-size caps
+    in PLSH-style deployments), with recall loss concentrated on pairs
+    the other tables can still catch. The cap is enforced INSIDE the
+    verify function, where the group is already materialized — a
+    separate count-aggregate + join would recompute and re-shuffle the
+    vector-carrying bucket table (measured 4.0 → 18.4 s at the sf1
+    tier when tried).
 
     Recall is the standard multi-table OR-construction: a pair at angle θ
     survives one table with (1-θ/π)^n_planes, any of T tables with
-    1-(1-p)^T. Tune (n_tables, n_planes) to the threshold: high-similarity
-    dedup (cos ≥ 0.9) needs few tables; the testdata's low 0.4 threshold
-    sits deliberately in the hard regime and the registered query's oracle
-    replays the same buckets rather than pretending full recall."""
-    from ror_etl_spark.functions.vectors import l2_norm
-
-    corpus = spread(corpus)
-    v = as_double(F.col(vec_col))
-    unit = F.transform(v, lambda x: x / l2_norm(v))
-    normed = corpus.select(F.col(id_col).alias("id"), unit.alias("u")).localCheckpoint(
-        eager=False
-    )
+    1-(1-p)^T. The tuned registered twin derives (T, p) from the corpus
+    count (``tuned_planes`` / ``tuned_tables_for_planes``); the fixed
+    twin pins 8×6. Contrast ``all_pairs_above``: a cartesian self-join
+    kept only as the tests' recall baseline."""
+    import numpy as np
 
     tables = [
         random_hyperplanes(dim, n_planes, base_seed + t) for t in range(n_tables)
     ]
     bucket_fn = _table_buckets_udf(tables)
     buckets = (
-        corpus.select(F.col(id_col).alias("id"), bucket_fn(as_double(F.col(vec_col))).alias("bs"))
-        .select("id", F.posexplode("bs").alias("tbl", "bucket"))
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    va = normed.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
-    vb = normed.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
-    pair_dot = _pair_dot_udf()
-    # AQE sizes the candidate shuffle by its (tiny) pair-id bytes, but the
-    # verify stage fans each pair out to 2×dim doubles through Arrow —
-    # spread the pairs explicitly so that work isn't squeezed onto a
-    # couple of post-coalesce tasks
-    cands = spread(cands)
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        spread(corpus)
         .select(
-            "id_a", "id_b", F.round(pair_dot(F.col("ua"), F.col("ub")), 6).alias("cos")
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+            bucket_fn(as_double(F.col(vec_col))).alias("bs"),
         )
-        .filter(F.col("cos") >= threshold)
+        .select("id", "v", F.posexplode("bs").alias("tbl", "bucket"))
     )
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
+            return empty
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        g = _round6_half_up(V @ V.T)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = g[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": g[ia[keep], ib[keep]]}
+        )
+
+    pairs = buckets.groupBy("tbl", "bucket").applyInPandas(
+        verify, schema="id_a long, id_b long, cos double"
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
 def all_pairs_above(

@@ -206,11 +206,29 @@ class RorPipeline:
 
     def run(self, jsonl_path: str) -> dict:
         """Full gated chain. Check failures raise BEFORE promotion; staging
-        keeps the failed data (reference comment ror_dag.py:51-52)."""
+        keeps the failed data (reference comment ror_dag.py:51-52).
+
+        The parsed input is cached across its four consumers (REQUIRED
+        null-scan, uniqueness gate, edge extraction, join-back + staging
+        write) — without it every stage re-parses the JSONL, and JSON
+        parse is the dominant per-row cost of the whole pipeline
+        (end-to-end shootout: 5.8 → 3.6 s at 110k orgs). MEMORY_AND_DISK
+        so a 100 TB input spills instead of evicting; the cache is
+        released as soon as staging is written (every later stage reads
+        staging/prod parquet, never the JSONL)."""
         self.clear_tmp()
-        ror = self.load_input(jsonl_path)
-        with_up = self.add_ultimate_parent(ror)
-        self.load_staging(with_up)
+        ror = (
+            self.spark.read.schema(ROR_INPUT_SCHEMA)
+            .option("mode", "FAILFAST")
+            .json(jsonl_path)
+            .persist()
+        )
+        try:
+            validate_required(ror)
+            with_up = self.add_ultimate_parent(ror)
+            self.load_staging(with_up)
+        finally:
+            ror.unpersist()
         self.check_unique_ids()
         self.check_monotonic_count()
         self.promote()

@@ -102,6 +102,7 @@ def _near_dup_tuned_oracle(
     base_seed: int = 101,
     max_tables: int = 32,
     max_planes: int = 16,
+    max_bucket: int = 1024,
 ) -> str:
     """DuckDB replay of the TUNED hyperplane-LSH near-dup funnel, with
     (n_tables, n_planes) derived from the corpus row count INSIDE the
@@ -119,9 +120,11 @@ def _near_dup_tuned_oracle(
       operator's generation.
 
     Bucket = the sign pattern of the first p planes of each of the first
-    t tables; candidates share any table's bucket; exact cosine ≥
-    threshold verifies candidates only — the whole funnel hash-checked
-    at ANY scale factor."""
+    t tables; buckets holding more than ``max_bucket`` ids are dropped
+    (the operator's occupancy cap — see ``lsh_near_dup_pairs``);
+    candidates share any surviving bucket; exact cosine ≥ threshold
+    verifies candidates only — the whole funnel hash-checked at ANY
+    scale factor."""
     from ror_etl_spark.operators.similarity import (
         random_hyperplanes,
         tuned_tables_for_planes,
@@ -166,9 +169,11 @@ def _near_dup_tuned_oracle(
                       THEN (1::BIGINT << (ap.i - 1)) ELSE 0 END) AS bucket
       FROM e CROSS JOIN ap
       GROUP BY e.vec_id, ap.tbl),
+    bok AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket HAVING count(*) <= {max_bucket}),
+    bk2 AS (SELECT bk.* FROM bk JOIN bok USING (tbl, bucket)),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bk a JOIN bk b
+      FROM bk2 a JOIN bk2 b
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT c.id_a, c.id_b, round({cos}, 6) AS cos
     FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
@@ -210,7 +215,7 @@ def embedding_near_dup_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFram
     p = tuned_planes(n)
     t = tuned_tables_for_planes(p, threshold=0.4, target_recall=0.9, max_tables=32)
     return lsh_near_dup_pairs(
-        emb, threshold=0.4, dim=64, n_tables=t, n_planes=p
+        emb, threshold=0.4, dim=64, n_tables=t, n_planes=p, max_bucket=1024
     ).orderBy("id_a", "id_b")
 
 

@@ -196,3 +196,37 @@ def test_tuned_lsh_params_hold_candidate_growth_linear(spark):
     growth = counts[6000] / max(counts[1500], 1.0)
     # 4x the corpus: linear-ish growth stays well under the quadratic 16x
     assert growth <= 8.0, counts
+
+
+def test_lsh_near_dup_bucket_cap_drops_superbuckets(spark):
+    """max_bucket drops over-full (table, bucket) groups from candidate
+    generation: a dense clump hashed into one bucket stops contributing
+    quadratic in-bucket pairs, while pairs in small buckets survive
+    unchanged. (The sf10 rehearsal measured the uncapped form filling the
+    spill disk on a clustered corpus — SCALING.md round 6.)"""
+    import numpy as np
+
+    from ror_etl_spark.operators.similarity import lsh_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    # 200 vectors in one tight clump (one super-bucket per table) plus an
+    # isolated twin pair far from the clump
+    clump = rng.normal(size=16) ; clump /= np.linalg.norm(clump)
+    rows = []
+    for i in range(200):
+        v = clump + rng.normal(scale=0.01, size=16)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    twin = -clump + rng.normal(scale=0.3, size=16); twin /= np.linalg.norm(twin)
+    t2 = twin + rng.normal(scale=0.01, size=16); t2 /= np.linalg.norm(t2)
+    rows += [(500, [float(x) for x in twin]), (501, [float(x) for x in t2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.9, dim=16, n_tables=4, n_planes=4)
+    uncapped = lsh_near_dup_pairs(df, **kw).count()
+    capped_pairs = lsh_near_dup_pairs(df, max_bucket=50, **kw)
+    capped = {(r["id_a"], r["id_b"]) for r in capped_pairs.collect()}
+    # the clump's ~19900 in-bucket pairs are gone...
+    assert len(capped) < uncapped
+    assert not any(a < 200 and b < 200 for a, b in capped)
+    # ...but the isolated twin pair (its bucket holds 2 ids) survives
+    assert (500, 501) in capped

@@ -116,9 +116,123 @@ def spark_style(spark, jsonl_in: str, parquet_out: str) -> float:
     return time.perf_counter() - t0
 
 
+def reference_full_pipeline(jsonl_in: str, root: str, depth_cap: int = 200) -> float:
+    """Single-process restatement of the reference's WHOLE gated weekly
+    run (SURVEY §2.1 task chain): tmp clear → load with REQUIRED-field
+    validation → duplicate-id gate → ultimate-parent walk → staging write
+    → uniqueness + monotonic-count checks → staging→prod promote →
+    description metadata → dated backup. Data stays in one process's
+    memory between stages (the cheapest possible layout for it — checks
+    re-scan the in-memory rows, promote/backup are file copies, the
+    analogue of BigQuery's server-side table copies)."""
+    import shutil
+
+    t0 = time.perf_counter()
+    tmp = os.path.join(root, "tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    id_to_parent: dict[str, str] = {}
+    rows = []
+    with open(jsonl_in) as f:
+        for line in f:
+            js = json.loads(line)
+            rid = js["id"]
+            assert rid is not None and js.get("status") is not None
+            parent = rid
+            for rel in js.get("relationships") or []:
+                if (rel.get("type") or "").lower() == "parent":
+                    parent = rel["id"]
+            assert rid not in id_to_parent, f"Duplicate ID: {rid}"
+            id_to_parent[rid] = parent
+            rows.append(js)
+
+    def roll(i: str) -> str:
+        seen, cur = 0, i
+        while seen < depth_cap:
+            p = id_to_parent.get(cur)
+            if p is None or p == cur:
+                return cur
+            cur = p
+            seen += 1
+        return cur
+
+    resolved = {rid: roll(rid) for rid in id_to_parent}
+    staging = os.path.join(root, "staging.jsonl")
+    with open(staging, "w") as f:
+        for js in rows:
+            js["ultimate_parent"] = resolved[js["id"]]
+            assert js["ultimate_parent"] is not None
+            f.write(json.dumps(js) + "\n")
+
+    # checks re-scan the loaded rows (the BigQueryCheckOperator analogue
+    # re-queries the staged table; in-memory is the cheapest equivalent)
+    ids = {js["id"] for js in rows}
+    assert len(ids) == len(rows), "duplicate ids in staging"
+    prod = os.path.join(root, "prod.jsonl")
+    if os.path.exists(prod):
+        with open(prod) as f:
+            n_prod = sum(1 for _ in f)
+        assert len(rows) >= n_prod, "shrinking table"
+    shutil.copyfile(staging, prod)
+    with open(os.path.join(root, "descriptions.json"), "w") as f:
+        json.dump({"table_description": "Research Organization Registry"}, f)
+    shutil.copyfile(prod, os.path.join(root, "backup.jsonl"))
+    return time.perf_counter() - t0
+
+
+def full_pipeline_shootout(spark, jsonl: str, tmp: str, n: int) -> None:
+    """End-to-end gated pipeline both sides; prints one JSON line and
+    asserts the prod tables carry identical (id, ultimate_parent)."""
+    from ror_etl_spark.plans.ror_pipeline import RorPipeline
+
+    ref_root = os.path.join(tmp, "ref_wh")
+    os.makedirs(ref_root, exist_ok=True)
+    ref_s = min(reference_full_pipeline(jsonl, ref_root) for _ in range(3))
+
+    eng_root = os.path.join(tmp, "eng_wh")
+    pipe = RorPipeline(spark, eng_root)
+    pipe.run(jsonl)  # cold run: JVM/codegen warm-up, not billed (the
+    # reference contender gets the same best-of-3 treatment)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipe.run(jsonl)
+        best = min(best or 9e9, time.perf_counter() - t0)
+
+    ref_prod = {}
+    with open(os.path.join(ref_root, "prod.jsonl")) as f:
+        for line in f:
+            js = json.loads(line)
+            ref_prod[js["id"]] = js["ultimate_parent"]
+    eng_prod = {
+        r["id"]: r["ultimate_parent"]
+        for r in spark.read.parquet(pipe.prod_path)
+        .select("id", "ultimate_parent")
+        .collect()
+    }
+    assert ref_prod == eng_prod, "prod tables disagree"
+    print(
+        json.dumps(
+            {
+                "mode": "full_pipeline",
+                "n_orgs": n,
+                "reference_style_sec": round(ref_s, 2),
+                "spark_warm_sec": round(best, 2),
+                "prod_identical": True,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=110_000)
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="also race the WHOLE gated pipeline (load -> checks -> promote -> backup)",
+    )
     args = ap.parse_args()
 
     from ror_etl_spark.session import get_spark
@@ -127,6 +241,10 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         jsonl = os.path.join(tmp, "ror.jsonl")
         make_orgs(args.n, jsonl)
+
+        if args.full:
+            full_pipeline_shootout(spark, jsonl, tmp, args.n)
+            return
 
         # best-of-3 on BOTH engines (the host is a shared VM — ambient
         # load drifts; single-shot timings flapped ±30% between rounds)

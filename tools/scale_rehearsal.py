@@ -64,7 +64,13 @@ HEAVY = [
 ]
 
 
-def gen(out_dir: str = SF1_DIR, n_docs: int = N_DOCS, n_vecs: int = N_VECS, seed: int = 4242) -> None:
+def gen(
+    out_dir: str = SF1_DIR,
+    n_docs: int = N_DOCS,
+    n_vecs: int = N_VECS,
+    seed: int = 4242,
+    vocab: str = "closed",
+) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -74,11 +80,23 @@ def gen(out_dir: str = SF1_DIR, n_docs: int = N_DOCS, n_vecs: int = N_VECS, seed
 
     # --- documents ---
     lengths = rng.integers(10, 101, size=n_docs)
-    word_idx = rng.integers(0, len(VOCAB), size=int(lengths.sum()))
+    if vocab == "heaps":
+        # Zipf-ranked words give a Heaps-law vocabulary (distinct words
+        # ~ N^(1/a)): the realistic web-corpus regime. The driver's
+        # CLOSED 31-word vocabulary saturates the 3-gram shingle space
+        # (31^3 grams all occur by sf1), which makes exact all-pairs
+        # candidate growth quadratic BY CONSTRUCTION; this mode exists to
+        # measure the same queries when per-shingle document frequency
+        # stays long-tail instead (SCALING.md round-6 section).
+        ranks = rng.zipf(1.3, size=int(lengths.sum()))
+        toks = np.char.add("w", ranks.astype(str))
+    else:
+        word_idx = rng.integers(0, len(VOCAB), size=int(lengths.sum()))
+        toks = np.array(VOCAB, dtype=object)[word_idx]
     texts: list[str] = []
     pos = 0
     for n in lengths:
-        texts.append(" ".join(VOCAB[i] for i in word_idx[pos : pos + n]))
+        texts.append(" ".join(toks[pos : pos + n]))
         pos += n
     # planted exact duplicates at the sf0.1 rate (8 pairs / 5000 docs)
     n_dup_pairs = round(n_docs * 8 / 5000)
@@ -246,6 +264,18 @@ def sn(n: int = 5_000_000) -> None:
 
 
 SF10_DIR = "/tmp/sparkgraft_sf10"
+OV_LO_DIR = "/tmp/sparkgraft_ov_lo"
+OV_HI_DIR = "/tmp/sparkgraft_ov_hi"
+
+# The exact-similarity families whose closed-vocab candidate growth is
+# quadratic by construction (SCALING.md r5 diagnosis): measured across an
+# open-vocabulary decade to show the quadratic regime is the vocabulary
+# artifact, not the plan.
+OPEN_VOCAB = [
+    "dedup_prefix_filter_jaccard",
+    "dedup_winnow_pairs",
+    "dedup_ngram_jaccard",
+]
 
 # Third decade (sf1 → sf≈10): only the families whose r5 plans are
 # expected ~linear — the quadratic-candidate regimes under the closed
@@ -269,6 +299,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--gen10", action="store_true", help="synthesize the sf~10 tier (500k docs)")
+    ap.add_argument("--gen-ov", action="store_true", help="synthesize the open-vocabulary (Heaps-law) decade: 5k and 50k docs")
+    ap.add_argument("--run-ov", action="store_true", help="time the exact-similarity families across the open-vocab decade")
     ap.add_argument("--run10", action="store_true", help="time the LINEAR families sf1 -> sf10")
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--kernel", action="store_true")
@@ -281,13 +313,19 @@ if __name__ == "__main__":
         gen()
     if args.gen10:
         gen(SF10_DIR, n_docs=500_000, n_vecs=200_000, seed=777)
+    if args.gen_ov:
+        gen(OV_LO_DIR, n_docs=5_000, n_vecs=2_000, seed=909, vocab="heaps")
+        gen(OV_HI_DIR, n_docs=50_000, n_vecs=2_000, seed=910, vocab="heaps")
     if args.run:
         run()
     if args.run10:
         run(LINEAR, lo_dir=SF1_DIR, hi_dir=SF10_DIR, labels=("sf1", "sf10"))
+    if args.run_ov:
+        run(OPEN_VOCAB, lo_dir=OV_LO_DIR, hi_dir=OV_HI_DIR, labels=("ov-5k", "ov-50k"))
     if args.kernel:
         kernel(args.kernel_n, args.kernel_depth)
     if args.sn:
         sn(args.sn_n)
-    if not (args.gen or args.gen10 or args.run or args.run10 or args.kernel or args.sn):
-        print("pass --gen/--gen10, --run/--run10, --kernel and/or --sn")
+    if not (args.gen or args.gen10 or args.gen_ov or args.run or args.run10
+            or args.run_ov or args.kernel or args.sn):
+        print("pass --gen/--gen10/--gen-ov, --run/--run10/--run-ov, --kernel and/or --sn")
