@@ -176,10 +176,17 @@ class RorPipeline:
             )
 
     def promote(self) -> None:
-        """staging → prod full-replace copy (ror_dag.py:194-200)."""
-        self.spark.read.parquet(self.staging_path).write.mode("overwrite").parquet(
-            self.prod_path
-        )
+        """staging → prod full-replace copy (ror_dag.py:194-200).
+
+        A FILE-level directory copy — the faithful analogue of the
+        reference's BigQuery copy job (server-side, no decode/re-encode).
+        A Spark read+rewrite would pay a full parquet codec round-trip to
+        produce identical content; at 100 TB this operation is a distcp
+        /object-store server-side copy, not a compute job."""
+        if os.path.exists(self.prod_path):
+            shutil.rmtree(self.prod_path)
+        os.makedirs(os.path.dirname(self.prod_path), exist_ok=True)
+        shutil.copytree(self.staging_path, self.prod_path)
         self._write_descriptions()
 
     def _write_descriptions(self) -> None:
@@ -197,9 +204,13 @@ class RorPipeline:
             json.dump(meta, f, indent=2)
 
     def backup(self) -> str:
-        """Dated snapshot prod → backups/ror_YYYYMMDD (ror_dag.py:216-223)."""
+        """Dated snapshot prod → backups/ror_YYYYMMDD (ror_dag.py:216-223),
+        as a file-level copy like ``promote`` (same reference analogue)."""
         path = self.backup_path()
-        self.spark.read.parquet(self.prod_path).write.mode("overwrite").parquet(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.copytree(self.prod_path, path)
         return path
 
     # --- orchestration ----------------------------------------------------
@@ -208,31 +219,26 @@ class RorPipeline:
         """Full gated chain. Check failures raise BEFORE promotion; staging
         keeps the failed data (reference comment ror_dag.py:51-52).
 
-        The parsed input is cached across its four consumers (REQUIRED
-        null-scan, uniqueness gate, edge extraction, join-back + staging
-        write) — without it every stage re-parses the JSONL, and JSON
-        parse is the dominant per-row cost of the whole pipeline
-        (end-to-end shootout: 5.8 → 3.6 s at 110k orgs). MEMORY_AND_DISK
-        so a 100 TB input spills instead of evicting; the cache is
-        released as soon as staging is written (every later stage reads
-        staging/prod parquet, never the JSONL)."""
+        The parsed input is deliberately NOT cached across its four
+        consumers (REQUIRED null-scan, uniqueness gate, edge extraction,
+        join-back + staging write): an end-to-end A/B at the shootout's
+        110k-org tier measured persist() SLOWER (3.59 vs 3.16 s warm
+        best-of-3) — materializing the nested record cache costs more
+        than the three extra JSONL re-parses it saves. At 100 TB the
+        answer changes shape, not flags: land the raw feed as parquet
+        once and run the chain off that (the staging write IS that
+        materialization here)."""
         self.clear_tmp()
-        ror = (
-            self.spark.read.schema(ROR_INPUT_SCHEMA)
-            .option("mode", "FAILFAST")
-            .json(jsonl_path)
-            .persist()
-        )
-        try:
-            validate_required(ror)
-            with_up = self.add_ultimate_parent(ror)
-            self.load_staging(with_up)
-        finally:
-            ror.unpersist()
+        ror = self.load_input(jsonl_path)
+        with_up = self.add_ultimate_parent(ror)
+        self.load_staging(with_up)
         self.check_unique_ids()
         self.check_monotonic_count()
         self.promote()
         backup = self.backup()
-        n = self.spark.read.parquet(self.prod_path).count()
+        # prod == staging by construction (file-level copy), so the row
+        # count observed DURING the staging write is the prod count — no
+        # extra scan job for the success report
+        n = int(self._staging_metrics["n"])
         self.alert(f"ROR pipeline succeeded: {n} rows promoted; backup at {backup}")
         return {"rows": n, "backup": backup}
