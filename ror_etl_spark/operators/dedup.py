@@ -16,10 +16,11 @@ exact → MinHash-LSH candidates → verified near-dup clusters:
   pairs (the verification step after either LSH).
 
 All expression-level work is built-in higher-order functions (JVM
-codegen). The one Arrow-batched kernel (``_lane_min_udf``) exists for the
-tuned large-num_hashes regime, where interpreted HOF lambdas lose to one
-numpy broadcast by the lane count; it is bit-identical to the expression
-path and there is no row-at-a-time Python UDF anywhere in this module.
+codegen). The one Arrow-batched kernel (``_minhash_sig_udf``) exists because the
+interpreted HOF chain's cold cost does not survive large corpora (md5 +
+Horner + lanes measured ≥4 min at the 500k-doc rehearsal tier); it is
+bit-identical to the expression path and there is no row-at-a-time
+Python UDF anywhere in this module.
 """
 
 from __future__ import annotations
@@ -181,43 +182,80 @@ def shingle_hashes(text_col, k: int = 3):
     return F.array_distinct(F.transform(idx, combine))
 
 
-def _lane_min_udf(params: list[tuple[int, int]]):
-    """Arrow-batched minhash lane remix + min: one numpy broadcast per
-    batch computes every lane's ``(a·h + b) mod 2^31-1`` and segment-min.
+def _minhash_sig_udf(params: list[tuple[int, int]], k: int):
+    """Arrow-batched fused minhash kernel: token arrays in, signatures out.
 
-    Why a Pandas UDF and not the ``array_min(transform(...))`` expression:
-    Catalyst higher-order functions are CodegenFallback — interpreted per
-    element with allocation per lambda call — so ``num_hashes`` folds over
-    each row's shingle array cost ~nh·|shingles| interpreted evaluations.
-    The tuned scheme grows num_hashes past 100 (see ``tuned_band_rows`` /
-    ``tuned_bands_for_rows``), where the HOF path's constant dominates the
-    query; the numpy form runs the identical integer arithmetic in C
-    (31-bit operands: a·h < 2^62 stays inside int64, exactly as the JVM
-    expression), so signatures are BIT-IDENTICAL to the expression path
-    (pinned by test_dedup parity) and to the DuckDB oracle replay. Lanes
-    are processed in chunks of 32 to bound the temporary to
-    ~32·Σ|shingles| int64 per Arrow batch."""
+    Replaces the WHOLE interpreted chain — per-token md5, Horner shingle
+    combine, lane remixes, per-row min — with one vectorized pass per
+    Arrow batch. Why: Catalyst higher-order functions are CodegenFallback
+    (interpreted per element with allocation per lambda call), and the
+    sf10 rehearsal measured the JVM ``shingle_hashes`` pass alone at
+    ≥4 minutes for 500k docs — the hidden cold cost of every minhash
+    query (cache warm-up masked it in best-of-N timings until r6).
+    Here the only JVM work is ``split`` (proper codegen); Python does:
+
+    - md5 per UNIQUE token via a per-batch dict cache (token vocabularies
+      are tiny relative to token counts — 31 entries for the driver
+      corpus, ~10^5 for a Heaps-law batch), exactly
+      ``int(md5(tok).hexdigest()[:8], 16) & 0x7FFFFFFF`` = the JVM
+      ``md5_hash31``;
+    - the Horner window combine over the flat token-hash array with
+      segmented offsets (short rows replicate the JVM path's
+      null→0 coalesce for windows past the row end);
+    - lane remixes ``(a·h + b) mod 2^31-1`` and per-row minima via one
+      numpy broadcast + ``minimum.reduceat`` (lanes chunked by 32 to
+      bound the temporary).
+
+    Skipping ``array_distinct`` is deliberate and exact: the lane min
+    over a multiset equals the min over its distinct set. Output is
+    BIT-IDENTICAL to the expression path (parity-pinned in test_dedup)
+    and to the DuckDB oracle replay."""
+    import hashlib
+
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
-    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    Bc = np.array([b for _, b in params], dtype=np.int64)[:, None]
 
     @pandas_udf("array<long>")
-    def sig(hs: pd.Series) -> pd.Series:
-        arrs = [np.asarray(h, dtype=np.int64) for h in hs]
-        if not arrs:
+    def sig(toks: pd.Series) -> pd.Series:
+        tok_lists = toks.tolist()
+        if not tok_lists:
             return pd.Series([], dtype=object)
-        flat = np.concatenate(arrs)[None, :]
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-        offs = np.zeros(len(arrs), dtype=np.int64)
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        cache: dict[str, int] = {}
+        th = np.empty(int(lens.sum()), dtype=np.int64)
+        i = 0
+        for row in tok_lists:
+            for t in row:
+                v = cache.get(t)
+                if v is None:
+                    v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) & 0x7FFFFFFF
+                    cache[t] = v
+                th[i] = v
+                i += 1
+        offs = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offs[1:])
-        mins = np.empty((len(params), len(arrs)), dtype=np.int64)
+        w = np.maximum(lens - (k - 1), 1)
+        woffs = np.zeros(len(w), dtype=np.int64)
+        np.cumsum(w[:-1], out=woffs[1:])
+        row_of = np.repeat(np.arange(len(w)), w)
+        intra = np.arange(int(w.sum()), dtype=np.int64) - woffs[row_of]
+        base = offs[row_of] + intra
+        sh = th[base].copy()
+        for j in range(1, k):
+            idx = np.minimum(base + j, len(th) - 1)
+            tj = np.where((intra + j) < lens[row_of], th[idx], 0)
+            sh = (sh * HORNER_BASE + tj) % MERSENNE31
+        shr = sh[None, :]
+        mins = np.empty((len(params), len(w)), dtype=np.int64)
         for i in range(0, len(params), 32):
-            vals = (A[i : i + 32] * flat + B[i : i + 32]) % MERSENNE31
-            # every segment is non-empty (shingle_hashes emits >= 1 hash
-            # per doc), so reduceat is a plain per-row min
-            mins[i : i + 32] = np.minimum.reduceat(vals, offs, axis=1)
+            vals = (A[i : i + 32] * shr + Bc[i : i + 32]) % MERSENNE31
+            # every row has >= 1 window, so reduceat is a plain row min
+            mins[i : i + 32] = np.minimum.reduceat(vals, woffs, axis=1)
         return pd.Series(list(mins.T))
 
     return sig
@@ -229,7 +267,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
-    vectorized: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, minhash: array<bigint>[num_hashes]).
 
@@ -245,16 +283,21 @@ def minhash_signatures(
     hash-checks the operator end to end. P(minhash_i equal) = Jaccard of
     the shingle sets.
 
-    ``vectorized=True`` computes the lane remixes in an Arrow-batched
-    numpy kernel (``_lane_min_udf``) instead of JVM higher-order
-    functions — bit-identical output, far cheaper per lane; use it when
-    ``num_hashes`` is large (the tuned scheme's regime)."""
+    ``vectorized`` (the default) computes the whole
+    tokenize-hash-combine-remix chain in one Arrow-batched numpy kernel
+    (``_minhash_sig_udf``) instead of JVM higher-order functions —
+    bit-identical output, and the only path whose COLD cost survives a
+    large corpus (the HOF chain is interpreted; SCALING.md round 6
+    measured it ≥4 min for 500k docs vs ~16 s fused).
+    ``vectorized=False`` keeps the pure-expression path as the
+    cross-implementation parity reference (test_dedup pins equality)."""
     params = lane_params(num_hashes)
+    if vectorized:
+        sig_udf = _minhash_sig_udf(params, shingle_k)
+        toks = F.split(normalize_text(F.col(text_col)), " ")
+        return spread(df).select(F.col(id_col).alias("id"), sig_udf(toks).alias("minhash"))
     base = shingle_hashes(F.col(text_col), shingle_k)
     with_base = spread(df).select(F.col(id_col).alias("id"), base.alias("__hashes"))
-    if vectorized:
-        lane_min = _lane_min_udf(params)
-        return with_base.select("id", lane_min(F.col("__hashes")).alias("minhash"))
 
     def lane(a: int, b: int):
         # factory: a single-arg lambda (default-arg lambdas are mistaken

@@ -318,18 +318,20 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the OR-construction bound. The verify threshold is 0.8 — the
     production near-dup regime, where the band counts the bound demands
     stay within the 512-lane budget. One driver-side count() routes the
-    params (at 100 TB that n comes from table stats); the signature lanes
-    run in the Arrow-batched numpy kernel (``_lane_min_udf``) because the
-    tuned lane count (20 at sf0.01, 104 at sf1, 286 at sf10) is past
-    where interpreted HOF lambdas are economical — output bit-identical
-    to the expression path (parity-pinned in test_dedup). The DuckDB
+    params (at 100 TB that n comes from table stats); the whole signature
+    pass (md5, Horner combine, lanes) runs in the fused Arrow/numpy
+    kernel (``_minhash_sig_udf``) — the interpreted HOF chain's COLD
+    cost doesn't survive large corpora (SCALING.md round 6), and the
+    tuned lane count (20 at sf0.01, 104 at sf1, 286 at sf10) compounds
+    it — output bit-identical to the expression path (parity-pinned in
+    test_dedup). The DuckDB
     oracle derives THE SAME (b, r) from count(*) inside the SQL, so the
     funnel stays hash-checked end to end at any scale factor."""
     d = Tables(spark, sf_dir).documents
     n = d.count()
     r = tuned_band_rows(n)
     b = tuned_bands_for_rows(r, threshold=0.8, target_recall=0.9)
-    sigs = minhash_signatures(d, num_hashes=b * r, vectorized=True)
+    sigs = minhash_signatures(d, num_hashes=b * r)
     cands = lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
     verified = jaccard_verify(cands, d, threshold=0.8)
     return verified.select(

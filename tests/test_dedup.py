@@ -117,7 +117,17 @@ def test_vectorized_signatures_bit_identical_to_expression_path(spark):
     from ror_etl_spark.operators.dedup import minhash_signatures
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    hof = minhash_signatures(d, num_hashes=40).orderBy("id").collect()
+    # plant short-doc edge cases: fewer tokens than the shingle width
+    # exercises the kernel's null->0 window padding
+    from pyspark.sql import functions as F
+
+    d = d.unionByName(
+        spark.createDataFrame(
+            [(900001, "one"), (900002, "two words"), (900003, "")],
+            "doc_id long, text string",
+        ).withColumns({"lang": F.lit("en"), "source": F.lit("x"), "n_chars": F.lit(0)})
+    )
+    hof = minhash_signatures(d, num_hashes=40, vectorized=False).orderBy("id").collect()
     vec = minhash_signatures(d, num_hashes=40, vectorized=True).orderBy("id").collect()
     assert len(hof) == len(vec) > 0
     for a, b in zip(hof, vec):
