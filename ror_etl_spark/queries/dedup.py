@@ -22,7 +22,7 @@ from ror_etl_spark.operators.dedup import (
 )
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
-from ror_etl_spark.queries.util import r4
+from ror_etl_spark.queries.util import ordered, r4
 
 
 @query(
@@ -124,7 +124,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("sa") + F.size("sb")).alias("ab"),
     )
     jac = F.col("i").cast("double") / F.greatest(F.col("ab") - F.col("i"), F.lit(1))
-    return sized.select("id_a", "id_b", r4(jac).alias("jaccard")).orderBy("id_a")
+    return sized.select("id_a", "id_b", r4(jac).alias("jaccard")).transform(ordered, "id_a")
 
 
 def _shingle_cte(k: int = 3) -> str:
@@ -220,9 +220,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(d, num_hashes=32)
     cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
     verified = jaccard_verify(cands, d, threshold=0.5)
-    return verified.select("id_a", "id_b", r4(F.col("jaccard")).alias("jaccard")).orderBy(
-        "id_a", "id_b"
-    )
+    return verified.select(
+        "id_a", "id_b", r4(F.col("jaccard")).alias("jaccard")
+    ).transform(ordered, "id_a", "id_b")
 
 
 def _minhash_tuned_oracle(threshold: float = 0.8, target_recall: float = 0.9) -> str:
@@ -336,7 +336,7 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = jaccard_verify(cands, d, threshold=0.8)
     return verified.select(
         "id_a", "id_b", r4(F.col("jaccard")).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    ).transform(ordered, "id_a", "id_b")
 
 
 def _simhash_oracle() -> str:
@@ -596,7 +596,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint",
             F.when(F.col("c_fp").isNotNull(), 1).otherwise(0).alias("dup_of_corpus"),
         )
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -710,7 +710,7 @@ def fuzzy_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         inpart.unionAll(boundary)
         .filter(F.col("dist").between(1, 5))
-        .orderBy("id_a", "id_b")
+        .transform(ordered, "id_a", "id_b")
     )
 
 
@@ -831,5 +831,5 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         kept.select("id_a", "id_b", r4(jac).alias("jac"))
-        .orderBy("id_a", "id_b")
+        .transform(ordered, "id_a", "id_b")
     )

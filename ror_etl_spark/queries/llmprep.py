@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ror_etl_spark.operators.util import spread
+from ror_etl_spark.queries.util import ordered
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 
@@ -127,7 +128,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round(share, 4).alias("top_share"),
         (share >= 0.05).alias("is_repetitive"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @query(
@@ -217,7 +218,7 @@ def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         wl_ok.alias("word_len_ok"),
         lang_ok.alias("lang_ok"),
         (len_ok & wl_ok & lang_ok).alias("keep"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @query(

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
-from ror_etl_spark.queries.util import r2
+from ror_etl_spark.queries.util import ordered, r2
 
 
 @query(
@@ -138,7 +138,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.slice("tk", F.col("s"), F.lit(50))).cast("long").alias("n_tokens"),
             F.array_join(F.slice("tk", F.col("s"), F.lit(50)), " ").alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_no")
+        .transform(ordered, "doc_id", "chunk_no")
     )
 
 
@@ -217,7 +217,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bit_depth",
         "n_pixels",
         F.round("mean_px", 4).alias("mean_px"),
-    ).orderBy("media_id")
+    ).transform(ordered, "media_id")
 
 
 @query(
@@ -261,7 +261,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         "n_pixels",
         F.round("mean_px", 4).alias("mean_px"),
-    ).orderBy("media_id")
+    ).transform(ordered, "media_id")
 
 
 @query(
@@ -314,7 +314,7 @@ def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "height",
         "channels",
         F.round("mean_px", 4).alias("mean_px"),
-    ).orderBy("media_id", "frame_idx")
+    ).transform(ordered, "media_id", "frame_idx")
 
 
 @query(
@@ -354,4 +354,4 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "duration_ms",
         F.round("mean_amp", 4).alias("mean_amp"),
-    ).orderBy("media_id")
+    ).transform(ordered, "media_id")

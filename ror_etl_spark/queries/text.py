@@ -18,7 +18,7 @@ from ror_etl_spark.functions.text import (
 )
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
-from ror_etl_spark.queries.util import r4
+from ror_etl_spark.queries.util import ordered, r4
 
 
 @query(
@@ -63,7 +63,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         r4(F.col("n_unique").cast("double") / F.col("n_tokens")).alias("ttr"),
         "n_chars",
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @query(
@@ -79,9 +79,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5 fingerprint of normalized text (identical hex in any
     engine — the exact-dedup key)."""
     d = Tables(spark, sf_dir).documents
-    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")).orderBy(
-        "doc_id"
-    )
+    return d.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).transform(ordered, "doc_id")
 
 
 @query(
@@ -119,7 +119,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         r4((len_score + tok_len_score + punct_score) / 3).alias("quality"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @query(
@@ -136,7 +136,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
     return d.select(
         "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 def _lang_id_oracle() -> str:
@@ -261,7 +261,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hs").alias("n_kgrams"),
         F.size(winnow_select(F.col("hs"))).alias("n_fingerprints"),
         F.array_min("hs").alias("min_fp"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @query(
