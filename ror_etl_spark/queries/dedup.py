@@ -339,6 +339,59 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(ordered, "id_a", "id_b")
 
 
+@query(
+    "dedup_exact_substring_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, md5(substr(s, CAST(i AS INT), 32)) AS g
+      FROM (SELECT doc_id, s,
+                   unnest(range(1, greatest(length(s) - 31, 0) + 1)) AS i
+            FROM d)),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared FROM p ORDER BY id_a, id_b
+    """,
+    priority=3,
+)
+def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-duplication pairs: documents sharing any common
+    substring of length ≥ 32 characters (normalized text), with the
+    count of distinct shared 32-grams.
+
+    This is the exact-guarantee counterpart of ``dedup_winnow_pairs``
+    (which samples grams by winnowing) and the Spark-native equivalent
+    of suffix-array exact substring dedup from the training-data
+    literature: a common substring of length ≥ L necessarily contains an
+    aligned L-gram, and a shared L-gram IS a common substring of length
+    L — so "pairs sharing ≥ 1 exact L-char gram" is sound AND complete
+    for the ≥-L-substring relation, no suffix array needed. Shape: every
+    position's gram md5 (portable hex, same machinery as
+    ``winnow_hashes`` with k=32), distinct per doc, one bucket
+    self-join on the 32-hex gram key — only (doc_id, gram-hash) pairs
+    shuffle, never text — then a pair-count aggregate. Docs shorter
+    than L have no grams and never pair, on both engines."""
+    from ror_etl_spark.functions.text import winnow_hashes
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents)
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(winnow_hashes(F.col("text"), k=32))).alias("g"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _simhash_oracle() -> str:
     """DuckDB replay of simhash_signatures + simhash_candidates: the bit
     source is the two 32-bit md5 halves (portable), bands are four 16-bit
