@@ -110,8 +110,10 @@ class RorPipeline:
         # the duplicate-explosion guard still fires at the first check.
         # local_threshold stays on its adaptive default: the real ROR
         # registry is ~110k orgs, which routes to the single-task strategy
-        # and beats the reference's in-memory walk outright (shootout:
-        # 1.73 s vs 2.43 s warm); a 100 TB input routes to the fixpoint.
+        # and beats the reference's in-memory walk outright (r6 shootout:
+        # kernel 2.04 s vs 2.94 s = 0.69x; the END-TO-END gated run is
+        # near-parity, 3.07-3.57 s vs 2.91-3.13 s — see NOTES round 6);
+        # a 100 TB input routes to the fixpoint.
         result = ultimate_parent(extract_parent_edges(ror), check_every=2)
         if result.n_in_cycle:
             self.alert(
