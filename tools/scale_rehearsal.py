@@ -14,6 +14,10 @@ are symlinked from sf0.1 so multi-table queries resolve.
 
 ``--run`` times the heavy families at sf0.1 and sf1 (best-of-2,
 noop-write materialization) and prints the 10× step ratio per query.
+NOTE: best-of-N is WARM for queries that cache an internal frame (the
+minhash family) — Spark's CacheManager matches the rebuilt logical plan
+across reps. For cold numbers clear the cache between reps as the
+round-6 cold matrix in SCALING.md does.
 
 Usage:
     python tools/scale_rehearsal.py --gen
@@ -49,9 +53,12 @@ HEAVY = [
     "dedup_winnow_pairs",
     "dedup_prefix_filter_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_tuned",
+    "dedup_exact_substring_pairs",
     "dedup_ngram_jaccard",
     "dedup_exact",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_tuned",
     "embedding_cosine_topk",
     "multimodal_decode_stats",
     "multimodal_frame_sample_stats",  # documents-based like the rest;
