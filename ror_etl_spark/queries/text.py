@@ -251,17 +251,16 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     selects — Catalyst keeps them separate because the alias is used
     repeatedly), so each k-gram is hashed exactly once. md5-hex minima
     are lexicographic, so the DuckDB oracle replays every window exactly."""
-    from ror_etl_spark.functions.text import winnow_hashes, winnow_select
+    from ror_etl_spark.functions.text import normalize_text, winnow_stats_udf
     from ror_etl_spark.operators.util import spread
 
     d = spread(Tables(spark, sf_dir).documents)
-    hashed = d.select("doc_id", winnow_hashes(F.col("text")).alias("hs"))
-    return hashed.select(
-        "doc_id",
-        F.size("hs").alias("n_kgrams"),
-        F.size(winnow_select(F.col("hs"))).alias("n_fingerprints"),
-        F.array_min("hs").alias("min_fp"),
-    ).transform(ordered, "doc_id")
+    st = winnow_stats_udf()
+    return (
+        d.select("doc_id", st(normalize_text(F.col("text"))).alias("st"))
+        .select("doc_id", "st.n_kgrams", "st.n_fingerprints", "st.min_fp")
+        .transform(ordered, "doc_id")
+    )
 
 
 @query(

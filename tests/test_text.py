@@ -124,3 +124,45 @@ def test_hash_sample_deterministic_under_repartition(spark):
     b = {r[0] for r in df.repartition(13).filter(pred).collect()}
     assert a == b
     assert 100 < len(a) < 300  # ~10% of 2000
+
+
+def test_winnow_stats_kernel_matches_expression_path(spark):
+    """The fused rank-cache kernel must replicate winnow_hashes +
+    winnow_select exactly, including short/empty edges (text shorter
+    than k -> (0, 0, null); fewer than w grams -> n_fingerprints 0)."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.functions.text import (
+        normalize_text,
+        winnow_hashes,
+        winnow_select,
+        winnow_stats_udf,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edges = spark.createDataFrame(
+        [(900001, ""), (900002, "short"), (900003, "exactly8"),
+         (900004, "nine char"), (900005, "eleven chars")],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(edges)
+    hs = d.select("doc_id", winnow_hashes(F.col("text")).alias("hs"))
+    jvm = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["min_fp"])
+        for r in hs.select(
+            "doc_id",
+            F.size("hs").alias("n_kgrams"),
+            F.size(winnow_select(F.col("hs"))).alias("n_fingerprints"),
+            F.array_min("hs").alias("min_fp"),
+        ).collect()
+    }
+    st = winnow_stats_udf()
+    ker = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["min_fp"])
+        for r in d.select(
+            "doc_id", st(normalize_text(F.col("text"))).alias("s")
+        ).select("doc_id", "s.n_kgrams", "s.n_fingerprints", "s.min_fp").collect()
+    }
+    assert jvm == ker
