@@ -180,6 +180,54 @@ def winnow_stats_udf(k: int = 8, w: int = 4):
     return stats
 
 
+def winnow_fp_set_udf(k: int = 8, w: int = 4):
+    """Arrow-batched winnowed-fingerprint SET per document: normalized
+    text in, the distinct window-minima md5 hexes out (``w=1``
+    degenerates to the full distinct k-gram hex set — the
+    exact-substring join key set).
+
+    Same rank-cache rationale as ``winnow_stats_udf``: md5 each DISTINCT
+    gram once per batch (gram repetition measured 996× closed-vocab /
+    7× open-vocab), windowed minima on per-row rank arrays. Emitting the
+    SET (not per-position grams) keeps the Arrow payload at the
+    winnowed density. Parity: identical to the relational
+    posexplode + per-doc-window formulation — full windows only, so
+    documents with fewer than w k-grams contribute nothing."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def fpset(texts: pd.Series) -> pd.Series:
+        out: list[list[str]] = []
+        cache: dict[str, str] = {}
+        for t in texts:
+            n = len(t) - (k - 1)
+            if n < w:
+                out.append([])
+                continue
+            hx: list[str] = []
+            for i in range(n):
+                g = t[i : i + k]
+                h = cache.get(g)
+                if h is None:
+                    h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                    cache[g] = h
+                hx.append(h)
+            if w == 1:
+                out.append(sorted(set(hx)))
+                continue
+            uniq, inv = np.unique(np.array(hx), return_inverse=True)
+            wmin = inv[: n - w + 1].copy()
+            for sh in range(1, w):
+                np.minimum(wmin, inv[sh : sh + n - w + 1], out=wmin)
+            out.append(uniq[np.unique(wmin)].tolist())
+        return pd.Series(out)
+
+    return fpset
+
+
 def winnow_hashes(col: Column, k: int = 8) -> Column:
     """All character-k-gram md5 fingerprints of the normalized text, in
     positional order. md5 hex is portable (DuckDB produces identical

@@ -375,13 +375,13 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the 32-hex gram key — only (doc_id, gram-hash) pairs
     shuffle, never text — then a pair-count aggregate. Docs shorter
     than L have no grams and never pair, on both engines."""
-    from ror_etl_spark.functions.text import winnow_hashes
+    from ror_etl_spark.functions.text import normalize_text, winnow_fp_set_udf
     from ror_etl_spark.operators.util import spread
 
     d = spread(Tables(spark, sf_dir).documents)
+    gram_set = winnow_fp_set_udf(k=32, w=1)
     g = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(winnow_hashes(F.col("text"), k=32))).alias("g"),
+        "doc_id", F.explode(gram_set(normalize_text(F.col("text")))).alias("g")
     )
     a, b = g.alias("a"), g.alias("b")
     return (
@@ -552,34 +552,22 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator + window evaluates each k-gram hash exactly once."""
     from pyspark.sql.window import Window
 
-    from ror_etl_spark.functions.text import winnow_hashes
+    from ror_etl_spark.functions.text import normalize_text, winnow_fp_set_udf
     from ror_etl_spark.operators.util import spread
 
     # single-file parquet reads as ONE partition; the per-row hash work is
     # the expensive part, so fan it out before computing anything
     d = spread(Tables(spark, sf_dir).documents)
-    hashed = d.select("doc_id", winnow_hashes(F.col("text")).alias("hs"))
-    # posexplode_OUTER, not posexplode: for inner explode Catalyst infers
-    # a `size(hs) > 0 AND isnotnull(hs)` filter and pushes it below the
-    # spread() exchange — re-evaluating the whole md5 pipeline twice per
-    # row on the unspread input (measured 34s vs 0.6s at sf0.1). Outer
-    # explode infers nothing; the null row an empty array produces is
-    # dropped on the generate OUTPUT, which cannot be pushed down.
-    grams = hashed.select(
-        "doc_id", F.posexplode_outer("hs").alias("pos", "h")
-    ).filter(F.col("h").isNotNull())
+    # r6: the winnowed fingerprint SET comes from the rank-cache Arrow
+    # kernel (winnow_fp_set_udf) instead of md5-per-position + posexplode
+    # + two per-doc windows — same distinct (doc_id, fp) rows (full
+    # windows only), ~99.9% fewer md5 calls under gram repetition, and
+    # two window shuffles gone. The prior relational form and its
+    # pushdown trap are preserved in git history.
     per_doc = Window.partitionBy("doc_id")
-    wmin = per_doc.orderBy("pos").rowsBetween(Window.currentRow, 3)
-    fps = (
-        grams.select(
-            "doc_id",
-            "pos",
-            F.min("h").over(wmin).alias("fp"),
-            F.max("pos").over(per_doc).alias("maxp"),
-        )
-        .filter(F.col("pos") <= F.col("maxp") - 3)
-        .select("doc_id", "fp")
-        .distinct()
+    fp_set = winnow_fp_set_udf()
+    fps = d.select(
+        "doc_id", F.explode(fp_set(normalize_text(F.col("text")))).alias("fp")
     )
     capped = fps.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
