@@ -67,5 +67,11 @@ def ordered(df, *cols):
     range-sample — leave those alone. Queries whose sort sits directly
     on an aggregate/join EXCHANGE also don't need it (the sampling pass
     reuses the exchange's shuffle files; only the cheap post-shuffle
-    tail re-runs)."""
+    tail re-runs).
+
+    ``spark.ror.ordered.checkpoint=false`` falls back to a plain sort —
+    the checkpoint rewrites the logical plan to an RDD scan, which hides
+    the upstream plan from the invariants tests' explain() inspection."""
+    if df.sparkSession.conf.get("spark.ror.ordered.checkpoint", "true") == "false":
+        return df.orderBy(*cols)
     return df.localCheckpoint(eager=False).orderBy(*cols)

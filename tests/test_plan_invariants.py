@@ -63,10 +63,12 @@ def test_sorted_neighborhood_sort_is_distributed(spark):
     # partition) and rank rows per-partition, never globally. The
     # checkpoint is disabled so the pre-checkpoint plan is inspectable.
     spark.conf.set("spark.ror.sn.checkpoint", "false")
+    spark.conf.set("spark.ror.ordered.checkpoint", "false")
     try:
         p = plan_of(spark, "fuzzy_dedup_sorted_neighborhood")
     finally:
         spark.conf.set("spark.ror.sn.checkpoint", "true")
+        spark.conf.unset("spark.ror.ordered.checkpoint")
     assert "rangepartitioning(p_name" in p, "sort must spread over range partitions"
     assert "hashpartitioning(pid" in p, "rank window must partition by pid"
 
