@@ -436,3 +436,64 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "llm_unigram_surprisal_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT sum(c) AS t FROM freq)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(f.c / tot.t)) + 1e-9, 4) AS surprisal,
+           round(avg(-ln(f.c / tot.t)) + 1e-9, 4) <= 3.45 AS keep
+    FROM toks JOIN freq f USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    priority=3,
+)
+def llm_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style corpus filtering with a SELF-TRAINED unigram LM
+    (the CCNet recipe's shape, with the corpus itself as the LM): each
+    document's mean token surprisal ``avg(-ln c(w)/T)`` under the
+    corpus unigram distribution; rare-token-heavy documents score high
+    and are dropped (keep = surprisal ≤ 3.45 nats — splits the driver
+    corpus around its upper quartile).
+
+    Scale shape: token explode → unigram counts (map-side combined
+    aggregate — the "LM training" is one pass) → join the counts back
+    on the token (AQE broadcasts a closed vocabulary; an open Heaps-law
+    vocabulary degrades gracefully to a shuffle join keyed on the
+    token) → per-document average. Only (doc_id, token) pairs move;
+    the token expansion is lazily checkpointed because both the count
+    aggregate and the join probe consume it. The keep flag derives from
+    the ROUNDED surprisal on both engines, so the epsilon-shifted 4dp
+    rounding that absorbs summation-order ulps also makes the boolean
+    bit-replayable."""
+    from ror_etl_spark.functions.text import tokens
+
+    d = spread(Tables(spark, sf_dir).documents)
+    toks = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    surprisal = F.round(F.avg(-F.log(F.col("c") / F.col("t"))) + 1e-9, 4)
+    per = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            surprisal.alias("surprisal"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_tokens", "surprisal", (F.col("surprisal") <= 3.45).alias("keep")
+    ).orderBy("doc_id")
