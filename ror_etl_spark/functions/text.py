@@ -143,7 +143,10 @@ def winnow_stats_udf(k: int = 8, w: int = 4):
         grams: list[str] = []
         lens: list[int] = []
         for t in texts:
-            n = len(t) - (k - 1)
+            # Null-safe like the JVM expression chain it replaces:
+            # normalize_text(null) -> null -> winnow_hashes emits [], so a
+            # null document must yield (0, 0, null), not a TypeError.
+            n = (0 if t is None else len(t)) - (k - 1)
             if n < 1:
                 lens.append(0)
                 continue
@@ -203,7 +206,9 @@ def winnow_fp_set_udf(k: int = 8, w: int = 4):
         out: list[list[str]] = []
         cache: dict[str, str] = {}
         for t in texts:
-            n = len(t) - (k - 1)
+            # Null-safe: the relational formulation contributes nothing for
+            # a null document (winnow_hashes -> []), so emit the empty set.
+            n = (0 if t is None else len(t)) - (k - 1)
             if n < w:
                 out.append([])
                 continue
@@ -262,12 +267,17 @@ def winnow_select(hashes: Column, w: int = 4) -> Column:
     so that allocation was the dominant constant of the winnow pass (A/B
     at the sf1 rehearsal tier: 14.2 → 9.6 s for the fingerprint query).
     In-bounds j makes every element_at non-null, so least == array_min
-    exactly."""
+    exactly. ``w == 1`` (every k-gram is its own window) degenerates to
+    the distinct hash set — special-cased because ``least`` needs ≥ 2
+    arguments."""
     n_win = F.size(hashes) - (w - 1)
-    wins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda j: F.least(*[F.element_at(hashes, j + i) for i in range(w)]),
-    )
+    if w == 1:
+        win_min = lambda j: F.element_at(hashes, j)  # noqa: E731
+    else:
+        win_min = lambda j: F.least(  # noqa: E731
+            *[F.element_at(hashes, j + i) for i in range(w)]
+        )
+    wins = F.transform(F.sequence(F.lit(1), n_win), win_min)
     return F.array_distinct(
         F.when(n_win >= 1, wins).otherwise(F.array().cast("array<string>"))
     )

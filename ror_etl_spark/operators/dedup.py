@@ -220,7 +220,12 @@ def _minhash_sig_udf(params: list[tuple[int, int]], k: int):
 
     @pandas_udf("array<long>")
     def sig(toks: pd.Series) -> pd.Series:
-        tok_lists = toks.tolist()
+        # Null-safe with EXPRESSION-PATH parity (pinned in test_dedup):
+        # split(null text) -> null token array, whose try_element_at
+        # windows all coalesce to 0 -> one shingle hash 0 -> lane value
+        # b % M. A null row therefore behaves exactly like a single
+        # zero-hash token, never a TypeError.
+        tok_lists = [[None] if row is None else row for row in toks.tolist()]
         if not tok_lists:
             return pd.Series([], dtype=object)
         lens = np.fromiter(
@@ -231,6 +236,10 @@ def _minhash_sig_udf(params: list[tuple[int, int]], k: int):
         i = 0
         for row in tok_lists:
             for t in row:
+                if t is None:
+                    th[i] = 0
+                    i += 1
+                    continue
                 v = cache.get(t)
                 if v is None:
                     v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) & 0x7FFFFFFF

@@ -261,9 +261,13 @@ def _table_buckets_udf(tables: list[list[list[float]]]):
 
 
 def _round6_half_up(a):
-    """numpy HALF_UP rounding to 6 dp (ties away from zero) — matching
-    Spark's BigDecimal ROUND_HALF_UP and DuckDB's round(); np.round is
-    half-to-even, which differs on exact .5-at-6dp values."""
+    """numpy HALF_UP rounding to 6 dp (ties away from zero) — r6's kernel
+    rounding. Kept for tests, but NO LONGER on the query path:
+    floor(a·1e6 + 0.5) can land 1 ulp off Spark's BigDecimal
+    ROUND_HALF_UP / DuckDB's round when a·1e6 sits on an exact .5
+    boundary in binary, so the kernel now emits RAW cosines and the
+    final rounding is a Spark-side ``F.round`` — one rounding definition
+    shared with the oracle engine."""
     import numpy as np
 
     return np.where(
@@ -348,19 +352,51 @@ def lsh_near_dup_pairs(
         ids = ids[order]
         V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        g = _round6_half_up(V @ V.T)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = g[ia, ib] >= threshold
-        if not keep.any():
+        # Blocked GEMM: an uncapped super-bucket (dense corpus region all
+        # hashing together) must degrade to O(block·occ) temporaries, not
+        # one dense occ×occ allocation — the group itself is only
+        # occ×dim, so memory stays linear in the group even when its
+        # pair OUTPUT is quadratic. The kernel filter uses a margin
+        # below threshold (raw cosines; authoritative rounding+filter
+        # happens Spark-side) so no pair that rounds up to threshold at
+        # 6 dp is lost.
+        margin = threshold - 1e-6
+        blk = 2048
+        outs = []
+        for s in range(0, len(ids) - 1, blk):
+            e = min(s + blk, len(ids))
+            g = V[s:e] @ V[s + 1 :].T  # rows s..e vs all later columns
+            ia, ib = np.nonzero(g >= margin)
+            # global col s+1+ib must exceed global row s+ia: ib >= ia
+            keep = ib >= ia
+            if keep.any():
+                ia, ib = ia[keep], ib[keep]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia + s],
+                            "id_b": ids[ib + s + 1],
+                            "cos": g[ia, ib],
+                        }
+                    )
+                )
+        if not outs:
             return empty
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": g[ia[keep], ib[keep]]}
-        )
+        return pd.concat(outs, ignore_index=True)
 
     pairs = buckets.groupBy("tbl", "bucket").applyInPandas(
         verify, schema="id_a long, id_b long, cos double"
     )
-    return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
+    # min over per-table raw-cos replicas of the same pair (collapses
+    # last-ulp GEMM differences), THEN one Spark-side HALF_UP rounding —
+    # round is monotonic so it commutes with min — and the authoritative
+    # threshold filter on the rounded value, same definition as the
+    # DuckDB oracle's round().
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.round(F.min("cos"), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
 
 
 def all_pairs_above(

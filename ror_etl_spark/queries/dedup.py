@@ -615,9 +615,14 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is maintained across runs and each new crawl joins against it.
 
     The corpus side reduces to distinct 16-byte fingerprints before the
-    join, so at scale it is a compact bucketed index (or broadcast when
-    small); the batch side streams through unshuffled when the index is
-    broadcast."""
+    join. NO broadcast hint: a hard ``F.broadcast`` would OOM the moment
+    the corpus index outgrows driver/executor memory (a 100 TB corpus's
+    distinct-fingerprint index is many GB). AQE measures the index's
+    ACTUAL post-distinct size at runtime and converts to broadcast when
+    it fits under ``spark.sql.autoBroadcastJoinThreshold`` — the batch
+    side then streams through unshuffled — and falls back to a shuffled
+    hash join when it doesn't; test_dedup pins the below-threshold
+    broadcast conversion."""
     from ror_etl_spark.functions.text import fingerprint_md5
 
     d = Tables(spark, sf_dir).documents
@@ -629,9 +634,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        batch.join(
-            F.broadcast(corpus), batch["fingerprint"] == corpus["c_fp"], "left"
-        )
+        batch.join(corpus, batch["fingerprint"] == corpus["c_fp"], "left")
         .select(
             "doc_id",
             "fingerprint",

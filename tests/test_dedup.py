@@ -123,7 +123,7 @@ def test_vectorized_signatures_bit_identical_to_expression_path(spark):
 
     d = d.unionByName(
         spark.createDataFrame(
-            [(900001, "one"), (900002, "two words"), (900003, "")],
+            [(900001, "one"), (900002, "two words"), (900003, ""), (900004, None)],
             "doc_id long, text string",
         ).withColumns({"lang": F.lit("en"), "source": F.lit("x"), "n_chars": F.lit(0)})
     )

@@ -222,3 +222,22 @@ def test_jaccard_verify_computes_one_intersect_per_side(spark):
         assert "array_union" not in body, name
         # the old shape: distinct over a concat of both shingle arrays
         assert "array_distinct(concat(" not in body, name
+
+
+def test_incremental_dedup_broadcasts_small_index_via_aqe(spark):
+    """dedup_incremental_new_batch carries NO broadcast hint (a hard hint
+    would OOM once the corpus fingerprint index outgrows memory). Below
+    the auto-broadcast threshold AQE must still convert the join to a
+    broadcast from the index's measured runtime size; above threshold it
+    degrades to a shuffled join instead of dying."""
+    # ordered()'s checkpoint hides the join behind an RDD scan — inspect
+    # the pre-checkpoint plan
+    spark.conf.set("spark.ror.ordered.checkpoint", "false")
+    try:
+        df = QUERIES["dedup_incremental_new_batch"](spark, SF_SMALL)
+        df.collect()  # AQE finalizes the plan only on execution
+        final = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.ror.ordered.checkpoint")
+    assert "BroadcastHashJoin" in final, final
+    assert "broadcast" not in df._jdf.queryExecution().logical().toString().lower()

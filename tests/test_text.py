@@ -144,7 +144,7 @@ def test_winnow_stats_kernel_matches_expression_path(spark):
     )
     edges = spark.createDataFrame(
         [(900001, ""), (900002, "short"), (900003, "exactly8"),
-         (900004, "nine char"), (900005, "eleven chars")],
+         (900004, "nine char"), (900005, "eleven chars"), (900006, None)],
         "doc_id long, text string",
     )
     d = d.unionByName(edges)
@@ -166,3 +166,63 @@ def test_winnow_stats_kernel_matches_expression_path(spark):
         ).select("doc_id", "s.n_kgrams", "s.n_fingerprints", "s.min_fp").collect()
     }
     assert jvm == ker
+
+
+def test_winnow_fp_set_kernel_matches_expression_path(spark):
+    """The rank-cache fingerprint-SET kernel must equal the expression
+    path's distinct window minima (sorted), for both the winnowed form
+    (w=4) and the w=1 degenerate (full distinct k-gram set), including
+    null and shorter-than-k documents (both contribute the empty set)."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.functions.text import (
+        normalize_text,
+        winnow_fp_set_udf,
+        winnow_hashes,
+        winnow_select,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edges = spark.createDataFrame(
+        [(900001, ""), (900002, "short"), (900003, None), (900004, "eleven chars")],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(edges)
+    for w in (1, 4):
+        hs = d.select("doc_id", winnow_hashes(F.col("text")).alias("hs"))
+        jvm = {
+            r["doc_id"]: sorted(r["fps"])
+            for r in hs.select(
+                "doc_id",
+                F.when(
+                    F.size("hs") >= w, winnow_select(F.col("hs"), w=w)
+                ).otherwise(F.array().cast("array<string>")).alias("fps"),
+            ).collect()
+        }
+        fp = winnow_fp_set_udf(w=w)
+        ker = {
+            r["doc_id"]: sorted(r["fps"])
+            for r in d.select(
+                "doc_id", fp(normalize_text(F.col("text"))).alias("fps")
+            ).collect()
+        }
+        assert jvm == ker, f"w={w}"
+
+
+def test_explode_over_arrow_kernel_evaluates_once(spark):
+    """Catalyst's InferFiltersFromGenerate must not re-evaluate the
+    expensive Arrow kernel below the Generate: ExtractPythonUDFs
+    materializes the UDF into ONE ArrowEvalPython column first. Pinned
+    because an inlined re-evaluation was a measured 50x regression on
+    the relational winnow form this kernel replaced."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.functions.text import normalize_text, winnow_fp_set_udf
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = winnow_fp_set_udf()
+    g = d.select("doc_id", F.explode(fp(normalize_text(F.col("text")))).alias("fp"))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
