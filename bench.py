@@ -81,19 +81,31 @@ def main() -> None:
     # two runs before the interpreted paths are JIT-compiled); the minimum
     # reflects engine steady state
     ap.add_argument("--repeat", type=int, default=3)
+    # quiet-window gate: this host's timings flap ±30% with ambient
+    # hypervisor load, so r6's artifact (recorded at loadavg 8.45) needed
+    # a NOTES-side re-run to be trusted. Waiting (bounded) for the 1-min
+    # loadavg to drop below the threshold makes the recorded artifact
+    # itself the clean number. --quiet-max 0 disables the wait.
+    ap.add_argument("--quiet-load", type=float, default=4.0)
+    ap.add_argument("--quiet-max", type=float, default=300.0,
+                    help="max seconds to wait for the quiet window")
     args = ap.parse_args()
 
     registry.load_all()
     names = sorted(registry.QUERIES) if args.all else HEADLINE
     sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
+    waited = 0.0
+    while os.getloadavg()[0] >= args.quiet_load and waited < args.quiet_max:
+        time.sleep(10.0)
+        waited += 10.0
+
     spark = get_spark("bench")
     # warm up: JVM, parquet footer cache, codegen
     spark.read.parquet(os.path.join(args.sf_dir, "nation.parquet")).count()
 
-    # host-ambient context: this host's timings flap ±30% with hypervisor
-    # load; recording 1-min loadavg at start and end lets a reader
-    # attribute a cross-round delta to code vs host without forensics
+    # host-ambient context: recording 1-min loadavg at start and end lets
+    # a reader attribute a cross-round delta to code vs host
     load_start = os.getloadavg()[0]
 
     timings: dict[str, float] = {}
@@ -120,6 +132,7 @@ def main() -> None:
                 "sf": sf,
                 "repeat": max(1, args.repeat),
                 "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+                "quiet_wait_s": round(waited, 1),
             }
         )
     )

@@ -233,6 +233,46 @@ def winnow_fp_set_udf(k: int = 8, w: int = 4):
     return fpset
 
 
+def gram_hash_seq_udf(k: int = 32):
+    """Arrow-batched POSITIONAL gram-hash sequence: normalized text in,
+    the md5 hex of every position's k-gram out, in positional order —
+    the span-level exact-substring operator needs positions, so unlike
+    ``winnow_fp_set_udf`` this keeps the full sequence (posexplode
+    downstream recovers (pos, hash)).
+
+    Same rank-cache rationale as the other kernels: each DISTINCT gram
+    is md5'd once per batch (gram repetition measured 996× closed-vocab
+    / 7× open-vocab), and the hex strings are shared (interned dict
+    values), so the Arrow payload — the irreducible term — dominates.
+    Null-safe: a null or shorter-than-k document emits the empty
+    sequence, like ``winnow_hashes``."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def seq(texts: pd.Series) -> pd.Series:
+        out: list[list[str]] = []
+        cache: dict[str, str] = {}
+        for t in texts:
+            n = (0 if t is None else len(t)) - (k - 1)
+            if n < 1:
+                out.append([])
+                continue
+            hx: list[str] = []
+            for i in range(n):
+                g = t[i : i + k]
+                h = cache.get(g)
+                if h is None:
+                    h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                    cache[g] = h
+                hx.append(h)
+            out.append(hx)
+        return pd.Series(out)
+
+    return seq
+
+
 def winnow_hashes(col: Column, k: int = 8) -> Column:
     """All character-k-gram md5 fingerprints of the normalized text, in
     positional order. md5 hex is portable (DuckDB produces identical

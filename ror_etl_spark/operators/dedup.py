@@ -554,3 +554,135 @@ def keep_best_per_key(
         .filter(F.col("__rn") <= keep)
         .drop("__rn")
     )
+
+
+def _doc_grams(df: DataFrame, k: int, text_col: str, id_col: str, positional: bool):
+    """(doc_id, [pos,] g) rows of per-document k-gram md5 hexes over the
+    normalized text, via the rank-cache Arrow kernels. Lazily
+    checkpointed: every consumer (hot-gram aggregate, both join sides)
+    reuses one kernel execution."""
+    from ror_etl_spark.functions.text import (
+        gram_hash_seq_udf,
+        normalize_text,
+        winnow_fp_set_udf,
+    )
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(df)
+    if positional:
+        seq = gram_hash_seq_udf(k=k)
+        g = d.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(seq(normalize_text(F.col(text_col)))).alias("pos0", "g"),
+        ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    else:
+        gram_set = winnow_fp_set_udf(k=k, w=1)
+        g = d.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(gram_set(normalize_text(F.col(text_col)))).alias("g"),
+        )
+    return g.localCheckpoint(eager=False)
+
+
+def _hot_grams(g: DataFrame, cap: int) -> DataFrame:
+    """Grams whose DOCUMENT frequency exceeds ``cap`` — the disclosed
+    skew ceiling of the exact-substring family (one viral boilerplate
+    string would otherwise serialize a single reducer with a
+    corpus-quadratic pair bucket). The list is tiny (bounded by the
+    number of boilerplate strings), so AQE broadcasts the anti-join."""
+    return (
+        g.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("g")
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    k: int = 32,
+    cap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing ≥ 1 exact k-char
+    substring of normalized text, counted by distinct shared k-grams,
+    excluding grams over the ``cap`` document-frequency ceiling (see
+    ``hot_gram_report``). Sound and complete for the ≥-k-substring
+    relation on the kept grams: a common substring of length ≥ k
+    contains an aligned k-gram and a shared k-gram IS such a
+    substring."""
+    g = _doc_grams(df, k, text_col, id_col, positional=False)
+    kept = g.join(_hot_grams(g, cap), "g", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    k: int = 32,
+    cap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, start_a, start_b, length): maximal duplicated
+    character ranges (1-based, over normalized text) per document pair —
+    the actionable suffix-array-dedup deliverable (which bytes to cut).
+
+    A maximal run of m consecutive aligned k-grams on one pair diagonal
+    (pos_a - pos_b) is exactly a maximal common substring of length
+    m + k - 1; runs are found with one gaps-and-islands window per
+    (pair, diagonal). Hot grams (df > cap) are excluded first, so a
+    boilerplate region splits/shortens spans — disclosed, like the
+    winnow stop-gram cap."""
+    from pyspark.sql.window import Window
+
+    pg = _doc_grams(df, k, text_col, id_col, positional=True)
+    kept = pg.join(_hot_grams(pg, cap), "g", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    m = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    run = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    return (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(run))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count(F.lit(1)) + (k - 1)).alias("length"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            "length",
+        )
+    )
+
+
+def hot_gram_report(
+    df: DataFrame,
+    k: int = 32,
+    cap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(gram_md5, n_docs): the grams the exact-substring family diverted
+    — its alert-don't-fail disclosure channel."""
+    g = _doc_grams(df, k, text_col, id_col, positional=False)
+    return (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+        .select(F.col("g").alias("gram_md5"), "n_docs")
+    )

@@ -339,10 +339,18 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(ordered, "id_a", "id_b")
 
 
-@query(
-    "dedup_exact_substring_pairs",
-    oracle="""
-    WITH d AS (
+# Hot-gram document-frequency ceiling for the exact-substring family: a
+# gram present in more than this many documents is "viral boilerplate"
+# (shared header/footer); its bucket's pair OUTPUT is inherently quadratic
+# in that count, so one such key would serialize one reducer at scale.
+# Over-limit grams are DIVERTED to dedup_hot_gram_report (the operator
+# alerts-rather-than-fails, like the reference's cycle handling:
+# SURVEY §2.2 / ror_pipeline alerting), keeping the main output
+# exact-minus-disclosed. 50 matches dedup_winnow_pairs' stop-gram cap.
+_EXSUB_CAP = 50
+
+_EXSUB_NORM = """
+    d AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
       FROM documents),
     g AS (
@@ -350,9 +358,18 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, s,
                    unnest(range(1, greatest(length(s) - 31, 0) + 1)) AS i
             FROM d)),
+    hot AS (SELECT g FROM g GROUP BY g HAVING count(*) > {cap})
+""".format(cap=_EXSUB_CAP)
+
+
+@query(
+    "dedup_exact_substring_pairs",
+    oracle=f"""
+    WITH {_EXSUB_NORM},
+    k AS (SELECT doc_id, g FROM g ANTI JOIN hot USING (g)),
     p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, n_shared FROM p ORDER BY id_a, id_b
     """,
@@ -361,7 +378,9 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring-duplication pairs: documents sharing any common
     substring of length ≥ 32 characters (normalized text), with the
-    count of distinct shared 32-grams.
+    count of distinct shared 32-grams — minus pairs whose ONLY shared
+    grams exceed the disclosed hot-gram ceiling (``_EXSUB_CAP``; the
+    diverted grams are reported by ``dedup_hot_gram_report``).
 
     This is the exact-guarantee counterpart of ``dedup_winnow_pairs``
     (which samples grams by winnowing) and the Spark-native equivalent
@@ -371,24 +390,101 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     L — so "pairs sharing ≥ 1 exact L-char gram" is sound AND complete
     for the ≥-L-substring relation, no suffix array needed. Shape: every
     position's gram md5 (portable hex, same machinery as
-    ``winnow_hashes`` with k=32), distinct per doc, one bucket
+    ``winnow_hashes`` with k=32), distinct per doc, the hot-gram
+    anti-join (the hot list is tiny — AQE broadcasts it), one bucket
     self-join on the 32-hex gram key — only (doc_id, gram-hash) pairs
-    shuffle, never text — then a pair-count aggregate. Docs shorter
-    than L have no grams and never pair, on both engines."""
-    from ror_etl_spark.functions.text import normalize_text, winnow_fp_set_udf
-    from ror_etl_spark.operators.util import spread
+    shuffle, never text — then a pair-count aggregate. The per-key pair
+    fan-out is now bounded by CAP² instead of corpus-quadratic, so no
+    single reducer can be serialized by one viral boilerplate string.
+    Docs shorter than L have no grams and never pair, on both
+    engines."""
+    from ror_etl_spark.operators.dedup import exact_substring_pairs
 
-    d = spread(Tables(spark, sf_dir).documents)
-    gram_set = winnow_fp_set_udf(k=32, w=1)
-    g = d.select(
-        "doc_id", F.explode(gram_set(normalize_text(F.col("text")))).alias("g")
+    d = Tables(spark, sf_dir).documents
+    return exact_substring_pairs(d, k=32, cap=_EXSUB_CAP).transform(
+        ordered, "id_a", "id_b"
     )
-    a, b = g.alias("a"), g.alias("b")
-    return (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_hot_gram_report",
+    oracle=f"""
+    WITH {_EXSUB_NORM}
+    SELECT g.g AS gram_md5, CAST(count(*) AS BIGINT) AS n_docs
+    FROM g JOIN hot USING (g)
+    GROUP BY g.g
+    ORDER BY gram_md5
+    """,
+    priority=3,
+)
+def dedup_hot_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring family's DISCLOSURE side-channel: every
+    32-gram whose document frequency exceeds ``_EXSUB_CAP``, with its
+    document count. These grams are excluded from the pair/span joins
+    (their buckets would be corpus-quadratic), so the main outputs are
+    exact-minus-disclosed — the alert-don't-fail posture the reference
+    takes for rollup cycles (SURVEY §2.2), applied to join skew. On the
+    driver corpus the report is empty (no boilerplate crosses 50 docs);
+    tests plant a viral gram to prove the diversion."""
+    from ror_etl_spark.operators.dedup import hot_gram_report
+
+    d = Tables(spark, sf_dir).documents
+    return hot_gram_report(d, k=32, cap=_EXSUB_CAP).transform(ordered, "gram_md5")
+
+
+@query(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH {_EXSUB_NORM},
+    pg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(substr(s, CAST(i AS INT), 32)) AS g
+      FROM (SELECT doc_id, s,
+                   unnest(range(1, greatest(length(s) - 31, 0) + 1)) AS i
+            FROM d)),
+    k AS (SELECT doc_id, pos, g FROM pg ANTI JOIN hot USING (g)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id),
+    r AS (
+      SELECT *, pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM m),
+    sp AS (
+      SELECT id_a, id_b, diag, min(pos_a) AS start_a,
+             CAST(count(*) + 31 AS BIGINT) AS length
+      FROM r GROUP BY id_a, id_b, diag, grp)
+    SELECT id_a, id_b, start_a, start_a - diag AS start_b, length
+    FROM sp ORDER BY id_a, id_b, start_a, start_b
+    """,
+    priority=3,
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL exact substring dedup — the actionable deliverable of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al.): for every document pair, the maximal duplicated character
+    ranges (1-based start in each document's normalized text + length),
+    so a training pipeline can CUT the bytes rather than just flag the
+    pair.
+
+    Suffix-array semantics without a suffix array: every shared aligned
+    32-gram lies on a pair "diagonal" (pos_a - pos_b); consecutive
+    shared positions on one diagonal are one duplicated region, and a
+    maximal run of m aligned grams is exactly a maximal common substring
+    of length m + 31 (maximality: the characters just before/after the
+    run differ, else the adjacent gram would also match). Shape: the
+    positional gram-hash kernel (rank-cached md5), hot-gram anti-join
+    (same disclosed ceiling as the pairs form), the gram-bucket
+    self-join emitting only (ids, positions) — never text — then
+    gaps-and-islands per (pair, diagonal): ``pos_a - row_number()`` is
+    constant exactly on consecutive runs, one window shuffle keyed by
+    (id_a, id_b, diag), output-proportional. All post-kernel stages are
+    JVM-side Catalyst operators."""
+    from ror_etl_spark.operators.dedup import exact_substring_spans
+
+    d = Tables(spark, sf_dir).documents
+    return exact_substring_spans(d, k=32, cap=_EXSUB_CAP).transform(
+        ordered, "id_a", "id_b", "start_a", "start_b"
     )
 
 
@@ -607,6 +703,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON n.fingerprint = c.fingerprint
     ORDER BY n.doc_id
     """,
+    priority=3,  # r7: implementation changed (kernel/join) - re-prove in driver window
 )
 def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: flag documents of an incoming batch (doc_id >=

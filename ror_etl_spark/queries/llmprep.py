@@ -497,3 +497,127 @@ def llm_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "doc_id", "n_tokens", "surprisal", (F.col("surprisal") <= 3.45).alias("keep")
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_bigram_surprisal_filter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS w
+      FROM (SELECT doc_id, string_split(s, ' ') AS ws,
+                   unnest(range(1, len(string_split(s, ' ')) + 1)) AS i
+            FROM d)),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT sum(c) AS t FROM uni),
+    big AS (
+      SELECT a.doc_id, a.w AS u, b.w AS v
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    bc AS (SELECT u, v, count(*) AS cb FROM big GROUP BY u, v),
+    terms AS (
+      SELECT toks.doc_id, -ln(uni.c / tot.t) AS term
+      FROM toks JOIN uni USING (w) CROSS JOIN tot
+      WHERE toks.pos = 1
+      UNION ALL
+      SELECT big.doc_id,
+             -ln(0.75 * bc.cb / cu.c + 0.25 * cv.c / tot.t) AS term
+      FROM big
+      JOIN bc USING (u, v)
+      JOIN uni cu ON cu.w = big.u
+      JOIN uni cv ON cv.w = big.v
+      CROSS JOIN tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(term) + 1e-9, 4) AS surprisal,
+           round(avg(term) + 1e-9, 4) <= 3.43 AS keep
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    priority=3,
+)
+def llm_bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering one step closer to CCNet's actual recipe
+    (a 5-gram KenLM): a SELF-TRAINED Jelinek-Mercer interpolated BIGRAM
+    LM. Token 1 is scored by the corpus unigram distribution; token i>1
+    by ``-ln(λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1-λ)·c(w_i)/T)`` with
+    λ = 0.75 (exact in binary, so both engines compute identical terms);
+    a document's surprisal is the mean over its tokens, and high-mean
+    (incoherent / rare-sequence) documents are dropped (keep = surprisal ≤ 3.43 nats ≈ the corpus p90 at
+    every testdata SF, the drop-the-worst-tail shape). Interpolation
+    keeps every term finite — unseen bigrams back off to the unigram
+    mass — and all LM statistics are exact integer counts, so the DuckDB
+    oracle replays the whole model from SQL aggregates.
+
+    Scale shape (the 100 TB path): token and bigram expansions are
+    map-side array ops (posexplode / zip of adjacent slices — no window
+    shuffle for the previous-token pairing); LM "training" is two
+    map-side-combined count aggregates; scoring joins the counts back
+    keyed on token/bigram (AQE broadcasts closed vocabularies, shuffle
+    join under open Heaps-law growth); the per-document mean is one
+    final doc-keyed aggregate. Only (doc_id, token) and (doc_id,
+    bigram) pairs ever move; the bigram expansion is lazily checkpointed
+    because both the count aggregate and the scoring probe consume it.
+    The keep flag derives from the epsilon-shifted 4dp-rounded surprisal
+    on both engines (absorbs summation-order ulps; bit-replayable
+    boolean)."""
+    from ror_etl_spark.functions.text import tokens
+
+    d = spread(Tables(spark, sf_dir).documents)
+    t = tokens(F.col("text"))
+    toks = (
+        d.select("doc_id", F.posexplode(t).alias("pos0", "w"))
+        .localCheckpoint(eager=False)
+    )
+    bigr = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("u"),
+                    F.slice(t, 2, F.size(t) - 1).alias("v"),
+                )
+            ).alias("uv"),
+        )
+        .select("doc_id", F.col("uv.u").alias("u"), F.col("uv.v").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("t"))
+    bc = bigr.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cb"))
+    first = (
+        toks.filter(F.col("pos0") == 0)
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(F.col("c") / F.col("t"))).alias("term"))
+    )
+    cu = uni.select(F.col("w").alias("u"), F.col("c").alias("cu"))
+    cv = uni.select(F.col("w").alias("v"), F.col("c").alias("cv"))
+    rest = (
+        bigr.join(bc, ["u", "v"])
+        .join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.lit(0.75) * F.col("cb") / F.col("cu")
+                    + F.lit(0.25) * F.col("cv") / F.col("t")
+                )
+            ).alias("term"),
+        )
+    )
+    per = (
+        first.unionAll(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.avg("term") + 1e-9, 4)).alias("surprisal"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_tokens", "surprisal", (F.col("surprisal") <= 3.43).alias("keep")
+    ).transform(ordered, "doc_id")

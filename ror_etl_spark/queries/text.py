@@ -238,6 +238,7 @@ def udtf_word_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g
     ORDER BY doc_id
     """,
+    priority=3,  # r7: implementation changed (kernel/join) - re-prove in driver window
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (k=8 char-grams,

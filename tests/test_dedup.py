@@ -187,3 +187,77 @@ def test_tuned_minhash_finds_planted_duplicates(spark):
     cands = lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
     found = {(x["id_a"], x["id_b"]) for x in jaccard_verify(cands, d, threshold=0.8).collect()}
     assert exact_pairs <= found
+
+
+def test_exact_substring_spans_match_planted_offsets(spark):
+    """Span-level exact-substring dedup: a planted shared substring must
+    come back as exactly one maximal span with the right 1-based offsets
+    and length, and a repeated region must yield one span per alignment
+    diagonal. Each reported span is verified against the actual text."""
+    from ror_etl_spark.operators.dedup import exact_substring_spans
+
+    S = "0123456789abcdefghijklmnopqrstuvwxyz!@#$"  # 40 chars, no repeats
+    S2 = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    docs = {
+        1: "x" * 20 + S + "y" * 20,
+        2: "q" * 10 + S + "r" * 30,
+        3: "totally different no shared grams here",
+        6: S2 + "-middle filler between copies-" + S2,
+        7: S2,
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    spans = {
+        (r["id_a"], r["id_b"]): set()
+        for r in exact_substring_spans(df).collect()
+    }
+    rows = exact_substring_spans(df).collect()
+    for r in rows:
+        spans[(r["id_a"], r["id_b"])].add((r["start_a"], r["start_b"], r["length"]))
+        # the span really is a common substring (1-based offsets)
+        a = docs[r["id_a"]][r["start_a"] - 1 : r["start_a"] - 1 + r["length"]]
+        b = docs[r["id_b"]][r["start_b"] - 1 : r["start_b"] - 1 + r["length"]]
+        assert a == b and len(a) == r["length"]
+    assert spans[(1, 2)] == {(21, 11, 40)}
+    # repeated region: one span per diagonal, both covering all of S2
+    mid_start = len(S2) + len("-middle filler between copies-") + 1
+    assert spans[(6, 7)] == {(1, 1, len(S2)), (mid_start, 1, len(S2))}
+    assert not any(3 in k for k in spans)
+
+
+def test_exact_substring_hot_gram_diversion(spark):
+    """The document-frequency ceiling: a viral boilerplate string shared
+    by more docs than the cap is DIVERTED to the hot-gram report instead
+    of exploding the pair join quadratically; rare shared substrings
+    still pair."""
+    from ror_etl_spark.operators.dedup import (
+        exact_substring_pairs,
+        exact_substring_spans,
+        hot_gram_report,
+    )
+
+    viral = "please subscribe to our newsletter today"  # 40 chars -> 9 grams
+    rare = "an uncommonly specific shared sentence!!"  # 40 chars
+    # the digit right after the boilerplate breaks commonality, so the
+    # shared region is exactly viral + " " (41 chars -> 10 grams); the
+    # rare docs' preceding char differs ('-' vs ' ') so their shared
+    # region is exactly rare (40 chars)
+    rows = [(i, viral + f" {i} unique tail padding junk") for i in range(7)]
+    rows += [(8, "aaa-" + rare), (9, "bbb " + rare)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    report = hot_gram_report(df, cap=5).collect()
+    assert len(report) == 10  # every gram fully inside viral + " "
+    assert all(r["n_docs"] == 7 for r in report)
+
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in exact_substring_pairs(df, cap=5).collect()}
+    assert pairs == {(8, 9): 9}  # only the rare pair survives; 40-31=9 grams
+
+    spans = [(r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["length"])
+             for r in exact_substring_spans(df, cap=5).collect()]
+    assert spans == [(8, 9, 5, 5, 40)]
+
+    # without the cap the viral grams pair all 7 docs quadratically
+    uncapped = exact_substring_pairs(df, cap=50).count()
+    assert uncapped == 21 + 1

@@ -77,6 +77,7 @@ def gen(
     n_vecs: int = N_VECS,
     seed: int = 4242,
     vocab: str = "closed",
+    boiler_frac: float = 0.0,
 ) -> None:
     import numpy as np
     import pyarrow as pa
@@ -105,6 +106,16 @@ def gen(
     for n in lengths:
         texts.append(" ".join(toks[pos : pos + n]))
         pos += n
+    if boiler_frac > 0.0:
+        # plant VIRAL BOILERPLATE: a fixed ≥32-char header on a large
+        # fraction of documents — the skew scenario the exact-substring
+        # hot-gram cap exists for (df ~ frac·n ≫ cap, pair output would
+        # be (frac·n)² without the ceiling). Planted BEFORE duplicate
+        # copying so the planted dup rate is unchanged.
+        hit = rng.random(n_docs) < boiler_frac
+        for j in range(n_docs):
+            if hit[j]:
+                texts[j] = BOILER + " " + texts[j]
     # planted exact duplicates at the sf0.1 rate (8 pairs / 5000 docs)
     n_dup_pairs = round(n_docs * 8 / 5000)
     dup_src = rng.choice(n_docs, size=2 * n_dup_pairs, replace=False)
@@ -274,6 +285,56 @@ SF10_DIR = "/tmp/sparkgraft_sf10"
 OV_LO_DIR = "/tmp/sparkgraft_ov_lo"
 OV_HI_DIR = "/tmp/sparkgraft_ov_hi"
 
+BOILER = "follow us on social media and subscribe to our newsletter for updates"
+
+OV_XHI_DIR = "/tmp/sparkgraft_ov_xhi"  # 500k docs, Heaps vocab (3rd decade)
+OVB_HI_DIR = "/tmp/sparkgraft_ovb_hi"  # 50k docs + 20% viral boilerplate
+OVB_XHI_DIR = "/tmp/sparkgraft_ovb_xhi"  # 500k docs + 20% viral boilerplate
+
+# r7 third-decade targets: the surprisal filters and the exact-substring
+# family (pairs/spans/report), the two families added in r6/r7.
+R7_FAMILIES = [
+    "llm_unigram_surprisal_filter",
+    "llm_bigram_surprisal_filter",
+    "dedup_exact_substring_pairs",
+    "dedup_exact_substring_spans",
+    "dedup_hot_gram_report",
+]
+R7_BOILER = [
+    "dedup_exact_substring_pairs",
+    "dedup_exact_substring_spans",
+    "dedup_hot_gram_report",
+]
+
+
+def run_cold(queries: list[str], tiers: list[tuple[str, str]]) -> None:
+    """COLD-first timing (the honest one-shot-pass number): clear the
+    cache before the first rep, report cold and the warm best-of-2."""
+    from ror_etl_spark import registry
+    from ror_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("scale-rehearsal-r7")
+    spark.read.parquet(os.path.join(SF01_DIR, "nation.parquet")).count()
+
+    hdr = " ".join(f"{lbl + ' cold':>12s} {lbl + ' warm':>12s}" for lbl, _ in tiers)
+    print(f"{'query':32s} {hdr}")
+    for name in queries:
+        fn = registry.QUERIES[name]
+        cells = []
+        for lbl, sf_dir in tiers:
+            print(f"  ... {name} @ {lbl}", flush=True)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm = time.perf_counter() - t0
+            cells.append(f"{cold:12.2f} {min(cold, warm):12.2f}")
+        print(f"{name:32s} {' '.join(cells)}")
+
+
 # The exact-similarity families whose closed-vocab candidate growth is
 # quadratic by construction (SCALING.md r5 diagnosis): measured across an
 # open-vocabulary decade to show the quadratic regime is the vocabulary
@@ -315,6 +376,12 @@ if __name__ == "__main__":
     ap.add_argument("--kernel-n", type=int, default=20_000_000)
     ap.add_argument("--kernel-depth", type=int, default=100)
     ap.add_argument("--sn-n", type=int, default=5_000_000)
+    ap.add_argument("--gen-r7", action="store_true",
+                    help="synthesize the ov third decade (500k) and the boilered 50k/500k tiers")
+    ap.add_argument("--run-r7", action="store_true",
+                    help="cold-first: surprisal+substring families ov-50k -> ov-500k")
+    ap.add_argument("--run-boiler", action="store_true",
+                    help="cold-first: exact-substring family on the 20%-boilerplate tiers")
     args = ap.parse_args()
     if args.gen:
         gen()
@@ -329,10 +396,22 @@ if __name__ == "__main__":
         run(LINEAR, lo_dir=SF1_DIR, hi_dir=SF10_DIR, labels=("sf1", "sf10"))
     if args.run_ov:
         run(OPEN_VOCAB, lo_dir=OV_LO_DIR, hi_dir=OV_HI_DIR, labels=("ov-5k", "ov-50k"))
+    if args.gen_r7:
+        gen(OV_XHI_DIR, n_docs=500_000, n_vecs=2_000, seed=911, vocab="heaps")
+        gen(OVB_HI_DIR, n_docs=50_000, n_vecs=2_000, seed=912, vocab="heaps",
+            boiler_frac=0.2)
+        gen(OVB_XHI_DIR, n_docs=500_000, n_vecs=2_000, seed=913, vocab="heaps",
+            boiler_frac=0.2)
+    if args.run_r7:
+        run_cold(R7_FAMILIES, [("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)])
+    if args.run_boiler:
+        run_cold(R7_BOILER, [("ovb-50k", OVB_HI_DIR), ("ovb-500k", OVB_XHI_DIR)])
     if args.kernel:
         kernel(args.kernel_n, args.kernel_depth)
     if args.sn:
         sn(args.sn_n)
     if not (args.gen or args.gen10 or args.gen_ov or args.run or args.run10
-            or args.run_ov or args.kernel or args.sn):
-        print("pass --gen/--gen10/--gen-ov, --run/--run10/--run-ov, --kernel and/or --sn")
+            or args.run_ov or args.kernel or args.sn or args.gen_r7
+            or args.run_r7 or args.run_boiler):
+        print("pass --gen/--gen10/--gen-ov/--gen-r7, --run/--run10/--run-ov/"
+              "--run-r7/--run-boiler, --kernel and/or --sn")
