@@ -686,3 +686,91 @@ def hot_gram_report(
         .filter(F.col("n_docs") > cap)
         .select(F.col("g").alias("gram_md5"), "n_docs")
     )
+
+
+def exact_substring_cut(
+    df: DataFrame,
+    k: int = 32,
+    cap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY span-level dedup: per document, remove the character ranges
+    duplicated from EARLIER documents (first occurrence wins — for every
+    span pair id_a < id_b, the id_b side is the cut side), returning
+    (doc_id, n_cut_spans, n_cut_chars, cleaned_len, cleaned_md5).
+
+    The pipeline-shaped end of the suffix-array-dedup story: spans →
+    per-doc interval merge (gaps-and-islands on a cumulative-max window
+    — overlapping/touching ranges collapse so a region cut by many
+    earlier twins is cut once) → segment reconstruction (the kept text
+    is the ordered concat of inter-interval gaps plus the tail, built
+    with sort_array + array_join — pure JVM string ops). Only interval
+    endpoints shuffle; the text joins back once, keyed by doc id. The
+    md5 of the cleaned text (not the text itself) is the output, so the
+    result stays narrow and the DuckDB oracle hash-checks the exact
+    reconstruction. Documents with nothing to cut pass through with
+    n_cut_spans = 0 and the md5 of their full normalized text."""
+    from pyspark.sql import Window as PW
+
+    from ror_etl_spark.functions.text import normalize_text
+
+    spans = exact_substring_spans(df, k=k, cap=cap, text_col=text_col, id_col=id_col)
+    ranges = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("length") - 1).alias("e"),
+    )
+    w_prev = (
+        PW.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(PW.unboundedPreceding, -1)
+    )
+    w_run = PW.partitionBy("doc_id").orderBy("s", "e")
+    isl = ranges.withColumn("maxe", F.max("e").over(w_prev)).withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("maxe").isNull() | (F.col("s") > F.col("maxe") + 1), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = isl.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    w_lag = PW.partitionBy("doc_id").orderBy("s")
+    seg = merged.withColumn("prev_e", F.lag("e", 1, 0).over(w_lag))
+    per_doc = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cut_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_cut_chars"),
+        F.sort_array(
+            F.collect_list(F.struct("s", "prev_e"))
+        ).alias("ivs"),
+        F.max("e").alias("last_e"),
+    )
+    d = spread(df).select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("txt")
+    )
+    joined = d.join(per_doc, "doc_id", "left")
+    gaps = F.array_join(
+        F.transform(
+            F.col("ivs"),
+            lambda iv: F.col("txt").substr(
+                (iv["prev_e"] + 1).cast("int"), (iv["s"] - iv["prev_e"] - 1).cast("int")
+            ),
+        ),
+        "",
+    )
+    tail = F.col("txt").substr(
+        (F.col("last_e") + 1).cast("int"), F.length("txt").cast("int")
+    )
+    cleaned = F.when(F.col("last_e").isNull(), F.col("txt")).otherwise(
+        F.concat(gaps, tail)
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_cut_spans"), F.lit(0)).cast("long").alias("n_cut_spans"),
+        F.coalesce(F.col("n_cut_chars"), F.lit(0)).cast("long").alias("n_cut_chars"),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

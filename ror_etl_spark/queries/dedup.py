@@ -974,3 +974,83 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select("id_a", "id_b", r4(jac).alias("jac"))
         .transform(ordered, "id_a", "id_b")
     )
+
+
+@query(
+    "dedup_exact_substring_cut",
+    oracle=f"""
+    WITH {_EXSUB_NORM},
+    pg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(substr(s, CAST(i AS INT), 32)) AS g
+      FROM (SELECT doc_id, s,
+                   unnest(range(1, greatest(length(s) - 31, 0) + 1)) AS i
+            FROM d)),
+    k AS (SELECT doc_id, pos, g FROM pg ANTI JOIN hot USING (g)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id),
+    r AS (
+      SELECT *, pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM m),
+    sp AS (
+      SELECT id_a, id_b, diag, min(pos_a) AS start_a,
+             CAST(count(*) + 31 AS BIGINT) AS length
+      FROM r GROUP BY id_a, id_b, diag, grp),
+    rng AS (
+      SELECT id_b AS doc_id, start_a - diag AS s, start_a - diag + length - 1 AS e
+      FROM sp),
+    ord AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      FROM rng),
+    isl AS (
+      SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM ord),
+    mi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
+    seg AS (
+      SELECT doc_id, s, e,
+             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+      FROM mi),
+    agg AS (
+      SELECT seg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_cut_spans,
+             CAST(sum(seg.e - seg.s + 1) AS BIGINT) AS n_cut_chars,
+             string_agg(substr(d.s, CAST(seg.prev_e + 1 AS INT),
+                               CAST(seg.s - seg.prev_e - 1 AS INT)),
+                        '' ORDER BY seg.s) AS gaps,
+             max(seg.e) AS last_e
+      FROM seg JOIN d ON d.doc_id = seg.doc_id
+      GROUP BY seg.doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.n_cut_spans, 0) AS n_cut_spans,
+           coalesce(agg.n_cut_chars, 0) AS n_cut_chars,
+           CAST(length(CASE WHEN agg.doc_id IS NULL THEN d.s
+                ELSE coalesce(agg.gaps, '') || substr(d.s, CAST(agg.last_e + 1 AS INT))
+                END) AS BIGINT) AS cleaned_len,
+           md5(CASE WHEN agg.doc_id IS NULL THEN d.s
+               ELSE coalesce(agg.gaps, '') || substr(d.s, CAST(agg.last_e + 1 AS INT))
+               END) AS cleaned_md5
+    FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    priority=3,
+)
+def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED span dedup — the full train-data action: every document
+    keeps its first-occurrence content and CUTS the character ranges
+    duplicated from earlier documents (interval-merged spans from
+    ``dedup_exact_substring_spans``), reporting per doc the number of
+    merged cut ranges, characters removed, and the md5 of the cleaned
+    normalized text — which the DuckDB oracle reconstructs
+    byte-identically, so the hash gate proves the actual cut text, not
+    just the bookkeeping. See ``operators/dedup.py:exact_substring_cut``
+    for the plan shape (only interval endpoints shuffle; one text
+    join-back)."""
+    from ror_etl_spark.operators.dedup import exact_substring_cut
+
+    d = Tables(spark, sf_dir).documents
+    return exact_substring_cut(d, k=32, cap=_EXSUB_CAP).transform(ordered, "doc_id")

@@ -261,3 +261,34 @@ def test_exact_substring_hot_gram_diversion(spark):
     # without the cap the viral grams pair all 7 docs quadratically
     uncapped = exact_substring_pairs(df, cap=50).count()
     assert uncapped == 21 + 1
+
+
+def test_exact_substring_cut_keeps_first_occurrence(spark):
+    """Applied span dedup: the later document loses the duplicated
+    range, the earlier keeps it; overlapping spans from several earlier
+    twins merge into one cut; untouched docs pass through whole."""
+    import hashlib
+
+    from ror_etl_spark.operators.dedup import exact_substring_cut
+
+    S = "0123456789abcdefghijklmnopqrstuvwxyz!@#$"  # 40 chars
+    docs = {
+        1: "x" * 20 + S + "y" * 20,
+        2: "q" * 10 + S + "r" * 30,   # loses S (duplicate of doc 1)
+        3: "untouched document with no duplicates",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in exact_substring_cut(df).collect()}
+    # doc 1: first occurrence, nothing cut
+    assert out[1]["n_cut_spans"] == 0 and out[1]["n_cut_chars"] == 0
+    assert out[1]["cleaned_md5"] == hashlib.md5(docs[1].encode()).hexdigest()
+    # doc 2: S removed, prefix+suffix survive
+    expect2 = "q" * 10 + "r" * 30
+    assert out[2]["n_cut_spans"] == 1 and out[2]["n_cut_chars"] == 40
+    assert out[2]["cleaned_len"] == len(expect2)
+    assert out[2]["cleaned_md5"] == hashlib.md5(expect2.encode()).hexdigest()
+    # doc 3: untouched
+    assert out[3]["n_cut_spans"] == 0
+    assert out[3]["cleaned_md5"] == hashlib.md5(docs[3].encode()).hexdigest()
