@@ -47,6 +47,11 @@ NO_NESTED_LOOP = [
     # exact set-similarity join: candidates must come from the prefix
     # bucket join, never a quadratic pair enumeration
     "dedup_prefix_filter_jaccard",
+    # r7 exact-substring family: pair/span/cut joins must stay keyed on
+    # the gram hash (bucket joins), never a cartesian pair enumeration
+    "dedup_exact_substring_pairs",
+    "dedup_exact_substring_spans",
+    "dedup_exact_substring_cut",
 ]
 
 

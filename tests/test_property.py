@@ -233,3 +233,74 @@ def test_jaccard_at_least_matches_exact_rational(spark):
         frac = Fraction(str(t))
         for (i, u), keep in got.items():
             assert keep == (Fraction(i, u) >= frac), (i, u, t)
+
+
+@st.composite
+def span_corpora(draw):
+    """2-4 documents assembled from a shared snippet pool plus private
+    glue — generates overlapping, repeated, and nested duplicate
+    structure without whitespace (so normalization is the identity)."""
+    snippets = draw(
+        st.lists(
+            st.text(alphabet="abcdefgh", min_size=12, max_size=50),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    n_docs = draw(st.integers(min_value=2, max_value=4))
+    docs = []
+    for i in range(n_docs):
+        parts = []
+        for _ in range(draw(st.integers(min_value=1, max_value=3))):
+            if snippets and draw(st.booleans()):
+                parts.append(draw(st.sampled_from(snippets)))
+            parts.append(draw(st.text(alphabet="mnopqrst", min_size=0, max_size=25)))
+        docs.append((i + 1, "".join(parts)))
+    return docs
+
+
+def _maximal_common_substrings(a: str, b: str, L: int):
+    """Independent reference: ALL maximal common substrings of length >= L,
+    by the suffix-array definition — a match (i, j) extended left/right
+    as far as the characters agree, reported once per (start_a, start_b).
+    O(len(a)·len(b)); fine for test-sized strings."""
+    out = set()
+    for i in range(len(a)):
+        for j in range(len(b)):
+            if a[i] != b[j]:
+                continue
+            if i > 0 and j > 0 and a[i - 1] == b[j - 1]:
+                continue  # not a maximal-match start
+            m = 0
+            while i + m < len(a) and j + m < len(b) and a[i + m] == b[j + m]:
+                m += 1
+            if m >= L:
+                out.add((i + 1, j + 1, m))  # 1-based like the operator
+    return out
+
+
+@given(span_corpora())
+@settings(max_examples=10, deadline=None)
+def test_exact_substring_spans_equal_maximal_common_substrings(spark, docs):
+    """The span operator's defining theorem, checked on random corpora:
+    its output per pair must equal EXACTLY the maximal common substrings
+    of length >= k (k=12 here so small snippets exercise it), as
+    enumerated by an independent quadratic reference. Cap is set high so
+    no gram diverts."""
+    from ror_etl_spark.operators.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[tuple[int, int], set] = {}
+    for r in exact_substring_spans(df, k=12, cap=10**6).collect():
+        got.setdefault((r["id_a"], r["id_b"]), set()).add(
+            (r["start_a"], r["start_b"], r["length"])
+        )
+    texts = dict(docs)
+    want: dict[tuple[int, int], set] = {}
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia < ib:
+                spans = _maximal_common_substrings(ta, tb, 12)
+                if spans:
+                    want[(ia, ib)] = spans
+    assert got == want
