@@ -584,15 +584,24 @@ def _doc_grams(df: DataFrame, k: int, text_col: str, id_col: str, positional: bo
     return g.localCheckpoint(eager=False)
 
 
-def _hot_grams(g: DataFrame, cap: int) -> DataFrame:
+def _hot_grams(g: DataFrame, cap: int, input_distinct: bool = True) -> DataFrame:
     """Grams whose DOCUMENT frequency exceeds ``cap`` — the disclosed
     skew ceiling of the exact-substring family (one viral boilerplate
     string would otherwise serialize a single reducer with a
     corpus-quadratic pair bucket). The list is tiny (bounded by the
-    number of boilerplate strings), so AQE broadcasts the anti-join."""
+    number of boilerplate strings), so AQE broadcasts the anti-join.
+
+    ``input_distinct`` (the set-kernel path): rows are already one per
+    (doc, gram), so a plain map-side-combinable ``count(*)`` IS the
+    document frequency — ``count_distinct`` would pay an Expand + a
+    second aggregate for nothing. The positional path passes False and
+    dedups (doc_id, g) first, which partial-aggregates the per-document
+    gram repetition away before the shuffle."""
+    if not input_distinct:
+        g = g.select("doc_id", "g").distinct()
     return (
         g.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > cap)
         .select("g")
     )
@@ -642,7 +651,7 @@ def exact_substring_spans(
     from pyspark.sql.window import Window
 
     pg = _doc_grams(df, k, text_col, id_col, positional=True)
-    kept = pg.join(_hot_grams(pg, cap), "g", "left_anti")
+    kept = pg.join(_hot_grams(pg, cap, input_distinct=False), "g", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
     m = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
