@@ -304,3 +304,31 @@ def test_exact_substring_spans_equal_maximal_common_substrings(spark, docs):
                 if spans:
                     want[(ia, ib)] = spans
     assert got == want
+
+
+@given(span_corpora())
+@settings(max_examples=8, deadline=None)
+def test_exact_substring_cut_property(spark, docs):
+    """Cut semantics on random corpora, vs an independent reference: a
+    document's cleaned text is its own text minus every character
+    position covered by a maximal >=k common substring with ANY earlier
+    document (interval union). Checks the md5, length, and cut totals."""
+    import hashlib
+
+    from ror_etl_spark.operators.dedup import exact_substring_cut
+
+    k = 12
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exact_substring_cut(df, k=k, cap=10**6).collect()}
+    for ib, tb in docs:
+        covered = set()
+        for ia, ta in docs:
+            if ia >= ib:
+                continue
+            for _, sb, m in _maximal_common_substrings(ta, tb, k):
+                covered.update(range(sb - 1, sb - 1 + m))  # 0-based positions in tb
+        cleaned = "".join(c for i, c in enumerate(tb) if i not in covered)
+        r = got[ib]
+        assert r["n_cut_chars"] == len(covered), (ib, docs)
+        assert r["cleaned_len"] == len(cleaned)
+        assert r["cleaned_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
