@@ -621,3 +621,51 @@ def llm_bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "doc_id", "n_tokens", "surprisal", (F.col("surprisal") <= 3.43).alias("keep")
     ).transform(ordered, "doc_id")
+
+
+@query(
+    "corpus_shard_shuffle",
+    oracle="""
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shard_pos,
+           doc_id
+    FROM documents
+    ORDER BY shard, shard_pos
+    """,
+    priority=3,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffling for training: every document gets a
+    SHARD (content-hash of its id, so assignment is stable under
+    re-partitioning and re-runs — the property ``df.sample``/``rand()``
+    lack) and a position within the shard drawn from an EPOCH-SALTED
+    hash — re-keying the salt ('epoch1:', ...) produces a fresh
+    independent permutation without touching the data, which is how a
+    100 TB corpus is re-shuffled per epoch: metadata-only.
+
+    Scale shape: one shuffle keyed by shard; the per-shard ``row_number``
+    is the order a per-shard writer emits examples (shard ≡ output file),
+    so the global sort a naive ORDER BY rand() would need never happens.
+    In production the shard count is sized to the writer parallelism
+    (16 here keeps the oracle's window small); both the assignment and
+    the permutation are md5-based and replayed exactly by the DuckDB
+    oracle."""
+    id_str = F.col("doc_id").cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(id_str), 1, 2), 16, 10).cast("long") % 16
+    ).alias("shard")
+    order_key = F.md5(F.concat(F.lit("epoch0:"), id_str))
+    d = spread(Tables(spark, sf_dir).documents)
+    w = Window.partitionBy("shard").orderBy(order_key, "doc_id")
+    return (
+        d.select(shard, "doc_id")
+        .select(
+            "shard",
+            F.row_number().over(w).cast("long").alias("shard_pos"),
+            "doc_id",
+        )
+        .transform(ordered, "shard", "shard_pos")
+    )

@@ -293,3 +293,22 @@ def test_llm_corpus_pipeline_funnel_is_monotone(spark):
     assert 0 < total_out <= kept <= n_docs
     assert set(rows) <= {"train", "test"}
     assert all(r["n_tokens"] >= r["n_docs"] * 50 for r in rows.values())
+
+
+def test_corpus_shard_shuffle_stable_under_repartition(spark):
+    """Shard assignment and intra-shard order are content-hash-derived,
+    so physical partitioning must not change the result — the property
+    a rand()-based shuffle lacks. Epoch re-salting changes the
+    permutation but not the shard membership."""
+    from ror_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    fn = QUERIES["corpus_shard_shuffle"]
+    a = [(r["shard"], r["shard_pos"], r["doc_id"]) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    b = [(r["shard"], r["shard_pos"], r["doc_id"]) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    assert a == b and len(a) == 500
+    per_shard = {}
+    for s, p, d in a:
+        per_shard.setdefault(s, []).append(p)
+    # every shard's positions are 1..n (a permutation, no gaps/dups)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_shard.values())
