@@ -115,6 +115,28 @@ def lang_id(col: Column) -> Column:
     return F.coalesce(best["lang"], F.lit("und"))
 
 
+def _gram_hex_seq(t: str | None, k: int, cache: dict[str, str]) -> list[str]:
+    """Positional k-gram md5 hexes of one (possibly null) text, through a
+    per-batch rank cache — THE shared gram loop of the Arrow kernels
+    (winnow_fp_set_udf / gram_hash_seq_udf), so null semantics and cache
+    policy are fixed in exactly one place. Null or shorter-than-k text →
+    empty list, mirroring ``winnow_hashes``'s guarded empty array."""
+    import hashlib
+
+    n = (0 if t is None else len(t)) - (k - 1)
+    if n < 1:
+        return []
+    hx: list[str] = []
+    for i in range(n):
+        g = t[i : i + k]
+        h = cache.get(g)
+        if h is None:
+            h = hashlib.md5(g.encode("utf-8")).hexdigest()
+            cache[g] = h
+        hx.append(h)
+    return hx
+
+
 def winnow_stats_udf(k: int = 8, w: int = 4):
     """Arrow-batched fused winnow statistics: normalized text in,
     (n_kgrams, n_fingerprints, min_fp) out — one kernel instead of the
@@ -196,8 +218,6 @@ def winnow_fp_set_udf(k: int = 8, w: int = 4):
     winnowed density. Parity: identical to the relational
     posexplode + per-doc-window formulation — full windows only, so
     documents with fewer than w k-grams contribute nothing."""
-    import hashlib
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -206,20 +226,14 @@ def winnow_fp_set_udf(k: int = 8, w: int = 4):
         out: list[list[str]] = []
         cache: dict[str, str] = {}
         for t in texts:
-            # Null-safe: the relational formulation contributes nothing for
-            # a null document (winnow_hashes -> []), so emit the empty set.
-            n = (0 if t is None else len(t)) - (k - 1)
+            # null/short semantics live in _gram_hex_seq: fewer than w
+            # k-grams (incl. null text) contributes the empty set, like
+            # the relational formulation's full-windows-only rule
+            hx = _gram_hex_seq(t, k, cache)
+            n = len(hx)
             if n < w:
                 out.append([])
                 continue
-            hx: list[str] = []
-            for i in range(n):
-                g = t[i : i + k]
-                h = cache.get(g)
-                if h is None:
-                    h = hashlib.md5(g.encode("utf-8")).hexdigest()
-                    cache[g] = h
-                hx.append(h)
             if w == 1:
                 out.append(sorted(set(hx)))
                 continue
@@ -246,29 +260,12 @@ def gram_hash_seq_udf(k: int = 32):
     values), so the Arrow payload — the irreducible term — dominates.
     Null-safe: a null or shorter-than-k document emits the empty
     sequence, like ``winnow_hashes``."""
-    import hashlib
-
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def seq(texts: pd.Series) -> pd.Series:
-        out: list[list[str]] = []
         cache: dict[str, str] = {}
-        for t in texts:
-            n = (0 if t is None else len(t)) - (k - 1)
-            if n < 1:
-                out.append([])
-                continue
-            hx: list[str] = []
-            for i in range(n):
-                g = t[i : i + k]
-                h = cache.get(g)
-                if h is None:
-                    h = hashlib.md5(g.encode("utf-8")).hexdigest()
-                    cache[g] = h
-                hx.append(h)
-            out.append(hx)
-        return pd.Series(out)
+        return pd.Series([_gram_hex_seq(t, k, cache) for t in texts])
 
     return seq
 

@@ -432,10 +432,11 @@ def dedup_hot_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot_gram_report(d, k=32, cap=_EXSUB_CAP).transform(ordered, "gram_md5")
 
 
-@query(
-    "dedup_exact_substring_spans",
-    oracle=f"""
-    WITH {_EXSUB_NORM},
+# Shared CTE fragment: positional grams -> hot-gram anti-join -> aligned
+# diagonals -> gaps-and-islands -> maximal spans. Both the spans and cut
+# oracles derive from THIS one definition, so their span semantics cannot
+# drift apart (the same reason _EXSUB_NORM is shared).
+_EXSUB_SPAN_CTES = """
     pg AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(substr(s, CAST(i AS INT), 32)) AS g
       FROM (SELECT doc_id, s,
@@ -454,6 +455,14 @@ def dedup_hot_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a, id_b, diag, min(pos_a) AS start_a,
              CAST(count(*) + 31 AS BIGINT) AS length
       FROM r GROUP BY id_a, id_b, diag, grp)
+"""
+
+
+@query(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH {_EXSUB_NORM},
+    {_EXSUB_SPAN_CTES}
     SELECT id_a, id_b, start_a, start_a - diag AS start_b, length
     FROM sp ORDER BY id_a, id_b, start_a, start_b
     """,
@@ -980,24 +989,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_substring_cut",
     oracle=f"""
     WITH {_EXSUB_NORM},
-    pg AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(substr(s, CAST(i AS INT), 32)) AS g
-      FROM (SELECT doc_id, s,
-                   unnest(range(1, greatest(length(s) - 31, 0) + 1)) AS i
-            FROM d)),
-    k AS (SELECT doc_id, pos, g FROM pg ANTI JOIN hot USING (g)),
-    m AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.pos AS pos_a, a.pos - b.pos AS diag
-      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id),
-    r AS (
-      SELECT *, pos_a - row_number() OVER (
-               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
-      FROM m),
-    sp AS (
-      SELECT id_a, id_b, diag, min(pos_a) AS start_a,
-             CAST(count(*) + 31 AS BIGINT) AS length
-      FROM r GROUP BY id_a, id_b, diag, grp),
+    {_EXSUB_SPAN_CTES},
     rng AS (
       SELECT id_b AS doc_id, start_a - diag AS s, start_a - diag + length - 1 AS e
       FROM sp),

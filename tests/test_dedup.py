@@ -208,13 +208,12 @@ def test_exact_substring_spans_match_planted_offsets(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in docs.items()], "doc_id long, text string"
     )
-    spans = {
-        (r["id_a"], r["id_b"]): set()
-        for r in exact_substring_spans(df).collect()
-    }
     rows = exact_substring_spans(df).collect()
+    spans: dict[tuple[int, int], set] = {}
     for r in rows:
-        spans[(r["id_a"], r["id_b"])].add((r["start_a"], r["start_b"], r["length"]))
+        spans.setdefault((r["id_a"], r["id_b"]), set()).add(
+            (r["start_a"], r["start_b"], r["length"])
+        )
         # the span really is a common substring (1-based offsets)
         a = docs[r["id_a"]][r["start_a"] - 1 : r["start_a"] - 1 + r["length"]]
         b = docs[r["id_b"]][r["start_b"] - 1 : r["start_b"] - 1 + r["length"]]
