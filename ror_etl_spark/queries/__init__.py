@@ -13,6 +13,7 @@ def load() -> None:
         return
     from ror_etl_spark.queries import (  # noqa: F401
         aggregates,
+        corpusops,
         dedup,
         engineops,
         graph,

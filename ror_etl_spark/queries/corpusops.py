@@ -1,0 +1,263 @@
+"""Corpus-level training-data operators: language sampling weights,
+BM25 retrieval, and DSIR-style importance weighting.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2.3 "corpus
+quality filters" / "text analysis" families) with the mixture- and
+selection-side operators a pretraining pipeline needs AFTER filtering:
+deciding how much of each language/domain to sample (UniMax-style
+temperature weights), retrieving documents against a query (BM25 —
+the standard sparse-retrieval scorer), and scoring documents by how
+target-like they are (DSIR's importance ratio between two
+self-trained unigram LMs).
+
+All three follow the repo's oracle discipline: exact integer counts
+cross the engine boundary, float math happens in identical expression
+shapes on both sides, and every emitted float is rounded with the
+epsilon shift (``round(x + 1e-9, d)``) so summation-order ulps can't
+flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ror_etl_spark.functions.text import token_count, tokens
+from ror_etl_spark.operators.util import spread
+from ror_etl_spark.registry import query
+from ror_etl_spark.tables import Tables
+
+# DuckDB twin of functions.text.tokens(): lowercase, collapse whitespace
+# runs, trim, split on single spaces — same normalization every text
+# oracle in the repo uses.
+_TOKS_SQL = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@query(
+    "corpus_language_sampling_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+    j AS (
+      SELECT lang, n_docs, n_tokens,
+             n_tokens / tot.t AS share_raw,
+             sqrt(n_tokens / tot.t) AS w_raw
+      FROM per CROSS JOIN tot),
+    den AS (SELECT sum(w_raw) AS s FROM j)
+    SELECT lang, n_docs, n_tokens,
+           round(share_raw + 1e-9, 6) AS token_share,
+           round(w_raw / den.s + 1e-9, 6) AS weight,
+           round((w_raw / den.s) / share_raw + 1e-9, 4) AS boost
+    FROM j CROSS JOIN den
+    ORDER BY lang
+    """,
+    priority=3,
+)
+def corpus_language_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax/temperature language-sampling weights (τ = 2, i.e. weight
+    ∝ share^(1/2)): per-language token counts → natural share → the
+    temperature-flattened sampling weight and the implied upsampling
+    ``boost`` (weight/share — how many extra epochs a low-resource
+    language effectively gets). The standard multilingual-pretraining
+    mixture knob (mT5 §3.1 / UniMax shape).
+
+    Scale shape: ONE map-side-combined aggregate keyed on lang (the
+    token counting is a per-row expression, no explode), then two
+    scalar totals broadcast back over a languages-sized frame. Nothing
+    document-sized ever shuffles; at 100 TB the only reduce is
+    |languages| rows. sqrt is exact IEEE on both engines; the two
+    divisions happen on raw doubles in identical expression shape and
+    every output is epsilon-rounded, so the hash replays."""
+    d = Tables(spark, sf_dir).documents
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("t")).alias("share_raw"),
+        F.sqrt(F.col("n_tokens") / F.col("t")).alias("w_raw"),
+    )
+    den = j.agg(F.sum("w_raw").alias("s"))
+    return (
+        j.crossJoin(F.broadcast(den))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("share_raw") + 1e-9, 6).alias("token_share"),
+            F.round(F.col("w_raw") / F.col("s") + 1e-9, 6).alias("weight"),
+            F.round((F.col("w_raw") / F.col("s")) / F.col("share_raw") + 1e-9, 4).alias(
+                "boost"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_BM25_TERMS = ("join", "filter", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT count(*) AS n, round(avg(dl) + 1e-9, 6) AS avgdl FROM dl),
+    qt AS (SELECT doc_id, w FROM toks WHERE w IN ({terms})),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM qt GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM qt GROUP BY w)
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+           ) + 1e-9, 4) AS bm25,
+           count(*) AS matched_terms
+    FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle(), priority=3)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval: top-20 documents for the fixed query
+    {join, filter, hash} under Okapi BM25 (k1=1.2, b=0.75, the
+    ln(1 + (N-df+0.5)/(df+0.5)) idf variant — Lucene's non-negative
+    form).
+
+    Scale shape: the token explode is filtered to QUERY TERMS before
+    anything aggregates, so the shuffled volume is (matching doc,
+    term) pairs — query-output-sized, not corpus-sized. Document
+    lengths come from a per-row expression (no explode), corpus stats
+    (N, avgdl) are one broadcast scalar row, the df table is
+    |query-terms| rows and broadcast into the scoring join. The plan
+    ends in TakeOrderedAndProject(20) — no global sort materializes.
+    avgdl is rounded to 6 dp on BOTH engines before entering the
+    score (the kmeans round_means trick: quantize trajectory inputs so
+    downstream float math sees bit-identical operands), and the final
+    score is epsilon-rounded at 4 dp to absorb ln() last-ulp and
+    summation-order differences."""
+    d = spread(Tables(spark, sf_dir).documents)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dl = d.select("doc_id", token_count(F.col("text")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("dl") + 1e-9, 6).alias("avgdl"),
+    )
+    qt = toks.filter(F.col("w").isin(*_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qt.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * norm) + 1e-9, 4).alias("bm25"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+@query(
+    "llm_dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents),
+    freq AS (
+      SELECT w,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+      FROM toks GROUP BY w),
+    tots AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cs) AS BIGINT) AS ts,
+             count(*) AS v
+      FROM freq)
+    SELECT toks.doc_id,
+           count(*) AS n_tokens,
+           round(sum(
+             ln((freq.ct + 1) / (tots.tt + tots.v))
+             - ln((freq.cs + 1) / (tots.ts + tots.v))
+           ) + 1e-9, 4) AS log_ratio,
+           round(sum(
+             ln((freq.ct + 1) / (tots.tt + tots.v))
+             - ln((freq.cs + 1) / (tots.ts + tots.v))
+           ) + 1e-9, 4) >= 0 AS target_like
+    FROM toks JOIN freq USING (w) CROSS JOIN tots
+    GROUP BY toks.doc_id
+    ORDER BY toks.doc_id
+    """,
+    priority=3,
+)
+def llm_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023's shape on unigram
+    features): score every document by the log importance ratio
+    ``Σ_w ln p_target(w) − ln p_source(w)`` between two self-trained
+    add-1-smoothed unigram LMs — target = the English slice, source =
+    everything else. Documents with ``log_ratio ≥ 0`` look more like
+    the target distribution and would be preferentially resampled.
+
+    Scale shape: identical to the surprisal filters — one token
+    explode (lazily checkpointed: both the LM aggregate and the
+    scoring join consume it), ONE map-side-combined count aggregate
+    training BOTH LMs in a single pass (conditional sums per token),
+    a token-keyed join back (AQE broadcasts closed vocabularies,
+    degrades to a shuffle join under Heaps-law growth), and a
+    per-document sum. Only (doc_id, token) pairs move. Counts are
+    exact integers on both engines; the keep flag derives from the
+    ROUNDED score so the boolean replays bit-identically."""
+    d = spread(Tables(spark, sf_dir).documents)
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=False)
+    en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    freq = toks.groupBy("w").agg(
+        F.sum(en).alias("ct"), F.sum(1 - en).alias("cs")
+    )
+    tots = freq.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts"), F.count(F.lit(1)).alias("v")
+    )
+    term = F.log((F.col("ct") + 1) / (F.col("tt") + F.col("v"))) - F.log(
+        (F.col("cs") + 1) / (F.col("ts") + F.col("v"))
+    )
+    per = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(term) + 1e-9, 4).alias("log_ratio"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "log_ratio",
+        (F.col("log_ratio") >= 0).alias("target_like"),
+    ).orderBy("doc_id")
