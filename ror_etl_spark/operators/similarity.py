@@ -586,3 +586,115 @@ def ivf_topk(
     return brute_force_topk(
         cells.filter(F.col("__cell").isin(probe_cells)), query_vec, k, id_col, vec_col
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_iters: int = 3,
+    round_means: int | None = 6,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023's shape):
+    k-means-cluster the embeddings, then within each cluster mark every
+    vector whose cosine to an EARLIER vector (lower id) in the same
+    cluster reaches ``threshold`` as a prunable semantic duplicate.
+
+    Returns (vec_id, cell, pruned, dup_of): ``dup_of`` is the smallest
+    qualifying earlier id, null for kept vectors. The keep-rule is the
+    id-dominance approximation of the paper's greedy (a vector is pruned
+    if ANY earlier vector witnesses it, whether or not that witness was
+    itself pruned) — a single self-join predicate instead of a
+    sequential chain, so it is distributed AND replayable in SQL.
+    Ranking is by id, not the paper's distance-to-centroid, for the same
+    reason the whole repo prefers integer keys in tie-breaks: no float
+    comparison decides WHO survives, only WHETHER a pair is similar.
+
+    Scale shape: training shuffles ~n_centroids×dim partial sums per
+    iteration (see ``kmeans_centroids``); assignment is one broadcast
+    argmin map; the quadratic verify runs INSIDE each cell with the
+    same blocked-GEMM kernel as ``lsh_near_dup_pairs`` (memory
+    O(block·occ), pairs only materialize above threshold−margin).
+    Cells are the unit of parallelism — at 100 TB, n_centroids scales
+    with the corpus so cell occupancy stays bounded (SemDeDup's own
+    prescription), and ``max_cell`` diverts degenerate super-cells the
+    same way the LSH verify caps buckets. The assignment frame is
+    lazily checkpointed: the pair kernel and the final prune join both
+    consume it, and nothing upstream (parquet scan + UDF assign) runs
+    twice."""
+    import numpy as np
+
+    if train_iters > 0:
+        centroids = kmeans_centroids(
+            corpus, n_centroids, train_iters, id_col, vec_col, round_means
+        )
+    else:
+        rows = (
+            corpus.orderBy(F.asc(id_col)).limit(n_centroids).select(vec_col).collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    assign = _nearest_cell_udf(centroids)
+    assigned = (
+        spread(corpus)
+        .select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("cell", assign(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        if len(pdf) < 2 or (max_cell is not None and len(pdf) > max_cell):
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        margin = threshold - 1e-6
+        blk = 2048
+        outs = []
+        for s in range(0, len(ids) - 1, blk):
+            e = min(s + blk, len(ids))
+            g = V[s:e] @ V[s + 1 :].T
+            ia, ib = np.nonzero(g >= margin)
+            keep = ib >= ia
+            if keep.any():
+                ia, ib = ia[keep], ib[keep]
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ia + s], "id_b": ids[ib + s + 1], "cos": g[ia, ib]}
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        verify, schema="id_a long, id_b long, cos double"
+    )
+    # raw kernel cosines; ONE Spark-side HALF_UP rounding is the
+    # authoritative threshold definition, same as the DuckDB oracle's
+    # round() (the r6→r7 rounding-discipline lesson).
+    dup = (
+        pairs.withColumn("cos", F.round("cos", 6))
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("dup_of").isNotNull().alias("pruned"),
+        "dup_of",
+    )

@@ -387,21 +387,21 @@ def embedding_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4, nprobe=3)
 
 
-def _ivf_trained_oracle(
-    n_centroids: int = 16,
-    iters: int = 3,
-    nprobe: int = 2,
-    k: int = 10,
-    dim: int = 64,
-    round_means: int = 6,
-) -> str:
-    """DuckDB replay of the FULL k-means training loop: Lloyd's algorithm
-    here is a pure function of the data (init = n_centroids smallest ids,
-    argmin ties to the lower cell, empty cells keep their centroid, means
-    quantized to ``round_means`` decimals each iteration so fp summation
-    order can't drift the trajectory) — so ``iters`` assignment+update
-    rounds unroll into chained CTEs and land on bit-identical centroids.
-    The final SELECT replays probe ranking and in-cell exact cosine."""
+def _kmeans_ctes(
+    source_sql: str,
+    n_centroids: int,
+    iters: int,
+    dim: int,
+    round_means: int,
+) -> list[str]:
+    """CTE chain replaying ``kmeans_centroids`` + final assignment in
+    DuckDB: Lloyd's algorithm here is a pure function of the data (init =
+    n_centroids smallest ids, argmin ties to the lower cell, empty cells
+    keep their centroid, means quantized to ``round_means`` decimals each
+    iteration so fp summation order can't drift the trajectory) — so
+    ``iters`` assignment+update rounds unroll into chained CTEs and land
+    on bit-identical centroids. ``source_sql`` must yield (vec_id, v);
+    the returned chain ends in ``af`` = (vec_id, v, cell)."""
 
     def assign(a: str, cents: str) -> str:
         return f"""
@@ -414,9 +414,7 @@ def _ivf_trained_oracle(
       WHERE rn = 1)"""
 
     ctes = [
-        f"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)""",
-        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id <> 0)""",
+        f"""e AS ({source_sql})""",
         f"""p AS (SELECT CAST(range AS INT) AS pos FROM range(1, {dim + 1}))""",
         f"""c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
@@ -438,6 +436,31 @@ def _ivf_trained_oracle(
       GROUP BY c.cell)"""
         )
     ctes.append(assign("af", f"c{iters}"))
+    return ctes
+
+
+def _ivf_trained_oracle(
+    n_centroids: int = 16,
+    iters: int = 3,
+    nprobe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    round_means: int = 6,
+) -> str:
+    """DuckDB replay of IVF with the FULL k-means training loop (CTE
+    chain from ``_kmeans_ctes``); the final SELECT replays probe ranking
+    and in-cell exact cosine."""
+    ctes = [
+        """q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)""",
+        *_kmeans_ctes(
+            """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0""",
+            n_centroids,
+            iters,
+            dim,
+            round_means,
+        ),
+    ]
     ctes.append(
         f"""probe AS (
       SELECT c.cell FROM c{iters} c, q
@@ -474,3 +497,66 @@ def embedding_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=2,
         train_iters=3, round_means=6,
     )
+
+
+def _semdedup_oracle(
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    round_means: int = 6,
+) -> str:
+    """DuckDB replay of semdedup_prune: the full k-means trajectory
+    (``_kmeans_ctes`` over ALL vectors), then the id-dominance prune as
+    one per-cell self-join — b is a witness for a iff same cell, lower
+    id, and rounded cosine ≥ threshold."""
+    ctes = _kmeans_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        n_centroids,
+        iters,
+        dim,
+        round_means,
+    )
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    ctes.append(
+        f"""pr AS (
+      SELECT a.vec_id AS d, min(b.vec_id) AS w
+      FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round({cos}, 6) >= {threshold}
+      GROUP BY a.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
+           pr.w IS NOT NULL AS pruned, pr.w AS dup_of
+    FROM af LEFT JOIN pr ON pr.d = af.vec_id
+    ORDER BY af.vec_id
+    """
+    )
+
+
+@query("embedding_semdedup_prune", oracle=_semdedup_oracle(), priority=3)
+def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023's shape):
+    k-means-cluster every embedding (3 deterministic Lloyd iterations,
+    the same replayable trajectory as embedding_knn_ivf_trained), then
+    within each cluster prune vectors whose cosine to an earlier (lower
+    id) cluster member is ≥ 0.4 — the semantic analogue of the
+    MinHash/SimHash family one directory over, catching paraphrases
+    and re-encodings that share no n-grams.
+
+    The cluster pass is what makes this the SCALE path: the quadratic
+    verify runs inside cells (blocked GEMM, same kernel economics as
+    lsh_near_dup_pairs), and at 100 TB n_centroids grows with the
+    corpus so cell occupancy — the unit of quadratic work — stays
+    bounded. The oracle unrolls the entire training loop plus the
+    prune self-join in SQL, so WHO gets pruned, in WHICH cell, and by
+    WHOM is hash-checked end to end at every SF."""
+    from ror_etl_spark.operators.similarity import semdedup_prune
+
+    emb = Tables(spark, sf_dir).embeddings
+    return semdedup_prune(
+        emb, threshold=0.4, n_centroids=16, train_iters=3, round_means=6
+    ).orderBy("vec_id")

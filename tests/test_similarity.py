@@ -230,3 +230,54 @@ def test_lsh_near_dup_bucket_cap_drops_superbuckets(spark):
     assert not any(a < 200 and b < 200 for a, b in capped)
     # ...but the isolated twin pair (its bucket holds 2 ids) survives
     assert (500, 501) in capped
+
+
+def test_semdedup_prune_planted_clusters(spark):
+    from ror_etl_spark.operators.similarity import semdedup_prune
+
+    # two tight clusters far apart; within each, later ids duplicate id 1/10
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # dup of 1
+        (3, [0.98, -0.01, 0.0, 0.0]),  # dup of 1 (and of 2 — min witness is 1)
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.99, 0.02]),  # dup of 10
+        (20, [0.0, 1.0, 0.0, 0.0]),    # singleton direction — kept
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["pruned"], r["dup_of"])
+        for r in semdedup_prune(
+            corpus, threshold=0.95, n_centroids=3, train_iters=2
+        ).collect()
+    }
+    assert got[1] == (False, None)
+    assert got[2] == (True, 1)
+    assert got[3] == (True, 1)  # id-dominance: min earlier witness, not chain
+    assert got[10] == (False, None)
+    assert got[11] == (True, 10)
+    assert got[20] == (False, None)
+
+
+def test_semdedup_cross_cluster_pairs_not_compared(spark):
+    from ror_etl_spark.operators.similarity import semdedup_prune
+
+    # all vectors pairwise-similar (one tight cone) but k-means splits
+    # them — only WITHIN-cell witnesses count, the SemDeDup contract
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 7)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_prune(corpus, threshold=0.99, n_centroids=1, train_iters=1)
+    got = {r["vec_id"]: r["dup_of"] for r in out.collect()}
+    # single cell: everyone after 1 is witnessed by 1
+    assert got == {1: None, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_semdedup_max_cell_diverts_super_cell(spark):
+    from ror_etl_spark.operators.similarity import semdedup_prune
+
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 7)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_prune(
+        corpus, threshold=0.99, n_centroids=1, train_iters=1, max_cell=3
+    )
+    assert all(not r["pruned"] for r in out.collect())
