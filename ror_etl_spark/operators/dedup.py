@@ -710,26 +710,42 @@ def exact_substring_cut(
     (doc_id, n_cut_spans, n_cut_chars, cleaned_len, cleaned_md5).
 
     The pipeline-shaped end of the suffix-array-dedup story: spans →
-    per-doc interval merge (gaps-and-islands on a cumulative-max window
-    — overlapping/touching ranges collapse so a region cut by many
-    earlier twins is cut once) → segment reconstruction (the kept text
-    is the ordered concat of inter-interval gaps plus the tail, built
-    with sort_array + array_join — pure JVM string ops). Only interval
-    endpoints shuffle; the text joins back once, keyed by doc id. The
-    md5 of the cleaned text (not the text itself) is the output, so the
-    result stays narrow and the DuckDB oracle hash-checks the exact
+    ``cut_ranges`` (interval merge + segment reconstruction). The md5 of
+    the cleaned text (not the text itself) is the output, so the result
+    stays narrow and the DuckDB oracle hash-checks the exact
     reconstruction. Documents with nothing to cut pass through with
     n_cut_spans = 0 and the md5 of their full normalized text."""
-    from pyspark.sql import Window as PW
-
-    from ror_etl_spark.functions.text import normalize_text
-
     spans = exact_substring_spans(df, k=k, cap=cap, text_col=text_col, id_col=id_col)
     ranges = spans.select(
         F.col("id_b").alias("doc_id"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("length") - 1).alias("e"),
     )
+    return cut_ranges(df, ranges, text_col=text_col, id_col=id_col)
+
+
+def cut_ranges(
+    df: DataFrame,
+    ranges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove character ranges from documents: interval-merge the
+    1-based inclusive (doc_id, s, e) ranges per document, then rebuild
+    each document's normalized text without them.
+
+    Per-doc interval merge is gaps-and-islands on a cumulative-max
+    window — overlapping/touching ranges collapse so a region cut by
+    many sources is cut once — then segment reconstruction: the kept
+    text is the ordered concat of inter-interval gaps plus the tail,
+    built with sort_array + array_join (pure JVM string ops). Only
+    interval endpoints shuffle; the text joins back once, keyed by doc
+    id. Shared by ``exact_substring_cut`` (dedup) and
+    ``decontaminate_substring_cut`` (benchmark-overlap removal)."""
+    from pyspark.sql import Window as PW
+
+    from ror_etl_spark.functions.text import normalize_text
+
     w_prev = (
         PW.partitionBy("doc_id")
         .orderBy("s", "e")
@@ -783,3 +799,48 @@ def exact_substring_cut(
         F.length(cleaned).cast("long").alias("cleaned_len"),
         F.md5(cleaned).alias("cleaned_md5"),
     )
+
+
+def decontaminate_substring_cut(
+    corpus: DataFrame,
+    bench: DataFrame,
+    k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination: cut from every corpus
+    document the maximal character ranges that appear verbatim (≥ k
+    normalized chars) in ANY benchmark document, returning the same
+    (doc_id, n_cut_spans, n_cut_chars, cleaned_len, cleaned_md5) shape
+    as ``exact_substring_cut``.
+
+    Same aligned-gram diagonal construction as the dedup spans, but
+    across two tables — and deliberately WITHOUT the hot-gram ceiling:
+    a benchmark string that went viral in the corpus is exactly the
+    contamination that must be removed, and the skew economics differ
+    from the self-join case. The gram join fans out to (corpus
+    instance × benchmark occurrences of that gram): the benchmark side
+    is benchmark-scale (broadcast — the corpus side never shuffles for
+    the join, the 100 TB shape shared with decontaminate_ngram_overlap),
+    and every joined row lies inside a span that WILL be cut, so the
+    fan-out is output-sized, not quadratic in the corpus."""
+    from pyspark.sql.window import Window
+
+    bg = _doc_grams(bench, k, text_col, id_col, positional=True).select(
+        F.col("doc_id").alias("bench_id"), F.col("pos").alias("pos_a"), "g"
+    )
+    cg = _doc_grams(corpus, k, text_col, id_col, positional=True)
+    m = cg.join(F.broadcast(bg), "g").select(
+        "doc_id",
+        "bench_id",
+        F.col("pos").alias("pos_b"),
+        (F.col("pos_a") - F.col("pos")).alias("diag"),
+    )
+    run = Window.partitionBy("doc_id", "bench_id", "diag").orderBy("pos_b")
+    ranges = (
+        m.withColumn("grp", F.col("pos_b") - F.row_number().over(run))
+        .groupBy("doc_id", "bench_id", "diag", "grp")
+        .agg(F.min("pos_b").alias("s"), (F.min("pos_b") + F.count(F.lit(1)) + (k - 2)).alias("e"))
+        .select("doc_id", "s", "e")
+    )
+    return cut_ranges(corpus, ranges, text_col=text_col, id_col=id_col)

@@ -465,18 +465,25 @@ def _nearest_cell_udf(centroids: list[list[float]]):
     Same rationale as ``_table_buckets_udf``: the HOF argmin is
     interpreted per element, the numpy form is one vectorized pass. The
     output is an integer cell id — no rounding is involved, so the only
-    cross-engine divergence risk is an exact distance tie between two
-    distinct centroids at float64 resolution, which the quantized
-    (round_means) training trajectory makes measure-zero."""
+    cross-engine divergence risk is a near-exact distance tie between
+    two distinct centroids at float64 resolution, which the quantized
+    (round_means) training trajectory makes measure-zero.
+
+    The distance is computed in the GEMM form ``‖c‖² − 2·V·Cᵀ``
+    (argmin-equivalent: ‖x‖² is constant per row): the naive
+    ``(V−C)²`` broadcast materializes batch×k×dim temporaries —
+    measured 33 s/pass at (200k rows × 256 centroids × 64 dims), pure
+    memory traffic — while the GEMM is one BLAS call over batch×k."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids, dtype=np.float64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)  # (k,)
 
     @pandas_udf("int")
     def cell(vecs: pd.Series) -> pd.Series:
         V = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
-        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = c2[None, :] - 2.0 * (V @ C.T)
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
     return cell
@@ -649,9 +656,9 @@ def semdedup_prune(
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
-                "id_a": np.array([], dtype=np.int64),
-                "id_b": np.array([], dtype=np.int64),
-                "cos": np.array([], dtype=np.float64),
+                "vec_id": np.array([], dtype=np.int64),
+                "witness": np.array([], dtype=np.int64),
+                "cos": pd.array([], dtype="Float64"),
             }
         )
         if len(pdf) < 2 or (max_cell is not None and len(pdf) > max_cell):
@@ -659,38 +666,78 @@ def semdedup_prune(
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
+        n = len(ids)
         V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        margin = threshold - 1e-6
+        # Only the MIN earlier witness per vector leaves the kernel, not
+        # the above-threshold pair list — on a clustered corpus that list
+        # is quadratic in cell occupancy (the sf10 rehearsal measured
+        # ~78M Arrow rows dominating the wall), while dup_of is one row
+        # per member. Pairs inside ±1e-6 of the threshold can't be
+        # decided with raw GEMM cosines (the authoritative definition is
+        # HALF_UP rounding at 6 dp, done Spark-side), so ONLY that
+        # measure-zero boundary band is emitted pair-exact; a cosine
+        # ≥ threshold+1e-6 rounds up for certain (6-dp rounding moves a
+        # value by ≤ 5e-7), so those reduce to the min witness here.
+        safe_lo, band_lo = threshold + 1e-6, threshold - 1e-6
+        best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        bvec, bwit, bcos = [], [], []
         blk = 2048
-        outs = []
-        for s in range(0, len(ids) - 1, blk):
-            e = min(s + blk, len(ids))
+        for s in range(0, n - 1, blk):
+            e = min(s + blk, n)
             g = V[s:e] @ V[s + 1 :].T
-            ia, ib = np.nonzero(g >= margin)
-            keep = ib >= ia
-            if keep.any():
-                ia, ib = ia[keep], ib[keep]
-                outs.append(
-                    pd.DataFrame(
-                        {"id_a": ids[ia + s], "id_b": ids[ib + s + 1], "cos": g[ia, ib]}
-                    )
+            # triangle: column j is global s+1+j, row i is global s+i —
+            # valid witnesses need col > row, i.e. j >= i
+            tri = np.arange(g.shape[1])[None, :] >= np.arange(e - s)[:, None]
+            safe = (g >= safe_lo) & tri
+            hit = safe.any(axis=0)
+            if hit.any():
+                first = safe.argmax(axis=0)  # smallest row = smallest id
+                cols = np.nonzero(hit)[0]
+                np.minimum.at(best, cols + s + 1, ids[first[cols] + s])
+            band = (g >= band_lo) & (g < safe_lo) & tri
+            ia, ib = np.nonzero(band)
+            if len(ia):
+                bvec.append(ids[ib + s + 1])
+                bwit.append(ids[ia + s])
+                bcos.append(g[ia, ib])
+        parts = []
+        red = np.nonzero(best != np.iinfo(np.int64).max)[0]
+        if len(red):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids[red],
+                        "witness": best[red],
+                        "cos": pd.array([None] * len(red), dtype="Float64"),
+                    }
                 )
-        if not outs:
+            )
+        if bvec:
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(bvec),
+                        "witness": np.concatenate(bwit),
+                        "cos": pd.array(np.concatenate(bcos), dtype="Float64"),
+                    }
+                )
+            )
+        if not parts:
             return empty
-        return pd.concat(outs, ignore_index=True)
+        return pd.concat(parts, ignore_index=True)
 
     pairs = assigned.groupBy("cell").applyInPandas(
-        verify, schema="id_a long, id_b long, cos double"
+        verify, schema="vec_id long, witness long, cos double"
     )
-    # raw kernel cosines; ONE Spark-side HALF_UP rounding is the
-    # authoritative threshold definition, same as the DuckDB oracle's
-    # round() (the r6→r7 rounding-discipline lesson).
+    # null cos = decided safe inside the kernel; boundary rows carry the
+    # raw cosine and get the authoritative Spark-side HALF_UP rounding,
+    # same definition as the DuckDB oracle's round() (the r6→r7
+    # rounding-discipline lesson).
     dup = (
-        pairs.withColumn("cos", F.round("cos", 6))
-        .filter(F.col("cos") >= threshold)
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("dup_of"))
+        pairs.filter(F.col("cos").isNull() | (F.round("cos", 6) >= threshold))
+        .groupBy("vec_id")
+        .agg(F.min("witness").alias("dup_of"))
     )
     return assigned.join(dup, "vec_id", "left").select(
         "vec_id",

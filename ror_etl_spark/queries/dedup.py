@@ -432,6 +432,48 @@ def dedup_hot_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot_gram_report(d, k=32, cap=_EXSUB_CAP).transform(ordered, "gram_md5")
 
 
+def _cut_tail(base: str) -> str:
+    """Shared oracle tail: interval-merge a ``rng`` CTE of (doc_id, s, e)
+    ranges and reconstruct the cleaned text of every ``base`` document —
+    one definition for both cut oracles (dedup and decontamination), so
+    their merge/reconstruction semantics cannot drift apart."""
+    return f"""ord AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      FROM rng),
+    isl AS (
+      SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM ord),
+    mi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
+    seg AS (
+      SELECT doc_id, s, e,
+             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+      FROM mi),
+    agg AS (
+      SELECT seg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_cut_spans,
+             CAST(sum(seg.e - seg.s + 1) AS BIGINT) AS n_cut_chars,
+             string_agg(substr(d.s, CAST(seg.prev_e + 1 AS INT),
+                               CAST(seg.s - seg.prev_e - 1 AS INT)),
+                        '' ORDER BY seg.s) AS gaps,
+             max(seg.e) AS last_e
+      FROM seg JOIN {base} d ON d.doc_id = seg.doc_id
+      GROUP BY seg.doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.n_cut_spans, 0) AS n_cut_spans,
+           coalesce(agg.n_cut_chars, 0) AS n_cut_chars,
+           CAST(length(CASE WHEN agg.doc_id IS NULL THEN d.s
+                ELSE coalesce(agg.gaps, '') || substr(d.s, CAST(agg.last_e + 1 AS INT))
+                END) AS BIGINT) AS cleaned_len,
+           md5(CASE WHEN agg.doc_id IS NULL THEN d.s
+               ELSE coalesce(agg.gaps, '') || substr(d.s, CAST(agg.last_e + 1 AS INT))
+               END) AS cleaned_md5
+    FROM {base} d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
+
 # Shared CTE fragment: positional grams -> hot-gram anti-join -> aligned
 # diagonals -> gaps-and-islands -> maximal spans. Both the spans and cut
 # oracles derive from THIS one definition, so their span semantics cannot
@@ -993,41 +1035,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng AS (
       SELECT id_b AS doc_id, start_a - diag AS s, start_a - diag + length - 1 AS e
       FROM sp),
-    ord AS (
-      SELECT doc_id, s, e,
-             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
-      FROM rng),
-    isl AS (
-      SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
-                OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-      FROM ord),
-    mi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
-    seg AS (
-      SELECT doc_id, s, e,
-             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
-      FROM mi),
-    agg AS (
-      SELECT seg.doc_id,
-             CAST(count(*) AS BIGINT) AS n_cut_spans,
-             CAST(sum(seg.e - seg.s + 1) AS BIGINT) AS n_cut_chars,
-             string_agg(substr(d.s, CAST(seg.prev_e + 1 AS INT),
-                               CAST(seg.s - seg.prev_e - 1 AS INT)),
-                        '' ORDER BY seg.s) AS gaps,
-             max(seg.e) AS last_e
-      FROM seg JOIN d ON d.doc_id = seg.doc_id
-      GROUP BY seg.doc_id)
-    SELECT d.doc_id,
-           coalesce(agg.n_cut_spans, 0) AS n_cut_spans,
-           coalesce(agg.n_cut_chars, 0) AS n_cut_chars,
-           CAST(length(CASE WHEN agg.doc_id IS NULL THEN d.s
-                ELSE coalesce(agg.gaps, '') || substr(d.s, CAST(agg.last_e + 1 AS INT))
-                END) AS BIGINT) AS cleaned_len,
-           md5(CASE WHEN agg.doc_id IS NULL THEN d.s
-               ELSE coalesce(agg.gaps, '') || substr(d.s, CAST(agg.last_e + 1 AS INT))
-               END) AS cleaned_md5
-    FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
-    ORDER BY d.doc_id
+    {_cut_tail("d")}
     """,
     priority=3,
 )
@@ -1046,3 +1054,65 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Tables(spark, sf_dir).documents
     return exact_substring_cut(d, k=32, cap=_EXSUB_CAP).transform(ordered, "doc_id")
+
+
+def _decon_cut_oracle(eval_max_id: int = 25) -> str:
+    """Two-table replay of decontaminate_substring_cut: positional grams
+    on both slices of `documents` (doc_id < eval_max_id plays the
+    benchmark, as in decontaminate_ngram_overlap), aligned diagonals,
+    gaps-and-islands spans on the corpus side, then the shared
+    interval-merge + reconstruction tail over the corpus slice."""
+    pg = """
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(substr(s, CAST(i AS INT), 32)) AS g
+      FROM (SELECT doc_id, s,
+                   unnest(range(1, greatest(length(s) - 31, 0) + 1)) AS i
+            FROM {src})"""
+    return f"""
+    WITH dall AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents),
+    cd AS (SELECT * FROM dall WHERE doc_id >= {eval_max_id}),
+    bpg AS (SELECT doc_id AS bench_id, pos AS pos_a, g FROM ({pg.format(src=f"(SELECT * FROM dall WHERE doc_id < {eval_max_id})")})),
+    cpg AS ({pg.format(src="cd")}),
+    m AS (
+      SELECT c.doc_id, b.bench_id, c.pos AS pos_b, b.pos_a - c.pos AS diag
+      FROM cpg c JOIN bpg b USING (g)),
+    r AS (
+      SELECT *, pos_b - row_number() OVER (
+               PARTITION BY doc_id, bench_id, diag ORDER BY pos_b) AS grp
+      FROM m),
+    rng AS (
+      SELECT doc_id, min(pos_b) AS s, min(pos_b) + count(*) + 30 AS e
+      FROM r GROUP BY doc_id, bench_id, diag, grp),
+    {_cut_tail("cd")}
+    """
+
+
+@query("decontaminate_substring_cut", oracle=_decon_cut_oracle(), priority=3)
+def decontaminate_substring_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination — the surgical upgrade of
+    decontaminate_ngram_overlap: instead of flagging whole documents
+    that share 5-grams with the held-out set, CUT exactly the character
+    ranges that appear verbatim (≥ 32 normalized chars) in any
+    benchmark document (doc_id < 25 plays the benchmark, same
+    convention as the flag-level query), keeping the rest of the
+    document trainable. Output is the cut-report shape with the md5 of
+    the cleaned text, so the oracle hash-proves the reconstruction
+    byte-for-byte.
+
+    Scale shape: the benchmark side's positional grams BROADCAST (a
+    benchmark is driver-scale by definition); the corpus side's grams
+    never shuffle for the match — and unlike the dedup spans there is
+    deliberately NO hot-gram ceiling, because a benchmark string viral
+    in the corpus is exactly what must be removed and the fan-out is
+    bounded by benchmark size × output spans, not corpus². See
+    operators/dedup.py:decontaminate_substring_cut."""
+    from ror_etl_spark.operators.dedup import decontaminate_substring_cut
+    from ror_etl_spark.queries.llmprep import _EVAL_MAX_ID
+
+    d = Tables(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") >= _EVAL_MAX_ID)
+    bench = d.filter(F.col("doc_id") < _EVAL_MAX_ID)
+    return decontaminate_substring_cut(corpus, bench, k=32).transform(
+        ordered, "doc_id"
+    )

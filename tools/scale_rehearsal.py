@@ -338,6 +338,48 @@ def run_cold(queries: list[str], tiers: list[tuple[str, str]]) -> None:
         print(f"{name:32s} {' '.join(cells)}")
 
 
+# r7b (this session's additions): the corpus mixture/selection ops —
+# token-explode aggregates (lang weights aggregate per-row, BM25 filters
+# the explode to query terms, DSIR joins tokens back to a two-LM count
+# table) — measured across the closed-vocab decade AND the open-vocab
+# third decade (where the token join can no longer broadcast a 31-word
+# vocabulary and must degrade to a shuffle join).
+R7B_FAMILIES = [
+    "corpus_language_sampling_weights",
+    "text_bm25_topk",
+    "llm_dsir_importance_weights",
+]
+
+
+def semdedup_scale() -> None:
+    """SemDeDup decade: registered shape at sf0.1 (2k vecs, k=16), then
+    the SCALED-k configuration at sf1/sf10 (20k/200k vecs, k=64/256 —
+    SemDeDup's own prescription that cluster count grows with the corpus
+    so cell occupancy, the unit of quadratic verify work, stays
+    bounded). Also re-times sf1 at the UNSCALED k=16 to show the knob is
+    what holds the decade step down."""
+    from ror_etl_spark.operators.similarity import semdedup_prune
+    from ror_etl_spark.session import get_spark
+
+    spark = get_spark("semdedup-scale")
+    tiers = [
+        ("sf0.1(2k,k=16)", SF01_DIR, 16),
+        ("sf1(20k,k=16)", SF1_DIR, 16),
+        ("sf1(20k,k=64)", SF1_DIR, 64),
+        ("sf10(200k,k=256)", SF10_DIR, 256),
+    ]
+    for lbl, sf_dir, k in tiers:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = semdedup_prune(
+            emb, threshold=0.4, n_centroids=k, train_iters=3, round_means=6
+        )
+        n_pruned = out.filter("pruned").count()
+        wall = time.perf_counter() - t0
+        print(f"{lbl:20s} cold={wall:7.2f}s pruned={n_pruned}", flush=True)
+
+
 # The exact-similarity families whose closed-vocab candidate growth is
 # quadratic by construction (SCALING.md r5 diagnosis): measured across an
 # open-vocabulary decade to show the quadratic regime is the vocabulary
@@ -385,6 +427,10 @@ if __name__ == "__main__":
                     help="cold-first: surprisal+substring families ov-50k -> ov-500k")
     ap.add_argument("--run-boiler", action="store_true",
                     help="cold-first: exact-substring family on the 20%-boilerplate tiers")
+    ap.add_argument("--run-r7b", action="store_true",
+                    help="cold-first: corpus mixture/selection ops across both decades")
+    ap.add_argument("--run-semdedup", action="store_true",
+                    help="SemDeDup decade with the scaled-k configuration")
     args = ap.parse_args()
     if args.gen:
         gen()
@@ -409,12 +455,22 @@ if __name__ == "__main__":
         run_cold(R7_FAMILIES, [("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)])
     if args.run_boiler:
         run_cold(R7_BOILER, [("ovb-50k", OVB_HI_DIR), ("ovb-500k", OVB_XHI_DIR)])
+    if args.run_r7b:
+        run_cold(
+            R7B_FAMILIES,
+            [("sf1", SF1_DIR), ("sf10", SF10_DIR),
+             ("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)],
+        )
+    if args.run_semdedup:
+        semdedup_scale()
     if args.kernel:
         kernel(args.kernel_n, args.kernel_depth)
     if args.sn:
         sn(args.sn_n)
     if not (args.gen or args.gen10 or args.gen_ov or args.run or args.run10
             or args.run_ov or args.kernel or args.sn or args.gen_r7
-            or args.run_r7 or args.run_boiler):
+            or args.run_r7 or args.run_boiler or args.run_r7b
+            or args.run_semdedup):
         print("pass --gen/--gen10/--gen-ov/--gen-r7, --run/--run10/--run-ov/"
-              "--run-r7/--run-boiler, --kernel and/or --sn")
+              "--run-r7/--run-boiler/--run-r7b/--run-semdedup, --kernel "
+              "and/or --sn")
