@@ -393,6 +393,7 @@ def _kmeans_ctes(
     iters: int,
     dim: int,
     round_means: int,
+    prefix: str = "",
 ) -> list[str]:
     """CTE chain replaying ``kmeans_centroids`` + final assignment in
     DuckDB: Lloyd's algorithm here is a pure function of the data (init =
@@ -401,7 +402,10 @@ def _kmeans_ctes(
     iteration so fp summation order can't drift the trajectory) — so
     ``iters`` assignment+update rounds unroll into chained CTEs and land
     on bit-identical centroids. ``source_sql`` must yield (vec_id, v);
-    the returned chain ends in ``af`` = (vec_id, v, cell)."""
+    the returned chain ends in ``{prefix}af`` = (vec_id, v, cell).
+    ``prefix`` namespaces every CTE so independent chains (one per PQ
+    subspace) can coexist in a single WITH."""
+    x = prefix
 
     def assign(a: str, cents: str) -> str:
         return f"""
@@ -410,32 +414,32 @@ def _kmeans_ctes(
         SELECT e.vec_id, e.v, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY list_distance(e.v, c.c), c.cell) AS rn
-        FROM e, {cents} c)
+        FROM {x}e e, {cents} c)
       WHERE rn = 1)"""
 
     ctes = [
-        f"""e AS ({source_sql})""",
-        f"""p AS (SELECT CAST(range AS INT) AS pos FROM range(1, {dim + 1}))""",
-        f"""c0 AS (
+        f"""{x}e AS ({source_sql})""",
+        f"""{x}p AS (SELECT CAST(range AS INT) AS pos FROM range(1, {dim + 1}))""",
+        f"""{x}c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids}))""",
+      FROM (SELECT vec_id, v FROM {x}e ORDER BY vec_id LIMIT {n_centroids}))""",
     ]
     for i in range(iters):
-        ctes.append(assign(f"a{i}", f"c{i}"))
+        ctes.append(assign(f"{x}a{i}", f"{x}c{i}"))
         ctes.append(
-            f"""m{i} AS (
+            f"""{x}m{i} AS (
       SELECT cell, pos, round(avg(x), {round_means}) AS m
-      FROM (SELECT a.cell, p.pos, a.v[p.pos] AS x FROM a{i} a CROSS JOIN p)
+      FROM (SELECT a.cell, p.pos, a.v[p.pos] AS x FROM {x}a{i} a CROSS JOIN {x}p p)
       GROUP BY cell, pos)"""
         )
         ctes.append(
-            f"""c{i + 1} AS (
+            f"""{x}c{i + 1} AS (
       SELECT c.cell, list(coalesce(m.m, c.c[p.pos]) ORDER BY p.pos) AS c
-      FROM c{i} c CROSS JOIN p
-      LEFT JOIN m{i} m ON m.cell = c.cell AND m.pos = p.pos
+      FROM {x}c{i} c CROSS JOIN {x}p p
+      LEFT JOIN {x}m{i} m ON m.cell = c.cell AND m.pos = p.pos
       GROUP BY c.cell)"""
         )
-    ctes.append(assign("af", f"c{iters}"))
+    ctes.append(assign(f"{x}af", f"{x}c{iters}"))
     return ctes
 
 
@@ -560,3 +564,76 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(
         emb, threshold=0.4, n_centroids=16, train_iters=3, round_means=6
     ).orderBy("vec_id")
+
+
+_PQ_M = 4       # subspaces
+_PQ_DSUB = 16   # dims per subspace (4 × 16 = the 64-dim embedding)
+_PQ_K = 8       # centroids per subspace codebook
+_PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    """Four independent prefixed k-means chains (one per subspace slice
+    of the embedding), joined on vec_id into the code tuple."""
+    ctes: list[str] = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        ctes += _kmeans_ctes(
+            f"SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
+            " FROM embeddings",
+            _PQ_K,
+            _PQ_ITERS,
+            _PQ_DSUB,
+            6,
+            prefix=f"s{m}_",
+        )
+    codes = ", ".join(
+        f"CAST(s{m}_af.cell AS INT) AS c{m}" for m in range(_PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN s{m}_af ON s{m}_af.vec_id = s0_af.vec_id" for m in range(1, _PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s0_af.vec_id, {codes}
+    FROM s0_af {joins}
+    ORDER BY s0_af.vec_id
+    """
+    )
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle(), priority=3)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., the standard ANN compression):
+    split each 64-dim embedding into 4 subspaces of 16 dims, train an
+    independent 8-centroid codebook per subspace (2 deterministic Lloyd
+    iterations each — same replayable trajectory as the IVF/SemDeDup
+    training), and emit each vector's 4-byte code tuple. At 100 TB this
+    is how the vector corpus gets 128× smaller before it ever shuffles:
+    codebooks are driver-sized (M × k × dsub floats), training reads a
+    sample, and encoding is one map pass — 4 GEMM argmins per batch, no
+    shuffle at all. Codes are INTEGERS, so the oracle (four prefixed
+    CTE training chains joined on vec_id) hash-checks the entire
+    train+encode pipeline with no float crossing the engine boundary."""
+    from ror_etl_spark.operators.similarity import _nearest_cell_udf, kmeans_centroids
+    from ror_etl_spark.operators.util import spread
+
+    emb = Tables(spark, sf_dir).embeddings
+    base = spread(emb).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=False)
+    cols = [F.col("vec_id")]
+    for m in range(_PQ_M):
+        sub = base.select(
+            "vec_id", F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
+        )
+        cents = kmeans_centroids(
+            sub, _PQ_K, _PQ_ITERS, id_col="vec_id", vec_col="v", round_means=6
+        )
+        assign = _nearest_cell_udf(cents)
+        cols.append(
+            assign(F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB)).alias(f"c{m}")
+        )
+    return base.select(*cols).orderBy("vec_id")

@@ -68,3 +68,19 @@ def test_dsir_separates_target_from_source(spark):
     assert frac(en) > frac(other)
     for r in rows:
         assert r["target_like"] == (r["log_ratio"] >= 0)
+
+
+def test_pq_codes_quantize_consistently(spark):
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["embedding_pq_codes"](spark, SF_SMALL).collect()
+    assert rows and all(0 <= r[f"c{m}"] < 8 for r in rows for m in range(4))
+    # PQ is a deterministic function of the vector: equal vectors must
+    # get equal code tuples (run twice, same session)
+    again = {r["vec_id"]: tuple(r[f"c{m}"] for m in range(4))
+             for r in QUERIES["embedding_pq_codes"](spark, SF_SMALL).collect()}
+    for r in rows:
+        assert again[r["vec_id"]] == tuple(r[f"c{m}"] for m in range(4))
+    # codes actually discriminate: more than one distinct tuple per subspace
+    for m in range(4):
+        assert len({r[f"c{m}"] for r in rows}) > 1
