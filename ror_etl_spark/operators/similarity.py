@@ -745,3 +745,20 @@ def semdedup_prune(
         F.col("dup_of").isNotNull().alias("pruned"),
         "dup_of",
     )
+
+
+def tuned_semdedup_k(
+    n: int, target_occ: int = 50, min_exp: int = 3, max_exp: int = 12
+) -> int:
+    """Cluster count for SemDeDup scaled to the corpus: the smallest
+    power of two ``k ≥ 2^min_exp`` with ``k · target_occ ≥ n`` — i.e.
+    expected cell occupancy ≤ target_occ, the unit of quadratic verify
+    work. Pure integer arithmetic (the tuned_band_rows discipline), so a
+    DuckDB oracle replays the rule from ``count(*)`` as a range scan:
+    ``min(1 << range) FROM range(min_exp, max_exp + 1) WHERE
+    (1 << range) * target_occ >= n``. Past 2^max_exp the rule clamps —
+    raise max_exp for larger corpora, the closed form is unchanged."""
+    for j in range(min_exp, max_exp + 1):
+        if (1 << j) * target_occ >= n:
+            return 1 << j
+    return 1 << max_exp

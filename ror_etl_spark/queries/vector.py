@@ -389,7 +389,7 @@ def embedding_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_ctes(
     source_sql: str,
-    n_centroids: int,
+    n_centroids: int | str,
     iters: int,
     dim: int,
     round_means: int,
@@ -404,7 +404,10 @@ def _kmeans_ctes(
     on bit-identical centroids. ``source_sql`` must yield (vec_id, v);
     the returned chain ends in ``{prefix}af`` = (vec_id, v, cell).
     ``prefix`` namespaces every CTE so independent chains (one per PQ
-    subspace) can coexist in a single WITH."""
+    subspace) can coexist in a single WITH. ``n_centroids`` may be a SQL
+    scalar-subquery string (the tuned twin derives it from count(*)
+    inside the oracle, the tuned-LSH discipline) — it only ever appears
+    in the init CTE's LIMIT, so every other stage is size-agnostic."""
     x = prefix
 
     def assign(a: str, cents: str) -> str:
@@ -505,16 +508,19 @@ def embedding_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_oracle(
     threshold: float = 0.4,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     iters: int = 3,
     dim: int = 64,
     round_means: int = 6,
+    head_ctes: list[str] | None = None,
 ) -> str:
     """DuckDB replay of semdedup_prune: the full k-means trajectory
     (``_kmeans_ctes`` over ALL vectors), then the id-dominance prune as
     one per-cell self-join — b is a witness for a iff same cell, lower
-    id, and rounded cosine ≥ threshold."""
-    ctes = _kmeans_ctes(
+    id, and rounded cosine ≥ threshold. The tuned twin passes
+    ``head_ctes`` (count → k rule) and a scalar-subquery
+    ``n_centroids``."""
+    ctes = (head_ctes or []) + _kmeans_ctes(
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
         n_centroids,
         iters,
@@ -566,9 +572,9 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-_PQ_M = 4       # subspaces
-_PQ_DSUB = 16   # dims per subspace (4 × 16 = the 64-dim embedding)
-_PQ_K = 8       # centroids per subspace codebook
+_PQ_M = 8       # subspaces
+_PQ_DSUB = 8    # dims per subspace (8 × 8 = the 64-dim embedding)
+_PQ_K = 16      # centroids per subspace codebook
 _PQ_ITERS = 2
 
 
@@ -604,6 +610,35 @@ def _pq_oracle() -> str:
     )
 
 
+def _pq_encode(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Train the four subspace codebooks and encode every vector:
+    returns ((vec_id, c0..c3) DataFrame, per-subspace centroid lists)."""
+    from ror_etl_spark.operators.similarity import _nearest_cell_udf, kmeans_centroids
+    from ror_etl_spark.operators.util import spread
+
+    emb = Tables(spark, sf_dir).embeddings
+    base = spread(emb).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=False)
+    cols = [F.col("vec_id")]
+    books: list[list[list[float]]] = []
+    for m in range(_PQ_M):
+        sub = base.select(
+            "vec_id", F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
+        )
+        cents = kmeans_centroids(
+            sub, _PQ_K, _PQ_ITERS, id_col="vec_id", vec_col="v", round_means=6
+        )
+        books.append(cents)
+        assign = _nearest_cell_udf(cents)
+        cols.append(
+            assign(F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB)).alias(f"c{m}")
+        )
+    return base.select(*cols), books
+
+
 @query("embedding_pq_codes", oracle=_pq_oracle(), priority=3)
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al., the standard ANN compression):
@@ -617,23 +652,146 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at all. Codes are INTEGERS, so the oracle (four prefixed
     CTE training chains joined on vec_id) hash-checks the entire
     train+encode pipeline with no float crossing the engine boundary."""
-    from ror_etl_spark.operators.similarity import _nearest_cell_udf, kmeans_centroids
-    from ror_etl_spark.operators.util import spread
+    codes, _ = _pq_encode(spark, sf_dir)
+    return codes.orderBy("vec_id")
+
+
+def _pq_adc_oracle(k: int = 10) -> str:
+    """ADC replay: the same four training chains, a per-subspace distance
+    table dt{m} = squared L2 from the query's slice to every trained
+    centroid (qq − 2·qc + cc, three sequential dot folds), then each
+    vector's ADC distance = the sum of its four looked-up table entries.
+    Everything data-dependent lives in SQL — no literals cross over."""
+    ctes: list[str] = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
+    ]
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        ctes += _kmeans_ctes(
+            f"SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
+            " FROM embeddings",
+            _PQ_K,
+            _PQ_ITERS,
+            _PQ_DSUB,
+            6,
+            prefix=f"s{m}_",
+        )
+        ctes.append(
+            f"""dt{m} AS (
+      SELECT c.cell,
+             list_dot_product(q.qv[{lo}:{hi}], q.qv[{lo}:{hi}])
+             - 2 * list_dot_product(q.qv[{lo}:{hi}], c.c)
+             + list_dot_product(c.c, c.c) AS d
+      FROM s{m}_c{_PQ_ITERS} c, q)"""
+        )
+    joins = " ".join(
+        f"JOIN s{m}_af ON s{m}_af.vec_id = s0_af.vec_id" for m in range(1, _PQ_M)
+    ) + " " + " ".join(
+        f"JOIN dt{m} ON dt{m}.cell = s{m}_af.cell" for m in range(_PQ_M)
+    )
+    adc = " + ".join(f"dt{m}.d" for m in range(_PQ_M))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s0_af.vec_id, round({adc} + 1e-9, 6) AS adc
+    FROM s0_af {joins}
+    WHERE s0_af.vec_id <> 0
+    ORDER BY adc ASC, s0_af.vec_id
+    LIMIT {k}
+    """
+    )
+
+
+@query("embedding_pq_adc_topk", oracle=_pq_adc_oracle(), priority=3)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (the search half of product
+    quantization): the query vector stays full-precision, every corpus
+    vector is its 4-code tuple, and the distance is the sum of 4 table
+    lookups — ``Σ_m d²(q_m, codebook_m[code_m])``. At 100 TB this is the
+    memory-bound ANN fast path: the scan touches 4 small ints per vector
+    (the 128×-compressed corpus), the 4×8 distance table is computed
+    once driver-side and folded in as literal arrays, and the plan ends
+    in TakeOrderedAndProject — no shuffle, no vector ever re-read.
+
+    Cross-engine float discipline: the distance tables are data-derived
+    (trained codebooks × the query), so the oracle computes its OWN
+    tables from its training CTEs with the same qq − 2·qc + cc fold
+    shape; sequential-fold dot products can differ in the last ulp
+    between engines (measured: DuckDB's list_dot_product is not a plain
+    left fold), so the summed ADC is epsilon-rounded at 6 dp — the same
+    absorption every cosine query uses."""
+    codes, books = _pq_encode(spark, sf_dir)
+    emb = Tables(spark, sf_dir).embeddings
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    adc = None
+    for m in range(_PQ_M):
+        qm = qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+        qq = fold_dot(qm, qm)
+        dts = [
+            qq - 2 * fold_dot(qm, c) + fold_dot(c, c) for c in books[m]
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in dts]), F.col(f"c{m}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adc + 1e-9, 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _semdedup_tuned_oracle(
+    threshold: float = 0.4,
+    target_occ: int = 50,
+    min_exp: int = 3,
+    max_exp: int = 12,
+) -> str:
+    """Tuned-twin oracle: the cluster count is derived from count(*)
+    INSIDE the SQL with the same integer range-scan as
+    ``tuned_semdedup_k`` (the tuned-LSH discipline — one rule, two
+    engines, no floats), then the standard semdedup replay runs with
+    that k as a scalar subquery."""
+    head = [
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        f"""kk AS (
+      SELECT coalesce(CAST(min(1::BIGINT << range) AS INT), {1 << max_exp}) AS k
+      FROM range({min_exp}, {max_exp + 1}), nn
+      WHERE (1::BIGINT << range) * {target_occ} >= nn.n)""",
+    ]
+    return _semdedup_oracle(
+        threshold=threshold,
+        n_centroids="(SELECT k FROM kk)",
+        head_ctes=head,
+    )
+
+
+@query("embedding_semdedup_prune_tuned", oracle=_semdedup_tuned_oracle(), priority=3)
+def embedding_semdedup_prune_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the cluster count SCALED to the corpus — the
+    registered form of the knob the rehearsal measures (SCALING.md:
+    fixed k=16 makes cell occupancy, and so the quadratic verify work,
+    grow linearly with the corpus; k from ``tuned_semdedup_k`` holds
+    expected occupancy ≤ 50 so the decade step stays bounded, x3.2
+    measured at 200k vectors). The oracle re-derives k from count(*)
+    inside the SQL — integer range-scan, no float crosses the boundary —
+    and then replays the whole training + prune at THAT size, so the
+    tuning rule itself is hash-checked at every SF (three SFs = three
+    tuning regimes: 500→16, 2000→64)."""
+    from ror_etl_spark.operators.similarity import semdedup_prune, tuned_semdedup_k
 
     emb = Tables(spark, sf_dir).embeddings
-    base = spread(emb).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).localCheckpoint(eager=False)
-    cols = [F.col("vec_id")]
-    for m in range(_PQ_M):
-        sub = base.select(
-            "vec_id", F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
-        )
-        cents = kmeans_centroids(
-            sub, _PQ_K, _PQ_ITERS, id_col="vec_id", vec_col="v", round_means=6
-        )
-        assign = _nearest_cell_udf(cents)
-        cols.append(
-            assign(F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB)).alias(f"c{m}")
-        )
-    return base.select(*cols).orderBy("vec_id")
+    k = tuned_semdedup_k(emb.count())
+    return semdedup_prune(
+        emb, threshold=0.4, n_centroids=k, train_iters=3, round_means=6
+    ).orderBy("vec_id")

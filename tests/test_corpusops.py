@@ -71,16 +71,62 @@ def test_dsir_separates_target_from_source(spark):
 
 
 def test_pq_codes_quantize_consistently(spark):
-    from pyspark.sql import functions as F
+    from ror_etl_spark.queries.vector import _PQ_K, _PQ_M
 
     rows = QUERIES["embedding_pq_codes"](spark, SF_SMALL).collect()
-    assert rows and all(0 <= r[f"c{m}"] < 8 for r in rows for m in range(4))
+    assert rows and all(
+        0 <= r[f"c{m}"] < _PQ_K for r in rows for m in range(_PQ_M)
+    )
     # PQ is a deterministic function of the vector: equal vectors must
     # get equal code tuples (run twice, same session)
-    again = {r["vec_id"]: tuple(r[f"c{m}"] for m in range(4))
+    again = {r["vec_id"]: tuple(r[f"c{m}"] for m in range(_PQ_M))
              for r in QUERIES["embedding_pq_codes"](spark, SF_SMALL).collect()}
     for r in rows:
-        assert again[r["vec_id"]] == tuple(r[f"c{m}"] for m in range(4))
+        assert again[r["vec_id"]] == tuple(r[f"c{m}"] for m in range(_PQ_M))
     # codes actually discriminate: more than one distinct tuple per subspace
-    for m in range(4):
+    for m in range(_PQ_M):
         assert len({r[f"c{m}"] for r in rows}) > 1
+
+
+def test_pq_adc_topk_matches_numpy_reference(spark):
+    # independent reference: rebuild every vector's ADC distance with a
+    # straight numpy sum over the SAME trained codebooks and assert the
+    # Spark plan (integer codes + literal-array table lookups +
+    # TakeOrderedAndProject) selects the identical top-10. (On this
+    # noise-dominated synthetic corpus the nn-vs-typical distance gap is
+    # smaller than the quantization distortion, so exact-search recall
+    # is not a meaningful invariant — ranking fidelity to the ADC
+    # definition is, and the DuckDB oracle additionally replays the
+    # training itself.)
+    import numpy as np
+
+    from ror_etl_spark.queries.vector import _PQ_DSUB, _PQ_M, _pq_encode
+
+    rows = QUERIES["embedding_pq_adc_topk"](spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    adcs = [r["adc"] for r in rows]
+    assert adcs == sorted(adcs)
+    assert all(a >= -1e-6 for a in adcs)  # sums of squared distances
+
+    codes_df, books = _pq_encode(spark, SF_SMALL)
+    codes = {
+        r["vec_id"]: [r[f"c{m}"] for m in range(_PQ_M)]
+        for r in codes_df.collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    q = emb[0]
+    ref = {}
+    for i, cs in codes.items():
+        if i == 0:
+            continue
+        tot = 0.0
+        for m in range(_PQ_M):
+            qm = q[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            c = np.array(books[m][cs[m]], dtype=np.float64)
+            tot += float(((qm - c) ** 2).sum())
+        ref[i] = tot
+    top_ref = sorted(ref, key=lambda i: (round(ref[i] + 1e-9, 6), i))[:10]
+    assert [r["vec_id"] for r in rows] == top_ref

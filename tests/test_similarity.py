@@ -281,3 +281,18 @@ def test_semdedup_max_cell_diverts_super_cell(spark):
         corpus, threshold=0.99, n_centroids=1, train_iters=1, max_cell=3
     )
     assert all(not r["pruned"] for r in out.collect())
+
+
+def test_tuned_semdedup_k_occupancy_rule():
+    from ror_etl_spark.operators.similarity import tuned_semdedup_k
+
+    assert tuned_semdedup_k(500) == 16
+    assert tuned_semdedup_k(2000) == 64
+    assert tuned_semdedup_k(200_000) == 4096
+    prev = 0
+    for n in (10, 100, 1_000, 10_000, 100_000, 204_800):
+        k = tuned_semdedup_k(n)
+        assert k * 50 >= n  # expected occupancy bounded
+        assert k >= prev    # monotone in corpus size
+        prev = k
+    assert tuned_semdedup_k(10**9) == 4096  # clamps at max_exp
