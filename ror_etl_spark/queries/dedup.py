@@ -1116,3 +1116,86 @@ def decontaminate_substring_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return decontaminate_substring_cut(corpus, bench, k=32).transform(
         ordered, "doc_id"
     )
+
+
+@query(
+    "dedup_funnel_keep",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents),
+    ek AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
+    ex AS (SELECT fp.doc_id, ek.ek FROM fp JOIN ek USING (f)),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE {_JACCARD} >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM ver),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT ex.doc_id,
+           coalesce(comp.cluster, ex.doc_id) = ex.doc_id AS keep,
+           CASE WHEN coalesce(comp.cluster, ex.doc_id) = ex.doc_id THEN NULL
+                WHEN ex.doc_id <> ex.ek THEN 'exact' ELSE 'near' END AS reason,
+           coalesce(comp.cluster, ex.doc_id) AS canonical_id
+    FROM ex LEFT JOIN comp ON comp.id = ex.doc_id
+    ORDER BY ex.doc_id
+    """,
+    priority=3,
+)
+def dedup_funnel_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel as an ACTION per document — the shape a training
+    pipeline actually consumes (cf. llm_corpus_pipeline for the filter
+    funnel): every document gets (keep, reason, canonical_id) where
+    canonical_id is the minimum id reachable through the verified
+    near-dup graph (exact duplicates ride the same graph — identical
+    texts have identical MinHash signatures, so every band collides and
+    Jaccard verifies at 1.0) and reason distinguishes exact copies from
+    near-duplicate paraphrases.
+
+    One logical plan end to end: fingerprint groupBy (16-byte keys
+    shuffle, never text) ∥ MinHash signatures → banded LSH candidates
+    (signatures shuffle, b×8 bytes/doc) → exact-Jaccard verify on the
+    candidate set only → Hash-Min label propagation (per round: the
+    edge list keyed by node, payload one long — the 100 TB components
+    formulation) → two id-keyed joins back. The oracle replays the
+    whole funnel (portable-hash signatures, recursive-CTE closure), so
+    keep/reason/canonical are hash-checked per document — two
+    independent transitive-closure algorithms must produce the same
+    canonical assignment."""
+    from ror_etl_spark.functions.text import fingerprint_md5
+    from ror_etl_spark.operators.components import connected_components
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents).localCheckpoint(eager=False)
+    fp = d.select("doc_id", fingerprint_md5(F.col("text")).alias("f"))
+    ek = fp.groupBy("f").agg(F.min("doc_id").alias("ek"))
+    ex = fp.join(ek, "f").select("doc_id", "ek")
+    cands = lsh_candidate_pairs(minhash_signatures(d, num_hashes=32))
+    verified = jaccard_verify(cands, d, threshold=0.5).select("id_a", "id_b")
+    comp = connected_components(verified).labels
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    keep = canonical == F.col("doc_id")
+    return (
+        ex.join(comp, ex["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            keep.alias("keep"),
+            F.when(keep, F.lit(None).cast("string"))
+            .when(F.col("doc_id") != F.col("ek"), F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("reason"),
+            canonical.alias("canonical_id"),
+        )
+        .transform(ordered, "doc_id")
+    )

@@ -291,3 +291,38 @@ def test_exact_substring_cut_keeps_first_occurrence(spark):
     # doc 3: untouched
     assert out[3]["n_cut_spans"] == 0
     assert out[3]["cleaned_md5"] == hashlib.md5(docs[3].encode()).hexdigest()
+
+
+def test_dedup_funnel_keep_semantics(spark):
+    from ror_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    # sf0.1 is the one driver tier with planted EXACT duplicates, so all
+    # three reason branches are exercised
+    rows = QUERIES["dedup_funnel_keep"](spark, "/root/testdata/sf0.1").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet("/root/testdata/sf0.1/documents.parquet").collect()
+    }
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    reasons = {r["reason"] for r in rows}
+    assert reasons == {None, "exact", "near"}
+    for r in rows:
+        assert r["canonical_id"] <= r["doc_id"]
+        assert r["keep"] == (r["canonical_id"] == r["doc_id"])
+        assert (r["reason"] is None) == r["keep"]
+        if r["reason"] == "exact":
+            # exact losers have an identical-text doc with a smaller id
+            # (their fingerprint keeper); the canonical is the component
+            # ROOT, which may be a near-neighbor rather than the twin
+            assert any(
+                other < r["doc_id"] and norm(t) == norm(texts[r["doc_id"]])
+                for other, t in texts.items()
+            )
+        if not r["keep"]:
+            assert by_id[r["canonical_id"]]["keep"]
