@@ -431,6 +431,8 @@ if __name__ == "__main__":
                     help="cold-first: corpus mixture/selection ops across both decades")
     ap.add_argument("--run-semdedup", action="store_true",
                     help="SemDeDup decade with the scaled-k configuration")
+    ap.add_argument("--run-r7c", action="store_true",
+                    help="cold-first: dedup funnel (closed-vocab decade) + span decontamination (open-vocab decade)")
     args = ap.parse_args()
     if args.gen:
         gen()
@@ -463,6 +465,12 @@ if __name__ == "__main__":
         )
     if args.run_semdedup:
         semdedup_scale()
+    if args.run_r7c:
+        run_cold(["dedup_funnel_keep"], [("sf1", SF1_DIR), ("sf10", SF10_DIR)])
+        run_cold(
+            ["decontaminate_substring_cut"],
+            [("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)],
+        )
     if args.kernel:
         kernel(args.kernel_n, args.kernel_depth)
     if args.sn:
