@@ -1037,7 +1037,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sp),
     {_cut_tail("d")}
     """,
-    priority=3,
+    # priority 4: oracle refactored onto the shared _cut_tail in r7
+    # session 2 — re-prove in the driver window
+    priority=4,
 )
 def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLIED span dedup — the full train-data action: every document

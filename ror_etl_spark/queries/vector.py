@@ -314,7 +314,9 @@ _IVF_ORACLE = """
 """
 
 
-@query("embedding_knn_ivf", oracle=_IVF_ORACLE)
+# priority 4: r7-session-2 code change (GEMM centroid assignment) —
+# keep inside the driver window so the change re-proves
+@query("embedding_knn_ivf", oracle=_IVF_ORACLE, priority=4)
 def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: coarse-quantize to centroid cells, probe the 4
     nearest cells, exact cosine inside — oracle-checked because centroid
@@ -487,7 +489,7 @@ def _ivf_trained_oracle(
     )
 
 
-@query("embedding_knn_ivf_trained", oracle=_ivf_trained_oracle(), priority=3)
+@query("embedding_knn_ivf_trained", oracle=_ivf_trained_oracle(), priority=4)
 def embedding_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means-trained centroids (3 Lloyd iterations) instead of
     the deterministic id-sample: cells shrink toward the data's modes, so
