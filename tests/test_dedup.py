@@ -326,3 +326,35 @@ def test_dedup_funnel_keep_semantics(spark):
             )
         if not r["keep"]:
             assert by_id[r["canonical_id"]]["keep"]
+
+
+def test_decontaminate_substring_cut_planted(spark):
+    from ror_etl_spark.operators.dedup import decontaminate_substring_cut
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [
+            # contains a 44-char verbatim benchmark span in the middle
+            (100, "intro words here " + bench_text[:44] + " and a unique tail of text"),
+            # clean document — must pass through untouched
+            (101, "completely unrelated content with no overlap whatsoever at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(1, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate_substring_cut(corpus, bench, k=32).collect()}
+    import hashlib
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    dirty = norm("intro words here " + bench_text[:44] + " and a unique tail of text")
+    start = dirty.index(norm(bench_text[:44]))
+    cleaned = dirty[:start] + dirty[start + 44 :]
+    assert got[100]["n_cut_spans"] == 1
+    assert got[100]["n_cut_chars"] == 44
+    assert got[100]["cleaned_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
+    clean = norm("completely unrelated content with no overlap whatsoever at all")
+    assert got[101]["n_cut_spans"] == 0
+    assert got[101]["cleaned_md5"] == hashlib.md5(clean.encode()).hexdigest()

@@ -246,3 +246,38 @@ def test_incremental_dedup_broadcasts_small_index_via_aqe(spark):
         spark.conf.unset("spark.ror.ordered.checkpoint")
     assert "BroadcastHashJoin" in final, final
     assert "broadcast" not in df._jdf.queryExecution().logical().toString().lower()
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25: the stats side is a 1-row broadcast, the per-term df table
+    broadcasts, and the final top-20 is TakeOrderedAndProject — never a
+    global sort of the scored relation."""
+    p = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    body = p.split("== Physical Plan ==")[1]
+    assert body.count("Sort [") == 0, f"global sort in BM25 plan:\n{p}"
+
+
+def test_pq_adc_plan_is_codegen_topk(spark):
+    """ADC search must be pure expression work over the codes (literal
+    array lookups) ending in TakeOrderedAndProject; the only Arrow nodes
+    allowed are the 8 encode UDFs, never a Python row-at-a-time eval."""
+    p = plan_of(spark, "embedding_pq_adc_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+# (decontaminate_substring_cut's join shape can't be asserted from
+# explain() — the _doc_grams lazy checkpoints truncate the visible plan
+# to LogicalRDD scans; its broadcast hint is source-pinned and the
+# planted-cut semantics are covered in tests/test_dedup.py.)
+
+
+def test_language_weights_never_explode_tokens(spark):
+    """The mixture weights are one lang-keyed aggregate over per-row
+    token counts — a Generate (explode) in this plan would mean the
+    corpus token stream shuffles for a |languages|-row result."""
+    p = plan_of(spark, "corpus_language_sampling_weights")
+    assert "Generate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

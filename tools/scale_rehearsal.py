@@ -466,9 +466,12 @@ if __name__ == "__main__":
     if args.run_semdedup:
         semdedup_scale()
     if args.run_r7c:
-        run_cold(["dedup_funnel_keep"], [("sf1", SF1_DIR), ("sf10", SF10_DIR)])
+        # the funnel inherits the FIXED 32/8/4 minhash scheme, which is
+        # the known quadratic-candidate regime on the saturated
+        # closed-vocab corpus (SCALING.md r5) — measure it on the
+        # open-vocabulary decade, the regime real corpora live in
         run_cold(
-            ["decontaminate_substring_cut"],
+            ["dedup_funnel_keep", "decontaminate_substring_cut"],
             [("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)],
         )
     if args.kernel:
