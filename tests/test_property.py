@@ -332,3 +332,54 @@ def test_exact_substring_cut_property(spark, docs):
         assert r["n_cut_chars"] == len(covered), (ib, docs)
         assert r["cleaned_len"] == len(cleaned)
         assert r["cleaned_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
+
+
+@st.composite
+def vector_corpora(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    dim = 4
+    vecs = [
+        [
+            draw(st.integers(min_value=-4, max_value=4)) / 2.0
+            for _ in range(dim)
+        ]
+        for _ in range(n)
+    ]
+    # avoid zero vectors (cosine undefined)
+    vecs = [v if any(x != 0 for x in v) else [1.0, 0.0, 0.0, 0.0] for v in vecs]
+    return vecs
+
+
+@given(vector_corpora())
+@settings(max_examples=12, deadline=None)
+def test_semdedup_single_cell_matches_reference(spark, vecs):
+    """With one cell, semdedup_prune's (pruned, dup_of) must equal the
+    trivially-correct reference: dup_of(i) = min{j < i : round6 cosine
+    ≥ τ}, computed with a plain double loop."""
+    import math
+
+    from ror_etl_spark.operators.similarity import semdedup_prune
+
+    tau = 0.9
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expect = {}
+    for i in range(len(vecs)):
+        ws = [j for j in range(i) if round(cos(vecs[i], vecs[j]), 6) >= tau]
+        expect[i] = min(ws) if ws else None
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in semdedup_prune(
+            df, threshold=tau, n_centroids=1, train_iters=0
+        ).collect()
+    }
+    assert got == expect
