@@ -112,3 +112,56 @@ def kmv_distinct_users_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUT_SCHEMA = "doc_id long, keep boolean, canonical_id long"
+DEDUP_STATE_SCHEMA = "first_id long"
+
+
+def _update_first_seen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    first = state.get[0] if state.exists else None
+    ids: list[int] = []
+    keeps: list[bool] = []
+    canon: list[int] = []
+    for pdf in pdfs:
+        for doc_id in sorted(int(x) for x in pdf["doc_id"].tolist()):
+            if first is None:
+                first = doc_id
+                keeps.append(True)
+            else:
+                keeps.append(False)
+            ids.append(doc_id)
+            canon.append(first)
+    state.update((first,))
+    yield pd.DataFrame({"doc_id": ids, "keep": keeps, "canonical_id": canon})
+
+
+def first_seen_docs_stream(docs: DataFrame) -> DataFrame:
+    """STREAMING exact dedup — the arrival-order twin of the batch
+    ``dedup_exact`` / ``dedup_incremental_new_batch`` pair: every
+    incoming document is keyed by its normalized-text fingerprint; the
+    first arrival under each fingerprint is kept and recorded in the
+    state store (O(1) state per distinct text: one long), every later
+    arrival streams out as a duplicate pointing at its canonical.
+
+    Semantics are FIRST-OCCURRENCE-WINS in arrival order (ties inside
+    one micro-batch break to the smallest doc_id) — the contract an
+    ingest pipeline actually wants: the corpus already ingested never
+    changes retroactively, unlike the batch form's global min-id rule,
+    which may pick a later-arriving smaller id. When batches arrive in
+    id order the two coincide (pinned by the stream-vs-batch test).
+    State is hash-partitioned by fingerprint across executors — the
+    same 16-byte-key shuffle economics as the batch exact dedup, held
+    as streaming state instead of a shuffle."""
+    from ror_etl_spark.functions.text import fingerprint_md5
+
+    keyed = docs.withColumn("fp", fingerprint_md5(docs["text"]))
+    return keyed.groupBy("fp").applyInPandasWithState(
+        _update_first_seen,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

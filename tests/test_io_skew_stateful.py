@@ -224,3 +224,64 @@ def test_streaming_kmv_sketch_equals_batch_sketch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): a duplicate arriving in
+    a LATER batch must be flagged against the first batch's canonical —
+    i.e. the fingerprint state survives between batches — and with
+    id-ordered arrival the final keep set equals the batch exact dedup."""
+    import os
+    import time as _t
+
+    from ror_etl_spark.operators.dedup import exact_dedup
+    from ror_etl_spark.streaming.stateful import first_seen_docs_stream
+
+    b0 = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "unique one")]
+    b1 = [(4, "ALPHA  beta gamma delta"), (5, "unique two"), (6, "unique one")]
+    d = tmp_path / "docs"
+    d.mkdir()
+    # the file source needs FLAT parquet files (a write.parquet output
+    # directory would be mistaken for a partition layout) — write each
+    # batch via pyarrow directly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, batch in (("b0.parquet", b0), ("b1.parquet", b1)):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in batch], type=pa.int64()),
+                    "text": pa.array([t for _, t in batch]),
+                }
+            ),
+            str(d / name),
+        )
+    # file source orders batches by modification time — force b0 first
+    now = _t.time()
+    os.utime(d / "b0.parquet", (now - 60, now - 60))
+    os.utime(d / "b1.parquet", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(d))
+    )
+    from ror_etl_spark.streaming.events import run_to_memory
+
+    out = run_to_memory(spark, first_seen_docs_stream(stream), "t_first_seen")
+    rows = {r["doc_id"]: (r["keep"], r["canonical_id"]) for r in out.collect()}
+    assert rows == {
+        1: (True, 1),
+        2: (False, 1),
+        3: (True, 3),
+        4: (False, 1),   # later batch, normalization collapses case — dup of 1
+        5: (True, 5),
+        6: (False, 3),   # later batch, exact text of 3
+    }
+    # id-ordered arrival ⇒ streaming keepers == batch exact-dedup keepers
+    batch = exact_dedup(
+        spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    )
+    batch_keepers = {r["keep_id"] for r in batch.collect()}
+    assert {i for i, (k, _) in rows.items() if k} == batch_keepers
