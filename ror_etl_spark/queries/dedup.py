@@ -1201,3 +1201,68 @@ def dedup_funnel_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "doc_id")
     )
+
+
+@query(
+    "corpus_duplication_report",
+    oracle=f"""
+    WITH {_EXSUB_NORM},
+    {_EXSUB_SPAN_CTES},
+    rng AS (
+      SELECT id_b AS doc_id, start_a - diag AS s, start_a - diag + length - 1 AS e
+      FROM sp),
+    ord AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      FROM rng),
+    isl AS (
+      SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM ord),
+    mi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
+    per AS (
+      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut FROM mi GROUP BY doc_id),
+    tot AS (SELECT CAST(sum(length(s)) AS BIGINT) AS chars, count(*) AS docs FROM d)
+    SELECT tot.docs AS n_docs,
+           CAST(count(per.doc_id) AS BIGINT) AS n_docs_with_dups,
+           tot.chars AS total_chars,
+           CAST(coalesce(sum(per.cut), 0) AS BIGINT) AS dup_chars,
+           round(coalesce(sum(per.cut), 0) / tot.chars + 1e-9, 6) AS dup_rate
+    FROM tot LEFT JOIN per ON true
+    GROUP BY tot.docs, tot.chars
+    """,
+    priority=3,
+)
+def corpus_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health number a dedup pass is judged by (Lee et al.
+    report it as "fraction of tokens removed"): interval-merged
+    duplicated-character totals over the whole corpus — how many
+    documents contain ≥32-char duplicated-from-earlier spans, and what
+    fraction of all normalized characters they cover. One row.
+
+    Same span derivation and interval merge as dedup_exact_substring_cut
+    (shared CTE fragments on the oracle side, shared operators on the
+    Spark side), collapsed to corpus totals: the per-doc cut sums are a
+    map-side-combinable aggregate and the final join is one scalar row
+    against another — nothing document-sized survives past the span
+    stage."""
+    from ror_etl_spark.functions.text import normalize_text
+    from ror_etl_spark.operators.dedup import exact_substring_cut
+    from ror_etl_spark.operators.util import spread
+
+    d = Tables(spark, sf_dir).documents
+    cut = exact_substring_cut(d, k=32, cap=_EXSUB_CAP)
+    per = cut.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_cut_spans") > 0).cast("long")).alias("n_docs_with_dups"),
+        F.sum(F.col("n_cut_chars") + F.col("cleaned_len")).alias("total_chars"),
+        F.sum("n_cut_chars").alias("dup_chars"),
+    )
+    return per.select(
+        "n_docs",
+        "n_docs_with_dups",
+        "total_chars",
+        "dup_chars",
+        F.round(F.col("dup_chars") / F.col("total_chars") + 1e-9, 6).alias("dup_rate"),
+    )
