@@ -853,3 +853,127 @@ def embedding_semdedup_prune_tuned(spark: SparkSession, sf_dir: str) -> DataFram
     return semdedup_prune(
         emb, threshold=0.4, n_centroids=k, train_iters=3, round_means=6
     ).orderBy("vec_id")
+
+
+def _ivfpq_oracle(
+    k: int = 10,
+    coarse_k: int = 16,
+    coarse_iters: int = 3,
+    nprobe: int = 2,
+) -> str:
+    """IVF-PQ replay: the coarse k-means chain (prefix g_) picks nprobe
+    cells for the query; the 8 subspace chains + distance tables rank
+    the probed cells' vectors by ADC. Every trained artifact is derived
+    inside the SQL."""
+    ctes: list[str] = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
+    ]
+    ctes += _kmeans_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        coarse_k,
+        coarse_iters,
+        64,
+        6,
+        prefix="g_",
+    )
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        ctes += _kmeans_ctes(
+            f"SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
+            " FROM embeddings",
+            _PQ_K,
+            _PQ_ITERS,
+            _PQ_DSUB,
+            6,
+            prefix=f"s{m}_",
+        )
+        ctes.append(
+            f"""dt{m} AS (
+      SELECT c.cell,
+             list_dot_product(q.qv[{lo}:{hi}], q.qv[{lo}:{hi}])
+             - 2 * list_dot_product(q.qv[{lo}:{hi}], c.c)
+             + list_dot_product(c.c, c.c) AS d
+      FROM s{m}_c{_PQ_ITERS} c, q)"""
+        )
+    ctes.append(
+        f"""probe AS (
+      SELECT c.cell FROM g_c{coarse_iters} c, q
+      ORDER BY list_distance(q.qv, c.c), c.cell LIMIT {nprobe})"""
+    )
+    joins = " ".join(
+        f"JOIN s{m}_af ON s{m}_af.vec_id = g_af.vec_id" for m in range(_PQ_M)
+    ) + " " + " ".join(
+        f"JOIN dt{m} ON dt{m}.cell = s{m}_af.cell" for m in range(_PQ_M)
+    )
+    adc = " + ".join(f"dt{m}.d" for m in range(_PQ_M))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT g_af.vec_id, round({adc} + 1e-9, 6) AS adc
+    FROM g_af {joins}
+    WHERE g_af.cell IN (SELECT cell FROM probe) AND g_af.vec_id <> 0
+    ORDER BY adc ASC, g_af.vec_id
+    LIMIT {k}
+    """
+    )
+
+
+@query("embedding_ivfpq_topk", oracle=_ivfpq_oracle(), priority=3)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN configuration (FAISS's default at
+    corpus scale): a coarse quantizer routes the query to nprobe=2 of 16
+    trained cells, and within the probed cells vectors are ranked by
+    PQ asymmetric distance — so the scan touches ~nprobe/n_cells of the
+    corpus AND reads only the 8-byte code tuple per vector. At 100 TB
+    the corpus is written partitioned by coarse cell with codes as
+    columns: a query reads 2 partitions of integers; neither the
+    vectors nor anything corpus-sized ever shuffles. Both trainings
+    (coarse + 8 subspace codebooks) are the replayable deterministic
+    trajectories used by embedding_knn_ivf_trained / embedding_pq_codes,
+    so the oracle re-derives every trained artifact inside one SQL
+    statement and hash-checks the whole stack end to end."""
+    import math
+
+    from ror_etl_spark.operators.similarity import (
+        _nearest_cell_udf,
+        kmeans_centroids,
+    )
+    from ror_etl_spark.operators.util import spread
+
+    emb = Tables(spark, sf_dir).embeddings
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=3, round_means=6)
+    codes, books = _pq_encode(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+
+    def qdist(c: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(qv, c))
+
+    probe = sorted(range(len(cents)), key=lambda i: (qdist(cents[i]), i))[:2]
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    base = (
+        spread(emb)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("cell", _nearest_cell_udf(cents)(F.col("v")))
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .withColumn("cs", _pq_cells_udf(books)(F.col("v")))
+    )
+    adc = None
+    for m in range(_PQ_M):
+        qm = qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+        qq = fold_dot(qm, qm)
+        dts = [qq - 2 * fold_dot(qm, c) + fold_dot(c, c) for c in books[m]]
+        term = F.element_at(F.array(*[F.lit(d) for d in dts]), F.col("cs")[m] + 1)
+        adc = term if adc is None else adc + term
+    return (
+        base.select("vec_id", F.round(adc + 1e-9, 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(10)
+    )

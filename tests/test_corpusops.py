@@ -130,3 +130,19 @@ def test_pq_adc_topk_matches_numpy_reference(spark):
         ref[i] = tot
     top_ref = sorted(ref, key=lambda i: (round(ref[i] + 1e-9, 6), i))[:10]
     assert [r["vec_id"] for r in rows] == top_ref
+
+
+def test_ivfpq_consistent_with_flat_adc(spark):
+    """IVF-PQ restricts the ADC ranking to the probed coarse cells: its
+    adc values come from the SAME codebooks as embedding_pq_adc_topk,
+    so any vector appearing in both top-10s must carry the identical
+    rounded distance, and the IVF-PQ list must be ascending."""
+    ivfpq = QUERIES["embedding_ivfpq_topk"](spark, SF_SMALL).collect()
+    flat = {r["vec_id"]: r["adc"] for r in QUERIES["embedding_pq_adc_topk"](spark, SF_SMALL).collect()}
+    assert len(ivfpq) == 10
+    adcs = [r["adc"] for r in ivfpq]
+    assert adcs == sorted(adcs)
+    shared = [r for r in ivfpq if r["vec_id"] in flat]
+    assert shared, "probing 2/16 cells should still overlap the global top-10"
+    for r in shared:
+        assert r["adc"] == flat[r["vec_id"]]
