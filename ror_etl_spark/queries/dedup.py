@@ -225,9 +225,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(ordered, "id_a", "id_b")
 
 
-def _minhash_tuned_oracle(threshold: float = 0.8, target_recall: float = 0.9) -> str:
-    """DuckDB replay of the TUNED MinHash-LSH funnel, with the band scheme
-    derived from the corpus row count INSIDE the SQL:
+def _minhash_tuned_ctes(threshold: float = 0.8, target_recall: float = 0.9) -> str:
+    """DuckDB replay of the TUNED MinHash-LSH candidate chain (through
+    ``cand``), with the band scheme derived from the corpus row count
+    INSIDE the SQL:
 
     - ``r`` (rows per band) comes from the same integer-exact rule as
       ``tuned_band_rows`` — ``min(r) FROM range(4,17) WHERE
@@ -260,7 +261,7 @@ def _minhash_tuned_oracle(threshold: float = 0.8, target_recall: float = 0.9) ->
         f" * {B} + coalesce(th[i+2], 0)) % {MERSENNE31}"
     )
     return f"""
-    WITH {_shingle_cte(3)},
+    {_shingle_cte(3)},
     tokh AS (
       SELECT doc_id,
              list_transform(
@@ -294,7 +295,13 @@ def _minhash_tuned_oracle(threshold: float = 0.8, target_recall: float = 0.9) ->
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bandrows a JOIN bandrows b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_tuned_oracle(threshold: float = 0.8, target_recall: float = 0.9) -> str:
+    """Tuned candidate chain + the Jaccard verify select."""
+    return f"""
+    WITH {_minhash_tuned_ctes(threshold, target_recall)}
     SELECT c.id_a, c.id_b, round({_JACCARD}, 4) AS jaccard
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.id_a
@@ -1120,11 +1127,14 @@ def decontaminate_substring_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "dedup_funnel_keep",
-    oracle=f"""
-    WITH RECURSIVE {_minhash_ctes()},
-    fp AS (
+def _funnel_tail(threshold: float) -> str:
+    """Shared oracle tail for the funnel queries: exact-fingerprint
+    groups, Jaccard-verified candidate edges at ``threshold``, the
+    recursive transitive closure, and the per-document
+    keep/reason/canonical select. Expects ``cand`` and ``sh`` CTEs
+    upstream (fixed or tuned chain) — one definition so the two twins'
+    keep semantics cannot drift."""
+    return f"""fp AS (
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
       FROM documents),
     ek AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
@@ -1134,7 +1144,7 @@ def decontaminate_substring_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.id_a
       JOIN sh sb ON sb.doc_id = c.id_b
-      WHERE {_JACCARD} >= 0.5),
+      WHERE {_JACCARD} >= {threshold}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM ver
       UNION ALL
@@ -1151,7 +1161,14 @@ def decontaminate_substring_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame
                 WHEN ex.doc_id <> ex.ek THEN 'exact' ELSE 'near' END AS reason,
            coalesce(comp.cluster, ex.doc_id) AS canonical_id
     FROM ex LEFT JOIN comp ON comp.id = ex.doc_id
-    ORDER BY ex.doc_id
+    ORDER BY ex.doc_id"""
+
+
+@query(
+    "dedup_funnel_keep",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_funnel_tail(0.5)}
     """,
     priority=3,
 )
@@ -1265,4 +1282,61 @@ def corpus_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         "dup_chars",
         F.round(F.col("dup_chars") / F.col("total_chars") + 1e-9, 6).alias("dup_rate"),
+    )
+
+
+@query(
+    "dedup_funnel_keep_tuned",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_tuned_ctes(threshold=0.8)},
+    {_funnel_tail(0.8)}
+    """,
+    priority=3,
+)
+def dedup_funnel_keep_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel action with the CORPUS-TUNED band scheme — the
+    100 TB form of ``dedup_funnel_keep``. The fixed twin pins 32/8/4,
+    which is the measured quadratic-candidate regime on a saturated
+    corpus (x13.6 sf1→sf10, SCALING.md); here the band key lengthens
+    with log2(n) (``tuned_band_rows``) and the band count restores
+    recall at the verify threshold (``tuned_bands_for_rows``), so
+    candidate volume — and with it the component edge list — stays
+    ~linear in the corpus. Verify threshold 0.8, the production
+    near-dup regime the tuned scheme is budgeted for (at 0.5 the
+    OR-construction bound exceeds the 512-lane budget). Exact
+    duplicates still ride the graph at any threshold (Jaccard 1.0
+    collides on every band). The oracle derives the same (b, r) from
+    count(*) inside the SQL and shares the keep/reason/canonical tail
+    with the fixed twin, so the two funnels' semantics differ in
+    EXACTLY one number — the verify threshold — and both are
+    hash-checked end to end."""
+    from ror_etl_spark.functions.text import fingerprint_md5
+    from ror_etl_spark.operators.components import connected_components
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents).localCheckpoint(eager=False)
+    fp = d.select("doc_id", fingerprint_md5(F.col("text")).alias("f"))
+    ek = fp.groupBy("f").agg(F.min("doc_id").alias("ek"))
+    ex = fp.join(ek, "f").select("doc_id", "ek")
+    n = d.count()
+    r = tuned_band_rows(n)
+    b = tuned_bands_for_rows(r, threshold=0.8, target_recall=0.9)
+    sigs = minhash_signatures(d, num_hashes=b * r)
+    cands = lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
+    verified = jaccard_verify(cands, d, threshold=0.8).select("id_a", "id_b")
+    comp = connected_components(verified).labels
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    keep = canonical == F.col("doc_id")
+    return (
+        ex.join(comp, ex["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            keep.alias("keep"),
+            F.when(keep, F.lit(None).cast("string"))
+            .when(F.col("doc_id") != F.col("ek"), F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("reason"),
+            canonical.alias("canonical_id"),
+        )
+        .transform(ordered, "doc_id")
     )
