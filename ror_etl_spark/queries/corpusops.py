@@ -261,3 +261,99 @@ def llm_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_ratio",
         (F.col("log_ratio") >= 0).alias("target_like"),
     ).orderBy("doc_id")
+
+
+_BPE_MERGES = 10
+
+
+def _bpe_oracle(k: int = _BPE_MERGES) -> str:
+    """Unrolled replay of the BPE merge loop: s0 = per-word character
+    segmentations (chr(1)-joined) with corpus counts; each step counts
+    adjacent symbol pairs per position (weighted by word count), picks
+    the winner (count desc, then lexicographic left, right), and applies
+    it via separator replace — which is exactly leftmost non-overlapping
+    merging, the same semantics as Python's str.replace in the Spark
+    driver loop. Two independent implementations of the whole trainer
+    must land on identical merge tables."""
+    ctes = [
+        f"""wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+      WHERE w <> '' GROUP BY w)""",
+        """s0 AS (
+      SELECT w, c,
+             array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, CAST(i AS INT), 1)), chr(1)) AS seg
+      FROM wc)""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT syms[j] AS l, syms[j + 1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+      FROM (SELECT c, string_split(seg, chr(1)) AS syms,
+                   unnest(range(1, greatest(len(string_split(seg, chr(1))), 1))) AS j
+            FROM s{i - 1})
+      GROUP BY l, r)"""
+        )
+        ctes.append(
+            f"""m{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+      SELECT s.w, s.c, replace(s.seg, m.l || chr(1) || m.r, m.l || m.r) AS seg
+      FROM s{i - 1} s, m{i} m)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS left, r AS right,"
+        f" l || r AS merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f" {unions} ORDER BY rank"
+
+
+@query("llm_bpe_merges", oracle=_bpe_oracle(), priority=3)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al.) — the op every
+    pretraining pipeline runs before token counting: learn the first 10
+    merge rules from corpus word frequencies. Deterministic end to end:
+    winner = (pair count desc, then lexicographic), merging is leftmost
+    non-overlapping.
+
+    Scale shape — the honest one, matching how production BPE trainers
+    work: the CORPUS-sized work is one map-side-combined word-count
+    aggregate (the only pass over the data); the merge loop runs over
+    the word-frequency table, which is vocabulary-sized (Heaps-law
+    sublinear — millions of entries at 100 TB, driver-feasible, and the
+    loop is what HuggingFace/sentencepiece do in one process after an
+    identical distributed count). The oracle replays the ENTIRE trainer
+    — per-position pair counting, tie-breaks, leftmost merging — as ten
+    unrolled SQL steps, so the Spark driver loop and DuckDB must agree
+    symbol for symbol; the output is all integers and strings, no float
+    anywhere."""
+    d = spread(Tables(spark, sf_dir).documents)
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = [(r["w"], int(r["c"])) for r in wc.collect()]
+    SEP = "\x01"
+    segs = {w: SEP.join(w) for w, _ in vocab}
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, c in vocab:
+            syms = segs[w].split(SEP)
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, cnt))
+        for w, _ in vocab:
+            segs[w] = segs[w].replace(l + SEP + r, l + r)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    ).orderBy("rank")

@@ -146,3 +146,19 @@ def test_ivfpq_consistent_with_flat_adc(spark):
     assert shared, "probing 2/16 cells should still overlap the global top-10"
     for r in shared:
         assert r["adc"] == flat[r["vec_id"]]
+
+
+def test_bpe_merges_are_well_formed(spark):
+    rows = QUERIES["llm_bpe_merges"](spark, SF_SMALL).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 10
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+        assert r["pair_count"] > 0
+    # the winning pair count is non-increasing: merging (l,r) only ever
+    # creates pairs bounded by its own count and never raises others
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # determinism: second run identical
+    again = QUERIES["llm_bpe_merges"](spark, SF_SMALL).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
