@@ -266,7 +266,7 @@ def llm_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 10
 
 
-def _bpe_oracle(k: int = _BPE_MERGES) -> str:
+def _bpe_ctes(k: int = _BPE_MERGES) -> list[str]:
     """Unrolled replay of the BPE merge loop: s0 = per-word character
     segmentations (chr(1)-joined) with corpus counts; each step counts
     adjacent symbol pairs per position (weighted by word count), picks
@@ -274,7 +274,8 @@ def _bpe_oracle(k: int = _BPE_MERGES) -> str:
     it via separator replace — which is exactly leftmost non-overlapping
     merging, the same semantics as Python's str.replace in the Spark
     driver loop. Two independent implementations of the whole trainer
-    must land on identical merge tables."""
+    must land on identical merge tables. Returns the CTE chain through
+    ``s{k}`` (final segmentations) with ``m1..mk`` (the merges)."""
     ctes = [
         f"""wc AS (
       SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -304,12 +305,16 @@ def _bpe_oracle(k: int = _BPE_MERGES) -> str:
       SELECT s.w, s.c, replace(s.seg, m.l || chr(1) || m.r, m.l || m.r) AS seg
       FROM s{i - 1} s, m{i} m)"""
         )
+    return ctes
+
+
+def _bpe_oracle(k: int = _BPE_MERGES) -> str:
     unions = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, l AS left, r AS right,"
         f" l || r AS merged, cnt AS pair_count FROM m{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + f" {unions} ORDER BY rank"
+    return "WITH " + ",\n    ".join(_bpe_ctes(k)) + f" {unions} ORDER BY rank"
 
 
 @query("llm_bpe_merges", oracle=_bpe_oracle(), priority=3)
@@ -331,6 +336,17 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled SQL steps, so the Spark driver loop and DuckDB must agree
     symbol for symbol; the output is all integers and strings, no float
     anywhere."""
+    _, merges, _ = _train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    ).orderBy("rank")
+
+
+def _train_bpe(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[str, int]], list[tuple[int, str, str, str, int]], dict[str, str]]:
+    """One corpus-sized word-count aggregate, then the vocab-sized merge
+    loop (see llm_bpe_merges). Returns (vocab, merges, final segs)."""
     d = spread(Tables(spark, sf_dir).documents)
     wc = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -354,6 +370,55 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((rank, l, r, l + r, cnt))
         for w, _ in vocab:
             segs[w] = segs[w].replace(l + SEP + r, l + r)
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, merged string, pair_count long"
-    ).orderBy("rank")
+    return vocab, merges, segs
+
+
+@query(
+    "llm_bpe_token_counts",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_ctes())
+    + f"""
+    , dtoks AS (
+      SELECT doc_id, w FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents)
+      WHERE w <> '')
+    SELECT dtoks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(s{_BPE_MERGES}.seg, chr(1)))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM dtoks JOIN s{_BPE_MERGES} ON s{_BPE_MERGES}.w = dtoks.w
+    GROUP BY dtoks.doc_id
+    ORDER BY dtoks.doc_id
+    """,
+    priority=3,
+)
+def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE: per-document token counts under the
+    10-merge vocabulary from llm_bpe_merges — the number a sequence
+    packer or cost model actually consumes (vs the regex-heuristic
+    bpe_ish_token_count, this is a REAL learned segmentation).
+
+    Scale shape: the trained segmentation is a vocabulary-sized (word →
+    n_subtokens) table; applying it is one token-keyed join of the
+    corpus token stream against that broadcast table plus a
+    per-document sum — the surprisal-filter join economics, with the
+    trainer's one aggregate pass amortized across both BPE queries. The
+    oracle re-derives the segmentation with the same unrolled merge
+    steps and must agree on every document's count."""
+    _, _, segs = _train_bpe(spark, sf_dir)
+    seg_len = [(w, len(s.split("\x01"))) for w, s in segs.items()]
+    lens = F.broadcast(
+        spark.createDataFrame(seg_len, "w string, n_sub long")
+    )
+    d = spread(Tables(spark, sf_dir).documents)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return (
+        toks.join(lens, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
