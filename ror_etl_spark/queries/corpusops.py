@@ -422,3 +422,210 @@ def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_naive_bayes_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents),
+    dtf AS (
+      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS k
+      FROM toks GROUP BY doc_id, lang, w),
+    clst AS (
+      SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY 1),
+    nd AS (
+      SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM toks),
+    cw AS (
+      SELECT w, lang AS cls, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY w, lang),
+    sc AS (
+      SELECT d.doc_id, d.lang,
+             ct.cls,
+             ln(nd.n_docs / tot.n)
+               + sum(d.k * ln((coalesce(cw.c, 0) + 1) / (ct.ct + voc.v))) AS raw
+      FROM dtf d
+      CROSS JOIN clst ct
+      LEFT JOIN cw ON cw.w = d.w AND cw.cls = ct.cls
+      JOIN nd ON nd.cls = ct.cls
+      CROSS JOIN tot CROSS JOIN voc
+      GROUP BY d.doc_id, d.lang, ct.cls, nd.n_docs, tot.n, ct.ct, voc.v),
+    r AS (
+      SELECT doc_id, lang, cls,
+             round(raw + 1e-9, 4) AS score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(raw + 1e-9, 4) DESC, cls) AS rn
+      FROM sc)
+    SELECT doc_id, lang, cls AS pred_lang, score,
+           (cls = lang) AS is_actual
+    FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+    priority=3,
+)
+def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification, self-trained on
+    the corpus's own ``lang`` labels: per-class token counts with add-1
+    smoothing, per-document log-posterior ``ln P(cls) + Σ_w k_w ·
+    ln((c_cls,w + 1)/(T_cls + V))``, argmax over classes. The standard
+    counts-based quality/language classifier shape (fastText's niche
+    before embeddings) — every model parameter is an exact integer
+    count, so BOTH engines train the identical model and the driver
+    hash-checks training AND inference end to end.
+
+    On the driver corpus all five languages share one 31-word
+    vocabulary, so the posterior is dominated by the class priors and
+    per-class token totals (no lexical signal exists to find); the
+    operator's mechanics — smoothed likelihood table, prior, argmax
+    with a deterministic tiebreak — are exactly what runs on a real
+    corpus, where c_cls,w differs by class.
+
+    Scale shape: ONE token-explode pass trains everything (the (w,
+    cls) count table, class totals, vocabulary size); scoring joins
+    the per-document DISTINCT token counts (``dtf`` — bounded by
+    vocabulary, far smaller than the raw token stream) against the
+    classes-sized broadcast and the (w, cls) table (AQE broadcasts a
+    closed vocabulary, shuffle-joins a Heaps-law one). Only (doc_id,
+    token) pairs ever move; the argmax is a per-document window over
+    |classes| rows. The argmax compares ROUNDED scores with a class-
+    name tiebreak, so summation-order ulps can't flip the winner."""
+    d = spread(Tables(spark, sf_dir).documents)
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=False)
+    dtf = toks.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("k"))
+    clst = toks.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    nd = d.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    voc = toks.agg(F.countDistinct("w").alias("v"))
+    cw = toks.groupBy("w", F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls_full = (
+        clst.join(nd, "cls")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+    )
+    contrib = F.col("k") * F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("ct") + F.col("v"))
+    )
+    sc = (
+        dtf.crossJoin(F.broadcast(cls_full))
+        .join(cw, ["w", "cls"], "left")
+        .groupBy(
+            "doc_id", "lang", "cls", "n_docs", "n", "ct", "v"
+        )
+        .agg(F.sum(contrib).alias("s"))
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            (F.log(F.col("n_docs") / F.col("n")) + F.col("s")).alias("raw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    score = F.round(F.col("raw") + 1e-9, 4)
+    w_doc = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("cls").asc())
+    return (
+        sc.select(
+            "doc_id",
+            "lang",
+            "cls",
+            score.alias("score"),
+            F.row_number().over(w_doc).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cls").alias("pred_lang"),
+            "score",
+            (F.col("cls") == F.col("lang")).alias("is_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+      FROM freq ORDER BY c DESC, w LIMIT {_ZIPF_TOP}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ln(r)) AS sx, sum(ln(c)) AS sy,
+             sum(ln(r) * ln(c)) AS sxy,
+             sum(ln(r) * ln(r)) AS sxx,
+             sum(ln(c) * ln(c)) AS syy
+      FROM top)
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 4) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 + 1e-9, 4) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 4) AS r2
+    FROM s
+    """,
+    priority=3,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: closed-form OLS
+    of ln(frequency) on ln(rank) over the top-100 terms — slope (a
+    natural corpus should sit near −1), intercept, and R². The standard
+    corpus-health diagnostic a pretraining pipeline runs per shard: a
+    slope far from −1 or a low R² flags synthetic/boilerplate-heavy
+    data (this driver corpus's 31-word uniform-ish vocabulary is
+    exactly such a flag, which the numbers show).
+
+    Scale shape: one map-side-combined token-frequency aggregate, a
+    TakeOrderedAndProject top-k (never a global sort of the Heaps-law
+    vocabulary), a rank window over the k ≤ 100 surviving rows, and
+    one scalar regression aggregate — the closed-form normal equations,
+    no iteration. Both engines compute ln on identical exact integer
+    inputs and every output is epsilon-rounded, so the fit replays
+    bit-identically."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = freq.orderBy(F.col("c").desc(), F.col("w")).limit(_ZIPF_TOP)
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = top.select("c", F.row_number().over(w_all).alias("r"))
+    lx, ly = F.log(F.col("r")), F.log(F.col("c"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly * ly).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope + 1e-9, 4).alias("slope"),
+        F.round((sy - slope * sx) / n + 1e-9, 4).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            + 1e-9,
+            4,
+        ).alias("r2"),
+    )

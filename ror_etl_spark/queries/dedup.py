@@ -1340,3 +1340,111 @@ def dedup_funnel_keep_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "doc_id")
     )
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_minhash_ctes()}
+    SELECT c.id_a, c.id_b,
+           CAST(array_length(list_filter(range(1, 33),
+                i -> ma.m[i] = mb.m[i])) AS BIGINT) AS lane_matches,
+           round(array_length(list_filter(range(1, 33),
+                i -> ma.m[i] = mb.m[i])) / 32.0, 6) AS est_jaccard,
+           CAST(array_length(list_filter(sa.s, x -> list_contains(sb.s, x)))
+             AS BIGINT) AS i_intersect,
+           CAST(array_length(list_distinct(list_concat(sa.s, sb.s)))
+             AS BIGINT) AS u_union,
+           round(abs(array_length(list_filter(range(1, 33),
+                i -> ma.m[i] = mb.m[i])) / 32.0 - {_JACCARD}) + 1e-9, 4)
+             AS abs_err
+    FROM cand c
+    JOIN sig ma ON ma.doc_id = c.id_a
+    JOIN sig mb ON mb.doc_id = c.id_b
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    ORDER BY id_a, id_b
+    """,
+    priority=3,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration report: for every LSH candidate
+    pair, the SKETCH's Jaccard estimate (matching lanes / 32 — the
+    unbiased MinHash estimator, an exact rational on both engines)
+    side by side with the EXACT shingle-set Jaccard and the absolute
+    error. This is the measurement a pipeline owner runs before
+    trusting a signature width: E[lane_matches/32] = J, stddev
+    ≈ sqrt(J(1-J)/32), and a systematic gap flags a broken hash
+    family. Estimator and truth both replay in DuckDB, so the driver
+    hash-checks the CALIBRATION itself, not just the dedup output.
+
+    Scale shape: the candidate set (LSH-bounded, output-sized) joins
+    the signature table twice (32 longs per doc — the sketch, never
+    the text) and the shingle sets once per side for ground truth;
+    at 100 TB the truth join is the expensive half and is exactly the
+    verify step the production funnel already pays — calibration
+    reuses it, adding only the lane-compare on the sketch. k/32 is
+    exact in binary and ≤5 decimal digits, so round(·, 6) is the
+    identity on both engines; only the error column (difference of
+    exact-but-unaligned rationals) needs the epsilon shift; the exact
+    Jaccard itself crosses the boundary as the INTEGER (intersection,
+    union) pair, which no rounding can flap."""
+    from ror_etl_spark.operators.util import spread
+
+    d = Tables(spark, sf_dir).documents
+    sigs = minhash_signatures(d, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    lane_eq = F.zip_with("ma", "mb", lambda x, y: (x == y).cast("long"))
+    matches = F.aggregate(
+        lane_eq, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    est = (
+        cands.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("minhash").alias("ma")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("minhash").alias("mb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", matches.alias("lane_matches"))
+    )
+    sh = spread(d).select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+    )
+    truth = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i_intersect"),
+            (
+                F.size("sh_a")
+                + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).cast("long").alias("u_union"),
+        )
+    )
+    return (
+        est.join(truth, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "lane_matches",
+            F.round(F.col("lane_matches") / 32.0, 6).alias("est_jaccard"),
+            "i_intersect",
+            "u_union",
+            F.round(
+                F.abs(
+                    F.col("lane_matches") / 32.0
+                    - F.col("i_intersect")
+                    / F.greatest(F.col("u_union"), F.lit(1))
+                )
+                + 1e-9,
+                4,
+            ).alias("abs_err"),
+        )
+        .transform(ordered, "id_a", "id_b")
+    )

@@ -162,3 +162,78 @@ def test_bpe_merges_are_well_formed(spark):
     # determinism: second run identical
     again = QUERIES["llm_bpe_merges"](spark, SF_SMALL).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_naive_bayes_matches_independent_python_model(spark):
+    """Replay multinomial NB (add-1 smoothing, log posterior, argmax with
+    lang tiebreak) in pure Python/collections on the same corpus and
+    require the Spark operator to agree on every document's prediction
+    AND rounded score — an independent implementation, not the oracle."""
+    import math
+    from collections import Counter, defaultdict
+
+    from ror_etl_spark.tables import Tables
+
+    docs = Tables(spark, SF_SMALL).documents.select("doc_id", "lang", "text").collect()
+
+    def toks(t):
+        return " ".join(t.lower().split()).split(" ")
+
+    cw = defaultdict(Counter)
+    ct = Counter()
+    nd = Counter()
+    vocab = set()
+    for r in docs:
+        ws = toks(r["text"])
+        cw[r["lang"]].update(ws)
+        ct[r["lang"]] += len(ws)
+        nd[r["lang"]] += 1
+        vocab.update(ws)
+    n, v = len(docs), len(vocab)
+
+    expect = {}
+    for r in docs:
+        best = None
+        for cls in sorted(nd):
+            raw = math.log(nd[cls] / n) + sum(
+                k * math.log((cw[cls][w] + 1) / (ct[cls] + v))
+                for w, k in Counter(toks(r["text"])).items()
+            )
+            score = round(raw + 1e-9, 4)
+            if best is None or score > best[1]:
+                best = (cls, score)
+        expect[r["doc_id"]] = best
+
+    rows = QUERIES["text_naive_bayes_lang"](spark, SF_SMALL).collect()
+    assert len(rows) == len(docs)
+    for row in rows:
+        cls, score = expect[row["doc_id"]]
+        assert row["pred_lang"] == cls
+        assert abs(row["score"] - score) < 5e-4
+        assert row["score"] < 0  # log posterior of a proper model
+        assert row["is_actual"] == (row["pred_lang"] == row["lang"])
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from ror_etl_spark.tables import Tables
+
+    docs = Tables(spark, SF_SMALL).documents.select("text").collect()
+    from collections import Counter
+
+    freq = Counter()
+    for r in docs:
+        freq.update(" ".join(r["text"].lower().split()).split(" "))
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.log(np.arange(1, len(top) + 1))
+    y = np.log(np.array([c for _, c in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+
+    row = QUERIES["text_zipf_fit"](spark, SF_SMALL).collect()[0]
+    assert row["n_terms"] == len(top)
+    assert abs(row["slope"] - slope) < 1e-3
+    assert abs(row["intercept"] - intercept) < 1e-3
+    assert 0.0 <= row["r2"] <= 1.0
+    # a frequency-sorted fit can never slope upward
+    assert row["slope"] <= 0

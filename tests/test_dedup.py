@@ -358,3 +358,32 @@ def test_decontaminate_substring_cut_planted(spark):
     clean = norm("completely unrelated content with no overlap whatsoever at all")
     assert got[101]["n_cut_spans"] == 0
     assert got[101]["cleaned_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_minhash_calibration_band_property_and_estimator(spark):
+    """Every LSH candidate pair must share a FULL band (4 consecutive
+    matching lanes at the 8x4 scheme) — re-derived from raw signatures
+    independently of the banding code — and the 32-lane estimator must
+    sit within a generous statistical envelope of the exact Jaccard."""
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    rows = QUERIES["dedup_minhash_calibration"](spark, SF_SMALL).collect()
+    assert rows, "driver corpus plants near-dups; candidates must exist"
+    d = Tables(spark, SF_SMALL).documents
+    sigs = {
+        r["id"]: r["minhash"]
+        for r in minhash_signatures(d, num_hashes=32).collect()
+    }
+    for r in rows:
+        ma, mb = sigs[r["id_a"]], sigs[r["id_b"]]
+        matches = sum(1 for x, y in zip(ma, mb) if x == y)
+        assert r["lane_matches"] == matches
+        assert any(
+            all(ma[b * 4 + i] == mb[b * 4 + i] for i in range(4)) for b in range(8)
+        ), "candidate pair without a full matching band"
+        exact = r["i_intersect"] / max(r["u_union"], 1)
+        assert abs(r["est_jaccard"] - exact) <= 4 * (0.25 / 32**0.5) + 1e-9
+        assert abs(r["abs_err"] - abs(r["lane_matches"] / 32.0 - exact)) < 5e-4
