@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ror_etl_spark.functions.text import token_count, tokens
+from ror_etl_spark.queries.util import ordered
 from ror_etl_spark.operators.util import spread
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
@@ -629,3 +630,80 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+# per-decile keep rate (d+1)/10 as a 4-hex md5-prefix cutoff; top decile
+# keeps everything ('zzzz' compares above every hex string)
+_CURR_CUTS = [format(65536 * (d + 1) // 10, "04x") for d in range(9)] + ["zzzz"]
+
+
+@query(
+    "corpus_quality_curriculum_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+    bounds AS (
+      SELECT [round(quantile_cont(n_tokens, 0.1), 6), round(quantile_cont(n_tokens, 0.2), 6),
+              round(quantile_cont(n_tokens, 0.3), 6), round(quantile_cont(n_tokens, 0.4), 6),
+              round(quantile_cont(n_tokens, 0.5), 6), round(quantile_cont(n_tokens, 0.6), 6),
+              round(quantile_cont(n_tokens, 0.7), 6), round(quantile_cont(n_tokens, 0.8), 6),
+              round(quantile_cont(n_tokens, 0.9), 6)] AS bs
+      FROM toks),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CAST(len(list_filter(bounds.bs, b -> n_tokens > b)) AS BIGINT)
+               AS decile
+      FROM toks CROSS JOIN bounds)
+    SELECT doc_id, n_tokens, decile
+    FROM assigned
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          (['{"','".join(_CURR_CUTS)}'])[decile + 1]
+    ORDER BY doc_id
+    """,
+    priority=3,
+)
+def corpus_quality_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling (the DataComp/DoReMi-adjacent knob a
+    pretraining mixer applies after filtering): documents are binned
+    into exact quality deciles — quality proxied here by token count —
+    and sampled with decile-dependent keep rates 10%, 20%, …, 100%, so
+    higher-quality strata are oversampled while every stratum stays
+    represented. Membership is content-hash Bernoulli (md5 of the doc
+    id against a per-decile hex cutoff), so the SAME documents survive
+    on any engine, any partitioning, any run — the property rand()
+    sampling does not have, and the reason the driver can hash-check a
+    SAMPLER.
+
+    Scale shape: decile boundaries come from ONE percentile aggregate
+    broadcast as a 9-element array (never an ntile window dragging the
+    corpus through a single-partition sort); bin assignment is an array
+    fold and the sampling gate a pure codegen predicate that pushes
+    down like any filter. Nothing shuffles except the presentation
+    sort. The percentile values are rounded at 6 dp on both engines
+    before the integer-vs-bound comparisons, the established
+    equidepth_bin_assign discipline."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    bounds = toks.agg(
+        F.expr(
+            f"transform(percentile(n_tokens, array({qs})), x -> round(x, 6))"
+        ).alias("bs")
+    )
+    cuts = F.array(*[F.lit(c) for c in _CURR_CUTS])
+    assigned = toks.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate(
+            F.col("bs"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("n_tokens") > b, 1).otherwise(0),
+        ).cast("long").alias("decile"),
+    )
+    kept = assigned.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.element_at(cuts, (F.col("decile") + 1).cast("int"))
+    )
+    return kept.select("doc_id", "n_tokens", "decile").transform(ordered, "doc_id")

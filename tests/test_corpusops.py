@@ -237,3 +237,40 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert 0.0 <= row["r2"] <= 1.0
     # a frequency-sorted fit can never slope upward
     assert row["slope"] <= 0
+
+
+def test_curriculum_sample_membership_replays_in_python(spark):
+    """Independent replay of the curriculum sampler: recompute quality
+    deciles (numpy linear-interpolation percentiles = Spark's exact
+    percentile = DuckDB quantile_cont) and the md5 gate in pure Python;
+    membership must match EXACTLY, and the top decile must keep all."""
+    import hashlib
+
+    import numpy as np
+
+    from ror_etl_spark.queries.corpusops import _CURR_CUTS
+    from ror_etl_spark.tables import Tables
+
+    docs = Tables(spark, SF_SMALL).documents.select("doc_id", "text").collect()
+    n_tok = {
+        r["doc_id"]: len(" ".join(r["text"].lower().split()).split(" "))
+        for r in docs
+    }
+    vals = np.array(sorted(n_tok.values()), dtype=float)
+    bounds = [round(float(np.percentile(vals, p, method="linear")), 6)
+              for p in range(10, 100, 10)]
+
+    expect = {}
+    for doc_id, nt in n_tok.items():
+        decile = sum(1 for b in bounds if nt > b)
+        gate = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        if gate < _CURR_CUTS[decile]:
+            expect[doc_id] = (nt, decile)
+
+    rows = QUERIES["corpus_quality_curriculum_sample"](spark, SF_SMALL).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["decile"]) for r in rows}
+    assert got == expect
+    top = [d for d, (_, dec) in expect.items() if dec == 9]
+    all_top = [d for d, nt in n_tok.items()
+               if sum(1 for b in bounds if nt > b) == 9]
+    assert sorted(top) == sorted(all_top), "decile 9 must keep 100%"
