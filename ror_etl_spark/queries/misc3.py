@@ -355,3 +355,72 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         F.round("mean_amp", 4).alias("mean_amp"),
     ).transform(ordered, "media_id")
+
+
+@query(
+    "multimodal_image_ahash_dupes",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               y -> (doc_id + (y * ((length(text) % 48) + 1)) // 8) % 256
+             ) AS r8
+      FROM documents),
+    h AS (
+      SELECT doc_id, r8, list_aggregate(r8, 'sum') AS s FROM px),
+    ah AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(r8,
+               v -> CASE WHEN 8 * v > s THEN 'ff' ELSE '00' END),
+               'string_agg', '') AS ahash
+      FROM h)
+    SELECT doc_id AS media_id, ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_dupes,
+           doc_id = min(doc_id) OVER (PARTITION BY ahash) AS keep
+    FROM ah ORDER BY media_id
+    """,
+    priority=3,
+)
+def multimodal_image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection via perceptual average-hash: every
+    document's real-PNG fixture is decoded (full inflate + unfilter),
+    nearest-neighbor downsampled to 8×8, grayscaled, thresholded at the
+    image mean into a 64-bit fingerprint, and images sharing a
+    fingerprint form a duplicate group (min-id canonical, keep flag) —
+    the image-side analogue of the text dedup family, and the standard
+    cheap near-dup pass a multimodal pipeline runs before embeddings.
+
+    The oracle replays the hash CLOSED-FORM from the fixture's
+    generation rule (resized row y' shows source row (y'·h)//8, whose
+    every pixel is (doc_id + y) %% 256; the mean-threshold compare is
+    cross-multiplied to integers, 8·v > Σrows), so a bug anywhere in
+    decode, resample, packing order, or grouping breaks the driver
+    hash. The fixture's uniform scanlines make each hash byte 0xff/0x00;
+    the kernel (sources/multimodal.py:average_hash) is the general
+    per-pixel implementation and is separately pinned on a non-uniform
+    image in tests.
+
+    Scale shape: the codec work is Arrow-batched mapInPandas over a
+    spread scan (CPU-bound Python, embarrassingly parallel); only
+    (media_id, 16-hex-char hash) rows reach the shuffle — the grouping
+    windows partition BY HASH, so dup-group discovery is one
+    hash-keyed exchange of fingerprint-sized rows, never pixels."""
+    from ror_etl_spark.operators.util import spread
+    from ror_etl_spark.sources.multimodal import (
+        average_hash,
+        png_media_from_documents,
+    )
+    from pyspark.sql import Window
+
+    d = spread(Tables(spark, sf_dir).documents)
+    hashes = average_hash(png_media_from_documents(d), size=8)
+    w = Window.partitionBy("ahash")
+    return (
+        hashes.select(
+            "media_id",
+            "ahash",
+            F.count(F.lit(1)).over(w).alias("n_dupes"),
+            (F.col("media_id") == F.min("media_id").over(w)).alias("keep"),
+        )
+        .transform(ordered, "media_id")
+    )

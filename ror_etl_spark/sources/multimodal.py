@@ -842,3 +842,40 @@ def audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batch_fn, schema=AUDIO_STATS_SCHEMA)
+
+
+def average_hash(media: DataFrame, size: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over a binary image column:
+    decode → nearest-neighbor downsample to size×size → integer
+    grayscale (channel mean) → one bit per pixel, set iff the pixel
+    exceeds the image mean → hex digest, MSB-first row-major (numpy
+    packbits order). The classic near-duplicate-image fingerprint: two
+    renderings of the same picture (recompression, mild resize) share
+    the hash, unlike byte-level digests.
+
+    The threshold compare is cross-multiplied to stay in integers
+    (``n·px > Σpx`` instead of ``px > Σpx/n``), so the whole hash is
+    exact arithmetic — no float crosses the engine boundary and an
+    external oracle can replay it. Arrow-batched mapInPandas like every
+    codec kernel here; per-image work is O(decoded pixels)."""
+    import numpy as np
+
+    n_px = size * size
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = png_decode(bytes(content)).astype(np.int64)
+                small = resize_nearest_px(px, size, size)
+                gray = small.sum(axis=2) // small.shape[2]
+                total = int(gray.sum())
+                bits = (gray * n_px > total).reshape(-1)
+                out.append(
+                    {"media_id": mid, "ahash": np.packbits(bits).tobytes().hex()}
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        batch_fn, schema="media_id long, ahash string"
+    )

@@ -358,3 +358,68 @@ def test_audio_stats_matches_generation_rule(spark):
     assert rows[7]["duration_ms"] == 32 * 1000 // 8000
     assert abs(rows[7]["mean_amp"] - sum(exp) / 32) < 1e-9
     assert rows[8]["n_samples"] == 8
+
+
+def test_average_hash_general_pixels_match_reference(spark):
+    """Pin the GENERAL per-pixel aHash kernel on non-uniform images
+    (horizontal+vertical gradients, RGB and gray) against a double-loop
+    reference: decode→8×8 nearest→channel-mean gray→mean threshold
+    (cross-multiplied)→MSB-first packbits hex."""
+    import numpy as np
+
+    from ror_etl_spark.sources.multimodal import (
+        average_hash,
+        png_encode_pixels,
+        resize_nearest_px,
+    )
+
+    rng_imgs = []
+    for mid, (h, w, c) in enumerate([(33, 47, 3), (8, 8, 1), (50, 20, 3)]):
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = (yy * 7 + xx * 13 + mid * 29) % 256
+        px = np.repeat(base[:, :, None], c, axis=2).astype(np.uint8)
+        if c == 3:  # make channels genuinely differ
+            px[:, :, 1] = (px[:, :, 1] + 40) % 256
+            px[:, :, 2] = (px[:, :, 2] + 90) % 256
+        rng_imgs.append((mid, px))
+
+    def ref_hash(px):
+        small = resize_nearest_px(px.astype(np.int64), 8, 8)
+        gray = small.sum(axis=2) // small.shape[2]
+        total = int(gray.sum())
+        bits = []
+        for y in range(8):
+            for x in range(8):
+                bits.append(1 if gray[y, x] * 64 > total else 0)
+        out = bytearray()
+        for i in range(0, 64, 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out).hex()
+
+    rows = [(mid, png_encode_pixels(px)) for mid, px in rng_imgs]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["ahash"] for r in average_hash(media).collect()}
+    for mid, px in rng_imgs:
+        assert got[mid] == ref_hash(px)
+    # gradients must produce a mixed-bit hash, not the uniform ff/00 rows
+    assert any(b not in ("ff", "00") for b in
+               [got[0][i:i + 2] for i in range(0, 16, 2)])
+
+
+def test_ahash_dupes_query_groups_consistently(spark):
+    from ror_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["multimodal_image_ahash_dupes"](spark, SF_SMALL).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["ahash"], []).append(r)
+    assert any(len(v) > 1 for v in by_hash.values()), "expect dup groups"
+    for group in by_hash.values():
+        assert all(r["n_dupes"] == len(group) for r in group)
+        keepers = [r for r in group if r["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["media_id"] == min(r["media_id"] for r in group)
