@@ -762,3 +762,20 @@ def tuned_semdedup_k(
         if (1 << j) * target_occ >= n:
             return 1 << j
     return 1 << max_exp
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): the IVF coarse-quantization assignment as a reusable
+    frame — every vector labeled with its nearest trained centroid via the
+    vectorized GEMM argmin (``_nearest_cell_udf``). This is the layout a
+    production IVF index persists (corpus partitioned by cell); exposing
+    it lets multi-query evaluation (recall reports) share ONE assignment
+    pass across all queries instead of re-assigning per query."""
+    return corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", _nearest_cell_udf(centroids)(F.col("v")))

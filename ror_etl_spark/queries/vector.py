@@ -977,3 +977,149 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _ann_recall_oracle(
+    n_queries: int = 10,
+    n_centroids: int = 16,
+    iters: int = 3,
+    nprobe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    round_means: int = 6,
+) -> str:
+    """DuckDB replay of the IVF recall evaluation: the trained-IVF oracle
+    chain (``_kmeans_ctes``) generalized to a query SET, plus the exact
+    brute-force top-k per query and the overlap count."""
+    ctes = [
+        f"""qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries})""",
+        *_kmeans_ctes(
+            f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= {n_queries}""",
+            n_centroids,
+            iters,
+            dim,
+            round_means,
+        ),
+        f"""probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY list_distance(q.qv, c.c), c.cell) AS rn
+        FROM c{iters} c CROSS JOIN qs q) WHERE rn <= {nprobe})""",
+        f"""ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, af.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY {_COS_SQL.format(a='af.v', b='q.qv')} DESC, af.vec_id) AS rn
+        FROM af JOIN probe p ON af.cell = p.cell
+        JOIN qs q ON q.qid = p.qid) WHERE rn <= {k})""",
+        f"""brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_COS_SQL.format(a='e.v', b='q.qv')} DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN qs q) WHERE rn <= {k})""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT b.qid, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           round(count(i.vec_id) / {k}.0, 6) AS recall
+    FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
+    GROUP BY b.qid ORDER BY b.qid
+    """
+    )
+
+
+@query("embedding_ann_recall", oracle=_ann_recall_oracle(), priority=3)
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 evaluation of the trained IVF index against exact brute
+    force, over a 10-query evaluation set — the measurement that decides
+    whether an ANN configuration (n_centroids, nprobe) is shippable, as
+    a first-class hash-checked query: per query, how many of the true
+    top-10 cosine neighbors the nprobe=2 probe actually returned. The
+    MinHash calibration report's analogue for the embedding family.
+
+    Scale shape: k-means training + ONE GEMM cell-assignment pass are
+    shared across all queries (``assign_cells``); the query set, probe
+    list (queries × nprobe rows) and query vectors are driver-sized
+    broadcasts. The IVF side touches only probed cells; the brute side
+    is the ground-truth pass a recall eval inherently pays — on a real
+    corpus it runs on a SAMPLED query set exactly like this one, and
+    both top-k windows compile to WindowGroupLimit (rank ≤ k pushes a
+    per-partition top-k below the qid exchange, so no reducer ever
+    sorts a full corpus replica). recall = n_hits/10 is an exact
+    1-decimal rational — no float crosses the engine boundary; the
+    cosine ranking itself is the same raw-double ordering every green
+    knn query in this module uses."""
+    import math
+
+    from ror_etl_spark.operators.similarity import assign_cells, kmeans_centroids
+    from pyspark.sql import Window
+
+    n_queries, n_centroids, iters, nprobe, k = 10, 16, 3, 2, 10
+    emb = Tables(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    centroids = kmeans_centroids(
+        corpus, n_centroids, iters, round_means=6
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+
+    def qdist(qv: list[float], c: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(qv, c))
+
+    probe_rows = [
+        (qid, cell)
+        for qid, qv in queries
+        for cell in sorted(
+            range(len(centroids)), key=lambda i: (qdist(qv, centroids[i]), i)
+        )[:nprobe]
+    ]
+    qdf = F.broadcast(
+        spark.createDataFrame(queries, "qid long, qv array<double>")
+    )
+    pdf = F.broadcast(spark.createDataFrame(probe_rows, "qid long, cell int"))
+
+    cells = assign_cells(corpus, centroids)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    ivf_top = (
+        cells.join(pdf, "cell")
+        .join(qdf, "qid")
+        .select(
+            "qid",
+            F.col("id").alias("vec_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    brute_top = (
+        corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .crossJoin(qdf)
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    return (
+        brute_top.join(ivf_top, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits") / float(k), 6).alias("recall"),
+        )
+        .orderBy("qid")
+    )

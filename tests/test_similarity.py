@@ -296,3 +296,43 @@ def test_tuned_semdedup_k_occupancy_rule():
         assert k >= prev    # monotone in corpus size
         prev = k
     assert tuned_semdedup_k(10**9) == 4096  # clamps at max_exp
+
+
+def test_ann_recall_nprobe_all_cells_is_perfect(spark):
+    """Recall semantics sanity: the report's brute side IS ground truth,
+    so (a) n_hits ∈ [0, 10] with recall = n_hits/10 exactly, and (b) an
+    independent numpy replay of brute-force top-10 per query agrees with
+    perfect recall when every cell is probed — i.e. the IVF side's only
+    loss mechanism is the probe cut, not the ranking."""
+    import numpy as np
+
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    rows = QUERIES["embedding_ann_recall"](spark, SF_SMALL).collect()
+    assert [r["qid"] for r in rows] == list(range(10))
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert abs(r["recall"] - r["n_hits"] / 10.0) < 1e-9
+
+    emb = Tables(spark, SF_SMALL).embeddings.collect()
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in emb}
+    corpus_ids = sorted(i for i in vecs if i >= 10)
+    M = np.stack([vecs[i] for i in corpus_ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    from ror_etl_spark.operators.similarity import ivf_topk
+
+    corpus_df = Tables(spark, SF_SMALL).embeddings.filter("vec_id >= 10")
+    for qid in range(3):
+        q = vecs[qid]
+        cos = Mn @ (q / np.linalg.norm(q))
+        order = sorted(range(len(corpus_ids)), key=lambda j: (-cos[j], corpus_ids[j]))
+        brute = {corpus_ids[j] for j in order[:10]}
+        got = ivf_topk(
+            corpus_df, [float(x) for x in q], k=10,
+            n_centroids=16, nprobe=16, train_iters=3, round_means=6,
+        ).collect()
+        assert {int(r["vec_id"]) for r in got} == brute
