@@ -281,3 +281,64 @@ def test_language_weights_never_explode_tokens(spark):
     p = plan_of(spark, "corpus_language_sampling_weights")
     assert "Generate" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zipf_fit_plan_is_topk_then_scalar_agg(spark):
+    """Zipf fit must never globally sort the Heaps-law vocabulary: the
+    top-100 cut compiles to TakeOrderedAndProject and everything else is
+    codegen aggregate work."""
+    p = plan_of(spark, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_curriculum_sample_broadcasts_bounds_no_window(spark):
+    """The curriculum sampler's decile assignment must be the broadcast
+    percentile-bounds fold — a Window over the corpus would mean an
+    ntile-style single-partition sort — and the md5 gate stays codegen."""
+    spark.conf.set("spark.ror.ordered.checkpoint", "false")
+    try:
+        p = plan_of(spark, "corpus_quality_curriculum_sample")
+    finally:
+        spark.conf.unset("spark.ror.ordered.checkpoint")
+    body = p.split("== Physical Plan ==")[1]
+    assert "Window" not in body
+    assert "BroadcastExchange" in body or "BroadcastNestedLoopJoin" in body
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_naive_bayes_plan_stays_jvm_side(spark):
+    """NB trains and scores entirely in codegen (counts + ln): no Python
+    eval anywhere, and the per-document argmax window partitions by
+    doc_id (classes-sized groups), never unpartitioned."""
+    p = plan_of(spark, "text_naive_bayes_lang")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    body = p.split("== Physical Plan ==")[1]
+    assert "partitionspec=[doc_id" in body.lower().replace(" ", "") or (
+        "Window" in body and "doc_id" in body
+    )
+
+
+def test_ann_recall_topk_uses_window_group_limit(spark):
+    """Both top-10-per-query ranks must push a WindowGroupLimit below the
+    qid exchange (no reducer sorts a full corpus replica), and the probe
+    list / query vectors arrive as broadcasts."""
+    p = plan_of(spark, "embedding_ann_recall")
+    body = p.split("== Physical Plan ==")[1]
+    assert "WindowGroupLimit" in body
+    assert "BroadcastExchange" in body
+
+
+def test_ahash_window_partitions_by_hash(spark):
+    """The aHash dup-grouping windows partition by the fingerprint (hash
+    exchange of 16-char rows), and the only Python node is the Arrow
+    codec kernel — no row-at-a-time eval."""
+    spark.conf.set("spark.ror.ordered.checkpoint", "false")
+    try:
+        p = plan_of(spark, "multimodal_image_ahash_dupes")
+    finally:
+        spark.conf.unset("spark.ror.ordered.checkpoint")
+    body = p.split("== Physical Plan ==")[1]
+    assert "ArrowEvalPython" in body or "MapInPandas" in body
+    assert "BatchEvalPython" not in body
+    assert "ahash" in body
