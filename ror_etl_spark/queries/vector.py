@@ -1123,3 +1123,174 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def _pq_recall_oracle(n_queries: int = 10, k: int = 10) -> str:
+    """DuckDB replay of the PQ recall evaluation: the eight training
+    chains, per-(query, subspace) distance tables, ADC top-k per query,
+    exact squared-L2 top-k per query, and the overlap count."""
+    ctes: list[str] = [
+        f"""qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries})""",
+        f"""ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {n_queries})""",
+    ]
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        ctes += _kmeans_ctes(
+            f"SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
+            " FROM embeddings",
+            _PQ_K,
+            _PQ_ITERS,
+            _PQ_DSUB,
+            6,
+            prefix=f"s{m}_",
+        )
+        ctes.append(
+            f"""dt{m} AS (
+      SELECT q.qid, c.cell,
+             list_dot_product(q.qv[{lo}:{hi}], q.qv[{lo}:{hi}])
+             - 2 * list_dot_product(q.qv[{lo}:{hi}], c.c)
+             + list_dot_product(c.c, c.c) AS d
+      FROM s{m}_c{_PQ_ITERS} c, qs q)"""
+        )
+    code_joins = " ".join(
+        f"JOIN s{m}_af ON s{m}_af.vec_id = s0_af.vec_id" for m in range(1, _PQ_M)
+    )
+    dt_joins = "JOIN dt0 ON dt0.cell = s0_af.cell " + " ".join(
+        f"JOIN dt{m} ON dt{m}.cell = s{m}_af.cell AND dt{m}.qid = dt0.qid"
+        for m in range(1, _PQ_M)
+    )
+    adc = " + ".join(f"dt{m}.d" for m in range(_PQ_M))
+    ctes.append(
+        f"""pq AS (
+      SELECT qid, vec_id FROM (
+        SELECT dt0.qid, s0_af.vec_id,
+               row_number() OVER (PARTITION BY dt0.qid
+                 ORDER BY round({adc} + 1e-9, 6) ASC, s0_af.vec_id) AS rn
+        FROM s0_af {code_joins} {dt_joins}
+        WHERE s0_af.vec_id >= {n_queries}) WHERE rn <= {k})"""
+    )
+    ctes.append(
+        f"""brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, ce.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_dot_product(ce.v, ce.v)
+                          - 2 * list_dot_product(ce.v, q.qv)
+                          + list_dot_product(q.qv, q.qv) ASC, ce.vec_id) AS rn
+        FROM ce CROSS JOIN qs q) WHERE rn <= {k})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT b.qid, CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+           round(count(p.vec_id) / {k}.0, 6) AS recall
+    FROM brute b LEFT JOIN pq p ON p.qid = b.qid AND p.vec_id = b.vec_id
+    GROUP BY b.qid ORDER BY b.qid
+    """
+    )
+
+
+@query("embedding_pq_recall", oracle=_pq_recall_oracle(), priority=3)
+def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ-ADC index against exact squared-L2 ground
+    truth over a 10-query evaluation set — the companion measurement to
+    ``embedding_ann_recall`` for the compressed-corpus family, and the
+    number that decides (M, dsub, k) before a PQ index ships. Ground
+    truth uses the SAME metric ADC approximates (squared L2), so the
+    report isolates quantization loss rather than conflating it with a
+    metric mismatch. On this driver corpus recall is data-limited
+    (noise-dominated vectors: nn distance ≈ quantization distortion —
+    see the ADC reference test's analysis), which is exactly what the
+    report exists to reveal.
+
+    Scale shape: training + the one encode pass are shared across all
+    queries (codes are 8 small ints per vector — the 128×-compressed
+    scan ADC exists for); the 10×8×16 distance-table frame and query
+    vectors are driver-sized broadcasts; both per-query top-k windows
+    compile to WindowGroupLimit. recall = n_hits/10 exactly — the only
+    floats (ADC sums) are epsilon-rounded at 6 dp on both engines
+    before ranking, vec_id breaking ties."""
+    from pyspark.sql import Window
+
+    n_queries, k = 10, 10
+    codes, books = _pq_encode(spark, sf_dir)
+    emb = Tables(spark, sf_dir).embeddings
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    dt_rows = []
+    for qid, qv in queries:
+        for m in range(_PQ_M):
+            qm = qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            qq = fold_dot(qm, qm)
+            for cell, c in enumerate(books[m]):
+                dt_rows.append((qid, m, cell, qq - 2 * fold_dot(qm, c) + fold_dot(c, c)))
+    spark_dt = spark.createDataFrame(dt_rows, "qid long, m int, cell int, d double")
+
+    scored = codes.filter(F.col("vec_id") >= n_queries)
+    for m in range(_PQ_M):
+        dt_m = F.broadcast(
+            spark_dt.filter(F.col("m") == m).select(
+                "qid", F.col("cell").alias(f"c{m}"), F.col("d").alias(f"d{m}")
+            )
+        )
+        on = [f"c{m}"] if m == 0 else ["qid", f"c{m}"]
+        scored = scored.join(dt_m, on)
+    adc = F.round(
+        sum(F.col(f"d{m}") for m in range(_PQ_M)) + 1e-9, 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("rankkey"), F.asc("vec_id"))
+    pq_top = (
+        scored.select("qid", "vec_id", adc.alias("rankkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(queries, "qid long, qv array<double>")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — fold shape shared with cosine()
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    brute_top = (
+        corpus.crossJoin(qdf)
+        .select(
+            "qid",
+            "vec_id",
+            (
+                dot(F.col("v"), F.col("v"))
+                - 2 * dot(F.col("v"), F.col("qv"))
+                + dot(F.col("qv"), F.col("qv"))
+            ).alias("rankkey"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    return (
+        brute_top.join(pq_top, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits") / float(k), 6).alias("recall"),
+        )
+        .orderBy("qid")
+    )

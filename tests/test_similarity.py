@@ -336,3 +336,47 @@ def test_ann_recall_nprobe_all_cells_is_perfect(spark):
             n_centroids=16, nprobe=16, train_iters=3, round_means=6,
         ).collect()
         assert {int(r["vec_id"]) for r in got} == brute
+
+
+def test_pq_recall_matches_numpy_replay(spark):
+    """Independent numpy replay of the PQ recall report at SF_SMALL:
+    re-encode with the trained codebooks, rebuild the ADC ranking and
+    the exact squared-L2 ranking, and require identical n_hits."""
+    import numpy as np
+
+    from ror_etl_spark.queries.vector import _PQ_DSUB, _PQ_M, _pq_encode
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    rows = QUERIES["embedding_pq_recall"](spark, SF_SMALL).collect()
+    assert [r["qid"] for r in rows] == list(range(10))
+
+    codes_df, books = _pq_encode(spark, SF_SMALL)
+    codes = {
+        int(r["vec_id"]): [int(r[f"c{m}"]) for m in range(_PQ_M)]
+        for r in codes_df.collect()
+    }
+    emb = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in Tables(spark, SF_SMALL).embeddings.collect()
+    }
+    corpus = sorted(i for i in emb if i >= 10)
+    for r in rows[:3]:
+        qid = r["qid"]
+        q = emb[qid]
+        tables = []
+        for m in range(_PQ_M):
+            qm = q[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            C = np.array(books[m], dtype=np.float64)
+            tables.append(((qm - C) ** 2).sum(axis=1))
+        adc = {
+            v: round(sum(tables[m][codes[v][m]] for m in range(_PQ_M)) + 1e-9, 6)
+            for v in corpus
+        }
+        pq_top = set(sorted(corpus, key=lambda v: (adc[v], v))[:10])
+        l2 = {v: float(((emb[v] - q) ** 2).sum()) for v in corpus}
+        brute = set(sorted(corpus, key=lambda v: (l2[v], v))[:10])
+        assert r["n_hits"] == len(pq_top & brute)
+        assert abs(r["recall"] - r["n_hits"] / 10.0) < 1e-9
