@@ -1448,3 +1448,82 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "id_a", "id_b")
     )
+
+
+@query(
+    "train_test_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE {_JACCARD} >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM ver),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, coalesce(comp.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+    per_cluster AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS size,
+             CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM labeled GROUP BY cluster)
+    SELECT split,
+           CAST(sum(size) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN size > 1 THEN size ELSE 0 END) AS BIGINT)
+             AS n_dup_docs
+    FROM per_cluster GROUP BY split ORDER BY split
+    """,
+    priority=3,
+)
+def train_test_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout split: the ~10% test cut is keyed on the
+    NEAR-DUP CLUSTER id, not the document id, so a document and all its
+    near-duplicates always land in the same split — the contamination
+    ``train_test_split_assign``'s per-document rule cannot prevent (a
+    near-copy of a test document in train is silent eval leakage; the
+    reason production corpora dedup/cluster BEFORE splitting). Clusters
+    come from the full funnel (MinHash → LSH → Jaccard ≥ 0.5 →
+    connected components; singletons are their own cluster), the split
+    from the same md5-prefix rule as the per-document splitter, applied
+    to the cluster id.
+
+    Scale shape: the funnel is the production dedup pass (bucketed,
+    output-sized pairs, log-diameter Hash-Min rounds); the split adds
+    ONE cluster-keyed aggregate (cluster ids + sizes — nothing
+    document-sized) and a codegen md5 gate. Integers only; the oracle
+    closes the same graph with a recursive CTE and must agree on every
+    per-split count."""
+    d = Tables(spark, sf_dir).documents
+    cands = lsh_candidate_pairs(minhash_signatures(d, num_hashes=32))
+    verified = jaccard_verify(cands, d, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup_clusters(d, verified)
+    per_cluster = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("cluster").cast("string")), 1, 2) < "1a", "test"
+    ).otherwise("train")
+    return (
+        per_cluster.select(split.alias("split"), "size")
+        .groupBy("split")
+        .agg(
+            F.sum("size").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.when(F.col("size") > 1, F.col("size")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+        .orderBy("split")
+    )

@@ -387,3 +387,42 @@ def test_minhash_calibration_band_property_and_estimator(spark):
         exact = r["i_intersect"] / max(r["u_union"], 1)
         assert abs(r["est_jaccard"] - exact) <= 4 * (0.25 / 32**0.5) + 1e-9
         assert abs(r["abs_err"] - abs(r["lane_matches"] / 32.0 - exact)) < 5e-4
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    """The leakage guarantee, re-derived from the raw pair graph: every
+    verified near-dup pair's two documents must land in the SAME split
+    under the cluster-keyed md5 rule; totals must cover the corpus."""
+    import hashlib
+
+    from ror_etl_spark.operators.components import dedup_clusters
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    d = Tables(spark, SF_SMALL).documents
+    cands = lsh_candidate_pairs(minhash_signatures(d, num_hashes=32))
+    verified = jaccard_verify(cands, d, threshold=0.5).select("id_a", "id_b")
+    pairs = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+    assert pairs, "driver corpus plants near-dups"
+    cluster_of = {
+        r["id"]: r["cluster"] for r in dedup_clusters(d, verified).collect()
+    }
+
+    def split(cluster: int) -> str:
+        return (
+            "test"
+            if hashlib.md5(str(cluster).encode()).hexdigest()[:2] < "1a"
+            else "train"
+        )
+
+    for a, b in pairs:
+        assert split(cluster_of[a]) == split(cluster_of[b])
+
+    rows = {r["split"]: r for r in
+            QUERIES["train_test_split_leakage_safe"](spark, SF_SMALL).collect()}
+    total = sum(r["n_docs"] for r in rows.values())
+    assert total == d.count()
+    for r in rows.values():
+        assert r["n_dup_docs"] <= r["n_docs"]
