@@ -1527,3 +1527,66 @@ def train_test_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("split")
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {_shingle_cte(3)},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    fd AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN fd.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN fd.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                 / count(*) + 1e-9, 4) AS novelty
+    FROM ex JOIN fd USING (g)
+    GROUP BY ex.doc_id ORDER BY doc_id
+    """,
+    priority=3,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty profile: per document (in ingest order), the
+    fraction of its distinct token 3-grams never seen in any EARLIER
+    document — the corpus-saturation diagnostic data-curation work
+    tracks while scaling a crawl (novelty trending to zero means new
+    data is re-treading old ground; a jump flags a fresh domain). The
+    same first-occurrence relation is what incremental dedup consumes,
+    here surfaced as the per-document measurement.
+
+    Scale shape: exactly the surprisal-join economics — one distinct-
+    shingle explode (lazily checkpointed: the first-seen aggregate and
+    the score join both consume it), ONE gram-keyed map-side-combined
+    min aggregate (the "who saw it first" table), a gram-keyed join
+    back, and a per-document count. Only (doc_id, gram) pairs move;
+    min(doc_id) is order-free so no window, no sort, no global state.
+    Counts are exact integers; the ratio is epsilon-rounded."""
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents)
+    ex = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), 3))
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    fd = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        ex.join(fd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                novel / F.count(F.lit(1)) + 1e-9, 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -85,3 +85,36 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sample_fixed_size_hash",
+    oracle="""
+    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT 100
+    """,
+    priority=3,
+)
+def sample_fixed_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-n deterministic sample: the 100 documents with the
+    smallest content-hash — the fixed-size companion to the Bernoulli
+    forms (which only hit a rate in expectation). Same row set on any
+    engine, any partitioning, any run; and STABLE under corpus growth
+    in the bottom-k sense (a new document only enters by evicting the
+    current max — the KMV property, so repeated evaluations sample
+    mostly the same docs and remain comparable over time). The standard
+    trick for eval panels and human-review batches drawn from a moving
+    corpus.
+
+    Scale shape: TakeOrderedAndProject on the hash — per-partition
+    top-100 map-side, one 100-row reduce; never a global sort, never a
+    shuffle of the corpus."""
+    d = Tables(spark, sf_dir).documents
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        d.select("doc_id", h.alias("h"))
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -426,3 +426,46 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     assert total == d.count()
     for r in rows.values():
         assert r["n_dup_docs"] <= r["n_docs"]
+
+
+def test_ngram_novelty_semantics(spark):
+    """doc 0's novelty is 1.0 by construction; an exact duplicate of an
+    earlier document has novelty 0; and n_novel sums to the global
+    distinct-shingle count (each gram is novel exactly once)."""
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    rows = QUERIES["text_ngram_novelty"](spark, SF_SMALL).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novelty"] == 1.0 and first["n_novel"] == first["n_shingles"]
+
+    d = Tables(spark, SF_SMALL).documents
+    total_distinct = (
+        d.select(F.explode(F.array_distinct(shingles(F.col("text"), 3))))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == total_distinct
+    # every non-keeper EXACT duplicate re-treads all its grams — plant
+    # one (this SF has no natural exact dups) and replay the same
+    # first-occurrence relation on the planted frame
+    planted = d.unionByName(
+        d.filter(F.col("doc_id") == 0).withColumn("doc_id", F.lit(10**7))
+    )
+    ex = planted.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("g"),
+    )
+    fd = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        ex.join(fd, "g")
+        .groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        ).alias("n_novel"))
+    )
+    got = {r["doc_id"]: r["n_novel"] for r in novel.collect()}
+    assert got[10**7] == 0, "an exact copy of doc 0 must have zero novelty"
