@@ -707,3 +707,82 @@ def corpus_quality_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFr
         < F.element_at(cuts, (F.col("decile") + 1).cast("int"))
     )
     return kept.select("doc_id", "n_tokens", "decile").transform(ordered, "doc_id")
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 2 = 0 AS in_a, unnest({_TOKS_SQL}) AS w FROM documents),
+    freq AS (
+      SELECT w,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      FROM toks GROUP BY w),
+    tots AS (
+      SELECT CAST(sum(c_a) AS BIGINT) AS ta, CAST(sum(c_b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS v
+      FROM freq),
+    terms AS (
+      SELECT w, c_a, c_b,
+             ((c_a + 1) / (ta + v) - (c_b + 1) / (tb + v))
+               * ln(((c_a + 1) / (ta + v)) / ((c_b + 1) / (tb + v))) AS term
+      FROM freq CROSS JOIN tots),
+    tot AS (SELECT sum(term) AS total FROM terms)
+    SELECT w, c_a, c_b,
+           round(term + 1e-9, 6) AS psi_term,
+           round(tot.total + 1e-9, 4) AS total_psi
+    FROM terms CROSS JOIN tot
+    ORDER BY psi_term DESC, w LIMIT 20
+    """,
+    priority=3,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots via the
+    Population Stability Index — PSI = Σ_w (p_w − q_w)·ln(p_w/q_w) over
+    add-1-smoothed token distributions (snapshots simulated as the
+    even/odd doc_id halves — deterministic, engine-free). The standard
+    train/serve drift gate: PSI < 0.1 is stable, > 0.25 means the new
+    crawl's language has shifted enough to re-examine filters. Output:
+    the 20 highest-contributing tokens (the "what changed" half of the
+    report) with the corpus-level total on every row.
+
+    Scale shape: ONE token-explode count aggregate trains both
+    distributions in a single pass (conditional sums — the DSIR
+    economics); everything after operates on the vocabulary-sized
+    frequency table: a scalar totals broadcast, a per-token expression,
+    one scalar PSI sum, and a TakeOrderedAndProject on the ROUNDED
+    contribution (both engines rank the same rounded value, w as
+    tiebreak). Nothing document-sized moves twice."""
+    d = spread(Tables(spark, sf_dir).documents)
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    in_a = F.when(F.col("in_a"), 1).otherwise(0)
+    freq = toks.groupBy("w").agg(
+        F.sum(in_a).alias("c_a"), F.sum(1 - in_a).alias("c_b")
+    )
+    tots = freq.agg(
+        F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("c_a") + 1) / (F.col("ta") + F.col("v"))
+    q = (F.col("c_b") + 1) / (F.col("tb") + F.col("v"))
+    terms = freq.crossJoin(F.broadcast(tots)).select(
+        "w", "c_a", "c_b", ((p - q) * F.log(p / q)).alias("term")
+    )
+    terms = terms.localCheckpoint(eager=False)
+    tot = terms.agg(F.sum("term").alias("total"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "c_a",
+            "c_b",
+            F.round(F.col("term") + 1e-9, 6).alias("psi_term"),
+            F.round(F.col("total") + 1e-9, 4).alias("total_psi"),
+        )
+        .orderBy(F.desc("psi_term"), F.asc("w"))
+        .limit(20)
+    )

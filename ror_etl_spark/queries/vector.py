@@ -1294,3 +1294,165 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_oracle(
+    n_queries: int = 10,
+    n_centroids: int = 16,
+    iters: int = 3,
+    k: int = 10,
+    dim: int = 64,
+    round_means: int = 6,
+) -> str:
+    """DuckDB replay of the nprobe sweep: one training chain, probe
+    ranks per query, and for each nprobe value the IVF top-k restricted
+    to cells ranked <= nprobe, scored against the brute top-k."""
+    probes = ", ".join(str(p) for p in _SWEEP_NPROBES)
+    max_p = max(_SWEEP_NPROBES)
+    ctes = [
+        f"""qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries})""",
+        *_kmeans_ctes(
+            f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= {n_queries}""",
+            n_centroids,
+            iters,
+            dim,
+            round_means,
+        ),
+        f"""ranks AS (
+      SELECT qid, cell, rn FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY list_distance(q.qv, c.c), c.cell) AS rn
+        FROM c{iters} c CROSS JOIN qs q) WHERE rn <= {max_p})""",
+        f"""np AS (SELECT unnest([{probes}]) AS nprobe)""",
+        f"""ivf AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT np.nprobe, r.qid, af.vec_id,
+               row_number() OVER (PARTITION BY np.nprobe, r.qid
+                 ORDER BY {_COS_SQL.format(a='af.v', b='q.qv')} DESC, af.vec_id) AS rn
+        FROM np JOIN ranks r ON r.rn <= np.nprobe
+        JOIN af ON af.cell = r.cell
+        JOIN qs q ON q.qid = r.qid) WHERE rn <= {k})""",
+        f"""brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_COS_SQL.format(a='e.v', b='q.qv')} DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN qs q) WHERE rn <= {k})""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT np.nprobe,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           round(count(i.vec_id) / ({n_queries} * {k}.0), 6) AS mean_recall
+    FROM np CROSS JOIN brute b
+    LEFT JOIN ivf i ON i.nprobe = np.nprobe AND i.qid = b.qid
+                    AND i.vec_id = b.vec_id
+    GROUP BY np.nprobe ORDER BY np.nprobe
+    """
+    )
+
+
+@query("embedding_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle(), priority=3)
+def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE: mean recall@10 over the 10-query evaluation
+    set at nprobe ∈ {1, 2, 4, 8} — the number an index owner actually
+    reads when choosing the probe budget (recall rises monotonically
+    toward 1.0 as nprobe → n_centroids; the knee is the operating
+    point). One k-means training, ONE cell-assignment pass and ONE
+    brute ground-truth pass are shared across ALL sweep points — the
+    sweep adds only candidate re-ranking per nprobe, which is how a
+    production sweep must be built (re-training per point would measure
+    noise).
+
+    Scale shape: identical to embedding_ann_recall with an extra
+    nprobe dimension riding the broadcast probe frame (queries ×
+    max_nprobe rows); top-k windows compile to WindowGroupLimit; the
+    recall fractions are exact rationals n/(10·10)."""
+    import math
+
+    from ror_etl_spark.operators.similarity import assign_cells, kmeans_centroids
+    from pyspark.sql import Window
+
+    n_queries, n_centroids, iters, k = 10, 16, 3, 10
+    max_p = max(_SWEEP_NPROBES)
+    emb = Tables(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    centroids = kmeans_centroids(corpus, n_centroids, iters, round_means=6)
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+
+    def qdist(qv: list[float], c: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(qv, c))
+
+    rank_rows = [
+        (qid, cell, rank + 1)
+        for qid, qv in queries
+        for rank, cell in enumerate(
+            sorted(range(len(centroids)), key=lambda i: (qdist(qv, centroids[i]), i))[
+                :max_p
+            ]
+        )
+    ]
+    ranks = F.broadcast(
+        spark.createDataFrame(rank_rows, "qid long, cell int, rank int")
+    )
+    nps = F.broadcast(
+        spark.createDataFrame([(p,) for p in _SWEEP_NPROBES], "nprobe int")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(queries, "qid long, qv array<double>")
+    )
+
+    cells = assign_cells(corpus, centroids)
+    cand = (
+        cells.join(ranks, "cell")
+        .join(qdf, "qid")
+        .select(
+            "qid",
+            "rank",
+            F.col("id").alias("vec_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos"),
+        )
+    )
+    w_np = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    ivf_top = (
+        cand.join(nps, F.col("rank") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(w_np))
+        .filter(F.col("rn") <= k)
+        .select("nprobe", "qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    brute_top = (
+        corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .crossJoin(qdf)
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    return (
+        nps.crossJoin(brute_top)
+        .join(ivf_top, ["nprobe", "qid", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.round(F.col("n_hits") / float(n_queries * k), 6).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )

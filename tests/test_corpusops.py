@@ -274,3 +274,37 @@ def test_curriculum_sample_membership_replays_in_python(spark):
     all_top = [d for d, nt in n_tok.items()
                if sum(1 for b in bounds if nt > b) == 9]
     assert sorted(top) == sorted(all_top), "decile 9 must keep 100%"
+
+
+def test_psi_drift_matches_python_replay(spark):
+    """Exact Python replay of the PSI computation (even/odd halves,
+    add-1 smoothing): the total and every reported top-20 row must
+    agree; PSI is non-negative by Gibbs' inequality termwise-summed."""
+    import math
+    from collections import Counter
+
+    from ror_etl_spark.tables import Tables
+
+    docs = Tables(spark, SF_SMALL).documents.select("doc_id", "text").collect()
+    ca, cb = Counter(), Counter()
+    for r in docs:
+        ws = " ".join(r["text"].lower().split()).split(" ")
+        (ca if r["doc_id"] % 2 == 0 else cb).update(ws)
+    vocab = set(ca) | set(cb)
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    terms = {}
+    for w in vocab:
+        p = (ca[w] + 1) / (ta + v)
+        q = (cb[w] + 1) / (tb + v)
+        terms[w] = (p - q) * math.log(p / q)
+    total = round(sum(terms.values()) + 1e-9, 4)
+    top = sorted(vocab, key=lambda w: (-round(terms[w] + 1e-9, 6), w))[:20]
+
+    rows = QUERIES["corpus_drift_psi"](spark, SF_SMALL).collect()
+    assert [r["w"] for r in rows] == top
+    for r in rows:
+        assert abs(r["psi_term"] - round(terms[r["w"]] + 1e-9, 6)) < 2e-6
+        assert r["psi_term"] >= 0 or abs(r["psi_term"]) < 1e-6
+        assert abs(r["total_psi"] - total) < 2e-4
+        assert r["c_a"] == ca[r["w"]] and r["c_b"] == cb[r["w"]]
+    assert total >= 0

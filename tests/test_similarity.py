@@ -380,3 +380,24 @@ def test_pq_recall_matches_numpy_replay(spark):
         brute = set(sorted(corpus, key=lambda v: (l2[v], v))[:10])
         assert r["n_hits"] == len(pq_top & brute)
         assert abs(r["recall"] - r["n_hits"] / 10.0) < 1e-9
+
+
+def test_nprobe_sweep_monotone_and_consistent_with_recall_query(spark):
+    """Recall must be non-decreasing in nprobe (probing more cells can
+    only add candidates), and the nprobe=2 sweep point must equal the
+    standalone embedding_ann_recall's total hits — two independently
+    written plans, one truth."""
+    from ror_etl_spark.registry import QUERIES, load_all
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    sweep = {r["nprobe"]: r for r in
+             QUERIES["embedding_ivf_nprobe_sweep"](spark, SF_SMALL).collect()}
+    assert sorted(sweep) == [1, 2, 4, 8]
+    recalls = [sweep[p]["mean_recall"] for p in (1, 2, 4, 8)]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
+    for r in sweep.values():
+        assert 0 <= r["n_hits"] <= 100
+        assert abs(r["mean_recall"] - r["n_hits"] / 100.0) < 1e-9
+    standalone = QUERIES["embedding_ann_recall"](spark, SF_SMALL).collect()
+    assert sweep[2]["n_hits"] == sum(r["n_hits"] for r in standalone)
