@@ -463,3 +463,55 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_lines"))
     )
     return base.crossJoin(orphans).crossJoin(dups)
+
+
+@query(
+    "shuffle_key_skew_report",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+             round(avg(n) + 1e-9, 4) AS avg_n
+      FROM per)
+    SELECT p.user_id, p.n,
+           round(p.n / s.total + 1e-9, 6) AS share,
+           round(p.n / s.avg_n + 1e-9, 4) AS x_avg,
+           p.n * s.n_keys > 10 * s.total AS skewed
+    FROM per p CROSS JOIN stats s
+    ORDER BY p.n DESC, p.user_id LIMIT 20
+    """,
+    priority=3,
+)
+def shuffle_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnosis: the 20 heaviest ``events.user_id``
+    keys with their row counts, share of the table, and multiple of the
+    mean — the report an engineer reads BEFORE choosing a mitigation
+    (AQE skew split, the salted-join operator, or a broadcast). The
+    ``skewed`` flag is the integer-exact form of ``n > 10·avg``
+    (cross-multiplied: n·n_keys > 10·total — no float decides the
+    boolean).
+
+    Scale shape: one map-side-combined count per key, one scalar stats
+    row broadcast back, TakeOrderedAndProject(20) on the exact integer
+    count — the diagnosis never pays more than the aggregation the
+    skewed shuffle itself would."""
+    e = Tables(spark, sf_dir).events
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.round(F.avg("n") + 1e-9, 4).alias("avg_n"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total") + 1e-9, 6).alias("share"),
+            F.round(F.col("n") / F.col("avg_n") + 1e-9, 4).alias("x_avg"),
+            (F.col("n") * F.col("n_keys") > 10 * F.col("total")).alias("skewed"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+    )

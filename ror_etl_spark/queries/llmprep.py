@@ -669,3 +669,69 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "shard", "shard_pos")
     )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle="""
+    WITH assigned AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16
+               AS shard,
+             n_chars,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT & 2147483647 AS h_hi,
+             ('0x' || substr(md5(text), 9, 8))::BIGINT & 2147483647 AS h_lo
+      FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(bit_xor(h_hi) AS BIGINT) AS xor_hi,
+           CAST(bit_xor(h_lo) AS BIGINT) AS xor_lo
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    priority=3,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest for the sharded corpus: per shard (same
+    content-hash assignment as ``corpus_shard_shuffle``), the document
+    count, total characters, and an ORDER-FREE content checksum — the
+    XOR fold of each document's md5 halves. The manifest is what the
+    consumer of an exported corpus verifies against: any dropped,
+    duplicated, or bit-flipped document changes the XOR; any re-ordering
+    does not (XOR is commutative), so the checksum is stable no matter
+    which executor wrote which rows in which order — the property a
+    concatenation/rolling digest does NOT have and the reason it can't
+    be computed distributed.
+
+    Scale shape: one map pass (md5 per row) + ONE map-side-combined
+    aggregate keyed on shard — constant state per shard, no sort, no
+    window; at 100 TB the reduce is |shards| rows. 31-bit halves keep
+    the values positive and identical under Spark's signed longs and
+    DuckDB's BIGINT."""
+    d = spread(Tables(spark, sf_dir).documents)
+    mask = F.lit(2147483647)
+
+    def half(pos: int):
+        return F.conv(F.substring(F.md5(F.col("text")), pos, 8), 16, 10).cast(
+            "long"
+        ).bitwiseAND(mask)
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 16
+    )
+    return (
+        d.select(
+            shard.alias("shard"),
+            "n_chars",
+            half(1).alias("h_hi"),
+            half(9).alias("h_lo"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("bit_xor(h_hi)").alias("xor_hi"),
+            F.expr("bit_xor(h_lo)").alias("xor_lo"),
+        )
+        .orderBy("shard")
+    )
