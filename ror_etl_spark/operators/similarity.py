@@ -257,7 +257,13 @@ def _table_buckets_udf(tables: list[list[list[float]]]):
         ids = (signs * weights).sum(axis=2)  # (batch, n_tables)
         return pd.Series(list(ids))
 
-    return buckets
+    # asNondeterministic: the kernel IS a pure function, but leaving it
+    # deterministic lets Catalyst push inferred isnotnull/join filters
+    # BELOW the projection by DUPLICATING the Arrow eval — every consumer
+    # then pays the GEMM twice (measured: 2 ArrowEvalPython nodes in all
+    # IVF plans, 4 in the recall evals). The marker forbids that rewrite;
+    # results are unchanged.
+    return buckets.asNondeterministic()
 
 
 def _round6_half_up(a):
@@ -486,7 +492,10 @@ def _nearest_cell_udf(centroids: list[list[float]]):
         d = c2[None, :] - 2.0 * (V @ C.T)
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
-    return cell
+    # asNondeterministic: see _table_buckets_udf — prevents Catalyst from
+    # duplicating the GEMM argmin below pushed-down filters (the corpus
+    # otherwise crosses to Python twice per IVF query).
+    return cell.asNondeterministic()
 
 
 def kmeans_centroids(

@@ -636,7 +636,10 @@ def _pq_cells_udf(books: list[list[list[float]]]):
         A = np.stack(cols, axis=1)
         return pd.Series(list(A))
 
-    return cells
+    # asNondeterministic: same duplicate-eval guard as _nearest_cell_udf
+    # (operators/similarity.py) — pushed filters must not re-run the
+    # 8-subspace GEMM encode.
+    return cells.asNondeterministic()
 
 
 def _pq_encode(

@@ -342,3 +342,60 @@ def test_ahash_window_partitions_by_hash(spark):
     assert "ArrowEvalPython" in body or "MapInPandas" in body
     assert "BatchEvalPython" not in body
     assert "ahash" in body
+
+
+def test_nprobe_sweep_shares_one_assignment_pass(spark):
+    """The sweep must rank candidates per (nprobe, qid) via
+    WindowGroupLimit and read broadcast probe/query frames — and contain
+    exactly ONE Arrow assignment node (the shared cell pass), not one
+    per sweep point."""
+    import re
+
+    p = plan_of(spark, "embedding_ivf_nprobe_sweep")
+    body = p.split("== Physical Plan ==")[1]
+    assert "WindowGroupLimit" in body
+    assert "BroadcastExchange" in body
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", body)) == 1
+
+
+def test_ivf_family_evaluates_assignment_kernel_once(spark):
+    """The GEMM assignment/encode kernels must appear EXACTLY once per
+    plan (twice for IVF-PQ: coarse + PQ are different kernels). Before
+    the asNondeterministic guard, Catalyst pushed inferred join/filter
+    predicates below the projection by DUPLICATING the Arrow eval, so
+    every one of these queries ran its corpus-wide kernel twice."""
+    import re
+
+    expected = {
+        "embedding_knn_ivf_trained": 1,
+        "embedding_ann_recall": 1,
+        "embedding_pq_recall": 1,
+        "embedding_near_dup_pairs": 1,
+        "embedding_pq_codes": 1,
+        "embedding_ivfpq_topk": 2,
+    }
+    for name, want in expected.items():
+        p = plan_of(spark, name)
+        body = p.split("== Physical Plan ==")[1]
+        got = len(re.findall(r"\(\d+\) ArrowEvalPython", body))
+        assert got == want, f"{name}: {got} Arrow evals, want {want}"
+
+
+def test_psi_and_skew_reports_end_in_topk(spark):
+    """Both reports cut with TakeOrderedAndProject — never a global sort
+    of the vocabulary / key space."""
+    for name in ("corpus_drift_psi", "shuffle_key_skew_report"):
+        p = plan_of(spark, name)
+        body = p.split("== Physical Plan ==")[1]
+        assert "TakeOrderedAndProject" in body, name
+        assert "BatchEvalPython" not in body, name
+
+
+def test_shard_manifest_is_one_aggregate_no_window(spark):
+    """The manifest is a map pass + one shard-keyed aggregate: no
+    window, no Python, no join."""
+    p = plan_of(spark, "corpus_shard_manifest")
+    body = p.split("== Physical Plan ==")[1]
+    assert "Window" not in body
+    assert "Join" not in body
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
