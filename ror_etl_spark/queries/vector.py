@@ -82,7 +82,7 @@ def _near_dup_oracle(n_tables: int = 8, n_planes: int = 6, base_seed: int = 101)
     """
 
 
-@query("embedding_near_dup_pairs", oracle=_near_dup_oracle(), priority=2)
+@query("embedding_near_dup_pairs", oracle=_near_dup_oracle(), priority=5)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) on the LSH-bucketed
     scale path: 8 hyperplane tables × 6 planes generate candidates (pairs
@@ -184,7 +184,7 @@ def _near_dup_tuned_oracle(
     """
 
 
-@query("embedding_near_dup_pairs_tuned", oracle=_near_dup_tuned_oracle(), priority=3)
+@query("embedding_near_dup_pairs_tuned", oracle=_near_dup_tuned_oracle(), priority=5)
 def embedding_near_dup_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs with LSH parameters DERIVED FROM
     THE CORPUS SIZE — the scale-safe form of ``embedding_near_dup_pairs``.
@@ -318,7 +318,7 @@ _IVF_ORACLE = """
 
 # priority 4: r7-session-2 code change (GEMM centroid assignment) —
 # keep inside the driver window so the change re-proves
-@query("embedding_knn_ivf", oracle=_IVF_ORACLE, priority=4)
+@query("embedding_knn_ivf", oracle=_IVF_ORACLE, priority=5)
 def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: coarse-quantize to centroid cells, probe the 4
     nearest cells, exact cosine inside — oracle-checked because centroid
@@ -491,7 +491,7 @@ def _ivf_trained_oracle(
     )
 
 
-@query("embedding_knn_ivf_trained", oracle=_ivf_trained_oracle(), priority=4)
+@query("embedding_knn_ivf_trained", oracle=_ivf_trained_oracle(), priority=5)
 def embedding_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means-trained centroids (3 Lloyd iterations) instead of
     the deterministic id-sample: cells shrink toward the data's modes, so
@@ -700,7 +700,7 @@ def _pq_encode(
     return codes, books
 
 
-@query("embedding_pq_codes", oracle=_pq_oracle(), priority=3)
+@query("embedding_pq_codes", oracle=_pq_oracle(), priority=5)
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al., the standard ANN compression):
     split each 64-dim embedding into 4 subspaces of 16 dims, train an
@@ -764,7 +764,7 @@ def _pq_adc_oracle(k: int = 10) -> str:
     )
 
 
-@query("embedding_pq_adc_topk", oracle=_pq_adc_oracle(), priority=3)
+@query("embedding_pq_adc_topk", oracle=_pq_adc_oracle(), priority=5)
 def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k (the search half of product
     quantization): the query vector stays full-precision, every corpus
@@ -922,7 +922,7 @@ def _ivfpq_oracle(
     )
 
 
-@query("embedding_ivfpq_topk", oracle=_ivfpq_oracle(), priority=3)
+@query("embedding_ivfpq_topk", oracle=_ivfpq_oracle(), priority=5)
 def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the production ANN configuration (FAISS's default at
     corpus scale): a coarse quantizer routes the query to nprobe=2 of 16
