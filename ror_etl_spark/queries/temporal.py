@@ -257,3 +257,110 @@ def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_days = daily.agg(F.count(F.lit(1)).alias("n_daily_sketches"))
     return est.crossJoin(n_days)
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP_NS) AS ts,
+           p.event_id AS nearest_purchase_id,
+           p.value AS nearest_value,
+           CAST(p.dt_us AS BIGINT) AS dt_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN LATERAL (
+      SELECT p.event_id, p.value,
+             epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+      FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+               (epoch_us(p.ts) > epoch_us(c.ts)) ASC,
+               CASE WHEN epoch_us(p.ts) <= epoch_us(c.ts)
+                    THEN -p.event_id ELSE p.event_id END ASC
+      LIMIT 1) p ON true
+    ORDER BY c.event_id
+    """,
+    priority=3,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): for every click, the user's closest purchase
+    in time on EITHER side — ties prefer the backward (prior) purchase;
+    equal-timestamp groups resolve deterministically (max event_id
+    backward, min forward).
+
+    Scale shape: Spark has no native ASOF, and a nearest join as a
+    range-join explodes candidate pairs — this plan is the union +
+    window formulation of ``operators/asof.py`` extended to BOTH
+    directions in ONE pass: a single shuffle on user_id, one per-key
+    sort, then two frames over the same ordering (``last ignorenulls``
+    unbounded-preceding for the backward candidate, ``first
+    ignorenulls`` current-to-following for the forward candidate) and a
+    codegen argmin between the two. Purchases sort before clicks on
+    timestamp ties, so an equal-time purchase is the backward candidate
+    with distance 0 — the tie rule falls out of the sort order. All
+    comparisons are integer microseconds; no float crosses the engine
+    boundary."""
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        epoch_us("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("pe"),
+        F.lit(None).cast("double").alias("pv"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast(clicks.schema["ts"].dataType).alias("ts"),
+        epoch_us("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("pe"),
+        F.col("value").alias("pv"),
+    )
+    un = clicks.unionByName(purchases)
+    order = [F.col("t").asc(), F.col("side").asc(), F.col("pe").asc()]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = un.select(
+        "*",
+        F.last("pe", ignorenulls=True).over(wb).alias("b_pe"),
+        F.last("pv", ignorenulls=True).over(wb).alias("b_pv"),
+        F.last(F.when(F.col("side") == 0, F.col("t")), ignorenulls=True)
+        .over(wb)
+        .alias("b_t"),
+        F.first("pe", ignorenulls=True).over(wf).alias("f_pe"),
+        F.first("pv", ignorenulls=True).over(wf).alias("f_pv"),
+        F.first(F.when(F.col("side") == 0, F.col("t")), ignorenulls=True)
+        .over(wf)
+        .alias("f_t"),
+    ).filter(F.col("side") == 1)
+    back_wins = F.col("b_pe").isNotNull() & (
+        F.col("f_pe").isNull()
+        | ((F.col("t") - F.col("b_t")) <= (F.col("f_t") - F.col("t")))
+    )
+    pick = lambda b, f: F.when(back_wins, F.col(b)).otherwise(F.col(f))  # noqa: E731
+    return (
+        filled.select(
+            "event_id",
+            "user_id",
+            "ts",
+            pick("b_pe", "f_pe").alias("nearest_purchase_id"),
+            pick("b_pv", "f_pv").alias("nearest_value"),
+            (pick("b_t", "f_t") - F.col("t")).alias("dt_us"),
+        )
+        .orderBy("event_id")
+    )
