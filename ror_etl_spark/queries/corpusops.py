@@ -786,3 +786,103 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("psi_term"), F.asc("w"))
         .limit(20)
     )
+
+
+@query(
+    "corpus_mixture_resample",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+    j AS (
+      SELECT lang, n_tokens / tot.t AS share_raw,
+             sqrt(n_tokens / tot.t) AS w_raw
+      FROM per CROSS JOIN tot),
+    den AS (SELECT sum(w_raw) AS s FROM j),
+    boost AS (
+      SELECT lang,
+             CAST(round(round((w_raw / den.s) / share_raw + 1e-9, 4) * 10000)
+               AS BIGINT) AS b4
+      FROM j CROSS JOIN den),
+    docs AS (
+      SELECT d.doc_id, d.lang, b.b4,
+             b.b4 // 10000
+               + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                             ::BIGINT % 10000 < b.b4 % 10000
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN boost b USING (lang))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS total_copies,
+           round(CAST(sum(n_copies) AS DOUBLE) / count(*) + 1e-9, 4)
+             AS realized_boost,
+           round(max(b4) / 10000.0, 4) AS target_boost
+    FROM docs GROUP BY lang ORDER BY lang
+    """,
+    priority=3,
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the UniMax mixture: every document gets an integer
+    copy count realizing its language's upsampling boost — ``⌊boost⌋``
+    copies plus one more iff a content-hash gate falls under the
+    fractional part. Deterministic (same docs get the extra epoch on
+    every engine/run), and the per-language REALIZED boost converges to
+    the target as the stratum grows — the report shows both. This is
+    the step that turns the sampling-weights REPORT into training
+    input: downstream, ``explode(sequence(1, n_copies))`` emits the
+    actual epochs, a metadata-only expansion.
+
+    Scale shape: the boost table is |languages| rows (one aggregate +
+    scalar broadcasts, exactly the language-weights plan); per-doc copy
+    counts are a broadcast join + codegen integer arithmetic (the
+    4-dp boost is scaled to an exact integer b4, so the fractional
+    gate is ``md5 % 10000 < b4 % 10000`` — no float decides
+    anything); the report is one lang-keyed aggregate. Nothing
+    document-sized shuffles twice."""
+    d = Tables(spark, sf_dir).documents
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (F.col("n_tokens") / F.col("t")).alias("share_raw"),
+        F.sqrt(F.col("n_tokens") / F.col("t")).alias("w_raw"),
+    )
+    den = j.agg(F.sum("w_raw").alias("s"))
+    boost = j.crossJoin(F.broadcast(den)).select(
+        "lang",
+        F.round(
+            F.round((F.col("w_raw") / F.col("s")) / F.col("share_raw") + 1e-9, 4)
+            * 10000
+        )
+        .cast("long")
+        .alias("b4"),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    )
+    docs = d.select("doc_id", "lang").join(F.broadcast(boost), "lang").select(
+        "lang",
+        "b4",
+        (
+            F.floor(F.col("b4") / 10000)
+            + F.when(gate < F.col("b4") % 10000, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").alias("total_copies"),
+            F.round(
+                F.sum("n_copies") / F.count(F.lit(1)) + 1e-9, 4
+            ).alias("realized_boost"),
+            F.round(F.max("b4") / 10000.0, 4).alias("target_boost"),
+        )
+        .orderBy("lang")
+    )

@@ -308,3 +308,24 @@ def test_psi_drift_matches_python_replay(spark):
         assert abs(r["total_psi"] - total) < 2e-4
         assert r["c_a"] == ca[r["w"]] and r["c_b"] == cb[r["w"]]
     assert total >= 0
+
+
+def test_mixture_resample_realizes_boost(spark):
+    """Copy counts must land within ±1 of target per doc (floor/ceil of
+    boost), realized boost within sampling error of target, and the
+    head language (boost < 1) must DOWN-sample while tails up-sample —
+    consistent with the weights query."""
+    rows = {r["lang"]: r for r in
+            QUERIES["corpus_mixture_resample"](spark, SF_SMALL).collect()}
+    weights = {r["lang"]: r for r in
+               QUERIES["corpus_language_sampling_weights"](spark, SF_SMALL).collect()}
+    assert set(rows) == set(weights)
+    for lang, r in rows.items():
+        assert abs(r["target_boost"] - weights[lang]["boost"]) < 1e-6
+        # realized = mean of floor/ceil draws -> within 1/sqrt(n) of target
+        n = r["n_docs"]
+        assert abs(r["realized_boost"] - r["target_boost"]) <= 1.0 / max(n, 1) ** 0.5 + 0.05
+        assert r["total_copies"] >= 0
+    head = max(weights.values(), key=lambda r: r["token_share"])["lang"]
+    tail = min(weights.values(), key=lambda r: r["token_share"])["lang"]
+    assert rows[head]["realized_boost"] < 1.0 < rows[tail]["realized_boost"]
