@@ -424,3 +424,51 @@ def multimodal_image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "media_id")
     )
+
+
+@query(
+    "multimodal_audio_downsample_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4000 AS BIGINT) AS sample_rate,
+           CAST((length(text) * 4 + 1) // 2 AS BIGINT) AS n_samples,
+           CAST(((length(text) * 4 + 1) // 2) * 1000 // 4000 AS BIGINT)
+             AS duration_ms,
+           round(list_aggregate(
+             list_transform(range(0, length(text) * 4, 2),
+                            i -> (doc_id * 31 + i) % 65536 - 32768),
+             'avg'), 4) AS mean_amp
+    FROM documents
+    ORDER BY media_id
+    """,
+    priority=3,
+)
+def multimodal_audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsampling (the audio analogue of the image resize
+    row): every document's PCM16 WAV fixture is parsed, decimated 2×
+    (keep every other sample, rate 8000 → 4000), re-encoded, then
+    parsed AGAIN for stats — so the RIFF walk, the decimation index
+    math, the re-encode and the second parse are all under the driver
+    hash. The oracle predicts every surviving sample from the
+    generation rule (kept sample i is (doc_id·31 + 2i) mod 2¹⁶ −
+    2¹⁵).
+
+    Scale shape: two Arrow codec passes over a spread scan, both
+    embarrassingly parallel; only (media_id, 4-column stats) rows reach
+    the presentation sort."""
+    from ror_etl_spark.operators.util import spread
+    from ror_etl_spark.sources.multimodal import (
+        audio_downsample,
+        audio_stats,
+        wav_media_from_documents,
+    )
+
+    d = spread(Tables(spark, sf_dir).documents)
+    stats = audio_stats(audio_downsample(wav_media_from_documents(d), factor=2))
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("mean_amp", 4).alias("mean_amp"),
+    ).transform(ordered, "media_id")

@@ -879,3 +879,41 @@ def average_hash(media: DataFrame, size: int = 8) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         batch_fn, schema="media_id long, ahash string"
     )
+
+
+def audio_downsample(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor audio downsampling through the REAL codec path:
+    chunk-walk parse → keep every ``factor``-th sample → re-encode at
+    rate/factor. Decimation without a low-pass filter — the honest name
+    for it; deterministic and exactly replayable, which is the property
+    the oracle needs (a windowed-sinc resampler's floats would not be).
+    Arrow-batched like every codec kernel here; output is a fresh media
+    frame, so stats/decode can run on it AGAIN, putting parse,
+    decimation, re-encode and the second parse all under the hash."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                parsed = wav_parse(bytes(content))
+                kept = list(parsed["samples"][::factor])
+                rate = parsed["sample_rate"] // factor
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "content": wav_encode(rate, kept),
+                        "meta": {
+                            "kind": "audio",
+                            "width": None,
+                            "height": None,
+                            "sample_rate": rate,
+                            "duration_ms": len(kept) * 1000 // rate if rate else None,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )

@@ -423,3 +423,27 @@ def test_ahash_dupes_query_groups_consistently(spark):
         keepers = [r for r in group if r["keep"]]
         assert len(keepers) == 1
         assert keepers[0]["media_id"] == min(r["media_id"] for r in group)
+
+
+def test_audio_downsample_roundtrip_general_samples(spark):
+    """Decimation on an ARBITRARY (non-closed-form) sample stream: parse
+    → [::3] → re-encode at rate/3 → parse must reproduce exactly the
+    numpy-sliced samples and scaled rate."""
+    import numpy as np
+
+    from ror_etl_spark.sources.multimodal import (
+        audio_downsample,
+        wav_encode,
+        wav_parse,
+    )
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=1001).astype(int).tolist()
+    media = spark.createDataFrame(
+        [(1, wav_encode(9000, samples))], "media_id long, content binary"
+    )
+    out = audio_downsample(media, factor=3).collect()[0]
+    parsed = wav_parse(bytes(out["content"]))
+    assert parsed["sample_rate"] == 3000
+    assert list(parsed["samples"]) == samples[::3]
+    assert out["meta"]["sample_rate"] == 3000
