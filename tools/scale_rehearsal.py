@@ -433,6 +433,8 @@ if __name__ == "__main__":
                     help="SemDeDup decade with the scaled-k configuration")
     ap.add_argument("--run-r7c", action="store_true",
                     help="cold-first: dedup funnel (closed-vocab decade) + span decontamination (open-vocab decade)")
+    ap.add_argument("--run-r7f", action="store_true",
+                    help="cold-first: session-3 report ops (PSI, manifest, skew, resample, nearest-asof) on the open-vocab decade; nprobe sweep on the vector decade")
     ap.add_argument("--run-r7e", action="store_true",
                     help="cold-first: leakage-safe split + novelty (open-vocab decade); IVF/PQ recall evals (sf1 -> sf10 vector tiers)")
     ap.add_argument("--run-r7d", action="store_true",
@@ -478,6 +480,17 @@ if __name__ == "__main__":
             ["dedup_funnel_keep", "decontaminate_substring_cut"],
             [("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)],
         )
+    if args.run_r7f:
+        run_cold(
+            ["corpus_drift_psi", "corpus_shard_manifest",
+             "shuffle_key_skew_report", "corpus_mixture_resample",
+             "asof_join_nearest"],
+            [("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)],
+        )
+        run_cold(
+            ["embedding_ivf_nprobe_sweep"],
+            [("sf1", SF1_DIR), ("sf10", SF10_DIR)],
+        )
     if args.run_r7e:
         run_cold(
             ["train_test_split_leakage_safe", "text_ngram_novelty",
@@ -506,7 +519,8 @@ if __name__ == "__main__":
     if not (args.gen or args.gen10 or args.gen_ov or args.run or args.run10
             or args.run_ov or args.kernel or args.sn or args.gen_r7
             or args.run_r7 or args.run_boiler or args.run_r7b
-            or args.run_semdedup or args.run_r7c or args.run_r7d or args.run_r7e):
+            or args.run_semdedup or args.run_r7c or args.run_r7d or args.run_r7e
+            or args.run_r7f):
         print("pass --gen/--gen10/--gen-ov/--gen-r7, --run/--run10/--run-ov/"
               "--run-r7/--run-boiler/--run-r7b/--run-semdedup, --kernel "
               "and/or --sn")
