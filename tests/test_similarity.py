@@ -401,3 +401,23 @@ def test_nprobe_sweep_monotone_and_consistent_with_recall_query(spark):
         assert abs(r["mean_recall"] - r["n_hits"] / 100.0) < 1e-9
     standalone = QUERIES["embedding_ann_recall"](spark, SF_SMALL).collect()
     assert sweep[2]["n_hits"] == sum(r["n_hits"] for r in standalone)
+
+
+def test_semdedup_sweep_consistent_with_prune_query(spark):
+    """Monotone: higher threshold can only prune fewer; and the 0.4
+    sweep point must equal embedding_semdedup_prune's pruned count —
+    two independently written plans, one truth."""
+    from ror_etl_spark.registry import QUERIES, load_all
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    sweep = {r["threshold"]: r for r in
+             QUERIES["embedding_semdedup_sweep"](spark, SF_SMALL).collect()}
+    assert sorted(sweep) == [0.3, 0.4, 0.5, 0.6]
+    counts = [sweep[t]["n_pruned"] for t in (0.3, 0.4, 0.5, 0.6)]
+    assert counts == sorted(counts, reverse=True)
+    pruned = sum(
+        1 for r in QUERIES["embedding_semdedup_prune"](spark, SF_SMALL).collect()
+        if r["pruned"]
+    )
+    assert sweep[0.4]["n_pruned"] == pruned
