@@ -1559,3 +1559,127 @@ def embedding_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+_TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def _dim_trunc_oracle(n_queries: int = 10, k: int = 10) -> str:
+    """DuckDB replay of the truncation sweep: per dim, top-k by
+    truncated-prefix cosine vs the full-dim ground truth."""
+    ctes = [
+        f"""qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries})""",
+        f"""ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {n_queries})""",
+    ]
+    branches = []
+    for d in _TRUNC_DIMS:
+        cos = _COS_SQL.format(a=f"(ce.v[1:{d}])", b=f"(q.qv[1:{d}])")
+        branches.append(
+            f"""SELECT {d} AS dim, qid, vec_id FROM (
+        SELECT q.qid, ce.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {cos} DESC, ce.vec_id) AS rn
+        FROM ce CROSS JOIN qs q) WHERE rn <= {k}"""
+        )
+    ctes.append("tr AS (" + " UNION ALL ".join(branches) + ")")
+    full = _COS_SQL.format(a="ce.v", b="q.qv")
+    ctes.append(
+        f"""brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, ce.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {full} DESC, ce.vec_id) AS rn
+        FROM ce CROSS JOIN qs q) WHERE rn <= {k})""",
+    )
+    dims = ", ".join(str(d) for d in _TRUNC_DIMS)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT dm.dim, CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+           round(count(t.vec_id) / ({n_queries} * {k}.0), 6) AS mean_recall
+    FROM (SELECT unnest([{dims}]) AS dim) dm
+    CROSS JOIN brute b
+    LEFT JOIN tr t ON t.dim = dm.dim AND t.qid = b.qid AND t.vec_id = b.vec_id
+    GROUP BY dm.dim ORDER BY dm.dim
+    """
+    )
+
+
+@query("embedding_dim_truncation_sweep", oracle=_dim_trunc_oracle(), priority=3)
+def embedding_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION-truncation curve: mean recall@10 of
+    prefix-truncated cosine search (first 8/16/32/64 dims) against the
+    full-dim ground truth — the measurement behind MRL-style serving
+    decisions (how many dims the ANN tier can drop before recall
+    collapses; at 64/64 recall is 1.0 by construction, which doubles as
+    a self-check the driver hashes). On non-MRL-trained vectors (this
+    corpus) the curve shows the raw information loss — exactly what the
+    report is for.
+
+    Scale shape: ONE corpus × query-panel pass computes all four prefix
+    cosines per pair (slices of the same row — no re-scan per sweep
+    point), four WindowGroupLimit top-k ranks, and integer overlap
+    counts. The dims axis rides a 4-row broadcast; recall = n/(10·10)
+    exact."""
+    from pyspark.sql import Window
+
+    n_queries, k = 10, 10
+    emb = Tables(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    qdf = F.broadcast(
+        spark.createDataFrame(queries, "qid long, qv array<double>")
+    )
+    pairs = corpus.crossJoin(qdf).select(
+        "qid",
+        "vec_id",
+        *[
+            cosine(
+                F.slice(F.col("v"), 1, d), F.slice(F.col("qv"), 1, d)
+            ).alias(f"cos{d}")
+            for d in _TRUNC_DIMS
+        ],
+    ).localCheckpoint(eager=False)
+    tops = []
+    for d in _TRUNC_DIMS:
+        w = Window.partitionBy("qid").orderBy(F.desc(f"cos{d}"), F.asc("vec_id"))
+        tops.append(
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.lit(d).alias("dim"), "qid", "vec_id", F.lit(1).alias("hit"))
+        )
+    tr = tops[0]
+    for t in tops[1:]:
+        tr = tr.unionByName(t)
+    wfull = Window.partitionBy("qid").orderBy(
+        F.desc(f"cos{max(_TRUNC_DIMS)}"), F.asc("vec_id")
+    )
+    brute = (
+        pairs.withColumn("rn", F.row_number().over(wfull))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    dims = spark.createDataFrame([(d,) for d in _TRUNC_DIMS], "dim int")
+    return (
+        F.broadcast(dims)
+        .crossJoin(brute)
+        .join(tr, ["dim", "qid", "vec_id"], "left")
+        .groupBy("dim")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "dim",
+            "n_hits",
+            F.round(F.col("n_hits") / float(n_queries * k), 6).alias("mean_recall"),
+        )
+        .orderBy("dim")
+    )

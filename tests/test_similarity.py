@@ -421,3 +421,21 @@ def test_semdedup_sweep_consistent_with_prune_query(spark):
         if r["pruned"]
     )
     assert sweep[0.4]["n_pruned"] == pruned
+
+
+def test_dim_truncation_sweep_full_dim_is_perfect(spark):
+    """At dim=64 the 'truncated' search IS the ground truth, so recall
+    must be exactly 1.0; and recall is non-decreasing in dim on
+    average-aggregated hits... not guaranteed pointwise, so only the
+    endpoints are pinned plus range checks."""
+    from ror_etl_spark.registry import QUERIES, load_all
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    rows = {r["dim"]: r for r in
+            QUERIES["embedding_dim_truncation_sweep"](spark, SF_SMALL).collect()}
+    assert sorted(rows) == [8, 16, 32, 64]
+    assert rows[64]["n_hits"] == 100 and rows[64]["mean_recall"] == 1.0
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= 100
+        assert abs(r["mean_recall"] - r["n_hits"] / 100.0) < 1e-9
