@@ -788,3 +788,42 @@ def assign_cells(
     return corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("cell", _nearest_cell_udf(centroids)(F.col("v")))
+
+
+def max_incell_cosine(assigned: DataFrame) -> DataFrame:
+    """(vec_id, mc): each vector's MAXIMUM raw cosine to any LOWER-id
+    member of its cell — the per-vector statistic behind threshold
+    sweeps (pruned-at-t ⇔ round(mc, 6) ≥ t). Blocked GEMM per cell,
+    the ``semdedup_prune`` kernel economics: memory O(block·occ), one
+    output row per member, never a pair list. Rounding commutes with
+    max (both monotone), so the single Spark-side ``F.round`` equals
+    the oracle's max-of-rounded-pairs. ``assigned`` is (vec_id, v,
+    cell) — the ``assign_cells`` layout. A JVM fold alternative
+    (cell self-join + zip_with cosine) is interpreted per element and
+    measured unusable at the 200k×16-cell tier (~78M pairs)."""
+    import numpy as np
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
+                                 "mc": np.array([], dtype=np.float64)})
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        best = np.full(n, -np.inf)
+        blk = 2048
+        for s in range(1, n, blk):
+            e = min(s + blk, n)
+            g = V[s:e] @ V[:e - 1].T  # rows: globals s..e-1; cols: 0..e-2
+            tri = np.arange(e - 1)[None, :] < np.arange(s, e)[:, None]
+            g = np.where(tri, g, -np.inf)
+            best[s:e] = np.maximum(best[s:e], g.max(axis=1))
+        keep = best > -np.inf
+        return pd.DataFrame({"vec_id": ids[keep], "mc": best[keep]})
+
+    return assigned.groupBy("cell").applyInPandas(
+        kernel, schema="vec_id long, mc double"
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ror_etl_spark.functions.vectors import as_double, cosine
 from ror_etl_spark.operators.similarity import ivf_topk, lsh_near_dup_pairs, lsh_topk
+from ror_etl_spark.operators.util import spread
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 from ror_etl_spark.queries.util import r6
@@ -1520,25 +1521,21 @@ def embedding_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sweep itself is a 4-row broadcast against a vector-count-sized
     frame. Rounding before the max keeps the compare bit-identical on
     both engines."""
-    from ror_etl_spark.operators.similarity import assign_cells, kmeans_centroids
+    from ror_etl_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+        max_incell_cosine,
+    )
 
     emb = Tables(spark, sf_dir).embeddings
     centroids = kmeans_centroids(emb, 16, 3, round_means=6)
-    cells = assign_cells(emb, centroids)
-    a = cells.select(
-        F.col("cell"), F.col("id").alias("ida"), F.col("v").alias("va")
+    cells = (
+        assign_cells(emb, centroids)
+        .select(F.col("id").alias("vec_id"), "v", "cell")
+        .localCheckpoint(eager=False)
     )
-    b = cells.select(
-        F.col("cell"), F.col("id").alias("idb"), F.col("v").alias("vb")
-    )
-    mc = (
-        a.join(b, ["cell"])
-        .filter(F.col("idb") < F.col("ida"))
-        .select(
-            "ida", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c")
-        )
-        .groupBy("ida")
-        .agg(F.max("c").alias("mc"))
+    mc = max_incell_cosine(cells).select(
+        F.col("vec_id").alias("ida"), F.round(F.col("mc"), 6).alias("mc")
     )
     tot = cells.agg(F.count(F.lit(1)).alias("n"))
     eps = spark.createDataFrame(
@@ -1637,19 +1634,42 @@ def embedding_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         .collect()
     )
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
-    qdf = F.broadcast(
-        spark.createDataFrame(queries, "qid long, qv array<double>")
+    import numpy as np
+
+    import pandas as pd_
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.array([q[1] for q in queries], dtype=np.float64)
+
+    def score_batches(batches):
+        # one GEMM per prefix per Arrow batch — the HOF fold alternative
+        # (zip_with/aggregate per pair per dim) is interpreted per
+        # element and measured 103 s at the 200k-vector tier vs ~10 s
+        # kernelized
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nq, nv = len(qids), len(ids)
+            out = {
+                "qid": np.tile(qids, nv),
+                "vec_id": np.repeat(ids, nq),
+            }
+            for d in _TRUNC_DIMS:
+                Vd = V[:, :d]
+                Qd = Q[:, :d]
+                Vn = Vd / np.linalg.norm(Vd, axis=1, keepdims=True)
+                Qn = Qd / np.linalg.norm(Qd, axis=1, keepdims=True)
+                out[f"cos{d}"] = (Vn @ Qn.T).reshape(-1)
+            yield pd_.DataFrame(out)
+
+    schema = "qid long, vec_id long, " + ", ".join(
+        f"cos{d} double" for d in _TRUNC_DIMS
     )
-    pairs = corpus.crossJoin(qdf).select(
-        "qid",
-        "vec_id",
-        *[
-            cosine(
-                F.slice(F.col("v"), 1, d), F.slice(F.col("qv"), 1, d)
-            ).alias(f"cos{d}")
-            for d in _TRUNC_DIMS
-        ],
-    ).localCheckpoint(eager=False)
+    pairs = (
+        spread(corpus)
+        .mapInPandas(score_batches, schema=schema)
+        .localCheckpoint(eager=False)
+    )
     tops = []
     for d in _TRUNC_DIMS:
         w = Window.partitionBy("qid").orderBy(F.desc(f"cos{d}"), F.asc("vec_id"))
