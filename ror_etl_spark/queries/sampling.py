@@ -118,3 +118,47 @@ def sample_fixed_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("h"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@query(
+    "sample_topn_per_group_hash",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, h FROM (
+      SELECT o_orderstatus, o_orderkey,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS h,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8),
+                                         o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 5
+    ORDER BY o_orderstatus, h, o_orderkey
+    """,
+    priority=3,
+)
+def sample_topn_per_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample: the 5 lowest-hash
+    orders per status — the "N examples per class" sampler (eval
+    panels, labeling batches, per-domain spot checks), with the same
+    engine/partitioning/run stability and KMV growth-stability as the
+    global bottom-k form. Rates-based stratified sampling
+    (sample_stratified_hash) hits counts only in expectation; this
+    form guarantees them.
+
+    Scale shape: the rank ≤ n predicate compiles to WindowGroupLimit —
+    a per-partition top-n runs map-side below the group exchange, so
+    each reducer sees at most n·partitions candidate rows, never the
+    stratum. All-integer/string output."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("h"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_orderstatus", "o_orderkey", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderstatus", "o_orderkey", "h")
+        .orderBy("o_orderstatus", "h", "o_orderkey")
+    )

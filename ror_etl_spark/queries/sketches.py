@@ -192,3 +192,92 @@ def kll_exact_capacity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("kll_sketch_get_quantile_double(m, 0.9)"), 4).alias("p90"),
         F.round(F.expr("kll_sketch_get_quantile_double(m, 0.99)"), 4).alias("p99"),
     ).orderBy("event_type")
+
+
+_CMS_W = 1024
+_CMS_D = 4
+
+
+@query(
+    "sketch_count_min_heavy_hitters",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    hashes AS (
+      SELECT user_id, n, d.d,
+             ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_CMS_W} AS bucket
+      FROM per CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS d) d),
+    counters AS (
+      SELECT d, bucket, CAST(sum(n) AS BIGINT) AS c
+      FROM hashes GROUP BY d, bucket),
+    est AS (
+      SELECT h.user_id, min(c.c) AS est_n
+      FROM hashes h JOIN counters c ON c.d = h.d AND c.bucket = h.bucket
+      GROUP BY h.user_id)
+    SELECT per.user_id, per.n AS true_n, CAST(est.est_n AS BIGINT) AS est_n,
+           CAST(est.est_n - per.n AS BIGINT) AS overestimate
+    FROM per JOIN est USING (user_id)
+    ORDER BY per.n DESC, per.user_id LIMIT 20
+    """,
+    priority=3,
+)
+def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter CALIBRATION: build a deterministic
+    4×1024 CMS over event counts (md5-derived row hashes — portable, so
+    the ORACLE builds the bit-identical sketch) and report, for the 20
+    truly heaviest users, the sketch's estimate beside the truth. CMS
+    never underestimates (est ≥ true, pinned by the ``overestimate``
+    column being ≥ 0) and overestimates by collisions — the measurement
+    that sizes (width, depth) before a streaming counter ships.
+
+    Scale shape: one map-side-combined per-key aggregate, then
+    everything operates on the KEY-CARDINALITY-sized frame: the sketch
+    build is a (4·width)-row aggregate, estimates are 4 lookups per
+    key against a broadcastable counter table, and the report is
+    TakeOrderedAndProject(20). On a true stream the counters are the
+    only state — fixed 4×1024 longs regardless of cardinality. All
+    integer arithmetic; the driver hash-checks sketch AND calibration."""
+    e = Tables(spark, sf_dir).events
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    d_df = F.broadcast(
+        per.sparkSession.createDataFrame([(d,) for d in range(_CMS_D)], "d int")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    hashes = per.crossJoin(d_df).select(
+        "user_id", "n", "d", bucket.alias("bucket")
+    ).localCheckpoint(eager=False)
+    counters = hashes.groupBy("d", "bucket").agg(F.sum("n").alias("c"))
+    est = (
+        hashes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        per.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("true_n"),
+            "est_n",
+            (F.col("est_n") - F.col("n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -108,3 +108,38 @@ def test_bloom_prefilter_is_transparent_and_selective(spark):
     # every true match survives the bloom (no false negatives by
     # construction), and the final count equals the exact semi-join
     assert got["n_items"] == semi.count()
+
+
+def test_cms_never_underestimates_and_replays_in_python(spark):
+    """CMS invariant (est >= true, always) plus an exact Python replay of
+    the 4x1024 sketch."""
+    import hashlib
+    from collections import Counter
+
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    rows = QUERIES["sketch_count_min_heavy_hitters"](spark, SF_SMALL).collect()
+    assert rows
+    true = Counter(
+        r["user_id"] for r in Tables(spark, SF_SMALL).events
+        .select("user_id").collect()
+    )
+    counters = [Counter() for _ in range(4)]
+    for u, n in true.items():
+        for d in range(4):
+            b = int(hashlib.md5(f"{d}:{u}".encode()).hexdigest()[:8], 16) % 1024
+            counters[d][b] += n
+    for r in rows:
+        assert r["overestimate"] >= 0
+        assert r["true_n"] == true[r["user_id"]]
+        est = min(
+            counters[d][
+                int(hashlib.md5(f"{d}:{r['user_id']}".encode()).hexdigest()[:8], 16)
+                % 1024
+            ]
+            for d in range(4)
+        )
+        assert r["est_n"] == est

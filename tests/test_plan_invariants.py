@@ -399,3 +399,10 @@ def test_shard_manifest_is_one_aggregate_no_window(spark):
     assert "Window" not in body
     assert "Join" not in body
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    p = plan_of(spark, "sample_topn_per_group_hash")
+    body = p.split("== Physical Plan ==")[1]
+    assert "WindowGroupLimit" in body
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
