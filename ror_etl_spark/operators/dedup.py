@@ -334,26 +334,7 @@ def lsh_candidate_pairs(
     (a degenerate shingle shared by everything) is bounded because the
     bucket key includes all ``rows_per_band`` minhashes."""
     assert bands * rows_per_band <= 1 << 10
-    banded = signatures.cache().select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("minhash", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = lsh_band_keys(signatures.cache(), bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -392,6 +373,36 @@ def jaccard_at_least(i, total, threshold: float):
     frac = Fraction(str(threshold))  # decimal-literal exact, not repr(float)
     n, d = frac.numerator, frac.denominator
     return (F.lit(d + n) * i) >= (F.lit(n) * total)
+
+
+def lsh_band_keys(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bucket) band keys from minhash signatures — the stored
+    LSH INDEX layout. Extracted from ``lsh_candidate_pairs`` (identical
+    expression, so the oracle's bandrows CTE replays both) so that
+    incremental consumers can band a NEW batch against a persisted
+    corpus index without the self-join."""
+    return signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("minhash", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
 
 
 def jaccard_verify(

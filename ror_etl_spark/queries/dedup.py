@@ -1590,3 +1590,114 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_incremental_near_batch",
+    oracle=f"""
+    WITH {_minhash_ctes()},
+    cand2 AS (
+      SELECT b.doc_id AS new_id, a.doc_id AS corp_id
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+      GROUP BY b.doc_id, a.doc_id),
+    ver AS (
+      SELECT c.new_id,
+             arg_min(c.corp_id, c.corp_id) AS dup_of,
+             round(arg_min({_JACCARD}, c.corp_id), 4) AS jaccard
+      FROM cand2 c
+      JOIN sh sa ON sa.doc_id = c.corp_id
+      JOIN sh sb ON sb.doc_id = c.new_id
+      WHERE {_JACCARD} >= 0.5
+      GROUP BY c.new_id)
+    SELECT d.doc_id,
+           ver.dup_of IS NOT NULL AS is_dup,
+           ver.dup_of, ver.jaccard
+    FROM documents d LEFT JOIN ver ON ver.new_id = d.doc_id
+    WHERE d.doc_id % 10 >= 8
+    ORDER BY d.doc_id
+    """,
+    priority=3,
+)
+def dedup_incremental_near_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup of a new batch against a stored LSH index
+    (the MinHash analogue of ``dedup_incremental_new_batch``'s exact
+    fingerprints): the corpus's band keys are the persisted index
+    (``lsh_band_keys`` — the layout a production dedup service keeps);
+    the new batch (simulated as doc_id % 10 ≥ 8) is signed and banded,
+    probed against the index, and Jaccard-verified at ≥ 0.5. Each new
+    document reports its min-id duplicate (id-dominance discipline)
+    with that pair's Jaccard — never new×new pairs, never a corpus
+    self-join.
+
+    Scale shape: at steady state the corpus index is READ, not rebuilt
+    (here both sides derive from one signature pass since the fixture
+    is a single table); the probe shuffles only (band, key) rows of
+    the NEW batch against the bucketed index, candidates are
+    output-sized, and verification joins shingles for candidates only.
+    The oracle replays index build + probe + verify end to end."""
+    from ror_etl_spark.operators.dedup import lsh_band_keys
+
+    d = Tables(spark, sf_dir).documents
+    sigs = minhash_signatures(d, num_hashes=32)
+    bands = lsh_band_keys(sigs.cache(), bands=8, rows_per_band=4)
+    corpus_idx = bands.filter(F.col("id") % 10 < 8).withColumnsRenamed(
+        {"id": "corp_id"}
+    )
+    new_bands = bands.filter(F.col("id") % 10 >= 8).withColumnsRenamed(
+        {"id": "new_id"}
+    )
+    cand = (
+        new_bands.join(corpus_idx, ["band", "bucket"])
+        .select("new_id", "corp_id")
+        .distinct()
+    )
+    from ror_etl_spark.operators.util import spread
+
+    sh = spread(d).select(
+        F.col("doc_id"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+    )
+    ver = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("corp_id"), F.col("sh").alias("sh_a")),
+            "corp_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_b")),
+            "new_id",
+        )
+        .select(
+            "new_id",
+            "corp_id",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.lit(1),
+                )
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+        .groupBy("new_id")
+        .agg(F.min(F.struct("corp_id", "jac")).alias("best"))
+        .select(
+            "new_id",
+            F.col("best.corp_id").alias("dup_of"),
+            F.round(F.col("best.jac"), 4).alias("jaccard"),
+        )
+    )
+    new_docs = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id")
+    return (
+        new_docs.join(ver, new_docs.doc_id == ver.new_id, "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )

@@ -735,3 +735,66 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "quality_report_by_source",
+    oracle="""
+    WITH s AS (
+      SELECT source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             (n_chars - len(string_split(text, ' ')) + 1.0)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_words >= 50 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_too_short,
+           CAST(sum(CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_bad_word_len,
+           CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_non_en,
+           CAST(sum(CASE WHEN n_words >= 50 AND mean_word_len BETWEEN 3 AND 10
+                          AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN n_words >= 50 AND mean_word_len BETWEEN 3 AND 10
+                          AND lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS keep_rate
+    FROM s GROUP BY source ORDER BY source
+    """,
+    priority=3,
+)
+def quality_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality dashboard: the C4 rule outcomes rolled up by
+    provenance — documents counted against each failing rule plus the
+    keep rate. This is the view a crawl owner actually reads (which
+    source is dragging the corpus, which rule is doing the dragging)
+    before cutting a domain or re-tuning a threshold; the per-document
+    flags (``c4_quality_rules``) are its drill-down.
+
+    Scale shape: the rule math is per-row codegen (no explode —
+    whitespace counting via char arithmetic), then ONE map-side-
+    combined aggregate keyed on source. Nothing document-sized
+    shuffles; the output is |sources| rows."""
+    d = Tables(spark, sf_dir).documents
+    n_words = F.size(F.split(F.col("text"), " "))
+    mwl = (F.col("n_chars") - n_words + 1.0) / n_words
+    keep = (
+        (n_words >= 50) & mwl.between(3, 10) & (F.col("lang") == "en")
+    ).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(n_words >= 50, 0).otherwise(1)).alias("n_too_short"),
+            F.sum(F.when(mwl.between(3, 10), 0).otherwise(1)).alias(
+                "n_bad_word_len"
+            ),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("n_non_en"),
+            F.sum(keep).alias("n_kept"),
+            F.round(
+                F.sum(keep) / F.count(F.lit(1)).cast("double") + 1e-9, 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

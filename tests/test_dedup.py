@@ -469,3 +469,27 @@ def test_ngram_novelty_semantics(spark):
     )
     got = {r["doc_id"]: r["n_novel"] for r in novel.collect()}
     assert got[10**7] == 0, "an exact copy of doc 0 must have zero novelty"
+
+
+def test_incremental_near_batch_probes_index_only(spark):
+    """Every reported duplicate must point INTO the corpus partition
+    (doc_id % 10 < 8) — never at another new-batch doc — with jaccard
+    >= 0.5; and every new doc appears exactly once."""
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    rows = QUERIES["dedup_incremental_near_batch"](spark, SF_SMALL).collect()
+    new_ids = {
+        r["doc_id"]
+        for r in Tables(spark, SF_SMALL).documents
+        .filter("doc_id % 10 >= 8").select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in rows} == new_ids
+    for r in rows:
+        if r["is_dup"]:
+            assert r["dup_of"] % 10 < 8
+            assert r["jaccard"] >= 0.5
+        else:
+            assert r["dup_of"] is None and r["jaccard"] is None
