@@ -100,3 +100,61 @@ def posexplode_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", "tok")
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "text_feature_hash_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, bucket)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(max(c) AS BIGINT) AS max_count,
+           CAST(sum(c) AS BIGINT) AS l1,
+           round(sqrt(sum(c * c)) + 1e-9, 4) AS l2
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+    priority=3,
+)
+def text_feature_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.; sklearn's
+    HashingVectorizer shape): every token maps to one of 256 buckets by
+    content hash — no vocabulary to build, ship, or keep consistent
+    across a 100 TB corpus, which is the entire point of the trick.
+    Emitted per document: the sparse-vector statistics a downstream
+    trainer's capacity planning needs (nnz, max bucket collision count,
+    L1/L2 norms).
+
+    Scale shape: one token explode → ONE map-side-combined (doc,
+    bucket) count → per-doc aggregate; bucket ids are md5-derived so
+    the oracle builds the identical vectors. Only integer counts cross
+    the boundary; the single float (L2) is an epsilon-rounded sqrt of
+    an exact integer."""
+    from ror_etl_spark.functions.text import tokens
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long") % 256
+    )
+    b = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        b.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.max("c").alias("max_count"),
+            F.sum("c").alias("l1"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))) + 1e-9, 4).alias("l2"),
+        )
+        .orderBy("doc_id")
+    )
