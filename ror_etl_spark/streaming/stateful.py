@@ -16,6 +16,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total double, max_value double"
@@ -163,5 +164,69 @@ def first_seen_docs_stream(docs: DataFrame) -> DataFrame:
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CMS_W = 1024
+CMS_D = 4
+
+CMS_OUTPUT_SCHEMA = "d int, n_buckets long, total long, max_count long"
+CMS_STATE_SCHEMA = "buckets array<long>, counts array<long>"
+
+
+def _cms_bucket_py(d: int, v) -> int:
+    """Python twin of the batch query's md5 bucket expression
+    (queries/sketches.py:sketch_count_min_heavy_hitters) — same hash,
+    same width, so stream counters converge to the batch sketch."""
+    import hashlib
+
+    return int(hashlib.md5(f"{d}:{v}".encode()).hexdigest()[:8], 16) % CMS_W
+
+
+def _update_cms(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (d,) = key
+    if state.exists:
+        bks, cts = state.get
+        counters = dict(zip(bks, cts))
+    else:
+        counters = {}
+    for pdf in pdfs:
+        for u in pdf["user_id"]:
+            b = _cms_bucket_py(d, u)
+            counters[b] = counters.get(b, 0) + 1
+    items = sorted(counters.items())
+    state.update(([b for b, _ in items], [c for _, c in items]))
+    yield pd.DataFrame(
+        {
+            "d": [d],
+            "n_buckets": [len(items)],
+            "total": [sum(c for _, c in items)],
+            "max_count": [max((c for _, c in items), default=0)],
+        }
+    )
+
+
+def cms_counters_stream(events: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch: one state row per hash ROW (depth = 4
+    keys), each holding its width-1024 counter vector — fixed-size state
+    regardless of key cardinality or stream length, the property that
+    makes CMS the streaming frequency sketch. Counter increments are
+    associative, so any micro-batch split of the input converges to the
+    batch sketch built by ``sketch_count_min_heavy_hitters`` — the
+    equality the test asserts. Emits per-row summary stats each
+    micro-batch; point estimates are min-over-rows lookups against the
+    stored counters (served from the state store or its snapshot)."""
+    rows = events.sparkSession.range(CMS_D).select(
+        F.col("id").cast("int").alias("d")
+    )
+    tagged = events.select("user_id").crossJoin(rows)
+    return tagged.groupBy("d").applyInPandasWithState(
+        _update_cms,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -285,3 +285,38 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     )
     batch_keepers = {r["keep_id"] for r in batch.collect()}
     assert {i for i, (k, _) in rows.items() if k} == batch_keepers
+
+
+def test_streaming_cms_equals_batch_sketch(spark):
+    """The streaming CMS counters must converge to EXACTLY the batch
+    sketch (increments are associative, hashes identical): per-depth
+    totals equal the event count, and max_count/n_buckets match a
+    Python-built reference sketch."""
+    from collections import Counter
+
+    from ror_etl_spark.streaming.events import read_events_stream, run_to_memory
+    from ror_etl_spark.streaming.stateful import (
+        CMS_D,
+        _cms_bucket_py,
+        cms_counters_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_to_memory(spark, cms_counters_stream(stream), "t_cms", mode="update")
+    from pyspark.sql import Window as W
+
+    latest = (
+        out.withColumn(
+            "rn", F.row_number().over(W.partitionBy("d").orderBy(F.desc("total")))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    got = {r["d"]: (r["n_buckets"], r["total"], r["max_count"])
+           for r in latest.collect()}
+    assert sorted(got) == list(range(CMS_D))
+
+    users = [r["user_id"] for r in
+             Tables(spark, SF_SMALL).events.select("user_id").collect()]
+    for d in range(CMS_D):
+        ref = Counter(_cms_bucket_py(d, u) for u in users)
+        assert got[d] == (len(ref), sum(ref.values()), max(ref.values()))
