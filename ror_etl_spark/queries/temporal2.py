@@ -302,3 +302,67 @@ def interpolate_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         F.round(filled, 4).alias("filled"),
     ).orderBy("hour")
+
+
+@query(
+    "timeseries_decompose_weekday",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate),
+    tr AS (
+      SELECT dt, rev,
+             avg(rev) OVER (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+             count(*) OVER (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wn
+      FROM daily)
+    SELECT CAST(date_diff('day', DATE '1970-01-01', dt) % 7 AS BIGINT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(rev - trend) + 1e-9, 4) AS seasonal,
+           round(avg(trend) + 1e-9, 2) AS mean_trend
+    FROM tr WHERE wn = 7
+    GROUP BY weekday ORDER BY weekday
+    """,
+    priority=3,
+)
+def timeseries_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition (the moving-average
+    half of STL): daily revenue → centered 7-day moving-average TREND →
+    detrended residuals → per-weekday SEASONAL index (mean residual) —
+    the forecast-prep / anomaly-baseline primitive. Weekday is computed
+    as days-since-epoch mod 7 (integer-exact on both engines — Spark's
+    dayofweek and DuckDB's have different origins, so neither crosses
+    the boundary). Edge days without a full 7-day window are excluded
+    (wn = 7), the standard centered-MA convention.
+
+    Scale shape: the corpus-sized work is ONE date-keyed aggregate; the
+    moving-average window runs over the DAILY frame, whose length is
+    bounded by the calendar (~2.4k rows for 7 years), not the data —
+    the same bounded-input rationale as the distribution functions.
+    Everything after is a 7-row aggregate. Epsilon-rounded floats."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("dt").rowsBetween(-3, 3)
+    tr = daily.select(
+        "dt",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == 7)
+    weekday = F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")) % 7
+    return (
+        tr.groupBy(weekday.cast("long").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.col("rev") - F.col("trend")) + 1e-9, 4).alias(
+                "seasonal"
+            ),
+            F.round(F.avg("trend") + 1e-9, 2).alias("mean_trend"),
+        )
+        .orderBy("weekday")
+    )
