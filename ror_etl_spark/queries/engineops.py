@@ -595,3 +595,104 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+def _rfm_bounds_sql(col: str) -> str:
+    qs = ", ".join(
+        f"round(quantile_cont({col}, {i / 5}), 6)" for i in range(1, 5)
+    )
+    return f"[{qs}]"
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT {_rfm_bounds_sql('recency')} AS rb,
+             {_rfm_bounds_sql('frequency')} AS fb,
+             {_rfm_bounds_sql('monetary')} AS mb
+      FROM per),
+    seg AS (
+      SELECT o_custkey, recency, frequency, monetary,
+             len(list_filter(b.rb, x -> recency > x)) AS r_q,
+             len(list_filter(b.fb, x -> frequency > x)) AS f_q,
+             len(list_filter(b.mb, x -> monetary > x)) AS m_q
+      FROM per CROSS JOIN b)
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(avg(recency) + 1e-9) AS BIGINT) AS avg_recency_days,
+           round(avg(frequency) + 1e-9, 4) AS avg_frequency,
+           round(avg(monetary) + 1e-9, 2) AS avg_monetary
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+    priority=3,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics operator:
+    per-customer Recency (days since last order, anchored to the
+    corpus's own max date so the query is reproducible), Frequency
+    (order count) and Monetary (lifetime value), each cut into exact
+    quintiles, combined into a 3-digit segment code (RFM 000–444) with
+    per-segment population and averages.
+
+    Scale shape: one customer-keyed aggregate builds the RFM triple;
+    quintile boundaries are ONE percentile aggregate broadcast as three
+    4-element arrays (the equidepth pattern — never an ntile window
+    over customers); segment assignment is an array fold in codegen;
+    the report is a ≤125-row aggregate. Boundaries rounded at 6 dp on
+    both engines before the comparisons."""
+    o = Tables(spark, sf_dir).orders
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    per = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).cast("long").alias(
+                "recency"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    qs = ", ".join(str(i / 5) for i in range(1, 5))
+    bounds = per.agg(
+        *[
+            F.expr(
+                f"transform(percentile({c}, array({qs})), x -> round(x, 6))"
+            ).alias(f"{c[0]}b")
+            for c in ("recency", "frequency", "monetary")
+        ]
+    )
+    def quint(c: str, b: str):
+        return F.aggregate(
+            F.col(b),
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col(c) > x, 1).otherwise(0),
+        )
+    seg = per.crossJoin(F.broadcast(bounds)).select(
+        "recency",
+        "frequency",
+        "monetary",
+        (
+            quint("recency", "rb") * 100
+            + quint("frequency", "fb") * 10
+            + quint("monetary", "mb")
+        ).cast("long").alias("segment"),
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("recency") + 1e-9).cast("long").alias("avg_recency_days"),
+            F.round(F.avg("frequency") + 1e-9, 4).alias("avg_frequency"),
+            F.round(F.avg("monetary") + 1e-9, 2).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )

@@ -366,3 +366,67 @@ def timeseries_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+@query(
+    "outlier_mad_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med.med,
+             round(quantile_cont(abs(e.value - med.med), 0.5), 6) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med.med)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           mad.med, mad.mad,
+           CAST(sum(CASE WHEN abs(e.value - mad.med) > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, mad.med, mad.mad
+    ORDER BY e.event_type
+    """,
+    priority=3,
+)
+def outlier_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe companion to ``outlier_iqr_events``: per event
+    type, the median, the MAD, and the count of values beyond the
+    standard 3σ-equivalent fence (3 · 1.4826 · MAD; 1.4826 scales MAD
+    to σ under normality). Mean/stddev fences move with the outliers
+    they're hunting; the median pair doesn't — the reason data-quality
+    monitors default to MAD.
+
+    Scale shape: two exact-percentile aggregates (the second over
+    |x − med|, med broadcast back) + one counting aggregate — three
+    passes over a column, all map-side combined, per-group state is
+    the percentile buffer. Medians are rounded at 6 dp on both engines
+    before re-entering arithmetic (the equidepth discipline)."""
+    e = Tables(spark, sf_dir).events
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    fence = 3 * 1.4826 * F.col("mad")
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > fence, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    )
