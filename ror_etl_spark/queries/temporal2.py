@@ -430,3 +430,173 @@ def outlier_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "med", "mad", "n_outliers")
         .orderBy("event_type")
     )
+
+
+_SESSION_TIMEOUTS_S = (600, 1800, 3600)
+
+
+@query(
+    "sessionize_timeout_sweep",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    n_users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM events),
+    n_events AS (SELECT CAST(count(*) AS BIGINT) AS e FROM events)
+    SELECT t.timeout_s,
+           CAST(n_users.u + sum(CASE WHEN g.gap_us > CAST(t.timeout_s AS BIGINT) * 1000000
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           round(CAST(n_events.e AS DOUBLE)
+                 / (n_users.u + sum(CASE WHEN g.gap_us > CAST(t.timeout_s AS BIGINT) * 1000000
+                                         THEN 1 ELSE 0 END)) + 1e-9, 4)
+             AS events_per_session
+    FROM (SELECT unnest([{", ".join(str(t) for t in _SESSION_TIMEOUTS_S)}])
+            AS timeout_s) t
+    CROSS JOIN n_users CROSS JOIN n_events
+    CROSS JOIN g
+    GROUP BY t.timeout_s, n_users.u, n_events.e
+    ORDER BY t.timeout_s
+    """,
+    priority=3,
+)
+def sessionize_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-timeout TUNING CURVE: session counts and events-per-
+    session at inactivity thresholds of 10/30/60 minutes — the
+    measurement that picks a sessionization timeout (too short splits
+    real sessions, too long merges visits; the knee is the operating
+    point). A session starts at each event whose gap to the user's
+    previous event exceeds the timeout, so n_sessions = n_users +
+    #(gaps > T) — counting, not segmentation, which is why ALL sweep
+    points share ONE lag-window pass.
+
+    Scale shape: one user-keyed window computes every inter-event gap
+    (integer microseconds); each sweep point is a conditional count
+    over the same gap column against a 3-row broadcast. No
+    re-sessionization per threshold, no floats except the final
+    epsilon-rounded ratio."""
+    from pyspark.sql import Window
+
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
+    )
+    n_users = e.agg(F.countDistinct("user_id").alias("u"))
+    n_events = e.agg(F.count(F.lit(1)).alias("e"))
+    t = spark.createDataFrame(
+        [(s,) for s in _SESSION_TIMEOUTS_S], "timeout_s int"
+    )
+    return (
+        F.broadcast(t)
+        .crossJoin(F.broadcast(n_users))
+        .crossJoin(F.broadcast(n_events))
+        .crossJoin(g)
+        .groupBy("timeout_s", "u", "e")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_us") > F.col("timeout_s").cast("long") * 1000000, 1
+                ).otherwise(0)
+            ).alias("n_splits")
+        )
+        .select(
+            "timeout_s",
+            (F.col("u") + F.col("n_splits")).alias("n_sessions"),
+            F.round(
+                F.col("e").cast("double") / (F.col("u") + F.col("n_splits")) + 1e-9,
+                4,
+            ).alias("events_per_session"),
+        )
+        .orderBy("timeout_s")
+    )
+
+
+@query(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (
+      SELECT su.user_id, min(epoch_us(e.ts)) AS p
+      FROM su JOIN events e
+        ON e.user_id = su.user_id AND e.event_type = 'purchase'
+       AND e.ts >= su.s
+      GROUP BY su.user_id),
+    lat AS (
+      SELECT su.user_id, pu.p - epoch_us(su.s) AS d_us
+      FROM su JOIN pu USING (user_id))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM su) AS n_signup,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM su) + 1e-9, 6)
+             AS conversion_rate,
+           round(quantile_cont(d_us, 0.5) / 1000000 + 1e-9, 4) AS p50_latency_s,
+           round(quantile_cont(d_us, 0.9) / 1000000 + 1e-9, 4) AS p90_latency_s
+    FROM lat
+    """,
+    priority=3,
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIMING: of the users who signed up, how many went on to
+    purchase (first purchase at-or-after their first signup), and how
+    long it took — conversion rate plus p50/p90 latency. The companion
+    to the step-count funnel (``funnel_signup_click_purchase``): rates
+    say WHETHER the funnel converts, latency percentiles say how fast —
+    the number behind activation SLAs and drip-campaign timing.
+
+    Scale shape: two user-keyed aggregates (first signup; first
+    qualifying purchase via a user-keyed join bounded by the signup
+    set) and one exact-percentile aggregate over integer microsecond
+    latencies — Spark's percentile and DuckDB's quantile_cont agree on
+    exact integer inputs (the established equidepth parity), and every
+    emitted float is epsilon-rounded."""
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pu = (
+        su.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("pts")).alias("p"))
+    )
+    lat = su.join(pu, "user_id").select(
+        (F.col("p") - epoch_us("s")).alias("d_us")
+    )
+    n_signup = su.agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        lat.crossJoin(F.broadcast(n_signup))
+        .groupBy("ns")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(
+                F.expr("percentile(d_us, 0.5)") / 1000000 + 1e-9, 4
+            ).alias("p50_latency_s"),
+            F.round(
+                F.expr("percentile(d_us, 0.9)") / 1000000 + 1e-9, 4
+            ).alias("p90_latency_s"),
+        )
+        .select(
+            F.col("ns").alias("n_signup"),
+            "n_converted",
+            F.round(
+                F.col("n_converted") / F.col("ns").cast("double") + 1e-9, 6
+            ).alias("conversion_rate"),
+            "p50_latency_s",
+            "p90_latency_s",
+        )
+    )
