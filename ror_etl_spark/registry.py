@@ -68,6 +68,11 @@ _DRIFT_SENSITIVE = [
     "cohort_retention",
     "events_band_self_join",
     "sketch_distinct_users_rollup",
+    # r7 session-3 additions that read events.ts
+    "asof_join_nearest",
+    "sessionize_timeout_sweep",
+    "funnel_conversion_latency",
+    "outlier_mad_events",
 ]
 
 
