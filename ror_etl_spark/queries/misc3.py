@@ -472,3 +472,63 @@ def multimodal_audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataF
         "duration_ms",
         F.round("mean_amp", 4).alias("mean_amp"),
     ).transform(ordered, "media_id")
+
+
+@query(
+    "multimodal_image_pixel_dupes",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             md5(string_agg(
+               repeat(lpad(lower(to_hex((doc_id + y) % 256)), 2, '0'),
+                      ((length(text) % 64) + 1)
+                      * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)),
+               '' ORDER BY y)) AS px_md5
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, (length(text) % 48) + 1)) AS y) g
+      GROUP BY doc_id, text)
+    SELECT doc_id AS media_id, px_md5,
+           CAST(count(*) OVER (PARTITION BY px_md5) AS BIGINT) AS n_dupes,
+           doc_id = min(doc_id) OVER (PARTITION BY px_md5) AS keep
+    FROM px ORDER BY media_id
+    """,
+    priority=3,
+)
+def multimodal_image_pixel_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT image dedup at the PIXEL level: decode every PNG fixture and
+    group by the digest of the decoded pixel buffer. This is the layer
+    file-byte dedup cannot reach — the fixtures deliberately rotate PNG
+    filter types (None/Sub/Up by doc_id %% 3), so two images with
+    identical pictures usually have DIFFERENT file bytes; only decoding
+    exposes the duplicate. Together with the perceptual aHash query this
+    completes the image-dedup stack: exact (this), near (aHash),
+    semantic (embedding SemDeDup).
+
+    The oracle rebuilds each pixel buffer closed-form from the fixture
+    generation rule (row y is (doc_id + y) %% 256 across w·c samples)
+    as a hex string and must land on the same md5 the kernel computes
+    from actually-decoded bytes — so a decode bug in ANY filter path
+    breaks the hash.
+
+    Scale shape: Arrow codec kernel (embarrassingly parallel), then
+    only (media_id, 32-hex digest) rows reach the hash-partitioned
+    dup-group window."""
+    from ror_etl_spark.operators.util import spread
+    from ror_etl_spark.sources.multimodal import (
+        pixel_digest,
+        png_media_from_documents,
+    )
+    from pyspark.sql import Window
+
+    d = spread(Tables(spark, sf_dir).documents)
+    digests = pixel_digest(png_media_from_documents(d))
+    w = Window.partitionBy("px_md5")
+    return (
+        digests.select(
+            "media_id",
+            "px_md5",
+            F.count(F.lit(1)).over(w).alias("n_dupes"),
+            (F.col("media_id") == F.min("media_id").over(w)).alias("keep"),
+        )
+        .transform(ordered, "media_id")
+    )

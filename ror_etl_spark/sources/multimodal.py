@@ -917,3 +917,31 @@ def audio_downsample(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         batch_fn, schema=MEDIA_SCHEMA
     )
+
+
+def pixel_digest(media: DataFrame) -> DataFrame:
+    """(media_id, px_md5): content digest of the DECODED pixel buffer
+    (md5 of its hex encoding — hex because portable SQL md5 implement-
+    ations hash text, not blobs). Distinct from a file-byte digest: two
+    encodings of the same picture (different PNG filter types, different
+    compressors) collide HERE and nowhere else — the exact-dup layer of
+    image dedup, below the perceptual aHash layer."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = png_decode(bytes(content))
+                out.append(
+                    {
+                        "media_id": mid,
+                        "px_md5": hashlib.md5(
+                            px.tobytes().hex().encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        batch_fn, schema="media_id long, px_md5 string"
+    )

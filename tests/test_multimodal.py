@@ -447,3 +447,36 @@ def test_audio_downsample_roundtrip_general_samples(spark):
     assert parsed["sample_rate"] == 3000
     assert list(parsed["samples"]) == samples[::3]
     assert out["meta"]["sample_rate"] == 3000
+
+
+def test_pixel_digest_collides_across_filter_types_only_when_pixels_equal(spark):
+    """The defining property: same pixels under DIFFERENT PNG filters →
+    same digest (file bytes differ); one changed pixel → different
+    digest."""
+    import numpy as np
+
+    from ror_etl_spark.sources.multimodal import (
+        pixel_digest,
+        png_encode,
+        png_encode_pixels,
+    )
+
+    # same uniform-rows image, filter None vs Sub vs Up
+    imgs = [
+        (1, png_encode(10, 6, 3, lambda y: (7 + y) % 256, 0)),
+        (2, png_encode(10, 6, 3, lambda y: (7 + y) % 256, 1)),
+        (3, png_encode(10, 6, 3, lambda y: (7 + y) % 256, 2)),
+        (4, png_encode(10, 6, 3, lambda y: (8 + y) % 256, 0)),  # different
+    ]
+    assert len({c for _, c in imgs}) == 4, "file bytes must all differ"
+    px = np.zeros((6, 10, 3), dtype=np.uint8)
+    for y in range(6):
+        px[y, :, :] = (7 + y) % 256
+    px2 = px.copy()
+    px2[3, 4, 1] ^= 1  # one-bit pixel change
+    imgs += [(5, png_encode_pixels(px)), (6, png_encode_pixels(px2))]
+    media = spark.createDataFrame(imgs, "media_id long, content binary")
+    got = {r["media_id"]: r["px_md5"] for r in pixel_digest(media).collect()}
+    assert got[1] == got[2] == got[3] == got[5]
+    assert got[4] != got[1]
+    assert got[6] != got[5]
