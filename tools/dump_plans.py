@@ -47,6 +47,9 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark("dump_plans")
+    # reveal the real plan under queries/util.ordered(): its lazy
+    # localCheckpoint otherwise truncates explain() to a LogicalRDD scan
+    spark.conf.set("spark.ror.ordered.checkpoint", "false")
 
     out = [
         "# PLANS — physical-plan evidence for the headline shapes",
