@@ -162,3 +162,60 @@ def sample_topn_per_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "o_orderkey", "h")
         .orderBy("o_orderstatus", "h", "o_orderkey")
     )
+
+
+@query(
+    "sample_weighted_pps",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  + 1) / 65536.0) / n_chars AS key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank
+    FROM k
+    ORDER BY key, doc_id LIMIT 20
+    """,
+    priority=3,
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    Spirakis A-ES): each item draws u from its content hash and ranks by
+    ``−ln(u)/w`` (the exponential-jitter form of ``u^{1/w}``, monotone-
+    equivalent and numerically tame); the bottom-k ranks are a PPS
+    sample — selection probability ∝ weight (here document length, the
+    standard token-budget-proportional draw). Engine/partitioning/run
+    stable like every hash sampler in this module, which
+    rand()-weighted alternatives are not.
+
+    Scale shape: pure per-row arithmetic + TakeOrderedAndProject(20) —
+    scan economics, no shuffle. The ranking key is a float, but both
+    engines compute −ln/÷ on identical exact inputs (a 17-bit integer
+    u and an integer weight); a rank flip needs two keys within one
+    ulp — measure-zero on continuous keys, the same basis every cosine
+    top-k here rests on, with doc_id as the total-order tiebreak."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        + 1
+    ) / 65536.0
+    key = -F.log(u) / F.col("n_chars")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                 key.alias("key"))
+        .orderBy(F.asc("key"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.row_number().over(
+                Window.orderBy(F.asc("key"), F.asc("doc_id"))
+            ).cast("long").alias("rank"),
+        )
+    )

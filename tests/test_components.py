@@ -143,3 +143,31 @@ def test_cms_never_underestimates_and_replays_in_python(spark):
             for d in range(4)
         )
         assert r["est_n"] == est
+
+
+def test_pps_sample_replays_and_skews_toward_heavy_docs(spark):
+    """Exact Python replay of the A-ES ranking, plus the PPS property:
+    the sampled docs' mean weight must exceed the corpus mean (long
+    docs are proportionally likelier)."""
+    import hashlib
+    import math
+
+    from ror_etl_spark.registry import QUERIES, load_all
+    from ror_etl_spark.tables import Tables
+    from tests.conftest import SF_SMALL
+
+    load_all()
+    docs = Tables(spark, SF_SMALL).documents.select("doc_id", "n_chars").collect()
+    keys = {}
+    for r in docs:
+        if r["n_chars"] <= 0:
+            continue
+        u = (int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) + 1) / 65536.0
+        keys[r["doc_id"]] = -math.log(u) / r["n_chars"]
+    want = sorted(keys, key=lambda d: (keys[d], d))[:20]
+    rows = QUERIES["sample_weighted_pps"](spark, SF_SMALL).collect()
+    assert [r["doc_id"] for r in rows] == want
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    corpus_mean = sum(r["n_chars"] for r in docs) / len(docs)
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
