@@ -1701,3 +1701,91 @@ def dedup_incremental_near_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_minhash_ctes()}
+    SELECT c.id_a, c.id_b,
+           CAST(array_length(list_filter(sa.s, x -> list_contains(sb.s, x)))
+             AS BIGINT) AS i_intersect,
+           CAST(array_length(sa.s) AS BIGINT) AS size_a,
+           CAST(array_length(sb.s) AS BIGINT) AS size_b,
+           round({_JACCARD} + 1e-9, 4) AS jaccard,
+           10 * array_length(list_filter(sa.s, x -> list_contains(sb.s, x)))
+             >= 9 * least(array_length(sa.s), array_length(sb.s))
+             AS near_subset
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE 10 * array_length(list_filter(sa.s, x -> list_contains(sb.s, x)))
+            >= 9 * least(array_length(sa.s), array_length(sb.s))
+    ORDER BY id_a, id_b
+    """,
+    priority=3,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by set CONTAINMENT: LSH
+    candidate pairs where the smaller document's shingles are ≥ 90%
+    contained in the other — the quote/excerpt/superset relation that
+    symmetric Jaccard dedup structurally misses (a paragraph quoted
+    inside a long article has Jaccard ≈ |para|/|article| ≈ 0 but
+    containment ≈ 1). The containment threshold is the integer-exact
+    cross-multiplied form ``10·i ≥ 9·min(|A|,|B|)`` — no float decides
+    membership; the reported Jaccard is context.
+
+    Scale shape: identical economics to the verified-Jaccard funnel —
+    LSH-bounded candidates, one shingle intersect per pair, integer
+    predicate. (Recall caveat, as in the literature: MinHash banding
+    targets Jaccard, so a tiny-quote-in-huge-doc pair may not become a
+    candidate; within the candidate set, containment is exact. The
+    dedicated high-recall path for asymmetric containment is the
+    prefix-filter join one query over.)"""
+    d = Tables(spark, sf_dir).documents
+    sigs = minhash_signatures(d, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    from ror_etl_spark.operators.util import spread
+
+    sh = spread(d).select(
+        F.col("doc_id"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+    )
+    j = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias(
+                "i_intersect"
+            ),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
+    )
+    near = 10 * F.col("i_intersect") >= 9 * F.least(
+        F.col("size_a"), F.col("size_b")
+    )
+    jac = F.col("i_intersect") / F.greatest(
+        F.col("size_a") + F.col("size_b") - F.col("i_intersect"), F.lit(1)
+    )
+    return (
+        j.filter(near)
+        .select(
+            "id_a",
+            "id_b",
+            "i_intersect",
+            "size_a",
+            "size_b",
+            F.round(jac + 1e-9, 4).alias("jaccard"),
+            near.alias("near_subset"),
+        )
+        .transform(ordered, "id_a", "id_b")
+    )

@@ -493,3 +493,33 @@ def test_incremental_near_batch_probes_index_only(spark):
             assert r["jaccard"] >= 0.5
         else:
             assert r["dup_of"] is None and r["jaccard"] is None
+
+
+def test_containment_finds_planted_quote_pair(spark):
+    """A short doc fully quoted inside a long one: Jaccard is small
+    (symmetric dedup misses it) but containment flags it — provided LSH
+    banding surfaces the pair, which identical-prefix shingles do
+    here."""
+    from ror_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_doc = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated content entirely different")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=32)
+    cands = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sigs).collect()}
+    if (1, 2) in cands:  # banding caught it: containment must flag it
+        sh = docs.select(
+            "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("s")
+        ).collect()
+        sets = {r["doc_id"]: set(r["s"]) for r in sh}
+        i = len(sets[1] & sets[2])
+        assert 10 * i >= 9 * min(len(sets[1]), len(sets[2]))
+        jac = i / len(sets[1] | sets[2])
+        assert jac < 0.5, "the pair symmetric dedup would have missed"
