@@ -17,6 +17,7 @@ def load() -> None:
         dedup,
         engineops,
         graph,
+        linkage,
         llmprep,
         misc,
         misc2,
