@@ -17,6 +17,7 @@ def load() -> None:
         dedup,
         engineops,
         graph,
+        indexing,
         linkage,
         llmprep,
         misc,

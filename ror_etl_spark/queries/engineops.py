@@ -696,3 +696,108 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_BFS_MAX = 8
+_BFS_K = 3
+
+
+def _bfs_oracle() -> str:
+    """Recursive-CTE BFS replay on the same sparsified graph: the UNION
+    (not UNION ALL) dedups (node, lvl) rows so the recursion terminates;
+    min(lvl) per node is the BFS level. Integer-only — no float crosses
+    the engine boundary (the top-k edge selection orders by integer
+    weight with an id tiebreak)."""
+    return f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY u, v),
+    knn AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+        FROM edges)
+      WHERE rn <= {_BFS_K}),
+    lv(node, lvl) AS (
+      SELECT 0, 0
+      UNION
+      SELECT h.v, lv.lvl + 1
+      FROM lv JOIN knn h ON h.u = lv.node
+      WHERE lv.lvl < {_BFS_MAX})
+    SELECT CAST(node AS BIGINT) AS nationkey,
+           CAST(min(lvl) AS BIGINT) AS level
+    FROM lv GROUP BY node ORDER BY nationkey
+    """
+
+
+@query("bfs_levels_trade_graph", oracle=_bfs_oracle(), priority=3)
+def bfs_levels_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-hop levels from nation 0 over the SPARSIFIED trade
+    graph (each nation keeps its top-3 out-edges by shipment count — a
+    k-NN graph, so every node has out-degree k and the BFS is
+    non-trivial) — the third iterative-join graph algorithm on the gate
+    after PageRank (fixed-iteration mass flow) and connected components
+    (fixpoint closure); BFS adds shortest-path semantics.
+
+    Plan: per round, frontier ⋈ edges (one shuffle keyed by node) then a
+    min-aggregate merges the new level candidates — the Pregel/hash-min
+    pattern with (node, level) state, two longs per node. Rounds are
+    bounded by _BFS_MAX (= the oracle's recursion bound, so the two
+    engines explore identical path sets even on graphs with longer
+    shortest paths). At 100 TB the edge list is the big table, state is
+    node-sized, and each round is a standard reduce — same scaling
+    contract as the PageRank above. Top-k edge selection is a
+    WindowGroupLimit (rank pushdown, no full sort) on integer weights
+    with an id tiebreak — deterministic on both engines."""
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark.sql import Window as W
+
+    heavy = (
+        edges.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+            ),
+        )
+        .where(F.col("rn") <= _BFS_K)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    # Frontier-delta form: only nodes discovered last round expand, and
+    # an anti-join against the settled set drops re-discoveries — per
+    # round the shuffle is frontier ⋈ edges, not settled ⋈ edges.
+    frontier = spark.range(1).select(
+        F.lit(0).cast("int").alias("node"), F.lit(0).alias("level")
+    )
+    settled = frontier
+    for _ in range(_BFS_MAX):
+        nxt = (
+            frontier.join(heavy, frontier["node"] == heavy["u"])
+            .select(F.col("v").alias("node"), (F.col("level") + 1).alias("level"))
+            .distinct()
+            .join(settled.select("node"), on="node", how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return (
+        settled.select(
+            F.col("node").cast("long").alias("nationkey"),
+            F.col("level").cast("long").alias("level"),
+        )
+        .orderBy("nationkey")
+    )

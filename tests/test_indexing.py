@@ -1,0 +1,106 @@
+"""Independent-reference tests for the indexing/graph batch
+(queries/indexing.py + bfs_levels_trade_graph): BFS vs a pure-Python
+reference, negatives sanity, zone-map cross-check vs direct filters,
+posting-cap semantics."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from ror_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMALL
+
+load_all()
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_bfs_levels_match_python_bfs(spark):
+    import pyspark.sql.functions as F
+
+    from ror_etl_spark.tables import Tables
+
+    t = Tables(spark, SF_MID)
+    edges = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    by_u: dict[int, list] = {}
+    for r in edges:
+        by_u.setdefault(r["u"], []).append((-r["w"], r["v"]))
+    adj = {u: [v for _, v in sorted(nbrs)[:3]] for u, nbrs in by_u.items()}
+    levels = {0: 0}
+    q = deque([0])
+    while q:
+        n = q.popleft()
+        for v in adj.get(n, []):
+            if v not in levels:
+                levels[v] = levels[n] + 1
+                q.append(v)
+    got = {
+        r["nationkey"]: r["level"]
+        for r in QUERIES["bfs_levels_trade_graph"](spark, SF_MID).collect()
+    }
+    assert got == {k: v for k, v in levels.items() if v <= 8}
+    assert max(got.values()) >= 2  # fixture actually has multi-hop structure
+
+
+def test_contrastive_negatives_distinct_and_never_anchor(spark):
+    rows = QUERIES["contrastive_negatives_sample"](spark, SF_SMALL).collect()
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        by_anchor.setdefault(r["doc_id"], []).append(r["neg_doc_id"])
+    n_docs = len(by_anchor)
+    assert len(rows) == 3 * n_docs
+    for anchor, negs in by_anchor.items():
+        assert len(negs) == 3 and len(set(negs)) == 3
+        assert anchor not in negs
+    # hash offsets actually vary across anchors (not one constant stride)
+    strides = {tuple(sorted(v)) for v in by_anchor.values()}
+    assert len(strides) > n_docs // 2
+
+
+def test_zone_map_report_matches_direct_filters(spark):
+    import pyspark.sql.functions as F
+
+    from ror_etl_spark.tables import Tables
+
+    rows = {
+        (r["layout"], r["predicate"]): r
+        for r in QUERIES["zone_map_pruning_report"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 4
+    o = Tables(spark, SF_SMALL).orders
+    total = o.count()
+    # month layout must make the 1996 date predicate near-perfectly
+    # prunable: scanned fraction == true selectivity (no false keeps)
+    sel_1996 = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        ).count()
+        / total
+    )
+    m_date = rows[("month", "date_1996")]
+    assert abs(m_date["scan_fraction"] - sel_1996) < 1e-3
+    # and the uncorrelated pairs prune nothing
+    assert rows[("month", "price_gt_400k")]["n_pruned"] == 0
+    assert rows[("price_bucket", "date_1996")]["n_pruned"] == 0
+    # price layout prunes most shards for the price predicate
+    p_price = rows[("price_bucket", "price_gt_400k")]
+    assert p_price["n_pruned"] > p_price["n_shards"] // 2
+
+
+def test_inverted_index_postings_capped_and_consistent(spark):
+    rows = QUERIES["inverted_index_postings"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings_head"].split(",")]
+        assert ids == sorted(ids) and len(ids) == len(set(ids))
+        assert len(ids) == min(r["df"], 10)
+        assert r["cf"] >= r["df"] >= 1
