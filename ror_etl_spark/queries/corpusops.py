@@ -886,3 +886,100 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "cooccurrence_pmi_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             unnest(range(1, len(ts) + 1)) AS i
+      FROM toks),
+    posf AS (SELECT * FROM pos WHERE tok <> ''),
+    pairs AS (
+      SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM posf a JOIN posf b
+        ON a.doc_id = b.doc_id AND b.i - a.i IN (1, 2)
+      GROUP BY w1, w2),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM posf GROUP BY tok),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS t,
+             (SELECT sum(n_pair) FROM pairs) AS p)
+    SELECT w1, w2, n_pair,
+           round(ln((CAST(n_pair AS DOUBLE) * t.t * t.t)
+                    / (CAST(t.p AS DOUBLE) * u1.c * u2.c)) + 1e-9, 4) AS pmi
+    FROM pairs
+    JOIN uni u1 ON pairs.w1 = u1.tok
+    JOIN uni u2 ON pairs.w2 = u2.tok
+    CROSS JOIN tot t
+    WHERE n_pair >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    priority=3,
+)
+def cooccurrence_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence with pointwise mutual information — the
+    word2vec/GloVe-style statistic a pretraining pipeline computes to
+    build association vocabularies: ordered token pairs within a +-2
+    window, PMI = ln(p(w1,w2) / (p(w1) p(w2))).
+
+    Pair generation is MAP-SIDE ONLY: for each lag k in {{1, 2}} the
+    token array is zipped with its k-shifted self (element_at over a
+    sequence — no positional self-join, which would shuffle every token
+    occurrence twice). The only shuffles are the (w1, w2) count and two
+    vocab-sized broadcast joins for the unigram counts. Exact integer
+    counts cross the engine boundary; the single ln() is computed from
+    one identically-shaped rational on both sides and rounded with the
+    epsilon shift. The oracle generates pairs the orthogonal way (a
+    positional self-join) — structural double-entry for the windowing.
+
+    At 100 TB: pair-count state is vocab^2-bounded (and n_pair >= 5
+    prunes the long tail before the join); nothing document-sized ever
+    shuffles."""
+    docs = Tables(spark, sf_dir).documents
+    ts = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    pair_expr = (
+        "flatten(transform(array(1, 2), k -> "
+        "transform(sequence(1, greatest(size(ts) - k, 0)), "
+        "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + k) AS w2))))"
+    )
+    pairs_raw = (
+        docs.select(ts.alias("ts"))
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pairs = pairs_raw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (
+        docs.select(F.explode(ts).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t")).crossJoin(
+        pairs.agg(F.sum("n_pair").alias("p"))
+    )
+    out = (
+        pairs.where(F.col("n_pair") >= 5)
+        .join(F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("t") * F.col("t"))
+                    / (F.col("p").cast("double") * F.col("c1") * F.col("c2"))
+                )
+                + 1e-9,
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+    return out

@@ -104,3 +104,49 @@ def test_inverted_index_postings_capped_and_consistent(spark):
         assert ids == sorted(ids) and len(ids) == len(set(ids))
         assert len(ids) == min(r["df"], 10)
         assert r["cf"] >= r["df"] >= 1
+
+
+def test_join_cardinality_actual_is_exact_and_estimates_bracket(spark):
+    from collections import Counter
+
+    rows = {
+        r["method"]: r["est_rows"]
+        for r in QUERIES["join_cardinality_estimate"](spark, SF_SMALL).collect()
+    }
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    counts = Counter(r["user_id"] for r in e.select("user_id").collect())
+    assert rows["actual"] == sum(c * c for c in counts.values())
+    # uniform assumption can only under- or exactly estimate sum(c^2)
+    # (Cauchy-Schwarz); the heavy-hitter correction moves toward actual
+    assert rows["uniform"] <= rows["actual"]
+    assert abs(rows["topk_corrected"] - rows["actual"]) <= abs(
+        rows["uniform"] - rows["actual"]
+    )
+
+
+def test_pmi_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for r in docs:
+        ts = [t for t in " ".join(r["text"].lower().split()).split(" ") if t]
+        uni.update(ts)
+        for k in (1, 2):
+            pairs.update(zip(ts[:-k], ts[k:]))
+    t = sum(uni.values())
+    p = sum(pairs.values())
+    expect = {}
+    for (w1, w2), n in pairs.items():
+        if n >= 5:
+            expect[(w1, w2)] = round(
+                math.log((n * t * t) / (p * uni[w1] * uni[w2])) + 1e-9, 4
+            )
+    got = QUERIES["cooccurrence_pmi_topk"](spark, SF_SMALL).collect()
+    assert len(got) == min(50, len(expect))
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    for row, ((w1, w2), pmi) in zip(got, top):
+        assert (row["w1"], row["w2"]) == (w1, w2)
+        assert abs(row["pmi"] - pmi) < 5e-4
