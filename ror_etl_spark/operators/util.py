@@ -25,3 +25,68 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
         return df
     target = target or spark.sparkContext.defaultParallelism
     return df.repartition(target)
+
+
+def global_rank(
+    df: DataFrame,
+    *sort_cols,
+    out: str = "pos",
+    zero_based: bool = True,
+    n_parts: int = 8,
+) -> DataFrame:
+    """Distributed dense global row-number over a total order.
+
+    ``Window.orderBy(...)`` (no partitionBy) is the correct SEMANTICS but
+    collapses the whole input into one task — the unpartitioned-window
+    anti-pattern. This helper computes the identical rank distributed:
+
+      1. ``repartitionByRange`` on the sort columns — range partition i
+         holds keys strictly below partition i+1 (Spark assigns range
+         boundaries in ascending partition-id order);
+      2. per-partition ``row_number`` (window PARTITIONED by pid — local
+         sort, no single-task stage);
+      3. per-partition counts → cumulative offsets (a pid-sized frame,
+         ≤ n_parts rows, closed with one tiny window);
+      4. broadcast the offsets back: rank = offset + local rank.
+
+    The sort columns must be a TOTAL order (include a unique tiebreak),
+    otherwise ties straddling a range boundary would be ranked
+    arbitrarily. Result is bit-identical to the single-task window for
+    any partition count, so correctness does not depend on the range
+    sampler's boundary choices. One range shuffle + one pid-local window
+    + a driver-scale offset frame — the plan a 100 TB global rank
+    needs."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ranked = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrn", F.row_number().over(W.partitionBy("__pid").orderBy(*sort_cols))
+        )
+    )
+    # Both consumers (the offset frame and the join-back) must see the
+    # SAME range boundaries; the lazy checkpoint pins one materialization
+    # instead of trusting exchange reuse across the two branches.
+    ranked = ranked.localCheckpoint(eager=False)
+    offsets = (
+        ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    base = 0 if zero_based else 1
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__off") + F.col("__lrn") - F.lit(1 - base))
+        .drop("__pid", "__lrn", "__off")
+    )

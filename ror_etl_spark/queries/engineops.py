@@ -855,15 +855,13 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this costs one count shuffle keyed by the join key —
     strictly cheaper than the join it predicts."""
     e = Tables(spark, sf_dir).events
-    from pyspark.sql import Window as W
-
     perkey = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     s = e.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("d")
     )
-    topk = perkey.withColumn(
-        "rn", F.row_number().over(W.orderBy(F.desc("c"), F.asc("user_id")))
-    ).where(F.col("rn") <= 10)
+    # top-10 via orderBy+limit → TakeOrderedAndProject (distributed
+    # per-partition top-k + driver merge), not an unpartitioned window
+    topk = perkey.orderBy(F.desc("c"), F.asc("user_id")).limit(10)
     hh = topk.agg(
         F.sum(F.col("c") * F.col("c")).alias("top_sq"),
         F.sum("c").alias("top_n"),

@@ -265,22 +265,22 @@ def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation); each anchor takes the k consecutive ring positions at
     offset base..base+k-1, where base = h(anchor) mod (N-k) + 1. The
     offset arithmetic guarantees the k negatives are distinct and never
-    the anchor itself. Cost: one global rank (at scale: sort by hash —
-    or zorder_cluster_key-style range partitioning), one k-way fan-out,
+    the anchor itself. Cost: one DISTRIBUTED global rank
+    (operators/util.py:global_rank — range partition + local row_number
+    + offset broadcast, never a single-task window), one k-way fan-out,
     one equi-join on ring position. The naive spec ("k smallest
     h(anchor||cand)") is an N^2 cross join; this plan is O(N·k).
     Near-dup exclusion composes downstream by anti-joining the
     dedup_near_clusters table on (anchor, negative)."""
+    from ror_etl_spark.operators.util import global_rank
+
     docs = Tables(spark, sf_dir).documents
-    ranked = docs.select(
+    ranked = global_rank(
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")),
+        "__h",
         "doc_id",
-        (
-            F.row_number().over(
-                W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-            )
-            - 1
-        ).alias("pos"),
-    )
+        out="pos",
+    ).select("doc_id", "pos")
     n = ranked.count()
     h52 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10

@@ -150,3 +150,25 @@ def test_pmi_matches_python_reference(spark):
     for row, ((w1, w2), pmi) in zip(got, top):
         assert (row["w1"], row["w2"]) == (w1, w2)
         assert abs(row["pmi"] - pmi) < 5e-4
+
+
+def test_global_rank_equals_single_task_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.operators.util import global_rank
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.col("id").alias("id")
+    )
+    expect = {
+        (r["k"], r["id"]): r["pos"]
+        for r in df.withColumn(
+            "pos", F.row_number().over(W.orderBy("k", "id")) - 1
+        ).collect()
+    }
+    got = {
+        (r["k"], r["id"]): r["pos"]
+        for r in global_rank(df, "k", "id", out="pos", n_parts=7).collect()
+    }
+    assert got == expect
