@@ -441,3 +441,70 @@ def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "correlation_matrix_lineitem",
+    oracle="""
+    WITH m AS (
+      SELECT corr(l_quantity, l_extendedprice) AS c_qty_price,
+             corr(l_quantity, l_discount)      AS c_qty_disc,
+             corr(l_quantity, l_tax)           AS c_qty_tax,
+             corr(l_extendedprice, l_discount) AS c_price_disc,
+             corr(l_extendedprice, l_tax)      AS c_price_tax,
+             corr(l_discount, l_tax)           AS c_disc_tax
+      FROM lineitem)
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(c_qty_price + 1e-9, 6) AS corr FROM m
+    UNION ALL SELECT 'l_quantity', 'l_discount', round(c_qty_disc + 1e-9, 6) FROM m
+    UNION ALL SELECT 'l_quantity', 'l_tax', round(c_qty_tax + 1e-9, 6) FROM m
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c_price_disc + 1e-9, 6) FROM m
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c_price_tax + 1e-9, 6) FROM m
+    UNION ALL SELECT 'l_discount', 'l_tax', round(c_disc_tax + 1e-9, 6) FROM m
+    ORDER BY col_a, col_b
+    """,
+    priority=3,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four lineitem numeric
+    columns in ONE aggregation pass — the feature-engineering profiling
+    step before model training.
+
+    All six corr() aggregates accumulate their moments in the same
+    map-side partial pass over one scan (Catalyst collapses them into a
+    single HashAggregate), so the cost at 100 TB is one table scan and
+    one single-row reduce, not six. The six scalars are then unpivoted
+    into tidy (col_a, col_b, corr) rows driver-side-free via a literal
+    stack."""
+    li = Tables(spark, sf_dir).lineitem
+    m = li.agg(
+        *[
+            F.corr(a, b).alias(f"c{i}")
+            for i, (a, b) in enumerate(_CORR_PAIRS)
+        ]
+    )
+    stacked = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.round(F.col(f"c{i}") + 1e-9, 6).alias("corr"),
+                    )
+                    for i, (a, b) in enumerate(_CORR_PAIRS)
+                ]
+            )
+        ).alias("r")
+    ).select("r.col_a", "r.col_b", "r.corr")
+    return stacked.orderBy("col_a", "col_b")
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]

@@ -892,3 +892,79 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         uniform.unionByName(corrected).unionByName(exact).orderBy("method")
     )
+
+
+@query(
+    "fd_violation_report",
+    oracle="""
+    WITH fd1 AS (
+      SELECT o_custkey AS lhs, count(DISTINCT o_orderstatus) AS nd
+      FROM orders GROUP BY 1),
+    fd2 AS (
+      SELECT o_custkey AS lhs, count(DISTINCT o_orderpriority) AS nd
+      FROM orders GROUP BY 1),
+    fd3 AS (
+      SELECT o_orderpriority AS lhs, count(DISTINCT o_orderstatus) AS nd
+      FROM (SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+                   o_orderstatus FROM orders) GROUP BY 1),
+    rep AS (
+      SELECT 'o_custkey->o_orderstatus' AS fd,
+             CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) + 1e-9, 4) AS violation_rate
+      FROM fd1
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority', count(*),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) + 1e-9, 4)
+      FROM fd2
+      UNION ALL
+      SELECT 'o_orderpriority->o_orderstatus', count(*),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) + 1e-9, 4)
+      FROM fd3)
+    SELECT fd, n_lhs, n_violating, violation_rate FROM rep ORDER BY fd
+    """,
+    priority=3,
+)
+def fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling — the schema-discovery / data-
+    quality pass that checks which column determinations actually hold:
+    for each candidate FD lhs -> rhs, how many lhs groups map to more
+    than one rhs value.
+
+    Each FD is one (lhs, count distinct rhs) aggregate then a tiny
+    summary — map-side partials, one shuffle per FD keyed on its lhs.
+    The three candidate FDs here are chosen to be violated at different
+    rates (a repeat customer changes status/priority across orders), so
+    the report is non-degenerate. At 100 TB this is how FD discovery
+    actually runs: one aggregation per candidate, never a self-join."""
+    o = Tables(spark, sf_dir).orders
+
+    def leg(fd_name: str, lhs: str, rhs: str) -> DataFrame:
+        per = o.groupBy(F.col(lhs).alias("lhs")).agg(
+            F.countDistinct(rhs).alias("nd")
+        )
+        return per.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_violating"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                + 1e-9,
+                4,
+            ).alias("violation_rate"),
+        ).select("fd", "n_lhs", "n_violating", "violation_rate")
+
+    out = (
+        leg("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus")
+        .unionByName(leg("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionByName(
+            leg("o_orderpriority->o_orderstatus", "o_orderpriority", "o_orderstatus")
+        )
+    )
+    return out.orderBy("fd")

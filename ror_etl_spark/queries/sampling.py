@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ror_etl_spark.queries.util import ordered
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 
@@ -219,3 +220,83 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "sample_systematic_every_k",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey,
+             row_number() OVER (
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) - 1 AS pos
+      FROM customer)
+    SELECT c_custkey, pos FROM ranked WHERE pos % 50 = 0 ORDER BY pos
+    """,
+    priority=3,
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-50 sampling on a hashed ring: rank rows by a
+    portable hash (deterministic random permutation), keep every 50th.
+
+    Unlike Bernoulli hash sampling (sample_hash_bernoulli), systematic
+    sampling guarantees an EXACT ceil(n/50) sample size and even spacing
+    over the permutation — the property survey-sampling pipelines want.
+    The rank comes from operators/util.py:global_rank (range partition +
+    local row_number + broadcast offsets), never a single-task window;
+    the oracle states the same permutation with DuckDB's own global
+    window — two different ranking algorithms must agree row-for-row."""
+    from ror_etl_spark.operators.util import global_rank
+
+    c = Tables(spark, sf_dir).customer
+    ranked = global_rank(
+        c.select(
+            "c_custkey", F.md5(F.col("c_custkey").cast("string")).alias("__h")
+        ),
+        "__h",
+        "c_custkey",
+        out="pos",
+    )
+    return (
+        ranked.where(F.col("pos") % 50 == 0)
+        .select("c_custkey", "pos")
+        .orderBy("pos")
+    )
+
+
+@query(
+    "quantile_normalize_acctbal",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS pos,
+             count(*) OVER () AS n
+      FROM customer)
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+           round(CAST(pos AS DOUBLE) / (n - 1) + 1e-9, 6) AS q
+    FROM ranked ORDER BY c_custkey
+    """,
+    priority=3,
+)
+def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a numeric feature to uniform
+    [0, 1] — the ML-preprocessing transform that makes a feature
+    distribution-free: value -> rank / (n-1).
+
+    The rank is the distributed global_rank over the (value, key) total
+    order; n comes from the same frame (one bounded scalar). The
+    single division is identically shaped on both engines and rounded
+    with the epsilon shift. At 100 TB this is one range shuffle — the
+    same cost as sorting the feature column once."""
+    from ror_etl_spark.operators.util import global_rank
+
+    c = Tables(spark, sf_dir).customer
+    ranked = global_rank(
+        c.select("c_custkey", "c_acctbal"), "c_acctbal", "c_custkey", out="pos"
+    )
+    n = ranked.count()
+    out = ranked.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.col("pos").cast("double") / F.lit(n - 1) + 1e-9, 6).alias("q"),
+    )
+    return ordered(out, "c_custkey")

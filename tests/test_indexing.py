@@ -172,3 +172,55 @@ def test_global_rank_equals_single_task_window(spark):
         for r in global_rank(df, "k", "id", out="pos", n_parts=7).collect()
     }
     assert got == expect
+
+
+def test_systematic_sample_exact_size_and_spacing(spark):
+    rows = QUERIES["sample_systematic_every_k"](spark, SF_SMALL).collect()
+    n = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    assert len(rows) == (n + 49) // 50
+    assert [r["pos"] for r in rows] == list(range(0, n, 50))
+    assert len({r["c_custkey"] for r in rows}) == len(rows)
+
+
+def test_quantile_normalize_is_uniform_and_monotone(spark):
+    rows = QUERIES["quantile_normalize_acctbal"](spark, SF_SMALL).collect()
+    n = len(rows)
+    qs = sorted(r["q"] for r in rows)
+    assert qs[0] == 0.0 and abs(qs[-1] - 1.0) < 1e-6
+    # rank transform is monotone in the source value
+    by_val = sorted(rows, key=lambda r: (r["acctbal"], r["c_custkey"]))
+    assert all(
+        a["q"] <= b["q"] + 1e-9 for a, b in zip(by_val, by_val[1:])
+    )
+    # uniform: mean q ~ 0.5
+    assert abs(sum(qs) / n - 0.5) < 0.01
+
+
+def test_fd_report_flags_known_violations(spark):
+    rows = {r["fd"]: r for r in QUERIES["fd_violation_report"](spark, SF_SMALL).collect()}
+    assert len(rows) == 3
+    # a repeat customer's orders change status across time — violated
+    assert rows["o_custkey->o_orderstatus"]["n_violating"] > 0
+    # 5 priorities vs 3 statuses: every priority sees every status
+    pr = rows["o_orderpriority->o_orderstatus"]
+    assert pr["n_violating"] == pr["n_lhs"]
+    for r in rows.values():
+        assert 0.0 <= r["violation_rate"] <= 1.0
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in QUERIES["correlation_matrix_lineitem"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == 6
+    for (a, b), c in got.items():
+        expect = float(np.corrcoef(li[a], li[b])[0, 1])
+        assert abs(c - expect) < 1e-5
