@@ -406,3 +406,45 @@ def test_topn_per_group_uses_window_group_limit(spark):
     body = p.split("== Physical Plan ==")[1]
     assert "WindowGroupLimit" in body
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_symspell_is_equi_join_no_cartesian(spark):
+    # the deletion-neighborhood candidate join must be a hash/SMJ equi
+    # join on the variant string — never a cartesian vocab^2 shape, and
+    # the levenshtein verify must run JVM-side (no Python batch eval)
+    p = plan_of(spark, "fuzzy_token_symspell")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pmi_pairs_are_map_side_topk(spark):
+    # pair generation is an explode over an array zip (no positional
+    # self-join) and the final top-50 compiles to TakeOrderedAndProject
+    p = plan_of(spark, "cooccurrence_pmi_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_correlation_matrix_is_single_scan(spark):
+    # six corr() aggregates must collapse into one scan + one aggregate
+    # (explain text names each physical scan once in the tree and once in
+    # the detail section — count file-index locations instead)
+    p = plan_of(spark, "correlation_matrix_lineitem")
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "partial_corr" in p
+
+
+def test_contrastive_and_systematic_have_no_single_task_window(spark):
+    # global ranks must come from global_rank (range partition + pid
+    # window); an unpartitioned window would show a SinglePartition
+    # exchange feeding a Window node
+    import re
+
+    for name in ("contrastive_negatives_sample", "sample_systematic_every_k"):
+        p = plan_of(spark, name)
+        assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", p), name
+
+
+def test_join_cardinality_topk_avoids_full_sort(spark):
+    p = plan_of(spark, "join_cardinality_estimate")
+    assert "TakeOrderedAndProject" in p
