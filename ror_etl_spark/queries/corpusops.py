@@ -983,3 +983,86 @@ def cooccurrence_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return out
+
+
+@query(
+    "vocab_nucleus_topp",
+    oracle=f"""
+    WITH occ AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents),
+    freq AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM occ WHERE tok <> '' GROUP BY lang, tok),
+    tot AS (SELECT lang, sum(c) AS t FROM freq GROUP BY lang),
+    cum AS (
+      SELECT f.lang, f.tok, f.c, tot.t,
+             sum(f.c) OVER (
+               PARTITION BY f.lang ORDER BY f.c DESC, f.tok
+               ROWS UNBOUNDED PRECEDING) AS run
+      FROM freq f JOIN tot ON f.lang = tot.lang),
+    kept AS (
+      SELECT lang, c, t, run,
+             CASE WHEN run - c < 0.9 * t THEN 1 ELSE 0 END AS keep
+      FROM cum)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab_total,
+           CAST(sum(keep) AS BIGINT) AS vocab_kept,
+           round(CAST(sum(CASE WHEN keep = 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / any_value(t) + 1e-9, 6) AS mass_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    priority=3,
+)
+def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary truncation per language: the smallest
+    prefix of the frequency-sorted vocabulary whose cumulative mass
+    reaches p = 0.9 — how tokenizer vocabularies and sampling nuclei are
+    cut.
+
+    A token is kept iff the cumulative mass BEFORE it is < 0.9·total
+    (the standard "include the crossing element" rule, stated
+    identically on both engines with exact integer counts — the 0.9·t
+    comparison point is one float product of the same two numbers, so no
+    summation-order ulps exist). Plan: one (lang, tok) count, a
+    lang-partitioned running sum (window over the vocab-sized frame —
+    NOT the corpus), one summary aggregate. Vocabulary is Heaps-law
+    sublinear, so the windowed stage stays small however big the corpus
+    gets."""
+    docs = Tables(spark, sf_dir).documents
+    from pyspark.sql import Window as W
+
+    occ = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    freq = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("lang").agg(F.sum("c").alias("t"))
+    cum = freq.join(F.broadcast(tot), "lang").withColumn(
+        "run",
+        F.sum("c").over(
+            W.partitionBy("lang")
+            .orderBy(F.desc("c"), F.asc("tok"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    kept = cum.withColumn(
+        "keep", F.when(F.col("run") - F.col("c") < 0.9 * F.col("t"), 1).otherwise(0)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_total"),
+            F.sum("keep").alias("vocab_kept"),
+            F.round(
+                F.sum(F.when(F.col("keep") == 1, F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.any_value(F.col("t"))
+                + 1e-9,
+                6,
+            ).alias("mass_kept"),
+        )
+        .orderBy("lang")
+    )

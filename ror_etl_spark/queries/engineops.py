@@ -968,3 +968,89 @@ def fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("fd")
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+               FROM orders),
+    b AS (
+      SELECT k, CASE WHEN k % 101 = 0 AND st = 'O' THEN 'F' ELSE st END AS st,
+             tp
+      FROM a WHERE k % 97 <> 0
+      UNION ALL
+      SELECT -k, 'N', tp FROM a WHERE k % 89 = 0),
+    j AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.k IS NULL THEN 'added'
+                  WHEN a.st <> b.st OR a.tp <> b.tp THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS first_key,
+           CAST(max(k) AS BIGINT) AS last_key
+    FROM j GROUP BY change_type ORDER BY change_type
+    """,
+    priority=3,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot diff (the CDC/lakehouse "what changed between
+    versions" op): full-outer join two snapshots on the primary key and
+    classify every row added / removed / changed / unchanged.
+
+    Snapshot B is derived deterministically inside the query (keys
+    divisible by 97 deleted, open orders on keys divisible by 101
+    flipped to 'F', fresh negative-key rows inserted for keys divisible
+    by 89) so both engines diff identical inputs and all four outcome
+    classes occur. The diff
+    itself is the real operator: ONE full-outer equi-join on the key —
+    co-partitioned, no skew (keys unique per side) — then a row-level
+    classification and a bounded summary. At 100 TB both snapshots
+    bucket by key and the join is zero-exchange under co-located
+    layouts (see tests/test_bucketing.py); diffing is exactly as
+    expensive as one co-partitioned join, which is why lakehouse MERGE
+    logs exist to avoid re-diffing full snapshots."""
+    o = Tables(spark, sf_dir).orders
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    b = (
+        a.where(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(
+                (F.col("k") % 101 == 0) & (F.col("st") == "O"), F.lit("F")
+            ).otherwise(F.col("st")).alias("st"),
+            "tp",
+        )
+        .unionByName(
+            a.where(F.col("k") % 89 == 0).select(
+                (-F.col("k")).alias("k"), F.lit("N").alias("st"), "tp"
+            )
+        )
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    j = aa.join(bb, F.col("a.k") == F.col("b.k"), "full_outer").select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.k").isNull(), "added")
+        .when(
+            (F.col("a.st") != F.col("b.st")) | (F.col("a.tp") != F.col("b.tp")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        j.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("first_key"),
+            F.max("k").alias("last_key"),
+        )
+        .orderBy("change_type")
+    )

@@ -224,3 +224,42 @@ def test_correlation_matrix_matches_numpy(spark):
     for (a, b), c in got.items():
         expect = float(np.corrcoef(li[a], li[b])[0, 1])
         assert abs(c - expect) < 1e-5
+
+
+def test_snapshot_diff_counts_reconcile(spark):
+    rows = {
+        r["change_type"]: r
+        for r in QUERIES["snapshot_diff_orders"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    n = o.count()
+    # A-side rows partition into removed/changed/unchanged
+    assert (
+        rows["removed"]["n"] + rows["changed"]["n"] + rows["unchanged"]["n"] == n
+    )
+    assert rows["added"]["first_key"] < 0  # inserted rows are negative-key
+
+
+def test_nucleus_vocab_is_minimal_prefix(spark):
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    by_lang: dict[str, Counter] = {}
+    for r in docs:
+        ts = [t for t in " ".join(r["text"].lower().split()).split(" ") if t]
+        by_lang.setdefault(r["lang"], Counter()).update(ts)
+    got = {r["lang"]: r for r in QUERIES["vocab_nucleus_topp"](spark, SF_SMALL).collect()}
+    assert set(got) == set(by_lang)
+    for lang, cnt in by_lang.items():
+        t = sum(cnt.values())
+        toks = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        run = 0
+        kept = 0
+        for _, c in toks:
+            if run < 0.9 * t:
+                kept += 1
+            run += c
+        assert got[lang]["vocab_kept"] == kept
+        assert got[lang]["vocab_total"] == len(toks)
+        assert got[lang]["mass_kept"] >= 0.9 - 1e-9
