@@ -83,8 +83,16 @@ def fuzzy_token_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force alternative is vocab^2 levenshtein calls — at a 10M-term
     web vocabulary that is 10^14 comparisons, while this plan does a
     ~40x fan-out equi-join. No corpus self-join anywhere."""
+    from ror_etl_spark.operators.util import spread
+
     docs = Tables(spark, sf_dir).documents
-    toks = (
+    # spread() after the distinct: AQE coalesces the small vocab shuffle
+    # to one partition, and without the re-spread the ~40x variant
+    # fan-out, the candidate join (the variants side is small enough to
+    # broadcast, so the join runs in the probe side's partitions), and
+    # the levenshtein verify all execute in a SINGLE task — measured
+    # minutes-vs-seconds at the 123k-term open-vocab tier.
+    toks = spread(
         docs.select(
             F.explode(
                 F.split(
@@ -111,15 +119,20 @@ def fuzzy_token_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = variants.alias("a")
     b = variants.alias("b")
-    cand = (
+    # Verify BEFORE the distinct: a candidate pair appears once per
+    # shared variant (dozens of duplicates) and almost all candidates
+    # fail the exact check (shared 2-deletion subsequence but lev > 2),
+    # so the map-side levenshtein filter right after the join kills ~99%
+    # of rows before anything shuffles; the distinct then dedups only
+    # output-sized survivors.
+    verified = (
         a.join(b, F.col("a.variant") == F.col("b.variant"))
         .where(F.col("a.tok") < F.col("b.tok"))
         .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b").cast("long"))
+        .where(F.col("dist") <= 2)
         .distinct()
     )
-    verified = cand.withColumn(
-        "dist", F.levenshtein("tok_a", "tok_b").cast("long")
-    ).where(F.col("dist") <= 2)
     return ordered(verified, "tok_a", "tok_b")
 
 
