@@ -29,6 +29,7 @@ def load() -> None:
         scalars2,
         setops,
         sketches,
+        stats,
         subqueries,
         temporal,
         temporal2,

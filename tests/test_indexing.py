@@ -263,3 +263,56 @@ def test_nucleus_vocab_is_minimal_prefix(spark):
         assert got[lang]["vocab_kept"] == kept
         assert got[lang]["vocab_total"] == len(toks)
         assert got[lang]["mass_kept"] >= 0.9 - 1e-9
+
+
+def test_bootstrap_ci_replays_exactly_in_python(spark):
+    import hashlib
+
+    rows = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    TH = [
+        (0.36787944117144233, 0),
+        (0.7357588823428847, 1),
+        (0.9196986029286058, 2),
+        (0.9810118431238462, 3),
+        (0.9963401531726563, 4),
+    ]
+
+    def pois(u):
+        for t, w in TH:
+            if u < t:
+                return w
+        return 5
+
+    means = []
+    for b in range(32):
+        sw = swx = 0
+        for r in rows:
+            h = hashlib.md5(f"{r['o_orderkey']}:{b}".encode()).hexdigest()
+            u = int(h[:13], 16) / float(1 << 52)
+            w = pois(u)
+            sw += w
+            swx += w * r["o_totalprice"]
+        means.append(swx / sw)
+    means.sort()
+    # percentile_disc(q) = smallest value at cumulative fraction >= q
+    import math
+
+    lo = means[math.ceil(0.025 * 32) - 1]
+    hi = means[math.ceil(0.975 * 32) - 1]
+    got = QUERIES["bootstrap_mean_ci_revenue"](spark, SF_SMALL).collect()[0]
+    assert abs(got["ci_lo"] - round(lo + 1e-9, 4)) < 1e-6
+    assert abs(got["ci_hi"] - round(hi + 1e-9, 4)) < 1e-6
+    assert got["ci_lo"] <= got["mean"] <= got["ci_hi"]
+
+
+def test_robust_means_bracket_and_count_tails(spark):
+    got = QUERIES["robust_mean_revenue"](spark, SF_SMALL).collect()[0]
+    n = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    # ~10% of rows are at-or-beyond the 5%/95% cut values
+    assert 0.05 * n < got["n_tail"] < 0.2 * n
+    lo = min(got["mean_raw"], got["mean_trimmed"], got["mean_winsorized"])
+    hi = max(got["mean_raw"], got["mean_trimmed"], got["mean_winsorized"])
+    # winsorized lies between trimmed and raw by construction
+    assert lo <= got["mean_winsorized"] <= hi
