@@ -521,6 +521,19 @@ _BLOOM_BITS = 16384  # 2^14 — bounded, so the build collect is bounded
 _BLOOM_K = 3
 
 
+def _bloom_bitpos(j: int, col):
+    """Bit position of hash j for a key: md5-derived, portable — the
+    DuckDB twin is ('0x'||substr(md5(j||':'||key),1,8))::BIGINT % m."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_BITS
+    )
+
+
 @query(
     "bloom_prefilter_join",
     oracle="""
@@ -551,16 +564,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, fully inside codegen with the scan filters."""
     t = Tables(spark, sf_dir)
     keys = t.orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
-
-    def bitpos(j: int, col):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % _BLOOM_BITS
-        )
+    bitpos = _bloom_bitpos
 
     pos_rows = (
         keys.select(
@@ -1053,4 +1057,108 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("last_key"),
         )
         .orderBy("change_type")
+    )
+
+
+@query(
+    "bloom_fpr_calibration",
+    oracle=f"""
+    WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'P'),
+    b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    js AS (SELECT unnest([0, 1, 2]) AS j),
+    pos AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                      CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % {_BLOOM_BITS} AS p
+      FROM a CROSS JOIN js),
+    bpos AS (
+      SELECT b.k, js.j,
+             ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+                                 CAST(b.k AS VARCHAR)), 1, 8))::BIGINT
+               % {_BLOOM_BITS} AS p
+      FROM b CROSS JOIN js),
+    hits AS (
+      SELECT k, count(*) AS nh
+      FROM bpos JOIN pos USING (p) GROUP BY k),
+    agg AS (
+      SELECT (SELECT count(*) FROM a) AS n_build,
+             (SELECT count(*) FROM pos) AS set_bits,
+             (SELECT count(*) FROM b) AS n_probes,
+             (SELECT count(*) FROM hits WHERE nh = 3) AS n_false_pos)
+    SELECT CAST(n_build AS BIGINT) AS n_build,
+           CAST(set_bits AS BIGINT) AS set_bits,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           round(CAST(n_false_pos AS DOUBLE) / n_probes + 1e-9, 6) AS fpr_measured,
+           round(pow(CAST(set_bits AS DOUBLE) / {_BLOOM_BITS}, 3) + 1e-9, 6)
+             AS fpr_expected
+    FROM agg
+    """,
+    priority=3,
+)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate calibration — the measurement a
+    runtime-filter planner needs before trusting a Bloom prefilter:
+    build the portable 16384-bit/3-hash filter over the 'P'-status
+    order keys, probe it with the DISJOINT 'F'-status keys (an order
+    has exactly one status, so every probe hit is by definition a false
+    positive), and compare the measured FPR against the load-factor
+    prediction (set_bits/m)^k.
+
+    Completes the sketch-calibration family (MinHash calibration, CMS
+    overestimate report): every approximate structure the engine ships
+    has a registered query that MEASURES its error against ground truth
+    with both engines agreeing on the exact arithmetic. The build
+    aggregates distinct bit positions (bounded by m, never key count);
+    the probe is pure codegen; both counts are map-side."""
+    t = Tables(spark, sf_dir).orders
+    a = t.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("k")
+    )
+    b = t.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k")
+    )
+    pos = (
+        a.select(
+            F.explode(
+                F.array(*[_bloom_bitpos(j, F.col("k")) for j in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    set_bits = pos.agg(F.count(F.lit(1)).alias("set_bits"))
+    bits_rows = pos.collect()
+    bits = [0] * _BLOOM_BITS
+    for r in bits_rows:
+        bits[int(r["p"])] = 1
+    bloom = F.broadcast(
+        spark.createDataFrame([(bits,)], "bits array<int>")
+    )
+    probe = None
+    bb = b.crossJoin(bloom)
+    for j in range(_BLOOM_K):
+        p = _bloom_bitpos(j, F.col("k"))
+        hit = F.element_at(F.col("bits"), (p + 1).cast("int")) == 1
+        probe = hit if probe is None else (probe & hit)
+    counts = bb.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(probe, 1).otherwise(0)).alias("n_false_pos"),
+    )
+    n_build = a.agg(F.count(F.lit(1)).alias("n_build"))
+    return (
+        n_build.crossJoin(F.broadcast(set_bits))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_build",
+            "set_bits",
+            "n_probes",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double") / F.col("n_probes") + 1e-9, 6
+            ).alias("fpr_measured"),
+            F.round(
+                F.pow(F.col("set_bits").cast("double") / _BLOOM_BITS, 3) + 1e-9, 6
+            ).alias("fpr_expected"),
+        )
     )

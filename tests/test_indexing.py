@@ -316,3 +316,19 @@ def test_robust_means_bracket_and_count_tails(spark):
     hi = max(got["mean_raw"], got["mean_trimmed"], got["mean_winsorized"])
     # winsorized lies between trimmed and raw by construction
     assert lo <= got["mean_winsorized"] <= hi
+
+
+def test_bloom_fpr_close_to_load_factor_prediction(spark):
+    got = QUERIES["bloom_fpr_calibration"](spark, SF_SMALL).collect()[0]
+    assert got["n_build"] > 0 and got["n_probes"] > 0
+    assert 0 < got["set_bits"] <= 16384
+    assert 0.0 <= got["fpr_measured"] <= 1.0
+    # measured FPR within a small absolute band of (set_bits/m)^k —
+    # binomial noise at n_probes ~ thousands
+    import math
+
+    sigma = math.sqrt(
+        max(got["fpr_expected"] * (1 - got["fpr_expected"]), 1e-9)
+        / got["n_probes"]
+    )
+    assert abs(got["fpr_measured"] - got["fpr_expected"]) < 5 * sigma + 1e-3
