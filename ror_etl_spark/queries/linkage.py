@@ -269,3 +269,107 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("wsum") / F.col("wnorm") + 1e-9, 2).alias("ewma30"),
     )
     return ordered(out, "day")
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey AS c_custkey,
+             arg_max(o_orderstatus, o_orderkey) AS status,
+             o_orderdate AS vf
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    chained AS (
+      SELECT c_custkey, status, vf,
+             lead(vf) OVER (PARTITION BY c_custkey ORDER BY vf) AS vt
+      FROM upd),
+    first_upd AS (SELECT c_custkey, min(vf) AS f FROM upd GROUP BY c_custkey),
+    initial AS (
+      SELECT c.c_custkey, 'NEW' AS status,
+             TIMESTAMP '1992-01-01' AS vf, f.f AS vt
+      FROM customer c LEFT JOIN first_upd f ON c.c_custkey = f.c_custkey),
+    hist AS (SELECT * FROM initial UNION ALL SELECT * FROM chained),
+    facts AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(l.l_shipdate AS TIMESTAMP) AS ship_ts,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT h.status,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT f.c_custkey) AS BIGINT) AS n_customers,
+           round(sum(f.rev), 2) AS revenue
+    FROM facts f JOIN hist h
+      ON f.c_custkey = h.c_custkey
+     AND h.vf <= f.ship_ts AND (h.vt IS NULL OR f.ship_ts < h.vt)
+    GROUP BY h.status ORDER BY h.status
+    """,
+    priority=3,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal/PIT) join: every shipment line joins the
+    SCD2 customer-status VERSION that was valid on its ship date — the
+    canonical "no time travel leakage" feature join for both reporting
+    and ML training sets.
+
+    The naive plan is an interval join (vf <= ts < vt) — a range join
+    that Spark executes as BNLJ or an exploding range-bucket join. But
+    SCD2 validity intervals are half-open and contiguous per key, so
+    PIT-join == AS-OF join on valid_from (latest version starting at or
+    before the fact timestamp): we reuse operators/asof.asof_join —
+    union both sides, ONE shuffle on the customer key, per-key window,
+    state bounded by the frame. valid_to only breaks the one legitimate
+    same-timestamp collision (a customer whose first order lands on the
+    epoch gets an empty initial interval; ordering right rows by
+    coalesce(valid_to, MAX) puts the non-empty version last, and
+    last-wins matches the interval semantics the oracle's BETWEEN join
+    replays). At 100 TB: facts shuffle once, dimension versions are
+    key-sized, no range explosion."""
+    from ror_etl_spark.operators.asof import asof_join
+    from ror_etl_spark.operators.upsert import scd2_apply
+
+    t = Tables(spark, sf_dir)
+    upd = t.orders.groupBy(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("ts"),
+    ).agg(F.max_by("o_orderstatus", "o_orderkey").alias("status"))
+    initial = t.customer.select(
+        "c_custkey",
+        F.lit("NEW").alias("status"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = scd2_apply(initial, upd, key="c_custkey", ts_col="ts").withColumn(
+        "vt_key",
+        F.coalesce(
+            F.col("valid_to"), F.lit("9999-12-31 00:00:00").cast("timestamp")
+        ),
+    )
+    facts = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    joined = asof_join(
+        facts,
+        hist.select("c_custkey", "valid_from", "status", "vt_key"),
+        on="c_custkey",
+        left_time="ship_ts",
+        right_time="valid_from",
+        right_values=["status"],
+        right_order=["vt_key"],
+    )
+    return (
+        joined.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("status")
+    )

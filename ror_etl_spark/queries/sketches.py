@@ -281,3 +281,149 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("true_n"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — oracle-replayable registers, exact-integer merge.
+#
+# Spark's built-in hll_sketch_agg is a black box to the oracle gate (its
+# binary differs from DuckDB's HLL), so sketch_distinct_users_rollup used
+# to be the registry's one rows-only entry. This twin rebuilds HLL from
+# first principles with portable arithmetic so BOTH engines derive
+# bit-identical registers:
+#   - 52-bit md5-derived row hash (same recipe as the KMV/CMS sketches);
+#   - register index = top 8 bits (m = 256), remainder w = low 44 bits;
+#   - rho = leading zeros of w in 44 bits + 1 = 45 - length(bin(w)),
+#     computed via the bin() string in both engines — no float log2,
+#     whose floor() can be off by one at exact powers of two;
+#   - the indicator sum  Z^-1 = sum_j 2^-M_j  is kept EXACT by scaling:
+#     sum_j 2^(45-M_j) is an integer <= 256 * 2^45 = 2^53, inside both
+#     engines' BIGINT and double-exact ranges.
+# The raw estimate then uses only IEEE-754 +-*/ (correctly rounded by
+# spec, so bit-identical across JVM and DuckDB); the small-range linear
+# counting branch is the one transcendental (ln), disarmed by the repo's
+# +1e-9 rounding shift. Branch selection compares bit-identical raw
+# estimates, so both engines always take the same branch.
+_HLL_M = 256
+_HLL_SCALE = 1 << 45  # 2^(44 + 1): rho ranges over [1, 45]
+
+
+@query(
+    "sketch_hll_portable_rollup",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type AS segment, user_id FROM events
+      UNION ALL
+      SELECT 'ALL' AS segment, user_id FROM events),
+    h AS (
+      SELECT segment, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM ev),
+    r AS (
+      SELECT segment, h >> 44 AS idx,
+             CASE WHEN (h & {(1 << 44) - 1}) = 0 THEN 45
+                  ELSE 45 - length(bin(h & {(1 << 44) - 1})) END AS rho
+      FROM h),
+    regs AS (
+      SELECT segment, idx, max(rho) AS m FROM r GROUP BY segment, idx),
+    agg AS (
+      SELECT segment,
+             CAST(sum(1::BIGINT << (45 - m)) AS BIGINT)
+               + ({_HLL_M} - count(*)) * {_HLL_SCALE}::BIGINT AS sum_scaled,
+             {_HLL_M} - count(*) AS v_empty
+      FROM regs GROUP BY segment),
+    exact AS (
+      SELECT segment, count(DISTINCT user_id) AS n_exact FROM ev
+      GROUP BY segment),
+    est AS (
+      SELECT a.segment, e.n_exact, a.v_empty,
+             (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+               * {_HLL_SCALE}.0 / CAST(a.sum_scaled AS DOUBLE) AS raw
+      FROM agg a JOIN exact e ON a.segment = e.segment),
+    fin AS (
+      SELECT segment, n_exact, v_empty, raw,
+             CASE WHEN raw <= 2.5 * {_HLL_M}.0 AND v_empty > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(v_empty AS DOUBLE))
+                  ELSE raw END AS corrected
+      FROM est)
+    SELECT segment, n_exact, v_empty,
+           round(raw + 1e-9, 4) AS est_raw,
+           round(corrected + 1e-9, 4) AS est_hll,
+           round((corrected - n_exact) / n_exact + 1e-9, 4) AS rel_err
+    FROM fin ORDER BY segment
+    """,
+    priority=3,
+)
+def sketch_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch: per-segment HLL registers plus a
+    global row computed by MERGING the segment registers (max per index),
+    never by rescanning the input — the property that lets a 100 TB
+    pipeline sketch each shard/day once and answer any segment union
+    later. The register build is a map-side-combinable groupBy (at most
+    segments x 256 rows ever shuffle); the exact counts alongside make
+    this a calibration report in the style of bloom_fpr_calibration.
+
+    Correctness architecture (vs the rows-only built-in HLL twin): every
+    register is integer-exact and cross-engine identical; see the module
+    comment above _HLL_M for the scaled-indicator-sum trick that keeps
+    the harmonic mean exact until the final one-division estimate."""
+    e = Tables(spark, sf_dir).events
+    ev = e.select(F.col("event_type").alias("segment"), "user_id").unionByName(
+        e.select(F.lit("ALL").alias("segment"), "user_id")
+    )
+    w_mask = (1 << 44) - 1
+    hashed = ev.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long"),
+    )
+    rho = (
+        hashed.select(
+            "segment",
+            F.shiftright("h", 44).alias("idx"),
+            F.col("h").bitwiseAND(F.lit(w_mask)).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(45)).otherwise(
+                F.lit(45) - F.length(F.expr("bin(w)"))
+            ),
+        )
+    )
+    # Segment registers once; the 'ALL' row arrives pre-merged through the
+    # unioned input (identical to max-merging the per-segment registers,
+    # since max is associative — pinned by test_sketches parity).
+    regs = rho.groupBy("segment", "idx").agg(F.max("rho").alias("m"))
+    agg = regs.groupBy("segment").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 45 - m)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_SCALE)
+        ).alias("sum_scaled"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_empty"),
+    )
+    exact = ev.groupBy("segment").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / float(_HLL_M)))
+        * float(_HLL_M)
+        * float(_HLL_M)
+        * float(_HLL_SCALE)
+        / F.col("sum_scaled").cast("double")
+    )
+    est = agg.join(exact, "segment").withColumn("raw", raw)
+    corrected = F.when(
+        (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v_empty") > 0),
+        float(_HLL_M) * F.log(float(_HLL_M) / F.col("v_empty").cast("double")),
+    ).otherwise(F.col("raw"))
+    out = est.withColumn("corrected", corrected).select(
+        "segment",
+        "n_exact",
+        "v_empty",
+        F.round(F.col("raw") + 1e-9, 4).alias("est_raw"),
+        F.round(F.col("corrected") + 1e-9, 4).alias("est_hll"),
+        F.round(
+            (F.col("corrected") - F.col("n_exact")) / F.col("n_exact") + 1e-9, 4
+        ).alias("rel_err"),
+    )
+    return out.orderBy("segment")

@@ -600,3 +600,96 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_latency_s",
         )
     )
+
+
+@query(
+    "dedup_events_debounce",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events),
+    kept AS (
+      SELECT user_id, event_type, event_id, tus FROM base WHERE rn = 1
+      UNION ALL
+      SELECT nxt.user_id, nxt.event_type, nxt.event_id, nxt.tus
+      FROM kept k, LATERAL (
+        SELECT b.user_id, b.event_type, b.event_id, b.tus
+        FROM base b
+        WHERE b.user_id = k.user_id AND b.event_type = k.event_type
+          AND b.tus >= k.tus + 600000000
+        ORDER BY b.tus, b.event_id LIMIT 1) nxt),
+    tot AS (SELECT event_type, count(*) AS n_total FROM base
+            GROUP BY event_type)
+    SELECT k.event_type, any_value(t.n_total) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(k.event_id) AS BIGINT) AS kept_id_sum
+    FROM kept k JOIN tot t ON k.event_type = t.event_type
+    GROUP BY k.event_type ORDER BY k.event_type
+    """,
+    priority=3,
+)
+def dedup_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful keep-first debounce: within each (user, event_type)
+    stream, keep an event only if it is >= 600 s after the PREVIOUSLY
+    KEPT event (refractory-period dedup — duplicate-click / retry-storm
+    suppression). This is NOT window-expressible: "previous kept" is a
+    sequential dependence (a lag() against the previous RAW event admits
+    chains of sub-threshold events that each debounce the next), so it
+    is the batch twin of streaming's dropDuplicatesWithinWatermark /
+    applyInPandasWithState shape — O(1) state per key behind one shuffle
+    on the key.
+
+    Implementation: applyInPandas per (user_id, event_type) with a
+    linear greedy walk over (ts, event_id)-sorted micros — per-group
+    cost O(rows), state one timestamp; at 100 TB the key space
+    (user x type) is the parallelism and no group outgrows a task. The
+    oracle replays the greedy chain as a recursive CTE (each kept row
+    LATERAL-joins its next kept successor) — NOT a list_reduce fold:
+    DuckDB v1.0.0's lambda corrupts fold accumulators at real group
+    sizes (measured: 2003 kept vs the true 2001 on sf0.01 clicks; a
+    pure-Python walk arbitrates, pinned in tests). Output is a per-type
+    exact integer checksum (kept-id sum), the strongest
+    order-insensitive witness of the kept SET."""
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tus", "event_id"])
+        kept = []
+        last = None
+        for eid, tus in zip(pdf["event_id"].values, pdf["tus"].values):
+            if last is None or tus >= last + 600_000_000:
+                kept.append(eid)
+                last = tus
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1].repeat(len(kept)).values,
+                "event_type": pdf["event_type"].iloc[:1].repeat(len(kept)).values,
+                "event_id": kept,
+                "n_key": len(pdf),
+            }
+        )
+
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events.select(
+        "user_id", "event_type", "event_id", epoch_us("ts").alias("tus")
+    )
+    kept = e.groupBy("user_id", "event_type").applyInPandas(
+        walk, "user_id long, event_type string, event_id long, n_key long"
+    )
+    per_key = kept.groupBy("user_id", "event_type").agg(
+        F.first("n_key").alias("n_key"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("n_key").alias("n_total"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("sum_ids").alias("kept_id_sum"),
+        )
+        .orderBy("event_type")
+    )
