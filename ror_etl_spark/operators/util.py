@@ -90,3 +90,57 @@ def global_rank(
         .withColumn(out, F.col("__off") + F.col("__lrn") - F.lit(1 - base))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def global_cummax(
+    df: DataFrame,
+    order_cols: list[str],
+    val: str,
+    out: str = "prior_max",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Distributed EXCLUSIVE running max over a global sort order: for
+    each row, max(``val``) over all rows strictly preceding it in
+    ``order_cols`` order (null for the global first row).
+
+    Same decomposition as ``global_rank`` (whose docstring explains why
+    an unpartitioned window is the anti-pattern this replaces): range
+    partition on the order, pid-local exclusive cummax window, then a
+    pid-sized frame of per-partition maxima whose exclusive running max
+    broadcasts back as each partition's carry-in. greatest() merges the
+    local and carried values null-skippingly.
+
+    ``order_cols`` must be duplicate-free across rows (a total order):
+    rows tying on the full sort key could land in different range
+    partitions and see each other's values asymmetrically. Callers
+    aggregate to distinct keys first (see skyline_pareto_partsupp)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = F.max(val).over(
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = (
+        rp.groupBy("__pid")
+        .agg(F.max(val).alias("__pmax"))
+        .withColumn(
+            "__carry",
+            F.max("__pmax").over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("__pid", "__carry")
+    )
+    return (
+        rp.withColumn("__local", local)
+        .join(F.broadcast(carry), "__pid")
+        .withColumn(out, F.greatest("__local", "__carry"))
+        .drop("__pid", "__local", "__carry")
+    )

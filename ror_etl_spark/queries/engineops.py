@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ror_etl_spark.queries.util import r2
+from ror_etl_spark.queries.util import ordered, r2
 from ror_etl_spark.registry import query
 from ror_etl_spark.tables import Tables
 
@@ -1161,4 +1161,154 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pow(F.col("set_bits").cast("double") / _BLOOM_BITS, 3) + 1e-9, 6
             ).alias("fpr_expected"),
         )
+    )
+
+
+@query(
+    "skyline_pareto_parts",
+    oracle="""
+    WITH s AS (
+      SELECT p_partkey AS partkey, p_retailprice AS cost,
+             CAST(p_size AS BIGINT) AS size
+      FROM part)
+    SELECT r.partkey, r.cost, r.size
+    FROM s r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s o
+      WHERE o.cost <= r.cost AND o.size >= r.size
+        AND (o.cost < r.cost OR o.size > r.size))
+    ORDER BY r.cost, r.size, r.partkey
+    """,
+    priority=5,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: parts not dominated on
+    (minimize retailprice, maximize size) — the multi-criteria shortlist
+    query engines ship as SKYLINE OF; Spark has no native operator, so
+    this is a §2.3 "custom operator as composition" row.
+
+    The naive definition is the quadratic NOT EXISTS dominance test the
+    oracle runs verbatim. The distributed plan exploits the 2-D
+    structure: (1) collapse to one row per distinct cost with the
+    group's max size (map-side combinable; output bounded by the PRICE
+    DOMAIN, not the data); (2) EXCLUSIVE running max of size in cost
+    order via operators/util.global_cummax — range partition +
+    pid-local window + broadcast carry-ins, never a single-task global
+    window; (3) a cost survives iff its max-size strictly exceeds every
+    cheaper cost's (ties lose to the cheaper point, which dominates);
+    (4) broadcast the surviving (cost, size) frontier back to recover
+    all rows sitting exactly on it (duplicates on the frontier are
+    mutually non-dominating and all kept — pinned by the oracle's
+    independent dominance semantics). At 100 TB: one aggregate shuffle
+    keyed on cost + one domain-sized cummax; the O(n^2) test never
+    runs."""
+    from ror_etl_spark.operators.util import global_cummax
+
+    ps = Tables(spark, sf_dir).part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_retailprice").alias("cost"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    cm = ps.groupBy("cost").agg(F.max("size").alias("mq"))
+    frontier = (
+        global_cummax(cm, ["cost"], "mq", out="prior_mq")
+        .filter(F.col("prior_mq").isNull() | (F.col("mq") > F.col("prior_mq")))
+        .select("cost", F.col("mq").alias("size"))
+    )
+    sky = ps.join(F.broadcast(frontier), ["cost", "size"]).select(
+        "partkey", "cost", "size"
+    )
+    return ordered(sky, "cost", "size", "partkey")
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk)
+    SELECT p1, p2, n_pair,
+           round(CAST(n_pair AS DOUBLE) / c1.c + 1e-9, 4) AS confidence,
+           round((CAST(n_pair AS DOUBLE) * nb.n_baskets) / (c1.c * c2.c)
+                 + 1e-9, 4) AS lift
+    FROM pairs
+    JOIN cnt c1 ON pairs.p1 = c1.pk
+    JOIN cnt c2 ON pairs.p2 = c2.pk
+    CROSS JOIN nb
+    WHERE n_pair >= 2
+    ORDER BY lift DESC, p1, p2 LIMIT 40
+    """,
+    priority=5,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the Apriori/FP-growth first
+    pass): co-purchased part pairs per order with confidence and lift —
+    the recommendation-engine statistic computed over transaction logs.
+
+    Pair generation is MAP-SIDE ONLY, mirroring cooccurrence_pmi_topk:
+    each order's distinct parts collapse to ONE sorted array (the
+    per-key collect_set is the only transaction-sized shuffle), and the
+    C(k,2) pairs explode from the array without a positional self-join.
+    TPC-H baskets are bounded (<= 7 lines), and real retail baskets are
+    tens of items — pair fan-out is k^2/2 per basket with tiny k, never
+    corpus-quadratic; a viral SKU pair still lands on ONE (p1, p2)
+    reducer key as a count, not as rows. Item supports join back as
+    vocab-sized broadcasts; lift = n_pair * n_baskets / (c1 * c2)
+    crosses the engine boundary as a single rational of exact integers.
+    The oracle double-enters pair generation as the orthogonal
+    positional self-join."""
+    li = Tables(spark, sf_dir).lineitem
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    # size-1 baskets yield no pairs and must not reach the pair expr:
+    # Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty.
+    baskets = items.groupBy("ok").agg(
+        F.array_sort(F.collect_set("pk")).alias("ps")
+    ).where(F.size("ps") >= 2)
+    pair_expr = (
+        "flatten(transform(sequence(1, greatest(size(ps) - 1, 0)), "
+        "i -> transform(sequence(i + 1, size(ps)), "
+        "j -> struct(element_at(ps, i) AS p1, element_at(ps, j) AS p2))))"
+    )
+    pairs = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    nb = items.agg(F.countDistinct("ok").alias("n_baskets"))
+    return (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("pk").alias("p1"), F.col("c").alias("c1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("pk").alias("p2"), F.col("c").alias("c2"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("c1") + 1e-9, 4).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("n_baskets"))
+                / (F.col("c1") * F.col("c2"))
+                + 1e-9,
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(40)
     )

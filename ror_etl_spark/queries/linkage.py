@@ -303,7 +303,7 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND h.vf <= f.ship_ts AND (h.vt IS NULL OR f.ship_ts < h.vt)
     GROUP BY h.status ORDER BY h.status
     """,
-    priority=3,
+    priority=5,
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (temporal/PIT) join: every shipment line joins the

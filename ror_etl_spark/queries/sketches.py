@@ -352,7 +352,7 @@ _HLL_SCALE = 1 << 45  # 2^(44 + 1): rho ranges over [1, 45]
            round((corrected - n_exact) / n_exact + 1e-9, 4) AS rel_err
     FROM fin ORDER BY segment
     """,
-    priority=3,
+    priority=5,
 )
 def sketch_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketch: per-segment HLL registers plus a

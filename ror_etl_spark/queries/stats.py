@@ -202,3 +202,83 @@ def robust_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_winsorized") + 1e-9, 4).alias("mean_winsorized"),
         "n_tail",
     )
+
+
+@query(
+    "ab_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(value) + 1e-9, 6) AS m,
+             round(var_samp(value) + 1e-9, 6) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type),
+    w AS (
+      SELECT
+        (SELECT n FROM g WHERE event_type = 'click') AS n1,
+        (SELECT m FROM g WHERE event_type = 'click') AS m1,
+        (SELECT v FROM g WHERE event_type = 'click') AS v1,
+        (SELECT n FROM g WHERE event_type = 'purchase') AS n2,
+        (SELECT m FROM g WHERE event_type = 'purchase') AS m2,
+        (SELECT v FROM g WHERE event_type = 'purchase') AS v2)
+    SELECT n1, m1, v1, n2, m2, v2,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2) + 1e-9, 4) AS t_stat,
+           round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)) + 1e-9, 2)
+             AS dof_welch
+    FROM w
+    """,
+    priority=5,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts (the
+    A/B-test significance primitive): t statistic and Welch-Satterthwaite
+    degrees of freedom from per-cohort (n, mean, sample variance).
+
+    Everything is closed-form over ONE partial+final aggregation per
+    cohort — the 100 TB plan is two map-side-combinable aggregates and a
+    scalar join; no row ever leaves its partition unaggregated. Floating
+    determinism: mean and variance are rounded (epsilon-shifted) to 6 dp
+    BEFORE the t/dof arithmetic, so both engines feed bit-identical
+    operands into a +-*/+sqrt pipeline (all IEEE-754 correctly-rounded
+    ops — sqrt included — unlike ln/pow); the result is deterministic,
+    not merely close. The p-value needs an incomplete-beta special
+    function — out of scope for a SQL-replayable twin; t and dof are the
+    decision statistics."""
+    e = Tables(spark, sf_dir).events
+    g = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value") + 1e-9, 6).alias("m"),
+            F.round(F.var_samp("value") + 1e-9, 6).alias("v"),
+        )
+    )
+    a = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = g.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return a.crossJoin(b).select(
+        "n1",
+        "m1",
+        "v1",
+        "n2",
+        "m2",
+        "v2",
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2) + 1e-9, 4
+        ).alias("t_stat"),
+        F.round(
+            ((se1 + se2) * (se1 + se2))
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))
+            + 1e-9,
+            2,
+        ).alias("dof_welch"),
+    )

@@ -628,7 +628,7 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM kept k JOIN tot t ON k.event_type = t.event_type
     GROUP BY k.event_type ORDER BY k.event_type
     """,
-    priority=3,
+    priority=5,
 )
 def dedup_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful keep-first debounce: within each (user, event_type)
