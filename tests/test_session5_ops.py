@@ -1,0 +1,271 @@
+"""Tests for the round-7 session-5 operators: portable HLL, stateful
+debounce, PIT join, skyline/global_cummax, market basket, Welch t-test."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ror_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMALL
+
+load_all()
+
+
+# ---------------------------------------------------------------- cummax
+
+
+def test_global_cummax_equals_single_task_window(spark):
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.operators.util import global_cummax
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"),
+        ((F.col("id") * 40503) % 9973).alias("v"),
+    ).distinct()
+    expect = {
+        r["k"]: r["pm"]
+        for r in df.withColumn(
+            "pm",
+            F.max("v").over(W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)),
+        ).collect()
+    }
+    got = {
+        r["k"]: r["prior_max"]
+        for r in global_cummax(df, ["k"], "v", n_parts=7).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def test_skyline_matches_quadratic_reference(spark):
+    rows = QUERIES["skyline_pareto_parts"](spark, SF_SMALL).collect()
+    pts = [
+        (float(r["p_retailprice"]), int(r["p_size"]), int(r["p_partkey"]))
+        for r in spark.read.parquet(f"{SF_SMALL}/part.parquet")
+        .select("p_retailprice", "p_size", "p_partkey")
+        .collect()
+    ]
+    expect = {
+        (pk, c, s)
+        for (c, s, pk) in pts
+        if not any(
+            oc <= c and os_ >= s and (oc < c or os_ > s) for (oc, os_, _) in pts
+        )
+    }
+    got = {(int(r["partkey"]), float(r["cost"]), int(r["size"])) for r in rows}
+    assert got == expect
+
+
+# --------------------------------------------------------------- debounce
+
+
+def test_debounce_matches_python_walk(spark):
+    """Arbitrates the engine against an independent greedy walk — the
+    reference that exposed DuckDB v1.0.0's list_reduce accumulator
+    corruption (oracle now uses a recursive CTE instead)."""
+    from collections import defaultdict
+
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "event_type", "event_id", "ts")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000) if hasattr(r["ts"], "timestamp") else int(r["ts"])
+        groups[(r["user_id"], r["event_type"])].append((us, r["event_id"]))
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (_, et), lst in groups.items():
+        lst.sort()
+        last = None
+        for tus, eid in lst:
+            agg[et][0] += 1
+            if last is None or tus >= last + 600_000_000:
+                agg[et][1] += 1
+                agg[et][2] += eid
+                last = tus
+    rows = QUERIES["dedup_events_debounce"](spark, SF_SMALL).collect()
+    got = {r["event_type"]: (r["n_total"], r["n_kept"], r["kept_id_sum"]) for r in rows}
+    assert got == {et: tuple(v) for et, v in agg.items()}
+
+
+def test_debounce_chain_semantics_not_lag(spark):
+    """Sub-threshold chains: events at 0s, 300s, 650s — a raw-lag filter
+    would drop 300 and KEEP 650 (650-300 >= 600 is false... 350 < 600 so
+    lag also drops it); the distinguishing case is 0, 300, 700: greedy
+    keeps 0 and 700 (700 >= 600), while lag-vs-previous-raw drops 700
+    (700-300=400 < 600). Pin the greedy behavior."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_type": ["x", "x", "x"],
+            "event_id": [10, 11, 12],
+            "ts": pd.to_datetime([0, 300_000_000_000, 700_000_000_000]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    for name in ("events",):
+        df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+    rows = QUERIES["dedup_events_debounce"](spark, d).collect()
+    assert rows[0]["n_kept"] == 2
+    assert rows[0]["kept_id_sum"] == 22  # 10 + 12: the chain re-anchors at 0s
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_all_row_is_register_merge(spark):
+    """Mergeability: the ALL row's registers equal the per-segment max
+    merge, so est('ALL') must equal the estimate computed from merged
+    segment registers — rebuild both from raw data and compare."""
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    w_mask = (1 << 44) - 1
+    regs = (
+        e.select("event_type", "user_id")
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+            ).cast("long"),
+        )
+        .select(
+            "event_type",
+            F.shiftright("h", 44).alias("idx"),
+            F.col("h").bitwiseAND(F.lit(w_mask)).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(45)).otherwise(
+                F.lit(45) - F.length(F.expr("bin(w)"))
+            ),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    )
+    merged = {}
+    for r in regs:
+        merged[r["idx"]] = max(merged.get(r["idx"], 0), r["m"])
+    ssum = sum(1 << (45 - m) for m in merged.values()) + (256 - len(merged)) * (
+        1 << 45
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 256.0 * 256.0 * 35184372088832.0 / ssum
+    v = 256 - len(merged)
+    import math
+
+    corrected = 256.0 * math.log(256.0 / v) if (raw <= 640.0 and v > 0) else raw
+    rows = QUERIES["sketch_hll_portable_rollup"](spark, SF_SMALL).collect()
+    all_row = next(r for r in rows if r["segment"] == "ALL")
+    assert all_row["v_empty"] == v
+    assert abs(all_row["est_hll"] - corrected) < 1e-3
+
+
+def test_hll_error_within_bounds_at_sf001(spark):
+    rows = QUERIES["sketch_hll_portable_rollup"](spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        # m=256 -> stderr ~1.04/16 = 6.5%; linear counting is tighter at
+        # these cardinalities. 25% is a loose sanity band, not the claim.
+        assert abs(r["rel_err"]) < 0.25, r
+
+
+# ---------------------------------------------------------------- PIT
+
+
+def test_pit_join_equals_interval_join(spark):
+    """asof formulation == interval (BETWEEN) join, the independent
+    semantics the oracle uses — re-verified engine-side on sf0.001."""
+    from ror_etl_spark.queries.linkage import scd2_point_in_time_join
+
+    got = {
+        r["status"]: (r["n_lines"], r["n_customers"], float(r["revenue"]))
+        for r in scd2_point_in_time_join(spark, SF_SMALL).collect()
+    }
+    import duckdb
+
+    from ror_etl_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    exp = {
+        r[0]: (r[1], r[2], float(r[3]))
+        for r in con.execute(ORACLES["scd2_point_in_time_join"]).fetchall()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------- basket
+
+
+def test_basket_lift_reference(spark):
+    """Lift of every reported pair recomputed from raw counts."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW items AS SELECT DISTINCT l_orderkey ok, l_partkey pk"
+        f" FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    nb = con.execute("SELECT count(DISTINCT ok) FROM items").fetchone()[0]
+    cnt = dict(con.execute("SELECT pk, count(*) FROM items GROUP BY pk").fetchall())
+    pairs = {
+        (a, b): n
+        for a, b, n in con.execute(
+            "SELECT a.pk, b.pk, count(*) FROM items a JOIN items b"
+            " ON a.ok = b.ok AND a.pk < b.pk GROUP BY a.pk, b.pk"
+        ).fetchall()
+    }
+    rows = QUERIES["market_basket_lift"](spark, SF_SMALL).collect()
+    for r in rows:
+        np = pairs[(r["p1"], r["p2"])]
+        assert r["n_pair"] == np and np >= 2
+        lift = np * nb / (cnt[r["p1"]] * cnt[r["p2"]])
+        assert abs(r["lift"] - lift) < 5e-4
+    # ordering: non-increasing lift
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+# ---------------------------------------------------------------- welch
+
+
+def test_welch_ttest_matches_scipy_free_reference(spark):
+    import math
+
+    import duckdb
+
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_SMALL}/events.parquet'"
+        " WHERE event_type IN ('click','purchase')"
+    ).fetchall()
+    a = [v for t, v in vals if t == "click"]
+    b = [v for t, v in vals if t == "purchase"]
+
+    def mv(x):
+        n = len(x)
+        m = sum(x) / n
+        v = sum((e - m) ** 2 for e in x) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = mv(a)
+    n2, m2, v2 = mv(b)
+    t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    dof = (v1 / n1 + v2 / n2) ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    row = QUERIES["ab_welch_ttest"](spark, SF_SMALL).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["t_stat"] - t) < 1e-3
+    assert abs(row["dof_welch"] - dof) < 0.05
