@@ -282,3 +282,129 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("dof_welch"),
     )
+
+
+@query(
+    "chisq_event_type_value_band",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et,
+             CAST(least(floor(value / 50.0), 4) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT et, sum(o) AS r FROM cells GROUP BY et),
+    ct AS (SELECT band, sum(o) AS c FROM cells GROUP BY band),
+    n AS (SELECT sum(o) AS n FROM cells),
+    terms AS (
+      SELECT (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+             * (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+             / (CAST(rt.r AS DOUBLE) * ct.c / n.n) AS t
+      FROM cells JOIN rt ON cells.et = rt.et
+      JOIN ct ON cells.band = ct.band CROSS JOIN n)
+    SELECT round(sum(t) + 1e-9, 4) AS chi2,
+           (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt)
+             * (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct) AS dof
+    FROM terms
+    """,
+    priority=5,
+)
+def chisq_event_type_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the event_type x
+    value-band contingency table — the categorical-association twin of
+    ab_welch_ttest. Bands are fixed-width floor buckets (no quantiles:
+    band EDGES must be integer-exact in both engines), expected counts
+    are the rank-1 margin product r*c/N.
+
+    One aggregation builds the cell counts (map-side combinable; the
+    table is category-domain-sized, never data-sized), margins reduce
+    from the CELLS rather than rescanning, and the statistic is a sum
+    of rationals of exact integers — double arithmetic happens only on
+    aggregated values, identically shaped on both sides. Sum order over
+    the <= 25 cells is the one nondeterminism; the epsilon-shifted
+    4 dp round absorbs it."""
+    e = Tables(spark, sf_dir).events
+    cells = (
+        e.groupBy(
+            F.col("event_type").alias("et"),
+            F.least(F.floor(F.col("value") / 50.0), F.lit(4))
+            .cast("long")
+            .alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("et").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("band").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(n))
+        .select(((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("t"))
+    )
+    dof = (
+        rt.agg((F.count(F.lit(1)) - 1).alias("dr"))
+        .crossJoin(ct.agg((F.count(F.lit(1)) - 1).alias("dc")))
+        .select((F.col("dr") * F.col("dc")).alias("dof"))
+    )
+    return terms.agg(F.round(F.sum("t") + 1e-9, 4).alias("chi2")).crossJoin(
+        F.broadcast(dof)
+    )
+
+
+@query(
+    "benford_first_digit_totalprice",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT c.digit, c.n,
+           round(CAST(c.n AS DOUBLE) / t.tot + 1e-9, 6) AS observed,
+           round(log10(1.0 + 1.0 / c.digit) + 1e-9, 6) AS benford,
+           round((CAST(c.n AS DOUBLE) / t.tot - log10(1.0 + 1.0 / c.digit))
+                 * (CAST(c.n AS DOUBLE) / t.tot - log10(1.0 + 1.0 / c.digit))
+                 / log10(1.0 + 1.0 / c.digit) + 1e-9, 6) AS chi_term
+    FROM c CROSS JOIN t ORDER BY c.digit
+    """,
+    priority=5,
+)
+def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the classic
+    fraud/data-quality screen: natural multiplicative quantities put
+    ~30.1% of leading digits at 1, and fabricated or truncated data
+    doesn't. Reports per-digit observed vs log10(1 + 1/d) expected
+    frequency and the chi-square contribution.
+
+    The leading digit is string-sliced from the integer part (exact in
+    both engines — no float log10 of the VALUE, whose floor can
+    misclassify at power-of-ten boundaries; log10 appears only on the
+    nine literal digit constants, epsilon-rounded). One domain-sized
+    (9-row) aggregate; entirely map-side combinable."""
+    o = Tables(spark, sf_dir).orders
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    obs = F.col("n").cast("double") / F.col("tot")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(obs + 1e-9, 6).alias("observed"),
+            F.round(ben + 1e-9, 6).alias("benford"),
+            F.round((obs - ben) * (obs - ben) / ben + 1e-9, 6).alias(
+                "chi_term"
+            ),
+        )
+        .orderBy("digit")
+    )

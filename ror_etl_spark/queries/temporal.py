@@ -364,3 +364,130 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "ohlc_hourly_purchases",
+    oracle="""
+    WITH x AS (
+      SELECT date_trunc('hour', ts) AS h, ts, event_id, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events WHERE event_type = 'purchase')
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(CASE WHEN rf = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rl = 1 THEN value END), 4) AS close,
+           round(sum(value) + 1e-9, 4) AS volume
+    FROM x GROUP BY h ORDER BY hour
+    """,
+    priority=5,
+)
+def ohlc_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (the financial/telemetry downsampling
+    primitive): per hourly bucket, the chronologically first (open) and
+    last (close) values plus the high/low/volume aggregates.
+
+    open/close are order statistics, not algebraic aggregates — the
+    deterministic formulation is a per-bucket window with a total
+    (ts, event_id) tiebreak (min_by/arg_min tie behavior is
+    engine-arbitrary, so both engines pin the SAME total order). The
+    window partitions on the bucket — at 100 TB each hour's frame is
+    bucket-sized and the plan is one shuffle keyed on the bucket, the
+    same key the final aggregate reuses (no second exchange: Catalyst
+    sees the window and the groupBy share partitioning)."""
+    from pyspark.sql import Window as W
+
+    e = Tables(spark, sf_dir).events.where(F.col("event_type") == "purchase")
+    x = e.select(
+        F.date_trunc("hour", "ts").alias("h"), "ts", "event_id", "value"
+    )
+    wf = W.partitionBy("h").orderBy(F.asc("ts"), F.asc("event_id"))
+    wl = W.partitionBy("h").orderBy(F.desc("ts"), F.desc("event_id"))
+    x = x.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    return (
+        x.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max(F.when(F.col("rf") == 1, F.col("value"))), 4).alias(
+                "open"
+            ),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rl") == 1, F.col("value"))), 4).alias(
+                "close"
+            ),
+            F.round(F.sum("value") + 1e-9, 4).alias("volume"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "rolling_distinct_users_7d",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN du
+      ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+    GROUP BY days.d ORDER BY day
+    """,
+    priority=5,
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users — the canonical HARD sliding
+    aggregate: COUNT(DISTINCT) does not decompose over overlapping
+    windows (you cannot subtract yesterday's leavers from a running
+    count), so incremental tricks that work for sums are unsound here.
+
+    The distributed formulation inverts the window: each (day, user)
+    contribution replicates to the <= 7 window-ends it can serve
+    (map-side explode of a bounded literal sequence — fan-out x7
+    regardless of data size), then ONE distinct-aggregate keyed on
+    (window_end, user) collapses duplicates. Shuffle volume is
+    7 x |distinct (day, user)| — days-bounded, never event-bounded,
+    because the per-day distinct runs first. The oracle states the
+    orthogonal definition (a range band join against the day spine).
+    At 100 TB this beats both the band join (events x 7 days of
+    re-scan) and a per-day loop (7 full passes)."""
+    e = Tables(spark, sf_dir).events
+    du = e.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6), k -> date_add(CAST(d AS DATE), k))"
+            )
+        ).alias("wd"),
+        "user_id",
+    )
+    out = (
+        contrib.join(
+            F.broadcast(days.select(F.col("d").cast("date").alias("wd"))), "wd"
+        )
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+    return out.select(
+        F.date_format("wd", "yyyy-MM-dd").alias("day"), "users_7d"
+    ).orderBy("day")

@@ -269,3 +269,96 @@ def test_welch_ttest_matches_scipy_free_reference(spark):
     assert row["n1"] == n1 and row["n2"] == n2
     assert abs(row["t_stat"] - t) < 1e-3
     assert abs(row["dof_welch"] - dof) < 0.05
+
+
+# ---------------------------------------------------------------- ohlc
+
+
+def test_ohlc_open_close_are_chronological_extremes(spark):
+    rows = QUERIES["ohlc_hourly_purchases"](spark, SF_SMALL).collect()
+    import duckdb
+
+    ref = duckdb.sql(
+        f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               first(value ORDER BY ts, event_id) AS open,
+               last(value ORDER BY ts, event_id) AS close,
+               max(value) AS high, min(value) AS low
+        FROM '{SF_SMALL}/events.parquet' WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    exp = {h: (o, c, hi, lo) for h, o, c, hi, lo in ref}
+    assert len(rows) == len(exp)
+    for r in rows:
+        o, c, hi, lo = exp[r["hour"]]
+        assert abs(r["open"] - o) < 1e-3 and abs(r["close"] - c) < 1e-3
+        assert abs(r["high"] - hi) < 1e-3 and abs(r["low"] - lo) < 1e-3
+        assert r["low"] <= min(r["open"], r["close"]) + 1e-9
+        assert r["high"] >= max(r["open"], r["close"]) - 1e-9
+
+
+# ------------------------------------------------------- rolling distinct
+
+
+def test_rolling_distinct_users_brute_force(spark):
+    import duckdb
+    from collections import defaultdict
+
+    du = duckdb.sql(
+        f"SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id"
+        f" FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    days = sorted({d for d, _ in du})
+    exp = {}
+    for day in days:
+        exp[str(day)] = len(
+            {u for d, u in du if 0 <= (day - d).days <= 6}
+        )
+    got = {
+        r["day"]: r["users_7d"]
+        for r in QUERIES["rolling_distinct_users_7d"](spark, SF_SMALL).collect()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------- chisq
+
+
+def test_chisq_reference(spark):
+    import duckdb
+    from collections import Counter
+
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    cells = Counter((t, min(int(v // 50), 4)) for t, v in vals)
+    rt = Counter()
+    ct = Counter()
+    for (t, b), o in cells.items():
+        rt[t] += o
+        ct[b] += o
+    n = sum(cells.values())
+    chi2 = sum(
+        (o - rt[t] * ct[b] / n) ** 2 / (rt[t] * ct[b] / n)
+        for (t, b), o in cells.items()
+    )
+    row = QUERIES["chisq_event_type_value_band"](spark, SF_SMALL).collect()[0]
+    assert abs(row["chi2"] - chi2) < 1e-3
+    assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
+
+
+# --------------------------------------------------------------- benford
+
+
+def test_benford_digits_and_frequencies(spark):
+    import math
+
+    rows = QUERIES["benford_first_digit_totalprice"](spark, SF_SMALL).collect()
+    assert [r["digit"] for r in rows] == sorted({r["digit"] for r in rows})
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    tot = sum(r["n"] for r in rows)
+    for r in rows:
+        assert abs(r["observed"] - r["n"] / tot) < 1e-5
+        assert abs(r["benford"] - math.log10(1 + 1 / r["digit"])) < 1e-5
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-3

@@ -307,6 +307,39 @@ R7_BOILER = [
 ]
 
 
+
+# Session-5 decades: the new operators read events / lineitem / part, so
+# they ride the dedicated events decade (1M/10M/100M, generated in
+# session 3 for join_cardinality_estimate), the tpch10 lineitem tier,
+# and a fresh part decade (the only new synthesis here — retailprice
+# uniform on the real [900, 2000) domain, size 1..50, so the skyline's
+# per-cost aggregate keeps its domain-bounded cardinality).
+EV_TIERS = [("ev-1m", "/tmp/sparkgraft_ev1m"), ("ev-10m", "/tmp/sparkgraft_ev10m"),
+            ("ev-100m", "/tmp/sparkgraft_ev100m")]
+TPCH10_DIR = "/tmp/sparkgraft_tpch10"
+PART_MID_DIR = "/tmp/sparkgraft_part200k"
+PART_BIG_DIR = "/tmp/sparkgraft_part2m"
+
+
+def gen_part(out_dir: str, n: int, seed: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(range + 1 AS BIGINT) AS p_partkey,
+                 CAST(900 + ((range * 7919 + {seed}) % 110000) / 100.0
+                      AS DECIMAL(12,2)) AS p_retailprice,
+                 CAST(1 + (range * 104729) % 50 AS INTEGER) AS p_size
+          FROM range({n})
+        ) TO '{out_dir}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    print(f"gen_part: {out_dir} n={n}")
+
+
 def run_cold(queries: list[str], tiers: list[tuple[str, str]]) -> None:
     """COLD-first timing (the honest one-shot-pass number): clear the
     cache before the first rep, report cold and the warm best-of-2."""
@@ -437,6 +470,10 @@ if __name__ == "__main__":
                     help="cold-first: session-3 report ops (PSI, manifest, skew, resample, nearest-asof) on the open-vocab decade; nprobe sweep on the vector decade")
     ap.add_argument("--run-r7e", action="store_true",
                     help="cold-first: leakage-safe split + novelty (open-vocab decade); IVF/PQ recall evals (sf1 -> sf10 vector tiers)")
+    ap.add_argument("--gen-s5", action="store_true",
+                    help="synthesize the part decade for the skyline operator")
+    ap.add_argument("--run-s5", action="store_true",
+                    help="cold-first: session-5 ops (debounce, portable HLL, Welch, basket, PIT join, skyline) across their decades")
     ap.add_argument("--run-r7d", action="store_true",
                     help="cold-first: session-3 ops (NB lang-ID, Zipf, minhash calibration, curriculum sample, image aHash) across the open-vocab decade")
     args = ap.parse_args()
@@ -512,6 +549,24 @@ if __name__ == "__main__":
             ],
             [("ov-5k", OV_LO_DIR), ("ov-50k", OV_HI_DIR), ("ov-500k", OV_XHI_DIR)],
         )
+    if args.gen_s5:
+        gen_part(PART_MID_DIR, 200_000, seed=31)
+        gen_part(PART_BIG_DIR, 2_000_000, seed=37)
+    if args.run_s5:
+        run_cold(
+            ["sketch_hll_portable_rollup", "ab_welch_ttest",
+             "dedup_events_debounce"],
+            EV_TIERS,
+        )
+        run_cold(
+            ["market_basket_lift", "scd2_point_in_time_join"],
+            [("sf0.1", SF01_DIR), ("tpch10", TPCH10_DIR)],
+        )
+        run_cold(
+            ["skyline_pareto_parts"],
+            [("part-20k", SF01_DIR), ("part-200k", PART_MID_DIR),
+             ("part-2m", PART_BIG_DIR)],
+        )
     if args.kernel:
         kernel(args.kernel_n, args.kernel_depth)
     if args.sn:
@@ -519,7 +574,7 @@ if __name__ == "__main__":
     if not (args.gen or args.gen10 or args.gen_ov or args.run or args.run10
             or args.run_ov or args.kernel or args.sn or args.gen_r7
             or args.run_r7 or args.run_boiler or args.run_r7b
-            or args.run_semdedup or args.run_r7c or args.run_r7d or args.run_r7e
+            or args.run_semdedup or args.run_r7c or args.run_r7d or args.run_r7e or args.gen_s5 or args.run_s5
             or args.run_r7f):
         print("pass --gen/--gen10/--gen-ov/--gen-r7, --run/--run10/--run-ov/"
               "--run-r7/--run-boiler/--run-r7b/--run-semdedup, --kernel "
