@@ -187,3 +187,84 @@ def ultimate_parent_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame
     root, yielding exactly one row per id."""
     synthetic_edges(spark, sf_dir).createOrReplaceTempView("parent_edges")
     return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+@query(
+    "connected_components_trade_graph",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(count(*) AS BIGINT) AS wt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2),
+    bar AS (SELECT 1.3 * avg(wt) AS b FROM w),
+    edges AS (
+      SELECT u, v FROM w CROSS JOIN bar WHERE wt >= bar.b
+      UNION SELECT v, u FROM w CROSS JOIN bar WHERE wt >= bar.b),
+    reach AS (
+      SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS r FROM nation
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v),
+    comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(comp.v AS BIGINT) AS n_nationkey, comp.component,
+           CAST(sizes.sz AS BIGINT) AS component_size
+    FROM comp JOIN sizes ON comp.component = sizes.component
+    ORDER BY n_nationkey
+    """,
+    priority=5,
+)
+def connected_components_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a FIRST-CLASS graph query (the fourth
+    iterative graph algorithm on the gate, after PageRank, components
+    inside the dedup funnel, and BFS): partition the nation trade graph
+    into clusters connected by heavy trade lanes (edges at >= 1.3x the
+    mean lane weight — a scale-free rule both engines re-derive, so the
+    same decomposition falls out at every SF; isolated nations form
+    singleton components).
+
+    Drives operators/components.py::connected_components — iterative
+    Hash-Min label propagation: per round ONE join (edges keyed by node)
+    + one min-aggregate; state is (node, label), two longs; rounds are
+    O(component diameter). The oracle is an independent formulation:
+    recursive-CTE transitive closure (min reachable node id), so the
+    hash gate proves the fixpoint loop computes true reachability, not
+    just a stable labeling. At 100 TB the same loop runs with the edge
+    list as the only big table — exactly the dedup-cluster plan, here
+    exposed on the analytics surface."""
+    from ror_etl_spark.operators.components import connected_components
+
+    t = Tables(spark, sf_dir)
+    w = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    bar = w.agg((F.lit(1.3) * F.avg("wt")).alias("b"))
+    edges = w.crossJoin(F.broadcast(bar)).where(F.col("wt") >= F.col("b"))
+    res = connected_components(edges, left_col="u", right_col="v")
+    nations = t.nation.select(F.col("n_nationkey").cast("long").alias("n_nationkey"))
+    labeled = nations.join(
+        res.labels.select(
+            F.col("id").cast("long").alias("n_nationkey"),
+            F.col("component").cast("long").alias("component"),
+        ),
+        "n_nationkey",
+        "left",
+    ).select(
+        "n_nationkey",
+        F.coalesce(F.col("component"), F.col("n_nationkey")).alias("component"),
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labeled.join(F.broadcast(sizes), "component")
+        .select("n_nationkey", "component", "component_size")
+        .orderBy("n_nationkey")
+    )

@@ -713,3 +713,95 @@ def dedup_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_total", "n_kept", "kept_id_sum")
         .orderBy("event_type")
     )
+
+
+@query(
+    "running_balance_floor0",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_c
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    s0 AS (
+      SELECT user_id, tus, event_id,
+             sum(delta_c) OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS rs
+      FROM tx),
+    s AS (
+      SELECT user_id, tus, event_id, rs,
+             min(rs) OVER (PARTITION BY user_id
+                           ORDER BY tus, event_id) AS rm
+      FROM s0),
+    b AS (
+      SELECT user_id, tus, event_id,
+             CAST(rs - least(CAST(0 AS BIGINT), rm) AS BIGINT) AS bal
+      FROM s)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_tx,
+           last(bal ORDER BY tus, event_id) AS final_cents,
+           max(bal) AS peak_cents,
+           CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_floored
+    FROM b GROUP BY user_id ORDER BY user_id
+    """,
+    priority=5,
+)
+def running_balance_floor0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance per account (inventory / wallet /
+    rate-limiter semantics: debits cannot take the balance negative).
+    The naive definition is sequential — b_i = max(0, b_{i-1} + d_i) —
+    which looks like another stateful-kernel op (cf. the debounce).
+    It is NOT: the Skorokhod reflection identity
+        b_i = S_i - min(0, min_{j<=i} S_j)
+    (S = plain running sum) turns the fold into two ordered per-key
+    window aggregates, keeping the whole operator inside Catalyst
+    codegen — no Python, no state carry, one shuffle on the key. The
+    identity holds only for a floor (or only a cap), not both; a
+    two-sided clamp genuinely needs the sequential kernel. Amounts are
+    integer CENTS end to end, so running sums are exact and the hash
+    gate needs no rounding discipline.
+
+    Purchases credit, clicks debit; per user the report is transaction
+    count, final and peak balance, and how often the floor engaged. At
+    100 TB: one hash shuffle on user_id; both windows and the final
+    aggregate reuse that single partitioning."""
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events
+    tx = e.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        epoch_us("ts").alias("tus"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("long"))
+        .alias("delta_c"),
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    run = tx.withColumn("rs", F.sum("delta_c").over(w)).withColumn(
+        "rm", F.min("rs").over(w)
+    )
+    b = run.select(
+        "user_id",
+        "tus",
+        "event_id",
+        (F.col("rs") - F.least(F.lit(0).cast("long"), F.col("rm"))).alias("bal"),
+    )
+    wl = W.partitionBy("user_id").orderBy(F.desc("tus"), F.desc("event_id"))
+    b = b.withColumn("rl", F.row_number().over(wl))
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.max(F.when(F.col("rl") == 1, F.col("bal"))).alias("final_cents"),
+            F.max("bal").alias("peak_cents"),
+            F.sum(F.when(F.col("bal") == 0, 1).otherwise(0)).alias("n_floored"),
+        )
+        .orderBy("user_id")
+    )

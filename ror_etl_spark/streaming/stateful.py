@@ -230,3 +230,59 @@ def cms_counters_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = "user_id long, event_type string, event_id long"
+DEBOUNCE_STATE_SCHEMA = "last_kept long, armed boolean"
+DEBOUNCE_REFRACTORY_US = 600_000_000
+
+
+def _update_debounce(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id, event_type = key
+    last, armed = state.get if state.exists else (0, False)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["tus", "event_id"])
+    kept = []
+    for eid, tus in zip(pdf["event_id"].tolist(), pdf["tus"].tolist()):
+        if not armed or tus >= last + DEBOUNCE_REFRACTORY_US:
+            kept.append(eid)
+            last = tus
+            armed = True
+    state.update((last, armed))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(kept),
+            "event_type": [event_type] * len(kept),
+            "event_id": kept,
+        }
+    )
+
+
+def debounce_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries/temporal2.py::dedup_events_debounce:
+    keep-first refractory dedup per (user, event_type) with O(1) state
+    per key — exactly the shape dropDuplicatesWithinWatermark cannot
+    express (its key equality drops EXACT duplicates; the refractory
+    chain needs the last-KEPT timestamp as explicit state).
+
+    The state tuple (last_kept, armed) is the same carry the batch
+    kernel threads across Arrow batches; with in-timestamp-order
+    arrival the emitted kept set is identical to the batch query —
+    pinned by the multi-micro-batch equality test. On an unbounded
+    keyspace a GroupStateTimeout tied to the refractory horizon would
+    evict idle keys (state older than the refractory period can only
+    re-arm, which an absent state also does)."""
+    from ror_etl_spark.queries.util import epoch_us
+
+    keyed = events.select(
+        "user_id", "event_type", "event_id", epoch_us("ts").alias("tus")
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_debounce,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -362,3 +362,155 @@ def test_benford_digits_and_frequencies(spark):
         assert abs(r["observed"] - r["n"] / tot) < 1e-5
         assert abs(r["benford"] - math.log10(1 + 1 / r["digit"])) < 1e-5
     assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-3
+
+
+# ------------------------------------------------------ streaming twin
+
+
+def test_streaming_debounce_equals_batch_across_batches(spark, tmp_path):
+    """Three ts-ordered micro-batches (maxFilesPerTrigger=1): the
+    refractory chain must continue across batch boundaries via the
+    (last_kept, armed) state, and the final kept set must equal the
+    batch query's greedy walk on the concatenated data."""
+    import os
+    import time as _t
+
+    import pandas as pd
+
+    from ror_etl_spark.streaming.stateful import debounce_stream
+
+    # one user/type: chain 0s,300s,700s,1250s,1300s -> kept 0,700,1300
+    # second key entirely inside one batch -> kept first only
+    rows = [
+        (1, "x", 10, 0),
+        (1, "x", 11, 300),
+        (1, "x", 12, 700),
+        (1, "x", 13, 1250),
+        (1, "x", 14, 1300),
+        (2, "y", 20, 100),
+        (2, "y", 21, 200),
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    chunks = [rows[:2], rows[2:4], rows[4:]]
+    for i, ch in enumerate(chunks):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in ch],
+                "event_type": [r[1] for r in ch],
+                "event_id": [r[2] for r in ch],
+                "ts": pd.to_datetime([r[3] * 10**9 for r in ch]),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(d / f"b{i}.parquet")
+        )
+        _t.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    schema = spark.read.parquet(str(d / "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .format("parquet")
+        .load(str(d) + "/*/")
+    )
+    from ror_etl_spark.streaming.events import run_to_memory
+
+    out = run_to_memory(spark, debounce_stream(stream), "t_debounce_s5")
+    got = {(r["user_id"], r["event_type"], r["event_id"]) for r in out.collect()}
+    # greedy: key(1,x): 0 kept; 300<600 drop; 700>=600 kept; 1250<1300
+    # drop; 1300>=700+600 kept. key(2,y): 100 kept; 200 drop.
+    assert got == {(1, "x", 10), (1, "x", 12), (1, "x", 14), (2, "y", 20)}
+
+
+# --------------------------------------------------------- components
+
+
+def test_connected_components_vs_union_find(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    w = con.execute(
+        """
+        SELECT s.s_nationkey u, c.c_nationkey v, count(*) wt
+        FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+        JOIN customer c ON o.o_custkey=c.c_custkey
+        JOIN supplier s ON s.s_suppkey=l.l_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1,2
+        """
+    ).fetchall()
+    bar = 1.3 * sum(x[2] for x in w) / len(w)
+    parent = {n: n for (n,) in con.execute(
+        "SELECT n_nationkey FROM nation").fetchall()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, wt in w:
+        if wt >= bar:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    # canonical = min member id per root
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {}
+    for root, members in comp.items():
+        label = min(members)
+        for m in members:
+            want[m] = (label, len(members))
+    got = {
+        r["n_nationkey"]: (r["component"], r["component_size"])
+        for r in QUERIES["connected_components_trade_graph"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------------ balance
+
+
+def test_running_balance_reflection_equals_sequential_fold(spark):
+    """The Skorokhod reflection identity vs the naive sequential
+    definition b_i = max(0, b_{i-1} + d_i) — the theorem the query's
+    window formulation rests on, checked on real data."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, epoch_us(ts) tus, event_id,
+               CASE WHEN event_type='purchase'
+                    THEN CAST(round(value*100) AS BIGINT)
+                    ELSE -CAST(round(value*100) AS BIGINT) END d
+        FROM '{SF_SMALL}/events.parquet'
+        WHERE event_type IN ('purchase','click')
+        """
+    ).fetchall()
+    g = defaultdict(list)
+    for u, tus, eid, d in rows:
+        g[u].append((tus, eid, d))
+    want = {}
+    for u, lst in g.items():
+        lst.sort()
+        b = 0
+        peak = 0
+        floored = 0
+        for _, _, d in lst:
+            b = max(0, b + d)
+            peak = max(peak, b)
+            floored += b == 0
+        want[u] = (len(lst), b, peak, floored)
+    got = {
+        r["user_id"]: (r["n_tx"], r["final_cents"], r["peak_cents"], r["n_floored"])
+        for r in QUERIES["running_balance_floor0"](spark, SF_SMALL).collect()
+    }
+    assert got == want
