@@ -448,3 +448,78 @@ def test_contrastive_and_systematic_have_no_single_task_window(spark):
 def test_join_cardinality_topk_avoids_full_sort(spark):
     p = plan_of(spark, "join_cardinality_estimate")
     assert "TakeOrderedAndProject" in p
+
+
+# ------------------------------------------------- round-7 session-5 ops
+
+
+def test_basket_pairs_are_map_side(spark):
+    # C(k,2) pair generation must be an explode over the per-order array
+    # (one Generate node), never a positional lineitem self-join; the
+    # support joins are broadcasts and the top-40 avoids a full sort
+    p = plan_of(spark, "market_basket_lift")
+    assert "Generate" in p and "explode(" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_rolling_distinct_has_no_band_join(spark):
+    # the x7 bounded fan-out + one distinct aggregate — a band join
+    # (non-equi) would appear as a nested-loop join
+    p = plan_of(spark, "rolling_distinct_users_7d")
+    assert "Generate" in p and "explode(" in p
+    assert "CartesianProduct" not in p
+    # the only BroadcastNestedLoopJoin-free plan: join to the day spine
+    # is an equi-join on the exploded window day
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_skyline_frontier_broadcasts_and_no_quadratic_test(spark):
+    # the oracle's NOT EXISTS dominance is quadratic; the engine plan
+    # must instead broadcast the domain-bounded frontier back onto the
+    # scan — no nested-loop anywhere
+    spark.conf.set("spark.ror.ordered.checkpoint", "false")
+    try:
+        p = plan_of(spark, "skyline_pareto_parts")
+    finally:
+        spark.conf.unset("spark.ror.ordered.checkpoint")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pit_join_is_asof_not_range_join(spark):
+    # interval (vf <= ts < vt) semantics must compile to the union+window
+    # as-of shape: no nested-loop/range join over the dimension
+    p = plan_of(spark, "scd2_point_in_time_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_debounce_is_one_shuffle_then_python(spark):
+    # exactly one hash exchange on the key feeds the partition-local
+    # sort and the Arrow kernel; no per-group pandas (FlatMapGroupsInPandas)
+    p = plan_of(spark, "dedup_events_debounce")
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "hashpartitioning(user_id" in p
+
+
+def test_balance_windows_share_one_partitioning(spark):
+    # the reflection identity stays in codegen: no Python eval anywhere,
+    # and the per-user windows must not introduce a SinglePartition
+    # exchange
+    import re
+
+    p = plan_of(spark, "running_balance_floor0")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", p)
+
+
+def test_hll_registers_are_one_aggregate_pair(spark):
+    # register build must be map-side combinable: partial_max on the
+    # (segment, idx) aggregate; no Python, no join explosion
+    p = plan_of(spark, "sketch_hll_portable_rollup")
+    assert "partial_max" in p
+    assert "BatchEvalPython" not in p
