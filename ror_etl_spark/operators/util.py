@@ -144,3 +144,51 @@ def global_cummax(
         .withColumn(out, F.greatest("__local", "__carry"))
         .drop("__pid", "__local", "__carry")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val: str,
+    out: str = "prior_sum",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Distributed EXCLUSIVE running sum over a global sort order (0 for
+    the global first row) — the additive sibling of ``global_cummax``,
+    same three-step decomposition (range partition, pid-local exclusive
+    window, broadcast per-partition totals as carry-ins); see that
+    docstring for why the single-task global window is the anti-pattern.
+    ``order_cols`` must be duplicate-free across rows."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = F.sum(val).over(
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = (
+        rp.groupBy("__pid")
+        .agg(F.sum(val).alias("__ptot"))
+        .withColumn(
+            "__carry",
+            F.sum("__ptot").over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("__pid", "__carry")
+    )
+    return (
+        rp.withColumn("__local", local)
+        .join(F.broadcast(carry), "__pid")
+        .withColumn(
+            out,
+            F.coalesce("__local", F.lit(0)) + F.coalesce("__carry", F.lit(0)),
+        )
+        .drop("__pid", "__local", "__carry")
+    )

@@ -408,3 +408,71 @@ def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "auc_doclen_vs_lang",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS npos
+      FROM documents GROUP BY n_chars),
+    c AS (
+      SELECT s, n, npos,
+             CAST(coalesce(sum(n) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM g),
+    r AS (
+      SELECT CAST(sum(npos * (2 * cum + n + 1)) AS BIGINT) AS r2,
+             CAST(sum(npos) AS BIGINT) AS np,
+             CAST(sum(n - npos) AS BIGINT) AS nn
+      FROM c)
+    SELECT np AS n_pos, nn AS n_neg,
+           round((CAST(r2 AS DOUBLE) / 2.0 - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+                 / (CAST(np AS DOUBLE) * nn) + 1e-9, 6) AS auc
+    FROM r
+    """,
+    priority=5,
+)
+def auc_doclen_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the Mann-Whitney rank-sum identity —
+    the standard binary-classifier evaluation at corpus scale ("does
+    document length separate English from the rest" as the stand-in
+    scorer). AUC = (R+ - n+(n+ + 1)/2) / (n+ n-), with R+ the sum of
+    the positives' AVERAGE ranks (ties share the mean of their rank
+    block — required for the probabilistic AUC interpretation).
+
+    No per-row global sort: scores collapse to per-VALUE counts first
+    (map-side combinable; the frame is score-domain-sized), then the
+    exclusive running count comes from operators/util.global_cumsum
+    (range partition + carry-ins, never a single-task window). The tie
+    block's average rank is kept integer-exact by doubling:
+    2*avgrank = 2*cum + n + 1, so R2 = sum(npos * (2 cum + n + 1)) is
+    an exact BIGINT and the single final division is the only float op.
+    The oracle states the same identity with DuckDB's own window."""
+    from ror_etl_spark.operators.util import global_cumsum
+
+    d = Tables(spark, sf_dir).documents
+    g = d.groupBy(F.col("n_chars").alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("npos"),
+    )
+    c = global_cumsum(g, ["s"], "n", out="cum")
+    r = c.agg(
+        F.sum(F.col("npos") * (2 * F.col("cum") + F.col("n") + 1)).alias("r2"),
+        F.sum("npos").alias("np"),
+        F.sum(F.col("n") - F.col("npos")).alias("nn"),
+    )
+    return r.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("r2").cast("double") / 2.0
+             - F.col("np").cast("double") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * F.col("nn"))
+            + 1e-9,
+            6,
+        ).alias("auc"),
+    )

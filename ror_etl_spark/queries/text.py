@@ -314,3 +314,77 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+def _kappa_oracle() -> str:
+    """Cohen's kappa from the SAME generated confusion-matrix SQL the
+    lang-ID twin uses (wrapped as a subquery so the stopword lists can
+    never drift between the two oracles)."""
+    cm = _lang_id_oracle()
+    return f"""
+    WITH cm AS (SELECT * FROM ({cm}) q),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cm),
+    agree AS (
+      SELECT CAST(coalesce(sum(n) FILTER (WHERE lang = pred), 0) AS BIGINT)
+        AS po_n FROM cm),
+    rows_ AS (SELECT lang AS k, sum(n) AS r FROM cm GROUP BY lang),
+    cols_ AS (SELECT pred AS k, sum(n) AS c FROM cm GROUP BY pred),
+    pe AS (
+      SELECT CAST(sum(rows_.r * cols_.c) AS BIGINT) AS pe_nn
+      FROM rows_ JOIN cols_ ON rows_.k = cols_.k)
+    SELECT tot.nn AS n_docs, agree.po_n AS n_agree,
+           round(CAST(agree.po_n AS DOUBLE) / tot.nn + 1e-9, 6) AS po,
+           round(CAST(pe.pe_nn AS DOUBLE) / (CAST(tot.nn AS DOUBLE) * tot.nn)
+                 + 1e-9, 6) AS pe,
+           round((CAST(agree.po_n AS DOUBLE) / tot.nn
+                  - CAST(pe.pe_nn AS DOUBLE) / (CAST(tot.nn AS DOUBLE) * tot.nn))
+                 / (1.0 - CAST(pe.pe_nn AS DOUBLE)
+                          / (CAST(tot.nn AS DOUBLE) * tot.nn)) + 1e-9, 6)
+             AS kappa
+    FROM tot CROSS JOIN agree CROSS JOIN pe
+    """
+
+
+@query("cohens_kappa_lang_id", oracle=_kappa_oracle(), priority=5)
+def cohens_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword lang-ID heuristic and the
+    labeled lang column — chance-corrected agreement, the standard
+    annotation/classifier-audit statistic (raw accuracy flatters any
+    classifier on a skewed label marginal; kappa subtracts the margin
+    product the same way the chi-square op subtracts independence).
+
+    Reuses the text_lang_id confusion matrix wholesale: one
+    category-domain-sized aggregate; margins and the kappa scalar
+    reduce from the CELLS. All counts are exact integers; po, pe and
+    kappa are three rationals of those integers, rounded with the
+    epsilon shift. The oracle wraps the SAME generated stopword SQL
+    the lang-ID twin pins, so the two oracles cannot drift."""
+    from ror_etl_spark.functions.text import lang_id
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents)
+    cm = (
+        d.select("lang", lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cm.agg(F.sum("n").alias("nn"))
+    agree = cm.where(F.col("lang") == F.col("pred")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("po_n")
+    )
+    rows_ = cm.groupBy(F.col("lang").alias("k")).agg(F.sum("n").alias("r"))
+    cols_ = cm.groupBy(F.col("pred").alias("k")).agg(F.sum("n").alias("c"))
+    pe = rows_.join(cols_, "k").agg(
+        F.sum(F.col("r") * F.col("c")).alias("pe_nn")
+    )
+    out = tot.crossJoin(agree).crossJoin(pe)
+    po = F.col("po_n").cast("double") / F.col("nn")
+    pev = F.col("pe_nn").cast("double") / (F.col("nn").cast("double") * F.col("nn"))
+    return out.select(
+        F.col("nn").alias("n_docs"),
+        F.col("po_n").alias("n_agree"),
+        F.round(po + 1e-9, 6).alias("po"),
+        F.round(pev + 1e-9, 6).alias("pe"),
+        F.round((po - pev) / (F.lit(1.0) - pev) + 1e-9, 6).alias("kappa"),
+    )

@@ -1703,3 +1703,83 @@ def embedding_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "embedding_int8_quant_report",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    mm AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx,
+             (max(v) - min(v)) / 255.0 AS s
+      FROM x GROUP BY dim),
+    q AS (
+      SELECT x.vec_id, x.dim, x.v,
+             CASE WHEN mm.s = 0 THEN mm.mn
+                  ELSE mm.mn + round((x.v - mm.mn) / mm.s) * mm.s END AS vq
+      FROM x JOIN mm ON x.dim = mm.dim),
+    e AS (
+      SELECT count(*) AS n_terms,
+             count(DISTINCT vec_id) AS n_vecs,
+             sum((v - vq) * (v - vq)) AS sse,
+             sum(v * v) AS ss,
+             max(abs(v - vq)) AS mae
+      FROM q)
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_terms / n_vecs AS BIGINT) AS n_dims,
+           round(sqrt(sse / ss) + 1e-9, 6) AS rel_l2_err,
+           round(mae + 1e-9, 6) AS max_abs_err
+    FROM e
+    """,
+    priority=5,
+)
+def embedding_int8_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 (256-level) per-dimension quantization error report —
+    the vector-store compression decision every embedding pipeline makes
+    before choosing int8 vs float16 vs PQ: quantize each dimension to
+    round((v - min_d) / scale_d) with scale_d = (max_d - min_d)/255,
+    dequantize, and report the global relative L2 error and the worst
+    absolute error. (PQ — queries above — compresses harder via learned
+    codebooks; affine int8 is the no-training baseline it must beat.)
+
+    Plan: one posexplode → per-dim min/max aggregate (dim-domain-sized,
+    map-side combinable) → broadcast back onto the exploded scan →
+    global error aggregate. Nothing vector-sized ever sits in one task.
+    Float discipline: quantization arithmetic is identical IEEE ops on
+    identical doubles in both engines (round() on non-negative inputs
+    is half-away == HALF_UP); constant dimensions take the s = 0 guard;
+    the error metrics aggregate over all (vec, dim) terms — order-free
+    up to last-ulp — and ride the epsilon-shifted round. max_abs_err
+    is an exact max, no summation at all."""
+    emb = Tables(spark, sf_dir).embeddings
+    x = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    mm = x.groupBy("dim").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("s"),
+    )
+    q = x.join(F.broadcast(mm), "dim").select(
+        "vec_id",
+        "v",
+        F.when(F.col("s") == 0, F.col("mn"))
+        .otherwise(F.col("mn") + F.round((F.col("v") - F.col("mn")) / F.col("s")) * F.col("s"))
+        .alias("vq"),
+    )
+    e = q.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.sum((F.col("v") - F.col("vq")) * (F.col("v") - F.col("vq"))).alias("sse"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.max(F.abs(F.col("v") - F.col("vq"))).alias("mae"),
+    )
+    return e.select(
+        F.col("n_vecs"),
+        (F.col("n_terms") / F.col("n_vecs")).cast("long").alias("n_dims"),
+        F.round(F.sqrt(F.col("sse") / F.col("ss")) + 1e-9, 6).alias("rel_l2_err"),
+        F.round(F.col("mae") + 1e-9, 6).alias("max_abs_err"),
+    )

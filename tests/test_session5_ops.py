@@ -514,3 +514,98 @@ def test_running_balance_reflection_equals_sequential_fold(spark):
         for r in QUERIES["running_balance_floor0"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- auc
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    """AUC == P(score_pos > score_neg) + 0.5 P(tie), counted directly."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT n_chars, lang = 'en' FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    wins = sum(1 for a in pos for b in neg if a > b)
+    ties = sum(1 for a in pos for b in neg if a == b)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    r = QUERIES["auc_doclen_vs_lang"](spark, SF_SMALL).collect()[0]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert abs(r["auc"] - want) < 1e-5
+
+
+def test_global_cumsum_equals_single_task_window(spark):
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.operators.util import global_cumsum
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"),
+        ((F.col("id") * 40503) % 97).alias("v"),
+    ).distinct()
+    expect = {
+        r["k"]: r["ps"]
+        for r in df.withColumn(
+            "ps",
+            F.coalesce(
+                F.sum("v").over(
+                    W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).collect()
+    }
+    got = {
+        r["k"]: r["prior_sum"]
+        for r in global_cumsum(df, ["k"], "v", n_parts=7).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------- kappa
+
+
+def test_kappa_from_confusion_matrix(spark):
+    cm = {
+        (r["lang"], r["pred"]): r["n"]
+        for r in QUERIES["text_lang_id"](spark, SF_SMALL).collect()
+    }
+    n = sum(cm.values())
+    po = sum(v for (a, b), v in cm.items() if a == b) / n
+    rows = {}
+    cols = {}
+    for (a, b), v in cm.items():
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    pe = sum(rows.get(k, 0) * cols.get(k, 0) for k in set(rows) | set(cols)) / n**2
+    want = (po - pe) / (1 - pe)
+    r = QUERIES["cohens_kappa_lang_id"](spark, SF_SMALL).collect()[0]
+    assert r["n_docs"] == n
+    assert abs(r["kappa"] - want) < 1e-5
+
+
+# ----------------------------------------------------------- int8 quant
+
+
+def test_int8_quant_error_bounded_by_half_scale(spark):
+    """Affine rounding error per term is <= s/2; the reported max must
+    respect the worst dimension's bound, and the relative L2 error must
+    be small but nonzero on real float data."""
+    import duckdb
+
+    r = QUERIES["embedding_int8_quant_report"](spark, SF_SMALL).collect()[0]
+    mx = duckdb.sql(
+        f"""
+        WITH x AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                          CAST(unnest(embedding) AS DOUBLE) v
+                   FROM '{SF_SMALL}/embeddings.parquet'),
+        per AS (SELECT (max(v) - min(v)) / 255.0 / 2.0 AS hs
+                FROM x GROUP BY dim)
+        SELECT max(hs) FROM per
+        """
+    ).fetchone()[0]
+    assert r["n_dims"] == 64
+    assert 0 < r["max_abs_err"] <= mx + 1e-9
+    assert 0 < r["rel_l2_err"] < 0.01
