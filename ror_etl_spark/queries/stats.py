@@ -476,3 +476,108 @@ def auc_doclen_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "best_split_gini_totalprice",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS npos
+      FROM orders GROUP BY o_totalprice),
+    c AS (
+      SELECT v, n, npos,
+             CAST(sum(n) OVER w AS BIGINT) AS nl,
+             CAST(sum(npos) OVER w AS BIGINT) AS pl
+      FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(npos) AS BIGINT) AS pp
+      FROM g),
+    sc AS (
+      SELECT c.v, c.nl, tot.nn - c.nl AS nr,
+             (c.nl - (CAST(c.pl AS DOUBLE) * c.pl
+                      + CAST(c.nl - c.pl AS DOUBLE) * (c.nl - c.pl)) / c.nl)
+             + ((tot.nn - c.nl)
+                - (CAST(tot.pp - c.pl AS DOUBLE) * (tot.pp - c.pl)
+                   + CAST((tot.nn - c.nl) - (tot.pp - c.pl) AS DOUBLE)
+                     * ((tot.nn - c.nl) - (tot.pp - c.pl)))
+                  / (tot.nn - c.nl)) AS score,
+             tot.nn AS nn, tot.pp AS pp
+      FROM c CROSS JOIN tot WHERE tot.nn - c.nl > 0)
+    SELECT v AS threshold, nl AS n_left, nr AS n_right,
+           round(score / nn + 1e-9, 6) AS gini_split,
+           round(1.0 - (CAST(pp AS DOUBLE) / nn) * (CAST(pp AS DOUBLE) / nn)
+                 - (CAST(nn - pp AS DOUBLE) / nn) * (CAST(nn - pp AS DOUBLE) / nn)
+                 + 1e-9, 6) AS gini_before
+    FROM sc ORDER BY score, v LIMIT 1
+    """,
+    priority=5,
+)
+def best_split_gini_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split finding at scale: the order-total threshold
+    that best separates finished ('F') orders, by minimum weighted Gini
+    impurity — the inner loop of every distributed tree learner
+    (Spark MLlib, XGBoost-on-Spark) exposed as a first-class query.
+
+    The textbook trick: sort the distinct feature values once, take
+    PREFIX class counts, and every candidate split's left/right class
+    tallies fall out of the prefix sums — no per-candidate rescan. The
+    prefix counts come from operators/util.global_cumsum (two passes,
+    counts and positives), so no single-task window even when the
+    feature has data-many distinct values. Scores are rationals of
+    exact integer counts through IEEE +-*/ only — bit-identical across
+    engines — so the argmin (orderBy + LIMIT 1, a TakeOrdered, with
+    the threshold as tiebreak) is deterministic; no ln/log2 enters the
+    comparison, which is why Gini rather than information gain is the
+    criterion that can cross an exact hash gate."""
+    from ror_etl_spark.operators.util import global_cumsum
+
+    o = Tables(spark, sf_dir).orders
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "npos"
+        ),
+    )
+    c = global_cumsum(g, ["v"], "n", out="cn")
+    c = (
+        global_cumsum(c.select("v", "npos", "cn", "n"), ["v"], "npos", out="cp")
+        .select(
+            "v",
+            (F.col("cn") + F.col("n")).alias("nl"),
+            (F.col("cp") + F.col("npos")).alias("pl"),
+        )
+    )
+    tot = g.agg(F.sum("n").alias("nn"), F.sum("npos").alias("pp"))
+    sc = c.crossJoin(F.broadcast(tot)).where(F.col("nn") - F.col("nl") > 0)
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("nn") - nl
+    pr = F.col("pp") - pl
+    score = (
+        nl
+        - (pl.cast("double") * pl + (nl - pl).cast("double") * (nl - pl)) / nl
+    ) + (nr - (pr.cast("double") * pr + (nr - pr).cast("double") * (nr - pr)) / nr)
+    sc = sc.select(
+        F.col("v").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        score.alias("score"),
+        "nn",
+        "pp",
+    )
+    pp_d = F.col("pp").cast("double") / F.col("nn")
+    qq_d = (F.col("nn") - F.col("pp")).cast("double") / F.col("nn")
+    return (
+        sc.orderBy("score", "threshold")
+        .limit(1)
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
+            F.round(F.col("score") / F.col("nn") + 1e-9, 6).alias("gini_split"),
+            F.round(1.0 - pp_d * pp_d - qq_d * qq_d + 1e-9, 6).alias(
+                "gini_before"
+            ),
+        )
+    )

@@ -805,3 +805,158 @@ def running_balance_floor0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    c AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT src, sum(n) AS rt FROM c GROUP BY src)
+    SELECT c.src, c.dst, c.n,
+           round(CAST(c.n AS DOUBLE) / r.rt + 1e-9, 6) AS p
+    FROM c JOIN r ON c.src = r.src
+    ORDER BY c.src, c.dst
+    """,
+    priority=5,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — the clickstream-analysis primitive (what follows what, and with
+    what probability) behind next-action prediction and anomalous-flow
+    detection.
+
+    One lead() window per user (single hash shuffle on user_id, the
+    same partitioning the count aggregate reuses) emits (src, dst)
+    adjacencies; the matrix is category-domain-sized (|types|^2 <= 25
+    cells), so the row-normalizing join is a broadcast of almost
+    nothing. Counts are exact integers; each probability is one
+    rational, epsilon-rounded. At 100 TB this is a single pass — the
+    same shape as sessionization, reusing its shuffle."""
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events.select(
+        "user_id", "event_type", epoch_us("ts").alias("tus"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    s = e.withColumn("nxt", F.lead("event_type").over(w))
+    c = (
+        s.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = c.groupBy("src").agg(F.sum("n").alias("rt"))
+    return (
+        c.join(F.broadcast(r), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("rt") + 1e-9, 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+    flg AS (
+      SELECT user_id, tus,
+             CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                            ORDER BY tus, event_id)
+                       > 1800000000 THEN 1
+                  WHEN lag(tus) OVER (PARTITION BY user_id
+                                      ORDER BY tus, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_s
+      FROM e),
+    sn AS (
+      SELECT user_id, tus,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS snum
+      FROM flg),
+    sess AS (
+      SELECT user_id, snum, min(tus) AS st, max(tus) + 1800000000 AS en
+      FROM sn GROUP BY user_id, snum),
+    bd AS (
+      SELECT st AS t, 1 AS delta, user_id, snum FROM sess
+      UNION ALL
+      SELECT en AS t, -1 AS delta, user_id, snum FROM sess),
+    run AS (
+      SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta, user_id, snum
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur
+      FROM bd),
+    mx AS (SELECT max(cur) AS m FROM run)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+           mx.m AS max_concurrent,
+           (SELECT min(t) FROM run WHERE cur = mx.m) AS at_us
+    FROM mx
+    """,
+    priority=5,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency (the capacity-planning question: how many user
+    sessions were ever active at once) via the classic sweep line:
+    every session contributes a +1 at its start and a -1 at its end
+    (half-open — ends sort BEFORE starts at the same instant, so
+    back-to-back sessions never double-count), and the answer is the
+    max of the running sum over the globally ordered boundary stream.
+
+    The global running sum is the anti-pattern-shaped step — a naive
+    Window.orderBy would single-task the entire boundary stream — so it
+    rides operators/util.global_cumsum (range partition + pid-local
+    windows + broadcast carry-ins; boundaries are 2x the SESSION count,
+    already two aggregation levels smaller than the event data).
+    Sessionization itself is the registry's standard lag-gap shape on
+    one user_id shuffle. Everything is integer micros end to end."""
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.operators.util import global_cumsum
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events.select(
+        "user_id", epoch_us("ts").alias("tus"), "event_id"
+    )
+    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
+    flg = e.withColumn(
+        "new_s",
+        F.when(F.lag("tus").over(wu).isNull(), 1)
+        .when(F.col("tus") - F.lag("tus").over(wu) > 1_800_000_000, 1)
+        .otherwise(0),
+    )
+    sn = flg.withColumn(
+        "snum",
+        F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sess = sn.groupBy("user_id", "snum").agg(
+        F.min("tus").alias("st"),
+        (F.max("tus") + 1_800_000_000).alias("en"),
+    )
+    bd = sess.select(
+        F.col("st").alias("t"), F.lit(1).alias("delta"), "user_id", "snum"
+    ).unionByName(
+        sess.select(
+            F.col("en").alias("t"), F.lit(-1).alias("delta"), "user_id", "snum"
+        )
+    )
+    run = global_cumsum(bd, ["t", "delta", "user_id", "snum"], "delta", out="prior")
+    run = run.select("t", (F.col("prior") + F.col("delta")).alias("cur"))
+    mx = run.agg(F.max("cur").alias("m"))
+    at_ = (
+        run.join(F.broadcast(mx), run["cur"] == mx["m"])
+        .agg(F.min("t").alias("at_us"))
+    )
+    n = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return n.crossJoin(mx.select(F.col("m").alias("max_concurrent"))).crossJoin(
+        at_
+    )

@@ -609,3 +609,111 @@ def test_int8_quant_error_bounded_by_half_scale(spark):
     assert r["n_dims"] == 64
     assert 0 < r["max_abs_err"] <= mx + 1e-9
     assert 0 < r["rel_l2_err"] < 0.01
+
+
+# ----------------------------------------------------------- transitions
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    import duckdb
+    from collections import Counter, defaultdict
+
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_us(ts), event_id"
+        f" FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, et, tus, eid in ev:
+        by_user[u].append((tus, eid, et))
+    cnt = Counter()
+    for lst in by_user.values():
+        lst.sort()
+        for a, b in zip(lst, lst[1:]):
+            cnt[(a[2], b[2])] += 1
+    rows = QUERIES["event_transition_matrix"](spark, SF_SMALL).collect()
+    assert {(r["src"], r["dst"]): r["n"] for r in rows} == dict(cnt)
+    from collections import defaultdict as dd
+
+    sums = dd(float)
+    for r in rows:
+        sums[r["src"]] += r["p"]
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+# ------------------------------------------------------- max concurrent
+
+
+def test_max_concurrent_sweepline_reference(spark):
+    import duckdb
+    from collections import defaultdict
+
+    ev = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts), event_id FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, tus, eid in ev:
+        by_user[u].append((tus, eid))
+    bounds = []
+    n_sessions = 0
+    for u, lst in by_user.items():
+        lst.sort()
+        st = lst[0][0]
+        prev = lst[0][0]
+        for tus, _ in lst[1:]:
+            if tus - prev > 1_800_000_000:
+                bounds += [(st, 1), (prev + 1_800_000_000, -1)]
+                n_sessions += 1
+                st = tus
+            prev = tus
+        bounds += [(st, 1), (prev + 1_800_000_000, -1)]
+        n_sessions += 1
+    bounds.sort()  # (t, -1) sorts before (t, +1): ends close first
+    cur = mx = 0
+    at = None
+    for t, d in bounds:
+        cur += d
+        if cur > mx:
+            mx = cur
+            at = t
+    r = QUERIES["max_concurrent_sessions"](spark, SF_SMALL).collect()[0]
+    assert r["n_sessions"] == n_sessions
+    assert r["max_concurrent"] == mx
+    assert r["at_us"] == at
+
+
+# ------------------------------------------------------------ gini split
+
+
+def test_gini_split_brute_force(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT o_totalprice, o_orderstatus = 'F'"
+        f" FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchall()
+    import collections
+
+    g = collections.defaultdict(lambda: [0, 0])
+    for v, pos in rows:
+        g[float(v)][0] += 1
+        g[float(v)][1] += pos
+    vals = sorted(g)
+    NN = sum(c for c, _ in g.values())
+    best = None
+    nl = pl = 0
+    for v in vals:
+        nl += g[v][0]
+        pl += g[v][1]
+        nr = NN - nl
+        if nr == 0:
+            break
+        pr = sum(p for _, p in g.values()) - pl
+        score = (nl - (pl * pl + (nl - pl) ** 2) / nl) + (
+            nr - (pr * pr + (nr - pr) ** 2) / nr
+        )
+        if best is None or score < best[0] - 1e-12:
+            best = (score, v, nl, nr)
+    r = QUERIES["best_split_gini_totalprice"](spark, SF_SMALL).collect()[0]
+    assert float(r["threshold"]) == best[1]
+    assert (r["n_left"], r["n_right"]) == (best[2], best[3])
+    assert abs(r["gini_split"] - best[0] / NN) < 1e-5
