@@ -1312,3 +1312,80 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "p1", "p2")
         .limit(40)
     )
+
+
+@query(
+    "mv_incremental_maintenance",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+               FROM orders),
+    b AS (
+      SELECT k, CASE WHEN k % 101 = 0 AND st = 'O' THEN 'F' ELSE st END AS st,
+             tp
+      FROM a WHERE k % 97 <> 0
+      UNION ALL
+      SELECT -k, 'N', tp FROM a WHERE k % 89 = 0)
+    SELECT st AS status, CAST(count(*) AS BIGINT) AS n,
+           round(sum(tp), 2) AS total
+    FROM b GROUP BY st ORDER BY st
+    """,
+    priority=5,
+)
+def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the post-update
+    per-status (count, sum) aggregate computed WITHOUT rescanning the
+    base snapshot — base aggregate + signed delta contributions only.
+    This is what a lakehouse MV refresh executes on a CDC feed; at
+    100 TB the base never moves again and the refresh cost is
+    delta-sized.
+
+    Snapshot B derives from A by the registry's standard synthetic CDC
+    (keys %97 deleted, open orders on %101 flipped to 'F', %89 inserted
+    negated — same rules as snapshot_diff_orders, so the two ops tell
+    one story). The engine aggregates ONLY the delta rows — deletes and
+    update-before images contribute (-1, -tp) under the OLD status,
+    inserts and update-after images (+1, +tp) under the NEW — and
+    merges them into the stored base aggregate with one
+    status-domain-sized sum, dropping zero-count groups. The oracle
+    recomputes the view FROM SCRATCH over snapshot B: a green hash is
+    the correctness theorem of incremental maintenance (delta algebra
+    == full recompute), double-entered per SF."""
+    o = Tables(spark, sf_dir).orders
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    base_agg = a.groupBy(F.col("st").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("tp").alias("total")
+    )
+    # CDC delta stream with signed contributions; updates appear as
+    # (before, -) + (after, +) so a status flip moves mass between groups.
+    deletes = a.where(F.col("k") % 97 == 0).select(
+        F.col("st").alias("status"), F.lit(-1).alias("dn"), (-F.col("tp")).alias("dt")
+    )
+    upd = a.where(
+        (F.col("k") % 97 != 0) & (F.col("k") % 101 == 0) & (F.col("st") == "O")
+    )
+    upd_before = upd.select(
+        F.col("st").alias("status"), F.lit(-1).alias("dn"), (-F.col("tp")).alias("dt")
+    )
+    upd_after = upd.select(
+        F.lit("F").alias("status"), F.lit(1).alias("dn"), F.col("tp").alias("dt")
+    )
+    inserts = a.where(F.col("k") % 89 == 0).select(
+        F.lit("N").alias("status"), F.lit(1).alias("dn"), F.col("tp").alias("dt")
+    )
+    delta = deletes.unionByName(upd_before).unionByName(upd_after).unionByName(
+        inserts
+    )
+    delta_agg = delta.groupBy("status").agg(
+        F.sum("dn").alias("n"), F.sum("dt").alias("total")
+    )
+    merged = (
+        base_agg.unionByName(delta_agg)
+        .groupBy("status")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
+        .where(F.col("n") > 0)
+    )
+    return merged.orderBy("status")

@@ -717,3 +717,38 @@ def test_gini_split_brute_force(spark):
     assert float(r["threshold"]) == best[1]
     assert (r["n_left"], r["n_right"]) == (best[2], best[3])
     assert abs(r["gini_split"] - best[0] / NN) < 1e-5
+
+
+# ---------------------------------------------------------------- mv
+
+
+def test_mv_incremental_equals_full_recompute(spark):
+    """The incremental delta-merge must equal a from-scratch aggregate
+    over the post-CDC snapshot — engine-side double entry (the oracle
+    pins the same identity against DuckDB)."""
+    q = QUERIES["mv_incremental_maintenance"](spark, SF_SMALL)
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    b = a.where(F.col("k") % 97 != 0).select(
+        "k",
+        F.when((F.col("k") % 101 == 0) & (F.col("st") == "O"), F.lit("F"))
+        .otherwise(F.col("st"))
+        .alias("st"),
+        "tp",
+    ).unionByName(
+        a.where(F.col("k") % 89 == 0).select(
+            (-F.col("k")).alias("k"), F.lit("N").alias("st"), "tp"
+        )
+    )
+    full = {
+        r["st"]: (r["n"], float(r["total"]))
+        for r in b.groupBy("st")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("tp"), 2).alias("total"))
+        .collect()
+    }
+    got = {r["status"]: (r["n"], float(r["total"])) for r in q.collect()}
+    assert got == full
