@@ -383,3 +383,111 @@ def test_semdedup_single_cell_matches_reference(spark, vecs):
         ).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session-5: debounce kernel and skyline vs reference scans
+
+
+@st.composite
+def event_streams(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    rows = []
+    for i in range(n):
+        key = draw(st.integers(min_value=0, max_value=3))
+        # timestamps cluster tightly so refractory chains actually form
+        tus = draw(st.integers(min_value=0, max_value=5_000)) * 1_000_000
+        rows.append((key, tus, i))
+    return rows
+
+
+@given(event_streams())
+@settings(max_examples=15, deadline=None)
+def test_debounce_kernel_matches_greedy_walk(spark, rows):
+    import pandas as pd
+
+    from ror_etl_spark.queries.temporal2 import dedup_events_debounce
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_type": ["x"] * len(rows),
+            "event_id": [r[2] for r in rows],
+            "ts": pd.to_datetime([r[1] * 1000 for r in rows]),
+            "value": [0.0] * len(rows),
+        }
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = {
+        r["event_type"]: (r["n_total"], r["n_kept"], r["kept_id_sum"])
+        for r in dedup_events_debounce(spark, d).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for key, tus, eid in rows:
+        groups[key].append((tus, eid))
+    n_total = len(rows)
+    n_kept = 0
+    ksum = 0
+    for lst in groups.values():
+        lst.sort()
+        last = None
+        for tus, eid in lst:
+            if last is None or tus >= last + 600_000_000:
+                n_kept += 1
+                ksum += eid
+                last = tus
+    assert got == {"x": (n_total, n_kept, ksum)}
+
+
+@st.composite
+def point_sets(draw):
+    n = draw(st.integers(min_value=1, max_value=50))
+    return [
+        (
+            draw(st.integers(min_value=0, max_value=20)),  # cost
+            draw(st.integers(min_value=0, max_value=20)),  # size
+            i,
+        )
+        for i in range(n)
+    ]
+
+
+@given(point_sets())
+@settings(max_examples=15, deadline=None)
+def test_skyline_matches_dominance_scan(spark, pts):
+    """global_cummax-based skyline == quadratic dominance reference on
+    random (cost, size) multisets, including duplicate points and
+    all-dominated columns."""
+    import pyspark.sql.functions as F
+
+    from ror_etl_spark.operators.util import global_cummax
+
+    df = spark.createDataFrame(
+        [(c, s, i) for c, s, i in pts], "cost long, size long, pk long"
+    )
+    cm = df.groupBy("cost").agg(F.max("size").alias("mq"))
+    frontier = (
+        global_cummax(cm, ["cost"], "mq", out="pm", n_parts=3)
+        .filter(F.col("pm").isNull() | (F.col("mq") > F.col("pm")))
+        .select("cost", F.col("mq").alias("size"))
+    )
+    got = {
+        (r["pk"], r["cost"], r["size"])
+        for r in df.join(F.broadcast(frontier), ["cost", "size"]).collect()
+    }
+    want = {
+        (i, c, s)
+        for (c, s, i) in pts
+        if not any(
+            oc <= c and os_ >= s and (oc < c or os_ > s) for (oc, os_, _) in pts
+        )
+    }
+    assert got == want
