@@ -34,6 +34,11 @@ PICKS = {
     "dedup_prefix_filter_jaccard": "exact similarity join: prefix-bucket candidates (no NLJ), forward-index verify via array_intersect (r5 rewrite)",
     "fuzzy_dedup_sorted_neighborhood": "sorted-neighborhood: range-partitioned distributed sort + per-pid window, broadcast boundary overlap (r5 rewrite)",
     "multimodal_frame_sample_stats": "APNG frame sampling: metadata-pruned scan feeding chained Arrow-batched mapInPandas stages",
+    "dedup_events_debounce": "stateful debounce: ONE hash exchange + partition-local sort feeding a single MapInPandas (no per-group pandas)",
+    "skyline_pareto_parts": "Pareto skyline: per-cost max aggregate, distributed exclusive cummax, broadcast frontier join-back",
+    "scd2_point_in_time_join": "PIT join as as-of: union + per-key window, no range-join explosion",
+    "market_basket_lift": "basket pair mining: map-side C(k,2) explode, broadcast supports, TakeOrdered top-40",
+    "best_split_gini_totalprice": "tree split finding: prefix class counts via range-partitioned cumsum, TakeOrdered argmin",
 }
 
 
