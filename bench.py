@@ -108,6 +108,19 @@ def main() -> None:
     # a reader attribute a cross-round delta to code vs host
     load_start = os.getloadavg()[0]
 
+    # CPU self-calibration: guest loadavg cannot see hypervisor-level
+    # contention (round-7 session 5 measured the identical frozen set at
+    # 33.1 -> 44.0 s across one afternoon with the guest idle and steal
+    # ~0, inflation UNIFORM across untouched scan-bound queries — host
+    # drift, not code). A fixed single-thread reference loop recorded in
+    # the artifact gives readers a direct normalization denominator:
+    # compare cpu_ref_s across rounds before believing any total delta.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    cpu_ref_s = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
@@ -132,6 +145,7 @@ def main() -> None:
                 "sf": sf,
                 "repeat": max(1, args.repeat),
                 "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+                "cpu_ref_s": cpu_ref_s,
                 "quiet_wait_s": round(waited, 1),
             }
         )
