@@ -268,3 +268,85 @@ def connected_components_trade_graph(spark: SparkSession, sf_dir: str) -> DataFr
         .select("n_nationkey", "component", "component_size")
         .orderBy("n_nationkey")
     )
+
+
+_BF_HOPS = 4
+
+
+def _bf_oracle() -> str:
+    """Unrolled Bellman-Ford replay: one CTE per relaxation round —
+    integer edge costs, so the trajectory is exact in both engines."""
+    ctes = [
+        """edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(min(l.l_quantity) AS BIGINT) AS cost
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2)""",
+        """d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""",
+    ]
+    for i in range(_BF_HOPS):
+        ctes.append(
+            f"""d{i + 1} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.cost AS dist
+        FROM d{i} d JOIN edges e ON e.u = d.node) q
+      GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, dist FROM d{_BF_HOPS} ORDER BY node
+    """
+    )
+
+
+@query("cheapest_path_bounded_hops", oracle=_bf_oracle(), priority=5)
+def cheapest_path_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path, bounded to 4 hops
+    (distributed Bellman-Ford) — the WEIGHTED sibling of the BFS-levels
+    query: relaxation replaces frontier expansion, integer lane costs
+    (min shipment quantity per trade lane) replace hop counts, and the
+    per-round recurrence d_{i+1}(v) = min(d_i(v), min_u d_i(u) + c(u,v))
+    is exactly one join (state keyed by node against edges keyed by
+    source) plus one min-aggregate per round.
+
+    The hop bound makes the trajectory a finite exact object both
+    engines replay: the oracle unrolls the four relaxation rounds
+    CTE-for-CTE over the same integer costs, so the hash gate checks
+    every round's fixpoint algebra, not just a converged answer. At
+    100 TB the edge list is the one big table (same contract as
+    PageRank/BFS/components here): state is node-sized, each round is
+    a standard reduce, and the bound caps the iteration count the way
+    a production path query caps search depth."""
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.min("l_quantity").cast("long").alias("cost"))
+        .localCheckpoint(eager=False)
+    )
+    d = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_BF_HOPS):
+        relaxed = (
+            d.join(edges, d["node"] == edges["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("cost")).alias("dist"))
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return d.orderBy("node")

@@ -752,3 +752,36 @@ def test_mv_incremental_equals_full_recompute(spark):
     }
     got = {r["status"]: (r["n"], float(r["total"])) for r in q.collect()}
     assert got == full
+
+
+# ------------------------------------------------------------ bellman-ford
+
+
+def test_bounded_hops_matches_python_bellman_ford(spark):
+    import duckdb
+    from collections import defaultdict
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    edges = con.execute(
+        """
+        SELECT s.s_nationkey, c.c_nationkey, CAST(min(l.l_quantity) AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+        JOIN customer c ON o.o_custkey=c.c_custkey
+        JOIN supplier s ON s.s_suppkey=l.l_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1,2
+        """
+    ).fetchall()
+    dist = {0: 0}
+    for _ in range(4):
+        nd = dict(dist)
+        for u, v, c in edges:
+            if u in dist and dist[u] + c < nd.get(v, float("inf")):
+                nd[v] = dist[u] + c
+        dist = nd
+    got = {
+        r["node"]: r["dist"]
+        for r in QUERIES["cheapest_path_bounded_hops"](spark, SF_SMALL).collect()
+    }
+    assert got == dist
