@@ -1389,3 +1389,87 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > 0)
     )
     return merged.orderBy("status")
+
+
+@query(
+    "fk_inclusion_report",
+    oracle="""
+    WITH leg1 AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_child_keys,
+             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                      THEN o_custkey END) AS BIGINT)
+               AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    leg2 AS (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys,
+             CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                      THEN l_orderkey END) AS BIGINT)
+               AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    leg3 AS (
+      SELECT 'lineitem.l_suppkey->part.p_partkey' AS fk,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_child_keys,
+             CAST(count(DISTINCT CASE WHEN p.p_partkey IS NULL
+                                      THEN l_suppkey END) AS BIGINT)
+               AS n_orphans
+      FROM lineitem l LEFT JOIN part p ON l.l_suppkey = p.p_partkey),
+    u AS (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+          UNION ALL SELECT * FROM leg3)
+    SELECT fk, n_child_keys, n_orphans,
+           round(1.0 - CAST(n_orphans AS DOUBLE) / n_child_keys + 1e-9, 6)
+             AS containment
+    FROM u ORDER BY fk
+    """,
+    priority=5,
+)
+def fk_inclusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key candidate) profiling — the
+    sibling of fd_violation_report on the referential axis: for each
+    candidate child→parent column pair, how many distinct child keys
+    have no parent (orphans) and the containment fraction. Two true
+    FKs and one deliberate non-FK (l_suppkey vs p_partkey) so the
+    report shows both verdicts.
+
+    Each leg is distinct child keys LEFT-JOINed to the parent key —
+    distinct-first keeps the join key-sized, the parent side is its
+    key column only (column-pruned scan), and orphan counting is a
+    null-probe aggregate. At 100 TB: per-leg cost is one distinct
+    aggregate plus one key-sized join; this is exactly the profiling
+    pass run before trusting any join-based pipeline, and the orphan
+    count is the thing referential-integrity checks alert on."""
+    t = Tables(spark, sf_dir)
+
+    def leg(fk: str, child, ckey: str, parent, pkey: str) -> DataFrame:
+        ck = child.select(F.col(ckey).alias("k")).distinct()
+        pk = parent.select(F.col(pkey).alias("pk"))
+        j = ck.join(pk, ck["k"] == pk["pk"], "left")
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.countDistinct("k").alias("n_child_keys"),
+            F.countDistinct(F.when(F.col("pk").isNull(), F.col("k"))).alias(
+                "n_orphans"
+            ),
+        )
+
+    out = (
+        leg("orders.o_custkey->customer.c_custkey",
+            t.orders, "o_custkey", t.customer, "c_custkey")
+        .unionByName(
+            leg("lineitem.l_orderkey->orders.o_orderkey",
+                t.lineitem, "l_orderkey", t.orders, "o_orderkey"))
+        .unionByName(
+            leg("lineitem.l_suppkey->part.p_partkey",
+                t.lineitem, "l_suppkey", t.part, "p_partkey"))
+    )
+    return out.select(
+        "fk",
+        "n_child_keys",
+        "n_orphans",
+        F.round(
+            1.0 - F.col("n_orphans").cast("double") / F.col("n_child_keys")
+            + 1e-9,
+            6,
+        ).alias("containment"),
+    ).orderBy("fk")

@@ -960,3 +960,90 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(mx.select(F.col("m").alias("max_concurrent"))).crossJoin(
         at_
     )
+
+
+@query(
+    "match_recognize_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        WHEN 'view' THEN 'v'
+                                        ELSE 'e' END, ''
+                        ORDER BY epoch_us(ts), event_id) AS trace
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT user_id, trace,
+             length(regexp_replace(trace, 's[^sp]*c[^sp]*p', '#', 'g'))
+               - length(regexp_replace(trace, 's[^sp]*c[^sp]*p', '', 'g'))
+               AS n_matches
+      FROM seq)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_matched,
+           CAST(sum(n_matches) AS BIGINT) AS n_matches,
+           CAST(sum(length(trace)) AS BIGINT) AS n_events
+    FROM m
+    """,
+    priority=5,
+)
+def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE emulation — row-pattern matching over ordered
+    per-key event sequences, the SQL:2016 feature Flink and Trino ship
+    natively and Spark has no operator for (§2.3 "custom operator as
+    composition"). Pattern here: signup, then a click with no
+    intervening signup/purchase, then a purchase (regex
+    s[^sp]*c[^sp]*p with non-greedy non-overlap semantics, counting
+    each completed funnel once — MATCH_RECOGNIZE's AFTER MATCH SKIP
+    PAST LAST ROW).
+
+    Compilation strategy: each user's event stream collapses to a
+    TRACE STRING (one char per event, in exact (ts, event_id) order via
+    sorting an array of packed structs — never collect_list's
+    partition-dependent order), and the row pattern becomes an ordinary
+    regex evaluated in codegen. One shuffle on the key; per-key state
+    is the trace (bounded by events-per-user). Match counting is
+    engine-portable replace-length arithmetic (regexp_count does not
+    exist in DuckDB v1.0). At 100 TB this is the standard funnel/CEP
+    analysis shape: key-partitioned, codegen regex, no Python."""
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events.select(
+        "user_id",
+        epoch_us("ts").alias("tus"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "view", "v")
+        .otherwise("e")
+        .alias("ch"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(array_sort(collect_list(struct(tus, event_id, ch)))"
+                ", x -> x.ch)"
+            ),
+        ).alias("trace")
+    )
+    pat = r"s[^sp]*c[^sp]*p"
+    m = seq.select(
+        "user_id",
+        "trace",
+        (
+            F.length(F.regexp_replace("trace", pat, "#"))
+            - F.length(F.regexp_replace("trace", pat, ""))
+        ).alias("n_matches"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_matches") > 0, 1).otherwise(0)).alias(
+            "n_users_matched"
+        ),
+        F.sum("n_matches").alias("n_matches"),
+        F.sum(F.length("trace")).alias("n_events"),
+    )
