@@ -1473,3 +1473,65 @@ def fk_inclusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("containment"),
     ).orderBy("fk")
+
+
+@query(
+    "table_checksum_merkle_ranges",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey % 16 AS bucket,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                                 o_orderstatus || '|' ||
+                                 CAST(o_totalprice AS VARCHAR)),
+                             1, 8))::BIGINT AS h32
+      FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h32) AS BIGINT) AS range_digest
+    FROM h GROUP BY bucket ORDER BY bucket
+    """,
+    priority=5,
+)
+def table_checksum_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksums per key range — the anti-entropy / replication
+    verification primitive (Merkle-range digests a la Cassandra repair,
+    or cross-engine table-copy validation): hash each row's content,
+    aggregate an order-insensitive digest per key bucket. Two replicas
+    compare 16 numbers instead of the table; a mismatching bucket
+    scopes the re-sync.
+
+    Digest = SUM of 32-bit md5-derived row hashes (portable: the same
+    recipe as the KMV/CMS/bloom sketches; 32-bit terms keep the
+    running sum exact in BIGINT to ~2^31 rows per bucket). Sum (not
+    xor) so a doubled row changes the digest; order-insensitive by
+    construction, so partitioning/shuffle order cannot flap it. The
+    decimal column crosses the hash as its canonical 2-dp string —
+    both engines render DECIMAL(12,2) identically. One map-side
+    aggregate, bucket-count output; at 100 TB this is a single pass
+    with a 16-row result."""
+    o = Tables(spark, sf_dir).orders
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        o.select((F.col("o_orderkey") % 16).alias("bucket"), h32.alias("h32"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h32").alias("range_digest"),
+        )
+        .orderBy("bucket")
+    )

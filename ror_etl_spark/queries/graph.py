@@ -350,3 +350,69 @@ def cheapest_path_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return d.orderBy("node")
+
+
+@query(
+    "hierarchy_subtree_totals",
+    oracle="""
+    WITH ids AS (SELECT CAST(o_orderkey + 1 AS BIGINT) AS id FROM orders),
+    lim AS (
+      SELECT a.id,
+             a.id - ((a.id - 1) % 10) AS root
+      FROM ids a),
+    j AS (
+      SELECT a.id, CAST(sum(b.id % 97) AS BIGINT) AS subtree_total,
+             CAST(count(*) AS BIGINT) AS subtree_size
+      FROM lim a JOIN ids b
+        ON b.id >= a.id AND b.id - ((b.id - 1) % 10) = a.root
+      GROUP BY a.id)
+    SELECT id, subtree_size, subtree_total FROM j ORDER BY id
+    """,
+    priority=5,
+)
+def hierarchy_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-up hierarchy aggregation: every node's SUBTREE total (its
+    own measure plus all descendants') — the org-chart / BOM / account
+    rollup that complements ultimate_parent (which answers "who is my
+    root"; this answers "what do I contain"). Measure = id % 97,
+    deterministic.
+
+    Distributed formulation: message passing. Every node emits one
+    packet carrying its own measure; each round every packet hops to
+    its current node's parent (one equi-join on the edge list) and is
+    COUNTED at every node it visits (union into the totals stream);
+    packets retire at self-loop roots. After depth rounds one
+    aggregate sums visits per node — total shuffle volume is
+    O(edges x depth), state is packet-sized, and no node ever
+    materializes its full descendant set (the transitive-closure
+    explosion this operator exists to avoid). The driver forest has
+    depth <= 9; production trees bound rounds the same way the rollup
+    does, alerting rather than spinning. The oracle computes subtree
+    sums closed-form from the chain structure — an independent
+    formulation, so the hash gate checks the message-passing algebra
+    end to end."""
+    edges = synthetic_edges(spark, sf_dir).localCheckpoint(eager=False)
+    own = edges.select("id", (F.col("id") % 97).alias("amt"))
+    totals = own.select(F.col("id").alias("node"), "amt", F.lit(1).alias("vis"))
+    packets = edges.select(F.col("id").alias("cur"), (F.col("id") % 97).alias("amt"))
+    for _ in range(9):
+        moved = (
+            packets.join(edges, packets["cur"] == edges["id"])
+            .where(F.col("parent") != F.col("cur"))
+            .select(F.col("parent").alias("cur"), "amt")
+            .localCheckpoint(eager=False)
+        )
+        if moved.isEmpty():
+            break
+        totals = totals.unionByName(
+            moved.select(F.col("cur").alias("node"), "amt", F.lit(1).alias("vis"))
+        )
+        packets = moved
+    return (
+        totals.groupBy(F.col("node").alias("id"))
+        .agg(
+            F.sum("vis").alias("subtree_size"),
+            F.sum("amt").alias("subtree_total"),
+        )
+        .orderBy("id")
+    )

@@ -373,3 +373,54 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "orders_state_asof_date",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey AS c, o_orderdate AS d,
+             arg_max(o_orderstatus, o_orderkey) AS st
+      FROM orders WHERE o_orderdate <= DATE '1994-06-30'
+      GROUP BY o_custkey, o_orderdate),
+    latest AS (
+      SELECT c, arg_max(st, d) AS st FROM upd GROUP BY c),
+    base AS (
+      SELECT cu.c_custkey, COALESCE(l.st, 'NEW') AS status
+      FROM customer cu LEFT JOIN latest l ON cu.c_custkey = l.c)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_customers
+    FROM base GROUP BY status ORDER BY status
+    """,
+    priority=5,
+)
+def orders_state_asof_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct the dimension's state AS OF a past date
+    from the change log alone — the lakehouse "SELECT ... TIMESTAMP AS
+    OF" semantics, expressed against the same order-status change
+    stream the SCD2 build consumes. Snapshot = per customer, the
+    latest update at or before the cut; customers with no update yet
+    are in their initial 'NEW' state.
+
+    Plan: the date filter pushes into the scan (only pre-cut rows are
+    read — at 100 TB with date-partitioned logs this is partition
+    pruning, the whole point of log-structured time travel), then two
+    max_by aggregates on the customer key and one broadcast-sized
+    status count. No SCD2 interval materialization needed for a single
+    cut; the PIT join above is the general many-timestamps form."""
+    t = Tables(spark, sf_dir)
+    cut = F.lit("1994-06-30").cast("date")
+    upd = (
+        t.orders.where(F.col("o_orderdate") <= cut)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("o_orderdate").alias("d"))
+        .agg(F.max_by("o_orderstatus", "o_orderkey").alias("st"))
+    )
+    latest = upd.groupBy("c").agg(F.max_by("st", "d").alias("st"))
+    cust = t.customer.select("c_custkey")
+    base = cust.join(
+        latest, cust["c_custkey"] == latest["c"], "left"
+    ).select(F.coalesce(F.col("st"), F.lit("NEW")).alias("status"))
+    return (
+        base.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("status")
+    )

@@ -835,3 +835,70 @@ def test_fk_inclusion_true_fks_have_full_containment(spark):
     # its orphan count
     bad = rows["lineitem.l_suppkey->part.p_partkey"]
     assert abs(bad["containment"] - (1 - bad["n_orphans"] / bad["n_child_keys"])) < 1e-5
+
+
+# ------------------------------------------------------ subtree rollup
+
+
+def test_subtree_totals_match_recursive_reference(spark):
+    """Message-passing subtree sums vs a python parent-chase (works for
+    ANY forest shape, not just the driver chains)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    ids = [
+        r[0] + 1
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM '{SF_SMALL}/orders.parquet'"
+        ).fetchall()
+    ]
+    parent = {i: (i if i % 10 == 1 else i - 1) for i in ids}
+    tot = defaultdict(int)
+    size = defaultdict(int)
+    for n in ids:
+        cur = n
+        while True:
+            tot[cur] += n % 97
+            size[cur] += 1
+            if parent[cur] == cur:
+                break
+            cur = parent[cur]
+    got = {
+        r["id"]: (r["subtree_size"], r["subtree_total"])
+        for r in QUERIES["hierarchy_subtree_totals"](spark, SF_SMALL).collect()
+    }
+    assert got == {n: (size[n], tot[n]) for n in ids}
+
+
+# ------------------------------------------------------------- checksum
+
+
+def test_merkle_digest_detects_single_row_change(spark, tmp_path):
+    """Replication-verify semantics: flipping ONE row's status must
+    change exactly that row's bucket digest and nothing else."""
+    import os
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    o.write.parquet(os.path.join(str(d1), "orders.parquet"))
+    k = o.select("o_orderkey").head()[0]
+    o2 = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == k, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    o2.write.parquet(os.path.join(str(d2), "orders.parquet"))
+    a = {
+        r["bucket"]: (r["n_rows"], r["range_digest"])
+        for r in QUERIES["table_checksum_merkle_ranges"](spark, str(d1)).collect()
+    }
+    b = {
+        r["bucket"]: (r["n_rows"], r["range_digest"])
+        for r in QUERIES["table_checksum_merkle_ranges"](spark, str(d2)).collect()
+    }
+    diff = [bk for bk in a if a[bk] != b[bk]]
+    assert diff == [k % 16]
+    assert a[k % 16][0] == b[k % 16][0]  # row count same; content differs
