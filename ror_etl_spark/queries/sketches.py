@@ -427,3 +427,145 @@ def sketch_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_err"),
     )
     return out.orderBy("segment")
+
+
+@query(
+    "rolling_hll_users_7d",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('day', ts) AS d, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM events),
+    r AS (
+      SELECT d, h >> 44 AS idx,
+             CASE WHEN (h & {(1 << 44) - 1}) = 0 THEN 45
+                  ELSE 45 - length(bin(h & {(1 << 44) - 1})) END AS rho
+      FROM h),
+    dayregs AS (
+      SELECT d, idx, max(rho) AS m FROM r GROUP BY d, idx),
+    days AS (SELECT DISTINCT d FROM dayregs),
+    fan AS (
+      SELECT days.d AS wd, dr.idx, max(dr.m) AS m
+      FROM days JOIN dayregs dr
+        ON dr.d <= days.d AND dr.d >= days.d - INTERVAL 6 DAY
+      GROUP BY days.d, dr.idx),
+    agg AS (
+      SELECT wd,
+             CAST(sum(1::BIGINT << (45 - m)) AS BIGINT)
+               + ({_HLL_M} - count(*)) * {_HLL_SCALE}::BIGINT AS sum_scaled,
+             {_HLL_M} - count(*) AS v_empty
+      FROM fan GROUP BY wd),
+    ex AS (
+      SELECT days.d AS wd, count(DISTINCT h.user_id) AS n_exact
+      FROM days JOIN h ON h.d <= days.d AND h.d >= days.d - INTERVAL 6 DAY
+      GROUP BY days.d),
+    est AS (
+      SELECT a.wd, e.n_exact, a.v_empty,
+             (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+               * {_HLL_SCALE}.0 / CAST(a.sum_scaled AS DOUBLE) AS raw
+      FROM agg a JOIN ex e ON a.wd = e.wd)
+    SELECT strftime(wd, '%Y-%m-%d') AS day, n_exact,
+           round(CASE WHEN raw <= 2.5 * {_HLL_M}.0 AND v_empty > 0
+                      THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(v_empty AS DOUBLE))
+                      ELSE raw END + 1e-9, 4) AS est_hll
+    FROM est ORDER BY day
+    """,
+    priority=5,
+)
+def rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users APPROXIMATELY — the sketch-merge
+    answer to the same question rolling_distinct_users_7d answers
+    exactly, and the payoff of mergeable registers: sketch each DAY
+    once (day x 256 registers), then answer every sliding window by
+    max-merging seven days' registers — no re-touching events, which
+    is how a 100 TB pipeline serves arbitrary window-distinct questions
+    from day-granular state. The exact twin shuffles 7x the per-day
+    distinct (user, day) pairs; this shuffles 7 x days x 256 longs,
+    independent of cardinality.
+
+    Register build and estimate arithmetic are identical to
+    sketch_hll_portable_rollup (integer-exact registers, scaled
+    indicator sum, IEEE-only raw estimate, epsilon-rounded linear
+    counting); the fan-out is the bounded x7 explode of the exact twin.
+    Exact counts ride along so the output is its own calibration
+    report."""
+    e = Tables(spark, sf_dir).events
+    w_mask = (1 << 44) - 1
+    h = e.select(
+        F.date_trunc("day", "ts").alias("d"),
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    dayregs = (
+        h.select(
+            "d",
+            F.shiftright("h", 44).alias("idx"),
+            F.col("h").bitwiseAND(F.lit(w_mask)).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(45)).otherwise(
+                F.lit(45) - F.length(F.expr("bin(w)"))
+            ),
+        )
+        .groupBy("d", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    days = dayregs.select("d").distinct()
+    fan = (
+        dayregs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 6), k -> date_add(CAST(d AS DATE), k))"
+                )
+            ).alias("wd"),
+            "idx",
+            "m",
+        )
+        .join(F.broadcast(days.select(F.col("d").cast("date").alias("wd"))), "wd")
+        .groupBy("wd", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    agg = fan.groupBy("wd").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 45 - m)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_SCALE)
+        ).alias("sum_scaled"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_empty"),
+    )
+    du = h.select("d", "user_id").distinct()
+    ex = (
+        du.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 6), k -> date_add(CAST(d AS DATE), k))"
+                )
+            ).alias("wd"),
+            "user_id",
+        )
+        .join(F.broadcast(days.select(F.col("d").cast("date").alias("wd"))), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / float(_HLL_M)))
+        * float(_HLL_M)
+        * float(_HLL_M)
+        * float(_HLL_SCALE)
+        / F.col("sum_scaled").cast("double")
+    )
+    est = agg.join(ex, "wd").withColumn("raw", raw)
+    corrected = F.when(
+        (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v_empty") > 0),
+        float(_HLL_M) * F.log(float(_HLL_M) / F.col("v_empty").cast("double")),
+    ).otherwise(F.col("raw"))
+    return (
+        est.select(
+            F.date_format("wd", "yyyy-MM-dd").alias("day"),
+            "n_exact",
+            F.round(corrected + 1e-9, 4).alias("est_hll"),
+        )
+        .orderBy("day")
+    )

@@ -902,3 +902,20 @@ def test_merkle_digest_detects_single_row_change(spark, tmp_path):
     diff = [bk for bk in a if a[bk] != b[bk]]
     assert diff == [k % 16]
     assert a[k % 16][0] == b[k % 16][0]  # row count same; content differs
+
+
+# ------------------------------------------------------- rolling HLL
+
+
+def test_rolling_hll_tracks_exact_within_error_band(spark):
+    """The merged-register estimate must track the exact rolling count
+    within the m=256 error regime on every window, and the exact column
+    must equal the exact twin query's answer."""
+    hll = {r["day"]: (r["n_exact"], r["est_hll"])
+           for r in QUERIES["rolling_hll_users_7d"](spark, SF_SMALL).collect()}
+    exact = {r["day"]: r["users_7d"]
+             for r in QUERIES["rolling_distinct_users_7d"](spark, SF_SMALL).collect()}
+    assert set(hll) == set(exact)
+    for day, (n, est) in hll.items():
+        assert n == exact[day]
+        assert abs(est - n) / max(n, 1) < 0.25
