@@ -1789,3 +1789,86 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "id_a", "id_b")
     )
+
+
+@query(
+    "golden_record_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE {_JACCARD} >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM ver),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    mem AS (
+      SELECT comp.cluster, d.doc_id, d.n_chars, d.lang, d.source,
+             row_number() OVER (PARTITION BY comp.cluster
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM comp JOIN documents d ON d.doc_id = comp.id)
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS survivor_doc,
+           CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM mem GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster
+    """,
+    priority=5,
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction (MDM survivorship): after the
+    near-dup funnel clusters records, the MERGE step builds one best
+    record per cluster by field-level rules — here, longest-text-wins
+    for the survivor (ties to the smallest id), max length, the union
+    of observed languages, and the count of contributing sources. This
+    is the deliverable the keep-one dedup ops stop short of: the kept
+    row plus the evidence folded in from the rows it absorbed.
+
+    Plan: the funnel (signatures → LSH → Jaccard verify → components)
+    reuses the exact operators the cluster queries pin; survivorship is
+    one row_number window + one aggregate, both keyed on the cluster —
+    one extra shuffle over the cluster assignment. The oracle replays
+    the entire funnel AND the survivorship rules (same wrap-the-
+    generated-SQL discipline as the kappa/lang-ID pair)."""
+    from pyspark.sql import Window as W
+
+    d = Tables(spark, sf_dir).documents
+    cands = lsh_candidate_pairs(minhash_signatures(d, num_hashes=32))
+    verified = jaccard_verify(cands, d, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup_clusters(d, verified).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+    mem = clusters.join(d, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    return (
+        mem.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "survivor_doc"
+            ),
+            F.max("n_chars").alias("n_chars_max"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("size") > 1)
+        .orderBy("cluster")
+    )

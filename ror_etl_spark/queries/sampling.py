@@ -300,3 +300,51 @@ def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pos").cast("double") / F.lit(n - 1) + 1e-9, 6).alias("q"),
     )
     return ordered(out, "c_custkey")
+
+
+@query(
+    "cv_fold_assignment_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment AS segment,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      FROM customer),
+    f AS (SELECT segment, (rn - 1) % 5 AS fold FROM r)
+    SELECT segment, CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n
+    FROM f GROUP BY segment, fold ORDER BY segment, fold
+    """,
+    priority=5,
+)
+def cv_fold_assignment_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment (k=5): within each
+    stratum (market segment), rank rows by a content hash and deal them
+    round-robin into folds — EXACTLY balanced per stratum (fold sizes
+    differ by at most one), unlike plain hash-mod assignment whose
+    per-stratum fold sizes are only balanced in expectation. The hash
+    order makes the deal deterministic and reshuffle-proof (same
+    property as the registry's other hash-derived samplers), and the
+    window is PARTITIONED by the stratum — per-stratum frames, no
+    global sort. Output is the segment x fold contingency, which is
+    simultaneously the balance audit."""
+    from pyspark.sql import Window as W
+
+    c = Tables(spark, sf_dir).customer
+    r = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.row_number()
+        .over(
+            W.partitionBy("c_mktsegment").orderBy(
+                F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        r.select("segment", ((F.col("rn") - 1) % 5).cast("long").alias("fold"))
+        .groupBy("segment", "fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("segment", "fold")
+    )

@@ -919,3 +919,37 @@ def test_rolling_hll_tracks_exact_within_error_band(spark):
     for day, (n, est) in hll.items():
         assert n == exact[day]
         assert abs(est - n) / max(n, 1) < 0.25
+
+
+# --------------------------------------------------------- survivorship
+
+
+def test_golden_record_survivor_is_longest_member(spark):
+    rows = QUERIES["golden_record_survivorship"](spark, SF_SMALL).collect()
+    assert rows, "driver data plants duplicate clusters"
+    import duckdb
+
+    nchars = dict(
+        duckdb.sql(
+            f"SELECT doc_id, n_chars FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r["size"] >= 2
+        assert nchars[r["survivor_doc"]] == r["n_chars_max"]
+        assert r["langs"] == ",".join(sorted(set(r["langs"].split(","))))
+
+
+# ------------------------------------------------------------- k-fold
+
+
+def test_cv_folds_exactly_balanced_per_stratum(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["cv_fold_assignment_stratified"](spark, SF_SMALL).collect()
+    per_seg = defaultdict(list)
+    for r in rows:
+        per_seg[r["segment"]].append(r["n"])
+    for seg, ns in per_seg.items():
+        assert len(ns) == 5, seg
+        assert max(ns) - min(ns) <= 1, (seg, ns)
