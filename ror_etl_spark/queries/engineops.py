@@ -1535,3 +1535,89 @@ def table_checksum_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "encoding_advisor_orders",
+    oracle="""
+    WITH legs AS (
+      SELECT 'o_orderstatus' AS col, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+             CAST(8 * max(length(o_orderstatus)) AS BIGINT) AS plain_bits
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(DISTINCT o_orderpriority),
+             8 * max(length(o_orderpriority))
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(DISTINCT o_custkey), 64
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(*), count(DISTINCT o_orderkey), 64
+      FROM orders)
+    SELECT col, n_distinct,
+           CASE WHEN n_distinct <= 1 THEN 1
+                ELSE CAST(length(bin(n_distinct - 1)) AS BIGINT) END
+             AS dict_bits,
+           plain_bits,
+           round(CAST(plain_bits AS DOUBLE)
+                 / (CASE WHEN n_distinct <= 1 THEN 1
+                         ELSE CAST(length(bin(n_distinct - 1)) AS BIGINT) END)
+                 + 1e-9, 2) AS est_ratio,
+           n_distinct <= n / 2 AS dict_recommended
+    FROM legs ORDER BY col
+    """,
+    priority=5,
+)
+def encoding_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding advisor — the storage-layout decision every
+    parquet/ORC writer makes implicitly, surfaced as a report: for each
+    column, the dictionary-index bit width (ceil(log2(cardinality)),
+    computed via the bin()-string-length integer trick — the same
+    no-float-log2 device as the HLL rho), the plain-encoding width,
+    the estimated compression ratio, and whether dictionary encoding
+    clears the cardinality threshold writers use (distinct <= rows/2).
+
+    One aggregation leg per column, each a map-side-combinable
+    (count, count distinct, max length) triple over a single pruned
+    column scan — the same UNION-of-narrow-legs shape as
+    column_profile_orders, which this report extends from profiling to
+    an actionable layout decision. All integers until the one reported
+    ratio."""
+    o = Tables(spark, sf_dir).orders
+
+    def leg(col: str, plain_bits) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(col).alias("n_distinct"),
+            plain_bits.alias("plain_bits"),
+        )
+
+    legs = (
+        leg("o_orderstatus", (8 * F.max(F.length("o_orderstatus"))).cast("long"))
+        .unionByName(
+            leg(
+                "o_orderpriority",
+                (8 * F.max(F.length("o_orderpriority"))).cast("long"),
+            )
+        )
+        .unionByName(leg("o_custkey", F.lit(64).cast("long")))
+        .unionByName(leg("o_orderkey", F.lit(64).cast("long")))
+    )
+    dict_bits = F.when(F.col("n_distinct") <= 1, F.lit(1).cast("long")).otherwise(
+        F.length(F.expr("bin(n_distinct - 1)")).cast("long")
+    )
+    return (
+        legs.select(
+            "col",
+            "n_distinct",
+            dict_bits.alias("dict_bits"),
+            "plain_bits",
+            F.round(
+                F.col("plain_bits").cast("double") / dict_bits + 1e-9, 2
+            ).alias("est_ratio"),
+            (F.col("n_distinct") <= F.col("n") / 2).alias("dict_recommended"),
+        )
+        .orderBy("col")
+    )

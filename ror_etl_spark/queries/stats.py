@@ -581,3 +581,81 @@ def best_split_gini_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "changepoint_cusum_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1),
+    pre AS (
+      SELECT d,
+             CAST(sum(rev_c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS s,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+      FROM daily),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n FROM daily),
+    dev AS (
+      SELECT pre.d, pre.k, abs(tot.n * pre.s - pre.k * tot.t) AS drift,
+             tot.n, tot.t
+      FROM pre CROSS JOIN tot)
+    SELECT strftime(d, '%Y-%m-%d') AS change_day,
+           k AS day_index, n AS n_days,
+           round(CAST(drift AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) + 1e-9, 2)
+             AS max_cusum_dev
+    FROM dev ORDER BY drift DESC, d LIMIT 1
+    """,
+    priority=5,
+)
+def changepoint_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily revenue series: the
+    day where the cumulative deviation from the series mean peaks —
+    the standard first-pass answer to "when did the level shift".
+
+    Exactness architecture: CUSUM_k = S_k - k*T/N involves a division,
+    but its ARGMAX does not — maximizing |N*S_k - k*T| over exact
+    integer cents gives the identical day with zero float arithmetic
+    in the comparison; the float division appears only in the reported
+    magnitude, after the argmax is already settled. Prefix sums ride a
+    day-granular window (the series is date-domain-sized after one
+    map-side aggregate; at 100 TB the daily rollup is the only
+    data-sized stage — same contract as the decomposition op)."""
+    from pyspark.sql import Window as W
+
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = daily.select(
+        "d",
+        F.sum("rev_c").over(w).alias("s"),
+        F.row_number().over(W.orderBy("d")).cast("long").alias("k"),
+    )
+    tot = daily.agg(
+        F.sum("rev_c").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    dev = pre.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "k",
+        "n",
+        F.abs(F.col("n") * F.col("s") - F.col("k") * F.col("t")).alias("drift"),
+    )
+    return (
+        dev.orderBy(F.desc("drift"), F.asc("d"))
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.col("k").alias("day_index"),
+            F.col("n").alias("n_days"),
+            F.round(
+                F.col("drift").cast("double") / (F.col("n").cast("double") * 100.0)
+                + 1e-9,
+                2,
+            ).alias("max_cusum_dev"),
+        )
+    )

@@ -953,3 +953,49 @@ def test_cv_folds_exactly_balanced_per_stratum(spark):
     for seg, ns in per_seg.items():
         assert len(ns) == 5, seg
         assert max(ns) - min(ns) <= 1, (seg, ns)
+
+
+# -------------------------------------------------------------- cusum
+
+
+def test_cusum_changepoint_matches_python(spark):
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        f"""SELECT date_trunc('day', o_orderdate) d,
+                   CAST(round(o_totalprice*100) AS BIGINT) c
+            FROM '{SF_SMALL}/orders.parquet'"""
+    ).fetchall()
+    daily = defaultdict(int)
+    for d, c in rows:
+        daily[d] += c
+    days = sorted(daily)
+    T = sum(daily.values())
+    N = len(days)
+    best = None
+    s = 0
+    for k, d in enumerate(days, 1):
+        s += daily[d]
+        drift = abs(N * s - k * T)
+        if best is None or drift > best[0]:
+            best = (drift, d, k)
+    r = QUERIES["changepoint_cusum_daily_revenue"](spark, SF_SMALL).collect()[0]
+    assert r["change_day"] == str(best[1].date())
+    assert r["day_index"] == best[2] and r["n_days"] == N
+    assert abs(r["max_cusum_dev"] - best[0] / (N * 100.0)) < 0.02
+
+
+# --------------------------------------------------------- encoding
+
+
+def test_encoding_advisor_bit_widths(spark):
+    rows = {r["col"]: r for r in QUERIES["encoding_advisor_orders"](spark, SF_SMALL).collect()}
+    ok = rows["o_orderstatus"]
+    assert ok["n_distinct"] <= 3 and ok["dict_bits"] <= 2
+    assert ok["dict_recommended"]
+    # the unique key must NOT recommend dictionary encoding
+    assert not rows["o_orderkey"]["dict_recommended"]
+    for r in rows.values():
+        want_bits = max(1, (int(r["n_distinct"]) - 1).bit_length())
+        assert r["dict_bits"] == want_bits
