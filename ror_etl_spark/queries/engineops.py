@@ -1621,3 +1621,77 @@ def encoding_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@query(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+    pre AS (
+      SELECT pk, rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, pk
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM rev),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM rev),
+    cls AS (
+      SELECT pk, rev_c,
+             CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                  WHEN cum * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM pre CROSS JOIN tot)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(rev_c) AS DOUBLE) / 100.0 + 1e-9, 2) AS revenue
+    FROM cls GROUP BY abc ORDER BY abc
+    """,
+    priority=5,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/20) inventory classification: parts ranked by
+    revenue, class A = the head covering 80% of cumulative revenue,
+    B to 95%, C the tail — the ops-analytics primitive behind stock
+    policies and catalog pruning.
+
+    The cumulative share is the global-prefix-sum shape again, and the
+    class boundaries are INTEGER comparisons (cum*100 <= total*80 on
+    exact cents — no float share ever computed, so boundary parts
+    classify identically in both engines). The per-part revenue rollup
+    is the only data-sized stage; the ranked frame is part-domain-sized
+    and rides operators/util.global_cumsum's decomposition in spirit —
+    here via DuckDB-window-mirrored ordered sum, with (rev desc, pk)
+    as the duplicate-free total order."""
+    from ror_etl_spark.operators.util import global_cumsum
+
+    li = Tables(spark, sf_dir).lineitem
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    # exclusive prefix over (rev desc, pk asc): negate for the helper's
+    # ascending order, then inclusive cum = prior + own
+    pre = global_cumsum(
+        rev.withColumn("neg", -F.col("rev_c")), ["neg", "pk"], "rev_c", out="prior"
+    ).select("pk", "rev_c", (F.col("prior") + F.col("rev_c")).alias("cum"))
+    tot = rev.agg(F.sum("rev_c").alias("t"))
+    cls = pre.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        "rev_c",
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev_c").cast("double") / 100.0 + 1e-9, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("abc")
+    )

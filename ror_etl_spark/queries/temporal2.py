@@ -1047,3 +1047,77 @@ def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_matches").alias("n_matches"),
         F.sum(F.length("trace")).alias("n_events"),
     )
+
+
+@query(
+    "top_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+    flg AS (
+      SELECT user_id, tus, event_id, event_type,
+             CASE WHEN lag(tus) OVER w IS NULL THEN 1
+                  WHEN tus - lag(tus) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    sn AS (
+      SELECT user_id, tus, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS snum
+      FROM flg),
+    tri AS (
+      SELECT user_id, snum, event_type AS e1,
+             lead(event_type, 1) OVER w2 AS e2,
+             lead(event_type, 2) OVER w2 AS e3
+      FROM sn WINDOW w2 AS (PARTITION BY user_id, snum
+                            ORDER BY tus, event_id))
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    priority=5,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the most frequent 3-step event sequences
+    WITHIN a session (30-min inactivity boundary) — the path-analysis
+    query product teams run on clickstreams, and the n-gram
+    generalization of event_transition_matrix (bigrams, no session
+    fence). Session boundaries matter: a trigram spanning two visits
+    is noise, so the lead() window partitions on (user, session), and
+    sessionization is the registry's standard lag-gap pass — all three
+    windows ride ONE shuffle on user_id. Path space is |types|^3
+    bounded, counts are exact integers, top-10 is a TakeOrdered with
+    the path string as tiebreak."""
+    from pyspark.sql import Window as W
+
+    from ror_etl_spark.queries.util import epoch_us
+
+    e = Tables(spark, sf_dir).events.select(
+        "user_id", epoch_us("ts").alias("tus"), "event_id", "event_type"
+    )
+    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
+    flg = e.withColumn(
+        "new_s",
+        F.when(F.lag("tus").over(wu).isNull(), 1)
+        .when(F.col("tus") - F.lag("tus").over(wu) > 1_800_000_000, 1)
+        .otherwise(0),
+    )
+    sn = flg.withColumn(
+        "snum",
+        F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    w2 = W.partitionBy("user_id", "snum").orderBy("tus", "event_id")
+    tri = sn.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w2).alias("e2"),
+        F.lead("event_type", 2).over(w2).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )

@@ -999,3 +999,67 @@ def test_encoding_advisor_bit_widths(spark):
     for r in rows.values():
         want_bits = max(1, (int(r["n_distinct"]) - 1).bit_length())
         assert r["dict_bits"] == want_bits
+
+
+# ----------------------------------------------------------------- abc
+
+
+def test_abc_classes_partition_and_respect_thresholds(spark):
+    rows = {r["abc"]: r for r in QUERIES["abc_classification_parts"](spark, SF_SMALL).collect()}
+    import duckdb
+
+    per = duckdb.sql(
+        f"""SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+            FROM '{SF_SMALL}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    per.sort(key=lambda x: (-x[1], x[0]))
+    T = sum(v for _, v in per)
+    cum = 0
+    want = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+    for pk, v in per:
+        cum += v
+        c = "A" if cum * 100 <= T * 80 else ("B" if cum * 100 <= T * 95 else "C")
+        want[c][0] += 1
+        want[c][1] += v
+    for c, (n, rv) in want.items():
+        if n == 0:
+            assert c not in rows
+            continue
+        assert rows[c]["n_parts"] == n
+        assert abs(float(rows[c]["revenue"]) - rv / 100.0) < 0.05
+    assert sum(x[0] for x in want.values()) == len(per)
+
+
+# ----------------------------------------------------------- paths
+
+
+def test_top_session_paths_reference(spark):
+    import duckdb
+    from collections import Counter, defaultdict
+
+    ev = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts), event_id, event_type"
+        f" FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, tus, eid, et in ev:
+        by_user[u].append((tus, eid, et))
+    cnt = Counter()
+    for lst in by_user.values():
+        lst.sort()
+        sessions = []
+        cur = []
+        prev = None
+        for tus, eid, et in lst:
+            if prev is not None and tus - prev > 1_800_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            prev = tus
+        sessions.append(cur)
+        for s in sessions:
+            for i in range(len(s) - 2):
+                cnt[f"{s[i]}>{s[i+1]}>{s[i+2]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["path"], r["n"]) for r in QUERIES["top_session_paths"](spark, SF_SMALL).collect()]
+    assert got == want
