@@ -83,43 +83,67 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=3)
     # quiet-window gate: this host's timings flap ±30% with ambient
     # hypervisor load, so r6's artifact (recorded at loadavg 8.45) needed
-    # a NOTES-side re-run to be trusted. Waiting (bounded) for the 1-min
-    # loadavg to drop below the threshold makes the recorded artifact
-    # itself the clean number. --quiet-max 0 disables the wait.
+    # a NOTES-side re-run to be trusted, and r7's (1-min loadavg 3.28 but
+    # 15-min 8.38) was still +13% over a quiet same-code run. The gate
+    # therefore (a) waits on BOTH the 1-min and 15-min loadavg (VERDICT
+    # r7 item 6 — the 1-min average alone does not certify a quiet
+    # *window*) and (b) re-measures the single-thread cpu_ref_s loop and
+    # retries until it lands inside the quiet band (item 3 — loadavg
+    # cannot see hypervisor-level contention; cpu_ref_s can). All
+    # attempts are recorded in the artifact. --quiet-max 0 disables.
     ap.add_argument("--quiet-load", type=float, default=4.0)
-    ap.add_argument("--quiet-max", type=float, default=300.0,
+    ap.add_argument("--quiet-max", type=float, default=600.0,
                     help="max seconds to wait for the quiet window")
+    ap.add_argument("--quiet-cpu-ref", type=float, default=0.95,
+                    help="proceed only once the calibration loop runs "
+                    "this fast (seconds); quiet band on this host is "
+                    "~0.78-0.90 s")
     args = ap.parse_args()
 
     registry.load_all()
     names = sorted(registry.QUERIES) if args.all else HEADLINE
     sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
+    def _cpu_ref() -> float:
+        # CPU self-calibration: guest loadavg cannot see hypervisor-level
+        # contention (round-7 session 5 measured the identical frozen set
+        # at 33.1 -> 44.0 s across one afternoon with the guest idle and
+        # steal ~0, inflation UNIFORM across untouched scan-bound queries
+        # — host drift, not code). A fixed single-thread reference loop
+        # recorded in the artifact gives readers a direct normalization
+        # denominator: compare cpu_ref_s across rounds before believing
+        # any total delta.
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(20_000_000):
+            acc += i
+        return round(time.perf_counter() - t0, 3)
+
     waited = 0.0
-    while os.getloadavg()[0] >= args.quiet_load and waited < args.quiet_max:
-        time.sleep(10.0)
-        waited += 10.0
+    cpu_ref_attempts: list[float] = []
+    while waited < args.quiet_max:
+        one_min, _, fifteen_min = os.getloadavg()
+        if one_min >= args.quiet_load or fifteen_min >= args.quiet_load:
+            time.sleep(10.0)
+            waited += 10.0
+            continue
+        cpu_ref_attempts.append(_cpu_ref())
+        if cpu_ref_attempts[-1] <= args.quiet_cpu_ref:
+            break
+        time.sleep(20.0)
+        waited += 20.0
 
     spark = get_spark("bench")
     # warm up: JVM, parquet footer cache, codegen
     spark.read.parquet(os.path.join(args.sf_dir, "nation.parquet")).count()
 
-    # host-ambient context: recording 1-min loadavg at start and end lets
-    # a reader attribute a cross-round delta to code vs host
-    load_start = os.getloadavg()[0]
+    # host-ambient context: recording (1-min, 15-min) loadavg at start and
+    # 1-min at end lets a reader attribute a cross-round delta to code vs
+    # host
+    load_start, _, load_start_15 = os.getloadavg()
 
-    # CPU self-calibration: guest loadavg cannot see hypervisor-level
-    # contention (round-7 session 5 measured the identical frozen set at
-    # 33.1 -> 44.0 s across one afternoon with the guest idle and steal
-    # ~0, inflation UNIFORM across untouched scan-bound queries — host
-    # drift, not code). A fixed single-thread reference loop recorded in
-    # the artifact gives readers a direct normalization denominator:
-    # compare cpu_ref_s across rounds before believing any total delta.
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(20_000_000):
-        acc += i
-    cpu_ref_s = round(time.perf_counter() - t0, 3)
+    cpu_ref_s = _cpu_ref()
+    cpu_ref_attempts.append(cpu_ref_s)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -145,7 +169,9 @@ def main() -> None:
                 "sf": sf,
                 "repeat": max(1, args.repeat),
                 "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+                "loadavg_15min": round(load_start_15, 2),
                 "cpu_ref_s": cpu_ref_s,
+                "cpu_ref_attempts": cpu_ref_attempts,
                 "quiet_wait_s": round(waited, 1),
             }
         )
