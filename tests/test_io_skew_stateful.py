@@ -288,10 +288,10 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
 
 
 def test_streaming_cms_equals_batch_sketch(spark):
-    """The streaming CMS counters must converge to EXACTLY the batch
-    sketch (increments are associative, hashes identical): per-depth
-    totals equal the event count, and max_count/n_buckets match a
-    Python-built reference sketch."""
+    """The sharded streaming CMS partials, merged (columnwise sum over
+    shards — increments are associative, hashes identical), must
+    converge to EXACTLY the Python-built reference sketch: per-depth
+    totals equal the event count, n_buckets and max_count match."""
     from collections import Counter
 
     from ror_etl_spark.streaming.events import read_events_stream, run_to_memory
@@ -299,20 +299,35 @@ def test_streaming_cms_equals_batch_sketch(spark):
         CMS_D,
         _cms_bucket_py,
         cms_counters_stream,
+        merge_cms_partials,
     )
 
     stream = read_events_stream(spark, SF_SMALL)
     out = run_to_memory(spark, cms_counters_stream(stream), "t_cms", mode="update")
     from pyspark.sql import Window as W
 
+    # latest snapshot per (shard, d): counters only grow, so max total wins
     latest = (
-        out.withColumn(
-            "rn", F.row_number().over(W.partitionBy("d").orderBy(F.desc("total")))
+        out.withColumn("snap_total", F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("shard", "d").orderBy(F.desc("snap_total"))
+            ),
         )
         .filter(F.col("rn") == 1)
     )
-    got = {r["d"]: (r["n_buckets"], r["total"], r["max_count"])
-           for r in latest.collect()}
+    merged = merge_cms_partials(latest)
+    got = {
+        r["d"]: (r["n_buckets"], r["total"], r["max_count"])
+        for r in merged.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("count").alias("total"),
+            F.max("count").alias("max_count"),
+        )
+        .collect()
+    }
     assert sorted(got) == list(range(CMS_D))
 
     users = [r["user_id"] for r in
