@@ -128,3 +128,29 @@ def test_every_oracle_schema_matches_spark_columns(spark):
         if spark_cols != oracle_cols:
             mismatches.append((name, spark_cols, oracle_cols))
     assert not mismatches, mismatches[:5]
+
+
+def test_driver_window_prioritizes_unverified_oracle_queries():
+    """The driver records verdicts for only the FIRST ~50 of
+    ordered_queries(); the ordering must therefore never spend a slot
+    re-confirming an already-green query while an oracle-bearing query
+    still lacks a driver verdict (VERDICT r7 item 1 — the last gap
+    between judge-verified and driver-verified). Pinned structurally so
+    a future priority tweak can't silently demote the backlog."""
+    from ror_etl_spark import registry
+
+    registry.load_all()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = registry._past_verdicts(repo_root)
+    ordered = list(registry.ordered_queries(repo_root))
+    tier0 = [
+        n
+        for n in registry.QUERIES
+        if n in registry.ORACLES and not seen.get(n, False)
+    ]
+    window = ordered[: min(50, len(ordered))]
+    n_expected = min(len(tier0), len(window))
+    assert sum(1 for n in window if n in tier0) == n_expected, (
+        "a verified query occupies a window slot while "
+        f"{len(tier0)} unverified oracle-bearing queries wait"
+    )
