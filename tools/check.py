@@ -47,6 +47,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    ap.add_argument("--window", type=int, default=0,
+                    help="check exactly the first N of registry.ordered_queries() "
+                    "- the slice the external driver will record this round")
     ap.add_argument(
         "--vanilla",
         action="store_true",
@@ -55,7 +58,11 @@ def main() -> int:
     args = ap.parse_args()
 
     registry.load_all()
-    names = sorted(registry.QUERIES)
+    if args.window:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        names = list(registry.ordered_queries(repo_root))[: args.window]
+    else:
+        names = sorted(registry.QUERIES)
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
 
