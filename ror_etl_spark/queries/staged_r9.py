@@ -367,3 +367,383 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("id").cast("long").alias("nationkey"),
         F.col("label").cast("long").alias("community"),
     ).orderBy("nationkey")
+
+
+@staged(
+    "runs_test_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate),
+    med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+    signs AS (
+      SELECT dt, rev > med.m AS up FROM daily, med WHERE rev <> med.m),
+    runs AS (
+      SELECT up, CASE WHEN up <> lag(up) OVER (ORDER BY dt) THEN 1 ELSE 0 END
+               AS flip
+      FROM signs),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(coalesce(sum(flip), 0) + 1 AS BIGINT) AS r
+      FROM runs)
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1.0 + 1e-9, 4) AS mu,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+                 + 1e-9, 4) AS z
+    FROM cnt
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily-revenue
+    series: sign each day against the exact median, count sign RUNS in
+    date order, and standardize against the null mean/variance — too few
+    runs means trending/regime behaviour, too many means oscillation.
+    Days exactly at the (interpolated) median are excluded, the standard
+    convention. All counts integer-exact; mu/z epsilon-rounded.
+
+    Scale shape: one date-keyed aggregate, then a calendar-bounded
+    window over the daily frame and a single scalar aggregate."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("dt", (F.col("rev") > F.col("m")).alias("up"))
+    )
+    runs = signs.select(
+        "up",
+        F.when(
+            F.col("up") != F.lag("up").over(Window.orderBy("dt")), 1
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    cnt = runs.agg(
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("up"), 0).otherwise(1)).alias("n2"),
+        (F.coalesce(F.sum("flip"), F.lit(0)) + 1).alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sigma = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return cnt.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        F.round(mu + 1e-9, 4).alias("mu"),
+        F.round((r - mu) / sigma + 1e-9, 4).alias("z"),
+    )
+
+
+@staged(
+    "benford_first_digit_totalprice",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(count(*) / CAST(tot.n AS DOUBLE) + 1e-9, 6) AS share,
+           round(log10(1.0 + 1.0 / digit) + 1e-9, 6) AS benford,
+           round(abs(count(*) / CAST(tot.n AS DOUBLE)
+                     - log10(1.0 + 1.0 / digit)) + 1e-9, 6) AS abs_gap
+    FROM d, tot
+    GROUP BY digit, tot.n
+    ORDER BY digit
+    """,
+)
+def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance screen on order totals — the classic
+    fraud/synthetic-data tripwire: observed first-significant-digit
+    shares vs log10(1 + 1/d). The first digit is taken from the DECIMAL
+    STRING of the rounded integer amount (exact on both engines), never
+    from floor(log10(x)) arithmetic, whose floor can be off by one at
+    exact powers of ten.
+
+    Scale shape: one map-side-combined 9-bucket aggregate — the whole
+    report is digit-domain-sized."""
+    o = Tables(spark, sf_dir).orders
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = d.count()
+    share = F.count(F.lit(1)) / F.lit(float(tot))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(share + 1e-9, 6).alias("share"),
+            F.round(benford + 1e-9, 6).alias("benford"),
+            F.round(F.abs(share - benford) + 1e-9, 6).alias("abs_gap"),
+        )
+        .orderBy("digit")
+    )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = [
+        """edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v, CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY u, v)""",
+        """med AS (SELECT quantile_cont(w, 0.5) AS m FROM edges)""",
+        """heavy AS (SELECT u, v FROM edges, med WHERE w > med.m)""",
+        # MATERIALIZED: every round references the previous survivor set
+        # TWICE (both endpoints), so default CTE inlining would copy the
+        # whole upstream join 2^rounds times — the SQL twin of the
+        # per-round localCheckpoint on the Spark side.
+        """und AS MATERIALIZED (
+      SELECT u, v FROM heavy UNION SELECT v AS u, u AS v FROM heavy)""",
+        """s0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""s{i + 1} AS MATERIALIZED (
+      SELECT e.u AS id
+      FROM und e
+      JOIN s{i} a ON a.id = e.u
+      JOIN s{i} b ON b.id = e.v
+      GROUP BY e.u
+      HAVING count(*) >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(e.u AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM und e
+    JOIN s{rounds} a ON a.id = e.u
+    JOIN s{rounds} b ON b.id = e.v
+    GROUP BY e.u
+    ORDER BY nationkey
+    """
+    )
+
+
+@staged("kcore_trade_graph", oracle=_kcore_oracle())
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition peel (k=2) of the HEAVY nation trade graph:
+    keep only edges with weight strictly above the median edge weight
+    (the sparsifier that makes the core non-trivial on a dense trade
+    graph), then iteratively delete nodes whose surviving degree is
+    below k. Six synchronous peel rounds, fixed on BOTH engines —
+    peeling past the fixpoint is idempotent, so engine and oracle agree
+    whether or not the peel converged early. Output: the surviving core
+    with each node's in-core degree.
+
+    Scale shape: the corpus-sized work is the one edge aggregate; each
+    peel round is a node-set semi-join + degree count over the
+    (dimension-sized here, edge-partitioned at scale) adjacency — the
+    standard distributed k-core recipe, one shuffle per round."""
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    med = edges.agg(F.expr("percentile(w, 0.5)").alias("m"))
+    heavy = (
+        edges.crossJoin(F.broadcast(med))
+        .filter(F.col("w") > F.col("m"))
+        .select("u", "v")
+    )
+    und = (
+        heavy.union(heavy.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    surv = und.select(F.col("u").alias("id")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        # each round consumes the survivor set twice (both endpoints):
+        # checkpoint it so the logical plan stays linear in rounds, not
+        # 2^rounds (node-set-sized frame — cheap to materialize)
+        surv = (
+            und.join(surv.withColumnRenamed("id", "u"), "u")
+            .join(surv.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("id"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.join(surv.withColumnRenamed("id", "u"), "u")
+        .join(surv.withColumnRenamed("id", "v"), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").cast("long").alias("nationkey"), "core_degree")
+        .orderBy("nationkey")
+    )
+
+
+_HLL_M = 256
+_HLL_SCALE = 1 << 45
+_HLL_A = "click"
+_HLL_B = "purchase"
+
+
+@staged(
+    "hll_intersection_click_purchase",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type AS seg, user_id FROM events
+      WHERE event_type IN ('{_HLL_A}', '{_HLL_B}')),
+    h AS (
+      SELECT seg, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM ev),
+    r AS (
+      SELECT seg, h >> 44 AS idx,
+             CASE WHEN (h & {(1 << 44) - 1}) = 0 THEN 45
+                  ELSE 45 - length(bin(h & {(1 << 44) - 1})) END AS rho
+      FROM h),
+    segregs AS (SELECT seg, idx, max(rho) AS m FROM r GROUP BY seg, idx),
+    regs AS (
+      SELECT seg, idx, m FROM segregs
+      UNION ALL
+      SELECT 'UNION' AS seg, idx, max(m) AS m FROM segregs GROUP BY idx),
+    agg AS (
+      SELECT seg,
+             CAST(sum(1::BIGINT << (45 - m)) AS BIGINT)
+               + ({_HLL_M} - count(*)) * {_HLL_SCALE}::BIGINT AS sum_scaled,
+             {_HLL_M} - count(*) AS v_empty
+      FROM regs GROUP BY seg),
+    est AS (
+      SELECT seg, v_empty,
+             (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+               * {_HLL_SCALE}.0 / CAST(sum_scaled AS DOUBLE) AS raw
+      FROM agg),
+    fin AS (
+      SELECT seg,
+             CASE WHEN raw <= 2.5 * {_HLL_M}.0 AND v_empty > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(v_empty AS DOUBLE))
+                  ELSE raw END AS est
+      FROM est),
+    wide AS (
+      SELECT max(CASE WHEN seg = '{_HLL_A}' THEN est END) AS est_a,
+             max(CASE WHEN seg = '{_HLL_B}' THEN est END) AS est_b,
+             max(CASE WHEN seg = 'UNION' THEN est END) AS est_union
+      FROM fin),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_inter FROM (
+        SELECT user_id FROM ev WHERE seg = '{_HLL_A}'
+        INTERSECT
+        SELECT user_id FROM ev WHERE seg = '{_HLL_B}'))
+    SELECT round(est_a + 1e-9, 4) AS est_a,
+           round(est_b + 1e-9, 4) AS est_b,
+           round(est_union + 1e-9, 4) AS est_union,
+           round(est_a + est_b - est_union + 1e-9, 4) AS est_intersection,
+           exact.n_exact_inter
+    FROM wide, exact
+    """,
+)
+def hll_intersection_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user INTERSECTION between two event segments estimated
+    purely from mergeable HLL sketches via inclusion–exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    register-wise max of the two segment sketches — never a rescan. The
+    exact intersection rides along as the calibration column. Register
+    arithmetic is the portable integer-exact recipe of
+    sketch_hll_portable_rollup (52-bit md5 hash, bin()-length rho,
+    scaled indicator sum), so both engines derive bit-identical
+    registers and take identical correction branches.
+
+    Scale shape: one pass builds ≤ 2×256 register rows (map-side
+    combined); everything after is register-domain-sized. This is the
+    sketch-warehouse query pattern: segment sketches persisted once
+    answer any pairwise overlap later without touching the corpus."""
+    e = Tables(spark, sf_dir).events
+    ev = e.filter(F.col("event_type").isin(_HLL_A, _HLL_B)).select(
+        F.col("event_type").alias("seg"), "user_id"
+    )
+    w_mask = (1 << 44) - 1
+    hashed = ev.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long"),
+    )
+    rho = (
+        hashed.select(
+            "seg",
+            F.shiftright("h", 44).alias("idx"),
+            F.col("h").bitwiseAND(F.lit(w_mask)).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(45)).otherwise(
+                F.lit(45) - F.length(F.expr("bin(w)"))
+            ),
+        )
+    )
+    segregs = rho.groupBy("seg", "idx").agg(F.max("rho").alias("m"))
+    regs = segregs.unionByName(
+        segregs.groupBy("idx")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("UNION").alias("seg"), "idx", "m")
+    )
+    agg = regs.groupBy("seg").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 45 - m)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_SCALE)
+        ).alias("sum_scaled"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_empty"),
+    )
+    raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / float(_HLL_M)))
+        * float(_HLL_M)
+        * float(_HLL_M)
+        * float(_HLL_SCALE)
+        / F.col("sum_scaled").cast("double")
+    )
+    est = F.when(
+        (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v_empty") > 0),
+        float(_HLL_M) * F.log(float(_HLL_M) / F.col("v_empty").cast("double")),
+    ).otherwise(F.col("raw"))
+    fin = agg.withColumn("raw", raw).withColumn("est", est)
+    wide = fin.agg(
+        F.max(F.when(F.col("seg") == _HLL_A, F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("seg") == _HLL_B, F.col("est"))).alias("est_b"),
+        F.max(F.when(F.col("seg") == "UNION", F.col("est"))).alias("est_union"),
+    )
+    ua = ev.filter(F.col("seg") == _HLL_A).select("user_id")
+    ub = ev.filter(F.col("seg") == _HLL_B).select("user_id")
+    exact = ua.intersect(ub).agg(F.count(F.lit(1)).alias("n_exact_inter"))
+    return wide.crossJoin(F.broadcast(exact)).select(
+        F.round(F.col("est_a") + 1e-9, 4).alias("est_a"),
+        F.round(F.col("est_b") + 1e-9, 4).alias("est_b"),
+        F.round(F.col("est_union") + 1e-9, 4).alias("est_union"),
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union") + 1e-9, 4
+        ).alias("est_intersection"),
+        "n_exact_inter",
+    )

@@ -79,3 +79,16 @@ def test_lpa_labels_are_reachable_nodes(spark):
     assert all(r["community"] in ids for r in rows)
     # propagation happened: at least one node adopted a neighbour's label
     assert any(r["community"] != r["nationkey"] for r in rows)
+
+
+def test_hll_intersection_sketch_laws(spark):
+    """Inclusion-exclusion sanity independent of the oracle: the union
+    estimate never exceeds the sum of the parts (register max-merge can
+    only lower the indicator sum... i.e. raise the union estimate, but
+    never past est_a + est_b), and all estimates are positive."""
+    from ror_etl_spark.queries.staged_r9 import hll_intersection_click_purchase
+
+    r = hll_intersection_click_purchase(spark, SF_SMALL).collect()[0]
+    assert r["est_a"] > 0 and r["est_b"] > 0
+    assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-6
+    assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-6
