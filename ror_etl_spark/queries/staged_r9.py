@@ -747,3 +747,105 @@ def hll_intersection_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("est_intersection"),
         "n_exact_inter",
     )
+
+
+_JL_D = 64
+_JL_K = 16
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 projection rows: sign(i, j) from the md5 of
+    "i:j" (hash-derived like every other portable kernel here — no RNG,
+    so engine and oracle embed the identical literal matrix)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    y = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(f"{s:.1f}" for s in row)
+        + "])"
+        for row in signs
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, v, [{y}] AS y FROM e),
+    pairs AS (
+      SELECT a.vec_id AS ia,
+             list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, b.v)
+               + list_dot_product(b.v, b.v) AS d64,
+             list_dot_product(a.y, a.y) - 2 * list_dot_product(a.y, b.y)
+               + list_dot_product(b.y, b.y) AS d16
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+    r AS (
+      SELECT round((d16 / {_JL_K}.0) / d64 + 1e-9, 6) AS ratio
+      FROM pairs WHERE d64 > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ratio) + 1e-9, 4) AS avg_ratio,
+           round(min(ratio) + 1e-9, 6) AS min_ratio,
+           round(max(ratio) + 1e-9, 6) AS max_ratio
+    FROM r
+    """
+
+
+@staged("jl_projection_distortion", oracle=_jl_oracle())
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality-reduction audit: project the
+    64-dim embeddings to 16 dims with a deterministic ±1 matrix (md5
+    sign per cell) and report the squared-distance distortion ratio
+    (projected/original, 1/k-scaled — E[ratio]=1 under JL) over the
+    adjacent-id pair sample. This is the go/no-go report before running
+    the ANN/semdedup family on reduced vectors. Distances use the
+    dot-product identity ‖a‖²−2a·b+‖b‖² on BOTH engines so the fp
+    operation sequence is identical (the cosine-query precedent).
+
+    Scale shape: the projection is a per-row map (16 fixed-literal dot
+    products — codegen HOFs, no shuffle); the pair frame is one
+    self-join on vec_id+1 (co-partitioned key join); the report is a
+    scalar aggregate. At 100 TB the same plan projects each shard once
+    and samples pairs within shards."""
+    signs = _jl_signs()
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    emb = Tables(spark, sf_dir).embeddings
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    y = F.array(
+        *[
+            dot(v, F.array(*[F.lit(s) for s in row])).alias(f"y{j}")
+            for j, row in enumerate(signs)
+        ]
+    )
+    p = emb.select("vec_id", v.alias("v"), y.alias("y"))
+    a, b = p.alias("a"), p.alias("b")
+    va, vb, ya, yb = F.col("a.v"), F.col("b.v"), F.col("a.y"), F.col("b.y")
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        (dot(va, va) - 2 * dot(va, vb) + dot(vb, vb)).alias("d64"),
+        (dot(ya, ya) - 2 * dot(ya, yb) + dot(yb, yb)).alias("d16"),
+    )
+    r = pairs.filter(F.col("d64") > 0).select(
+        F.round((F.col("d16") / float(_JL_K)) / F.col("d64") + 1e-9, 6).alias(
+            "ratio"
+        )
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("ratio") + 1e-9, 4).alias("avg_ratio"),
+        F.round(F.min("ratio") + 1e-9, 6).alias("min_ratio"),
+        F.round(F.max("ratio") + 1e-9, 6).alias("max_ratio"),
+    )
