@@ -356,6 +356,23 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _bpe_wordcounts(
+    spark: SparkSession, sf_dir: str, vocab_cap: int = _BPE_VOCAB_CAP
+) -> DataFrame:
+    """The trainer's one corpus-sized pass: word counts with the capped
+    deterministic top-N floor. Shared with the plan-invariant test so
+    the TakeOrderedAndProject pin guards THIS frame, not a copy."""
+    d = spread(Tables(spark, sf_dir).documents)
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(vocab_cap)
+    )
+
+
 def _train_bpe(
     spark: SparkSession, sf_dir: str, vocab_cap: int = _BPE_VOCAB_CAP
 ) -> tuple[list[tuple[str, int]], list[tuple[int, str, str, str, int]], dict[str, str]]:
@@ -366,15 +383,7 @@ def _train_bpe(
     (count desc, word asc) — orderBy().limit() compiles to
     TakeOrderedAndProject, so each executor ships at most ``vocab_cap``
     rows and the driver holds exactly one capped heap-merge."""
-    d = spread(Tables(spark, sf_dir).documents)
-    wc = (
-        d.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("w"))
-        .limit(vocab_cap)
-    )
+    wc = _bpe_wordcounts(spark, sf_dir, vocab_cap)
     vocab = [(r["w"], int(r["c"])) for r in wc.collect()]
     SEP = "\x01"
     segs = {w: SEP.join(w) for w, _ in vocab}

@@ -103,36 +103,39 @@ def good_turing_word_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
       FROM orders GROUP BY o_orderdate),
     fc AS (
-      SELECT dt, rev,
-             lag(rev, 7) OVER (ORDER BY dt) AS pred
-      FROM daily)
+      SELECT a.dt, a.rev, b.rev AS pred
+      FROM daily a JOIN daily b ON a.dt = b.dt + INTERVAL 7 DAY)
     SELECT CAST(date_diff('day', DATE '1970-01-01', dt) % 7 AS BIGINT) AS weekday,
            CAST(count(*) AS BIGINT) AS n_days,
            round(avg(abs(rev - pred) / rev) + 1e-9, 4) AS mape,
            round(avg(pred - rev) + 1e-9, 2) AS bias
-    FROM fc WHERE pred IS NOT NULL
+    FROM fc
     GROUP BY weekday ORDER BY weekday
     """,
 )
 def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest — the baseline every revenue
     forecaster must beat: predict each day's revenue as the revenue
-    seven days earlier, then score per weekday (MAPE + signed bias).
-    Weekday is days-since-epoch mod 7, integer-exact on both engines
-    (same convention as timeseries_decompose_weekday).
+    seven CALENDAR days earlier (a dt−7d self-join, not a 7-ROW lag —
+    the daily frame has calendar gaps, and a row lag would compare
+    different weekdays; caught in the r8 diff review), then score per
+    weekday (MAPE + signed bias). Days whose dt−7d has no orders drop
+    out, the standard backtest convention. Weekday is days-since-epoch
+    mod 7, integer-exact on both engines (same convention as
+    timeseries_decompose_weekday).
 
     Scale shape: one date-keyed aggregate is the only corpus-sized
-    work; the lag window and scoring run on the calendar-bounded daily
+    work; the self-join and scoring run on the calendar-bounded daily
     frame and a 7-row aggregate."""
-    from pyspark.sql import Window
-
     o = Tables(spark, sf_dir).orders
     daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
         F.sum("o_totalprice").alias("rev")
     )
-    fc = daily.select(
-        "dt", "rev", F.lag("rev", 7).over(Window.orderBy("dt")).alias("pred")
-    ).filter(F.col("pred").isNotNull())
+    prior = daily.select(
+        (F.col("dt") + F.expr("INTERVAL 7 DAYS")).alias("dt"),
+        F.col("rev").alias("pred"),
+    )
+    fc = daily.join(prior, "dt")
     weekday = F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")) % 7
     return (
         fc.groupBy(weekday.cast("long").alias("weekday"))
@@ -483,19 +486,23 @@ def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("digit")
     )
-    tot = d.count()
-    share = F.count(F.lit(1)) / F.lit(float(tot))
+    # total via the digit-domain aggregate itself (sum over the 9 bucket
+    # counts), keeping the plan lazy and the scan single-pass — no eager
+    # driver count()
+    from pyspark.sql import Window
+
+    per = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    share = F.col("n_orders") / F.sum("n_orders").over(
+        Window.partitionBy()
+    ).cast("double")
     benford = F.log10(1.0 + 1.0 / F.col("digit"))
-    return (
-        d.groupBy("digit")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(share + 1e-9, 6).alias("share"),
-            F.round(benford + 1e-9, 6).alias("benford"),
-            F.round(F.abs(share - benford) + 1e-9, 6).alias("abs_gap"),
-        )
-        .orderBy("digit")
-    )
+    return per.select(
+        "digit",
+        "n_orders",
+        F.round(share + 1e-9, 6).alias("share"),
+        F.round(benford + 1e-9, 6).alias("benford"),
+        F.round(F.abs(share - benford) + 1e-9, 6).alias("abs_gap"),
+    ).orderBy("digit")
 
 
 _KCORE_K = 2
@@ -606,8 +613,10 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HLL_M = 256
-_HLL_SCALE = 1 << 45
+# register geometry imported from the registered portable-HLL recipe so a
+# retune there can never silently diverge from this intersection query
+from ror_etl_spark.queries.sketches import _HLL_M, _HLL_SCALE  # noqa: E402
+
 _HLL_A = "click"
 _HLL_B = "purchase"
 

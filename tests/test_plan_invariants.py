@@ -527,25 +527,13 @@ def test_hll_registers_are_one_aggregate_pair(spark):
 
 def test_bpe_vocab_collect_is_take_ordered(spark):
     """The BPE trainer's driver transfer is bounded by the r8 vocab cap:
-    the word-count frame it collects must plan its top-N floor as
+    the word-count frame it collects (_bpe_wordcounts — the SAME frame
+    _train_bpe uses, not a copy) must plan its top-N floor as
     TakeOrderedAndProject (each executor ships at most N rows; the
     driver does one capped heap-merge), never a global sort + collect."""
-    from pyspark.sql import functions as F
+    from ror_etl_spark.queries.corpusops import _bpe_wordcounts
 
-    from ror_etl_spark.queries.corpusops import _BPE_VOCAB_CAP
-    from ror_etl_spark.operators.util import spread
-    from ror_etl_spark.functions.text import tokens
-    from ror_etl_spark.tables import Tables
-
-    d = spread(Tables(spark, SF_SMALL).documents)
-    wc = (
-        d.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("w"))
-        .limit(_BPE_VOCAB_CAP)
-    )
+    wc = _bpe_wordcounts(spark, SF_SMALL)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         wc.explain("formatted")

@@ -613,7 +613,8 @@ if __name__ == "__main__":
     if args.cms_stream:
         cms_stream()
     if not (args.gen or args.gen10 or args.gen_ov or args.run or args.run10
-            or args.run_ov or args.kernel or args.sn or args.gen_r7
+            or args.run_ov or args.kernel or args.sn or args.cms_stream
+            or args.gen_r7
             or args.run_r7 or args.run_boiler or args.run_r7b
             or args.run_semdedup or args.run_r7c or args.run_r7d or args.run_r7e or args.gen_s5 or args.run_s5
             or args.run_r7f):
