@@ -858,3 +858,178 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ratio") + 1e-9, 6).alias("min_ratio"),
         F.round(F.max("ratio") + 1e-9, 6).alias("max_ratio"),
     )
+
+
+@staged(
+    "gini_coefficient_customer_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS ck, sum(o_totalprice) AS x
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, ck) AS i,
+             count(*) OVER () AS n, sum(x) OVER () AS sx
+      FROM per)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(max(sx) + 1e-9, 2) AS total_revenue,
+           round(2.0 * sum(i * x) / (max(n) * max(sx))
+                 - (max(n) + 1.0) / max(n) + 1e-9, 6) AS gini
+    FROM ranked
+    """,
+)
+def gini_coefficient_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customers via the
+    sorted-rank identity G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n — the
+    inequality metric for "how head-heavy is our customer base" (0 =
+    uniform, →1 = one customer is the business). The rank is a TOTAL
+    order ((revenue, custkey)), so the trajectory is deterministic.
+
+    Scale shape: the rank is the repo's distributed ``global_rank``
+    (range partition → local row_number → offset broadcast), never an
+    unpartitioned window over the customer-sized frame; everything else
+    is one groupBy and one scalar aggregate."""
+    from ror_etl_spark.operators.util import global_rank
+
+    o = Tables(spark, sf_dir).orders
+    per = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    ranked = global_rank(per, "x", "ck", out="i", zero_based=False)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("x") + 1e-9, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+            + 1e-9,
+            6,
+        ).alias("gini"),
+    )
+
+
+@staged(
+    "herfindahl_concentration_by_region",
+    oracle="""
+    WITH sales AS (
+      SELECT r.r_name AS region, n.n_name AS nation, sum(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation),
+    tot AS (SELECT region, sum(rev) AS trev FROM sales GROUP BY region)
+    SELECT s.region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(sum((s.rev / t.trev) * (s.rev / t.trev)) + 1e-9, 6) AS hhi,
+           round(1.0 / count(*) + 1e-9, 6) AS hhi_uniform
+    FROM sales s JOIN tot t ON s.region = t.region
+    GROUP BY s.region
+    ORDER BY s.region
+    """,
+)
+def herfindahl_concentration_by_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per region: the
+    sum of squared nation revenue shares, with the uniform-market floor
+    (1/n) alongside — the anti-trust/portfolio-concentration primitive.
+
+    Scale shape: one fact-table aggregate to (region, nation) grain
+    (domain-sized output), then share arithmetic on that bounded frame;
+    the region total reuses the same aggregate via a dimension-keyed
+    join, never a second fact scan."""
+    t = Tables(spark, sf_dir)
+    sales = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tot = sales.groupBy("region").agg(F.sum("rev").alias("trev"))
+    share = F.col("rev") / F.col("trev")
+    return (
+        sales.join(tot, "region")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(F.sum(share * share) + 1e-9, 6).alias("hhi"),
+            F.round(1.0 / F.count(F.lit(1)) + 1e-9, 6).alias("hhi_uniform"),
+        )
+        .orderBy("region")
+    )
+
+
+@staged(
+    "mann_kendall_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate),
+    pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.dt > a.dt),
+    s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                 CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    ties AS (
+      SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY rev)
+      WHERE c > 1)
+    SELECT n.n_days, s.n_pairs, s.s_stat,
+           round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                  WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt((n.n_days * (n.n_days - 1.0) * (2.0 * n.n_days + 5)
+                         - ties.tie_term) / 18.0) + 1e-9, 4) AS z
+    FROM s, n, ties
+    """,
+)
+def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily revenue: the S
+    statistic is the INTEGER sum of pairwise sign comparisons in date
+    order (exact on both engines — no float enters until the final z),
+    variance carries the standard tie correction, and z applies the
+    ±1 continuity correction. The non-parametric partner of Theil–Sen:
+    S says WHETHER revenue trends, the slope says how fast.
+
+    Scale shape: one date-keyed aggregate, then a calendar-bounded pair
+    frame (same ~2.9M-pair ceiling as theil_sen_daily_revenue, flat in
+    data volume) reduced to one integer; tie counting is a grouped
+    aggregate over the daily frame."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = F.when(F.col("b.rev") > F.col("a.rev"), 1).when(
+        F.col("b.rev") < F.col("a.rev"), -1
+    ).otherwise(0)
+    s = a.join(b, F.col("b.dt") > F.col("a.dt")).agg(
+        F.sum(sgn).alias("s_stat"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    nd, ss = F.col("n_days"), F.col("s_stat")
+    cont = F.when(ss > 0, 1).when(ss < 0, -1).otherwise(0)
+    var = (nd * (nd - 1.0) * (2.0 * nd + 5) - F.col("tie_term")) / 18.0
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            F.round((ss - cont) / F.sqrt(var) + 1e-9, 4).alias("z"),
+        )
+    )
