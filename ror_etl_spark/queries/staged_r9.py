@@ -1033,3 +1033,139 @@ def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((ss - cont) / F.sqrt(var) + 1e-9, 4).alias("z"),
         )
     )
+
+
+_ACF_LAGS = [1, 2, 3, 7, 14]
+
+
+def _acf_oracle() -> str:
+    lags = ", ".join(str(k) for k in _ACF_LAGS)
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate),
+    lagged AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM (SELECT unnest([{lags}]) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.dt = a.dt + to_days(CAST(l.lag AS INTEGER)))
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round((avg(x * y) - avg(x) * avg(y))
+                 / (sqrt(avg(x * x) - avg(x) * avg(x))
+                    * sqrt(avg(y * y) - avg(y) * avg(y))) + 1e-9, 4) AS acf
+    FROM lagged
+    GROUP BY lag ORDER BY lag
+    """
+
+
+@staged("acf_daily_revenue", oracle=_acf_oracle())
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at calendar lags 1/2/3/7/14 —
+    the seasonality fingerprint a forecaster reads before choosing a
+    model (lag-7 high ⇒ weekly cycle). Pairs match on CALENDAR distance
+    (dt + k days self-join), not row offsets, so calendar gaps can't
+    smear lags (the seasonal-naive review lesson applied ex ante);
+    Pearson r per lag from moment aggregates, identical formula both
+    engines, epsilon-rounded.
+
+    Scale shape: one date-keyed aggregate, then |lags| equi-joins on
+    the calendar-bounded daily frame and a lag-domain-sized reduce."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    lags = spark.createDataFrame([(k,) for k in _ACF_LAGS], "lag int")
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("dt").alias("dt2"), F.col("rev").alias("y"))
+    lagged = a.join(
+        b,
+        F.col("dt2")
+        == F.col("dt") + F.col("lag") * F.expr("INTERVAL 1 DAY"),
+    ).select("lag", F.col("rev").alias("x"), "y")
+    num = F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")
+    den = F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")) * F.sqrt(
+        F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+    )
+    return (
+        lagged.groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(num / den + 1e-9, 4).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@staged(
+    "cramers_v_priority_status",
+    oracle="""
+    WITH ct AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY a, b),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(DISTINCT a) AS BIGINT) AS ra,
+             CAST(count(DISTINCT b) AS BIGINT) AS rb
+      FROM ct),
+    ma AS (SELECT a, sum(n) AS na FROM ct GROUP BY a),
+    mb AS (SELECT b, sum(n) AS nb FROM ct GROUP BY b),
+    chi AS (
+      SELECT sum((ct.n - ma.na * mb.nb / CAST(m.total AS DOUBLE))
+                 * (ct.n - ma.na * mb.nb / CAST(m.total AS DOUBLE))
+                 / (ma.na * mb.nb / CAST(m.total AS DOUBLE))) AS chi2
+      FROM ct JOIN ma ON ct.a = ma.a JOIN mb ON ct.b = mb.b, m)
+    SELECT m.total AS n_orders, m.ra AS n_priorities, m.rb AS n_statuses,
+           round(chi.chi2 + 1e-9, 4) AS chi2,
+           round(sqrt(chi.chi2 / (m.total
+                 * least(m.ra - 1, m.rb - 1))) + 1e-9, 6) AS cramers_v
+    FROM m, chi
+    """,
+)
+def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between order priority and order
+    status — the categorical-correlation profiler (0 = independent,
+    1 = determined) a feature-selection or leakage audit runs over every
+    column pair. Chi-square from the contingency table against
+    independence margins, normalized by n·min(r−1, c−1).
+
+    Scale shape: ONE fact aggregate to the (priority, status) grain
+    (domain-sized, ≤ 5×3 cells); margins and chi-square are arithmetic
+    over that bounded frame — the whole statistic costs one shuffle."""
+    o = Tables(spark, sf_dir).orders
+    ct = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ct = ct.localCheckpoint(eager=False)
+    m = ct.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("a").alias("ra"),
+        F.countDistinct("b").alias("rb"),
+    )
+    ma = ct.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = ct.groupBy("b").agg(F.sum("n").alias("nb"))
+    exp = F.col("na") * F.col("nb") / F.col("total").cast("double")
+    chi = (
+        ct.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(m))
+        .agg(F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp).alias("chi2"))
+    )
+    return (
+        m.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("total").alias("n_orders"),
+            F.col("ra").alias("n_priorities"),
+            F.col("rb").alias("n_statuses"),
+            F.round(F.col("chi2") + 1e-9, 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("total") * F.least(F.col("ra") - 1, F.col("rb") - 1))
+                )
+                + 1e-9,
+                6,
+            ).alias("cramers_v"),
+        )
+    )
