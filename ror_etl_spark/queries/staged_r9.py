@@ -1169,3 +1169,86 @@ def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+@staged(
+    "levene_test_value_by_event_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type AS g, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY g),
+    z AS (
+      SELECT e.event_type AS g, abs(e.value - med.m) AS z
+      FROM events e JOIN med ON e.event_type = med.g),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, avg(z) AS zbar,
+             sum(z * z) AS zsq, sum(z) AS zsum
+      FROM z GROUP BY g),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             sum(zsum) / sum(n) AS zbar_all
+      FROM grp),
+    parts AS (
+      SELECT sum(grp.n * (grp.zbar - tot.zbar_all) * (grp.zbar - tot.zbar_all))
+               AS between_ss,
+             sum(grp.zsq - grp.n * grp.zbar * grp.zbar) AS within_ss
+      FROM grp, tot)
+    SELECT tot.nn AS n_events, tot.k AS n_groups,
+           round((tot.nn - tot.k) * parts.between_ss
+                 / ((tot.k - 1) * parts.within_ss) + 1e-9, 4) AS w_stat
+    FROM tot, parts
+    """,
+)
+def levene_test_value_by_event_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test for equality of
+    variances of event values across event types — the gate before any
+    pooled-variance comparison (the repo's Welch t-test sibling asks
+    about means; this asks whether spread itself shifted, a drift signal
+    means miss). W = ((N−k)/(k−1)) · between-group SS of |x−med| over
+    within-group SS. Within-SS uses the moment identity Σz²−n·z̄² so both
+    engines reduce each group to the same three aggregates.
+
+    Scale shape: the exact per-group median is the heavy op (two passes
+    at scale or percentile_approx when error-tolerant); everything after
+    is a group-domain-sized reduce."""
+    e = Tables(spark, sf_dir).events
+    med = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    z = e.join(
+        F.broadcast(med), e["event_type"] == med["g"]
+    ).select("g", F.abs(F.col("value") - F.col("m")).alias("z"))
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("z").alias("zbar"),
+        F.sum(F.col("z") * F.col("z")).alias("zsq"),
+        F.sum("z").alias("zsum"),
+    )
+    tot = grp.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum("zsum") / F.sum("n")).alias("zbar_all"),
+    )
+    parts = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n")
+            * (F.col("zbar") - F.col("zbar_all"))
+            * (F.col("zbar") - F.col("zbar_all"))
+        ).alias("between_ss"),
+        F.sum(F.col("zsq") - F.col("n") * F.col("zbar") * F.col("zbar")).alias(
+            "within_ss"
+        ),
+    )
+    return tot.crossJoin(F.broadcast(parts)).select(
+        F.col("nn").alias("n_events"),
+        F.col("k").alias("n_groups"),
+        F.round(
+            (F.col("nn") - F.col("k"))
+            * F.col("between_ss")
+            / ((F.col("k") - 1) * F.col("within_ss"))
+            + 1e-9,
+            4,
+        ).alias("w_stat"),
+    )
