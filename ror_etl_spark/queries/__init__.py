@@ -43,5 +43,10 @@ def load() -> None:
         vector,
         windows,
     )
+    from ror_etl_spark.queries import staged_r9
+
+    # r9 flip (VERDICT r8 item 1): the 16 operators staged under the r8
+    # registry freeze are now live registry entries.
+    staged_r9.register()
 
     _LOADED = True

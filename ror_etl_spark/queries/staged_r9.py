@@ -1,8 +1,9 @@
-"""Operators STAGED for round 9 — implemented and oracle-checked by
-pytest, but NOT registered: VERDICT r7 item 1 froze the registry at 274
-until the driver's verdict window drains the 52-query backlog. Round 9
-flips them live by calling ``register()`` (or moving the entries into
-their natural modules with ``@query``) once CORRECTNESS_r08 lands.
+"""Operators staged during the r8 registry freeze, LIVE since round 9:
+CORRECTNESS_r08 landed 50/50 green, so ``register()`` is now invoked from
+``ror_etl_spark.queries.load()`` (VERDICT r8 item 1) and every entry here
+is a first-class registry query. They stay in this module (rather than
+being scattered into their natural homes) to preserve the r8 diff-review
+paper trail; the registry name is the contract, not the file.
 
 Each entry follows the registry discipline (registry.py module
 docstring): aliases identical on both sides, epsilon-rounded floats,
@@ -449,62 +450,6 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged(
-    "benford_first_digit_totalprice",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR),
-                         1, 1) AS BIGINT) AS digit
-      FROM orders),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
-    SELECT digit,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(count(*) / CAST(tot.n AS DOUBLE) + 1e-9, 6) AS share,
-           round(log10(1.0 + 1.0 / digit) + 1e-9, 6) AS benford,
-           round(abs(count(*) / CAST(tot.n AS DOUBLE)
-                     - log10(1.0 + 1.0 / digit)) + 1e-9, 6) AS abs_gap
-    FROM d, tot
-    GROUP BY digit, tot.n
-    ORDER BY digit
-    """,
-)
-def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law conformance screen on order totals — the classic
-    fraud/synthetic-data tripwire: observed first-significant-digit
-    shares vs log10(1 + 1/d). The first digit is taken from the DECIMAL
-    STRING of the rounded integer amount (exact on both engines), never
-    from floor(log10(x)) arithmetic, whose floor can be off by one at
-    exact powers of ten.
-
-    Scale shape: one map-side-combined 9-bucket aggregate — the whole
-    report is digit-domain-sized."""
-    o = Tables(spark, sf_dir).orders
-    d = o.select(
-        F.substring(
-            F.round(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
-        )
-        .cast("long")
-        .alias("digit")
-    )
-    # total via the digit-domain aggregate itself (sum over the 9 bucket
-    # counts), keeping the plan lazy and the scan single-pass — no eager
-    # driver count()
-    from pyspark.sql import Window
-
-    per = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
-    share = F.col("n_orders") / F.sum("n_orders").over(
-        Window.partitionBy()
-    ).cast("double")
-    benford = F.log10(1.0 + 1.0 / F.col("digit"))
-    return per.select(
-        "digit",
-        "n_orders",
-        F.round(share + 1e-9, 6).alias("share"),
-        F.round(benford + 1e-9, 6).alias("benford"),
-        F.round(F.abs(share - benford) + 1e-9, 6).alias("abs_gap"),
-    ).orderBy("digit")
-
-
 _KCORE_K = 2
 _KCORE_ROUNDS = 6
 
@@ -671,7 +616,8 @@ _HLL_B = "purchase"
     SELECT round(est_a + 1e-9, 4) AS est_a,
            round(est_b + 1e-9, 4) AS est_b,
            round(est_union + 1e-9, 4) AS est_union,
-           round(est_a + est_b - est_union + 1e-9, 4) AS est_intersection,
+           round(greatest(0.0, est_a + est_b - est_union) + 1e-9, 4)
+             AS est_intersection,
            exact.n_exact_inter
     FROM wide, exact
     """,
@@ -679,7 +625,10 @@ _HLL_B = "purchase"
 def hll_intersection_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user INTERSECTION between two event segments estimated
     purely from mergeable HLL sketches via inclusion–exclusion:
-    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    |A∩B| ≈ max(0, est(A) + est(B) − est(A∪B)) — clamped at zero on both
+    engine and oracle sides, since sketch error can push the signed
+    inclusion–exclusion estimate negative when the true overlap is small
+    relative to the per-sketch standard error. The union sketch is the
     register-wise max of the two segment sketches — never a rescan. The
     exact intersection rides along as the calibration column. Register
     arithmetic is the portable integer-exact recipe of
@@ -752,7 +701,12 @@ def hll_intersection_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("est_b") + 1e-9, 4).alias("est_b"),
         F.round(F.col("est_union") + 1e-9, 4).alias("est_union"),
         F.round(
-            F.col("est_a") + F.col("est_b") - F.col("est_union") + 1e-9, 4
+            F.greatest(
+                F.lit(0.0),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            )
+            + 1e-9,
+            4,
         ).alias("est_intersection"),
         "n_exact_inter",
     )
