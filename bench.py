@@ -128,6 +128,7 @@ def main() -> None:
             waited += 10.0
             continue
         cpu_ref_attempts.append(_cpu_ref())
+        waited += cpu_ref_attempts[-1]  # each attempt burns ~1s of budget too
         if cpu_ref_attempts[-1] <= args.quiet_cpu_ref:
             break
         time.sleep(20.0)
@@ -142,8 +143,21 @@ def main() -> None:
     # host
     load_start, _, load_start_15 = os.getloadavg()
 
+    # The RECORDED calibration number is re-measured after JVM startup +
+    # warmup, so it must itself be re-checked against the quiet band the
+    # gate enforced pre-startup (ADVICE r8: the gate-certified attempt can
+    # be stale by the time warmup finishes). Retry within the remaining
+    # wait budget; if the host never quiets down, proceed but record
+    # quiet_gate_ok=false so the artifact is self-describing.
     cpu_ref_s = _cpu_ref()
     cpu_ref_attempts.append(cpu_ref_s)
+    waited += cpu_ref_s
+    while cpu_ref_s > args.quiet_cpu_ref and waited < args.quiet_max:
+        time.sleep(10.0)
+        waited += 10.0
+        cpu_ref_s = _cpu_ref()
+        cpu_ref_attempts.append(cpu_ref_s)
+        waited += cpu_ref_s
 
     timings: dict[str, float] = {}
     for name in names:
@@ -172,6 +186,7 @@ def main() -> None:
                 "loadavg_15min": round(load_start_15, 2),
                 "cpu_ref_s": cpu_ref_s,
                 "cpu_ref_attempts": cpu_ref_attempts,
+                "quiet_gate_ok": cpu_ref_s <= args.quiet_cpu_ref,
                 "quiet_wait_s": round(waited, 1),
             }
         )

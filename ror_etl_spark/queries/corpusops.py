@@ -428,6 +428,15 @@ def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     packer or cost model actually consumes (vs the regex-heuristic
     bpe_ish_token_count, this is a REAL learned segmentation).
 
+    Output contract for words OUTSIDE the vocab cap (the r8 1M-row
+    TakeOrderedAndProject floor, binding only at large SF): capped words
+    count length(w) characters, i.e. learned merges are NOT applied to
+    their character sequences. Real BPE inference would still merge
+    inside OOV words, so capped-word token counts are a deliberate
+    OVERestimate (safe direction for a packing/cost consumer — never
+    under-budgets a sequence). Both engines apply the identical rule, so
+    the hash check holds at cap-binding scale too.
+
     Scale shape: the trained segmentation is a vocabulary-sized (word →
     n_subtokens) table; applying it is one token-keyed join of the
     corpus token stream against that broadcast table plus a

@@ -539,4 +539,10 @@ def test_bpe_vocab_collect_is_take_ordered(spark):
         wc.explain("formatted")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
-    assert "Sort " not in plan  # no global sort feeding the limit
+    # No GLOBAL sort feeding the limit. A bare "Sort not in plan" is
+    # brittle — it would trip on an unrelated LOCAL sort (e.g. a future
+    # SMJ inside the tokenizer), which is Exchange(hashpartitioning)-fed.
+    # A global sort is exactly the pattern Exchange(rangepartitioning) ->
+    # Sort, and a sort-based limit adds GlobalLimit; assert both absent.
+    assert "rangepartitioning" not in plan
+    assert "GlobalLimit" not in plan
