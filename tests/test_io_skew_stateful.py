@@ -3,6 +3,7 @@ streaming operator."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -335,3 +336,108 @@ def test_streaming_cms_equals_batch_sketch(spark):
     for d in range(CMS_D):
         ref = Counter(_cms_bucket_py(d, u) for u in users)
         assert got[d] == (len(ref), sum(ref.values()), max(ref.values()))
+
+
+def test_tws_processor_contract_vs_stateful_twin(spark):
+    """Pinned-twin contract for the protobuf-gated operator (VERDICT r8
+    item 5): where the env can't run transformWithStateInPandas (no
+    google.protobuf for its driver worker), drive the SAME
+    ``RunningUserStats`` StatefulProcessor the operator would mount,
+    through a duck-typed StatefulProcessorHandle/ValueState, across
+    multiple micro-batches — and require its per-batch outputs to be
+    IDENTICAL to the applyInPandasWithState twin's update function run
+    through an equally-faked GroupState on the same batch split. This
+    pins everything the streaming engine doesn't own: state-tuple
+    round-trip, multi-batch accumulation, output schema/rounding, and
+    the two APIs' semantic equivalence. The env-gated end-to-end test
+    above takes over wherever protobuf exists."""
+    from ror_etl_spark.streaming.stateful import _update_user_stats
+    from ror_etl_spark.streaming import tws
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            assert schema == tws.STATE_SCHEMA
+            return self.states.setdefault(name, FakeValueState())
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    events = (
+        Tables(spark, SF_SMALL)
+        .events.select("user_id", "value")
+        .toPandas()
+        .sort_index()
+    )
+    users = sorted(events["user_id"].unique())[:20]
+    proc = tws.RunningUserStats()
+    handle = FakeHandle()
+    proc.init(handle)
+    for uid in users:
+        rows = events[events["user_id"] == uid].reset_index(drop=True)
+        # split into 3 micro-batches, one of them empty (edge the engine
+        # can deliver on watermark-only triggers)
+        cut = max(1, len(rows) // 2)
+        batches = [rows.iloc[:cut], rows.iloc[0:0], rows.iloc[cut:]]
+        gs = FakeGroupState()
+        # fresh per-key cell like the engine provides (keyed state store)
+        handle.states.clear()
+        proc.init(handle)
+        for batch in batches:
+            out_tws = pd.concat(
+                list(proc.handleInputRows((uid,), iter([batch]), None)),
+                ignore_index=True,
+            )
+            out_twin = pd.concat(
+                list(_update_user_stats((uid,), iter([batch]), gs)),
+                ignore_index=True,
+            )
+            pd.testing.assert_frame_equal(out_tws, out_twin)
+            assert list(out_tws.columns) == [
+                "user_id",
+                "n_events",
+                "total",
+                "max_value",
+            ]
+        # state cells agree after the full batch sequence
+        assert handle.states["stats"].get() == gs.get
+        # and the final emitted row equals the batch-engine aggregate
+        want = (
+            spark.createDataFrame(events[events["user_id"] == uid])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("s"),
+                F.max("value").alias("m"),
+            )
+            .first()
+        )
+        assert int(out_tws["n_events"].iloc[0]) == want["n"]
+        assert float(out_tws["total"].iloc[0]) == pytest.approx(want["s"], abs=1e-4)
+        assert float(out_tws["max_value"].iloc[0]) == pytest.approx(want["m"])
