@@ -478,6 +478,218 @@ LINEAR = [
 ]
 
 
+def graph_scale(skew_only: bool = False) -> None:
+    """Decade rows for the r9 iterative graph operators (VERDICT r8
+    items 2/7) at synthetic 10^7 -> 10^8 EDGE tiers — the registered
+    queries bind to the 25-node nation graph, so like the G1 ``--kernel``
+    tier this measures the underlying per-round loop shape at the scale
+    the 100x claim is about. Deterministic hash-generated graphs (no
+    parquet, no RNG state): N = E/10 nodes, uniform endpoints for the
+    decade rows, plus a POWER-LAW tier (v = floor(N * r^3), ~cubic hub
+    concentration) that isolates the skewed-key dimension with AQE
+    skew-join on vs off.
+
+    Per-kernel validation is printed with the wall time: depth layers
+    against the chain closed form, k-core against the min in-core
+    degree >= k invariant, LPA label sanity + community count.
+    Checkpoint cadence matches the staged queries: every round's
+    node-sized frame is localCheckpointed so the logical plan stays
+    linear in rounds, and the SUPERSEDED checkpoint is unpersisted the
+    moment its successor materializes — live heap is one und frame plus
+    two node-sized frames, not rounds x frames. (The first run of this
+    tier OOMed at the 8g default heap precisely because 8 rounds of
+    20M-row deserialized checkpoints accumulated; the fix is the
+    unpersist cadence below plus an 80g heap floor, both of which a real
+    cluster gets for free from executor-distributed storage.)"""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "80g")
+    spark = get_spark("graph-scale")
+    # GRAPH_REHEARSAL_DIV=1000 shrinks every tier for a logic smoke run;
+    # the recorded decade rows always use the default 1.
+    div = max(1, int(os.environ.get("GRAPH_REHEARSAL_DIV", "1")))
+
+    def ckpt_swap(new_df, old_df):
+        """localCheckpoint new_df eagerly, then release old_df's blocks."""
+        out = new_df.localCheckpoint(eager=True)
+        if old_df is not None:
+            old_df.unpersist()
+        return out
+
+    def uniform_edges(E: int, N: int):
+        e = spark.range(E)
+        u = ((F.xxhash64("id") % N) + N) % N
+        v = ((F.xxhash64("id", F.lit(1)) % N) + N) % N
+        return e.select(u.alias("u"), v.alias("v")).filter("u <> v")
+
+    def powerlaw_edges(E: int, N: int):
+        e = spark.range(E)
+        u = ((F.xxhash64("id") % N) + N) % N
+        r = (((F.xxhash64("id", F.lit(1)) % 1000003) + 1000003) % 1000003) / 1000003.0
+        v = F.floor(N * F.pow(r, F.lit(3.0))).cast("long")
+        return e.select(u.alias("u"), v.alias("v")).filter("u <> v")
+
+    def lpa_rounds(und, N: int, rounds: int = 3):
+        nodes = spark.range(N).select(F.col("id"))
+        labels = nodes.select("id", F.col("id").alias("label"))
+        for _ in range(rounds):
+            votes = (
+                und.join(labels, und["v"] == labels["id"])
+                .groupBy(und["u"].alias("nid"), "label")
+                .agg(F.sum("w").alias("wt"))
+            )
+            pick = (
+                votes.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("nid").orderBy(F.desc("wt"), F.asc("label"))
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("nid", "label")
+            )
+            labels = ckpt_swap(
+                nodes.join(pick, nodes["id"] == pick["nid"], "left").select(
+                    "id", F.coalesce(pick["label"], nodes["id"]).alias("label")
+                ),
+                labels,  # unpersist is a no-op on the initial uncached frame
+            )
+        return labels
+
+    def kcore_rounds(und, k: int = 8, rounds: int = 6):
+        surv = und.select(F.col("u").alias("id")).distinct()
+        for _ in range(rounds):
+            surv = ckpt_swap(
+                und.join(surv.withColumnRenamed("id", "u"), "u")
+                .join(surv.withColumnRenamed("id", "v"), "v")
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select(F.col("u").alias("id")),
+                surv,
+            )
+        return (
+            und.join(surv.withColumnRenamed("id", "u"), "u")
+            .join(surv.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+
+    if not skew_only:
+        # ---- depth-layers kernel (pointer doubling with hop counts) ----
+        # 20M nodes, chains of depth 100 — the G1 kernel tier, now
+        # carrying steps; ceil(log2 100) = 7 doubling rounds.
+        N, D = 20_000_000 // div, 100
+        t0 = time.perf_counter()
+        nodes = spark.range(N)
+        m = nodes.select(
+            F.col("id"),
+            F.when(F.col("id") % D == 0, F.col("id"))
+            .otherwise(F.col("id") - 1)
+            .alias("anc"),
+            F.when(F.col("id") % D == 0, F.lit(0)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("steps"),
+        ).localCheckpoint(eager=True)
+        for _ in range(math.ceil(math.log2(D))):
+            hop = m.select(
+                F.col("id").alias("h_id"),
+                F.col("anc").alias("h_anc"),
+                F.col("steps").alias("h_steps"),
+            )
+            m = ckpt_swap(
+                m.join(hop, m["anc"] == hop["h_id"], "left").select(
+                    m["id"],
+                    F.coalesce(hop["h_anc"], m["anc"]).alias("anc"),
+                    (m["steps"] + F.coalesce(hop["h_steps"], F.lit(0))).alias(
+                        "steps"
+                    ),
+                ),
+                m,
+            )
+        wrong = m.filter(F.col("steps") != F.col("id") % D).count()
+        m.unpersist()
+        wall = time.perf_counter() - t0
+        print(
+            f"depth_layers_kernel  n={N} depth={D} rounds={math.ceil(math.log2(D))} "
+            f"wall={wall:.1f}s wrong_layers={wrong}",
+            flush=True,
+        )
+
+        # ---- LPA + k-core decade: uniform 1e7 -> 1e8 edges ----
+        for E in (10_000_000 // div, 100_000_000 // div):
+            N = E // 10
+            t0 = time.perf_counter()
+            ed = uniform_edges(E, N)
+            und = (
+                ed.unionAll(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("w"))
+                .localCheckpoint(eager=True)
+            )
+            n_und = und.count()
+            t_derive = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            labels = lpa_rounds(und, N, rounds=3)
+            n_comm = labels.agg(F.countDistinct("label")).first()[0]
+            bad = labels.filter((F.col("label") < 0) | (F.col("label") >= N)).count()
+            labels.unpersist()
+            t_lpa = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            core = kcore_rounds(und.select("u", "v"), k=8, rounds=6)
+            stats = core.agg(
+                F.count(F.lit(1)).alias("n_core"),
+                F.min("core_degree").alias("min_deg"),
+            ).first()
+            t_kcore = time.perf_counter() - t0
+            und.unpersist()
+            print(
+                f"graph_decade E={E:>11,d} N={N:>10,d} und_rows={n_und:,d} "
+                f"derive={t_derive:.1f}s lpa3={t_lpa:.1f}s (comm={n_comm:,d} bad={bad}) "
+                f"kcore6={t_kcore:.1f}s (core={stats['n_core']:,d} "
+                f"min_deg={stats['min_deg']})",
+                flush=True,
+            )
+
+    # ---- power-law skew tier: hub-node rehearsal (VERDICT item 7) ----
+    # v = floor(N*r^3) puts ~10% of all edges on node 0 alone; the LPA
+    # vote join on the neighbour key is then textbook skew. Run one vote
+    # round with AQE skew-join ON vs OFF and report both walls plus the
+    # realized hub mass.
+    E, N = 100_000_000 // div, 10_000_000 // div
+    ed = powerlaw_edges(E, N)
+    und = (
+        ed.unionAll(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    hub = (
+        und.groupBy("v").agg(F.sum("w").alias("deg")).orderBy(F.desc("deg")).limit(3)
+    ).collect()
+    print(
+        "powerlaw hubs (v, incident edge mass): "
+        + ", ".join(f"({r['v']}, {r['deg']:,d})" for r in hub),
+        flush=True,
+    )
+    for skew_flag in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
+        t0 = time.perf_counter()
+        labels = lpa_rounds(und, N, rounds=1)
+        labels.write.format("noop").mode("overwrite").save()
+        labels.unpersist()
+        wall = time.perf_counter() - t0
+        print(f"lpa1_powerlaw E={E:,d} skewJoin={skew_flag} wall={wall:.1f}s", flush=True)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen", action="store_true")
@@ -513,9 +725,17 @@ if __name__ == "__main__":
                     help="synthesize the part decade for the skyline operator")
     ap.add_argument("--run-s5", action="store_true",
                     help="cold-first: session-5 ops (debounce, portable HLL, Welch, basket, PIT join, skyline) across their decades")
+    ap.add_argument("--graph", action="store_true",
+                    help="decade rows for the r9 iterative graph kernels (depth layers, LPA, k-core) at 1e7/1e8 edges + power-law skew tier")
+    ap.add_argument("--graph-skew", action="store_true",
+                    help="only the power-law AQE skew-join block of --graph")
     ap.add_argument("--run-r7d", action="store_true",
                     help="cold-first: session-3 ops (NB lang-ID, Zipf, minhash calibration, curriculum sample, image aHash) across the open-vocab decade")
     args = ap.parse_args()
+    if args.graph:
+        graph_scale()
+    if args.graph_skew:
+        graph_scale(skew_only=True)
     if args.gen:
         gen()
     if args.gen10:
