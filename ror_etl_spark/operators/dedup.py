@@ -113,6 +113,48 @@ def tuned_band_rows(
     return max_rows
 
 
+LANE_POOL = 128  # physical minhash lanes cap; bands above this share lanes
+
+
+def band_lane_indices(
+    bands: int, rows_per_band: int, pool: int = LANE_POOL
+) -> list[list[int]]:
+    """0-based signature indices for each band under the LANE-POOL cap.
+
+    ``bands·rows_per_band ≤ pool`` → consecutive disjoint slices, i.e.
+    exactly the historical scheme (bit-identical output for every
+    registered fixed query and for the tuned queries at any corpus the
+    sf≤1 rules produce). Beyond the pool, each band draws
+    ``rows_per_band`` DISTINCT indices from the fixed pool with a strided
+    design: ``idx(band, j) = (off(band) + j·step(band)) mod pool`` with
+    an ODD step — odd steps are units mod a power-of-two pool, so the
+    j-walk never revisits an index while j < pool. Sharing lanes across
+    bands leaves per-band collision probability exactly ``s^r`` (the r
+    indices within a band are distinct, and minhash lanes are
+    independent across indices); only RECALL variance rises slightly
+    because bands become positively correlated — the planted-recall
+    calibration tests bound that empirically. The payoff is the scale
+    story: the signature pass costs O(pool) per document FOREVER, where
+    the uncapped tuned scheme grew lanes ~2.75×/decade (104 → 286 at
+    sf1 → sf10, SCALING.md round 6) on top of the data growth.
+
+    Pure non-negative integer arithmetic, so the DuckDB oracle replays
+    the rule inside SQL with dynamic (b, r)."""
+    assert pool & (pool - 1) == 0, "pool must be a power of two (odd-step walk)"
+    assert rows_per_band <= pool
+    if bands * rows_per_band <= pool:
+        return [
+            [band * rows_per_band + j for j in range(rows_per_band)]
+            for band in range(bands)
+        ]
+    out = []
+    for band in range(bands):
+        off = (band * 2654435761) % pool
+        step = 2 * ((band * 40503) % (pool // 2)) + 1
+        out.append([(off + j * step) % pool for j in range(rows_per_band)])
+    return out
+
+
 def tuned_bands_for_rows(
     r: int, threshold: float = 0.8, target_recall: float = 0.9, max_bands: int = 32
 ) -> int:
@@ -382,7 +424,14 @@ def lsh_band_keys(
     LSH INDEX layout. Extracted from ``lsh_candidate_pairs`` (identical
     expression, so the oracle's bandrows CTE replays both) so that
     incremental consumers can band a NEW batch against a persisted
-    corpus index without the self-join."""
+    corpus index without the self-join.
+
+    Band → signature-index mapping comes from ``band_lane_indices``:
+    consecutive slices while ``bands·rows ≤ LANE_POOL`` (the historical
+    scheme, covering every fixed query), strided draws from the shared
+    pool beyond it (the capped tuned scheme — signatures then carry
+    ``LANE_POOL`` lanes, not ``bands·rows``)."""
+    idx = band_lane_indices(bands, rows_per_band)
     return signatures.select(
         "id",
         F.explode(
@@ -393,8 +442,8 @@ def lsh_band_keys(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("minhash", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
+                                F.element_at("minhash", i + 1)
+                                for i in idx[b]
                             ],
                         ).alias("bucket"),
                     )

@@ -11,6 +11,7 @@ from ror_etl_spark.operators.components import dedup_clusters
 from ror_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard_at_least,
+    LANE_POOL,
     jaccard_verify,
     keep_best_per_key,
     lsh_candidate_pairs,
@@ -238,16 +239,26 @@ def _minhash_tuned_ctes(threshold: float = 0.8, target_recall: float = 0.9) -> s
       never runs in two engines);
     - lane (a,b) constants are inlined for the MAXIMUM supported scheme
       (32 bands × 16 rows = 512 lanes); ``lane_params`` draws lanes
-      sequentially from one seeded stream, so any smaller b·r uses an
-      exact PREFIX of the literal arrays — bit-identical to the Spark
-      operator's ``lane_params(b*r)``.
+      sequentially from one seeded stream, so any smaller lane count uses
+      an exact PREFIX of the literal arrays — bit-identical to the Spark
+      operator's ``lane_params(min(b·r, LANE_POOL))``;
+    - band → lane-index mapping replays ``band_lane_indices``: the
+      consecutive slices while ``b·r ≤ LANE_POOL`` and the odd-step
+      strided pool draws beyond it, as a CASE on ``b·r`` — pure
+      non-negative integer arithmetic, identical in both engines.
 
     Everything downstream (signatures, band keys, candidates, Jaccard
     verify) is the fixed oracle's portable arithmetic, just with dynamic
     extents, so the driver hash-checks the tuned funnel end to end at ANY
     scale factor."""
-    from ror_etl_spark.operators.dedup import HORNER_BASE, MERSENNE31, lane_params
+    from ror_etl_spark.operators.dedup import (
+        HORNER_BASE,
+        LANE_POOL,
+        MERSENNE31,
+        lane_params,
+    )
 
+    pool = LANE_POOL
     params = lane_params(32 * 16)
     al = "[" + ",".join(str(a) for a, _ in params) + "]"
     bl = "[" + ",".join(str(b) for _, b in params) + "]"
@@ -279,18 +290,22 @@ def _minhash_tuned_ctes(threshold: float = 0.8, target_recall: float = 0.9) -> s
     prm AS (SELECT r, (CASE r {b_case} END)::INT AS b FROM p0),
     lanep AS (
       SELECT l, ({al})[l] AS a, ({bl})[l] AS bb
-      FROM (SELECT unnest(range(1, b * r + 1)) AS l FROM prm)),
+      FROM (SELECT unnest(range(1, least(b * r, {pool}) + 1)) AS l FROM prm)),
     sigrow AS (
       SELECT h.doc_id, lp.l,
              list_min(list_transform(h.hs, x -> (lp.a * x + lp.bb) % {MERSENNE31})) AS v
       FROM hs h CROSS JOIN lanep lp),
     sig AS (SELECT doc_id, list(v ORDER BY l) AS m FROM sigrow GROUP BY doc_id),
-    bidx AS (SELECT unnest(range(0, b)) AS band, r FROM prm),
+    bidx AS (SELECT unnest(range(0, b)) AS band, r, b FROM prm),
     bandrows AS (
       SELECT s.doc_id, bi.band,
              array_to_string(
-               list_transform(range(bi.band * bi.r + 1, (bi.band + 1) * bi.r + 1),
-                              i -> s.m[i]), ',') AS key
+               list_transform(range(0, bi.r),
+                 j -> s.m[CASE WHEN bi.b * bi.r <= {pool}
+                          THEN bi.band * bi.r + j + 1
+                          ELSE ((bi.band * 2654435761) % {pool}
+                                + j * (2 * ((bi.band * 40503) % {pool // 2}) + 1))
+                               % {pool} + 1 END]), ',') AS key
       FROM sig s CROSS JOIN bidx bi),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -328,17 +343,22 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     params (at 100 TB that n comes from table stats); the whole signature
     pass (md5, Horner combine, lanes) runs in the fused Arrow/numpy
     kernel (``_minhash_sig_udf``) — the interpreted HOF chain's COLD
-    cost doesn't survive large corpora (SCALING.md round 6), and the
-    tuned lane count (20 at sf0.01, 104 at sf1, 286 at sf10) compounds
-    it — output bit-identical to the expression path (parity-pinned in
-    test_dedup). The DuckDB
-    oracle derives THE SAME (b, r) from count(*) inside the SQL, so the
+    cost doesn't survive large corpora (SCALING.md round 6) — output
+    bit-identical to the expression path (parity-pinned in test_dedup).
+    Physical lanes are capped at ``LANE_POOL`` (128): the scheme needs
+    20 at sf0.01 and 104 at sf1 (consecutive slices, the historical
+    layout), while sf10's 26×11 = 286 would otherwise grow the
+    signature pass ~2.75×/decade on top of the data — above the cap,
+    bands draw strided r-subsets from the shared pool
+    (``band_lane_indices``), holding signature cost O(pool)/doc at any
+    corpus size. The DuckDB oracle derives THE SAME (b, r) from
+    count(*) and replays the same index rule inside the SQL, so the
     funnel stays hash-checked end to end at any scale factor."""
     d = Tables(spark, sf_dir).documents
     n = d.count()
     r = tuned_band_rows(n)
     b = tuned_bands_for_rows(r, threshold=0.8, target_recall=0.9)
-    sigs = minhash_signatures(d, num_hashes=b * r)
+    sigs = minhash_signatures(d, num_hashes=min(b * r, LANE_POOL))
     cands = lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
     verified = jaccard_verify(cands, d, threshold=0.8)
     return verified.select(
@@ -1321,7 +1341,7 @@ def dedup_funnel_keep_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()
     r = tuned_band_rows(n)
     b = tuned_bands_for_rows(r, threshold=0.8, target_recall=0.9)
-    sigs = minhash_signatures(d, num_hashes=b * r)
+    sigs = minhash_signatures(d, num_hashes=min(b * r, LANE_POOL))
     cands = lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
     verified = jaccard_verify(cands, d, threshold=0.8).select("id_a", "id_b")
     comp = connected_components(verified).labels

@@ -92,6 +92,14 @@ _R8_WINDOW_PRIORITY = [
     "embedding_dim_truncation_sweep",
 ]
 
+# Queries whose IMPLEMENTATION changed in r9 (LANE_POOL cap on the tuned
+# minhash banding): already driver-green, but the change must be
+# re-proven, so they lead the re-confirmation tier of the r9 window.
+_R9_CHANGED = [
+    "dedup_minhash_lsh_tuned",
+    "dedup_funnel_keep_tuned",
+]
+
 
 def load_all() -> None:
     """Import every query module (idempotent)."""
@@ -104,6 +112,9 @@ def load_all() -> None:
     for name in _R8_WINDOW_PRIORITY:
         if name in QUERIES:
             PRIORITY[name] = max(PRIORITY.get(name, 0), 6)
+    for name in _R9_CHANGED:
+        if name in QUERIES:
+            PRIORITY[name] = max(PRIORITY.get(name, 0), 7)
 
 
 def _past_verdicts(repo_root: str) -> dict[str, bool]:

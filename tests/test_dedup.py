@@ -523,3 +523,80 @@ def test_containment_finds_planted_quote_pair(spark):
         assert 10 * i >= 9 * min(len(sets[1]), len(sets[2]))
         jac = i / len(sets[1] | sets[2])
         assert jac < 0.5, "the pair symmetric dedup would have missed"
+
+
+def test_tuned_lsh_lane_pool_strided_branch_matches_oracle(spark, tmp_path):
+    """Driver-gate replica at a corpus size where the LANE_POOL cap BINDS
+    (n=64,100 → r=9, b=17, b·r=153 > 128): the registered sf0.01 gate only
+    ever exercises ``band_lane_indices``'s consecutive-slice branch, so
+    this pins the strided pool-draw branch engine-vs-DuckDB bit-identical
+    end to end — signatures, band keys, candidates, verify — with planted
+    exact duplicates that MUST survive the funnel."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ror_etl_spark import registry
+    from ror_etl_spark.operators.dedup import (
+        LANE_POOL,
+        tuned_band_rows,
+        tuned_bands_for_rows,
+    )
+
+    registry.load_all()
+    n = 64_100
+    r = tuned_band_rows(n)
+    b = tuned_bands_for_rows(r, threshold=0.8, target_recall=0.9)
+    assert b * r > LANE_POOL, "corpus must force the strided branch"
+
+    vocab = np.array(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega red "
+        "green blue gold silver iron copper".split(),
+        dtype=object,
+    )
+    rng = np.random.default_rng(4242)
+    lengths = rng.integers(8, 15, size=n)
+    flat = vocab[rng.integers(0, len(vocab), size=int(lengths.sum()))]
+    texts, pos = [], 0
+    for ln in lengths:
+        texts.append(" ".join(flat[pos : pos + ln]))
+        pos += ln
+    n_planted = 40
+    src = rng.choice(n, size=2 * n_planted, replace=False).reshape(-1, 2)
+    for a_i, b_i in src:
+        texts[b_i] = texts[a_i]
+    doc_path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        doc_path,
+    )
+
+    got = (
+        registry.QUERIES["dedup_minhash_lsh_tuned"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{doc_path}'")
+    want = (
+        con.execute(registry.ORACLES["dedup_minhash_lsh_tuned"])
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    assert (got["id_a"].values == want["id_a"].values).all()
+    assert (got["id_b"].values == want["id_b"].values).all()
+    assert np.allclose(got["jaccard"].values, want["jaccard"].values, atol=0)
+    planted = {(min(a, c), max(a, c)) for a, c in src}
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert planted <= found, "planted exact duplicates must survive the funnel"
