@@ -679,7 +679,10 @@ def graph_scale(skew_only: bool = False) -> None:
         + ", ".join(f"({r['v']}, {r['deg']:,d})" for r in hub),
         flush=True,
     )
-    for skew_flag in ("true", "false"):
+    order = ("true", "false")
+    if os.environ.get("GRAPH_SKEW_ORDER", "tf") == "ft":
+        order = ("false", "true")  # flipped: separates first-run warmup
+    for skew_flag in order:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
         t0 = time.perf_counter()
         labels = lpa_rounds(und, N, rounds=1)
