@@ -466,8 +466,36 @@ def jaccard_verify(
 
     Payload join happens only for candidates (tiny vs corpus), and the
     shingle sets are recomputed JVM-side — cheaper than shipping shingle
-    arrays through the LSH shuffle."""
-    sh = spread(docs).select(
+    arrays through the LSH shuffle.
+
+    The docs frame is SEMI-JOINED to the candidate id set BEFORE the
+    shingle projection: Catalyst prunes columns, not rows, so without
+    it the interpreted HOF shingle chain runs over the ENTIRE corpus —
+    once per join side when the candidate side broadcasts. The r9 sf10
+    profile measured exactly that: verify 62.8 s of the tuned funnel's
+    86 s cold wall for ~800 output pairs; candidate-restricted shingles
+    collapse it to the output-sized cost the docstring always claimed.
+    The semi-join shuffles only doc ids; the candidate id set is
+    output-sized, so AQE broadcasts it in any sane regime.
+
+    The candidate frame itself is materialized ONCE via a lazy
+    localCheckpoint: this function references it for the id set and the
+    verify join, and downstream consumers multiply references further
+    (connected_components symmetrizes its input — 2×) — without the
+    checkpoint the banding self-join re-executes per reference (the r9
+    sf10 funnel measured 237 s cold from exactly that compounding; 42 s
+    with it). Candidates are output-sized, so the checkpoint is
+    bounded."""
+    pairs = pairs.localCheckpoint(eager=False)
+    ids = (
+        pairs.select(F.col("id_a").alias("__cid"))
+        .unionAll(pairs.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    cand_docs = docs.join(
+        ids, docs[id_col] == ids["__cid"], "leftsemi"
+    )
+    sh = spread(cand_docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
