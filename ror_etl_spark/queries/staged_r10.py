@@ -1,0 +1,1058 @@
+"""Operators staged during round 9 for the r10 registry flip — same
+discipline as ``staged_r9.py`` (which r8 staged and r9 flipped live):
+implemented, oracle-equipped, and driver-gate-checked under pytest
+(``tests/test_staged_r10.py``) while the r9 driver window drains the 20
+names registered this round. ``register()`` is NOT called from
+``queries.load()`` yet; r10 flips it after CORRECTNESS_r09 lands.
+
+Batch theme: the distribution-statistics and survival/tail toolkit a
+training-data pipeline runs on its telemetry — two-sample tests (KS,
+Mann-Whitney), rank correlation (Spearman), extreme-value fit (Gumbel
+block maxima, Hill tail index), resampling variance (jackknife CV),
+survival analysis (Kaplan-Meier), inequality (Lorenz deciles), graph
+local structure (clustering coefficient), sketch-style quantiles
+(fixed-bin histogram interpolation), and corpus lexical diversity.
+
+Every entry follows the registry discipline (registry.py module
+docstring): identical aliases both sides, epsilon-shifted rounding on
+floats, deterministic total orders for every rank/tiebreak.
+"""
+
+from __future__ import annotations
+
+import math
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ror_etl_spark.operators.util import global_cumsum, global_rank, spread
+from ror_etl_spark.queries.corpusops import _TOKS_SQL
+from ror_etl_spark.functions.text import tokens
+from ror_etl_spark.tables import Tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+STAGED: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def staged(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query: {name}")
+        STAGED[name] = (fn, " ".join(oracle.split()) if oracle else None)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """r10 switch: move every staged query into the live registry."""
+    from ror_etl_spark.registry import query
+
+    for name, (fn, oracle) in STAGED.items():
+        query(name, oracle=oracle)(fn)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample tests
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "ks_test_value_click_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT value, sum(ia) AS ca, sum(ib) AS cb FROM s GROUP BY value),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+             sum(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+      FROM g)
+    SELECT CAST(tot.na AS BIGINT) AS n_a,
+           CAST(tot.nb AS BIGINT) AS n_b,
+           round(max(abs(cca / tot.na - ccb / tot.nb)) + 1e-9, 6) AS ks_d,
+           round(max(abs(cca / tot.na - ccb / tot.nb))
+                 * sqrt(tot.na * tot.nb / (tot.na + tot.nb)) + 1e-9, 4)
+             AS ks_stat
+    FROM cum, tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def ks_test_value_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of click vs purchase events: D = sup over the pooled
+    support of |F_a(v) - F_b(v)|, plus the scaled statistic
+    D·sqrt(n_a·n_b/(n_a+n_b)) a table lookup converts to a p-value.
+    The ECDF gap is evaluated at every DISTINCT pooled value via one
+    cumulative window — integer counts divided once at the end, so the
+    sup is found over exactly the same rationals on both engines.
+
+    Scale shape: one groupBy(value) aggregate (pooled-distinct-sized),
+    then DISTRIBUTED exclusive running sums over the distinct-value
+    frame (``global_cumsum`` — range partition + pid-local window +
+    broadcast carry-ins; a bare ``Window.orderBy`` would collapse the
+    cumulative into one task), one max. No per-row Python anywhere."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    cum = (
+        global_cumsum(
+            global_cumsum(g, ["value"], "ca", out="pa"),
+            ["value"],
+            "cb",
+            out="pb",
+        )
+        .select(
+            (F.col("pa") + F.col("ca")).alias("cca"),
+            (F.col("pb") + F.col("cb")).alias("ccb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    gap = F.abs(F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb"))
+    return cum.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(F.max(gap) + 1e-9, 6).alias("ks_d"),
+        F.round(
+            F.max(gap)
+            * F.sqrt(
+                F.max("na") * F.max("nb") / (F.max("na") + F.max("nb"))
+            )
+            + 1e-9,
+            4,
+        ).alias("ks_stat"),
+    )
+
+
+@staged(
+    "mannwhitney_totalprice_urgent_low",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    g AS (SELECT v, count(*) AS c, sum(ia) AS ca FROM s GROUP BY v),
+    r AS (
+      SELECT v, c, ca,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM g),
+    agg AS (
+      SELECT sum(ca * (before + (c + 1) / 2.0)) AS r_a,
+             sum(ca) AS na, sum(c - ca) AS nb, sum(c) AS n,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_cubes
+      FROM r)
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(r_a - na * (na + 1) / 2.0 + 1e-9, 2) AS u_stat,
+           round(((r_a - na * (na + 1) / 2.0) - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((n + 1) - tie_cubes / (n * (n - 1.0))))
+                 + 1e-9, 4) AS z
+    FROM agg
+    """,
+)
+def mannwhitney_totalprice_urgent_low(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test: do 1-URGENT orders have a
+    different totalprice distribution than 5-LOW ones? Average ranks
+    come from the closed form rank(v) = count_less + (count_eq + 1)/2
+    computed on the per-distinct-value frame (no per-row ranking), the
+    U statistic from R_a - n_a(n_a+1)/2, and z uses the standard tie
+    correction Σ(t³-t) — no continuity correction (documented contract;
+    both engines identical).
+
+    Scale shape: one groupBy(value) aggregate, one DISTRIBUTED
+    exclusive cumsum (``global_cumsum``) on the distinct-value frame,
+    one scalar aggregate. The rank closed form is what makes this
+    100 TB-safe — a naive per-row rank would global-sort the fact
+    table; this range-sorts only the distinct values."""
+    o = Tables(spark, sf_dir).orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("ca"),
+    )
+    r = global_cumsum(g, ["v"], "c", out="before").select("c", "ca", "before")
+    agg = r.agg(
+        F.sum(F.col("ca") * (F.col("before") + (F.col("c") + 1) / 2.0)).alias(
+            "r_a"
+        ),
+        F.sum("ca").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).alias("nb"),
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_cubes"),
+    )
+    na, nb, n = F.col("na"), F.col("nb"), F.col("n")
+    u = F.col("r_a") - na * (na + 1) / 2.0
+    var = na * nb / 12.0 * ((n + 1) - F.col("tie_cubes") / (n * (n - 1.0)))
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u + 1e-9, 2).alias("u_stat"),
+        F.round((u - na * nb / 2.0) / F.sqrt(var) + 1e-9, 4).alias("z"),
+    )
+
+
+@staged(
+    "spearman_daily_qty_price",
+    oracle="""
+    WITH daily AS (
+      SELECT l_shipdate AS dt, sum(l_quantity) AS x, avg(l_extendedprice) AS y
+      FROM lineitem GROUP BY l_shipdate),
+    gx AS (SELECT x, count(*) AS c FROM daily GROUP BY x),
+    rx AS (
+      SELECT x, coalesce(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS rank_x
+      FROM gx),
+    gy AS (SELECT y, count(*) AS c FROM daily GROUP BY y),
+    ry AS (
+      SELECT y, coalesce(sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS rank_y
+      FROM gy),
+    ranked AS (
+      SELECT rx.rank_x AS a, ry.rank_y AS b
+      FROM daily JOIN rx USING (x) JOIN ry USING (y))
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round((avg(a * b) - avg(a) * avg(b))
+                 / (sqrt(avg(a * a) - avg(a) * avg(a))
+                    * sqrt(avg(b * b) - avg(b) * avg(b))) + 1e-9, 4)
+             AS spearman_rho
+    FROM ranked
+    """,
+)
+def spearman_daily_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily shipped quantity and
+    daily average extended price — the monotone-association measure
+    that survives outliers Pearson does not. Average ranks use the
+    same count_less + (count_eq+1)/2 closed form as the Mann-Whitney
+    operator (tie-exact, no per-row sort), then Pearson's moment form
+    on the ranks (identical fp sequence to the registered ACF query).
+
+    Scale shape: one date-keyed aggregate, two DISTRIBUTED
+    distinct-value cumsums (``global_cumsum``, series-domain-sized),
+    one scalar aggregate."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(F.col("l_shipdate").alias("dt")).agg(
+        F.sum("l_quantity").alias("x"), F.avg("l_extendedprice").alias("y")
+    )
+
+    def avg_rank(df: DataFrame, col: str, out: str) -> DataFrame:
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return global_cumsum(g, [col], "c", out="__before").select(
+            col, (F.col("__before") + (F.col("c") + 1) / 2.0).alias(out)
+        )
+
+    ranked = daily.join(avg_rank(daily, "x", "rank_x"), "x").join(
+        avg_rank(daily, "y", "rank_y"), "y"
+    )
+    a, b = F.col("rank_x"), F.col("rank_y")
+    rho = (F.avg(a * b) - F.avg(a) * F.avg(b)) / (
+        F.sqrt(F.avg(a * a) - F.avg(a) * F.avg(a))
+        * F.sqrt(F.avg(b * b) - F.avg(b) * F.avg(b))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(rho + 1e-9, 4).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extreme values / tails
+# ---------------------------------------------------------------------------
+
+_EULER_GAMMA = 0.5772156649015329
+_SQRT6_OVER_PI = math.sqrt(6.0) / math.pi
+# ln(-ln(1 - 1/T)) for the return periods, precomputed once so neither
+# engine evaluates a nested log at query time
+_GUMBEL_RP = {52: math.log(-math.log(1.0 - 1.0 / 52)),
+              520: math.log(-math.log(1.0 - 1.0 / 520))}
+
+
+def _gumbel_oracle() -> str:
+    rl = ", ".join(
+        f"round(mu - beta * {c!r} + 1e-9, 2) AS return_level_{t}"
+        for t, c in _GUMBEL_RP.items()
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate),
+    mn AS (SELECT min(dt) AS d0 FROM daily),
+    blocks AS (
+      SELECT date_diff('day', mn.d0, daily.dt) // 7 AS wk, max(rev) AS mx
+      FROM daily, mn GROUP BY wk),
+    fit AS (
+      SELECT count(*) AS n_blocks, avg(mx) AS m, stddev_samp(mx) AS s
+      FROM blocks),
+    p AS (SELECT n_blocks, m - {_EULER_GAMMA!r} * (s * {_SQRT6_OVER_PI!r}) AS mu,
+                 s * {_SQRT6_OVER_PI!r} AS beta
+          FROM fit)
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           round(mu + 1e-9, 2) AS mu,
+           round(beta + 1e-9, 2) AS beta,
+           {rl}
+    FROM p
+    """
+
+
+@staged("gumbel_block_maxima_revenue", oracle=_gumbel_oracle())
+def gumbel_block_maxima_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily revenue: weekly block maxima
+    fitted to a Gumbel distribution by the method of moments
+    (beta = s·sqrt(6)/pi, mu = mean - gamma·beta) and the T-block
+    return levels mu - beta·ln(-ln(1-1/T)) for T = 52 and 520 — "the
+    weekly revenue spike you should expect once a year / decade". The
+    return-period constants are precomputed Python literals inlined
+    into BOTH engines, so no nested log runs at query time.
+
+    Scale shape: a date-keyed aggregate, a block-keyed max (weeks =
+    days/7, integer arithmetic off one broadcast min date), then a
+    scalar moment fit. Block maxima are the scalable EV method —
+    no order statistics over the raw data, only per-block maxes."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    d0 = daily.agg(F.min("dt").alias("d0"))
+    blocks = (
+        daily.crossJoin(F.broadcast(d0))
+        .groupBy(
+            (F.datediff(F.col("dt"), F.col("d0")) / F.lit(7))
+            .cast("long")
+            .alias("wk")
+        )
+        .agg(F.max("rev").alias("mx"))
+    )
+    fit = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.avg("mx").alias("m"),
+        F.stddev_samp("mx").alias("s"),
+    )
+    beta = F.col("s") * F.lit(_SQRT6_OVER_PI)
+    mu = F.col("m") - F.lit(_EULER_GAMMA) * beta
+    cols = [
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.round(mu + 1e-9, 2).alias("mu"),
+        F.round(beta + 1e-9, 2).alias("beta"),
+    ]
+    for t, c in _GUMBEL_RP.items():
+        cols.append(
+            F.round(mu - beta * F.lit(c) + 1e-9, 2).alias(f"return_level_{t}")
+        )
+    return fit.select(*cols)
+
+# ---------------------------------------------------------------------------
+# Graph local structure
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "clustering_coefficient_nations",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+                      greatest(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      GROUP BY node),
+    tri AS (
+      SELECT corner AS node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT unnest([e1.a, e1.b, e2.b]) AS corner
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+      GROUP BY corner)
+    SELECT CAST(n.n_nationkey AS INTEGER) AS n_nationkey,
+           n.n_name,
+           coalesce(d.degree, 0) AS degree,
+           coalesce(t.triangles, 0) AS triangles,
+           round(CASE WHEN coalesce(d.degree, 0) >= 2
+                      THEN 2.0 * coalesce(t.triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END + 1e-9, 6) AS clustering_coeff
+    FROM nation n
+    LEFT JOIN deg d ON d.node = n.n_nationkey
+    LEFT JOIN tri t ON t.node = n.n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def clustering_coefficient_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation on the undirected trade
+    graph — the per-node refinement of ``triangle_count_nations``:
+    C(v) = 2·triangles(v) / (deg(v)·(deg(v)-1)), the probability two of
+    v's trade partners trade with each other. Edge derivation and the
+    canonical a<b two-path+closing-edge triangle join are IDENTICAL to
+    the registered global count (queries/engineops.py), so the two
+    queries agree by construction; each triangle contributes once to
+    each of its three corners.
+
+    Scale shape: edge derivation is the fact-table join (the dominant
+    cost, shared shape with pagerank/triangles); everything after runs
+    on the node-domain-sized edge list. At 100 TB the edge list is the
+    aggregate, not the fact table."""
+    t = Tables(spark, sf_dir)
+    und = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.a"), F.col("e1.b"), F.col("e2.b"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    n = Tables(spark, sf_dir).nation
+    d, tr = F.col("degree"), F.col("triangles")
+    return (
+        n.join(deg, n["n_nationkey"] == deg["node"], "left")
+        .drop("node")
+        .join(tri, n["n_nationkey"] == tri["node"], "left")
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            F.coalesce(d, F.lit(0)).alias("degree"),
+            F.coalesce(tr, F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.coalesce(d, F.lit(0)) >= 2,
+                    2.0 * F.coalesce(tr, F.lit(0)) / (d * (d - 1)),
+                ).otherwise(0.0)
+                + 1e-9,
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-style quantiles
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 128
+_HQ_PS = [0.5, 0.9, 0.99]
+
+
+def _histogram_quantile_oracle() -> str:
+    ps = ", ".join(str(p) for p in _HQ_PS)
+    return f"""
+    WITH ext AS (
+      SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+             count(*) AS n
+      FROM lineitem),
+    binned AS (
+      SELECT least(CAST(floor((l_extendedprice - ext.mn)
+                              / ((ext.mx - ext.mn) / {_HQ_BINS}.0)) AS BIGINT),
+                   {_HQ_BINS - 1}) AS bin,
+             count(*) AS c
+      FROM lineitem, ext GROUP BY bin),
+    cum AS (
+      SELECT bin, c,
+             coalesce(sum(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM binned),
+    hit AS (
+      SELECT p.p, min(cum.bin) AS bin
+      FROM (SELECT unnest([{ps}]) AS p) p
+      JOIN cum ON cum.before + cum.c >= p.p * (SELECT n FROM ext)
+      GROUP BY p.p)
+    SELECT hit.p,
+           CAST(hit.bin AS BIGINT) AS bin,
+           round(ext.mn + hit.bin * ((ext.mx - ext.mn) / {_HQ_BINS}.0)
+                 + (hit.p * ext.n - cum.before) / cum.c
+                   * ((ext.mx - ext.mn) / {_HQ_BINS}.0) + 1e-9, 4) AS est
+    FROM hit JOIN cum ON cum.bin = hit.bin, ext
+    ORDER BY p
+    """
+
+
+@staged("histogram_quantile_sketch", oracle=_histogram_quantile_oracle())
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile estimation — the mergeable,
+    deterministic sketch path for quantiles at scale (contrast
+    ``percentile_exact``, which global-sorts): 128 equal-width bins
+    over [min, max], cumulative counts, and linear interpolation
+    inside the first bin whose cumulative count reaches p·n. Bin
+    assignment and interpolation are the identical double-precision
+    expressions on both engines, so the estimates hash-match exactly.
+
+    Scale shape: one min/max scan, one 128-key aggregate (map-side
+    combine does almost all the work), a 128-row window, and a 3-row
+    join. Bin counts merge associatively across any partitioning —
+    this is exactly the t-digest/KLL deployment shape with a
+    deterministic estimator contract instead of a randomized one."""
+    li = Tables(spark, sf_dir).lineitem
+    ext = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / float(_HQ_BINS)
+    binned = (
+        li.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast(
+                    "long"
+                ),
+                F.lit(_HQ_BINS - 1),
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = binned.select(
+        "bin", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("before")
+    )
+    ps = spark.createDataFrame([(p,) for p in _HQ_PS], "p double")
+    hit = (
+        F.broadcast(ps)
+        .join(
+            cum.crossJoin(F.broadcast(ext)),
+            F.col("before") + F.col("c") >= F.col("p") * F.col("n"),
+        )
+        .groupBy("p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        hit.join(cum, "bin")
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "p",
+            F.col("bin").cast("long").alias("bin"),
+            F.round(
+                F.col("mn")
+                + F.col("bin") * width
+                + (F.col("p") * F.col("n") - F.col("before"))
+                / F.col("c")
+                * width
+                + 1e-9,
+                4,
+            ).alias("est"),
+        )
+    )
+    return est.select("p", "bin", "est").orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# Corpus lexical diversity
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "lexical_diversity_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, w
+      FROM (SELECT source, unnest({_TOKS_SQL}) AS w FROM documents)
+      WHERE w <> ''),
+    wc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+    stats AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM wc GROUP BY source),
+    docs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+    SELECT d.source, d.n_docs,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.n_types, 0) AS n_types,
+           round(coalesce(s.n_types, 0) / greatest(s.n_tokens, 1) + 1e-9, 6)
+             AS type_token_ratio,
+           round(coalesce(s.n_hapax, 0) / greatest(s.n_types, 1) + 1e-9, 6)
+             AS hapax_ratio
+    FROM docs d LEFT JOIN stats s USING (source)
+    ORDER BY source
+    """,
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity report: type-token ratio and hapax
+    (frequency-1) ratio — the vocabulary-richness panel a corpus owner
+    reads next to the quality filters: boilerplate-heavy or templated
+    sources collapse TTR; OCR noise and junk inflate hapax share.
+    Complements the GLOBAL count-of-counts (good_turing_word_smoothing)
+    with the per-source breakdown.
+
+    Scale shape: one (source, word)-keyed aggregate over the token
+    explode (partial aggregation absorbs token duplicates map-side),
+    then a source-keyed rollup of the vocabulary-sized frame. The
+    documents table joins back only for the per-source doc counts."""
+    d = spread(Tables(spark, sf_dir).documents)
+    tok = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    wc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stats = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    docs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        docs.join(stats, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.round(
+                F.coalesce("n_types", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("type_token_ratio"),
+            F.round(
+                F.coalesce("n_hapax", F.lit(0))
+                / F.greatest(F.col("n_types"), F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inequality
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS ck, sum(o_totalprice) AS x
+      FROM orders GROUP BY o_custkey),
+    tiled AS (
+      SELECT x, ntile(10) OVER (ORDER BY x, ck) AS decile FROM per),
+    agg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(x) AS rev
+      FROM tiled GROUP BY decile),
+    tot AS (SELECT sum(rev) AS t FROM agg)
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+           round(rev + 1e-9, 2) AS revenue,
+           round(rev / tot.t + 1e-9, 6) AS revenue_share,
+           round(sum(rev) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.t
+                 + 1e-9, 6) AS cum_share
+    FROM agg, tot
+    ORDER BY decile
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in decile resolution over customer revenue — the
+    table behind the registered Gini scalar
+    (gini_coefficient_customer_revenue): customers ranked by revenue
+    (total order (x, custkey), so ntile is deterministic), split into
+    10 equal-count buckets, each reporting its revenue share and the
+    cumulative share — "the bottom 50% of customers hold cum_share(5)
+    of revenue".
+
+    Scale shape: a customer-keyed aggregate, one DISTRIBUTED global
+    rank (``global_rank`` — range partition + local window + carry
+    offsets, never a single-task ntile window), then a 10-row rollup.
+    The decile comes from the 0-based rank via the integer closed form
+    floor(rank·10/n) + 1, which reproduces SQL ntile's bucket sizing
+    exactly (first n mod 10 buckets one larger)."""
+    o = Tables(spark, sf_dir).orders
+    per = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    n_cust = per.agg(F.count(F.lit(1)).alias("nc"))
+    tiled = (
+        global_rank(per, "x", "ck", out="pos")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            "x",
+            (F.floor(F.col("pos") * 10 / F.col("nc")) + 1).alias("decile"),
+        )
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("x").alias("rev"),
+    )
+    tot = agg.agg(F.sum("rev").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.round(F.col("rev") + 1e-9, 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("t") + 1e-9, 6).alias("revenue_share"),
+            F.round(
+                F.sum("rev").over(w) / F.col("t") + 1e-9, 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+# ---------------------------------------------------------------------------
+# Tail index / resampling / survival / behavioral entropy
+# ---------------------------------------------------------------------------
+
+_HILL_K = 500
+
+
+@staged(
+    "hill_tail_index_totalprice",
+    oracle=f"""
+    WITH top AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT {_HILL_K + 1}),
+    xk AS (SELECT v AS xk1 FROM top WHERE rn = {_HILL_K + 1})
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           round(xk.xk1 + 1e-9, 2) AS x_tail,
+           round({_HILL_K} / sum(ln(top.v / xk.xk1)) + 1e-9, 4) AS hill_alpha
+    FROM top, xk WHERE top.rn <= {_HILL_K}
+    GROUP BY xk.xk1
+    """,
+)
+def hill_tail_index_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the right-tail index of order totalprice over
+    the top k=500 order statistics: alpha-hat = k / sum ln(x_(i)/x_(k+1))
+    — the standard "how heavy is the tail really" measurement behind
+    every power-law claim (alpha <= 2: infinite variance; the partner
+    diagnostic to gumbel_block_maxima's fitted return levels). The
+    order statistics use the total order (value DESC, orderkey), so
+    boundary ties are deterministic. Contract: requires > k+1 rows.
+
+    Scale shape: the ONLY global operation is a top-(k+1) — Spark
+    compiles orderBy+limit to TakeOrderedAndProject (per-partition
+    heaps, no global sort; the same plan pin as topk_global); the
+    estimator then runs on the 501-row frame."""
+    o = Tables(spark, sf_dir).orders
+    top = (
+        o.select(F.col("o_totalprice").alias("v"), "o_orderkey")
+        .orderBy(F.desc("v"), F.asc("o_orderkey"))
+        .limit(_HILL_K + 1)
+    )
+    wr = Window.orderBy(F.desc("v"), F.asc("o_orderkey"))
+    ranked = top.select("v", F.row_number().over(wr).alias("rn"))
+    xk = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("v").alias("xk1")
+    )
+    return (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .groupBy("xk1")
+        .agg(F.sum(F.log(F.col("v") / F.col("xk1"))).alias("s"))
+        .select(
+            F.lit(_HILL_K).cast("long").alias("k"),
+            F.round(F.col("xk1") + 1e-9, 2).alias("x_tail"),
+            F.round(F.lit(_HILL_K) / F.col("s") + 1e-9, 4).alias("hill_alpha"),
+        )
+    )
+
+
+@staged(
+    "jackknife_cv_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS x
+      FROM orders GROUP BY o_orderdate),
+    tot AS (
+      SELECT sum(x) AS s, sum(x * x) AS ss, count(*) AS n FROM daily),
+    full_cv AS (
+      SELECT sqrt((ss - s * s / n) / (n - 1)) / (s / n) AS cv, n
+      FROM tot),
+    loo AS (
+      SELECT sqrt(((tot.ss - d.x * d.x)
+                   - (tot.n - 1) * ((tot.s - d.x) / (tot.n - 1))
+                     * ((tot.s - d.x) / (tot.n - 1))) / (tot.n - 2))
+             / ((tot.s - d.x) / (tot.n - 1)) AS cv_i
+      FROM daily d, tot),
+    jk AS (SELECT avg(cv_i) AS cvbar,
+                  sum((cv_i - (SELECT avg(cv_i) FROM loo))
+                      * (cv_i - (SELECT avg(cv_i) FROM loo))) AS ssq,
+                  count(*) AS n
+           FROM loo)
+    SELECT CAST(jk.n AS BIGINT) AS n_days,
+           round(f.cv + 1e-9, 6) AS cv,
+           round(sqrt((jk.n - 1.0) / jk.n * jk.ssq) + 1e-9, 6) AS jack_se,
+           round((jk.n - 1.0) * (jk.cvbar - f.cv) + 1e-9, 6) AS jack_bias
+    FROM jk, full_cv f
+    """,
+)
+def jackknife_cv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error and bias of the coefficient of variation
+    of daily revenue — the deterministic resampling partner to the
+    registered bootstrap CI (bootstrap_mean_ci_revenue): every
+    leave-one-out CV is computed in CLOSED FORM from the global
+    (sum, sum-of-squares, n) — m_i = (S-x_i)/(n-1), v_i = (SS - x_i²
+    - (n-1)·m_i²)/(n-2) — so the "resampling" is one per-row
+    projection over the daily frame, no replication, no RNG.
+
+    Scale shape: a date-keyed aggregate, one broadcast of three
+    scalars, a per-row map, two scalar aggregates. The n-resamples ×
+    n-rows blowup a literal jackknife implies never materializes."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    tot = daily.agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s, ss, n, x = F.col("s"), F.col("ss"), F.col("n"), F.col("x")
+    full_cv = tot.select(
+        (F.sqrt((ss - s * s / n) / (n - 1)) / (s / n)).alias("cv"),
+    )
+    m_i = (s - x) / (n - 1)
+    v_i = ((ss - x * x) - (n - 1) * m_i * m_i) / (n - 2)
+    loo = daily.crossJoin(F.broadcast(tot)).select(
+        (F.sqrt(v_i) / m_i).alias("cv_i")
+    )
+    # two-pass centered sum (not sum(cv²) - n·cvbar²): the one-pass form
+    # subtracts near-equal magnitudes and loses the digits the 6-dp
+    # contract needs; the oracle uses the same explicit centered form
+    cvbar = loo.agg(F.avg("cv_i").alias("cvbar"))
+    jk = (
+        loo.crossJoin(F.broadcast(cvbar))
+        .agg(
+            F.max("cvbar").alias("cvbar"),
+            F.sum(
+                (F.col("cv_i") - F.col("cvbar"))
+                * (F.col("cv_i") - F.col("cvbar"))
+            ).alias("ssq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return jk.crossJoin(F.broadcast(full_cv)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("cv") + 1e-9, 6).alias("cv"),
+        F.round(
+            F.sqrt((F.col("n") - 1.0) / F.col("n") * F.col("ssq")) + 1e-9, 6
+        ).alias("jack_se"),
+        F.round(
+            (F.col("n") - 1.0) * (F.col("cvbar") - F.col("cv")) + 1e-9, 6
+        ).alias("jack_bias"),
+    )
+
+
+@staged(
+    "kaplan_meier_time_to_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             max(ts) AS tmax,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id),
+    dur AS (
+      SELECT user_id,
+             (epoch_us(coalesce(tp, tmax)) - epoch_us(t0)) // 3600000000
+               AS d_h,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM per_user),
+    n_all AS (SELECT count(*) AS n FROM dur),
+    by_t AS (
+      SELECT d_h, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(observed) AS BIGINT) AS n_events
+      FROM dur GROUP BY d_h),
+    risk AS (
+      SELECT d_h, n_total, n_events,
+             n_all.n - coalesce(sum(n_total) OVER (ORDER BY d_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_t, n_all),
+    ev AS (SELECT * FROM risk WHERE n_events > 0),
+    km AS (
+      SELECT d_h, n_risk, n_events,
+             exp(coalesce(sum(ln(CASE WHEN n_events < n_risk
+                                 THEN 1.0 - CAST(n_events AS DOUBLE) / n_risk
+                                 ELSE 1.0 END))
+                 OVER (ORDER BY d_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+             * (1.0 - CAST(n_events AS DOUBLE) / n_risk) AS s
+      FROM ev)
+    SELECT CAST(d_h AS BIGINT) AS duration_h,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           n_events,
+           round(s + 1e-9, 6) AS survival
+    FROM km ORDER BY duration_h
+    """,
+)
+def kaplan_meier_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of time-to-first-purchase:
+    each user enters at their first event; users who never purchase are
+    right-censored at their last event. Durations are integer hours
+    (exact microsecond arithmetic floor-divided on both engines), the
+    at-risk count at t is everyone whose duration >= t, and the
+    survival curve is the running product of (1 - d_t/n_t) over event
+    times — computed as exp of a cumulative ln-sum so both engines run
+    the identical fp sequence. The funnel-analytics question this
+    answers: "what fraction of users still haven't purchased h hours
+    after first touch?"
+
+    Scale shape: one user-keyed aggregate over the fact table, then
+    everything runs on the duration-domain-sized frame (hours — a few
+    thousand keys at any corpus size): a groupBy, one cumulative
+    window, one ln-sum window."""
+    e = Tables(spark, sf_dir).events
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    # timestamp_diff(MICROSECOND) works on TIMESTAMP and TIMESTAMP_NTZ
+    # alike (unix_micros rejects NTZ, which this driver round's events.ts
+    # is); `div` keeps the floor in exact integer arithmetic, matching
+    # the oracle's epoch_us(...) // 3600000000
+    dur = per_user.select(
+        F.timestamp_diff(
+            "MICROSECOND", F.col("t0"), F.coalesce("tp", "tmax")
+        ).alias("d_us"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+    ).select(
+        F.expr("d_us div 3600000000").alias("d_h"),
+        "observed",
+    )
+    n_all = dur.agg(F.count(F.lit(1)).alias("n"))
+    by_t = dur.groupBy("d_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("observed").cast("long").alias("n_events"),
+    )
+    risk = (
+        global_cumsum(by_t, ["d_h"], "n_total", out="before")
+        .crossJoin(F.broadcast(n_all))
+        .select("d_h", "n_events", (F.col("n") - F.col("before")).alias("n_risk"))
+    )
+    ev = risk.filter(F.col("n_events") > 0)
+    # factor can be 0 only on the FINAL event time (n_events = n_risk ⇒
+    # no one survives past t, so no later event rows exist); guard the
+    # ln argument so that row contributes ln(1)=0 to LATER windows (none)
+    # and multiply the current factor outside the exp — both engines
+    # identical, no ln(0) ever evaluated
+    factor = 1.0 - F.col("n_events").cast("double") / F.col("n_risk")
+    guarded = F.when(F.col("n_events") < F.col("n_risk"), factor).otherwise(
+        F.lit(1.0)
+    )
+    wk = Window.orderBy("d_h").rowsBetween(Window.unboundedPreceding, -1)
+    km = ev.select(
+        "d_h",
+        "n_risk",
+        "n_events",
+        (
+            F.exp(F.coalesce(F.sum(F.log(guarded)).over(wk), F.lit(0.0)))
+            * factor
+        ).alias("s"),
+    )
+    return km.select(
+        F.col("d_h").cast("long").alias("duration_h"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        F.round(F.col("s") + 1e-9, 6).alias("survival"),
+    ).orderBy("duration_h")
+
+
+@staged(
+    "user_event_entropy_topk",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type),
+    n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id),
+    h AS (
+      SELECT c.user_id,
+             CAST(max(n.n) AS BIGINT) AS n_events,
+             round(-sum((c.c / n.n) * ln(c.c / n.n)) + 1e-9, 6) AS entropy
+      FROM c JOIN n ON n.user_id = c.user_id
+      GROUP BY c.user_id)
+    SELECT user_id, n_events, entropy
+    FROM h
+    ORDER BY entropy DESC, user_id
+    LIMIT 50
+    """,
+)
+def user_event_entropy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 users by Shannon entropy of their event-type mix — the
+    behavioral-diversity screen (bots and scripted traffic sit at
+    entropy ~0; engaged humans spread across event types). Entropy is
+    ROUNDED BEFORE ranking so the top-k cutoff is decided on identical
+    values in both engines (raw last-ulp float noise cannot reorder
+    the boundary), with user_id as the total-order tiebreak.
+
+    Scale shape: a (user, type)-keyed aggregate (map-side combined),
+    a user-keyed rollup, and a top-k that compiles to
+    TakeOrderedAndProject — no global sort of the user domain."""
+    e = Tables(spark, sf_dir).events
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    h = (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(-F.sum(p * F.log(p)) + 1e-9, 6).alias("entropy"),
+        )
+    )
+    return h.orderBy(F.desc("entropy"), F.asc("user_id")).limit(50)
