@@ -1056,3 +1056,323 @@ def user_event_entropy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return h.orderBy(F.desc("entropy"), F.asc("user_id")).limit(50)
+
+# ---------------------------------------------------------------------------
+# Second wave: ANOVA F, Dunning G² collocations, PACF, mutual information
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "anova_f_value_by_event_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s,
+             sum(value * value) AS ss
+      FROM events GROUP BY event_type),
+    tot AS (
+      SELECT sum(n) AS nn, sum(s) AS st, count(*) AS k,
+             sum(s * s / n) AS sb, sum(ss) AS sq
+      FROM g)
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n,
+           round(((sb - st * st / nn) / (k - 1))
+                 / ((sq - sb) / (nn - k)) + 1e-9, 4) AS f_stat
+    FROM tot
+    """,
+)
+def anova_f_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic: does mean event value differ across
+    event types? Between-group and within-group sums of squares come
+    entirely from per-group (n, Σx, Σx²) — the mergeable-moments form,
+    so one partial-aggregated groupBy is the ONLY pass over the data and
+    the F ratio is assembled from a k-row frame. The variance-equality
+    companion is the registered Brown-Forsythe test; this one compares
+    MEANS under the equal-variance assumption.
+
+    Scale shape: one groupBy(event_type) with map-side combine, one
+    k-row aggregate. Nothing else touches the fact table."""
+    e = Tables(spark, sf_dir).events
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+        F.sum("ss").alias("sq"),
+    )
+    nn, st, k, sb, sq = (F.col(c) for c in ("nn", "st", "k", "sb", "sq"))
+    f = ((sb - st * st / nn) / (k - 1)) / ((sq - sb) / (nn - k))
+    return tot.select(
+        k.cast("long").alias("k_groups"),
+        nn.cast("long").alias("n"),
+        F.round(f + 1e-9, 4).alias("f_stat"),
+    )
+
+
+_LLR_MIN_PAIR = 5
+
+
+def _xlogx(e: str) -> str:
+    """SQL fragment: x·ln(x) with the 0·ln0 = 0 convention."""
+    return f"(CASE WHEN {e} > 0 THEN {e} * ln(CAST({e} AS DOUBLE)) ELSE 0.0 END)"
+
+
+def _llr_oracle() -> str:
+    cells = " + ".join(_xlogx(c) for c in ("k11", "k12", "k21", "k22"))
+    rows = " + ".join(
+        _xlogx(c) for c in ("(k11 + k12)", "(k21 + k22)", "(k11 + k21)", "(k12 + k22)")
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             unnest(range(1, len(ts) + 1)) AS i
+      FROM toks),
+    posf AS (SELECT * FROM pos WHERE tok <> ''),
+    pairs AS (
+      SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM posf a JOIN posf b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY w1, w2),
+    m1 AS (SELECT w1, sum(n_pair) AS c1 FROM pairs GROUP BY w1),
+    m2 AS (SELECT w2, sum(n_pair) AS c2 FROM pairs GROUP BY w2),
+    tot AS (SELECT sum(n_pair) AS nn FROM pairs),
+    cells AS (
+      SELECT p.w1, p.w2, p.n_pair,
+             p.n_pair AS k11, m1.c1 - p.n_pair AS k12,
+             m2.c2 - p.n_pair AS k21,
+             tot.nn - m1.c1 - m2.c2 + p.n_pair AS k22,
+             tot.nn AS nn
+      FROM pairs p JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+      WHERE p.n_pair >= {_LLR_MIN_PAIR}),
+    g AS (
+      SELECT w1, w2, n_pair,
+             round(2.0 * ({cells} + {_xlogx('nn')} - ({rows})) + 1e-9, 4)
+               AS g2
+      FROM cells)
+    SELECT w1, w2, n_pair, g2
+    FROM g ORDER BY g2 DESC, w1, w2 LIMIT 30
+    """
+
+
+@staged("llr_collocations_topk", oracle=_llr_oracle())
+def llr_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio (G²) collocations over adjacent
+    bigrams — the statistically sound replacement for raw-PMI ranking
+    (PMI over-rewards rare pairs; G² weights evidence by count). The
+    2×2 contingency per bigram uses the identity G² = 2·(Σ k·ln k +
+    N·ln N − Σ marginal·ln marginal) with the 0·ln0 = 0 convention,
+    evaluated identically on both engines; ties at the top-30 cutoff
+    are decided on the ROUNDED statistic with (w1, w2) tiebreak.
+
+    Pair generation is the registered PMI query's map-side zip (lag-1
+    slice); the oracle generates pairs the orthogonal way (positional
+    self-join) — structural double-entry. Scale shape: one
+    (w1,w2)-keyed count, two vocab-sized marginal joins, a top-k."""
+    docs = Tables(spark, sf_dir).documents
+    ts = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    pair_expr = (
+        "transform(sequence(1, greatest(size(ts) - 1, 0)), "
+        "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+    )
+    pairs = (
+        docs.select(ts.alias("ts"))
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    m1 = pairs.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
+    m2 = pairs.groupBy("w2").agg(F.sum("n_pair").alias("c2"))
+    tot = pairs.agg(F.sum("n_pair").alias("nn"))
+
+    def xlogx(c):
+        return F.when(c > 0, c * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+    k11 = F.col("n_pair")
+    k12 = F.col("c1") - k11
+    k21 = F.col("c2") - k11
+    k22 = F.col("nn") - F.col("c1") - F.col("c2") + k11
+    g2 = 2.0 * (
+        xlogx(k11) + xlogx(k12) + xlogx(k21) + xlogx(k22)
+        + xlogx(F.col("nn"))
+        - xlogx(k11 + k12) - xlogx(k21 + k22)
+        - xlogx(k11 + k21) - xlogx(k12 + k22)
+    )
+    return (
+        pairs.where(F.col("n_pair") >= _LLR_MIN_PAIR)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_pair", F.round(g2 + 1e-9, 4).alias("g2"))
+        .orderBy(F.desc("g2"), "w1", "w2")
+        .limit(30)
+    )
+
+
+_PACF_LAGS = (1, 2, 3)
+
+
+def _pacf_oracle() -> str:
+    acfs = []
+    for k in _PACF_LAGS:
+        acfs.append(f"""
+    r{k} AS (
+      SELECT (avg(a.rev * b.rev) - avg(a.rev) * avg(b.rev))
+             / (sqrt(avg(a.rev * a.rev) - avg(a.rev) * avg(a.rev))
+                * sqrt(avg(b.rev * b.rev) - avg(b.rev) * avg(b.rev))) AS r
+      FROM daily a JOIN daily b ON b.dt = a.dt + to_days({k}))""")
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate),{",".join(acfs)},
+    dl AS (
+      SELECT r1.r AS a1, r2.r AS a2, r3.r AS a3,
+             (r2.r - r1.r * r1.r) / (1 - r1.r * r1.r) AS p2
+      FROM r1, r2, r3),
+    dl2 AS (
+      SELECT a1, a2, a3, p2, a1 * (1 - p2) AS phi21 FROM dl)
+    SELECT round(a1 + 1e-9, 4) AS pacf_1,
+           round(p2 + 1e-9, 4) AS pacf_2,
+           round((a3 - phi21 * a2 - p2 * a1)
+                 / (1 - phi21 * a1 - p2 * a2) + 1e-9, 4) AS pacf_3
+    FROM dl2
+    """
+
+
+@staged("pacf_daily_revenue", oracle=_pacf_oracle())
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion applied to the lag-pair Pearson ACF (the
+    acf_daily_revenue convention — calendar joins, pairwise moments):
+    pacf(2) strips lag-1 carry-through from r2, pacf(3) strips both.
+    The AR-order diagnostic next to the registered ACF: a sharp pacf
+    cutoff at lag p is the textbook AR(p) signature.
+
+    Scale shape: three calendar-lag self-joins on the date-keyed frame
+    (the ACF query's shape) reduced to three scalars; the recursion is
+    literal arithmetic on one row."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+
+    def acf_at(k: int):
+        a, b = daily.alias("a"), daily.alias("b")
+        x, y = F.col("a.rev"), F.col("b.rev")
+        r = (F.avg(x * y) - F.avg(x) * F.avg(y)) / (
+            F.sqrt(F.avg(x * x) - F.avg(x) * F.avg(x))
+            * F.sqrt(F.avg(y * y) - F.avg(y) * F.avg(y))
+        )
+        return a.join(
+            b, F.col("b.dt") == F.date_add(F.col("a.dt"), k)
+        ).agg(r.alias(f"r{k}"))
+
+    dl = (
+        acf_at(1)
+        .crossJoin(F.broadcast(acf_at(2)))
+        .crossJoin(F.broadcast(acf_at(3)))
+    )
+    a1, a2, a3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = (a2 - a1 * a1) / (1 - a1 * a1)
+    phi21 = a1 * (1 - p2)
+    p3 = (a3 - phi21 * a2 - p2 * a1) / (1 - phi21 * a1 - p2 * a2)
+    return dl.select(
+        F.round(a1 + 1e-9, 4).alias("pacf_1"),
+        F.round(p2 + 1e-9, 4).alias("pacf_2"),
+        F.round(p3 + 1e-9, 4).alias("pacf_3"),
+    )
+
+
+@staged(
+    "mutual_information_priority_status",
+    oracle="""
+    WITH xy AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY x, y),
+    mx AS (SELECT x, sum(c) AS cx FROM xy GROUP BY x),
+    my AS (SELECT y, sum(c) AS cy FROM xy GROUP BY y),
+    tot AS (SELECT sum(c) AS n FROM xy),
+    mi AS (
+      SELECT sum((CAST(c AS DOUBLE) / tot.n)
+                 * ln(CAST(c AS DOUBLE) * tot.n / (mx.cx * my.cy))) AS mi
+      FROM xy JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+      GROUP BY ALL HAVING TRUE),
+    hx AS (SELECT -sum((CAST(cx AS DOUBLE) / tot.n)
+                       * ln(CAST(cx AS DOUBLE) / tot.n)) AS h
+           FROM mx CROSS JOIN tot),
+    hy AS (SELECT -sum((CAST(cy AS DOUBLE) / tot.n)
+                       * ln(CAST(cy AS DOUBLE) / tot.n)) AS h
+           FROM my CROSS JOIN tot)
+    SELECT round(mi.mi + 1e-9, 6) AS mi_nats,
+           round(hx.h + 1e-9, 6) AS h_row,
+           round(hy.h + 1e-9, 6) AS h_col,
+           round(mi.mi / least(hx.h, hy.h) + 1e-9, 6) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def mutual_information_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information (nats) between order priority and status, with
+    marginal entropies and the min-entropy-normalized NMI — the
+    information-theoretic association measure next to the registered
+    Cramér's V on the same contingency table (V is chi-square-scaled;
+    MI weights by probability mass and feeds feature-selection
+    pipelines directly). Only OBSERVED cells enter the sum, which is
+    exactly the 0·ln0 convention.
+
+    Scale shape: one (x,y)-keyed aggregate over the fact table, then
+    everything is contingency-table-sized (≤ |X|·|Y| rows)."""
+    o = Tables(spark, sf_dir).orders
+    xy = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = xy.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = xy.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = xy.agg(F.sum("c").alias("n"))
+    mi = (
+        xy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("cx") * F.col("cy"))
+                )
+            ).alias("mi")
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("cx").cast("double") / F.col("n"))
+            * F.log(F.col("cx").cast("double") / F.col("n"))
+        )).alias("h_row")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("cy").cast("double") / F.col("n"))
+            * F.log(F.col("cy").cast("double") / F.col("n"))
+        )).alias("h_col")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round(F.col("mi") + 1e-9, 6).alias("mi_nats"),
+            F.round(F.col("h_row") + 1e-9, 6).alias("h_row"),
+            F.round(F.col("h_col") + 1e-9, 6).alias("h_col"),
+            F.round(
+                F.col("mi") / F.least(F.col("h_row"), F.col("h_col")) + 1e-9, 6
+            ).alias("nmi"),
+        )
+    )
