@@ -713,9 +713,13 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a customer-keyed aggregate, one DISTRIBUTED global
     rank (``global_rank`` — range partition + local window + carry
     offsets, never a single-task ntile window), then a 10-row rollup.
-    The decile comes from the 0-based rank via the integer closed form
-    floor(rank·10/n) + 1, which reproduces SQL ntile's bucket sizing
-    exactly (first n mod 10 buckets one larger)."""
+    The decile comes from the 0-based rank via SQL ntile's EXACT
+    piecewise rule — with q = n div 10, r = n mod 10, the first r
+    buckets hold q+1 rows (ranks below r·(q+1)) and the rest hold q —
+    in pure integer arithmetic. (The naive floor(rank·10/n) spreads
+    the larger buckets evenly instead of front-loading them and
+    disagrees with ntile whenever 10 ∤ n — caught in staging because
+    every driver SF's customer count happens to be divisible by 10.)"""
     o = Tables(spark, sf_dir).orders
     per = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum("o_totalprice").alias("x")
@@ -724,9 +728,18 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiled = (
         global_rank(per, "x", "ck", out="pos")
         .crossJoin(F.broadcast(n_cust))
+        .withColumn("q", F.expr("nc div 10"))
+        .withColumn("r", F.col("nc") % 10)
+        .withColumn("cut", F.col("r") * (F.col("q") + 1))
         .select(
             "x",
-            (F.floor(F.col("pos") * 10 / F.col("nc")) + 1).alias("decile"),
+            (
+                F.when(
+                    F.col("pos") < F.col("cut"),
+                    F.expr("pos div (q + 1)"),
+                ).otherwise(F.col("r") + F.expr("(pos - cut) div q"))
+                + 1
+            ).alias("decile"),
         )
     )
     agg = tiled.groupBy("decile").agg(

@@ -115,3 +115,43 @@ def test_clustering_coeff_agrees_with_global_triangles(spark):
         registry.QUERIES["triangle_count_nations"](spark, SF_SMALL).first()[0]
     )
     assert per_node == 3 * glob
+
+
+def test_lorenz_ntile_closed_form_matches_ntile_for_uneven_n(spark, tmp_path):
+    """Every driver SF's customer count is divisible by 10, so the
+    oracle comparison never exercises ntile's uneven-bucket rule; this
+    pins the engine's piecewise closed form against DuckDB's real ntile
+    at n = 1007 customers (7 buckets get the extra row). The naive
+    floor(rank·10/n) form FAILS this test — it spreads the larger
+    buckets evenly instead of front-loading them."""
+    import duckdb as d
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1007
+    # one order per customer, strictly increasing totalprice
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), type=pa.int64()),
+            "o_custkey": pa.array(range(n), type=pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n),
+            "o_totalprice": pa.array([100.0 + 3.0 * i for i in range(n)]),
+            "o_orderdate": pa.array([1_700_000_000_000_000] * n,
+                                    type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    fn, oracle = STAGED["lorenz_curve_deciles"]
+    got = {r["decile"]: r["n_customers"] for r in fn(spark, str(tmp_path)).collect()}
+    con2 = d.connect()
+    con2.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path / 'orders.parquet'}'"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con2.execute(oracle).fetchall()
+    }
+    assert got == want
+    # ntile front-loads: first 7 deciles have 101, the rest 100
+    assert [got[i] for i in range(1, 11)] == [101] * 7 + [100] * 3
