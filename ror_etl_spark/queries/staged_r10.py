@@ -332,7 +332,8 @@ def gumbel_block_maxima_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a date-keyed aggregate, a block-keyed max (weeks =
     days/7, integer arithmetic off one broadcast min date), then a
     scalar moment fit. Block maxima are the scalable EV method —
-    no order statistics over the raw data, only per-block maxes."""
+    no order statistics over the raw data, only per-block maxes.
+    Contract: requires >= 2 blocks (stddev_samp of one block is NULL)."""
     o = Tables(spark, sf_dir).orders
     daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
         F.sum("o_totalprice").alias("rev")
@@ -535,7 +536,9 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine does almost all the work), a 128-row window, and a 3-row
     join. Bin counts merge associatively across any partitioning —
     this is exactly the t-digest/KLL deployment shape with a
-    deterministic estimator contract instead of a randomized one."""
+    deterministic estimator contract instead of a randomized one.
+    Contract: requires max > min (a single-valued column has no bins)
+    and a non-empty table."""
     li = Tables(spark, sf_dir).lineitem
     ext = li.agg(
         F.min("l_extendedprice").alias("mn"),
