@@ -564,9 +564,21 @@ def test_tuned_lsh_lane_pool_strided_branch_matches_oracle(spark, tmp_path):
         texts.append(" ".join(flat[pos : pos + ln]))
         pos += ln
     n_planted = 40
-    src = rng.choice(n, size=2 * n_planted, replace=False).reshape(-1, 2)
+    n_near = 40
+    picks = rng.choice(n, size=2 * (n_planted + n_near), replace=False)
+    src = picks[: 2 * n_planted].reshape(-1, 2)
+    near_src = picks[2 * n_planted :].reshape(-1, 2)
     for a_i, b_i in src:
         texts[b_i] = texts[a_i]
+    near_exp = []  # pairs whose exact shingle Jaccard is >= the 0.8 verify
+    for a_i, b_i in near_src:
+        words = texts[a_i].split()
+        texts[b_i] = " ".join(words[:-1])  # drop last word: J ~ (w-3)/(w-2)
+        sh = lambda ws: {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        sa, sb = sh(words), sh(words[:-1])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.8:
+            near_exp.append((min(a_i, b_i), max(a_i, b_i)))
     doc_path = str(tmp_path / "documents.parquet")
     pq.write_table(
         pa.table(
@@ -600,3 +612,12 @@ def test_tuned_lsh_lane_pool_strided_branch_matches_oracle(spark, tmp_path):
     planted = {(min(a, c), max(a, c)) for a, c in src}
     found = set(zip(got["id_a"], got["id_b"]))
     assert planted <= found, "planted exact duplicates must survive the funnel"
+    # RECALL under the shared-pool banding: near-dup pairs at J in
+    # [0.8, ~0.92] are where band correlation (strided draws share
+    # lanes) could depress the OR-construction bound. The independent
+    # bound at J=0.83 with (r=9, b=17) is ~0.97; assert a loose floor
+    # so statistical variance can't flake the suite while a real
+    # correlation collapse (recall ~0.5) would still fail loudly.
+    assert len(near_exp) >= 20, "corpus should yield >= 20 J>=0.8 near pairs"
+    caught = sum(1 for p in near_exp if p in found)
+    assert caught / len(near_exp) >= 0.85, (caught, len(near_exp))
