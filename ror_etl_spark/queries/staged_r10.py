@@ -1392,3 +1392,304 @@ def mutual_information_priority_status(
             ).alias("nmi"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Third wave: QQ report, interarrival fit, burstiness, bipartite projection
+# ---------------------------------------------------------------------------
+
+_QQ_PS = [i / 10.0 for i in range(1, 10)]
+
+
+def _qq_oracle() -> str:
+    ps = ", ".join(str(p) for p in _QQ_PS)
+    side = """
+    g_{s} AS (
+      SELECT value AS v, count(*) AS c FROM events
+      WHERE event_type = '{t}' GROUP BY value),
+    n_{s} AS (SELECT sum(c) AS n FROM g_{s}),
+    cum_{s} AS (
+      SELECT v, sum(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM g_{s}),
+    q_{s} AS (
+      SELECT p.p, min(cum_{s}.v) AS q
+      FROM (SELECT unnest([{ps}]) AS p) p
+      JOIN cum_{s} ON cum_{s}.cum >= ceil(p.p * (SELECT n FROM n_{s}))
+      GROUP BY p.p)"""
+    a = side.format(s="a", t="click", ps=ps)
+    b = side.format(s="b", t="purchase", ps=ps)
+    return f"""
+    WITH {a}, {b}
+    SELECT q_a.p AS p,
+           round(q_a.q + 1e-9, 4) AS q_click,
+           round(q_b.q + 1e-9, 4) AS q_purchase,
+           round(q_b.q - q_a.q + 1e-9, 4) AS gap
+    FROM q_a JOIN q_b ON q_a.p = q_b.p
+    ORDER BY q_a.p
+    """
+
+
+@staged("qq_deciles_click_purchase", oracle=_qq_oracle())
+def qq_deciles_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile report between click and purchase values at the
+    nine deciles — WHERE the two distributions differ, the drill-down
+    the scalar KS statistic (ks_test_value_click_purchase) motivates.
+    Quantiles are discrete (smallest v with cumcount ≥ ceil(p·n)), so
+    every reported value is an actual data point and the integer
+    threshold rule is exact on both engines.
+
+    Scale shape: per-side distinct-value aggregate, a DISTRIBUTED
+    cumulative (``global_cumsum``), and a 9-row min-join — the
+    histogram_quantile_sketch shape with exact discrete output."""
+    e = Tables(spark, sf_dir).events
+    ps = spark.createDataFrame([(p,) for p in _QQ_PS], "p double")
+
+    def side(t: str, out: str) -> DataFrame:
+        g = (
+            e.filter(F.col("event_type") == t)
+            .groupBy(F.col("value").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        n = g.agg(F.sum("c").alias("n"))
+        cum = global_cumsum(g, ["v"], "c", out="before").select(
+            "v", (F.col("before") + F.col("c")).alias("cum")
+        )
+        return (
+            F.broadcast(ps)
+            .join(
+                cum.crossJoin(F.broadcast(n)),
+                F.col("cum") >= F.ceil(F.col("p") * F.col("n")),
+            )
+            .groupBy("p")
+            .agg(F.min("v").alias(out))
+        )
+    qa, qb = side("click", "q_click"), side("purchase", "q_purchase")
+    return (
+        qa.join(qb, "p")
+        .select(
+            "p",
+            F.round(F.col("q_click") + 1e-9, 4).alias("q_click"),
+            F.round(F.col("q_purchase") + 1e-9, 4).alias("q_purchase"),
+            F.round(F.col("q_purchase") - F.col("q_click") + 1e-9, 4).alias(
+                "gap"
+            ),
+        )
+        .orderBy("p")
+    )
+
+
+@staged(
+    "interarrival_exponential_fit",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    gaps AS (
+      SELECT (epoch_us(ts) - epoch_us(prev)) / 1000000.0 AS g
+      FROM ev WHERE prev IS NOT NULL AND epoch_us(ts) > epoch_us(prev)),
+    dist AS (SELECT g, count(*) AS c FROM gaps GROUP BY g),
+    n AS (SELECT sum(c) AS n, sum(g * c) AS s FROM dist),
+    cum AS (
+      SELECT g, c, sum(c) OVER (ORDER BY g
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dist),
+    ks AS (
+      SELECT max(greatest(
+               abs(cum / n.n - (1 - exp(-(n.n / n.s) * g))),
+               abs((cum - c) / n.n - (1 - exp(-(n.n / n.s) * g))))) AS d
+      FROM cum, n)
+    SELECT CAST(n.n AS BIGINT) AS n_gaps,
+           round(n.n / n.s + 1e-9, 6) AS lambda_per_s,
+           round(n.s / n.n + 1e-9, 4) AS mean_gap_s,
+           round(ks.d + 1e-9, 6) AS ks_d
+    FROM n, ks
+    """,
+)
+def interarrival_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are user events a Poisson process? Fit Exponential(λ) to per-user
+    interarrival gaps by MLE (λ = 1/mean) and report the KS distance
+    between the empirical gap CDF and the fitted CDF — evaluated at
+    every distinct gap with BOTH one-sided deviations (ECDF jumps, so
+    the sup needs the pre-jump value too). Large ks_d = bursty/sessioned
+    traffic, the usual rejection of the Poisson assumption.
+
+    Scale shape: one per-user lag window (partitioned by user — no
+    global sort), a distinct-gap aggregate, one cumulative over the
+    gap-domain frame, a scalar fit. Zero-length gaps (same-timestamp
+    events) are excluded — exponential support is strictly positive."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev"),
+    )
+    gaps = (
+        ev.filter(F.col("prev").isNotNull())
+        .select(
+            (
+                F.timestamp_diff("MICROSECOND", F.col("prev"), F.col("ts"))
+                / 1000000.0
+            ).alias("g")
+        )
+        .filter(F.col("g") > 0)
+    )
+    dist = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    n = dist.agg(
+        F.sum("c").alias("n"), F.sum(F.col("g") * F.col("c")).alias("s")
+    )
+    cum = global_cumsum(dist, ["g"], "c", out="before").select(
+        "g", "c", (F.col("before") + F.col("c")).alias("cum")
+    )
+    lam = F.col("n") / F.col("s")
+    fitted = 1 - F.exp(-lam * F.col("g"))
+    ks = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.greatest(
+                    F.abs(F.col("cum") / F.col("n") - fitted),
+                    F.abs((F.col("cum") - F.col("c")) / F.col("n") - fitted),
+                )
+            ).alias("d")
+        )
+    )
+    return n.crossJoin(F.broadcast(ks)).select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(F.col("n") / F.col("s") + 1e-9, 6).alias("lambda_per_s"),
+        F.round(F.col("s") / F.col("n") + 1e-9, 4).alias("mean_gap_s"),
+        F.round(F.col("d") + 1e-9, 6).alias("ks_d"),
+    )
+
+
+@staged(
+    "fano_factor_by_event_type",
+    oracle="""
+    WITH span AS (
+      SELECT epoch_us(min(ts)) // 3600000000 AS h0,
+             epoch_us(max(ts)) // 3600000000 AS h1
+      FROM events),
+    hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, h),
+    per AS (
+      SELECT event_type, sum(c) AS total, sum(c * c) AS sq,
+             count(*) AS nz
+      FROM hourly GROUP BY event_type),
+    stats AS (
+      SELECT event_type, total,
+             span.h1 - span.h0 + 1 AS span_h,
+             total / (span.h1 - span.h0 + 1.0) AS mu,
+             (sq - total * total / (span.h1 - span.h0 + 1.0))
+               / (span.h1 - span.h0) AS var
+      FROM per, span)
+    SELECT event_type,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(span_h AS BIGINT) AS span_hours,
+           round(var / mu + 1e-9, 4) AS fano,
+           round((sqrt(var) - mu) / (sqrt(var) + mu) + 1e-9, 4)
+             AS burstiness
+    FROM stats ORDER BY event_type
+    """,
+)
+def fano_factor_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of hourly counts) and the
+    Goh-Barabási burstiness index (σ-μ)/(σ+μ) per event type — Poisson
+    traffic sits at fano ≈ 1 / burstiness ≈ -something small; bots and
+    campaign spikes push both up. Zero-count hours INSIDE the global
+    [first, last] hour span are part of the distribution; their
+    contribution is folded in algebraically (Σ(c-μ)² over the span =
+    Σc² - total²/span, sample-variance denominator span-1), so no
+    zero-row frame is ever materialized.
+
+    Scale shape: one (type, hour)-keyed aggregate, then type-keyed
+    rollups — the hourly frame is time-domain-sized. The hour index is
+    exact integer microsecond arithmetic (NTZ-safe timestamp_diff from
+    the epoch literal on the Spark side, epoch_us // on the oracle)."""
+    e = Tables(spark, sf_dir).events
+    hour = F.expr(
+        "timestampdiff(MICROSECOND, "
+        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts) div 3600000000"
+    )
+    hourly = e.groupBy(
+        "event_type", hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    sp = F.col("h1") - F.col("h0") + 1
+    mu = F.col("total") / (F.col("h1") - F.col("h0") + 1.0)
+    var = (F.col("sq") - F.col("total") * F.col("total") / (F.col("h1") - F.col("h0") + 1.0)) / (
+        F.col("h1") - F.col("h0")
+    )
+    return (
+        per.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("total").cast("long").alias("n_events"),
+            sp.cast("long").alias("span_hours"),
+            F.round(var / mu + 1e-9, 4).alias("fano"),
+            F.round(
+                (F.sqrt(var) - mu) / (F.sqrt(var) + mu) + 1e-9, 4
+            ).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BIPROJ_MIN_ORDERS = 2
+
+
+@staged(
+    "bipartite_projection_suppliers",
+    oracle=f"""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    pairs AS (
+      SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS n_orders
+      FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+      GROUP BY s1, s2)
+    SELECT s1, s2, n_orders
+    FROM pairs WHERE n_orders >= {_BIPROJ_MIN_ORDERS}
+    ORDER BY n_orders DESC, s1, s2 LIMIT 50
+    """,
+)
+def bipartite_projection_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bipartite projection of the order-supplier graph onto suppliers:
+    supplier pairs co-occurring in >= 2 orders, strongest first —
+    the co-purchasing / co-fulfillment network behind supplier
+    clustering and substitution analysis. The within-order self-join is
+    the standard projection; its output per order is bounded by the
+    order's supplier-set size squared (TPC-H orders hold ≤ 7 lines), so
+    the join never leaves the order-locality — at 100 TB this is one
+    shuffle on orderkey and per-key local pair generation, exactly the
+    market-basket shape (the registered basket op mines item pairs; this
+    projects the other side of the bipartite graph).
+
+    Top-k cutoff is decided on (n_orders, s1, s2) — all integers."""
+    li = Tables(spark, sf_dir).lineitem
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") < F.col("b.sk")))
+        .groupBy(
+            F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        pairs.filter(F.col("n_orders") >= _BIPROJ_MIN_ORDERS)
+        .orderBy(F.desc("n_orders"), "s1", "s2")
+        .limit(50)
+    )
