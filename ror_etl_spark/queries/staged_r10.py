@@ -1693,3 +1693,315 @@ def bipartite_projection_suppliers(
         .orderBy(F.desc("n_orders"), "s1", "s2")
         .limit(50)
     )
+
+# ---------------------------------------------------------------------------
+# Fourth wave: Theil index, elasticity OLS, robust means, dup-cluster census,
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "theil_index_customer_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS ck, sum(o_totalprice) AS x
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT count(*) AS n, sum(x) AS s FROM per)
+    SELECT CAST(tot.n AS BIGINT) AS n_customers,
+           round(sum((x / (tot.s / tot.n)) * ln(x / (tot.s / tot.n)))
+                 / tot.n + 1e-9, 6) AS theil_t,
+           round(-sum(ln(x / (tot.s / tot.n))) / tot.n + 1e-9, 6) AS theil_l
+    FROM per, tot GROUP BY tot.n, tot.s
+    """,
+)
+def theil_index_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and L (mean-log-deviation) inequality indices over
+    customer revenue — the DECOMPOSABLE inequality family next to the
+    registered Gini/Lorenz/HHI: Theil splits exactly into within-group
+    + between-group terms, which is why large-scale corpus/revenue
+    audits prefer it. T = (1/n)Σ(x/μ)ln(x/μ), L = (1/n)Σln(μ/x); both
+    need only per-row terms against two broadcast scalars. Contract:
+    x > 0 for every customer (revenue sums of positive prices).
+
+    Scale shape: one customer-keyed aggregate, one broadcast of (n, s),
+    one scalar aggregate — no sort anywhere."""
+    o = Tables(spark, sf_dir).orders
+    per = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    mu = F.col("s") / F.col("n")
+    r = F.col("x") / mu
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round((F.sum(r * F.log(r)) / F.max("n")) + 1e-9, 6).alias(
+                "theil_t"
+            ),
+            F.round((-F.sum(F.log(r)) / F.max("n")) + 1e-9, 6).alias(
+                "theil_l"
+            ),
+        )
+    )
+
+
+@staged(
+    "ols_log_elasticity_qty_price",
+    oracle="""
+    WITH daily AS (
+      SELECT l_shipdate AS dt, ln(sum(l_quantity)) AS lq,
+             ln(avg(l_extendedprice)) AS lp
+      FROM lineitem GROUP BY l_shipdate)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round((avg(lp * lq) - avg(lp) * avg(lq))
+                 / (avg(lp * lp) - avg(lp) * avg(lp)) + 1e-9, 4)
+             AS elasticity,
+           round(avg(lq) - (avg(lp * lq) - avg(lp) * avg(lq))
+                 / (avg(lp * lp) - avg(lp) * avg(lp)) * avg(lp) + 1e-9, 4)
+             AS intercept,
+           round(pow(avg(lp * lq) - avg(lp) * avg(lq), 2)
+                 / ((avg(lp * lp) - avg(lp) * avg(lp))
+                    * (avg(lq * lq) - avg(lq) * avg(lq))) + 1e-9, 4)
+             AS r_squared
+    FROM daily
+    """,
+)
+def ols_log_elasticity_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS of daily quantity on daily average price — the slope
+    IS the price elasticity of demand, the intercept the log baseline,
+    plus R². Closed-form moments only (cov/var of the logged series),
+    identical fp sequence on both engines — the regression never
+    materializes residuals.
+
+    Scale shape: one date-keyed aggregate, one scalar moment aggregate.
+    The elasticity estimate a 100 TB retail corpus needs costs exactly
+    one groupBy."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(F.col("l_shipdate").alias("dt")).agg(
+        F.log(F.sum("l_quantity")).alias("lq"),
+        F.log(F.avg("l_extendedprice")).alias("lp"),
+    )
+    lp, lq = F.col("lp"), F.col("lq")
+    cov = F.avg(lp * lq) - F.avg(lp) * F.avg(lq)
+    varp = F.avg(lp * lp) - F.avg(lp) * F.avg(lp)
+    varq = F.avg(lq * lq) - F.avg(lq) * F.avg(lq)
+    slope = cov / varp
+    return daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(slope + 1e-9, 4).alias("elasticity"),
+        F.round(F.avg(lq) - slope * F.avg(lp) + 1e-9, 4).alias("intercept"),
+        F.round(F.pow(cov, F.lit(2)) / (varp * varq) + 1e-9, 4).alias(
+            "r_squared"
+        ),
+    )
+
+
+_TRIM_P = 0.05  # symmetric trim/winsor fraction
+
+
+@staged(
+    "trimmed_winsorized_mean_totalprice",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_totalprice AS v, count(*) AS c FROM orders GROUP BY v),
+    n AS (SELECT sum(c) AS n FROM g),
+    cum AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g),
+    lo AS (SELECT min(v) AS q FROM cum, n
+           WHERE before + c >= ceil({_TRIM_P} * n.n)),
+    hi AS (SELECT min(v) AS q FROM cum, n
+           WHERE before + c >= ceil((1 - {_TRIM_P}) * n.n)),
+    w AS (
+      SELECT sum(c * CASE WHEN v < lo.q THEN lo.q
+                          WHEN v > hi.q THEN hi.q ELSE v END) / n.n AS wmean
+      FROM cum, lo, hi, n GROUP BY n.n),
+    t AS (
+      SELECT sum(CASE WHEN v >= lo.q AND v <= hi.q THEN c * v END)
+             / sum(CASE WHEN v >= lo.q AND v <= hi.q THEN c END) AS tmean
+      FROM cum, lo, hi)
+    SELECT round((SELECT avg(o_totalprice) FROM orders) + 1e-9, 4) AS mean,
+           round(t.tmean + 1e-9, 4) AS trimmed_mean,
+           round(w.wmean + 1e-9, 4) AS winsorized_mean,
+           round(lo.q + 1e-9, 4) AS p05, round(hi.q + 1e-9, 4) AS p95
+    FROM t, w, lo, hi
+    """,
+)
+def trimmed_winsorized_mean_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust location report for order totalprice: the raw mean next to
+    the 5% symmetric TRIMMED mean (drop the tails) and WINSORIZED mean
+    (clamp the tails to the p05/p95 cut values) — the outlier-resistant
+    aggregates a metrics pipeline publishes when the raw mean is
+    tail-dominated. Cut points use the discrete quantile rule (smallest
+    v with cumcount ≥ ceil(p·n) over the shared double p·n), so both
+    engines pick identical actual data values; the trim keeps v in
+    [p05, p95] inclusive.
+
+    Scale shape: one distinct-value aggregate, one DISTRIBUTED cumsum
+    (``global_cumsum``), two broadcast cut scalars, one conditional
+    aggregate — never a global sort of the fact table."""
+    o = Tables(spark, sf_dir).orders
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = g.agg(F.sum("c").alias("n"))
+    cum = global_cumsum(g, ["v"], "c", out="before")
+
+    def cut(p: float, out: str) -> DataFrame:
+        return (
+            cum.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("before") + F.col("c") >= F.ceil(F.lit(p) * F.col("n"))
+            )
+            .agg(F.min("v").alias(out))
+        )
+
+    lo, hi = cut(_TRIM_P, "p05"), cut(1 - _TRIM_P, "p95")
+    base = cum.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi)).crossJoin(
+        F.broadcast(n)
+    )
+    v, c = F.col("v"), F.col("c")
+    clamped = (
+        F.when(v < F.col("p05"), F.col("p05"))
+        .when(v > F.col("p95"), F.col("p95"))
+        .otherwise(v)
+    )
+    inside = (v >= F.col("p05")) & (v <= F.col("p95"))
+    agg = base.agg(
+        (F.sum(c * clamped) / F.max("n")).alias("wmean"),
+        (
+            F.sum(F.when(inside, c * v)) / F.sum(F.when(inside, c))
+        ).alias("tmean"),
+        F.max("p05").alias("p05"),
+        F.max("p95").alias("p95"),
+    )
+    mean = o.agg(F.avg("o_totalprice").alias("mean"))
+    return agg.crossJoin(F.broadcast(mean)).select(
+        F.round(F.col("mean") + 1e-9, 4).alias("mean"),
+        F.round(F.col("tmean") + 1e-9, 4).alias("trimmed_mean"),
+        F.round(F.col("wmean") + 1e-9, 4).alias("winsorized_mean"),
+        F.round(F.col("p05") + 1e-9, 4).alias("p05"),
+        F.round(F.col("p95") + 1e-9, 4).alias("p95"),
+    )
+
+
+@staged(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS f FROM documents),
+    sizes AS (SELECT f, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY f)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz ORDER BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size census: how many fingerprint
+    clusters of each size exist, how many documents they hold, and how
+    many a keep-one policy would remove — the capacity-planning report
+    read BEFORE running the funnel (expected output size = Σ
+    n_removable; a single giant cluster flags template spam). md5 over
+    the raw text is the portable fingerprint both engines share.
+
+    Scale shape: one fingerprint groupBy (16-byte keys — the exact_dedup
+    shuffle), then a count-of-counts over the cluster-domain frame —
+    the same collapse that makes good_turing cheap."""
+    d = spread(Tables(spark, sf_dir).documents)
+    sizes = d.select(F.md5("text").alias("f")).groupBy("f").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+        )
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@staged(
+    "kendall_tau_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate),
+    pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.dt > a.dt),
+    s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                 CAST(count(*) AS BIGINT) AS n0 FROM pairs),
+    tx AS (SELECT coalesce(sum(c * (c - 1) / 2), 0) AS t1
+           FROM (SELECT count(*) AS c FROM daily GROUP BY rev)
+           WHERE c > 1)
+    SELECT s.n0 AS n_pairs, s.s_stat,
+           round(s.s_stat / sqrt((s.n0 - tx.t1) * CAST(s.n0 AS DOUBLE))
+                 + 1e-9, 6) AS tau_b
+    FROM s, tx
+    """,
+)
+def kendall_tau_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between day order and daily revenue — the
+    normalized effect size next to the registered Mann-Kendall test
+    (MK's S says whether the trend is significant; tau-b says how
+    strong it is, in [-1, 1]). The time axis is a total order (distinct
+    dates — no ties), so tau-b's denominator reduces to
+    sqrt((n0 - t_rev)·n0) with only the revenue-tie term; S and both
+    tie counts are exact integers, one division at the end.
+
+    Scale shape: the calendar-bounded pair frame shared with
+    mann_kendall/theil_sen (~2.9M pairs at full calendar, flat in data
+    volume) reduced to one integer, plus a tie scan of the daily
+    frame."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+    )
+    s = a.join(b, F.col("b.dt") > F.col("a.dt")).agg(
+        F.sum(sgn).alias("s_stat"), F.count(F.lit(1)).alias("n0")
+    )
+    tx = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            ).alias("t1")
+        )
+    )
+    return s.crossJoin(F.broadcast(tx)).select(
+        F.col("n0").alias("n_pairs"),
+        "s_stat",
+        F.round(
+            F.col("s_stat")
+            / F.sqrt(
+                (F.col("n0") - F.col("t1")) * F.col("n0").cast("double")
+            )
+            + 1e-9,
+            6,
+        ).alias("tau_b"),
+    )
