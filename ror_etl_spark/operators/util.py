@@ -149,8 +149,8 @@ def global_cummax(
 def global_cumsum(
     df: DataFrame,
     order_cols: list[str],
-    val: str,
-    out: str = "prior_sum",
+    val: str | list[str],
+    out: str | list[str] = "prior_sum",
     n_parts: int = 8,
 ) -> DataFrame:
     """Distributed EXCLUSIVE running sum over a global sort order (0 for
@@ -158,37 +158,54 @@ def global_cumsum(
     same three-step decomposition (range partition, pid-local exclusive
     window, broadcast per-partition totals as carry-ins); see that
     docstring for why the single-task global window is the anti-pattern.
-    ``order_cols`` must be duplicate-free across rows."""
+    ``order_cols`` must be duplicate-free across rows.
+
+    ``val``/``out`` accept lists to compute SEVERAL running sums over
+    the same order in ONE range shuffle + checkpoint + carry join — a
+    two-sample ECDF (cumulating both classes' counts) would otherwise
+    pay the whole decomposition twice."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+
+    vals = [val] if isinstance(val, str) else list(val)
+    outs = [out] if isinstance(out, str) else list(out)
+    assert len(vals) == len(outs), "val/out lists must pair up"
 
     rp = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    local = F.sum(val).over(
+    wloc = (
         W.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    wcarry = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
     carry = (
         rp.groupBy("__pid")
-        .agg(F.sum(val).alias("__ptot"))
-        .withColumn(
-            "__carry",
-            F.sum("__ptot").over(
-                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-            ),
+        .agg(*[F.sum(v).alias(f"__ptot_{i}") for i, v in enumerate(vals)])
+        .select(
+            "__pid",
+            *[
+                F.sum(f"__ptot_{i}").over(wcarry).alias(f"__carry_{i}")
+                for i in range(len(vals))
+            ],
         )
-        .select("__pid", "__carry")
     )
-    return (
-        rp.withColumn("__local", local)
-        .join(F.broadcast(carry), "__pid")
-        .withColumn(
-            out,
-            F.coalesce("__local", F.lit(0)) + F.coalesce("__carry", F.lit(0)),
+    res = rp
+    for i, v in enumerate(vals):
+        res = res.withColumn(f"__local_{i}", F.sum(v).over(wloc))
+    res = res.join(F.broadcast(carry), "__pid")
+    for i, o in enumerate(outs):
+        res = res.withColumn(
+            o,
+            F.coalesce(f"__local_{i}", F.lit(0))
+            + F.coalesce(f"__carry_{i}", F.lit(0)),
         )
-        .drop("__pid", "__local", "__carry")
+    drop = (
+        ["__pid"]
+        + [f"__local_{i}" for i in range(len(vals))]
+        + [f"__carry_{i}" for i in range(len(vals))]
     )
+    return res.drop(*drop)

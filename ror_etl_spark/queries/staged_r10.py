@@ -111,12 +111,7 @@ def ks_test_value_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
     cum = (
-        global_cumsum(
-            global_cumsum(g, ["value"], "ca", out="pa"),
-            ["value"],
-            "cb",
-            out="pb",
-        )
+        global_cumsum(g, ["value"], ["ca", "cb"], out=["pa", "pb"])
         .select(
             (F.col("pa") + F.col("ca")).alias("cca"),
             (F.col("pb") + F.col("cb")).alias("ccb"),
@@ -1197,6 +1192,10 @@ def llr_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         docs.select(ts.alias("ts"))
+        # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a
+        # sub-2-token doc would index element_at(ts, 0) and crash; the
+        # market-basket op documents the same landmine
+        .where(F.size("ts") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("pr"))
         .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
         .where((F.col("w1") != "") & (F.col("w2") != ""))
@@ -1606,7 +1605,9 @@ def fano_factor_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-row frame is ever materialized.
 
     Scale shape: one (type, hour)-keyed aggregate, then type-keyed
-    rollups — the hourly frame is time-domain-sized. The hour index is
+    rollups — the hourly frame is time-domain-sized. Contract: the
+    events table must span >= 2 distinct hours (the sample-variance
+    denominator is span-1). The hour index is
     exact integer microsecond arithmetic (NTZ-safe timestamp_diff from
     the epoch literal on the Spark side, epoch_us // on the oracle)."""
     e = Tables(spark, sf_dir).events

@@ -1785,7 +1785,6 @@ def embedding_int8_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PROD_TWIN_OFFSET = 10_000_000
 _PROD_TWIN_MOD = 20
 _PROD_THRESHOLD = 0.9
 
@@ -1800,7 +1799,7 @@ def _near_dup_prod_oracle(
     """DuckDB replay of the PRODUCTION-threshold near-dup funnel with a
     planted-recall contract. The corpus is the embeddings table plus a
     deterministic ~5% planted-twin set (vec_id % 20 == 0, id offset
-    10M, v' = v + 0.1·rot(v) element-wise in binary64 — cos(v, v') ∈
+    max(vec_id)+1 — collision-free at any corpus size, v' = v + 0.1·rot(v) element-wise in binary64 — cos(v, v') ∈
     [0.995, 1] for ANY v, so every planted pair is a true ≥0.9
     near-dup by construction). The funnel is the corpus-tuned
     hyperplane-LSH of ``_near_dup_tuned_oracle`` — (p, t) re-derived
@@ -1833,11 +1832,12 @@ def _near_dup_prod_oracle(
     return f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mo AS (SELECT max(vec_id) + 1 AS o FROM base),
     tw AS (
-      SELECT vec_id + {_PROD_TWIN_OFFSET} AS vec_id,
+      SELECT vec_id + mo.o AS vec_id,
              list_transform(v, (x, i) ->
                x + CAST(0.1 AS DOUBLE) * v[(i % 64) + 1]) AS v
-      FROM base WHERE vec_id % {_PROD_TWIN_MOD} = 0),
+      FROM base, mo WHERE vec_id % {_PROD_TWIN_MOD} = 0),
     e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM tw),
     nn AS (SELECT count(*) AS n FROM e),
     p0 AS (SELECT coalesce(min(range), {max_planes})::INT AS p
@@ -1871,8 +1871,8 @@ def _near_dup_prod_oracle(
       FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
       WHERE round({cos}, 6) >= {threshold}),
     planted AS (
-      SELECT vec_id AS id_a, vec_id + {_PROD_TWIN_OFFSET} AS id_b
-      FROM base WHERE vec_id % {_PROD_TWIN_MOD} = 0),
+      SELECT vec_id AS id_a, vec_id + mo.o AS id_b
+      FROM base, mo WHERE vec_id % {_PROD_TWIN_MOD} = 0),
     agg AS (
       SELECT CAST(count(*) FILTER (WHERE p.id_a IS NOT NULL) AS BIGINT)
                AS n_found,
@@ -1900,7 +1900,7 @@ def embedding_near_dup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame
     stays candidate-bound) — with recall made MEASURABLE by a
     deterministic planted-twin contract:
 
-    - every vec_id % 20 == 0 gets a twin at id+10M with
+    - every vec_id % 20 == 0 gets a twin at id + max(vec_id)+1 with
       v' = v + 0.1·rot(v) (element-wise, binary64). cos(v, v') =
       (1 + 0.1c)/sqrt(1.01 + 0.2c) for c = v·rot(v)/|v|² ∈ [-1, 1],
       which is ≥ 0.995 for all c — every planted pair is a genuine
@@ -1933,15 +1933,28 @@ def embedding_near_dup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     row = base.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("vec_id") % _PROD_TWIN_MOD == 0).cast("long")).alias("np"),
+        F.coalesce(
+            F.sum((F.col("vec_id") % _PROD_TWIN_MOD == 0).cast("long")),
+            F.lit(0),
+        ).alias("np"),
+        F.max("vec_id").alias("mx"),
     ).first()
+    if not row["n"]:
+        raise ValueError(
+            "embedding_near_dup_pairs_prod requires a non-empty embeddings "
+            "table (the planted-recall denominator needs >= 1 twin)"
+        )
     total = int(row["n"]) + int(row["np"])
+    # twin ids sit just past the real id range, so they can never collide
+    # with a base vec_id at ANY corpus size; the oracle derives the same
+    # offset as max(vec_id) + 1 inside the SQL
+    offset = int(row["mx"]) + 1
     p = tuned_planes(total)
     t = tuned_tables_for_planes(
         p, threshold=_PROD_THRESHOLD, target_recall=0.9, max_tables=32
     )
     twins = base.filter(F.col("vec_id") % _PROD_TWIN_MOD == 0).select(
-        (F.col("vec_id") + _PROD_TWIN_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + offset).alias("vec_id"),
         F.expr(
             "transform(v, (x, i) -> "
             "x + CAST(0.1 AS DOUBLE) * element_at(v, ((i + 1) % 64) + 1))"
@@ -1959,7 +1972,7 @@ def embedding_near_dup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     planted = base.filter(F.col("vec_id") % _PROD_TWIN_MOD == 0).select(
         F.col("vec_id").alias("id_a"),
-        (F.col("vec_id") + _PROD_TWIN_OFFSET).alias("id_b"),
+        (F.col("vec_id") + offset).alias("id_b"),
         F.lit(1).alias("is_pl"),
     )
     marked = pairs.join(F.broadcast(planted), ["id_a", "id_b"], "left")
