@@ -21,6 +21,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# iteration frames are re-read a few times then dead; DISK_ONLY keeps
+# them out of storage memory (see queries/util.ordered)
+_DISK_ONLY = StorageLevel.DISK_ONLY
 
 
 class ConvergenceError(RuntimeError):
@@ -47,13 +52,13 @@ def connected_components(
     sym = fwd.union(
         pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
 
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
     )
 
     iterations = 0
@@ -75,7 +80,7 @@ def connected_components(
                     labels["component"], F.coalesce(F.col("nmin"), labels["component"])
                 ).alias("component"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
         n_changed = updated.filter(F.col("prev") != F.col("component")).count()
         labels = updated.select("id", "component")

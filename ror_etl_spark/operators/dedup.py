@@ -485,8 +485,14 @@ def jaccard_verify(
     checkpoint the banding self-join re-executes per reference (the r9
     sf10 funnel measured 237 s cold from exactly that compounding; 42 s
     with it). Candidates are output-sized, so the checkpoint is
-    bounded."""
-    pairs = pairs.localCheckpoint(eager=False)
+    bounded; it is stored DISK_ONLY because the frame is read a handful
+    of times while the blocks would otherwise sit in executor storage
+    memory until the async ContextCleaner gets to them — in a
+    small-heap session running many queries back-to-back that
+    accumulation starved later broadcast builds (r9 endurance sweep)."""
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     ids = (
         pairs.select(F.col("id_a").alias("__cid"))
         .unionAll(pairs.select(F.col("id_b").alias("__cid")))

@@ -74,4 +74,12 @@ def ordered(df, *cols):
     the upstream plan from the invariants tests' explain() inspection."""
     if df.sparkSession.conf.get("spark.ror.ordered.checkpoint", "true") == "false":
         return df.orderBy(*cols)
-    return df.localCheckpoint(eager=False).orderBy(*cols)
+    # DISK_ONLY: the blocks are read twice (range sampling + sort) and
+    # then dead; keeping every query's result frame in storage MEMORY
+    # starves later broadcast builds when many queries share one
+    # small-heap session (r9 endurance sweep)
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    ).orderBy(*cols)

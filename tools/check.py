@@ -87,12 +87,22 @@ def main() -> int:
     for name in names:
         # per-query isolation: minhash-family queries .cache() signature
         # frames and verify/CC stages localCheckpoint bounded frames;
-        # across a 290-query endurance sweep in the vanilla session's 1g
-        # default heap those accumulate and a late broadcast build can
-        # OOM (observed once at sf0.1: dedup_exact_substring_spans failed
-        # in the full sweep, passed in isolation). The gate certifies
-        # per-query correctness, so drop cached state between queries.
+        # across a multi-query endurance sweep in the vanilla session's
+        # 1g default heap those accumulate and a broadcast build can OOM
+        # (observed at sf0.1: dedup_exact_substring_spans failed in the
+        # sweep, passed in isolation). The gate certifies per-query
+        # correctness, so drop cached state between queries — clearCache
+        # for CacheManager entries, then a Python+JVM GC so the
+        # ContextCleaner reaps localCheckpoint RDD blocks whose Python
+        # references the previous iteration just dropped.
+        import gc as _gc
+
         spark.catalog.clearCache()
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # connect-mode sessions have no _jvm; cache clear still ran
         t0 = time.time()
         try:
             sdf = registry.QUERIES[name](spark, args.sf).toPandas()
