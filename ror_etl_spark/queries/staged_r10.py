@@ -2006,3 +2006,284 @@ def kendall_tau_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+# ---------------------------------------------------------------------------
+# Fifth wave: graph diameter, embedding silhouette, knee-point detection
+# ---------------------------------------------------------------------------
+
+_DIAM_MAX_HOPS = 8
+
+
+@staged(
+    "graph_diameter_trade",
+    oracle=f"""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+                      greatest(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey),
+    sym AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b AS u, a AS v FROM und),
+    walk(src, node, d) AS (
+      SELECT a AS src, a AS node, 0 FROM (
+        SELECT a FROM und UNION SELECT b FROM und) t(a)
+      UNION
+      SELECT w.src, s.v, w.d + 1
+      FROM walk w JOIN sym s ON s.u = w.node
+      WHERE w.d < {_DIAM_MAX_HOPS}),
+    dist AS (SELECT src, node, min(d) AS d FROM walk GROUP BY src, node),
+    ecc AS (SELECT src, CAST(max(d) AS BIGINT) AS eccentricity
+            FROM dist GROUP BY src)
+    SELECT CAST(src AS INTEGER) AS n_nationkey, eccentricity,
+           (SELECT CAST(max(eccentricity) AS BIGINT) FROM ecc) AS diameter,
+           (SELECT CAST(min(eccentricity) AS BIGINT) FROM ecc) AS radius
+    FROM ecc ORDER BY n_nationkey
+    """,
+)
+def graph_diameter_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity plus graph diameter and radius of the
+    undirected nation trade graph — the fourth graph primitive (after
+    components, PageRank, triangles/clustering): multi-source BFS as a
+    bounded frontier loop. Every round one hash join extends all 25
+    BFS trees simultaneously and a min-aggregate collapses revisits;
+    rounds are capped at {hops} (the diameter of any trade graph this
+    dense is tiny, and the cap bounds the recursive oracle too).
+    Contract: reports reachable-set eccentricities (the trade graph is
+    connected; a disconnected input would understate them).
+
+    Scale shape: the edge derivation is the shared fact-table join;
+    the BFS state is (nodes x nodes)-bounded — node-domain-sized both
+    ways. At billions of nodes you'd sample sources; the loop shape is
+    unchanged (k frontier expansions, each one shuffle)."""
+    t = Tables(spark, sf_dir)
+    und = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=False)
+    nodes = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    dist = nodes.select(
+        F.col("n").alias("src"), F.col("n").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=False)
+    for _ in range(_DIAM_MAX_HOPS):
+        ext = (
+            dist.join(sym, dist["node"] == sym["u"])
+            .select("src", F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(ext)
+            .groupBy("src", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    ecc = dist.groupBy("src").agg(F.max("d").cast("long").alias("eccentricity"))
+    dr = ecc.agg(
+        F.max("eccentricity").alias("diameter"),
+        F.min("eccentricity").alias("radius"),
+    )
+    return (
+        ecc.crossJoin(F.broadcast(dr))
+        .select(
+            F.col("src").cast("int").alias("n_nationkey"),
+            "eccentricity",
+            "diameter",
+            "radius",
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+graph_diameter_trade.__doc__ = graph_diameter_trade.__doc__.format(
+    hops=_DIAM_MAX_HOPS
+)
+
+
+@staged(
+    "embedding_silhouette_by_label",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    dims AS (
+      SELECT label, idx.i AS i, avg(v[idx.i]) AS c
+      FROM e, (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, idx.i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS c FROM dims GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label AS own, cent.label AS cl,
+             sqrt(list_sum(list_transform(
+               list_zip(e.v, cent.c), p -> (p[1] - p[2]) * (p[1] - p[2]))))
+               AS dist
+      FROM e CROSS JOIN cent),
+    ab AS (
+      SELECT vec_id, own,
+             min(CASE WHEN cl = own THEN dist END) AS a,
+             min(CASE WHEN cl <> own THEN dist END) AS b
+      FROM d GROUP BY vec_id, own)
+    SELECT CAST(own AS INTEGER) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg((b - a) / greatest(a, b)) + 1e-9, 4) AS mean_silhouette
+    FROM ab GROUP BY own ORDER BY label
+    """,
+)
+def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid (simplified) silhouette per planted cluster label:
+    a = distance to the OWN label centroid, b = distance to the nearest
+    OTHER centroid, s = (b-a)/max(a,b) averaged per label — the cluster
+    cohesion/separation report the full O(n²) silhouette approximates
+    at scale (this is the medoid-free variant sklearn calls the
+    per-centroid shortcut; exact silhouette is quadratic in n and never
+    runs at 100 TB). Scores near 0 say the synthetic clusters are weak
+    (they are, by construction — 0.07 centroid spread vs 0.125 noise).
+
+    Scale shape: centroids are one (label, dim)-keyed aggregate
+    (640 rows) broadcast back; each vector computes k=10 distances
+    map-side; one label-keyed rollup. No pairwise anything."""
+    emb = Tables(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = (
+        e.select(
+            "label", F.posexplode("v").alias("i", "x")
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("c")))
+        ).alias("ic")
+    ).select(
+        F.col("label").alias("cl"),
+        F.transform("ic", lambda s: s["c"]).alias("c"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "cl",
+        dist.alias("dist"),
+    )
+    ab = d.groupBy("vec_id", "own").agg(
+        F.min(F.when(F.col("cl") == F.col("own"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.col("dist"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        ab.groupBy("own")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg(s) + 1e-9, 4).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("own").cast("int").alias("label"),
+            "n_vectors",
+            "mean_silhouette",
+        )
+        .orderBy("label")
+    )
+
+
+@staged(
+    "knee_point_customer_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS ck, sum(o_totalprice) AS x
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT x, ck,
+             row_number() OVER (ORDER BY x, ck) AS i,
+             sum(x) OVER (ORDER BY x, ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per),
+    ends AS (
+      SELECT max(i) AS n, sum(x) AS tot,
+             min(CASE WHEN i = 1 THEN cum END) AS y1
+      FROM r),
+    scored AS (
+      SELECT r.i, r.cum,
+             abs((ends.tot - ends.y1) * (r.i - 1)
+                 - (ends.n - 1) * (r.cum - ends.y1)) AS cross_d
+      FROM r, ends)
+    SELECT CAST(ends.n AS BIGINT) AS n_customers,
+           CAST(s.i AS BIGINT) AS knee_rank,
+           round(s.i / CAST(ends.n AS DOUBLE) + 1e-9, 4) AS knee_rank_share,
+           round(s.cum / ends.tot + 1e-9, 4) AS knee_cum_share
+    FROM ends,
+         (SELECT i, cum FROM scored ORDER BY cross_d DESC, i LIMIT 1) s
+    """,
+)
+def knee_point_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee/elbow of the cumulative customer-revenue curve (Kneedle's
+    max-distance-to-chord rule): rank customers by revenue, draw the
+    chord from the first to the last point of the cumulative curve, and
+    report the rank with the maximum perpendicular distance — "below
+    this rank, customers are the undifferentiated tail". The distance
+    ordering uses the UNNORMALIZED cross product (the chord norm is
+    constant, so argmax is identical) and the cumulative sums are
+    ORDER-FIXED (ascending (x, ck)), so both engines walk the same fp
+    sequence and the argmax cannot flap; ties break on the lower rank.
+
+    Scale shape: one customer-keyed aggregate, one distributed rank +
+    ordered cumsum (``global_rank``/``global_cumsum``), two broadcast
+    scalars, a TakeOrdered(1)."""
+    o = Tables(spark, sf_dir).orders
+    per = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    ranked = global_rank(per, "x", "ck", out="i0")
+    r = global_cumsum(ranked, ["x", "ck"], "x", out="before").select(
+        (F.col("i0") + 1).alias("i"),
+        (F.col("before") + F.col("x")).alias("cum"),
+        "x",
+    )
+    ends = r.agg(
+        F.max("i").alias("n"),
+        F.sum("x").alias("tot"),
+        F.min(F.when(F.col("i") == 1, F.col("cum"))).alias("y1"),
+    )
+    scored = r.crossJoin(F.broadcast(ends)).select(
+        "i",
+        "cum",
+        "n",
+        "tot",
+        F.abs(
+            (F.col("tot") - F.col("y1")) * (F.col("i") - 1)
+            - (F.col("n") - 1) * (F.col("cum") - F.col("y1"))
+        ).alias("cross_d"),
+    )
+    knee = scored.orderBy(F.desc("cross_d"), F.asc("i")).limit(1)
+    return knee.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("i").cast("long").alias("knee_rank"),
+        F.round(F.col("i") / F.col("n").cast("double") + 1e-9, 4).alias(
+            "knee_rank_share"
+        ),
+        F.round(F.col("cum") / F.col("tot") + 1e-9, 4).alias("knee_cum_share"),
+    )
