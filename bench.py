@@ -100,6 +100,28 @@ def main() -> None:
                     "~0.78-0.90 s")
     args = ap.parse_args()
 
+    # r10 (VERDICT r9 item 3): BENCH_r09 recorded at cpu_ref 0.931 — 20%
+    # above the historical floor — with quiet_gate_ok=true, so 22 queries
+    # read as regressed when the code was actually at parity. Tie the gate
+    # to the measured floor instead of a static band: the threshold is
+    # min(--quiet-cpu-ref, 1.1 x best cpu_ref_s ever recorded in a
+    # BENCH_r*.json), and the artifact carries a cpu_ref-normalized total
+    # so readers never have to re-derive the correction by hand.
+    cpu_ref_floor = None
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    import glob as _glob
+    for path in sorted(_glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            v = float(rec["cpu_ref_s"])
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        cpu_ref_floor = v if cpu_ref_floor is None else min(cpu_ref_floor, v)
+    quiet_cpu_ref = args.quiet_cpu_ref
+    if cpu_ref_floor is not None:
+        quiet_cpu_ref = min(quiet_cpu_ref, round(1.1 * cpu_ref_floor, 3))
+
     registry.load_all()
     names = sorted(registry.QUERIES) if args.all else HEADLINE
     sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -129,7 +151,7 @@ def main() -> None:
             continue
         cpu_ref_attempts.append(_cpu_ref())
         waited += cpu_ref_attempts[-1]  # each attempt burns ~1s of budget too
-        if cpu_ref_attempts[-1] <= args.quiet_cpu_ref:
+        if cpu_ref_attempts[-1] <= quiet_cpu_ref:
             break
         time.sleep(20.0)
         waited += 20.0
@@ -152,7 +174,7 @@ def main() -> None:
     cpu_ref_s = _cpu_ref()
     cpu_ref_attempts.append(cpu_ref_s)
     waited += cpu_ref_s
-    while cpu_ref_s > args.quiet_cpu_ref and waited < args.quiet_max:
+    while cpu_ref_s > quiet_cpu_ref and waited < args.quiet_max:
         time.sleep(10.0)
         waited += 10.0
         cpu_ref_s = _cpu_ref()
@@ -173,11 +195,18 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    total = round(sum(timings.values()), 3)
+    # cross-round comparable number: total scaled to the fastest host state
+    # any round's bench ever ran in (value * floor / cpu_ref_s); identical
+    # code on a 20%-slower host normalizes back to parity instead of
+    # reading as a 20% regression.
+    floor = cpu_ref_floor if cpu_ref_floor is not None else cpu_ref_s
+    floor = min(floor, cpu_ref_s)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
@@ -186,7 +215,10 @@ def main() -> None:
                 "loadavg_15min": round(load_start_15, 2),
                 "cpu_ref_s": cpu_ref_s,
                 "cpu_ref_attempts": cpu_ref_attempts,
-                "quiet_gate_ok": cpu_ref_s <= args.quiet_cpu_ref,
+                "cpu_ref_floor": floor,
+                "cpu_ref_normalized_total": round(total * floor / cpu_ref_s, 3),
+                "quiet_gate_ok": cpu_ref_s <= quiet_cpu_ref,
+                "quiet_cpu_ref_threshold": quiet_cpu_ref,
                 "quiet_wait_s": round(waited, 1),
             }
         )

@@ -43,10 +43,16 @@ def load() -> None:
         vector,
         windows,
     )
-    from ror_etl_spark.queries import staged_r9
+    from ror_etl_spark.queries import staged_r9, staged_r10
 
     # r9 flip (VERDICT r8 item 1): the 16 operators staged under the r8
     # registry freeze are now live registry entries.
     staged_r9.register()
+
+    # r10 flip (VERDICT r9 item 1): the 28 operators staged under the r9
+    # registry freeze are now live registry entries. They carry no past
+    # driver verdict, so ``ordered_queries`` tiers them first and the r10
+    # driver window records all 28 before any re-confirmation.
+    staged_r10.register()
 
     _LOADED = True

@@ -11,6 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Loop-internal checkpoint blocks go to DISK, not storage memory:
+# the r9 sf0.1 endurance sweep showed memory-backed checkpoint
+# blocks accumulating across queries faster than the async
+# ContextCleaner reaps them, starving later broadcast builds
+# (NOTES.md r9; pinned by tests/test_checkpoint_discipline.py).
+_DISK_ONLY = StorageLevel.DISK_ONLY
 
 from ror_etl_spark.queries.util import ordered, r2
 from ror_etl_spark.registry import query
@@ -794,9 +802,9 @@ def bfs_levels_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"), (F.col("level") + 1).alias("level"))
             .distinct()
             .join(settled.select("node"), on="node", how="left_anti")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
-        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         frontier = nxt
     return (
         settled.select(

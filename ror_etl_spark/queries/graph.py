@@ -16,6 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Loop-internal checkpoint blocks go to DISK, not storage memory:
+# the r9 sf0.1 endurance sweep showed memory-backed checkpoint
+# blocks accumulating across queries faster than the async
+# ContextCleaner reaps them, starving later broadcast builds
+# (NOTES.md r9; pinned by tests/test_checkpoint_discipline.py).
+_DISK_ONLY = StorageLevel.DISK_ONLY
 
 from ror_etl_spark.operators.rollup import ultimate_parent
 from ror_etl_spark.registry import query
@@ -347,7 +355,7 @@ def cheapest_path_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
     return d.orderBy("node")
 
@@ -400,7 +408,7 @@ def hierarchy_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             packets.join(edges, packets["cur"] == edges["id"])
             .where(F.col("parent") != F.col("cur"))
             .select(F.col("parent").alias("cur"), "amt")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
         if moved.isEmpty():
             break

@@ -26,6 +26,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Loop-internal checkpoint blocks go to DISK, not storage memory:
+# the r9 sf0.1 endurance sweep showed memory-backed checkpoint
+# blocks accumulating across queries faster than the async
+# ContextCleaner reaps them, starving later broadcast builds
+# (NOTES.md r9; pinned by tests/test_checkpoint_discipline.py).
+_DISK_ONLY = StorageLevel.DISK_ONLY
 
 from ror_etl_spark.operators.util import global_cumsum, global_rank, spread
 from ror_etl_spark.queries.corpusops import _TOKS_SQL
@@ -126,7 +134,13 @@ def ks_test_value_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.max(gap)
             * F.sqrt(
-                F.max("na") * F.max("nb") / (F.max("na") + F.max("nb"))
+                # doubles, not long*long: na*nb overflows int64 (ANSI
+                # runtime error) once each side exceeds ~3e9 events,
+                # which a 100 TB corpus reaches; DuckDB's HUGEINT hides
+                # the same bug on the oracle side (ADVICE r9).
+                F.max("na").cast("double")
+                * F.max("nb").cast("double")
+                / (F.max("na") + F.max("nb"))
             )
             + 1e-9,
             4,
@@ -199,7 +213,13 @@ def mannwhitney_totalprice_urgent_low(
             F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
         ).alias("tie_cubes"),
     )
-    na, nb, n = F.col("na"), F.col("nb"), F.col("n")
+    # na/nb as doubles before any product: long*long na*nb overflows
+    # int64 at ~3e9 rows per side (ADVICE r9).
+    na, nb, n = (
+        F.col("na").cast("double"),
+        F.col("nb").cast("double"),
+        F.col("n"),
+    )
     u = F.col("r_a") - na * (na + 1) / 2.0
     var = na * nb / 12.0 * ((n + 1) - F.col("tie_cubes") / (n * (n - 1.0)))
     return agg.select(
@@ -2090,7 +2110,7 @@ def graph_diameter_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(ext)
             .groupBy("src", "node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
     ecc = dist.groupBy("src").agg(F.max("d").cast("long").alias("eccentricity"))
     dr = ecc.agg(
@@ -2228,8 +2248,8 @@ def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM r),
     scored AS (
       SELECT r.i, r.cum,
-             abs((ends.tot - ends.y1) * (r.i - 1)
-                 - (ends.n - 1) * (r.cum - ends.y1)) AS cross_d
+             round(abs((ends.tot - ends.y1) * (r.i - 1)
+                 - (ends.n - 1) * (r.cum - ends.y1)) + 1e-9, 6) AS cross_d
       FROM r, ends)
     SELECT CAST(ends.n AS BIGINT) AS n_customers,
            CAST(s.i AS BIGINT) AS knee_rank,
@@ -2273,9 +2293,16 @@ def knee_point_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum",
         "n",
         "tot",
-        F.abs(
-            (F.col("tot") - F.col("y1")) * (F.col("i") - 1)
-            - (F.col("n") - 1) * (F.col("cum") - F.col("y1"))
+        # round-before-rank (repo discipline; ADVICE r9): the argmax
+        # must not hinge on ULP differences between the engines'
+        # summation orders, so quantize the score before the ORDER BY.
+        F.round(
+            F.abs(
+                (F.col("tot") - F.col("y1")) * (F.col("i") - 1)
+                - (F.col("n") - 1) * (F.col("cum") - F.col("y1"))
+            )
+            + 1e-9,
+            6,
         ).alias("cross_d"),
     )
     knee = scored.orderBy(F.desc("cross_d"), F.asc("i")).limit(1)

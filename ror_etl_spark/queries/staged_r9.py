@@ -17,6 +17,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Loop-internal checkpoint blocks go to DISK, not storage memory:
+# the r9 sf0.1 endurance sweep showed memory-backed checkpoint
+# blocks accumulating across queries faster than the async
+# ContextCleaner reaps them, starving later broadcast builds
+# (NOTES.md r9; pinned by tests/test_checkpoint_discipline.py).
+_DISK_ONLY = StorageLevel.DISK_ONLY
 
 from ror_etl_spark.operators.util import spread
 from ror_etl_spark.queries.corpusops import _TOKS_SQL
@@ -264,7 +272,7 @@ def hierarchy_depth_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(hop["h_anc"], m["anc"]).alias("anc"),
                 (m["steps"] + F.coalesce(hop["h_steps"], F.lit(0))).alias("steps"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
     return m.select("id", F.col("steps").alias("layer")).orderBy("id")
 
@@ -546,7 +554,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= _KCORE_K)
             .select(F.col("u").alias("id"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
     return (
         und.join(surv.withColumnRenamed("id", "u"), "u")

@@ -100,6 +100,19 @@ _R9_CHANGED = [
     "dedup_funnel_keep_tuned",
 ]
 
+# Queries whose IMPLEMENTATION changed in r10 (loop-internal checkpoints
+# moved to DISK_ONLY per the r9 endurance rule, now pinned by
+# tests/test_checkpoint_discipline.py): already driver-green, but the
+# change must be re-proven, so they lead the re-confirmation tier of the
+# r10 window — right after the 28 newly registered staged_r10 names.
+_R10_CHANGED = [
+    "hierarchy_depth_layers",
+    "kcore_trade_graph",
+    "cheapest_path_bounded_hops",
+    "hierarchy_subtree_totals",
+    "bfs_levels_trade_graph",
+]
+
 
 def load_all() -> None:
     """Import every query module (idempotent)."""
@@ -115,6 +128,9 @@ def load_all() -> None:
     for name in _R9_CHANGED:
         if name in QUERIES:
             PRIORITY[name] = max(PRIORITY.get(name, 0), 7)
+    for name in _R10_CHANGED:
+        if name in QUERIES:
+            PRIORITY[name] = max(PRIORITY.get(name, 0), 8)
 
 
 def _past_verdicts(repo_root: str) -> dict[str, bool]:

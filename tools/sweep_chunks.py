@@ -68,6 +68,32 @@ def main() -> None:
         total_rows += r
     print(f"TOTAL: {total_pass} pass, {total_fail} fail, {total_rows} rows-only")
 
+    # Close-out artifact (VERDICT r9 item 4): record the sweep so "every
+    # registered query green at sf0.1 in driver-shaped chunks" is a
+    # checked-in JSON fact per round, not a NOTES claim. Overwrites the
+    # file for the same sf; the git history keeps prior rounds.
+    import json
+
+    tag = os.path.basename(sf.rstrip("/"))
+    artifact = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"SWEEP_{tag}.json",
+    )
+    with open(artifact, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf,
+                "chunk": chunk,
+                "n_queries": len(names),
+                "pass": total_pass,
+                "fail": total_fail,
+                "rows_only": total_rows,
+            },
+            fh,
+        )
+        fh.write("\n")
+    print(f"wrote {artifact}")
+
 
 if __name__ == "__main__":
     main()
