@@ -1,0 +1,1852 @@
+"""Operators staged during round 10 for the r11 registry flip — same
+discipline as ``staged_r9.py``/``staged_r10.py`` (staged one round,
+flipped live the next after the driver window drains): implemented,
+oracle-equipped, and driver-gate-checked under pytest
+(``tests/test_staged_r11.py``) while the r10 driver window records the
+28 names registered this round. ``register()`` is NOT called from
+``queries.load()`` yet; r11 flips it after CORRECTNESS_r10 lands.
+
+Batch theme: the MODEL/DATA EVALUATION & CALIBRATION toolkit a
+training-data pipeline runs on its model telemetry and curation
+heuristics — ranking metrics (ROC AUC via the rank closed form,
+average precision), probability calibration (ECE reliability bins,
+Brier decomposition by cohort, isotonic-adjacent Wilson bounds),
+campaign economics (lift/gains deciles), categorical association
+(chi-square + Cramér's V, G-test), forensic screens (Benford first
+digit), effect sizes (Cohen's d), multiple-testing control
+(Benjamini-Hochberg over an engine-portable normal-CDF polynomial),
+robust trend (Theil-Sen median slope), changepoint detection (CUSUM),
+link analysis (HITS hubs/authorities), graph structure
+(degree assortativity, LPA modularity), cluster quality
+(Davies-Bouldin), weighted reservoir sampling (A-Res with an
+engine-portable Lehmer stream), quantile normalization, and a
+DRIVER-GATED iterative BFS on a 10k-node synthetic graph (recursive-CTE
+oracle) so an iterative kernel is hash-checked at more than 25 nodes
+(VERDICT r9 item 7).
+
+Every entry follows the registry discipline (registry.py module
+docstring): identical aliases both sides, epsilon-shifted rounding on
+floats, deterministic total orders for every rank/tiebreak, and the
+DISK_ONLY rule for loop-internal checkpoints
+(tests/test_checkpoint_discipline.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ror_etl_spark.operators.util import global_cumsum, global_rank, spread
+from ror_etl_spark.tables import Tables
+
+_DISK_ONLY = StorageLevel.DISK_ONLY
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+STAGED: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def staged(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query: {name}")
+        STAGED[name] = (fn, " ".join(oracle.split()) if oracle else None)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """r11 switch: move every staged query into the live registry."""
+    from ror_etl_spark.registry import query
+
+    for name, (fn, oracle) in STAGED.items():
+        query(name, oracle=oracle)(fn)
+
+
+# ---------------------------------------------------------------------------
+# Ranking metrics: ROC AUC, average precision
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "roc_auc_click_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT v, count(*) AS c, sum(y) AS cp FROM s GROUP BY v),
+    r AS (
+      SELECT v, c, cp,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM g),
+    agg AS (
+      SELECT sum(cp * (before + (c + 1) / 2.0)) AS r_pos,
+             CAST(sum(cp) AS DOUBLE) AS np, CAST(sum(c - cp) AS DOUBLE) AS nn
+      FROM r)
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           round((r_pos - np * (np + 1) / 2.0) / (np * nn) + 1e-9, 6) AS auc
+    FROM agg
+    """,
+)
+def roc_auc_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a purchase-vs-click score, via the
+    rank-statistic closed form AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg) with midranks for ties — exactly the Mann-Whitney U
+    normalization, so ties contribute 1/2 per the standard definition.
+
+    Scale shape: one groupBy(score) aggregate, one DISTRIBUTED exclusive
+    cumsum over the distinct-score frame (``global_cumsum``), one scalar
+    aggregate. No per-row ranking of the fact table, no single-task
+    window; products run in double (na*nb overflows int64 at ~3e9 per
+    side — the ks_test lesson, ADVICE r9)."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "cp"
+        ),
+    )
+    r = global_cumsum(g, ["v"], "c", out="before")
+    agg = r.agg(
+        F.sum(F.col("cp") * (F.col("before") + (F.col("c") + 1) / 2.0)).alias(
+            "r_pos"
+        ),
+        F.sum("cp").cast("double").alias("np"),
+        F.sum(F.col("c") - F.col("cp")).cast("double").alias("nn"),
+    )
+    np_, nn = F.col("np"), F.col("nn")
+    return agg.select(
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        F.round(
+            (F.col("r_pos") - np_ * (np_ + 1) / 2.0) / (np_ * nn) + 1e-9, 6
+        ).alias("auc"),
+    )
+
+
+@staged(
+    "average_precision_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT v, count(*) AS c, sum(y) AS cp FROM s GROUP BY v),
+    r AS (
+      SELECT v, c, cp,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca,
+             coalesce(sum(cp) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa
+      FROM g),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(sum(cp) AS DOUBLE) AS p
+            FROM g)
+    SELECT CAST(tot.p AS BIGINT) AS n_pos,
+           CAST(count(*) AS BIGINT) AS n_thresholds,
+           round(sum((r.cp / tot.p) * ((tot.p - r.pa) / (tot.n - r.ca)))
+                 + 1e-9, 6) AS avg_precision
+    FROM r, tot
+    GROUP BY tot.p
+    """,
+)
+def average_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation at observed thresholds): AP = Σ_t ΔRecall(t) ·
+    Precision(t) over distinct scores t descending. The per-threshold
+    recall increment is exactly the positive mass AT that score
+    (cp(t)/P), and precision at threshold t counts everything with
+    score ≥ t — both derivable from ONE exclusive ascending cumsum, so
+    no lag/lead window and no descending second pass is needed.
+
+    Scale shape: groupBy(score), one distributed exclusive cumsum on
+    the distinct-score frame, one weighted scalar aggregate."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "cp"
+        ),
+    )
+    r = global_cumsum(g, ["v"], ["c", "cp"], out=["ca", "pa"])
+    tot = g.agg(
+        F.sum("c").cast("double").alias("n"), F.sum("cp").cast("double").alias("p")
+    )
+    joined = r.crossJoin(F.broadcast(tot))
+    return joined.agg(
+        F.max("p").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+        F.round(
+            F.sum(
+                (F.col("cp") / F.col("p"))
+                * ((F.col("p") - F.col("pa")) / (F.col("n") - F.col("ca")))
+            )
+            + 1e-9,
+            6,
+        ).alias("avg_precision"),
+    )
+
+# ---------------------------------------------------------------------------
+# Probability calibration: reliability bins / ECE, Brier by cohort
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "calibration_ece_bins",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    mx AS (SELECT max(v) AS m, count(*) AS n FROM s),
+    b AS (
+      SELECT least(CAST(floor(s.v / mx.m * 10) AS INT), 9) AS bin, s.v / mx.m AS p, s.y
+      FROM s, mx),
+    per AS (
+      SELECT bin, count(*) AS n_bin,
+             round(avg(p) + 1e-9, 6) AS confidence,
+             round(avg(y) + 1e-9, 6) AS accuracy
+      FROM b GROUP BY bin),
+    e AS (
+      SELECT round(sum(CAST(n_bin AS DOUBLE) / (SELECT n FROM mx)
+                       * abs(accuracy - confidence)) + 1e-9, 6) AS ece
+      FROM per)
+    SELECT per.bin, per.n_bin, per.confidence, per.accuracy, e.ece
+    FROM per, e ORDER BY per.bin
+    """,
+)
+def calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error: treat the
+    normalized score p = value/max(value) as a purchase probability,
+    bucket into 10 equal-width bins, and compare each bin's mean
+    prediction (confidence) with its empirical purchase rate
+    (accuracy); ECE is the bin-count-weighted mean absolute gap. The
+    per-bin averages are rounded to 6 dp (+1e-9) BEFORE the ECE sum so
+    the engines sum identical 6-dp terms, never raw fp accumulations.
+
+    Scale shape: one broadcast scalar (max, count), one groupBy(bin)
+    over 10 keys — partial aggregation does all the work map-side."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    mx = e.agg(F.max("v").alias("m"), F.count(F.lit(1)).alias("n"))
+    b = e.crossJoin(F.broadcast(mx)).select(
+        F.least(F.floor(F.col("v") / F.col("m") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        (F.col("v") / F.col("m")).alias("p"),
+        "y",
+        "n",
+    )
+    per = b.groupBy("bin", "n").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.round(F.avg("p") + 1e-9, 6).alias("confidence"),
+        F.round(F.avg("y") + 1e-9, 6).alias("accuracy"),
+    )
+    ece = per.agg(
+        F.round(
+            F.sum(
+                F.col("n_bin").cast("double")
+                / F.col("n")
+                * F.abs(F.col("accuracy") - F.col("confidence"))
+            )
+            + 1e-9,
+            6,
+        ).alias("ece")
+    )
+    return (
+        per.crossJoin(F.broadcast(ece))
+        .select("bin", "n_bin", "confidence", "accuracy", "ece")
+        .orderBy("bin")
+    )
+
+
+@staged(
+    "brier_score_by_cohort",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 10 AS cohort, value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    mx AS (SELECT max(v) AS m FROM s)
+    SELECT CAST(s.cohort AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg((s.v / mx.m - s.y) * (s.v / mx.m - s.y)) + 1e-9, 6)
+             AS brier,
+           round(avg(s.y) + 1e-9, 6) AS base_rate
+    FROM s, mx
+    GROUP BY s.cohort ORDER BY cohort
+    """,
+)
+def brier_score_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared error of the probability forecast) per
+    user cohort (user_id % 10), with each cohort's base rate alongside —
+    the per-slice calibration drill-down that catches a model that is
+    well-calibrated in aggregate but mis-calibrated on a segment.
+
+    Scale shape: one broadcast scalar, one 10-key groupBy."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        (F.col("user_id") % 10).alias("cohort"),
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    mx = e.agg(F.max("v").alias("m"))
+    p = F.col("v") / F.col("m")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg((p - F.col("y")) * (p - F.col("y"))) + 1e-9, 6).alias(
+                "brier"
+            ),
+            F.round(F.avg("y") + 1e-9, 6).alias("base_rate"),
+        )
+        .select(
+            F.col("cohort").cast("long").alias("cohort"), "n", "brier", "base_rate"
+        )
+        .orderBy("cohort")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lift / gains deciles
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "lift_gains_deciles",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(y) AS DOUBLE) AS p
+            FROM s),
+    r AS (
+      SELECT y,
+             row_number() OVER (ORDER BY v DESC, event_id) - 1 AS rk
+      FROM s),
+    d AS (
+      SELECT CAST(floor(r.rk * 10 / tot.n) AS INT) AS decile,
+             count(*) AS n_decile, sum(r.y) AS n_pos
+      FROM r, tot GROUP BY decile),
+    c AS (
+      SELECT decile, n_decile, n_pos,
+             sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM d)
+    SELECT c.decile, CAST(c.n_decile AS BIGINT) AS n_decile,
+           CAST(c.n_pos AS BIGINT) AS n_pos,
+           round((c.n_pos / c.n_decile) / (tot.p / tot.n) + 1e-9, 6) AS lift,
+           round(c.cum_pos / tot.p + 1e-9, 6) AS cum_gain
+    FROM c, tot ORDER BY c.decile
+    """,
+)
+def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative-gains table: rank events by score
+    descending (tiebreak event_id), cut into 10 equal-population
+    deciles, and report each decile's purchase lift over the base rate
+    plus the cumulative share of all purchases captured — the campaign-
+    targeting readout of a ranking model.
+
+    Scale shape: the per-row global rank uses ``global_rank`` (range
+    partition + pid-local window + broadcast offsets, never a
+    single-task window); the decile frame is 10 rows, so its cumsum
+    window is bounded-size by construction."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("p"),
+    )
+    # descending score order == ascending (-v, event_id)
+    r = global_rank(
+        e.select("event_id", "y", (-F.col("v")).alias("nv")), "nv", "event_id",
+        out="rk",
+    )
+    d = (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.floor(F.col("rk") * 10 / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("n_decile"), F.sum("y").alias("n_pos"))
+    )
+    c = d.withColumn(
+        "cum_pos",
+        F.sum("n_pos").over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_decile").cast("long").alias("n_decile"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(
+                (F.col("n_pos") / F.col("n_decile")) / (F.col("p") / F.col("n"))
+                + 1e-9,
+                6,
+            ).alias("lift"),
+            F.round(F.col("cum_pos") / F.col("p") + 1e-9, 6).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
+
+# ---------------------------------------------------------------------------
+# Categorical association: chi-square + Cramér's V, G-test
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "chi_square_priority_status",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+      FROM orders GROUP BY a, b),
+    ra AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ta FROM obs GROUP BY a),
+    rb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS tb FROM obs GROUP BY b),
+    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+                 count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM obs),
+    cells AS (
+      SELECT obs.o, ra.ta * rb.tb / n.n AS e
+      FROM obs JOIN ra ON obs.a = ra.a JOIN rb ON obs.b = rb.b, n)
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST((n.ka - 1) * (n.kb - 1) AS BIGINT) AS dof,
+           round(sum((cells.o - cells.e) * (cells.o - cells.e) / cells.e)
+                 + 1e-9, 4) AS chi2,
+           round(sqrt(sum((cells.o - cells.e) * (cells.o - cells.e) / cells.e)
+                      / (n.n * (least(n.ka, n.kb) - 1))) + 1e-9, 6) AS cramers_v
+    FROM cells, n GROUP BY n.n, n.ka, n.kb
+    """,
+)
+def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the order-priority x
+    order-status contingency table, with Cramér's V as the bounded
+    effect size (V = sqrt(chi2 / (n * (min(r,c)-1)))) — the categorical
+    drift test a curation pipeline runs between corpus snapshots.
+
+    Scale shape: one groupBy over the (r x c)-bounded cell domain; the
+    marginals are broadcast joins against that bounded frame. The fact
+    table is touched exactly once."""
+    o = Tables(spark, sf_dir).orders
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").cast("double").alias("ta"))
+    rb = obs.groupBy("b").agg(F.sum("o").cast("double").alias("tb"))
+    n = obs.agg(
+        F.sum("o").cast("double").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    cells = (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (F.col("ta") * F.col("tb") / F.col("n")).alias("e"),
+            "n",
+            "ka",
+            "kb",
+        )
+    )
+    chi = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return cells.groupBy("n", "ka", "kb").agg(
+        F.round(chi + 1e-9, 4).alias("chi2"),
+        F.round(
+            F.sqrt(chi / (F.col("n") * (F.least("ka", "kb") - 1))) + 1e-9, 6
+        ).alias("cramers_v"),
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+        "chi2",
+        "cramers_v",
+    )
+
+
+@staged(
+    "g_test_event_type_cohort",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a, user_id % 5 AS b, count(*) AS o
+      FROM events GROUP BY a, b),
+    ra AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ta FROM obs GROUP BY a),
+    rb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS tb FROM obs GROUP BY b),
+    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+                 count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM obs)
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST((n.ka - 1) * (n.kb - 1) AS BIGINT) AS dof,
+           round(2 * sum(obs.o * ln(obs.o / (ra.ta * rb.tb / n.n))) + 1e-9, 4)
+             AS g_stat
+    FROM obs JOIN ra ON obs.a = ra.a JOIN rb ON obs.b = rb.b, n
+    GROUP BY n.n, n.ka, n.kb
+    """,
+)
+def g_test_event_type_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio test) of independence between event
+    type and user cohort (user_id % 5): G = 2 Σ O ln(O/E). Preferred
+    over Pearson chi-square when cell counts are small or when the
+    statistic must be additive across partitions of the table (G
+    decomposes exactly; chi-square doesn't).
+
+    Scale shape: identical to the chi-square query — one bounded-domain
+    groupBy, broadcast marginals. Zero-count cells never appear (groupBy
+    only materializes observed cells), so ln(0) is unreachable."""
+    e = Tables(spark, sf_dir).events
+    obs = e.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 5).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").cast("double").alias("ta"))
+    rb = obs.groupBy("b").agg(F.sum("o").cast("double").alias("tb"))
+    n = obs.agg(
+        F.sum("o").cast("double").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    return (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n", "ka", "kb")
+        .agg(
+            F.round(
+                2
+                * F.sum(
+                    F.col("o")
+                    * F.log(F.col("o") / (F.col("ta") * F.col("tb") / F.col("n")))
+                )
+                + 1e-9,
+                4,
+            ).alias("g_stat")
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+            "g_stat",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensic screen
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "benford_first_digit_totalprice",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS INT)
+             AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, count(*) AS o FROM d GROUP BY digit),
+    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs)
+    SELECT obs.digit, CAST(obs.o AS BIGINT) AS observed,
+           round(obs.o / n.n + 1e-9, 6) AS observed_share,
+           round(log10(1.0 + 1.0 / obs.digit) + 1e-9, 6) AS benford_share,
+           round((obs.o - n.n * log10(1.0 + 1.0 / obs.digit))
+                 * (obs.o - n.n * log10(1.0 + 1.0 / obs.digit))
+                 / (n.n * log10(1.0 + 1.0 / obs.digit)) + 1e-9, 4)
+             AS chi2_term
+    FROM obs, n ORDER BY obs.digit
+    """,
+)
+def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen on order totals: the
+    observed digit distribution vs log10(1 + 1/d), with each digit's
+    chi-square contribution — the classic fabricated-data / pipeline-bug
+    forensic (a unit mixup or synthetic filler shifts the digit law
+    before it shifts any mean).
+
+    Scale shape: first digit = floor(x / 10^floor(log10 x)) is a pure
+    map; then a 9-key groupBy."""
+    o = Tables(spark, sf_dir).orders.filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("o"))
+    n = obs.agg(F.sum("o").cast("double").alias("n"))
+    bshare = F.log(F.lit(10.0), F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    exp = F.col("n") * bshare
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.col("o").cast("long").alias("observed"),
+            F.round(F.col("o") / F.col("n") + 1e-9, 6).alias("observed_share"),
+            F.round(bshare + 1e-9, 6).alias("benford_share"),
+            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp + 1e-9, 4).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effect size: Cohen's d
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "cohens_d_urgent_low",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    g AS (
+      SELECT grp, CAST(count(*) AS DOUBLE) AS n, avg(v) AS m,
+             var_samp(v) AS s2
+      FROM s GROUP BY grp),
+    w AS (
+      SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+             max(CASE WHEN grp = 0 THEN n END) AS n0,
+             max(CASE WHEN grp = 1 THEN m END) AS m1,
+             max(CASE WHEN grp = 0 THEN m END) AS m0,
+             max(CASE WHEN grp = 1 THEN s2 END) AS s21,
+             max(CASE WHEN grp = 0 THEN s2 END) AS s20
+      FROM g)
+    SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n0 AS BIGINT) AS n_low,
+           round(m1 - m0 + 1e-9, 2) AS mean_diff,
+           round((m1 - m0) / sqrt(((n1 - 1) * s21 + (n0 - 1) * s20)
+                                  / (n1 + n0 - 2)) + 1e-9, 6) AS cohens_d,
+           round(((m1 - m0) / sqrt(((n1 - 1) * s21 + (n0 - 1) * s20)
+                                   / (n1 + n0 - 2)))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)) + 1e-9, 6)
+             AS hedges_g
+    FROM w
+    """,
+)
+def cohens_d_urgent_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size between URGENT and LOW order totals:
+    Cohen's d with the pooled sample variance, plus the small-sample
+    Hedges' g correction (x (1 - 3/(4N-9))) — the number that says
+    whether a statistically significant difference is PRACTICALLY
+    large, which p-values alone never do.
+
+    Scale shape: one 2-key groupBy with streaming variance aggregates;
+    everything after is scalar arithmetic on a broadcast row."""
+    o = Tables(spark, sf_dir).orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "grp"
+        ),
+    )
+    g = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("v").alias("m"),
+        F.var_samp("v").alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("grp") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("s20"),
+    )
+    pooled_sd = F.sqrt(
+        ((F.col("n1") - 1) * F.col("s21") + (F.col("n0") - 1) * F.col("s20"))
+        / (F.col("n1") + F.col("n0") - 2)
+    )
+    d = (F.col("m1") - F.col("m0")) / pooled_sd
+    return w.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n0").cast("long").alias("n_low"),
+        F.round(F.col("m1") - F.col("m0") + 1e-9, 2).alias("mean_diff"),
+        F.round(d + 1e-9, 6).alias("cohens_d"),
+        F.round(
+            d * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n0")) - 9.0)) + 1e-9, 6
+        ).alias("hedges_g"),
+    )
+
+# ---------------------------------------------------------------------------
+# Multiple-testing control: Benjamini-Hochberg step-up
+# ---------------------------------------------------------------------------
+
+# Engine-portable two-sided normal p-value: with x = |z|/sqrt(2),
+# p = 2(1 - Phi(|z|)) = erfc(x) ~ (a1 t + ... + a5 t^5) exp(-x^2),
+# t = 1/(1 + 0.3275911 x)  (Abramowitz & Stegun 7.1.26, |err| < 1.5e-7).
+# Neither Spark SQL nor DuckDB exposes erf/Phi as a builtin, so BOTH
+# sides evaluate this identical polynomial — same IEEE ops, same result.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _pvalue_sql(z: str) -> str:
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = " + ".join(f"{a} * power({t}, {i + 1})" for i, a in enumerate(_AS_A))
+    return f"(({poly}) * exp(-({x} * {x})))"
+
+
+def _pvalue_col(z):
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = None
+    for i, a in enumerate(_AS_A):
+        term = F.lit(a) * F.pow(t, F.lit(float(i + 1)))
+        poly = term if poly is None else poly + term
+    return poly * F.exp(-(x * x))
+
+
+@staged(
+    "bh_fdr_cohort_value",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 7 AS cohort, event_type, value AS v FROM events),
+    glob AS (SELECT avg(v) AS mu, stddev_samp(v) AS sigma FROM s),
+    g AS (
+      SELECT cohort, event_type, CAST(count(*) AS DOUBLE) AS n, avg(v) AS m
+      FROM s GROUP BY cohort, event_type),
+    z AS (
+      SELECT g.cohort, g.event_type, CAST(g.n AS BIGINT) AS n,
+             round((g.m - glob.mu) / (glob.sigma / sqrt(g.n)) + 1e-9, 4) AS z
+      FROM g, glob),
+    p AS (
+      SELECT cohort, event_type, n, z,
+             round({_pvalue_sql('z')} + 1e-9, 8) AS p
+      FROM z),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY p, cohort, event_type) AS rk,
+             count(*) OVER () AS m
+      FROM p),
+    k AS (
+      SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / m THEN rk END), 0) AS kk
+      FROM r)
+    SELECT CAST(r.cohort AS BIGINT) AS cohort, r.event_type, r.n, r.z, r.p,
+           CAST(r.rk AS BIGINT) AS rank,
+           CAST(CASE WHEN r.rk <= k.kk THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM r, k ORDER BY r.rk
+    """,
+)
+def bh_fdr_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (alpha = 0.05) over the
+    per-(cohort, event_type) one-sample z-tests of mean `value` against
+    the global mean — the multiple-comparisons guard a telemetry
+    dashboard needs before flagging "anomalous" slices. z is quantized
+    to 4 dp and the two-sided p to 8 dp BEFORE ranking (round-before-
+    rank), and both engines evaluate the same Abramowitz-Stegun erfc
+    polynomial, so the p-value ordering is engine-portable by
+    construction. Step-up: reject ranks 1..k where k is the largest i
+    with p_i <= i/m * alpha.
+
+    Scale shape: the fact table feeds ONE groupBy over the bounded
+    (cohort x event_type) domain; everything after (ranking, the
+    step-up scan) runs on that <=35-row frame, where an unpartitioned
+    window is bounded-size by construction."""
+    e = Tables(spark, sf_dir).events.select(
+        (F.col("user_id") % 7).alias("cohort"), "event_type",
+        F.col("value").alias("v"),
+    )
+    glob = e.agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    g = e.groupBy("cohort", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("v").alias("m")
+    )
+    z = g.crossJoin(F.broadcast(glob)).select(
+        "cohort",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("m") - F.col("mu")) / (F.col("sigma") / F.sqrt("n")) + 1e-9, 4
+        ).alias("z"),
+    )
+    p = z.withColumn("p", F.round(_pvalue_col(F.col("z")) + 1e-9, 8))
+    w = Window.orderBy("p", "cohort", "event_type")
+    r = p.withColumn("rk", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    k = r.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= F.col("rk") * 0.05 / F.col("m"), F.col("rk"))),
+            F.lit(0),
+        ).alias("kk")
+    )
+    return (
+        r.crossJoin(F.broadcast(k))
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            "event_type",
+            "n",
+            "z",
+            "p",
+            F.col("rk").cast("long").alias("rank"),
+            F.when(F.col("rk") <= F.col("kk"), 1).otherwise(0).cast("long").alias(
+                "rejected"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust trend: Theil-Sen median slope
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "theil_sen_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS d,
+             round(sum(l_extendedprice) + 1e-9, 2) AS y
+      FROM lineitem GROUP BY d),
+    pairs AS (
+      SELECT (b.y - a.y) / (b.d - a.d) AS slope, a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b ON b.d > a.d),
+    cnt AS (SELECT count(*) AS np, (SELECT count(*) FROM daily) AS nd
+            FROM pairs),
+    r AS (
+      SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) - 1 AS rk
+      FROM pairs)
+    SELECT CAST(cnt.nd AS BIGINT) AS n_days, CAST(cnt.np AS BIGINT) AS n_pairs,
+           round(avg(r.slope) + 1e-9, 6) AS theil_sen_slope
+    FROM r, cnt
+    WHERE r.rk IN (CAST(floor((cnt.np - 1) / 2) AS BIGINT),
+                   CAST(floor(cnt.np / 2) AS BIGINT))
+    GROUP BY cnt.nd, cnt.np
+    """,
+)
+def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily revenue: the MEDIAN of
+    all pairwise slopes (y_j - y_i)/(d_j - d_i), i < j — breakdown
+    point 29%, immune to the outlier days that wreck an OLS slope. The
+    daily series is quantized to 2 dp first, so every pairwise slope is
+    the same IEEE double on both engines; the median picks the exact
+    middle element(s) by (slope, d1, d2) total order — no
+    percentile-approx anywhere.
+
+    Scale shape: days are a BOUNDED domain (the fact table aggregates
+    to ~2.5k rows per 7 years), so the pairwise self-join is
+    O(days^2) ~ 3M narrow rows — documented as domain-bounded, not
+    corpus-bounded; the median uses ``global_rank`` (distributed), not
+    a single-task sort."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("d")
+    ).agg(F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("y"))
+    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = a.join(b, F.col("d2") > F.col("d1")).select(
+        ((F.col("y2") - F.col("y1")) / (F.col("d2") - F.col("d1"))).alias(
+            "slope"
+        ),
+        "d1",
+        "d2",
+    )
+    pairs = pairs.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    cnt = pairs.agg(F.count(F.lit(1)).alias("np")).crossJoin(
+        F.broadcast(daily.agg(F.count(F.lit(1)).alias("nd")))
+    )
+    r = global_rank(pairs, "slope", "d1", "d2", out="rk")
+    mid = r.crossJoin(F.broadcast(cnt)).filter(
+        (F.col("rk") == F.floor((F.col("np") - 1) / 2))
+        | (F.col("rk") == F.floor(F.col("np") / 2))
+    )
+    return mid.groupBy("nd", "np").agg(
+        F.round(F.avg("slope") + 1e-9, 6).alias("theil_sen_slope")
+    ).select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("np").cast("long").alias("n_pairs"),
+        "theil_sen_slope",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection: CUSUM in exact integer cents
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS d,
+             CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS yc
+      FROM lineitem GROUP BY d),
+    tot AS (SELECT count(*) AS n, sum(yc) AS t FROM daily),
+    c AS (
+      SELECT daily.d,
+             sum(daily.yc * tot.n - tot.t) OVER (ORDER BY daily.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily, tot),
+    best AS (
+      SELECT d, s FROM c ORDER BY abs(s) DESC, d LIMIT 1)
+    SELECT CAST(tot.n AS BIGINT) AS n_days,
+           CAST(best.d AS BIGINT) AS changepoint_day,
+           round(best.s / (100.0 * tot.n) + 1e-9, 2) AS max_cusum
+    FROM best, tot
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue: the day k maximizing
+    |sum_{i<=k}(y_i - mean)| marks the most likely mean shift. Computed
+    in EXACT integer cents — S_k = sum(n*y_i - T) avoids dividing by n,
+    so the whole scan is int64 arithmetic and the argmax cannot flip on
+    fp summation order (int64 bounds: ~1e14 daily cents x 2.5k days
+    squared fits; beyond that switch the two factors to DECIMAL(38)).
+    max_cusum rescales to dollars for the report.
+
+    Scale shape: bounded day domain after one fact-table groupBy; the
+    cumulative sum uses ``global_cumsum`` (range-partitioned, no
+    single-task window); argmax is a TakeOrdered(1)."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(F.sum("l_extendedprice") * 100)
+        .cast("long")
+        .alias("yc")
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("yc").alias("t"))
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("yc") * F.col("n") - F.col("t")).alias("v"), "n"
+    )
+    c = global_cumsum(dev, ["d"], "v", out="before").select(
+        "d", (F.col("before") + F.col("v")).alias("s"), "n"
+    )
+    best = c.orderBy(F.abs(F.col("s")).desc(), F.asc("d")).limit(1)
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("d").cast("long").alias("changepoint_day"),
+        F.round(F.col("s") / (100.0 * F.col("n")) + 1e-9, 2).alias("max_cusum"),
+    )
+
+# ---------------------------------------------------------------------------
+# Link analysis: HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 5
+_HITS_ROUND = 8
+
+_TRADE_EDGES_SQL = """edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY u, v)"""
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS replay, same quantized-trajectory trick as the
+    PageRank oracle: each half-iteration's scores normalize by their
+    max and round to 8 dp, so fp summation order cannot drift the
+    fixpoint across engines."""
+    ctes = [
+        _TRADE_EDGES_SQL,
+        """nodes AS (SELECT n_nationkey AS id FROM nation)""",
+        """h0 AS (SELECT id, 1.0 AS hub FROM nodes)""",
+    ]
+    for i in range(_HITS_ITERS):
+        ctes.append(
+            f"""ar{i} AS (
+      SELECT nodes.id, coalesce(sum(h.hub * e.w), 0.0) AS x
+      FROM nodes
+      LEFT JOIN edges e ON e.v = nodes.id
+      LEFT JOIN h{i} h ON h.id = e.u
+      GROUP BY nodes.id)"""
+        )
+        ctes.append(
+            f"""a{i + 1} AS (
+      SELECT id, round(x / (SELECT max(x) FROM ar{i}) + 1e-9, {_HITS_ROUND})
+               AS auth
+      FROM ar{i})"""
+        )
+        ctes.append(
+            f"""hr{i} AS (
+      SELECT nodes.id, coalesce(sum(a.auth * e.w), 0.0) AS x
+      FROM nodes
+      LEFT JOIN edges e ON e.u = nodes.id
+      LEFT JOIN a{i + 1} a ON a.id = e.v
+      GROUP BY nodes.id)"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+      SELECT id, round(x / (SELECT max(x) FROM hr{i}) + 1e-9, {_HITS_ROUND})
+               AS hub
+      FROM hr{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(a.id AS BIGINT) AS nationkey,
+           round(h.hub, 6) AS hub, round(a.auth, 6) AS authority
+    FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON h.id = a.id
+    ORDER BY authority DESC, nationkey
+    """
+    )
+
+
+@staged("hits_nation_trade", oracle=_hits_oracle())
+def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the directed nation trade graph
+    (supplier nation -> customer nation, weight = shipment count):
+    5 synchronous iterations of auth(v) = sum_in hub(u) w and
+    hub(u) = sum_out auth(v) w, each half-step normalized by its MAX
+    (order-stable, unlike an L2 norm whose root is another fp
+    accumulation) and quantized to 8 dp, so the DuckDB oracle replays
+    the trajectory CTE-for-CTE — the pagerank_nation_trade pattern.
+
+    Scale shape: per half-iteration ONE shuffle keyed by node id;
+    scores are node-sized, edges partition by the join key. The
+    fact-table edge derivation is shared with pagerank/LPA."""
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = t.nation.select(F.col("n_nationkey").alias("id"))
+    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            nodes.join(edges, nodes["id"] == edges["v"], "left")
+            .join(hub.withColumnRenamed("id", "hid"), F.col("hid") == edges["u"], "left")
+            .groupBy(nodes["id"])
+            .agg(F.coalesce(F.sum(F.col("hub") * F.col("w")), F.lit(0.0)).alias("x"))
+        )
+        amax = ar.agg(F.max("x").alias("mx"))
+        auth = ar.crossJoin(F.broadcast(amax)).select(
+            "id", F.round(F.col("x") / F.col("mx") + 1e-9, _HITS_ROUND).alias("auth")
+        )
+        hr = (
+            nodes.join(edges, nodes["id"] == edges["u"], "left")
+            .join(
+                auth.withColumnRenamed("id", "aid"), F.col("aid") == edges["v"], "left"
+            )
+            .groupBy(nodes["id"])
+            .agg(F.coalesce(F.sum(F.col("auth") * F.col("w")), F.lit(0.0)).alias("x"))
+        )
+        hmax = hr.agg(F.max("x").alias("mx"))
+        hub = hr.crossJoin(F.broadcast(hmax)).select(
+            "id", F.round(F.col("x") / F.col("mx") + 1e-9, _HITS_ROUND).alias("hub")
+        )
+    return (
+        auth.join(hub.withColumnRenamed("id", "hid"), F.col("hid") == auth["id"])
+        .select(
+            auth["id"].cast("long").alias("nationkey"),
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("nationkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph structure: degree assortativity, LPA modularity
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "degree_assortativity_trade",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+             greatest(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey),
+    und AS (
+      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    deg AS (SELECT u AS n, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY u)
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           round(corr(du.d, dv.d) + 1e-9, 6) AS assortativity
+    FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+    """,
+)
+def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected nation trade graph: the
+    Pearson correlation of endpoint degrees over the directed edge
+    list (each undirected edge counted in both directions, the standard
+    Newman formulation) — positive means hubs trade with hubs,
+    negative means a hub-and-spoke topology.
+
+    Scale shape: degrees are one node-keyed aggregate of the edge list;
+    the correlation is a single pass of streaming moments over edges
+    joined to two broadcast degree maps."""
+    t = Tables(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
+    return (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_directed_edges"),
+            F.round(F.corr("d_u", "d_v") + 1e-9, 6).alias("assortativity"),
+        )
+        .select(
+            F.col("n_directed_edges").cast("long").alias("n_directed_edges"),
+            "assortativity",
+        )
+    )
+
+_MOD_LPA_ROUNDS = 3
+
+
+def _modularity_oracle() -> str:
+    """LPA label replay (the staged_r9 ``_lpa_oracle`` CTE chain,
+    rebuilt here with the same rounds/tiebreaks) followed by the
+    weighted-modularity computation on those labels."""
+    ctes = [
+        """edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v, CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY u, v)""",
+        """und AS (
+      SELECT u, v, w FROM edges UNION ALL
+      SELECT v AS u, u AS v, w FROM edges)""",
+        """nodes AS (SELECT n_nationkey AS id FROM nation)""",
+        """l0 AS (SELECT id, id AS label FROM nodes)""",
+    ]
+    for i in range(_MOD_LPA_ROUNDS):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.u AS id, l.label, sum(e.w) AS wt
+      FROM und e JOIN l{i} l ON l.id = e.v
+      GROUP BY e.u, l.label)"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY wt DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""l{i + 1} AS (
+      SELECT nodes.id, coalesce(p{i}.label, nodes.id) AS label
+      FROM nodes LEFT JOIN p{i} ON p{i}.id = nodes.id)"""
+        )
+    final = f"l{_MOD_LPA_ROUNDS}"
+    ctes.append(
+        f"""m2 AS (SELECT CAST(sum(w) AS DOUBLE) AS m2 FROM und)"""
+    )
+    ctes.append(
+        f"""strength AS (
+      SELECT {final}.label, CAST(sum(s.d) AS DOUBLE) AS dc,
+             count(*) AS n_nodes
+      FROM (SELECT u AS n, sum(w) AS d FROM und GROUP BY u) s
+      JOIN {final} ON {final}.id = s.n
+      GROUP BY {final}.label)"""
+    )
+    ctes.append(
+        f"""internal AS (
+      SELECT lu.label, CAST(sum(e.w) AS DOUBLE) AS win
+      FROM und e
+      JOIN {final} lu ON lu.id = e.u
+      JOIN {final} lv ON lv.id = e.v AND lv.label = lu.label
+      GROUP BY lu.label)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT CAST(s.label AS BIGINT) AS community,
+           CAST(s.n_nodes AS BIGINT) AS n_nodes,
+           round(coalesce(i.win, 0.0) / m2.m2
+                 - (s.dc / m2.m2) * (s.dc / m2.m2) + 1e-9, 6) AS q_contrib
+    FROM strength s LEFT JOIN internal i ON i.label = s.label, m2
+    ORDER BY community
+    """
+    )
+
+
+@staged("modularity_lpa_communities", oracle=_modularity_oracle())
+def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman weighted modularity of the 3-round LPA partition of the
+    nation trade graph, reported per community: Q_c = w_in_c/2m -
+    (d_c/2m)^2 (sum over communities = Q). The LPA trajectory is the
+    SAME deterministic one ``label_propagation_communities`` registers
+    (synchronous, greatest-incident-weight, smallest-label tiebreak),
+    so the quality metric composes with the detector it evaluates.
+
+    Scale shape: LPA is one shuffle per round (node-sized labels join
+    the edge list); the modularity pass is two label-keyed aggregates
+    of the edge list plus a broadcast scalar 2m."""
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint(eager=False)
+    nodes = t.nation.select(F.col("n_nationkey").alias("id"))
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(_MOD_LPA_ROUNDS):
+        votes = (
+            und.join(labels, und["v"] == labels["id"])
+            .groupBy(und["u"].alias("nid"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        pick = (
+            votes.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("nid").orderBy(F.desc("wt"), F.asc("label"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("nid", "label")
+        )
+        labels = nodes.join(pick, nodes["id"] == pick["nid"], "left").select(
+            "id", F.coalesce(pick["label"], nodes["id"]).alias("label")
+        )
+    labels = labels.localCheckpoint(eager=False)
+    m2 = und.agg(F.sum("w").cast("double").alias("m2"))
+    strength = (
+        und.groupBy(F.col("u").alias("n"))
+        .agg(F.sum("w").alias("d"))
+        .join(labels.withColumnRenamed("id", "n"), "n")
+        .groupBy("label")
+        .agg(
+            F.sum("d").cast("double").alias("dc"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    internal = (
+        und.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.sum("w").cast("double").alias("win"))
+    )
+    return (
+        strength.join(internal, "label", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("label").cast("long").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.round(
+                F.coalesce(F.col("win"), F.lit(0.0)) / F.col("m2")
+                - (F.col("dc") / F.col("m2")) * (F.col("dc") / F.col("m2"))
+                + 1e-9,
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster quality: Davies-Bouldin index
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "davies_bouldin_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    dims AS (
+      SELECT label, idx.i AS i, avg(v[idx.i]) AS c
+      FROM e, (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, idx.i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS c FROM dims GROUP BY label),
+    scat AS (
+      SELECT e.label,
+             avg(sqrt(list_sum(list_transform(
+               list_zip(e.v, cent.c), p -> (p[1] - p[2]) * (p[1] - p[2])))))
+               AS s,
+             count(*) AS n_vectors
+      FROM e JOIN cent ON cent.label = e.label
+      GROUP BY e.label),
+    sep AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(list_sum(list_transform(
+               list_zip(a.c, b.c), p -> (p[1] - p[2]) * (p[1] - p[2])))) AS m
+      FROM cent a JOIN cent b ON a.label <> b.label),
+    r AS (
+      SELECT sep.la AS label,
+             max(round((sa.s + sb.s) / sep.m + 1e-9, 6)) AS r_max
+      FROM sep JOIN scat sa ON sa.label = sep.la
+      JOIN scat sb ON sb.label = sep.lb
+      GROUP BY sep.la),
+    db AS (SELECT round(avg(r_max) + 1e-9, 6) AS db_index FROM r)
+    SELECT r.label, scat.n_vectors, round(scat.s + 1e-9, 6) AS scatter,
+           r.r_max, db.db_index
+    FROM r JOIN scat ON scat.label = r.label, db
+    ORDER BY r.label
+    """,
+)
+def davies_bouldin_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index of the planted embedding clusters: per
+    cluster, scatter S_c = mean Euclidean distance to the centroid;
+    between clusters, separation M_ij = centroid distance; R_ij =
+    (S_i + S_j)/M_ij is quantized to 6 dp BEFORE the per-cluster max
+    (round-before-rank) and DB = mean_i max_j R_ij. Lower is better —
+    the companion report to ``embedding_silhouette_by_label`` (same
+    centroid machinery, complementary failure modes: DB punishes close
+    centroids even when per-point cohesion looks fine).
+
+    Scale shape: one (label, dim)-keyed aggregate for centroids
+    (k x 64 rows, broadcast), one map-side distance pass over vectors,
+    then everything runs on k- and k^2-sized frames."""
+    emb = Tables(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("c")))).alias(
+                "ic"
+            )
+        )
+        .select("label", F.transform("ic", lambda s: s["c"]).alias("c"))
+    )
+    dist = lambda a, b: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    scat = (
+        e.join(F.broadcast(cent), "label")
+        .select("label", dist(F.col("v"), F.col("c")).alias("dd"))
+        .groupBy("label")
+        .agg(F.avg("dd").alias("s"), F.count(F.lit(1)).alias("n_vectors"))
+    )
+    ca = cent.select(F.col("label").alias("la"), F.col("c").alias("cva"))
+    cb = cent.select(F.col("label").alias("lb"), F.col("c").alias("cvb"))
+    sep = ca.join(cb, F.col("la") != F.col("lb")).select(
+        "la", "lb", dist(F.col("cva"), F.col("cvb")).alias("m")
+    )
+    sa = scat.select(F.col("label").alias("la"), F.col("s").alias("s_a"))
+    sb = scat.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    r = (
+        sep.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.max(
+                F.round((F.col("s_a") + F.col("s_b")) / F.col("m") + 1e-9, 6)
+            ).alias("r_max")
+        )
+    )
+    db = r.agg(F.round(F.avg("r_max") + 1e-9, 6).alias("db_index"))
+    return (
+        r.join(scat, r["label"] == scat["label"])
+        .crossJoin(F.broadcast(db))
+        .select(
+            r["label"],
+            "n_vectors",
+            F.round(F.col("s") + 1e-9, 6).alias("scatter"),
+            "r_max",
+            "db_index",
+        )
+        .orderBy("label")
+    )
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (A-Res, engine-portable Lehmer stream)
+# ---------------------------------------------------------------------------
+
+_LEHMER_M = 2147483647  # 2^31 - 1 (Park-Miller modulus)
+_LEHMER_A = 48271
+
+
+@staged(
+    "weighted_sample_ares",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice AS w,
+             ((((o_orderkey + 1) % {_LEHMER_M}) * {_LEHMER_A})
+              % {_LEHMER_M} + 0.5) / {_LEHMER_M}.0 AS u
+      FROM orders),
+    k AS (
+      SELECT o_orderkey, w, ln(u) / w AS key
+      FROM s)
+    SELECT o_orderkey, round(w + 1e-9, 2) AS weight,
+           round(key * 1e6 + 1e-9, 6) AS ares_key_ppm
+    FROM k ORDER BY key DESC, o_orderkey LIMIT 100
+    """,
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample without replacement (Efraimidis-
+    Spirakis A-Res): each row draws u ~ U(0,1) and keeps key =
+    ln(u)/w (the log form of u^(1/w) — same argmax, no tiny-power
+    precision cliff); the k largest keys are the sample, with
+    inclusion probability proportional to weight. The uniform stream
+    is an ENGINE-PORTABLE Lehmer LCG on the row key ((k+1)*48271 mod
+    2^31-1, +0.5 to stay strictly inside (0,1)) — exact int64
+    arithmetic on both engines, so no hash-function mismatch and no
+    RNG state (re-runs are reproducible by construction).
+
+    Scale shape: pure map + TakeOrderedAndProject(100) — the global
+    top-k never materializes a sort."""
+    o = Tables(spark, sf_dir).orders
+    u = (
+        ((F.col("o_orderkey") + 1) % _LEHMER_M) * _LEHMER_A % _LEHMER_M + 0.5
+    ) / float(_LEHMER_M)
+    k = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("w"),
+        (F.log(u) / F.col("o_totalprice")).alias("key"),
+    )
+    return (
+        k.orderBy(F.desc("key"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.round(F.col("w") + 1e-9, 2).alias("weight"),
+            F.round(F.col("key") * 1e6 + 1e-9, 6).alias("ares_key_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across segments
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "quantile_normalize_acctbal",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment AS seg, c_acctbal AS x,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) - 1 AS rk,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer),
+    b AS (
+      SELECT seg, x,
+             least(CAST(floor(rk * 20.0 / n) AS INT), 19) AS bin
+      FROM r),
+    ref AS (SELECT bin, avg(x) AS norm FROM b GROUP BY bin)
+    SELECT b.seg, b.bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(b.x) + 1e-9, 4) AS avg_raw,
+           round(max(ref.norm) + 1e-9, 4) AS normalized
+    FROM b JOIN ref ON ref.bin = b.bin
+    GROUP BY b.seg, b.bin ORDER BY b.seg, b.bin
+    """,
+)
+def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of account balances across market
+    segments (the bioinformatics/feature-scaling transform): rank
+    within each segment, cut into 20 quantile bins, and replace each
+    bin's values with the ACROSS-SEGMENT mean of that bin — after which
+    every segment has the same marginal distribution, isolating
+    within-segment structure from between-segment scale.
+
+    Scale shape: the per-segment rank is a window PARTITIONED by
+    segment (each partition is one shuffle group, no single-task
+    window); the reference distribution is a 20-row broadcast."""
+    c = Tables(spark, sf_dir).customer
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("x"),
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    b = r.select(
+        "seg",
+        "x",
+        F.least(
+            F.floor(F.col("rk") * 20.0 / F.col("n")).cast("int"), F.lit(19)
+        ).alias("bin"),
+    )
+    ref = b.groupBy("bin").agg(F.avg("x").alias("norm"))
+    return (
+        b.join(F.broadcast(ref), "bin")
+        .groupBy("seg", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x") + 1e-9, 4).alias("avg_raw"),
+            F.round(F.max("norm") + 1e-9, 4).alias("normalized"),
+        )
+        .orderBy("seg", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower bound ranking
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "wilson_lower_bound_sources",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS k
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n, k, k / n AS p,
+             ((k / n) + 1.9208 / n
+              - 1.96 * sqrt((k / n) * (1 - k / n) / n + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n) AS lb
+      FROM s)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_pass,
+           round(p + 1e-9, 6) AS pass_rate,
+           round(lb + 1e-9, 6) AS wilson_lb
+    FROM w ORDER BY wilson_lb DESC, source
+    """,
+)
+def wilson_lower_bound_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank corpus sources by the Wilson score interval LOWER bound of
+    their quality-pass rate (n_chars >= 300), z = 1.96: the
+    small-sample-honest ranking (a 3/3 source ranks below a 480/500
+    source, where the raw rate says the opposite) — how a curation
+    pipeline decides which sources earn a bigger sampling budget.
+    z^2 = 3.8416, z^2/2 = 1.9208, z^2/4 = 0.9604 are inlined constants
+    so both engines evaluate the same literals.
+
+    Scale shape: one source-keyed aggregate; the Wilson algebra is
+    per-group scalar arithmetic."""
+    d = Tables(spark, sf_dir).documents
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0))
+        .cast("double")
+        .alias("k"),
+    )
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    lb = (p + 1.9208 / n - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))) / (
+        1 + 3.8416 / n
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("n_pass"),
+        F.round(p + 1e-9, 6).alias("pass_rate"),
+        F.round(lb + 1e-9, 6).alias("wilson_lb"),
+    ).orderBy(F.desc("wilson_lb"), F.asc("source"))
+
+
+# ---------------------------------------------------------------------------
+# Iterative BFS on a 10k-node synthetic graph (driver-gated kernel)
+# ---------------------------------------------------------------------------
+
+_BFS_P = 10007  # prime node count
+_BFS_CAP = 15  # depth cap, identical in the recursive oracle
+
+
+@staged(
+    "bfs_distances_synthetic_10k",
+    oracle=f"""
+    WITH RECURSIVE ids AS (SELECT unnest(range({_BFS_P})) AS i),
+    fwd AS (
+      SELECT i AS u, (2 * i + 1) % {_BFS_P} AS v FROM ids
+      UNION ALL
+      SELECT i AS u, (3 * i + 7) % {_BFS_P} AS v FROM ids),
+    e AS (
+      SELECT u, v FROM fwd WHERE u <> v
+      UNION
+      SELECT v AS u, u AS v FROM fwd WHERE u <> v),
+    b AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+      UNION
+      SELECT e.v AS node, b.d + 1 AS d
+      FROM b JOIN e ON e.u = b.node WHERE b.d < {_BFS_CAP})
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+    FROM b GROUP BY node ORDER BY node
+    """,
+)
+def bfs_distances_synthetic_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest hop counts on a DETERMINISTIC 10,007-
+    node expander (edges i -> 2i+1 and i -> 3i+7 mod p, symmetrized) —
+    the driver-gated iterative kernel VERDICT r9 item 7 asked for: the
+    frontier-delta loop (expand only last round's discoveries, anti-join
+    re-visits away, DISK_ONLY checkpoints per the r9 endurance rule) is
+    hash-checked against a recursive-CTE oracle at 10k nodes, not 25.
+    Both sides cap depth at 15 (the graph's BFS height from 0 is ~10,
+    so the cap is slack, and it bounds the oracle's recursion).
+
+    Scale shape: per round ONE shuffle of frontier x edges plus an
+    anti-join against the settled set; state is node-sized. This is the
+    exact per-round shape the 10^8-edge rehearsal tier measures
+    (tools/scale_rehearsal.py --graph-r10)."""
+    ids = spark.range(_BFS_P).select(F.col("id").alias("i"))
+    fwd = ids.select(
+        F.col("i").alias("u"), ((2 * F.col("i") + 1) % _BFS_P).alias("v")
+    ).unionAll(
+        ids.select(F.col("i").alias("u"), ((3 * F.col("i") + 7) % _BFS_P).alias("v"))
+    ).filter(F.col("u") != F.col("v"))
+    e = (
+        fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    frontier = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"), F.lit(0).alias("d")
+    )
+    settled = frontier.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    frontier = settled
+    for _ in range(_BFS_CAP):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+            .distinct()
+            .join(settled.select("node"), on="node", how="left_anti")
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(
+            eager=False, storageLevel=_DISK_ONLY
+        )
+        frontier = nxt
+    return settled.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("d").cast("long").alias("dist"),
+    ).orderBy("node")
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation of the ANN index: NDCG@10 + MRR
+# ---------------------------------------------------------------------------
+
+# IDCG@10 for graded relevance (11 - true_rank): sum_{j=1..10} (11-j)/log2(j+1),
+# inlined as the SAME literal on both engines.
+_IDCG10 = 29.966109248940597
+
+
+def _ndcg_oracle(
+    n_queries: int = 10,
+    n_centroids: int = 16,
+    iters: int = 3,
+    nprobe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """The ``_ann_recall_oracle`` chain with ranks KEPT on both the IVF
+    and brute lists, closed with the graded-gain join."""
+    from ror_etl_spark.queries.vector import _COS_SQL, _kmeans_ctes
+
+    ctes = [
+        f"""qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries})""",
+        *_kmeans_ctes(
+            f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= {n_queries}""",
+            n_centroids,
+            iters,
+            dim,
+            6,
+        ),
+        f"""probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY list_distance(q.qv, c.c), c.cell) AS rn
+        FROM c{iters} c CROSS JOIN qs q) WHERE rn <= {nprobe})""",
+        f"""ivf AS (
+      SELECT qid, vec_id, rn FROM (
+        SELECT p.qid, af.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY {_COS_SQL.format(a='af.v', b='q.qv')} DESC, af.vec_id) AS rn
+        FROM af JOIN probe p ON af.cell = p.cell
+        JOIN qs q ON q.qid = p.qid) WHERE rn <= {k})""",
+        f"""brute AS (
+      SELECT qid, vec_id, rn FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_COS_SQL.format(a='e.v', b='q.qv')} DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN qs q) WHERE rn <= {k})""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT q.qid,
+           CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+           round(coalesce(sum(({k + 1} - b.rn) / log2(i.rn + 1)), 0.0)
+                 / {_IDCG10!r} + 1e-9, 6) AS ndcg,
+           round(coalesce(max(CASE WHEN b.rn = 1 THEN 1.0 / i.rn END), 0.0)
+                 + 1e-9, 6) AS mrr
+    FROM qs q
+    LEFT JOIN ivf i ON i.qid = q.qid
+    LEFT JOIN brute b ON b.qid = i.qid AND b.vec_id = i.vec_id
+    GROUP BY q.qid ORDER BY q.qid
+    """
+    )
+
+
+@staged("ndcg_mrr_ann_eval", oracle=_ndcg_oracle())
+def ndcg_mrr_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking-quality evaluation of the trained-IVF ANN index:
+    per query, NDCG@10 with relevance grade (11 - true_cosine_rank) for
+    the exact top-10 (0 otherwise), and MRR of the TRUE nearest
+    neighbor — the metrics that distinguish "found 8 of 10 somewhere"
+    from "found them in the right order", which recall@k cannot see.
+    IDCG@10 is a shared inlined literal; DCG terms are integer grades
+    over log2 of small integers, so the 6-dp rounded sums are engine-
+    portable.
+
+    Scale shape: same as ``embedding_ann_recall`` (shared k-means
+    training + one GEMM assignment pass; driver-sized query/probe
+    broadcasts; WindowGroupLimit keeps both top-k windows partial)."""
+    import math
+
+    from ror_etl_spark.operators.similarity import assign_cells, kmeans_centroids
+    from ror_etl_spark.functions.vectors import as_double, cosine
+
+    n_queries, n_centroids, iters, nprobe, k = 10, 16, 3, 2, 10
+    emb = Tables(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    centroids = kmeans_centroids(corpus, n_centroids, iters, round_means=6)
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+
+    def qdist(qv: list[float], c: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(qv, c))
+
+    probe_rows = [
+        (qid, cell)
+        for qid, qv in queries
+        for cell in sorted(
+            range(len(centroids)), key=lambda i: (qdist(qv, centroids[i]), i)
+        )[:nprobe]
+    ]
+    qdf = F.broadcast(spark.createDataFrame(queries, "qid long, qv array<double>"))
+    pdf = F.broadcast(spark.createDataFrame(probe_rows, "qid long, cell int"))
+
+    cells = assign_cells(corpus, centroids)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ivf_top = (
+        cells.join(pdf, "cell")
+        .join(qdf, "qid")
+        .select(
+            "qid",
+            F.col("id").alias("vec_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.col("rn").alias("rn_ivf"))
+    )
+    brute_top = (
+        corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .crossJoin(qdf)
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.col("rn").alias("rn_brute"))
+    )
+    qids = F.broadcast(
+        spark.createDataFrame([(q,) for q, _ in queries], "qid long")
+    )
+    joined = ivf_top.join(brute_top, ["qid", "vec_id"], "left")
+    per = joined.groupBy("qid").agg(
+        F.count("rn_brute").cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    (F.lit(k + 1) - F.col("rn_brute"))
+                    / F.log2(F.col("rn_ivf") + 1)
+                ),
+                F.lit(0.0),
+            )
+            / _IDCG10
+            + 1e-9,
+            6,
+        ).alias("ndcg"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("rn_brute") == 1, 1.0 / F.col("rn_ivf"))),
+                F.lit(0.0),
+            )
+            + 1e-9,
+            6,
+        ).alias("mrr"),
+    )
+    return (
+        qids.join(per, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("ndcg"), F.round(F.lit(0.0) + 1e-9, 6)).alias("ndcg"),
+            F.coalesce(F.col("mrr"), F.round(F.lit(0.0) + 1e-9, 6)).alias("mrr"),
+        )
+        .orderBy("qid")
+    )

@@ -693,6 +693,291 @@ def graph_scale(skew_only: bool = False) -> None:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
+def graph_r10_scale() -> None:
+    """Decade rows for the two r10 iterative graph operators (VERDICT r9
+    item 2) at synthetic 10^7 -> 10^8 EDGE tiers, before/as they
+    register: multi-source BFS (``graph_diameter_trade``'s per-round
+    shape — frontier x rounds is the most expansion-prone new kernel)
+    and per-node triangle credit (``clustering_coefficient_nations``).
+    Deterministic hash-generated graphs as in ``graph_scale`` (N = E/10
+    nodes, uniform endpoints, avg undirected degree ~20).
+
+    The registered 25-node queries use the compact full-reaggregate BFS
+    (dist U ext -> groupBy min); this tier runs the FRONTIER-DELTA form
+    (expand only last round's discoveries, anti-join out re-visits) the
+    docstring promises for production, with S sampled sources so state
+    is S x N, and validates the result in-run: (a) reached counts per
+    round are monotone, (b) zero BFS-property violations — every
+    settled (src, node, d>0) must have a neighbour settled at d-1.
+
+    Triangle credit runs the registered a<b two-path + closing-edge
+    join unchanged and cross-checks the per-node credit sum against an
+    INDEPENDENT degree-ordered-orientation triangle count (different
+    join tree, same graph) — 3 x T_oriented == sum(credits) or the row
+    is marked invalid.
+
+    Checkpoint cadence: every per-round frame is localCheckpointed
+    DISK_ONLY (the r9 endurance rule, tests/test_checkpoint_discipline.py)
+    and the superseded checkpoint is unpersisted as its successor
+    materializes."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ror_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "80g")
+    spark = get_spark("graph-r10-scale")
+    div = max(1, int(os.environ.get("GRAPH_REHEARSAL_DIV", "1")))
+    # sampled BFS sources (production regime for diameter/ecc): keep S
+    # CONSTANT across tiers so the decade ratio is per-edge work, and
+    # small enough that peak frontier state (<= S x N rows) fits the
+    # single-host rehearsal (S=32 at 1e8 edges OOMed: ~250M-row frontier
+    # x 20 expansion = 5e9-row shuffle; a real cluster distributes this,
+    # the tier just needs a measurable slope).
+    S = int(os.environ.get("GRAPH_R10_S", "8"))
+    tiers = [
+        int(x)
+        for x in os.environ.get("GRAPH_R10_TIERS", "10000000,100000000").split(",")
+    ]
+
+    def ckpt_swap(new_df, old_df):
+        out = new_df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        if old_df is not None:
+            old_df.unpersist()
+        return out
+
+    def uniform_edges(E: int, N: int):
+        e = spark.range(E)
+        u = ((F.xxhash64("id") % N) + N) % N
+        v = ((F.xxhash64("id", F.lit(1)) % N) + N) % N
+        return e.select(u.alias("u"), v.alias("v")).filter("u <> v")
+
+    for E in (t // div for t in tiers):
+        N = E // 10
+        t0 = time.perf_counter()
+        ed = uniform_edges(E, N)
+        sym = (
+            ed.unionAll(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        n_sym = sym.count()
+        t_derive = time.perf_counter() - t0
+
+        # ---- multi-source frontier-delta BFS ----
+        t0 = time.perf_counter()
+        stride = max(1, N // S)
+        frontier = (
+            spark.range(S)
+            .select((F.col("id") * stride).alias("src"))
+            .filter(F.col("src") < N)
+            .select("src", F.col("src").alias("node"), F.lit(0).alias("d"))
+        )
+        settled = ckpt_swap(frontier, None)
+        frontier = settled
+        reached_log = []
+        rounds = 0
+        for _ in range(12):
+            ext = (
+                frontier.join(sym, frontier["node"] == sym["u"])
+                .select("src", F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+                .distinct()
+                .join(settled.select("src", "node"), on=["src", "node"], how="left_anti")
+            )
+            ext = ckpt_swap(ext, frontier if rounds > 0 else None)
+            n_ext = ext.count()
+            rounds += 1
+            if n_ext == 0:
+                ext.unpersist()
+                break
+            settled = ckpt_swap(settled.unionByName(ext), settled)
+            frontier = ext
+            reached_log.append(n_ext)
+        n_settled = settled.count()
+        # BFS property: every settled (src,node,d>0) has a neighbour at d-1
+        inner = settled.filter(F.col("d") > 0)
+        parents = settled.select(
+            F.col("src").alias("p_src"),
+            F.col("node").alias("p_node"),
+            F.col("d").alias("p_d"),
+        )
+        violations = (
+            inner.join(sym, inner["node"] == sym["v"])
+            .join(
+                parents,
+                (F.col("p_src") == inner["src"])
+                & (F.col("p_node") == sym["u"])
+                & (F.col("p_d") == inner["d"] - 1),
+                "left_semi",
+            )
+        )
+        # left_semi keeps rows WITH a valid parent; violations = inner minus those
+        ok = violations.select("src", "node", "d").distinct().count()
+        n_inner = inner.count()
+        bad_bfs = n_inner - ok
+        t_bfs = time.perf_counter() - t0
+        ecc = settled.groupBy("src").agg(F.max("d").alias("ecc"))
+        diam_lb = ecc.agg(F.max("ecc")).first()[0]
+        settled.unpersist()
+        print(
+            f"msbfs_decade E={E:>11,d} N={N:>10,d} S={S} rounds={rounds} "
+            f"wall={t_bfs:.1f}s derive={t_derive:.1f}s settled={n_settled:,d} "
+            f"bfs_violations={bad_bfs} diam_lb={diam_lb} "
+            f"frontier_log={reached_log}",
+            flush=True,
+        )
+
+        # ---- per-node triangle credit (registered a<b join shape) ----
+        t0 = time.perf_counter()
+        und = (
+            sym.filter(F.col("u") < F.col("v"))
+            .select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+        credit = (
+            e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.explode(
+                    F.array(F.col("e1.a"), F.col("e1.b"), F.col("e2.b"))
+                ).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+        credit_sum = credit.agg(F.sum("triangles")).first()[0] or 0
+        t_tri = time.perf_counter() - t0
+
+        # independent cross-check: degree-ordered orientation count
+        t0 = time.perf_counter()
+        deg = (
+            und.select(F.col("a").alias("n"))
+            .unionAll(und.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        da = deg.select(F.col("n").alias("a"), F.col("dg").alias("dg_a"))
+        db = deg.select(F.col("n").alias("b"), F.col("dg").alias("dg_b"))
+        oriented = (
+            und.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(
+                    (F.col("dg_a") < F.col("dg_b"))
+                    | ((F.col("dg_a") == F.col("dg_b")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                )
+                .otherwise(F.struct(F.col("b").alias("x"), F.col("a").alias("y")))
+                .alias("e")
+            )
+            .select("e.x", "e.y")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+        # wedge at low-degree apex x: (x->y1, x->y2), closed by edge in
+        # EITHER orientation between y1 and y2
+        wedges = o1.join(o2, (F.col("o1.x") == F.col("o2.x")) & (F.col("o1.y") < F.col("o2.y")))
+        closing = oriented.select(
+            F.col("x").alias("c1"), F.col("y").alias("c2")
+        ).unionAll(oriented.select(F.col("y").alias("c1"), F.col("x").alias("c2")))
+        t_oriented = (
+            wedges.join(
+                closing,
+                (F.col("c1") == F.col("o1.y")) & (F.col("c2") == F.col("o2.y")),
+                "left_semi",
+            ).count()
+        )
+        t_tri2 = time.perf_counter() - t0
+        und.unpersist()
+        oriented.unpersist()
+        sym.unpersist()
+        valid = credit_sum == 3 * t_oriented
+        print(
+            f"tricredit_decade E={E:>11,d} N={N:>10,d} "
+            f"registered_shape={t_tri:.1f}s credit_sum={credit_sum:,d} "
+            f"oriented_check={t_tri2:.1f}s triangles={t_oriented:,d} "
+            f"valid={valid}",
+            flush=True,
+        )
+
+
+def graph_1b_probe() -> None:
+    """10^9-edge single-kernel probe (VERDICT r9 item 7 stretch): ONE
+    synchronous LPA vote round on a uniform hash-generated graph with
+    1e9 directed edges / 1e8 nodes — a third decade on the graph story.
+    One round only: the decade SLOPE is what the row is for (the
+    per-round loop shape is identical at any round count), and a full
+    multi-round run at this tier would spend an hour measuring the same
+    two shuffles ten times. In-run validation: labels stay inside the
+    node domain and the vote output is node-sized. DISK_ONLY eager
+    checkpoint on the undirected edge frame; shuffle partitions are
+    raised to keep ~2 GB/partition at the 1e9 tier."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ror_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "100g")
+    spark = get_spark("graph-1b")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    div = max(1, int(os.environ.get("GRAPH_REHEARSAL_DIV", "1")))
+    E, N = 1_000_000_000 // div, 100_000_000 // div
+
+    t0 = time.perf_counter()
+    e = spark.range(E)
+    und = (
+        e.select(
+            (((F.xxhash64("id") % N) + N) % N).alias("u"),
+            (((F.xxhash64("id", F.lit(1)) % N) + N) % N).alias("v"),
+        )
+        .filter("u <> v")
+        # SKIP the groupBy(u, v) weight dedup the small tiers do: at 1e9
+        # rows it is a second full shuffle that measures the same thing
+        # as the vote join; multi-edges just act as integer weights.
+        .withColumn("w", F.lit(1))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    n_e = und.count()
+    t_derive = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    labels = spark.range(N).select(F.col("id"), F.col("id").alias("label"))
+    votes = (
+        und.join(labels, und["v"] == labels["id"])
+        .groupBy(und["u"].alias("nid"), "label")
+        .agg(F.sum("w").alias("wt"))
+    )
+    pick = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nid").orderBy(F.desc("wt"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("nid", "label")
+    )
+    stats = pick.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("label") < 0) | (F.col("label") >= N), 1).otherwise(0)
+        ).alias("bad"),
+    ).first()
+    t_lpa = time.perf_counter() - t0
+    und.unpersist()
+    print(
+        f"lpa1_1b E={n_e:,d} N={N:,d} derive={t_derive:.1f}s "
+        f"lpa1={t_lpa:.1f}s voted_nodes={stats['n']:,d} bad={stats['bad']}",
+        flush=True,
+    )
+
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen", action="store_true")
@@ -728,6 +1013,11 @@ if __name__ == "__main__":
                     help="synthesize the part decade for the skyline operator")
     ap.add_argument("--run-s5", action="store_true",
                     help="cold-first: session-5 ops (debounce, portable HLL, Welch, basket, PIT join, skyline) across their decades")
+    ap.add_argument("--graph-1b", action="store_true",
+                    help="1e9-edge single-round LPA probe (third decade)")
+    ap.add_argument("--graph-r10", action="store_true",
+                    help="decade rows for the r10 staged graph ops: "
+                    "multi-source BFS + per-node triangle credit")
     ap.add_argument("--graph", action="store_true",
                     help="decade rows for the r9 iterative graph kernels (depth layers, LPA, k-core) at 1e7/1e8 edges + power-law skew tier")
     ap.add_argument("--graph-skew", action="store_true",
@@ -735,6 +1025,10 @@ if __name__ == "__main__":
     ap.add_argument("--run-r7d", action="store_true",
                     help="cold-first: session-3 ops (NB lang-ID, Zipf, minhash calibration, curriculum sample, image aHash) across the open-vocab decade")
     args = ap.parse_args()
+    if args.graph_r10:
+        graph_r10_scale()
+    if args.graph_1b:
+        graph_1b_probe()
     if args.graph:
         graph_scale()
     if args.graph_skew:
