@@ -595,7 +595,7 @@ def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     )
     obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("o"))
     n = obs.agg(F.sum("o").cast("double").alias("n"))
-    bshare = F.log(F.lit(10.0), F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    bshare = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     exp = F.col("n") * bshare
     return (
         obs.crossJoin(F.broadcast(n))
@@ -727,14 +727,14 @@ def _pvalue_col(z):
     oracle=f"""
     WITH s AS (
       SELECT user_id % 7 AS cohort, event_type, value AS v FROM events),
-    glob AS (SELECT avg(v) AS mu, stddev_samp(v) AS sigma FROM s),
+    gstat AS (SELECT avg(v) AS mu, stddev_samp(v) AS sigma FROM s),
     g AS (
       SELECT cohort, event_type, CAST(count(*) AS DOUBLE) AS n, avg(v) AS m
       FROM s GROUP BY cohort, event_type),
     z AS (
       SELECT g.cohort, g.event_type, CAST(g.n AS BIGINT) AS n,
-             round((g.m - glob.mu) / (glob.sigma / sqrt(g.n)) + 1e-9, 4) AS z
-      FROM g, glob),
+             round((g.m - gstat.mu) / (gstat.sigma / sqrt(g.n)) + 1e-9, 4) AS z
+      FROM g, gstat),
     p AS (
       SELECT cohort, event_type, n, z,
              round({_pvalue_sql('z')} + 1e-9, 8) AS p
@@ -989,8 +989,7 @@ def _hits_oracle() -> str:
         )
         ctes.append(
             f"""a{i + 1} AS (
-      SELECT id, round(x / (SELECT max(x) FROM ar{i}) + 1e-9, {_HITS_ROUND})
-               AS auth
+      SELECT id, round(x / max(x) OVER () + 1e-9, {_HITS_ROUND}) AS auth
       FROM ar{i})"""
         )
         ctes.append(
@@ -1003,8 +1002,7 @@ def _hits_oracle() -> str:
         )
         ctes.append(
             f"""h{i + 1} AS (
-      SELECT id, round(x / (SELECT max(x) FROM hr{i}) + 1e-9, {_HITS_ROUND})
-               AS hub
+      SELECT id, round(x / max(x) OVER () + 1e-9, {_HITS_ROUND}) AS hub
       FROM hr{i})"""
         )
     return (
@@ -1044,6 +1042,13 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = t.nation.select(F.col("n_nationkey").alias("id"))
     hub = nodes.select("id", F.lit(1.0).alias("hub"))
     auth = None
+    # normalization uses a whole-frame window max, NOT a separate
+    # aggregate + crossJoin: a second reference to the half-iteration
+    # frame doubles the uncached plan per level (2^10 blowup over 5
+    # iterations — measured as a multi-minute hang before this form);
+    # the window runs on a node-sized (25-row) frame. Each half-step is
+    # lazily checkpointed (DISK_ONLY, loop rule) to keep lineage linear.
+    wall = Window.partitionBy()
     for _ in range(_HITS_ITERS):
         ar = (
             nodes.join(edges, nodes["id"] == edges["v"], "left")
@@ -1051,10 +1056,12 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(nodes["id"])
             .agg(F.coalesce(F.sum(F.col("hub") * F.col("w")), F.lit(0.0)).alias("x"))
         )
-        amax = ar.agg(F.max("x").alias("mx"))
-        auth = ar.crossJoin(F.broadcast(amax)).select(
-            "id", F.round(F.col("x") / F.col("mx") + 1e-9, _HITS_ROUND).alias("auth")
-        )
+        auth = ar.select(
+            "id",
+            F.round(
+                F.col("x") / F.max("x").over(wall) + 1e-9, _HITS_ROUND
+            ).alias("auth"),
+        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         hr = (
             nodes.join(edges, nodes["id"] == edges["u"], "left")
             .join(
@@ -1063,10 +1070,12 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(nodes["id"])
             .agg(F.coalesce(F.sum(F.col("auth") * F.col("w")), F.lit(0.0)).alias("x"))
         )
-        hmax = hr.agg(F.max("x").alias("mx"))
-        hub = hr.crossJoin(F.broadcast(hmax)).select(
-            "id", F.round(F.col("x") / F.col("mx") + 1e-9, _HITS_ROUND).alias("hub")
-        )
+        hub = hr.select(
+            "id",
+            F.round(
+                F.col("x") / F.max("x").over(wall) + 1e-9, _HITS_ROUND
+            ).alias("hub"),
+        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
     return (
         auth.join(hub.withColumnRenamed("id", "hid"), F.col("hid") == auth["id"])
         .select(
@@ -1096,10 +1105,17 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s.s_nationkey <> c.c_nationkey),
     und AS (
       SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
-    deg AS (SELECT u AS n, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY u)
-    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
-           round(corr(du.d, dv.d) + 1e-9, 6) AS assortativity
-    FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+    deg AS (SELECT u AS n, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY u),
+    mo AS (
+      SELECT count(*) AS ne, covar_pop(du.d, dv.d) AS sxy,
+             var_pop(du.d) AS sx, var_pop(dv.d) AS sy
+      FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v)
+    SELECT CAST(ne AS BIGINT) AS n_directed_edges,
+           CAST(CASE WHEN sx > 0 AND sy > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS defined,
+           round(CASE WHEN sx > 0 AND sy > 0 THEN sxy / sqrt(sx * sy)
+                      ELSE 0.0 END + 1e-9, 6) AS assortativity
+    FROM mo
     """,
 )
 def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,17 +1148,31 @@ def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
-    return (
+    mo = (
         und.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
         .agg(
-            F.count(F.lit(1)).alias("n_directed_edges"),
-            F.round(F.corr("d_u", "d_v") + 1e-9, 6).alias("assortativity"),
+            F.count(F.lit(1)).alias("ne"),
+            F.covar_pop("d_u", "d_v").alias("sxy"),
+            F.var_pop("d_u").alias("sx"),
+            F.var_pop("d_v").alias("sy"),
         )
-        .select(
-            F.col("n_directed_edges").cast("long").alias("n_directed_edges"),
-            "assortativity",
-        )
+    )
+    # regular graphs (every degree equal — the complete sf0.01 nation
+    # graph) have zero degree variance, where Pearson r is 0/0: report
+    # defined=0 with assortativity 0.0 instead of tripping ANSI
+    # divide-by-zero (Spark) vs NULL (DuckDB) asymmetry.
+    ok = (F.col("sx") > 0) & (F.col("sy") > 0)
+    return mo.select(
+        F.col("ne").cast("long").alias("n_directed_edges"),
+        F.when(ok, 1).otherwise(0).cast("long").alias("defined"),
+        F.round(
+            F.when(ok, F.col("sxy") / F.sqrt(F.col("sx") * F.col("sy"))).otherwise(
+                0.0
+            )
+            + 1e-9,
+            6,
+        ).alias("assortativity"),
     )
 
 _MOD_LPA_ROUNDS = 3

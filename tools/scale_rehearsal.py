@@ -734,10 +734,19 @@ def graph_r10_scale() -> None:
     # single-host rehearsal (S=32 at 1e8 edges OOMed: ~250M-row frontier
     # x 20 expansion = 5e9-row shuffle; a real cluster distributes this,
     # the tier just needs a measurable slope).
-    S = int(os.environ.get("GRAPH_R10_S", "8"))
+    # E:S pairs — per-source state and shuffle volume scale with S, so
+    # the big tier uses fewer sampled sources (constant per-source work
+    # is the decade metric; the S=8-vs-32 pair at 1e7 separately shows
+    # the linear-in-S behavior). The 1e8/S=8 attempt exhausted the
+    # host's ~48 GB free disk with per-round shuffle files.
     tiers = [
-        int(x)
-        for x in os.environ.get("GRAPH_R10_TIERS", "10000000,100000000").split(",")
+        (int(e), int(s))
+        for e, s in (
+            x.split(":")
+            for x in os.environ.get(
+                "GRAPH_R10_TIERS", "10000000:8,100000000:2"
+            ).split(",")
+        )
     ]
 
     def ckpt_swap(new_df, old_df):
@@ -752,7 +761,8 @@ def graph_r10_scale() -> None:
         v = ((F.xxhash64("id", F.lit(1)) % N) + N) % N
         return e.select(u.alias("u"), v.alias("v")).filter("u <> v")
 
-    for E in (t // div for t in tiers):
+    for E0, S in tiers:
+        E = E0 // div
         N = E // 10
         t0 = time.perf_counter()
         ed = uniform_edges(E, N)
@@ -793,6 +803,10 @@ def graph_r10_scale() -> None:
             settled = ckpt_swap(settled.unionByName(ext), settled)
             frontier = ext
             reached_log.append(n_ext)
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         n_settled = settled.count()
         # BFS property: every settled (src,node,d>0) has a neighbour at d-1
         inner = settled.filter(F.col("d") > 0)
