@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ror_etl_spark.operators.util import global_cumsum, global_rank, spread
+from ror_etl_spark.queries.util import epoch_us
 from ror_etl_spark.tables import Tables
 
 _DISK_ONLY = StorageLevel.DISK_ONLY
@@ -1879,4 +1880,1058 @@ def ndcg_mrr_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("mrr"), F.round(F.lit(0.0) + 1e-9, 6)).alias("mrr"),
         )
         .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second wave (staged later in round 10): nonparametric k-sample tests,
+# paired-proportion shift, classifier confusion/MCC, distribution
+# divergences, lagged cross-correlation, robust anomaly screening,
+# CUPED variance reduction, sequential testing (SPRT), post-hoc pairwise
+# comparisons, blocked fuzzy matching, Markov transitions, class-balance
+# weighting, and parametric distribution fitting.
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "kruskal_wallis_value_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v, event_type AS t FROM events WHERE value IS NOT NULL),
+    g AS (SELECT v, t, count(*) AS cg FROM s GROUP BY v, t),
+    tot AS (SELECT v, sum(cg) AS c FROM g GROUP BY v),
+    r AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM tot),
+    m AS (
+      SELECT g.t, sum(g.cg * (r.before + (r.c + 1) / 2.0)) AS rj,
+             CAST(sum(g.cg) AS DOUBLE) AS nj
+      FROM g JOIN r USING (v) GROUP BY g.t),
+    tie AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_cubes
+      FROM r),
+    agg AS (SELECT sum(rj * rj / nj) AS s2, count(*) AS k FROM m)
+    SELECT CAST(tie.n AS BIGINT) AS n,
+           CAST(agg.k AS BIGINT) AS k,
+           CAST(agg.k - 1 AS BIGINT) AS dof,
+           round(12.0 / (tie.n * (tie.n + 1.0)) * agg.s2
+                 - 3.0 * (tie.n + 1.0) + 1e-9, 4) AS h_stat,
+           round((12.0 / (tie.n * (tie.n + 1.0)) * agg.s2
+                  - 3.0 * (tie.n + 1.0))
+                 / (1.0 - tie.tie_cubes / (tie.n * tie.n * tie.n - tie.n))
+                 + 1e-9, 4) AS h_tie_corrected
+    FROM tie, agg
+    """,
+)
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does `value` have the same distribution
+    across the k event types? Rank-based one-way ANOVA — the
+    nonparametric sibling of the staged-r10 ANOVA F operator, robust to
+    the heavy right tail that makes the F test anticonservative on
+    revenue-like columns. Midranks come from the count_less +
+    (count_eq+1)/2 closed form on the per-distinct-value frame (the
+    Mann-Whitney pattern, staged_r10.py:179, generalized to k groups),
+    H = 12/(N(N+1)) Σ R_j²/n_j − 3(N+1), and the tie-corrected form
+    divides by 1 − Σ(t³−t)/(N³−N).
+
+    Scale shape: one groupBy(value, type) aggregate, one distributed
+    exclusive cumsum over the distinct-value frame (global_cumsum), a
+    value-keyed join of two distinct-value-sized frames, one k-row
+    aggregate. All count products are computed in double (the ADVICE-r9
+    int64-overflow rule: N² overflows long at ~3e9 rows)."""
+    e = Tables(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    # g feeds both the midrank join and the per-value totals; checkpoint
+    # so the fact-table aggregate executes once (value-domain can scale
+    # with the table, hence DISK_ONLY)
+    g = (
+        e.groupBy(F.col("value").alias("v"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    tot = g.groupBy("v").agg(F.sum("cg").alias("c"))
+    r = global_cumsum(tot, ["v"], "c", out="before")
+    m = (
+        g.join(r, "v")
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("cg") * (F.col("before") + (F.col("c") + 1) / 2.0)).alias(
+                "rj"
+            ),
+            F.sum("cg").cast("double").alias("nj"),
+        )
+    )
+    tie = r.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie_cubes"
+        ),
+    )
+    agg = m.agg(F.sum(F.col("rj") * F.col("rj") / F.col("nj")).alias("s2"),
+                F.count(F.lit(1)).alias("k"))
+    n = F.col("n")
+    h = 12.0 / (n * (n + 1.0)) * F.col("s2") - 3.0 * (n + 1.0)
+    return (
+        agg.crossJoin(F.broadcast(tie))
+        .select(
+            n.cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+            F.round(h + 1e-9, 4).alias("h_stat"),
+            F.round(
+                h / (1.0 - F.col("tie_cubes") / (n * n * n - n)) + 1e-9, 4
+            ).alias("h_tie_corrected"),
+        )
+    )
+
+
+@staged(
+    "friedman_daily_type_ranks",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS t, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    k AS (SELECT count(DISTINCT t) AS k FROM day),
+    full_days AS (
+      SELECT d FROM day GROUP BY d
+      HAVING count(*) = (SELECT k FROM k)),
+    ranked AS (
+      SELECT day.d, day.t,
+             rank() OVER (PARTITION BY day.d ORDER BY day.cnt)
+             + (count(*) OVER (PARTITION BY day.d, day.cnt) - 1) / 2.0 AS mid
+      FROM day JOIN full_days USING (d)),
+    rj AS (SELECT t, sum(mid) AS r_j FROM ranked GROUP BY t),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM full_days)
+    SELECT CAST(nb.n AS BIGINT) AS n_blocks,
+           CAST(k.k AS BIGINT) AS k,
+           CAST(k.k - 1 AS BIGINT) AS dof,
+           round(12.0 / (nb.n * k.k * (k.k + 1.0)) * sum(rj.r_j * rj.r_j)
+                 - 3.0 * nb.n * (k.k + 1.0) + 1e-9, 4) AS friedman_chi2
+    FROM rj, nb, k GROUP BY nb.n, k.k
+    """,
+)
+def friedman_daily_type_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test over complete blocks: days are blocks, event types
+    are treatments, the blocked observation is the day's event count.
+    Within each complete day (all k types present) the counts get
+    midranks (competition rank + (ties−1)/2 — average-rank convention),
+    and χ²_F = 12/(nk(k+1)) Σ R_j² − 3n(k+1). Midranks handle ties
+    exactly; the additional tie-correction denominator is deliberately
+    omitted (documented contract — both engines identical).
+
+    Scale shape: one (day, type) aggregate, then day-PARTITIONED
+    windows (never an unpartitioned window — each day sorts k rows),
+    a k-row rank-sum aggregate, one scalar output."""
+    e = Tables(spark, sf_dir).events
+    # the (day x type) frame has three consumers; checkpoint so the
+    # fact-table aggregate executes once
+    day = (
+        e.groupBy(
+            F.col("ts").cast("date").alias("d"), F.col("event_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    kf = day.agg(F.countDistinct("t").alias("k"))
+    full_days = (
+        day.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("kt"))
+        .join(F.broadcast(kf), F.col("kt") == F.col("k"))
+        .select("d")
+    )
+    w_rank = Window.partitionBy("d").orderBy("cnt")
+    w_tie = Window.partitionBy("d", "cnt")
+    ranked = (
+        day.join(full_days, "d")
+        .withColumn(
+            "mid",
+            F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0,
+        )
+    )
+    rj = ranked.groupBy("t").agg(F.sum("mid").alias("r_j"))
+    nb = full_days.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n, k = F.col("n"), F.col("k").cast("double")
+    return (
+        rj.agg(F.sum(F.col("r_j") * F.col("r_j")).alias("s2"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kf))
+        .select(
+            n.cast("long").alias("n_blocks"),
+            k.cast("long").alias("k"),
+            (k - 1).cast("long").alias("dof"),
+            F.round(
+                12.0 / (n * k * (k + 1.0)) * F.col("s2")
+                - 3.0 * n * (k + 1.0)
+                + 1e-9,
+                4,
+            ).alias("friedman_chi2"),
+        )
+    )
+
+
+@staged(
+    "mcnemar_click_shift_halves",
+    oracle="""
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+    per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click'
+                       AND epoch_us(ts) <= bounds.mid THEN 1 ELSE 0 END) AS p1,
+             max(CASE WHEN event_type = 'click'
+                       AND epoch_us(ts) > bounds.mid THEN 1 ELSE 0 END) AS p2
+      FROM events, bounds GROUP BY user_id),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM per_user)
+    SELECT n_users, b, c,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE round((abs(b - c) - 1.0) * (abs(b - c) - 1.0)
+                           / (b + c) + 1e-9, 4) END AS mcnemar_chi2_cc
+    FROM cells
+    """,
+)
+def mcnemar_click_shift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test of paired proportions: did each user's
+    clicked-at-all status change between the first and second half of
+    the observation window? The window midpoint is exact integer
+    microseconds ((min+max)//2 of epoch_us — no float timestamp math,
+    so the half assignment is bit-identical cross-engine), the
+    discordant cells b = (1,0) and c = (0,1) drive the
+    continuity-corrected statistic (|b−c|−1)²/(b+c).
+
+    Scale shape: one scalar min/max pass, one user-keyed aggregate
+    (max of two flags — partial aggregation applies), one 4-cell
+    scalar output. Nothing materializes beyond the user domain."""
+    e = Tables(spark, sf_dir).events
+    us = epoch_us("ts")
+    bounds = e.agg(
+        ((F.min(us) + F.max(us)) - ((F.min(us) + F.max(us)) % 2))
+        .alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click") & (us <= F.col("mid")), 1
+                ).otherwise(0)
+            ).alias("p1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click") & (us > F.col("mid")), 1
+                ).otherwise(0)
+            ).alias("p2"),
+        )
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0))
+        .alias("b"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0))
+        .alias("c"),
+    )
+    b, c = F.col("b").cast("double"), F.col("c").cast("double")
+    return cells.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c) + 1e-9, 4
+            )
+        )
+        .alias("mcnemar_chi2_cc"),
+    )
+
+
+@staged(
+    "mcc_confusion_value_threshold",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS actual
+      FROM events),
+    cm AS (
+      SELECT CAST(sum(pred * actual) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - actual)) AS BIGINT) AS fp,
+             CAST(sum((1 - pred) * actual) AS BIGINT) AS fn,
+             CAST(sum((1 - pred) * (1 - actual)) AS BIGINT) AS tn
+      FROM scored)
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn) + 1e-9, 6)
+             AS accuracy,
+           round(2.0 * tp / (2.0 * tp + fp + fn) + 1e-9, 6) AS f1,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                        * (CAST(tn AS DOUBLE) + fp)
+                        * (CAST(tn AS DOUBLE) + fn)) + 1e-9, 6) AS mcc
+    FROM cm
+    """,
+)
+def mcc_confusion_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + Matthews correlation coefficient of the
+    fixed-threshold classifier `value >= 100` predicting purchase
+    events — the balanced-binary-metric companion to the staged ROC
+    AUC (which is threshold-free). The literal threshold keeps the
+    cell assignment bit-identical cross-engine (no interpolated
+    quantile at the decision boundary). MCC's numerator and the four
+    marginal products are computed in double BEFORE multiplying (the
+    ADVICE-r9 rule: tp·tn overflows int64 once each cell passes ~3e9).
+
+    Scale shape: one scalar aggregate over the fact table — four
+    conditional sums with map-side partial aggregation; output is one
+    row."""
+    e = Tables(spark, sf_dir).events
+    pred = F.when(F.col("value") >= 100.0, 1).otherwise(0)
+    actual = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cm = e.select(pred.alias("pred"), actual.alias("actual")).agg(
+        F.sum(F.col("pred") * F.col("actual")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("actual"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("actual")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("actual"))).alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    return cm.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round((tp + tn) / (tp + fp + fn + tn) + 1e-9, 6).alias("accuracy"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn) + 1e-9, 6).alias("f1"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+            + 1e-9,
+            6,
+        ).alias("mcc"),
+    )
+
+
+@staged(
+    "divergence_lang_by_source",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+    src AS (SELECT source, CAST(sum(c) AS DOUBLE) AS ns FROM per GROUP BY 1),
+    gl AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS cg FROM per GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM per),
+    grid AS (
+      SELECT src.source, gl.lang, src.ns,
+             coalesce(per.c, 0) / src.ns AS p,
+             gl.cg / n.n AS q
+      FROM src CROSS JOIN gl
+      LEFT JOIN per ON per.source = src.source AND per.lang = gl.lang, n)
+    SELECT source,
+           round(sum(0.5 * (CASE WHEN p > 0
+                                 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+                     + 0.5 * q * ln(q / ((p + q) / 2))) + 1e-9, 6) AS js_div,
+           round(sqrt(0.5 * sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))))
+                 + 1e-9, 6) AS hellinger,
+           round(0.5 * sum(abs(p - q)) + 1e-9, 6) AS total_variation
+    FROM grid GROUP BY source ORDER BY source
+    """,
+)
+def divergence_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the corpus: Jensen-Shannon
+    divergence, Hellinger distance, and total-variation distance
+    between P(lang | source) and the global P(lang) — the bounded,
+    symmetric drift triad a curation pipeline screens new sources with
+    (the PSI operator covers the unbounded/asymmetric case). Zero
+    cells are exact: p·ln(p/m) → 0 as p → 0, and q > 0 by
+    construction (every lang in the grid was observed globally).
+
+    Scale shape: one (source, lang) aggregate, then every frame is
+    domain-sized — the grid is |sources| × |langs| built from a
+    broadcast cross join; the fact table is touched once."""
+    d = Tables(spark, sf_dir).documents
+    # the (source x lang) frame has four consumers; checkpoint so the
+    # fact-table aggregate executes once
+    per = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    src = per.groupBy("source").agg(F.sum("c").cast("double").alias("ns"))
+    glob = per.groupBy("lang").agg(F.sum("c").cast("double").alias("cg"))
+    n = per.agg(F.sum("c").cast("double").alias("n"))
+    grid = (
+        src.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(n))
+        .join(per, ["source", "lang"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("ns")).alias("p"),
+            (F.col("cg") / F.col("n")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / 2
+    js_terms = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + 0.5 * q * F.log(q / m)
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.round(F.sum(js_terms) + 1e-9, 6).alias("js_div"),
+            F.round(
+                F.sqrt(0.5 * F.sum((F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q))))
+                + 1e-9,
+                6,
+            ).alias("hellinger"),
+            F.round(0.5 * F.sum(F.abs(p - q)) + 1e-9, 6).alias("total_variation"),
+        )
+        .orderBy("source")
+    )
+
+
+@staged(
+    "cross_correlation_click_purchase",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+      FROM events GROUP BY 1),
+    grid AS (
+      SELECT cal.d, coalesce(daily.nc, 0) AS nc, coalesce(daily.np, 0) AS np
+      FROM cal LEFT JOIN daily USING (d)),
+    lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+    pairs AS (
+      SELECT lags.lag, CAST(a.nc AS DOUBLE) AS x, CAST(b.np AS DOUBLE) AS y
+      FROM lags
+      JOIN grid a ON TRUE
+      JOIN grid b ON b.d = a.d + CAST(lags.lag AS INT))
+    SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+           round((avg(x * y) - avg(x) * avg(y))
+                 / (sqrt(avg(x * x) - avg(x) * avg(x))
+                    * sqrt(avg(y * y) - avg(y) * avg(y))) + 1e-9, 6) AS ccf
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def cross_correlation_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation function between the daily click series
+    and the daily purchase series (lags 0..7): does click volume lead
+    purchase volume? The calendar is densified (zero-filled) from the
+    observed min/max day so a silent gap day cannot shift the lag
+    alignment, and each lag's Pearson r uses the moment closed form
+    over the overlapping window (the registered ACF query's fp
+    sequence, applied across two series).
+
+    Scale shape: one date-keyed aggregate over the fact table, then
+    everything is day-domain-sized: an 8-row lag frame broadcast
+    against the day grid, one equi-join on (day + lag), one 8-row
+    output. No unpartitioned windows, no per-row ranking."""
+    e = Tables(spark, sf_dir).events
+    # the day frame feeds both the calendar bounds and the grid join;
+    # checkpoint so the fact-table aggregate executes once
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "nc"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    grid = (
+        cal.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("nc"), F.lit(0)).alias("nc"),
+            F.coalesce(F.col("np"), F.lit(0)).alias("np"),
+        )
+    )
+    lags = spark.range(8).select(F.col("id").cast("long").alias("lag"))
+    a = grid.select(F.col("d").alias("da"), F.col("nc").cast("double").alias("x"))
+    b = grid.select(F.col("d").alias("db"), F.col("np").cast("double").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("db = date_add(da, CAST(lag AS INT))"))
+    )
+    x, y = F.col("x"), F.col("y")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                (F.avg(x * y) - F.avg(x) * F.avg(y))
+                / (
+                    F.sqrt(F.avg(x * x) - F.avg(x) * F.avg(x))
+                    * F.sqrt(F.avg(y * y) - F.avg(y) * F.avg(y))
+                )
+                + 1e-9,
+                6,
+            ).alias("ccf"),
+        )
+        .select(
+            "lag", F.col("n_days").cast("long").alias("n_days"), "ccf"
+        )
+        .orderBy("lag")
+    )
+
+
+@staged(
+    "robust_zscore_anomaly_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1),
+    med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+    mad AS (
+      SELECT quantile_cont(abs(rev - med.m), 0.5) AS mad
+      FROM daily, med),
+    z AS (
+      SELECT d, rev,
+             round(0.6745 * (rev - med.m) / mad.mad + 1e-9, 4) AS rz
+      FROM daily, med, mad)
+    SELECT CAST(d AS TIMESTAMP_NS) AS d, rev, rz AS robust_z,
+           CASE WHEN abs(rz) > 3.5 THEN TRUE ELSE FALSE END AS is_outlier
+    FROM z ORDER BY abs(rz) DESC, d LIMIT 5
+    """,
+)
+def robust_zscore_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) z-score anomaly screen on daily order
+    revenue — the outlier detector that a mean/stddev z-score cannot
+    be (the anomaly inflates the mean and stddev that are supposed to
+    flag it; the median and MAD have a 50% breakdown point). Daily
+    revenue is rounded to cents BEFORE the quantiles so both engines
+    interpolate over bit-identical inputs, z = 0.6745·(x−med)/MAD is
+    rounded BEFORE the top-5 rank (round-before-rank discipline, day
+    tiebreak), and |z| > 3.5 is the Iglewicz-Hoaglin cutoff.
+
+    Scale shape: one date-keyed aggregate, then day-domain-sized
+    percentile + broadcast joins; the top-5 is TakeOrderedAndProject,
+    never a global sort."""
+    o = Tables(spark, sf_dir).orders
+    # the day frame feeds the median, the MAD, and the z projection;
+    # checkpoint so the fact-table aggregate executes once
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("m"))
+    mad = (
+        daily.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(abs(rev - m), 0.5)").alias("mad"))
+    )
+    z = (
+        daily.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "d",
+            "rev",
+            F.round(
+                0.6745 * (F.col("rev") - F.col("m")) / F.col("mad") + 1e-9, 4
+            ).alias("rz"),
+        )
+    )
+    return (
+        z.select(
+            F.col("d").cast("timestamp_ntz").alias("d"),
+            "rev",
+            F.col("rz").alias("robust_z"),
+            (F.abs("rz") > 3.5).alias("is_outlier"),
+        )
+        .orderBy(F.abs("robust_z").desc(), "d")
+        .limit(5)
+    )
+
+
+@staged(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+    per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN epoch_us(ts) <= bounds.mid THEN value
+                      ELSE 0 END) AS x,
+             sum(CASE WHEN epoch_us(ts) > bounds.mid THEN value
+                      ELSE 0 END) AS y
+      FROM events, bounds GROUP BY user_id),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS mx, avg(y) AS my,
+             avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+      FROM per_user)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round((mxy - mx * my) / (mxx - mx * mx) + 1e-9, 4) AS theta,
+           round(myy - my * my + 1e-9, 4) AS var_y,
+           round(myy - my * my
+                 - (mxy - mx * my) * (mxy - mx * my) / (mxx - mx * mx)
+                 + 1e-9, 4) AS var_y_cuped,
+           round(100.0 * (mxy - mx * my) * (mxy - mx * my)
+                 / ((mxx - mx * mx) * (myy - my * my)) + 1e-9, 4)
+             AS reduction_pct
+    FROM mom
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): use each
+    user's first-half spend as the covariate for their second-half
+    spend, report θ = cov(X,Y)/var(X) and the variance of the adjusted
+    metric var(Y) − cov²/var(X) — the standard A/B-test sensitivity
+    boost, computed in its algebraically-closed form (the adjusted
+    per-user values are never materialized). The period split is the
+    exact integer-microsecond midpoint (bit-identical cross-engine);
+    reduction_pct is the squared correlation ×100.
+
+    Scale shape: one scalar min/max pass, one user-keyed conditional
+    aggregate, one 6-moment scalar aggregate — nothing wider than the
+    user domain, no second pass over the fact table."""
+    e = Tables(spark, sf_dir).events
+    us = epoch_us("ts")
+    bounds = e.agg(
+        ((F.min(us) + F.max(us)) - ((F.min(us) + F.max(us)) % 2)).alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us <= F.col("mid"), F.col("value")).otherwise(0.0)).alias(
+                "x"
+            ),
+            F.sum(F.when(us > F.col("mid"), F.col("value")).otherwise(0.0)).alias(
+                "y"
+            ),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    vx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vy = F.col("myy") - F.col("my") * F.col("my")
+    return mom.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(cov / vx + 1e-9, 4).alias("theta"),
+        F.round(vy + 1e-9, 4).alias("var_y"),
+        F.round(vy - cov * cov / vx + 1e-9, 4).alias("var_y_cuped"),
+        F.round(100.0 * cov * cov / (vx * vy) + 1e-9, 4).alias("reduction_pct"),
+    )
+
+
+@staged(
+    "sprt_purchase_rate_crossing",
+    oracle="""
+    WITH trials AS (
+      SELECT epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN 405465 ELSE -133531 END AS inc
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    walk AS (
+      SELECT row_number() OVER (ORDER BY us, event_id) AS idx,
+             sum(inc) OVER (ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+      FROM trials),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_trials FROM walk),
+    crossed AS (
+      SELECT idx, llr FROM walk
+      WHERE llr >= 2944439 OR llr <= -2944439
+      ORDER BY idx LIMIT 1)
+    SELECT total.n_trials,
+           CAST(coalesce(crossed.idx, -1) AS BIGINT) AS cross_at,
+           CASE WHEN crossed.idx IS NULL THEN 'none'
+                WHEN crossed.llr > 0 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           round(coalesce(crossed.llr, 0) / 1e6 + 1e-9, 6) AS llr_at_cross
+    FROM total LEFT JOIN crossed ON TRUE
+    """,
+)
+def sprt_purchase_rate_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the purchase-vs-click
+    stream: H0 p=0.2 vs H1 p=0.3, α=β=0.05. Each trial adds
+    ln(0.3/0.2) on success or ln(0.7/0.8) on failure; the walk stops at
+    ln((1−β)/α) = ±2.944439. The increments are EXACT INTEGER
+    micro-nats (+405465 / −133531, quantized constants in both
+    engines) so the cumulative walk is integer arithmetic — no
+    float-summation-order divergence can flip a near-boundary crossing
+    (global_cumsum's partition-carry association differs from a
+    sequential window sum by ULPs on doubles; on longs it is exact).
+
+    Scale shape: one distributed exclusive cumsum over the trial
+    stream's total order (ts, event_id) computing BOTH the walk and the
+    trial index in a single range shuffle (global_cumsum's multi-value
+    form), one filtered TakeOrdered(1) for the first crossing."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    trials = e.select(
+        epoch_us("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(405465))
+        .otherwise(F.lit(-133531))
+        .alias("inc"),
+        F.lit(1).alias("one"),
+    )
+    walk = global_cumsum(
+        trials, ["us", "event_id"], ["inc", "one"], out=["prior_llr", "prior_n"]
+    ).select(
+        (F.col("prior_n") + 1).alias("idx"),
+        (F.col("prior_llr") + F.col("inc")).alias("llr"),
+    )
+    # count the pre-cumsum frame: walk's checkpointed shuffle is reused
+    # by the crossing filter, and the total needs no window at all
+    total = trials.agg(F.count(F.lit(1)).alias("n_trials"))
+    crossed = (
+        walk.filter((F.col("llr") >= 2944439) | (F.col("llr") <= -2944439))
+        .orderBy("idx")
+        .limit(1)
+    )
+    return total.join(crossed, F.lit(True), "left").select(
+        F.col("n_trials").cast("long").alias("n_trials"),
+        F.coalesce(F.col("idx"), F.lit(-1)).cast("long").alias("cross_at"),
+        F.when(F.col("idx").isNull(), F.lit("none"))
+        .when(F.col("llr") > 0, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.round(F.coalesce(F.col("llr"), F.lit(0)) / 1e6 + 1e-9, 6).alias(
+            "llr_at_cross"
+        ),
+    )
+
+
+@staged(
+    "pairwise_welch_priority_means",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS p, CAST(count(*) AS DOUBLE) AS n,
+             avg(o_totalprice) AS m, var_samp(o_totalprice) AS s2
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT a.p AS p_a, b.p AS p_b,
+             round(a.m - b.m + 1e-9, 4) AS mean_diff,
+             round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n) + 1e-9, 4) AS z
+      FROM g a JOIN g b ON a.p < b.p)
+    SELECT p_a, p_b, mean_diff, z,
+           CASE WHEN abs(z) > 2.807034 THEN TRUE ELSE FALSE END
+             AS significant_bonferroni
+    FROM pairs ORDER BY p_a, p_b
+    """,
+)
+def pairwise_welch_priority_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc pairwise comparisons after the (staged-r10) ANOVA:
+    every pair of order priorities gets a Welch z = (m̄_a − m̄_b) /
+    √(s²_a/n_a + s²_b/n_b), flagged at the Bonferroni-adjusted
+    two-sided 5% level for the 10 pairs (literal critical value
+    z_{0.05/20} = 2.807034; the flag compares the ROUNDED z, so a
+    boundary case cannot split cross-engine). This is the "which
+    groups actually differ" follow-up the omnibus F cannot answer.
+
+    Scale shape: one group-stats aggregate (k = 5 rows), then a
+    broadcast self-join of the k-row frame — the fact table is touched
+    once; the pair frame is k(k−1)/2 rows."""
+    o = Tables(spark, sf_dir).orders
+    # the k-row stats frame is self-joined; checkpoint so the
+    # fact-table aggregate executes once, not once per join side
+    g = (
+        o.groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            F.var_samp("o_totalprice").alias("s2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = g.select(
+        F.col("p").alias("p_a"), F.col("n").alias("na"),
+        F.col("m").alias("ma"), F.col("s2").alias("sa"),
+    )
+    b = g.select(
+        F.col("p").alias("p_b"), F.col("n").alias("nb"),
+        F.col("m").alias("mb"), F.col("s2").alias("sb"),
+    )
+    z = F.round(
+        (F.col("ma") - F.col("mb"))
+        / F.sqrt(F.col("sa") / F.col("na") + F.col("sb") / F.col("nb"))
+        + 1e-9,
+        4,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("p_a") < F.col("p_b"))
+        .select(
+            "p_a",
+            "p_b",
+            F.round(F.col("ma") - F.col("mb") + 1e-9, 4).alias("mean_diff"),
+            z.alias("z"),
+            (F.abs(z) > 2.807034).alias("significant_bonferroni"),
+        )
+        .orderBy("p_a", "p_b")
+    )
+
+
+@staged(
+    "fuzzy_name_pairs_blocked",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+    pairs AS (
+      SELECT a.p_brand AS brand,
+             levenshtein(a.p_name, b.p_name) AS d
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4)
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_fuzzy_pairs,
+           CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           CAST(min(d) AS INT) AS min_dist,
+           round(avg(CAST(d AS DOUBLE)) + 1e-9, 4) AS avg_dist
+    FROM pairs GROUP BY brand ORDER BY brand
+    """,
+)
+def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-duplicate detection on part names: candidate pairs
+    share a (brand, size) block, the JVM built-in edit distance
+    (`F.levenshtein`, byte-identical to DuckDB's) keeps pairs within
+    distance 4, and the per-brand report counts fuzzy pairs, exact
+    name collisions, and the distance profile. This is the
+    record-linkage BLOCKING pattern: the quadratic comparison runs
+    only inside blocks, so total work is Σ_b |b|² — with a bounded
+    block key (brand × size), pair count grows quadratically in rows
+    per block; at 100 TB the block key must be widened (brand × size ×
+    name-prefix) to hold |b| flat, which changes only the join keys.
+
+    Scale shape: one self-equi-join on the block key (shuffle-hash on
+    a bounded domain), the distance filter applied pre-aggregation, a
+    brand-domain output. No cross join anywhere."""
+    p = Tables(spark, sf_dir).part.select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(
+        F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"),
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"),
+    )
+    pairs = (
+        a.join(b, ["brand", "sz"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("brand", F.levenshtein("na", "nb").alias("d"))
+        .filter(F.col("d") <= 4)
+    )
+    return (
+        pairs.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_fuzzy_pairs"),
+            F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).alias("n_exact_dups"),
+            F.min("d").cast("int").alias("min_dist"),
+            F.round(F.avg(F.col("d").cast("double")) + 1e-9, 4).alias("avg_dist"),
+        )
+        .select(
+            "brand",
+            F.col("n_fuzzy_pairs").cast("long").alias("n_fuzzy_pairs"),
+            F.col("n_exact_dups").cast("long").alias("n_exact_dups"),
+            "min_dist",
+            "avg_dist",
+        )
+        .orderBy("brand")
+    )
+
+
+@staged(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (
+      SELECT t, nxt, count(*) AS cnt FROM seq
+      WHERE nxt IS NOT NULL GROUP BY t, nxt),
+    tot AS (SELECT t, CAST(sum(cnt) AS DOUBLE) AS nt FROM c GROUP BY t)
+    SELECT c.t AS from_type, c.nxt AS to_type,
+           CAST(c.cnt AS BIGINT) AS cnt,
+           round(c.cnt / tot.nt + 1e-9, 6) AS prob
+    FROM c JOIN tot USING (t) ORDER BY from_type, to_type
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type), estimated from every
+    adjacent pair in each user's (ts, event_id)-ordered stream — the
+    session-behavior model behind next-event prediction and anomalous-
+    funnel detection. The sequence order is a total order (event_id
+    breaks ts ties), so the lag pairing is deterministic cross-engine.
+
+    Scale shape: a user-PARTITIONED window (never unpartitioned — each
+    user's stream sorts locally in its hash partition), one bounded
+    (k×k)-domain aggregate, a broadcast row-marginal join."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    # the (k x k)-bounded count frame feeds both the output join and the
+    # row marginals — checkpoint it so the window-lead subtree (the only
+    # fact-table-sized work) executes once, not twice
+    c = (
+        seq.groupBy("t", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = c.groupBy("t").agg(F.sum("cnt").cast("double").alias("nt"))
+    return (
+        c.join(F.broadcast(tot), "t")
+        .select(
+            F.col("t").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("nt") + 1e-9, 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@staged(
+    "class_balance_weights",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS nc
+      FROM events GROUP BY 1),
+    tot AS (SELECT sum(nc) AS n, CAST(count(*) AS DOUBLE) AS k FROM c),
+    eff AS (
+      SELECT event_type, nc,
+             (1.0 - power(0.9999, nc)) / (1.0 - 0.9999) AS en
+      FROM c),
+    s AS (SELECT sum(1.0 / en) AS inv_en_sum FROM eff)
+    SELECT eff.event_type,
+           CAST(eff.nc AS BIGINT) AS n_samples,
+           round(tot.n / (tot.k * eff.nc) + 1e-9, 6) AS inverse_freq_weight,
+           round(eff.en + 1e-9, 4) AS effective_n,
+           round((1.0 / eff.en) * tot.k / s.inv_en_sum + 1e-9, 6)
+             AS effective_num_weight
+    FROM eff, tot, s ORDER BY eff.event_type
+    """,
+)
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing sample weights per event type, two schemes a
+    training pipeline feeds its loss or sampler: inverse frequency
+    N/(k·n_c), and the effective-number-of-samples reweighting of Cui
+    et al. (CVPR 2019) — E_c = (1−β^{n_c})/(1−β) with β = 0.9999,
+    weights ∝ 1/E_c normalized to sum to k. The effective-number form
+    saturates for huge classes (a class's marginal value decays as
+    samples overlap), which is exactly the behavior wanted at corpus
+    scale where raw inverse frequency over-boosts rare noise classes.
+
+    Scale shape: one class-domain aggregate over the fact table; every
+    later frame is k rows, combined via broadcast scalars."""
+    e = Tables(spark, sf_dir).events
+    # the k-row class frame feeds the totals and the weights; checkpoint
+    # so the fact-table aggregate executes once
+    c = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("nc"))
+        .localCheckpoint(eager=False)
+    )
+    tot = c.agg(F.sum("nc").alias("n"), F.count(F.lit(1)).cast("double").alias("k"))
+    eff = c.select(
+        "event_type",
+        "nc",
+        ((1.0 - F.pow(F.lit(0.9999), F.col("nc"))) / (1.0 - 0.9999)).alias("en"),
+    )
+    s = eff.agg(F.sum(1.0 / F.col("en")).alias("inv_en_sum"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "event_type",
+            F.col("nc").cast("long").alias("n_samples"),
+            F.round(F.col("n") / (F.col("k") * F.col("nc")) + 1e-9, 6).alias(
+                "inverse_freq_weight"
+            ),
+            F.round(F.col("en") + 1e-9, 4).alias("effective_n"),
+            F.round(
+                (1.0 / F.col("en")) * F.col("k") / F.col("inv_en_sum") + 1e-9, 6
+            ).alias("effective_num_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@staged(
+    "lognormal_fit_totalprice",
+    oracle="""
+    WITH lx AS (
+      SELECT ln(o_totalprice) AS l, o_totalprice AS x
+      FROM orders WHERE o_totalprice > 0),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(l) AS mu,
+             avg(l * l) - avg(l) * avg(l) AS sig2, avg(x) AS actual_mean
+      FROM lx)
+    SELECT n, round(mu + 1e-9, 6) AS mu, round(sqrt(sig2) + 1e-9, 6) AS sigma,
+           round(exp(mu) + 1e-9, 4) AS implied_median,
+           round(exp(mu + sig2 / 2.0) + 1e-9, 4) AS implied_mean,
+           round(actual_mean + 1e-9, 4) AS actual_mean,
+           round(exp(mu + sig2 / 2.0) / actual_mean + 1e-9, 6)
+             AS implied_over_actual
+    FROM mom
+    """,
+)
+def lognormal_fit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of order totals by moment matching in log space
+    (μ̂ = mean ln x, σ̂² = population variance of ln x), with the
+    implied median e^μ and mean e^{μ+σ²/2} compared against the
+    empirical mean — the fit-quality screen (implied/actual far from 1
+    ⇒ the right tail is heavier than log-normal, e.g. Pareto, and
+    downstream samplers must switch estimators). Revenue-like columns
+    are the canonical log-normal candidates.
+
+    Scale shape: one scalar moment aggregate over the filtered fact
+    table; partial aggregation (map-side combine) applies to all four
+    moments. Output is one row."""
+    o = Tables(spark, sf_dir).orders.filter(F.col("o_totalprice") > 0)
+    lx = o.select(
+        F.log("o_totalprice").alias("l"), F.col("o_totalprice").alias("x")
+    )
+    mom = lx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l").alias("mu"),
+        (F.avg(F.col("l") * F.col("l")) - F.avg("l") * F.avg("l")).alias("sig2"),
+        F.avg("x").alias("actual_mean"),
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mu") + 1e-9, 6).alias("mu"),
+        F.round(F.sqrt("sig2") + 1e-9, 6).alias("sigma"),
+        F.round(F.exp("mu") + 1e-9, 4).alias("implied_median"),
+        F.round(F.exp(F.col("mu") + F.col("sig2") / 2.0) + 1e-9, 4).alias(
+            "implied_mean"
+        ),
+        F.round(F.col("actual_mean") + 1e-9, 4).alias("actual_mean"),
+        F.round(
+            F.exp(F.col("mu") + F.col("sig2") / 2.0) / F.col("actual_mean")
+            + 1e-9,
+            6,
+        ).alias("implied_over_actual"),
     )
