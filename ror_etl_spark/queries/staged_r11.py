@@ -2935,3 +2935,1229 @@ def lognormal_fit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("implied_over_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 — experimentation & causal toolkit: randomization test, SRM,
+# power/MDE, attribution models
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "randomization_test_mean_diff",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, value, event_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    st AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+             sum(value) AS sv,
+             sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s1
+      FROM s),
+    perms AS (SELECT unnest(generate_series(0, 15)) AS k),
+    asg AS (
+      SELECT perms.k, s.value,
+             CASE WHEN ((((s.event_id * 16 + perms.k + 1) % 2147483647)
+                         * 48271) % 2147483647 + 0.5) / 2147483647.0
+                  < (SELECT CAST(n1 AS DOUBLE) / n FROM st)
+                  THEN 1 ELSE 0 END AS fa
+      FROM s CROSS JOIN perms),
+    pd AS (
+      SELECT k, sum(value * fa) AS sa, sum(fa) AS na,
+             sum(value) AS sv, count(*) AS n
+      FROM asg GROUP BY k),
+    dif AS (
+      SELECT k, sa / nullif(na, 0)
+                - (sv - sa) / nullif(n - na, 0) AS d
+      FROM pd),
+    obs AS (
+      SELECT n, n1,
+             s1 / n1 - (sv - s1) / (n - n1) AS od
+      FROM st)
+    SELECT (SELECT CAST(n AS BIGINT) FROM obs) AS n_used,
+           (SELECT CAST(n1 AS BIGINT) FROM obs) AS n_click,
+           (SELECT round(od + 1e-9, 6) FROM obs) AS obs_diff,
+           CAST(sum(CASE WHEN round(abs(d) + 1e-9, 6)
+                              >= (SELECT round(abs(od) + 1e-9, 6) FROM obs)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           round((sum(CASE WHEN round(abs(d) + 1e-9, 6)
+                                >= (SELECT round(abs(od) + 1e-9, 6) FROM obs)
+                       THEN 1 ELSE 0 END) + 1) / 17.0 + 1e-9, 6) AS p_value
+    FROM dif
+    """,
+)
+def randomization_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (approximate permutation) test for the difference
+    in mean `value` between click and view events: 16 pseudo-random
+    re-assignments of rows to the two groups, each drawn from the
+    ENGINE-PORTABLE Lehmer stream keyed by (event_id, perm) — exact
+    int64 arithmetic on both engines, so the assignment is identical
+    bit-for-bit with no RNG state — and the two-sided p-value is the
+    add-one-smoothed fraction of permuted |mean diff|s that reach the
+    observed |diff| (compared after the repo's epsilon-shifted 6 dp
+    rounding, so a partial-aggregation ULP cannot flip the count).
+
+    Scale shape: one pass for the observed stats, then ONE aggregate
+    over rows x 16 literal perms (a broadcast crossJoin with a 16-row
+    frame — map-side combine collapses it to 16 groups before the
+    shuffle). No explode-to-disk, no per-row window, no collect; the
+    group-fraction scalar rides a broadcast 1-row frame."""
+    e = (
+        Tables(spark, sf_dir)
+        .events.filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "value", "event_type")
+    )
+    st = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum("value").alias("sv"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias("s1"),
+    )
+    perms = spark.range(16).select(F.col("id").alias("k"))
+    asg = (
+        e.crossJoin(F.broadcast(perms))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "k",
+            "value",
+            F.when(
+                (
+                    ((F.col("event_id") * 16 + F.col("k") + 1) % _LEHMER_M)
+                    * _LEHMER_A
+                    % _LEHMER_M
+                    + 0.5
+                )
+                / float(_LEHMER_M)
+                < F.col("n1").cast("double") / F.col("n"),
+                1,
+            )
+            .otherwise(0)
+            .alias("fa"),
+        )
+    )
+    pd = asg.groupBy("k").agg(
+        F.sum(F.col("value") * F.col("fa")).alias("sa"),
+        F.sum("fa").alias("na"),
+        F.sum("value").alias("svp"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    dif = pd.select(
+        (
+            F.col("sa") / F.nullif(F.col("na"), F.lit(0))
+            - (F.col("svp") - F.col("sa"))
+            / F.nullif((F.col("np") - F.col("na")), F.lit(0))
+        ).alias("d")
+    )
+    obs = st.select(
+        "n",
+        "n1",
+        (
+            F.col("s1") / F.col("n1")
+            - (F.col("sv") - F.col("s1")) / (F.col("n") - F.col("n1"))
+        ).alias("od"),
+    )
+    return (
+        dif.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n").cast("long").alias("n_used"),
+            F.max("n1").cast("long").alias("n_click"),
+            F.round(F.max("od") + 1e-9, 6).alias("obs_diff"),
+            F.sum(
+                F.when(
+                    F.round(F.abs(F.col("d")) + 1e-9, 6)
+                    >= F.round(F.abs(F.col("od")) + 1e-9, 6),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ge"),
+        )
+        .select(
+            "n_used",
+            "n_click",
+            "obs_diff",
+            "n_ge",
+            F.round((F.col("n_ge") + 1) / 17.0 + 1e-9, 6).alias("p_value"),
+        )
+    )
+
+
+@staged(
+    "srm_check_assignment",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    b AS (
+      SELECT CAST((((user_id + 1) % 2147483647) * 48271) % 2147483647
+                  AS BIGINT) % 2 AS bucket
+      FROM u),
+    c AS (
+      SELECT sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b)
+                 / (n_a + n_b) + 1e-9, 6) AS chi2,
+           CASE WHEN CAST(n_a - n_b AS DOUBLE) * (n_a - n_b)
+                     / (n_a + n_b) > 3.841459 THEN 1 ELSE 0 END AS srm_detected
+    FROM c
+    """,
+)
+def srm_check_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail for a 50/50 experiment
+    split: users are assigned to arms by the engine-portable Lehmer
+    hash of user_id (deterministic, seedless, identical on both
+    engines), and the observed arm counts are tested against the
+    planned ratio with the 1-df chi-square ((n_a-n_b)^2/N for a 50/50
+    plan). srm_detected fires at the 5% critical value 3.841459 — the
+    standard pre-analysis data-quality gate every A/B platform runs.
+
+    Scale shape: one distinct on user_id (16-byte-key shuffle), one
+    integer aggregate; the chi-square runs on two exact int64 counts
+    cast to double only at the final division."""
+    u = Tables(spark, sf_dir).events.select("user_id").distinct()
+    b = u.select(
+        (((F.col("user_id") + 1) % _LEHMER_M) * _LEHMER_A % _LEHMER_M % 2).alias(
+            "bucket"
+        )
+    )
+    c = b.agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return c.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(chi2 + 1e-9, 6).alias("chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).alias("srm_detected"),
+    )
+
+
+@staged(
+    "ab_power_mde",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST((((user_id + 1) % 2147483647) * 48271) % 2147483647
+                  AS BIGINT) % 2 AS bucket,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN bucket = 0 THEN conv ELSE 0 END) AS c_a,
+             sum(CASE WHEN bucket = 1 THEN conv ELSE 0 END) AS c_b
+      FROM pu),
+    m AS (
+      SELECT n_a, n_b, c_a, c_b,
+             CAST(c_a AS DOUBLE) / n_a AS p_a,
+             CAST(c_b AS DOUBLE) / n_b AS p_b,
+             CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
+      FROM arms),
+    f AS (
+      SELECT n_a, n_b, p_a, p_b, p_pool,
+             (1.959964 + 0.841621)
+               * sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)) AS mde,
+             abs(p_b - p_a) AS adiff
+      FROM m)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(p_a + 1e-9, 6) AS p_a, round(p_b + 1e-9, 6) AS p_b,
+           round(p_pool + 1e-9, 6) AS p_pool,
+           round(mde + 1e-9, 6) AS mde_abs,
+           round(adiff + 1e-9, 6) AS abs_diff,
+           CASE WHEN round(adiff + 1e-9, 6) >= round(mde + 1e-9, 6)
+                THEN 1 ELSE 0 END AS powered
+    FROM f
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power analysis for the Lehmer-hash A/B split:
+    per-user purchase conversion by arm, pooled rate, and the minimum
+    detectable effect at alpha=5% two-sided / 80% power in the standard
+    closed form MDE = (z_{0.975}+z_{0.80}) * sqrt(p(1-p)(1/n_a+1/n_b)),
+    with `powered` flagging whether the observed |p_b - p_a| clears it
+    (compared after the shared 6 dp epsilon-shifted rounding so both
+    engines flip together). The z constants are literals, so no
+    normal-quantile implementation has to agree across engines.
+
+    Scale shape: one user-keyed aggregate over the fact table, one
+    4-count reduction; everything after is scalar arithmetic on exact
+    integer counts."""
+    pu = (
+        Tables(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (((F.col("user_id") + 1) % _LEHMER_M) * _LEHMER_A % _LEHMER_M % 2).alias(
+                "bucket"
+            ),
+            "conv",
+        )
+    )
+    arms = pu.agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("bucket") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    m = arms.select(
+        "n_a",
+        "n_b",
+        (F.col("c_a").cast("double") / F.col("n_a")).alias("p_a"),
+        (F.col("c_b").cast("double") / F.col("n_b")).alias("p_b"),
+        (
+            (F.col("c_a") + F.col("c_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b"))
+        ).alias("p_pool"),
+    )
+    f = m.select(
+        "n_a",
+        "n_b",
+        "p_a",
+        "p_b",
+        "p_pool",
+        (
+            F.lit(1.959964 + 0.841621)
+            * F.sqrt(
+                F.col("p_pool")
+                * (1 - F.col("p_pool"))
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            )
+        ).alias("mde"),
+        F.abs(F.col("p_b") - F.col("p_a")).alias("adiff"),
+    )
+    return f.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("p_a") + 1e-9, 6).alias("p_a"),
+        F.round(F.col("p_b") + 1e-9, 6).alias("p_b"),
+        F.round(F.col("p_pool") + 1e-9, 6).alias("p_pool"),
+        F.round(F.col("mde") + 1e-9, 6).alias("mde_abs"),
+        F.round(F.col("adiff") + 1e-9, 6).alias("abs_diff"),
+        F.when(
+            F.round(F.col("adiff") + 1e-9, 6) >= F.round(F.col("mde") + 1e-9, 6), 1
+        )
+        .otherwise(0)
+        .alias("powered"),
+    )
+
+
+@staged(
+    "attribution_credit_models",
+    oracle="""
+    WITH fpu AS (
+      SELECT user_id, min(epoch_us(ts)) AS pus
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    fpid AS (
+      SELECT e.user_id, fpu.pus, min(e.event_id) AS pid
+      FROM events e JOIN fpu ON e.user_id = fpu.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) = fpu.pus
+      GROUP BY e.user_id, fpu.pus),
+    path AS (
+      SELECT e.user_id, e.event_type, epoch_us(e.ts) AS us, e.event_id
+      FROM events e JOIN fpid ON e.user_id = fpid.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (epoch_us(e.ts) < fpid.pus
+             OR (epoch_us(e.ts) = fpid.pus AND e.event_id < fpid.pid))),
+    ranked AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rnd,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM path)
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           round(sum(1.0 / cnt) + 1e-9, 4) AS linear_credit
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def attribution_credit_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution over each user's pre-conversion path:
+    for every user who purchased, the events strictly before their
+    FIRST purchase (exact integer-microsecond comparison with event_id
+    tiebreak — no float timestamp math) form the path, and each
+    event_type accumulates credit under three standard models at once:
+    first-touch (1 to the opening event), last-touch (1 to the final
+    pre-purchase event), and linear (1/len(path) to every step).
+
+    Scale shape: one purchase-keyed aggregate for the first-conversion
+    frontier (two-level integer min — the struct-min closed form), one
+    join back on user_id, two user-partitioned windows (each partition
+    is one user's path — no single-task window), one type-keyed
+    aggregate. The linear credits are double sums rounded at 4 dp."""
+    e = Tables(spark, sf_dir).events
+    us = epoch_us(F.col("ts"))
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct(us.alias("us"), F.col("event_id").alias("id"))).alias("fp"))
+        .select("user_id", F.col("fp.us").alias("pus"), F.col("fp.id").alias("pid"))
+    )
+    path = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(
+            (us < F.col("pus"))
+            | ((us == F.col("pus")) & (F.col("event_id") < F.col("pid")))
+        )
+        .select("user_id", "event_type", us.alias("us"), "event_id")
+    )
+    w_asc = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    w_all = Window.partitionBy("user_id")
+    ranked = path.select(
+        "event_type",
+        F.row_number().over(w_asc).alias("rn"),
+        F.row_number().over(w_desc).alias("rnd"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rnd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch"),
+            F.round(F.sum(1.0 / F.col("cnt")) + 1e-9, 4).alias("linear_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 — block-design nonparametrics: Cochran's Q, Page's L,
+# Jonckheere-Terpstra ordered trend; survival: Nelson-Aalen
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "cochran_q_daily_types",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS t, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT cal.d, types.t, coalesce(daily.c, 0) AS c
+      FROM cal CROSS JOIN types
+      LEFT JOIN daily ON daily.d = cal.d AND daily.t = types.t),
+    tot AS (
+      SELECT t, sum(c) AS tc FROM grid GROUP BY t),
+    nd AS (SELECT count(*) AS ndays FROM cal),
+    x AS (
+      SELECT grid.d, grid.t,
+             CASE WHEN grid.c * nd.ndays >= tot.tc THEN 1 ELSE 0 END AS x
+      FROM grid JOIN tot ON tot.t = grid.t CROSS JOIN nd),
+    rows_ AS (SELECT d, sum(x) AS r FROM x GROUP BY d),
+    cols_ AS (SELECT t, sum(x) AS c FROM x GROUP BY t),
+    k_ AS (SELECT count(*) AS k FROM types),
+    agg AS (
+      SELECT (SELECT k FROM k_) AS k,
+             (SELECT count(*) FROM rows_) AS b,
+             (SELECT sum(r) FROM rows_) AS n,
+             (SELECT sum(CAST(c AS DOUBLE) * c) FROM cols_) AS sc2,
+             (SELECT sum(CAST(r AS DOUBLE) * r) FROM rows_) AS sr2)
+    SELECT CAST(k AS BIGINT) AS k, CAST(b AS BIGINT) AS n_blocks,
+           CAST(n AS BIGINT) AS n_success,
+           round((k - 1) * (k * sc2 - CAST(n AS DOUBLE) * n)
+                 / nullif(k * n - sr2, 0) + 1e-9, 6) AS q_stat,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM agg
+    """,
+)
+def cochran_q_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test for marginal homogeneity of k related binary
+    outcomes: blocks are calendar days (densified from the observed
+    min/max so a gap day is an all-zero block, not a silently dropped
+    one), treatments are the event types, and the binary response is
+    "did this type run at or above its mean daily volume that day" —
+    an EXACT integer comparison (c * ndays >= total) so no float
+    threshold can disagree across engines. Q = (k-1)(k*sum C_j^2 - N^2)
+    / (k*N - sum R_i^2) with the standard df = k-1.
+
+    Scale shape: one (day, type)-keyed aggregate over the fact table,
+    then every frame is day-domain- or type-domain-sized; the grid is
+    a broadcast crossJoin of the day calendar with the distinct-type
+    frame. Counts stay int64 until the final double division."""
+    e = Tables(spark, sf_dir).events
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    types = daily.select("t").distinct()
+    grid = (
+        cal.crossJoin(F.broadcast(types))
+        .join(daily, ["d", "t"], "left")
+        .select("d", "t", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("t").agg(F.sum("c").alias("tc"))
+    nd = cal.agg(F.count(F.lit(1)).alias("ndays"))
+    x = (
+        grid.join(F.broadcast(tot), "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "d",
+            "t",
+            F.when(F.col("c") * F.col("ndays") >= F.col("tc"), 1)
+            .otherwise(0)
+            .alias("x"),
+        )
+    )
+    x = x.localCheckpoint(eager=False)
+    rows_ = x.groupBy("d").agg(F.sum("x").alias("r"))
+    cols_ = x.groupBy("t").agg(F.sum("x").alias("c"))
+    k_ = types.agg(F.count(F.lit(1)).alias("k"))
+    ragg = rows_.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("r").alias("n"),
+        F.sum(F.col("r").cast("double") * F.col("r")).alias("sr2"),
+    )
+    cagg = cols_.agg(F.sum(F.col("c").cast("double") * F.col("c")).alias("sc2"))
+    agg = k_.crossJoin(F.broadcast(ragg)).crossJoin(F.broadcast(cagg))
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("b").cast("long").alias("n_blocks"),
+        F.col("n").cast("long").alias("n_success"),
+        F.round(
+            (F.col("k") - 1)
+            * (F.col("k") * F.col("sc2") - F.col("n").cast("double") * F.col("n"))
+            / F.nullif(F.col("k") * F.col("n") - F.col("sr2"), F.lit(0.0))
+            + 1e-9,
+            6,
+        ).alias("q_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+@staged(
+    "page_l_trend_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds),
+    types AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                            ('signup', 3), ('purchase', 4)) AS t(t, j)),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS t, count(*) AS c
+      FROM events WHERE event_type IN ('view','click','signup','purchase')
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT cal.d, types.t, types.j, coalesce(daily.c, 0) AS c
+      FROM cal CROSS JOIN types
+      LEFT JOIN daily ON daily.d = cal.d AND daily.t = types.t),
+    mr AS (
+      SELECT d, j,
+             rank() OVER (PARTITION BY d ORDER BY c)
+               + (count(*) OVER (PARTITION BY d, c) - 1) / 2.0 AS midrank
+      FROM grid),
+    rj AS (SELECT j, sum(midrank) AS r_j FROM mr GROUP BY j),
+    b_ AS (SELECT count(*) AS b FROM cal),
+    l_ AS (SELECT sum(j * r_j) AS l FROM rj)
+    SELECT CAST(b_.b AS BIGINT) AS n_blocks, CAST(4 AS BIGINT) AS k,
+           round(l_.l + 1e-9, 1) AS l_stat,
+           round((l_.l - b_.b * 4 * 25.0 / 4)
+                 / sqrt(b_.b * 16.0 * 5 * 15 / 144) + 1e-9, 6) AS z
+    FROM b_, l_
+    """,
+)
+def page_l_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test for an a-priori ORDERED alternative across
+    k related treatments: blocks are dense calendar days, treatments
+    are the funnel stages in hypothesized depth order (view < click <
+    signup < purchase), daily volumes are ranked WITHIN each day with
+    midranks for ties, and L = sum_j j * R_j. Under H0, E[L] =
+    b*k*(k+1)^2/4 and Var[L] = b*k^2*(k+1)*(k^2-1)/144 (constants fold
+    at compile time for the literal k=4), giving the normal z.
+
+    Scale shape: one (day, type) aggregate over the fact table; the
+    rank window is PARTITIONED by day (4 rows per partition), the
+    treatment totals are a 4-row frame. Midranks are exact multiples
+    of 0.5, so every sum is exact in double regardless of order."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    )
+    jmap = F.create_map(
+        F.lit("view"), F.lit(1), F.lit("click"), F.lit(2),
+        F.lit("signup"), F.lit(3), F.lit("purchase"), F.lit(4),
+    )
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    types = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 3), ("purchase", 4)], ["t", "j"]
+    )
+    grid = (
+        cal.crossJoin(F.broadcast(types))
+        .join(daily, ["d", "t"], "left")
+        .select("d", "j", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_rank = Window.partitionBy("d").orderBy("c")
+    w_tie = Window.partitionBy("d", "c")
+    mr = grid.select(
+        "j",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    rj = mr.groupBy("j").agg(F.sum("midrank").alias("r_j"))
+    b_ = cal.agg(F.count(F.lit(1)).alias("b"))
+    l_ = rj.agg(F.sum(F.col("j") * F.col("r_j")).alias("l"))
+    return (
+        b_.crossJoin(F.broadcast(l_))
+        .select(
+            F.col("b").cast("long").alias("n_blocks"),
+            F.lit(4).cast("long").alias("k"),
+            F.round(F.col("l") + 1e-9, 1).alias("l_stat"),
+            F.round(
+                (F.col("l") - F.col("b") * 4 * 25.0 / 4)
+                / F.sqrt(F.col("b") * 16.0 * 5 * 15 / 144)
+                + 1e-9,
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@staged(
+    "nelson_aalen_time_to_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             max(ts) AS tmax,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id),
+    dur AS (
+      SELECT (epoch_us(coalesce(tp, tmax)) - epoch_us(t0)) // 3600000000
+               AS d_h,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM per_user),
+    n_all AS (SELECT count(*) AS n FROM dur),
+    by_t AS (
+      SELECT d_h, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(observed) AS BIGINT) AS n_events
+      FROM dur GROUP BY d_h),
+    risk AS (
+      SELECT d_h, n_total, n_events,
+             n_all.n - coalesce(sum(n_total) OVER (ORDER BY d_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_t, n_all),
+    ev AS (SELECT * FROM risk WHERE n_events > 0),
+    na AS (
+      SELECT d_h, n_risk, n_events,
+             sum(CAST(n_events AS DOUBLE) / n_risk)
+               OVER (ORDER BY d_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+      FROM ev)
+    SELECT CAST(d_h AS BIGINT) AS duration_h,
+           CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           round(h + 1e-9, 6) AS cum_hazard
+    FROM na ORDER BY duration_h
+    """,
+)
+def nelson_aalen_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-first-
+    purchase — the integral-hazard companion to the registered
+    Kaplan-Meier survival curve (same entry/censoring frame: users
+    enter at first event, are censored at last event if they never
+    purchase, durations in exact integer hours): H(t) = sum_{s<=t}
+    d_s / n_s over observed event times.
+
+    Scale shape: identical to Kaplan-Meier — one user-keyed aggregate,
+    then everything runs on the hour-domain frame: one groupBy, one
+    distributed exclusive cumsum for the at-risk counts
+    (``global_cumsum``), and a second for the hazard increments (the
+    increments are O(1) doubles, so partition-carry association drifts
+    only ULPs against the oracle's sequential window — absorbed by the
+    6 dp epsilon-shifted round)."""
+    e = Tables(spark, sf_dir).events
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    dur = per_user.select(
+        F.timestamp_diff(
+            "MICROSECOND", F.col("t0"), F.coalesce("tp", "tmax")
+        ).alias("d_us"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+    ).select(F.expr("d_us div 3600000000").alias("d_h"), "observed")
+    n_all = dur.agg(F.count(F.lit(1)).alias("n"))
+    by_t = dur.groupBy("d_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("observed").cast("long").alias("n_events"),
+    )
+    risk = (
+        global_cumsum(by_t, ["d_h"], "n_total", out="before")
+        .crossJoin(F.broadcast(n_all))
+        .select("d_h", "n_events", (F.col("n") - F.col("before")).alias("n_risk"))
+    )
+    ev = risk.filter(F.col("n_events") > 0).withColumn(
+        "h_inc", F.col("n_events").cast("double") / F.col("n_risk")
+    )
+    na = global_cumsum(ev, ["d_h"], "h_inc", out="h_before")
+    return na.select(
+        F.col("d_h").cast("long").alias("duration_h"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        F.round(F.col("h_before") + F.col("h_inc") + 1e-9, 6).alias("cum_hazard"),
+    ).orderBy("duration_h")
+
+
+@staged(
+    "jonckheere_trend_priority",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
+      FROM orders),
+    c AS (
+      SELECT v,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS c4,
+             sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS c5
+      FROM s GROUP BY v),
+    w AS (
+      SELECT v, c1, c2, c3, c4, c5,
+             coalesce(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b1,
+             coalesce(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b2,
+             coalesce(sum(c3) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b3,
+             coalesce(sum(c4) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4,
+             coalesce(sum(c5) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b5
+      FROM c),
+    t AS (
+      SELECT sum((CAST(c2 AS DOUBLE) * b1 + 0.5 * c1 * c2) + (CAST(c3 AS DOUBLE) * b1 + 0.5 * c1 * c3) + (CAST(c4 AS DOUBLE) * b1 + 0.5 * c1 * c4) + (CAST(c5 AS DOUBLE) * b1 + 0.5 * c1 * c5) + (CAST(c3 AS DOUBLE) * b2 + 0.5 * c2 * c3) + (CAST(c4 AS DOUBLE) * b2 + 0.5 * c2 * c4) + (CAST(c5 AS DOUBLE) * b2 + 0.5 * c2 * c5) + (CAST(c4 AS DOUBLE) * b3 + 0.5 * c3 * c4) + (CAST(c5 AS DOUBLE) * b3 + 0.5 * c3 * c5) + (CAST(c5 AS DOUBLE) * b4 + 0.5 * c4 * c5)) AS jt,
+             sum(c1) AS n1,
+             sum(c2) AS n2,
+             sum(c3) AS n3,
+             sum(c4) AS n4,
+             sum(c5) AS n5
+      FROM w),
+    m AS (
+      SELECT jt, n1 + n2 + n3 + n4 + n5 AS n,
+             CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2 + CAST(n3 AS DOUBLE) * n3 + CAST(n4 AS DOUBLE) * n4 + CAST(n5 AS DOUBLE) * n5 AS sn2,
+             CAST(n1 AS DOUBLE) * n1 * (2.0 * n1 + 3) + CAST(n2 AS DOUBLE) * n2 * (2.0 * n2 + 3) + CAST(n3 AS DOUBLE) * n3 * (2.0 * n3 + 3) + CAST(n4 AS DOUBLE) * n4 * (2.0 * n4 + 3) + CAST(n5 AS DOUBLE) * n5 * (2.0 * n5 + 3) AS snv
+      FROM t),
+    f AS (
+      SELECT jt, n,
+             (CAST(n AS DOUBLE) * n - sn2) / 4.0 AS e_jt,
+             (CAST(n AS DOUBLE) * n * (2.0 * n + 3) - snv) / 72.0 AS var_jt
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n, round(jt + 1e-9, 2) AS jt,
+           round(e_jt + 1e-9, 2) AS e_jt,
+           round((jt - e_jt) / sqrt(var_jt) + 1e-9, 6) AS z
+    FROM f
+    """,
+)
+def jonckheere_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for a MONOTONE trend in o_totalprice
+    across the five ordered priority classes (1-URGENT < ... < 5-LOW):
+    JT = sum over ordered group pairs i<j of the Mann-Whitney count
+    #{x_i < x_j} + ties/2, computed WITHOUT any pairwise row join via
+    the value-histogram identity U_ij = sum_v [c_j(v) * cumlt_i(v) +
+    c_i(v)*c_j(v)/2] over the cents-quantized value domain. The null
+    mean (N^2 - sum n_i^2)/4 and variance [N^2(2N+3) - sum n_i^2
+    (2n_i+3)]/72 give the normal z (no-tie variance form; values are
+    cents-quantized so residual tie mass is negligible and identical
+    on both engines).
+
+    Scale shape: one (value, group) aggregate over the fact table, a
+    5-way pivot to one row per distinct value, ONE multi-column
+    distributed exclusive cumsum (``global_cumsum`` with 5 parallel
+    value columns — one range shuffle total), and a scalar reduction.
+    All products run in double (the ADVICE-r9 int64-overflow rule);
+    every term is integer-valued and < 2^53 at test scale, so the
+    double sums are EXACT regardless of partial-aggregation order."""
+    o = Tables(spark, sf_dir).orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    )
+    cnt = o.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == g, 1).otherwise(0)).alias(f"c{g}")
+            for g in range(1, 6)
+        ]
+    )
+    cum = global_cumsum(
+        cnt,
+        ["v"],
+        [f"c{g}" for g in range(1, 6)],
+        out=[f"b{g}" for g in range(1, 6)],
+    )
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5), (3, 4), (3, 5), (4, 5)]
+    jt_term = None
+    for i, j in pairs:
+        term = F.col(f"c{j}").cast("double") * F.col(f"b{i}") + 0.5 * F.col(
+            f"c{i}"
+        ) * F.col(f"c{j}")
+        jt_term = term if jt_term is None else jt_term + term
+    t = cum.agg(
+        F.sum(jt_term).alias("jt"),
+        *[F.sum(f"c{g}").alias(f"n{g}") for g in range(1, 6)],
+    )
+    n = sum((F.col(f"n{g}") for g in range(1, 6)), F.lit(0))
+    sn2 = sum(
+        (F.col(f"n{g}").cast("double") * F.col(f"n{g}") for g in range(1, 6)),
+        F.lit(0.0),
+    )
+    snv = sum(
+        (
+            F.col(f"n{g}").cast("double")
+            * F.col(f"n{g}")
+            * (2.0 * F.col(f"n{g}") + 3)
+            for g in range(1, 6)
+        ),
+        F.lit(0.0),
+    )
+    m = t.select(
+        F.col("jt"),
+        n.alias("n"),
+        sn2.alias("sn2"),
+        snv.alias("snv"),
+    )
+    f = m.select(
+        "jt",
+        "n",
+        ((F.col("n").cast("double") * F.col("n") - F.col("sn2")) / 4.0).alias("e_jt"),
+        (
+            (
+                F.col("n").cast("double") * F.col("n") * (2.0 * F.col("n") + 3)
+                - F.col("snv")
+            )
+            / 72.0
+        ).alias("var_jt"),
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("jt") + 1e-9, 2).alias("jt"),
+        F.round(F.col("e_jt") + 1e-9, 2).alias("e_jt"),
+        F.round(
+            (F.col("jt") - F.col("e_jt")) / F.sqrt(F.col("var_jt")) + 1e-9, 6
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 — diagnostics & business analytics: Ljung-Box, readability,
+# Cook's distance, discounted LTV
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "ljung_box_daily_revenue",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             max(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders),
+    cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS rev
+      FROM orders GROUP BY 1),
+    grid AS (
+      SELECT cal.d, coalesce(daily.rev, 0) AS x
+      FROM cal LEFT JOIN daily USING (d)),
+    m AS (
+      SELECT avg(x) AS mu, count(*) AS n,
+             sum((x - (SELECT avg(x) FROM grid))
+                 * (x - (SELECT avg(x) FROM grid))) AS s0
+      FROM grid),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT lags.lag, a.x AS xa, b.x AS xb
+      FROM lags
+      JOIN grid a ON TRUE
+      JOIN grid b ON b.d = a.d + CAST(lags.lag AS INT)),
+    rho AS (
+      SELECT lag,
+             sum((xa - m.mu) * (xb - m.mu)) / m.s0 AS r,
+             max(m.n) AS n
+      FROM pairs, m GROUP BY lag, m.s0),
+    q AS (
+      SELECT lag, r, n,
+             max(n) OVER () * (max(n) OVER () + 2.0)
+               * sum(r * r / (n - lag))
+                 OVER (ORDER BY lag
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS q_lb
+      FROM rho)
+    SELECT CAST(lag AS BIGINT) AS lag, round(r + 1e-9, 6) AS rho,
+           round(q_lb + 1e-9, 4) AS q_ljung_box
+    FROM q ORDER BY lag
+    """,
+)
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test for autocorrelation in the daily
+    revenue series, lags 1..7: rho_k from the standard ACF moment form
+    (global mean and denominator over the full densified calendar, so
+    a gap day is a real zero, not a dropped row), and the cumulative
+    Q_k = n(n+2) * sum_{j<=k} rho_j^2/(n-j) reported per lag — the
+    residual-whiteness screen a forecasting pipeline runs before
+    trusting a model. Revenue is cents-summed (exact int64) before the
+    single double division, so the series itself is bit-identical
+    across engines.
+
+    Scale shape: one date-keyed aggregate over the fact table, then
+    everything is day-domain-sized: a 7-row broadcast lag frame joined
+    against the calendar grid, one (lag)-keyed aggregate, and a 7-row
+    cumulative — no per-row windows over fact data."""
+    o = Tables(spark, sf_dir).orders
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    grid = (
+        cal.join(daily, "d", "left")
+        .select("d", F.coalesce(F.col("rev"), F.lit(0.0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    mu_ = grid.agg(F.avg("x").alias("mu"))
+    m = (
+        grid.crossJoin(F.broadcast(mu_))
+        .agg(
+            F.max("mu").alias("mu"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).alias(
+                "s0"
+            ),
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = grid.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = grid.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.expr("db = date_add(da, CAST(lag AS INT))")
+    )
+    rho = (
+        pairs.crossJoin(F.broadcast(m))
+        .groupBy("lag")
+        .agg(
+            (
+                F.sum((F.col("xa") - F.col("mu")) * (F.col("xb") - F.col("mu")))
+                / F.max("s0")
+            ).alias("r"),
+            F.max("n").alias("n"),
+        )
+        .withColumn("qterm", F.col("r") * F.col("r") / (F.col("n") - F.col("lag")))
+    )
+    q = global_cumsum(rho, ["lag"], "qterm", out="qb")
+    return q.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.round(F.col("r") + 1e-9, 6).alias("rho"),
+        F.round(
+            F.col("n") * (F.col("n") + 2.0) * (F.col("qb") + F.col("qterm")) + 1e-9,
+            4,
+        ).alias("q_ljung_box"),
+    ).orderBy("lag")
+
+
+@staged(
+    "readability_flesch_by_lang",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+             greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      FROM documents),
+    scored AS (
+      SELECT lang, w, s, y,
+             206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                     - 84.6 * (CAST(y AS DOUBLE) / w) AS flesch
+      FROM per_doc WHERE w >= 1)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_scored,
+           round(avg(CAST(w AS DOUBLE) / s) + 1e-9, 4) AS words_per_sentence,
+           round(avg(CAST(y AS DOUBLE) / w) + 1e-9, 4) AS vowel_groups_per_word,
+           round(avg(flesch) + 1e-9, 4) AS flesch_score
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def readability_flesch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease screen per language: words are ASCII letter
+    runs, sentences are terminal-punctuation runs (floored at 1), and
+    syllables are approximated by vowel-group runs — the standard
+    cheap proxy. Per-doc score = 206.835 - 1.015*(words/sentences) -
+    84.6*(vowel_groups/words), averaged per language over docs with at
+    least one ASCII word (CJK docs drop out of scoring rather than
+    polluting the average with zero-word artifacts). The corpus-quality
+    use: a curriculum/filter signal that needs no model and no UDF.
+
+    Scale shape: three JVM-side regexp_extract_all counts per doc
+    inside one projection (whole-stage codegen — no Python in the hot
+    path), one lang-keyed aggregate. Counts are exact ints on both
+    engines (identical RE semantics for these ASCII classes); the
+    ratio averages round at 4 dp."""
+    d = Tables(spark, sf_dir).documents
+    t = F.lower(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.size(F.regexp_extract_all(t, F.lit(r"[a-z]+"), F.lit(0))).alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+        ).alias("s"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), F.lit(0))).alias("y"),
+    ).filter(F.col("w") >= 1)
+    scored = per_doc.withColumn(
+        "flesch",
+        F.lit(206.835)
+        - 1.015 * (F.col("w").cast("double") / F.col("s"))
+        - 84.6 * (F.col("y").cast("double") / F.col("w")),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+            F.round(
+                F.avg(F.col("w").cast("double") / F.col("s")) + 1e-9, 4
+            ).alias("words_per_sentence"),
+            F.round(
+                F.avg(F.col("y").cast("double") / F.col("w")) + 1e-9, 4
+            ).alias("vowel_groups_per_word"),
+            F.round(F.avg("flesch") + 1e-9, 4).alias("flesch_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged(
+    "cooks_distance_orders",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+             o_totalprice AS y
+      FROM orders),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM s),
+    c AS (
+      SELECT n, sx, sy,
+             sxx - sx * sx / n AS sxx_c,
+             sxy - sx * sy / n AS sxy_c,
+             syy - sy * sy / n AS syy_c
+      FROM m),
+    fit AS (
+      SELECT n, sx, sy, sxx_c,
+             sxy_c / sxx_c AS b,
+             (sy - (sxy_c / sxx_c) * sx) / n AS a,
+             (syy_c - (sxy_c / sxx_c) * sxy_c) / (n - 2) AS s2
+      FROM c),
+    d AS (
+      SELECT s.o_orderkey,
+             s.y - fit.a - fit.b * s.x AS e,
+             1.0 / fit.n + (s.x - fit.sx / fit.n) * (s.x - fit.sx / fit.n)
+               / fit.sxx_c AS h,
+             fit.s2 AS s2
+      FROM s, fit),
+    ck AS (
+      SELECT o_orderkey,
+             round(e * e * h / (2 * s2 * (1 - h) * (1 - h)) * 1e6
+                   + 1e-9, 4) AS d_cooks_ppm,
+             round(e + 1e-9, 2) AS residual,
+             round(h * 1e6 + 1e-9, 4) AS leverage_ppm
+      FROM d)
+    SELECT o_orderkey, d_cooks_ppm, residual, leverage_ppm
+    FROM ck ORDER BY d_cooks_ppm DESC, o_orderkey LIMIT 10
+    """,
+)
+def cooks_distance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence screen on the OLS trend of order value
+    over time (y = o_totalprice, x = order date in epoch days): D_i =
+    e_i^2 * h_i / (p * s^2 * (1-h_i)^2) with p = 2 and leverage h_i =
+    1/n + (x_i - xbar)^2 / Sxx — the top-10 most influential orders, a
+    regression-diagnostics staple for "which rows move the fit". SSE
+    comes from the closed form Syy_c - b*Sxy_c, so ONE moment pass fits
+    the model and a second map-only pass scores rows.
+
+    Scale shape: one 6-sum aggregate, broadcast of the 1-row fit frame,
+    a per-row projection, and TakeOrderedAndProject(10) on the ROUNDED
+    distance (round-before-rank with o_orderkey tiebreak) — no sort of
+    the full table, no window."""
+    o = Tables(spark, sf_dir).orders
+    s = o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("sxx_c"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).alias("sxy_c"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("syy_c"),
+    )
+    fit = c.select(
+        "n",
+        "sx",
+        "sxx_c",
+        (F.col("sxy_c") / F.col("sxx_c")).alias("b"),
+        ((F.col("sy") - (F.col("sxy_c") / F.col("sxx_c")) * F.col("sx")) / F.col("n")).alias(
+            "a"
+        ),
+        (
+            (F.col("syy_c") - (F.col("sxy_c") / F.col("sxx_c")) * F.col("sxy_c"))
+            / (F.col("n") - 2)
+        ).alias("s2"),
+    )
+    d = s.crossJoin(F.broadcast(fit)).select(
+        "o_orderkey",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("x")).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("x") - F.col("sx") / F.col("n"))
+            * (F.col("x") - F.col("sx") / F.col("n"))
+            / F.col("sxx_c")
+        ).alias("h"),
+        "s2",
+    )
+    ck = d.select(
+        "o_orderkey",
+        F.round(
+            F.col("e")
+            * F.col("e")
+            * F.col("h")
+            / (2 * F.col("s2") * (1 - F.col("h")) * (1 - F.col("h")))
+            * 1e6
+            + 1e-9,
+            4,
+        ).alias("d_cooks_ppm"),
+        F.round(F.col("e") + 1e-9, 2).alias("residual"),
+        F.round(F.col("h") * 1e6 + 1e-9, 4).alias("leverage_ppm"),
+    )
+    return ck.orderBy(F.desc("d_cooks_ppm"), F.asc("o_orderkey")).limit(10)
+
+
+@staged(
+    "ltv_discounted_by_segment",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_totalprice,
+             datediff('day',
+                      min(CAST(o_orderdate AS DATE))
+                        OVER (PARTITION BY o_custkey),
+                      CAST(o_orderdate AS DATE)) // 30 AS months
+      FROM orders),
+    ltv AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             sum(o_totalprice * pow(0.98, months)) AS v
+      FROM o GROUP BY o_custkey),
+    seg AS (
+      SELECT c.c_mktsegment, ltv.n_orders, ltv.v
+      FROM ltv JOIN customer c ON c.c_custkey = ltv.o_custkey)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           round(avg(v) + 1e-9, 2) AS avg_ltv,
+           round(max(v) + 1e-9, 2) AS max_ltv
+    FROM seg GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def ltv_discounted_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted customer lifetime value by market segment: each
+    order contributes o_totalprice * 0.98^months-since-first-order
+    (months = exact integer floor of day-diff / 30 — no float date
+    math), summed per customer and aggregated per segment. The
+    monthly discount factor is the standard LTV normalization that
+    makes early revenue worth more than late revenue.
+
+    Scale shape: one customer-partitioned window (min first-order
+    date — each partition is one customer's orders), one customer
+    aggregate, one equi-join to the customer dim on the grouping key,
+    one segment rollup. pow(0.98, int) may differ by an ULP between
+    libms; sums are rounded at 2 dp, ~7 orders of magnitude of
+    headroom."""
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey")
+    od = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), "
+            "min(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey)) div 30"
+        ).alias("months"),
+    )
+    ltv = od.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice") * F.pow(F.lit(0.98), F.col("months"))).alias(
+            "v"
+        ),
+    )
+    c = Tables(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    seg = ltv.join(c, ltv["o_custkey"] == c["c_custkey"])
+    return (
+        seg.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.round(F.avg("v") + 1e-9, 2).alias("avg_ltv"),
+            F.round(F.max("v") + 1e-9, 2).alias("max_ltv"),
+        )
+        .orderBy("c_mktsegment")
+    )
