@@ -4161,3 +4161,1001 @@ def ltv_discounted_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave (staged late r10): regression / decision-stump / rank tests /
+# survival / forecasting / corpus hygiene / graph link analysis / isotropy
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "ols_two_factor_pricing",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             avg(l_quantity) AS m1, avg(l_discount) AS m2,
+             avg(l_extendedprice) AS my,
+             var_pop(l_quantity) AS s11, var_pop(l_discount) AS s22,
+             covar_pop(l_quantity, l_discount) AS s12,
+             covar_pop(l_quantity, l_extendedprice) AS s1y,
+             covar_pop(l_discount, l_extendedprice) AS s2y,
+             var_pop(l_extendedprice) AS syy
+      FROM lineitem),
+    b AS (
+      SELECT n, m1, m2, my, s1y, s2y, syy,
+             (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+             (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b1 + 1e-9, 4) AS beta_quantity,
+           round(b2 + 1e-9, 4) AS beta_discount,
+           round(my - b1 * m1 - b2 * m2 + 1e-9, 4) AS intercept,
+           round((b1 * s1y + b2 * s2y) / syy + 1e-9, 6) AS r2
+    FROM b
+    """,
+)
+def ols_two_factor_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS in closed form: l_extendedprice ~ l_quantity +
+    l_discount via the centered 2x2 normal equations (Cramer's rule on
+    the moment matrix), plus R^2 = explained/total variance. The
+    multiple-regression sibling of the staged-r10 log-log elasticity
+    OLS — no iterative solver, no feature matrix materialization: five
+    covariances and three means fully determine the fit.
+
+    Scale shape: ONE streaming-moment aggregate over the fact table
+    (covar_pop/var_pop are single-pass, map-side combinable); everything
+    after runs on a 1-row frame. Coefficients rounded at 4 dp
+    (epsilon-shifted) — cross-engine moment summation agrees far below
+    that at any SF because the estimators are ratios of O(n)-term sums."""
+    li = Tables(spark, sf_dir).lineitem
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_extendedprice").alias("my"),
+        F.var_pop("l_quantity").alias("s11"),
+        F.var_pop("l_discount").alias("s22"),
+        F.covar_pop("l_quantity", "l_discount").alias("s12"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("s1y"),
+        F.covar_pop("l_discount", "l_extendedprice").alias("s2y"),
+        F.var_pop("l_extendedprice").alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b1 + 1e-9, 4).alias("beta_quantity"),
+        F.round(b2 + 1e-9, 4).alias("beta_discount"),
+        F.round(
+            F.col("my") - b1 * F.col("m1") - b2 * F.col("m2") + 1e-9, 4
+        ).alias("intercept"),
+        F.round(
+            (b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy") + 1e-9, 6
+        ).alias("r2"),
+    )
+
+
+@staged(
+    "gini_split_stump_value",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT v, count(*) AS c, sum(y) AS cp FROM s GROUP BY v),
+    r AS (
+      SELECT v,
+             sum(c) OVER (ORDER BY v) AS nl,
+             sum(cp) OVER (ORDER BY v) AS pl
+      FROM g),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(sum(cp) AS DOUBLE) AS p
+            FROM g),
+    sc AS (
+      SELECT r.v, r.nl, tot.n - r.nl AS nr,
+             (r.nl / tot.n) * 2.0 * (r.pl / r.nl) * (1.0 - r.pl / r.nl)
+             + ((tot.n - r.nl) / tot.n) * 2.0
+               * ((tot.p - r.pl) / (tot.n - r.nl))
+               * (1.0 - (tot.p - r.pl) / (tot.n - r.nl)) AS gw,
+             2.0 * (tot.p / tot.n) * (1.0 - tot.p / tot.n) AS gp
+      FROM r, tot WHERE r.nl < tot.n)
+    SELECT v AS split_value,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           round(gw + 1e-9, 6) AS weighted_gini,
+           round(gp - gw + 1e-9, 6) AS gini_gain
+    FROM sc
+    ORDER BY round(gp - gw + 1e-9, 6) DESC, v
+    LIMIT 1
+    """,
+)
+def gini_split_stump_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split on `value` for purchase-vs-click: scan
+    every distinct score as a candidate threshold (left = value <= t),
+    score each by weighted Gini impurity, and return the argmax
+    impurity REDUCTION — the inner loop of every distributed
+    tree/GBDT learner, as one declarative plan.
+
+    Scale shape: groupBy(score) collapses the fact table to the
+    distinct-value frame, ONE distributed inclusive cumsum
+    (``global_cumsum``) yields every candidate's left-side counts
+    simultaneously, and the argmax is a rounded-gain TakeOrdered(1)
+    with the round-before-rank discipline (gain quantized at 6 dp,
+    threshold value as tiebreak) so a cross-engine ULP cannot flip the
+    winning split."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "cp"
+        ),
+    )
+    g = g.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    r = global_cumsum(g, ["v"], ["c", "cp"], out=["ca", "pa"])
+    tot = g.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum("cp").cast("double").alias("p"),
+    )
+    sc = r.crossJoin(F.broadcast(tot)).select(
+        "v",
+        (F.col("ca") + F.col("c")).alias("nl"),
+        (F.col("pa") + F.col("cp")).alias("pl"),
+        "n",
+        "p",
+    )
+    nl, pl, n, p = F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
+    nr, pr = n - nl, p - pl
+    gw = (nl / n) * 2.0 * (pl / nl) * (1.0 - pl / nl) + (nr / n) * 2.0 * (
+        pr / nr
+    ) * (1.0 - pr / nr)
+    gp = 2.0 * (p / n) * (1.0 - p / n)
+    out = sc.filter(nl < n).select(
+        F.col("v").alias("split_value"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        F.round(gw + 1e-9, 6).alias("weighted_gini"),
+        F.round(gp - gw + 1e-9, 6).alias("gini_gain"),
+    )
+    return out.orderBy(F.desc("gini_gain"), F.asc("split_value")).limit(1)
+
+
+@staged(
+    "wilcoxon_signed_rank_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS d,
+             round(sum(l_extendedprice) + 1e-9, 2) AS y
+      FROM lineitem GROUP BY d),
+    pr AS (
+      SELECT b.y - a.y AS diff
+      FROM daily a JOIN daily b ON b.d = a.d + 7
+      WHERE b.y <> a.y),
+    g AS (SELECT abs(diff) AS ad, count(*) AS c,
+                 sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS cpos
+          FROM pr GROUP BY ad),
+    r AS (
+      SELECT ad, c, cpos,
+             coalesce(sum(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM g),
+    agg AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n,
+             sum(cpos * (before + (c + 1) / 2.0)) AS wplus,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_cubes
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(wplus + 1e-9, 4) AS w_plus,
+           round((wplus - n * (n + 1.0) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                        - tie_cubes / 48.0) + 1e-9, 4) AS z
+    FROM agg
+    """,
+)
+def wilcoxon_signed_rank_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank test of week-over-week daily revenue:
+    pair day d with day d+7, rank |y(d+7) - y(d)| with midranks, and
+    test whether positive shifts dominate (W+ against its null
+    mean/variance with the standard tie correction, zero differences
+    dropped per Wilcoxon). The nonparametric twin of a paired t-test —
+    robust to the revenue spikes that wreck the parametric version.
+
+    Scale shape: days are a bounded domain (the fact table aggregates
+    to ~2.5k rows), the lag-7 pairing is an equi-join on d+7, midranks
+    come from ONE distributed exclusive cumsum over the
+    distinct-|diff| frame (the Mann-Whitney closed form), and the
+    daily series is quantized at 2 dp so every |diff| is the same IEEE
+    double on both engines."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("d")
+    ).agg(F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("y"))
+    daily = daily.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select((F.col("d") - 7).alias("d1"), F.col("y").alias("y2"))
+    pr = a.join(b, "d1").select((F.col("y2") - F.col("y1")).alias("diff"))
+    pr = pr.filter(F.col("diff") != 0)
+    g = pr.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("cpos"),
+    )
+    r = global_cumsum(g, ["ad"], "c", out="before")
+    agg = r.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(
+            F.col("cpos") * (F.col("before") + (F.col("c") + 1) / 2.0)
+        ).alias("wplus"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_cubes"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("long").alias("n_pairs"),
+        F.round(F.col("wplus") + 1e-9, 4).alias("w_plus"),
+        F.round(
+            (F.col("wplus") - n * (n + 1.0) / 4.0)
+            / F.sqrt(
+                n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                - F.col("tie_cubes") / 48.0
+            )
+            + 1e-9,
+            4,
+        ).alias("z"),
+    )
+
+
+@staged(
+    "cvm_two_sample_value",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT v, sum(ia) AS ca, count(*) - sum(ia) AS cb
+          FROM s GROUP BY v),
+    r AS (
+      SELECT v, ca, cb,
+             sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb
+      FROM g),
+    tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                   CAST(sum(cb) AS DOUBLE) AS nb FROM g),
+    agg AS (
+      SELECT sum((r.ca + r.cb)
+                 * (r.cuma / tot.na - r.cumb / tot.nb)
+                 * (r.cuma / tot.na - r.cumb / tot.nb)) AS s2,
+             max(tot.na) AS na, max(tot.nb) AS nb
+      FROM r, tot)
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(na * nb / ((na + nb) * (na + nb)) * s2 + 1e-9, 6) AS t_cvm
+    FROM agg
+    """,
+)
+def cvm_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample criterion between the click and
+    purchase `value` distributions, in the integral form T =
+    (n·m/N²) · Σ_k c_k · (F_n(x_k) − G_m(x_k))² (sum over pooled
+    observations, inclusive ECDFs — the standard definition, which
+    extends to ties naturally). Quadratic-in-ECDF-gap where
+    Kolmogorov-Smirnov is max-gap: CvM sees distributed small
+    departures KS misses, so the pair brackets distribution drift.
+
+    Scale shape: identical to the registered KS query — one
+    groupBy(value), one distributed inclusive cumsum of both group
+    counts (``global_cumsum``), one scalar aggregate; count products in
+    double (ADVICE-r9 overflow rule)."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 0).otherwise(1)).alias(
+            "cb"
+        ),
+    )
+    g = g.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    r = global_cumsum(g, ["v"], ["ca", "cb"], out=["ba", "bb"])
+    tot = g.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    gap = (F.col("ba") + F.col("ca")) / F.col("na") - (
+        F.col("bb") + F.col("cb")
+    ) / F.col("nb")
+    agg = j.agg(
+        F.sum((F.col("ca") + F.col("cb")) * gap * gap).alias("s2"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(na * nb / ((na + nb) * (na + nb)) * F.col("s2") + 1e-9, 6).alias(
+            "t_cvm"
+        ),
+    )
+
+
+@staged(
+    "logrank_time_to_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS grp,
+             epoch_us(coalesce(min(CASE WHEN event_type = 'purchase'
+                                        THEN ts END), max(ts)))
+               - epoch_us(min(ts)) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT dur,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN grp = 0 AND ev = 1 THEN 1 ELSE 0 END) AS d0,
+             sum(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END) AS d1
+      FROM u GROUP BY dur),
+    tot AS (SELECT CAST(sum(c0) AS DOUBLE) AS t0,
+                   CAST(sum(c1) AS DOUBLE) AS t1,
+                   CAST(sum(c0 + c1) AS BIGINT) AS n_users,
+                   CAST(sum(d0 + d1) AS BIGINT) AS n_events FROM g),
+    r AS (
+      SELECT dur, d0, d1,
+             tot.t0 - coalesce(sum(c0) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+             tot.t1 - coalesce(sum(c1) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+      FROM g, tot),
+    st AS (
+      SELECT sum(d1) AS o1,
+             sum((d0 + d1) * n1 / (n0 + n1)) AS e1,
+             sum(CASE WHEN n0 + n1 > 1 THEN
+                   (d0 + d1) * (n1 / (n0 + n1)) * (1.0 - n1 / (n0 + n1))
+                   * (n0 + n1 - d0 - d1) / (n0 + n1 - 1)
+                 ELSE 0 END) AS v
+      FROM r WHERE d0 + d1 > 0)
+    SELECT tot.n_users, tot.n_events,
+           CAST(st.o1 AS BIGINT) AS o1,
+           round(st.e1 + 1e-9, 4) AS e1,
+           round((st.o1 - st.e1) * (st.o1 - st.e1) / st.v + 1e-9, 4)
+             AS chi2
+    FROM st, tot
+    """,
+)
+def logrank_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on time-to-first-purchase (cohorts =
+    user_id parity; users who never purchase are right-censored at
+    their last observed event) — the inferential companion to the
+    registered Kaplan-Meier and staged Nelson-Aalen curves: at every
+    distinct event time, compare observed group-1 events against the
+    hypergeometric expectation given the at-risk sets, and fold the
+    increments into the (O-E)^2/V chi-square.
+
+    Scale shape: one user-keyed aggregate builds (duration, group,
+    event); one groupBy(duration) collapses to the distinct-time frame;
+    at-risk counts are total-minus-exclusive-cumsum (ONE distributed
+    ``global_cumsum`` over both group counts); durations are exact
+    integer microseconds so the frame keys are engine-portable."""
+    e = Tables(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "pts"
+        ),
+        F.min("ts").alias("entry"),
+        F.max("ts").alias("last"),
+    )
+    u = u.select(
+        (F.col("user_id") % 2).alias("grp"),
+        (
+            epoch_us(F.coalesce(F.col("pts"), F.col("last")))
+            - epoch_us(F.col("entry"))
+        ).alias("dur"),
+        F.when(F.col("pts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = u.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("ev") == 1), 1).otherwise(0)
+        ).alias("d0"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("ev") == 1), 1).otherwise(0)
+        ).alias("d1"),
+    )
+    g = g.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    tot = g.agg(
+        F.sum("c0").cast("double").alias("t0"),
+        F.sum("c1").cast("double").alias("t1"),
+        F.sum(F.col("c0") + F.col("c1")).cast("long").alias("n_users"),
+        F.sum(F.col("d0") + F.col("d1")).cast("long").alias("n_events"),
+    )
+    r = global_cumsum(g, ["dur"], ["c0", "c1"], out=["b0", "b1"]).crossJoin(
+        F.broadcast(tot)
+    )
+    n0 = F.col("t0") - F.col("b0")
+    n1 = F.col("t1") - F.col("b1")
+    nj = n0 + n1
+    dj = F.col("d0") + F.col("d1")
+    st = r.filter(dj > 0).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(dj * n1 / nj).alias("e1"),
+        F.sum(
+            F.when(
+                nj > 1,
+                dj * (n1 / nj) * (1.0 - n1 / nj) * (nj - dj) / (nj - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+        F.max("n_users").alias("n_users"),
+        F.max("n_events").alias("n_events"),
+    )
+    o1, e1 = F.col("o1"), F.col("e1")
+    return st.select(
+        F.col("n_users"),
+        F.col("n_events"),
+        o1.cast("long").alias("o1"),
+        F.round(e1 + 1e-9, 4).alias("e1"),
+        F.round((o1 - e1) * (o1 - e1) / F.col("v") + 1e-9, 4).alias("chi2"),
+    )
+
+
+@staged(
+    "ar1_forecast_backtest_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS d,
+             round(sum(l_extendedprice) + 1e-9, 2) AS y
+      FROM lineitem GROUP BY d),
+    st2 AS (
+      SELECT avg(y) AS ybar,
+             var_pop(y) * count(*) AS den,
+             count(*) AS nd
+      FROM daily),
+    pr AS (
+      SELECT b.y AS y, a.y AS yprev FROM daily a JOIN daily b ON b.d = a.d + 1),
+    num AS (
+      SELECT sum((pr.y - st2.ybar) * (pr.yprev - st2.ybar)) AS num,
+             count(*) AS np
+      FROM pr, st2),
+    ph AS (SELECT num.num / st2.den AS phi, num.np, st2.ybar, st2.nd
+           FROM num, st2),
+    bt AS (
+      SELECT avg(abs(pr.y - (ph.ybar + ph.phi * (pr.yprev - ph.ybar))))
+               AS mae,
+             sqrt(avg((pr.y - (ph.ybar + ph.phi * (pr.yprev - ph.ybar))) ^ 2))
+               AS rmse
+      FROM pr, ph)
+    SELECT CAST(ph.nd AS BIGINT) AS n_days,
+           CAST(ph.np AS BIGINT) AS n_pairs,
+           round(ph.phi + 1e-9, 4) AS phi,
+           round(bt.mae + 1e-9, 2) AS mae,
+           round(bt.rmse + 1e-9, 2) AS rmse
+    FROM ph, bt
+    """,
+)
+def ar1_forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit on daily revenue by Yule-Walker (phi = lag-1
+    autocovariance over variance, both centered on the full-series
+    mean) plus an in-sample one-step-ahead backtest: forecast
+    y_hat(d) = ybar + phi * (y(d-1) - ybar) wherever the previous day
+    exists, and report MAE/RMSE — the fit AND the honesty check in one
+    query, the way a forecasting pipeline actually evaluates a model.
+
+    Scale shape: days are a bounded domain; the lag pairing is an
+    equi-join on d+1 (no single-task window); the series is quantized
+    at 2 dp before any cross-engine arithmetic; two scalar aggregates
+    (moments, then backtest with the broadcast phi)."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("d")
+    ).agg(F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("y"))
+    daily = daily.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    st = daily.agg(
+        F.avg("y").alias("ybar"),
+        (F.var_pop("y") * F.count(F.lit(1))).alias("den"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    a = daily.select(F.col("d").alias("dp"), F.col("y").alias("yprev"))
+    b = daily.select((F.col("d") - 1).alias("dp"), F.col("y").alias("y"))
+    pr = a.join(b, "dp").localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    num = pr.crossJoin(F.broadcast(st)).agg(
+        F.sum(
+            (F.col("y") - F.col("ybar")) * (F.col("yprev") - F.col("ybar"))
+        ).alias("num"),
+        F.count(F.lit(1)).alias("np"),
+        F.max("ybar").alias("ybar"),
+        F.max("den").alias("den"),
+        F.max("nd").alias("nd"),
+    )
+    ph = num.select(
+        (F.col("num") / F.col("den")).alias("phi"), "np", "ybar", "nd"
+    )
+    resid = F.col("y") - (
+        F.col("ybar") + F.col("phi") * (F.col("yprev") - F.col("ybar"))
+    )
+    bt = pr.crossJoin(F.broadcast(ph)).agg(
+        F.avg(F.abs(resid)).alias("mae"),
+        F.sqrt(F.avg(resid * resid)).alias("rmse"),
+        F.max("phi").alias("phi"),
+        F.max("np").alias("np"),
+        F.max("nd").alias("nd"),
+    )
+    return bt.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(F.col("phi") + 1e-9, 4).alias("phi"),
+        F.round(F.col("mae") + 1e-9, 2).alias("mae"),
+        F.round(F.col("rmse") + 1e-9, 2).alias("rmse"),
+    )
+
+
+@staged(
+    "mood_median_test_priority",
+    oracle="""
+    WITH g AS (SELECT o_totalprice AS v, count(*) AS c FROM orders GROUP BY v),
+    r AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM g),
+    tot AS (SELECT sum(c) AS n FROM g),
+    med AS (
+      SELECT r.v AS m FROM r, tot
+      WHERE r.before <= CAST(floor((tot.n - 1) / 2) AS BIGINT)
+        AND CAST(floor((tot.n - 1) / 2) AS BIGINT) < r.before + r.c),
+    cells AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(count(*) AS DOUBLE) AS ng,
+             CAST(sum(CASE WHEN o.o_totalprice > med.m THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS ngt
+      FROM orders o, med GROUP BY grp),
+    mar AS (
+      SELECT sum(ng) AS n, sum(ngt) AS cgt, count(*) AS k FROM cells),
+    chi AS (
+      SELECT sum((c.ngt - c.ng * m.cgt / m.n)
+                 * (c.ngt - c.ng * m.cgt / m.n) / (c.ng * m.cgt / m.n)
+                 + ((c.ng - c.ngt) - c.ng * (m.n - m.cgt) / m.n)
+                 * ((c.ng - c.ngt) - c.ng * (m.n - m.cgt) / m.n)
+                 / (c.ng * (m.n - m.cgt) / m.n)) AS chi2,
+             max(m.k) AS k, max(m.n) AS n
+      FROM cells c, mar m)
+    SELECT CAST(chi.n AS BIGINT) AS n,
+           CAST(chi.k AS BIGINT) AS k,
+           CAST(chi.k - 1 AS BIGINT) AS dof,
+           med.m AS median_value,
+           round(chi.chi2 + 1e-9, 4) AS chi2
+    FROM chi, med
+    """,
+)
+def mood_median_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the k order-priority classes share a
+    common median o_totalprice? Counts above/at-or-below the POOLED
+    lower median per class, then the k x 2 contingency chi-square —
+    the coarse-but-assumption-free sibling of Kruskal-Wallis (it only
+    uses position relative to one quantile, so it survives arbitrary
+    monotone transforms and censoring at the tails).
+
+    Scale shape: the pooled median comes from the distinct-value frame
+    via ONE distributed exclusive cumsum (lower-median rank rule — no
+    interpolated percentile crosses the engine boundary); the
+    contingency table is one broadcast-median pass over the fact
+    table; the chi-square runs on a k-row frame."""
+    o = Tables(spark, sf_dir).orders
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    r = global_cumsum(g, ["v"], "c", out="before")
+    tot = g.agg(F.sum("c").alias("n"))
+    med = (
+        r.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("before") <= F.floor((F.col("n") - 1) / 2))
+            & (F.floor((F.col("n") - 1) / 2) < F.col("before") + F.col("c"))
+        )
+        .select(F.col("v").alias("m"))
+    )
+    cells = o.crossJoin(F.broadcast(med)).groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum(F.when(F.col("o_totalprice") > F.col("m"), 1).otherwise(0))
+        .cast("double")
+        .alias("ngt"),
+    )
+    mar = cells.agg(
+        F.sum("ng").alias("n"),
+        F.sum("ngt").alias("cgt"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(mar))
+    egt = F.col("ng") * F.col("cgt") / F.col("n")
+    ele = F.col("ng") * (F.col("n") - F.col("cgt")) / F.col("n")
+    chi = j.agg(
+        F.sum(
+            (F.col("ngt") - egt) * (F.col("ngt") - egt) / egt
+            + ((F.col("ng") - F.col("ngt")) - ele)
+            * ((F.col("ng") - F.col("ngt")) - ele)
+            / ele
+        ).alias("chi2"),
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+    )
+    return chi.crossJoin(F.broadcast(med)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.col("m").alias("median_value"),
+        F.round(F.col("chi2") + 1e-9, 4).alias("chi2"),
+    )
+
+
+@staged(
+    "charclass_profile_by_lang",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             length(text) AS len,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS al,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS dg,
+             length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '',
+                                                  'g')) AS ws,
+             length(text) - length(regexp_replace(text, '[^\\x00-\\x7f]', '',
+                                                  'g')) AS na
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS n_chars,
+           round(sum(al) / CAST(sum(len) AS DOUBLE) + 1e-9, 6) AS alpha_frac,
+           round(sum(dg) / CAST(sum(len) AS DOUBLE) + 1e-9, 6) AS digit_frac,
+           round(sum(ws) / CAST(sum(len) AS DOUBLE) + 1e-9, 6) AS space_frac,
+           round(sum(na) / CAST(sum(len) AS DOUBLE) + 1e-9, 6)
+             AS nonascii_frac
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def charclass_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class hygiene profile per language: alphabetic, digit,
+    whitespace, and non-ASCII fractions of the corpus text — the
+    cheap first-pass screen a data-quality pipeline runs to catch
+    encoding damage (mojibake inflates non-ASCII), OCR noise (digit
+    and punctuation spikes), and template boilerplate (whitespace
+    ratio drift) before any tokenizer sees the bytes.
+
+    Scale shape: per-document counts are pure JVM codegen
+    (length-after-regexp_replace deltas over explicit ASCII classes —
+    identical RE2/Java semantics, no UDF), then one lang-keyed
+    aggregate; nothing document-sized shuffles except the narrow count
+    tuples."""
+    d = Tables(spark, sf_dir).documents
+    text = F.col("text")
+    cnt = lambda pat: F.length(text) - F.length(  # noqa: E731
+        F.regexp_replace(text, pat, "")
+    )
+    per = d.select(
+        "lang",
+        F.length(text).alias("len"),
+        cnt("[A-Za-z]").alias("al"),
+        cnt("[0-9]").alias("dg"),
+        cnt("[ \\t\\n\\r]").alias("ws"),
+        cnt("[^\\x00-\\x7f]").alias("na"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("len").cast("long").alias("n_chars"),
+        F.sum("al").alias("sal"),
+        F.sum("dg").alias("sdg"),
+        F.sum("ws").alias("sws"),
+        F.sum("na").alias("sna"),
+    )
+    tol = F.col("n_chars").cast("double")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("sal") / tol + 1e-9, 6).alias("alpha_frac"),
+        F.round(F.col("sdg") / tol + 1e-9, 6).alias("digit_frac"),
+        F.round(F.col("sws") / tol + 1e-9, 6).alias("space_frac"),
+        F.round(F.col("sna") / tol + 1e-9, 6).alias("nonascii_frac"),
+    ).orderBy("lang")
+
+
+@staged(
+    "link_prediction_trade_graph",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+             greatest(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey),
+    und AS (
+      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY u),
+    wed AS (
+      SELECT n1.u AS u, n2.u AS v, count(*) AS n_common,
+             sum(1.0 / ln(dz.d)) AS aa
+      FROM und n1 JOIN und n2 ON n1.v = n2.v AND n1.u < n2.u
+      JOIN deg dz ON dz.n = n1.v
+      GROUP BY n1.u, n2.u),
+    sc AS (
+      SELECT wed.u, wed.v, wed.n_common,
+             wed.n_common / CAST(du.d + dv.d - wed.n_common AS DOUBLE)
+               AS jac,
+             wed.aa,
+             CASE WHEN e0.a IS NULL THEN 0 ELSE 1 END AS is_edge
+      FROM wed JOIN deg du ON du.n = wed.u JOIN deg dv ON dv.n = wed.v
+      LEFT JOIN e0 ON e0.a = wed.u AND e0.b = wed.v)
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(jac + 1e-9, 6) AS jaccard,
+           round(aa + 1e-9, 6) AS adamic_adar,
+           CAST(is_edge AS BIGINT) AS is_edge
+    FROM sc
+    ORDER BY round(aa + 1e-9, 6) DESC, u, v
+    LIMIT 10
+    """,
+)
+def link_prediction_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores on the undirected nation trade graph:
+    for every node pair sharing at least one common neighbor, the
+    three classical predictors — common-neighbor count, neighborhood
+    Jaccard, and Adamic-Adar (Σ 1/ln(deg z), which down-weights
+    promiscuous intermediaries) — plus an is_edge flag so existing
+    edges calibrate the score scale. Top-10 by rounded Adamic-Adar
+    with a (u, v) tiebreak (round-before-rank).
+
+    Scale shape: wedge enumeration is ONE self-equi-join of the
+    directed edge list on the center node (never an all-pairs
+    product — output is bounded by Σ_z deg(z)², the open-wedge
+    count), degrees are a broadcast node-keyed aggregate, and AA needs
+    no per-pair set materialization because the wedge join already
+    delivers one row per (pair, witness). Wedge centers always have
+    deg ≥ 2, so ln(deg) never vanishes."""
+    t = Tables(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    n1 = und.select(F.col("u").alias("u"), F.col("v").alias("z"))
+    n2 = und.select(F.col("u").alias("v2"), F.col("v").alias("z"))
+    dz = deg.select(F.col("n").alias("z"), F.col("d").alias("dz"))
+    wed = (
+        n1.join(n2, "z")
+        .filter(F.col("u") < F.col("v2"))
+        .join(F.broadcast(dz), "z")
+        .groupBy(F.col("u"), F.col("v2").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(1.0 / F.log(F.col("dz").cast("double"))).alias("aa"),
+        )
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    flag = e0.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.lit(1).alias("is_e")
+    )
+    sc = (
+        wed.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .join(F.broadcast(flag), ["u", "v"], "left")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast(
+                    "double"
+                )
+                + 1e-9,
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa") + 1e-9, 6).alias("adamic_adar"),
+            F.coalesce(F.col("is_e"), F.lit(0)).cast("long").alias("is_edge"),
+        )
+    )
+    return sc.orderBy(F.desc("adamic_adar"), "u", "v").limit(10)
+
+
+@staged(
+    "rich_club_trade_graph",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+             greatest(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey),
+    und AS (
+      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY u),
+    hist AS (SELECT d, count(*) AS nd FROM deg GROUP BY d),
+    ks AS (SELECT DISTINCT d AS k FROM deg),
+    em AS (
+      SELECT least(da.d, db.d) AS m, count(*) AS ne
+      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+      GROUP BY m),
+    rc AS (
+      SELECT ks.k,
+             (SELECT coalesce(sum(hist.nd), 0) FROM hist WHERE hist.d > ks.k)
+               AS n_nodes,
+             (SELECT coalesce(sum(em.ne), 0) FROM em WHERE em.m > ks.k)
+               AS n_edges
+      FROM ks)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           round(2.0 * n_edges / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))
+                 + 1e-9, 6) AS phi
+    FROM rc WHERE n_nodes >= 2
+    ORDER BY k
+    """,
+)
+def rich_club_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve of the nation trade graph: for each
+    degree threshold k (the distinct observed degrees), phi(k) =
+    2·E_k / (N_k·(N_k−1)) where N_k nodes have degree > k and E_k
+    edges connect two such nodes — the standard diagnostic for
+    whether hubs preferentially interconnect (phi→1 means the
+    high-degree core is a near-clique).
+
+    Scale shape: no quadratic node work — N_k and E_k are suffix sums
+    over the DEGREE HISTOGRAM and the per-edge min-endpoint-degree
+    histogram respectively (both bounded by the distinct-degree
+    domain, not the node/edge count); the histograms come from one
+    node-keyed and one edge-keyed aggregate, and the suffix sums are
+    broadcast theta-joins of two tiny frames."""
+    t = Tables(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    deg = deg.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("nd"))
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    em = (
+        e0.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .groupBy(F.least("da", "db").alias("m"))
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    nn = (
+        ks.join(F.broadcast(hist), F.col("d") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("nd"), F.lit(0)).alias("n_nodes"))
+    )
+    ee = (
+        ks.join(F.broadcast(em), F.col("m") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ne"), F.lit(0)).alias("n_edges"))
+    )
+    rc = nn.join(ee, "k").filter(F.col("n_nodes") >= 2)
+    return rc.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(
+            2.0
+            * F.col("n_edges")
+            / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1))
+            + 1e-9,
+            6,
+        ).alias("phi"),
+    ).orderBy("k")
+
+
+@staged(
+    "embedding_isotropy_stats",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (
+      SELECT vec_id, idx.i AS i, v[idx.i] AS val
+      FROM e, (SELECT unnest(range(1, 65)) AS i) idx),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM ex GROUP BY vec_id),
+    comps AS (
+      SELECT ex.i, sum(ex.val / sqrt(n.sq)) AS su, sum(ex.val) AS sv
+      FROM ex JOIN norms n USING (vec_id) GROUP BY ex.i),
+    agg AS (SELECT sum(su * su) AS usq, sum(sv * sv) AS svsq FROM comps),
+    cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(sq) AS ssq FROM norms)
+    SELECT CAST(cnt.n AS BIGINT) AS n_vectors,
+           round(sqrt(cnt.ssq / cnt.n) + 1e-9, 6) AS rms_norm,
+           round(sqrt(agg.svsq) / cnt.n + 1e-9, 6) AS norm_of_mean,
+           round((sqrt(agg.svsq) / cnt.n) / sqrt(cnt.ssq / cnt.n) + 1e-9, 6)
+             AS isotropy_ratio,
+           round((agg.usq - cnt.n) / (cnt.n * (cnt.n - 1)) + 1e-9, 6)
+             AS avg_pairwise_cos
+    FROM agg, cnt
+    """,
+)
+def embedding_isotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy diagnostics of the embedding space — the checks run
+    before trusting cosine similarity for dedup/retrieval: RMS vector
+    norm, norm of the mean vector (a large value means a dominant
+    common direction — the classic anisotropy failure), their ratio,
+    and the EXACT mean pairwise cosine of the whole corpus computed
+    WITHOUT any pairwise join via the identity Σ_{i≠j} u_i·u_j =
+    ‖Σu‖² − n for unit vectors.
+
+    Scale shape: one posexplode pass (n·dim narrow rows), a vec-keyed
+    aggregate for norms, a dim-keyed aggregate for component sums
+    (dim rows), then scalar algebra — the all-pairs statistic costs
+    O(n·dim), never O(n²)."""
+    emb = Tables(spark, sf_dir).embeddings
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "valf")
+    ).select("vec_id", "i", F.col("valf").cast("double").alias("val"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("sq")
+    )
+    comps = (
+        ex.join(norms, "vec_id")
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("val") / F.sqrt(F.col("sq"))).alias("su"),
+            F.sum("val").alias("sv"),
+        )
+    )
+    agg = comps.agg(
+        F.sum(F.col("su") * F.col("su")).alias("usq"),
+        F.sum(F.col("sv") * F.col("sv")).alias("svsq"),
+    )
+    cnt = norms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("sq").alias("ssq"),
+    )
+    j = agg.crossJoin(F.broadcast(cnt))
+    n = F.col("n")
+    rms = F.sqrt(F.col("ssq") / n)
+    nom = F.sqrt(F.col("svsq")) / n
+    return j.select(
+        n.cast("long").alias("n_vectors"),
+        F.round(rms + 1e-9, 6).alias("rms_norm"),
+        F.round(nom + 1e-9, 6).alias("norm_of_mean"),
+        F.round(nom / rms + 1e-9, 6).alias("isotropy_ratio"),
+        F.round((F.col("usq") - n) / (n * (n - 1)) + 1e-9, 6).alias(
+            "avg_pairwise_cos"
+        ),
+    )

@@ -108,3 +108,62 @@ def test_ares_sample_prefers_heavy_weights(spark):
         f"SELECT avg(o_totalprice) FROM '{os.path.join(SF_SMALL, 'orders.parquet')}'"
     ).fetchone()[0]
     assert sample_mean > pop_mean
+
+
+def test_link_prediction_scores_bounded(spark):
+    """Jaccard in (0,1]; AA positive; every common-neighbor count is at
+    most min(deg u, deg v) implied by jaccard <= 1."""
+    fn, _ = STAGED["link_prediction_trade_graph"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0 + 1e-9
+        assert r["adamic_adar"] > 0.0
+        assert r["n_common"] >= 1
+        assert r["is_edge"] in (0, 1)
+    aas = [r["adamic_adar"] for r in rows]
+    assert aas == sorted(aas, reverse=True)
+
+
+def test_rich_club_phi_bounded_and_nodes_decreasing(spark):
+    fn, _ = STAGED["rich_club_trade_graph"]
+    rows = sorted(fn(spark, SF_SMALL).collect(), key=lambda r: r["k"])
+    ns = [r["n_nodes"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["phi"] <= 1.0 + 1e-9
+        assert r["n_edges"] <= r["n_nodes"] * (r["n_nodes"] - 1) // 2
+
+
+def test_isotropy_against_numpy(spark):
+    """Independent replay: exact mean pairwise cosine by brute force on
+    the (small) sf0.001 corpus must match the O(n·dim) identity."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    fn, _ = STAGED["embedding_isotropy_stats"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    emb = pq.read_table(os.path.join(SF_SMALL, "embeddings.parquet"))
+    x = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    g = u @ u.T
+    n = len(x)
+    brute = (g.sum() - np.trace(g)) / (n * (n - 1))
+    assert abs(row["avg_pairwise_cos"] - brute) < 1e-6
+    assert abs(row["rms_norm"] - np.sqrt((x * x).sum(axis=1).mean())) < 1e-6
+
+
+def test_gini_stump_beats_no_split(spark):
+    fn, _ = STAGED["gini_split_stump_value"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert row["gini_gain"] >= 0.0
+    assert row["n_left"] > 0 and row["n_right"] > 0
+    assert row["weighted_gini"] >= 0.0
+
+
+def test_logrank_chi2_nonnegative(spark):
+    fn, _ = STAGED["logrank_time_to_purchase"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert row["chi2"] >= 0.0
+    assert 0 <= row["o1"] <= row["n_events"]
+    assert row["n_users"] >= row["n_events"]
