@@ -5159,3 +5159,163 @@ def embedding_isotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_pairwise_cos"
         ),
     )
+
+
+def _sweep_oracle() -> str:
+    from ror_etl_spark.queries.dedup import _JACCARD, _minhash_ctes
+
+    return f"""
+    WITH {_minhash_ctes()},
+    ver AS (
+      SELECT c.id_a, c.id_b, {_JACCARD} AS j
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE {_JACCARD} >= 0.5),
+    ths AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t),
+    m AS (SELECT ths.t, ver.id_a, ver.id_b FROM ths JOIN ver ON ver.j >= ths.t),
+    p AS (SELECT t, count(*) AS n_pairs FROM m GROUP BY t),
+    dd AS (
+      SELECT t, count(DISTINCT d) AS n_docs
+      FROM (SELECT t, id_a AS d FROM m UNION ALL SELECT t, id_b FROM m)
+      GROUP BY t)
+    SELECT ths.t AS threshold,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(dd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM ths LEFT JOIN p ON p.t = ths.t LEFT JOIN dd ON dd.t = ths.t
+    ORDER BY threshold
+    """
+
+
+@staged("dedup_threshold_sweep", oracle=_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup THRESHOLD TUNING CURVE: candidate pairs and affected
+    documents at Jaccard cutoffs 0.5–0.9, all from ONE MinHash-LSH
+    candidate generation + ONE exact verify pass — the report an
+    operator owner reads to pick the production threshold (too low
+    deletes paraphrases, too high leaves templates; the knee of
+    n_docs(t) is the decision). Companion to the registered
+    ``dedup_minhash_lsh`` funnel (same portable md5 signature chain,
+    so the oracle replays banding + verification bit-identically).
+
+    Scale shape: signatures O(LANE_POOL)/doc, candidates bucketed by
+    band key (never all-pairs), verify is candidate-restricted
+    (operators/dedup.py:jaccard_verify); the sweep itself is a 5-row
+    literal frame theta-joined to the OUTPUT-SIZED verified pairs, so
+    the five thresholds cost five scans of an already-tiny frame."""
+    from ror_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    sigs = minhash_signatures(d, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    ver = jaccard_verify(cands, d, threshold=0.5).localCheckpoint(
+        eager=False, storageLevel=_DISK_ONLY
+    )
+    ths = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "t double"
+    )
+    m = ths.join(ver, ver["jaccard"] >= F.col("t")).localCheckpoint(
+        eager=False, storageLevel=_DISK_ONLY
+    )
+    p = m.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dd = (
+        m.select("t", F.col("id_a").alias("d"))
+        .unionAll(m.select("t", F.col("id_b").alias("d")))
+        .groupBy("t")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return (
+        ths.join(p, "t", "left")
+        .join(dd, "t", "left")
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@staged(
+    "seasonal_strength_weekday",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      FROM orders GROUP BY dt),
+    tr AS (
+      SELECT dt, rev,
+             avg(rev) OVER (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND
+               3 FOLLOWING) AS trend,
+             count(*) OVER (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND
+               3 FOLLOWING) AS wn
+      FROM daily),
+    det AS (
+      SELECT date_diff('day', TIMESTAMP '1970-01-01', dt) % 7 AS wd,
+             rev - trend AS x
+      FROM tr WHERE wn = 7),
+    seas AS (SELECT wd, avg(x) AS s FROM det GROUP BY wd),
+    agg AS (
+      SELECT count(*) AS n, var_pop(det.x) AS vd,
+             var_pop(det.x - seas.s) AS vr
+      FROM det JOIN seas ON seas.wd = det.wd)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(vd + 1e-9, 2) AS var_detrended,
+           round(vr + 1e-9, 2) AS var_residual,
+           round(greatest(0.0, 1.0 - vr / vd) + 1e-9, 6)
+             AS seasonal_strength
+    FROM agg
+    """,
+)
+def seasonal_strength_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength score F_s = max(0, 1 − Var(residual) /
+    Var(detrended)) of daily revenue against the weekday cycle — the
+    single number (Hyndman's STL feature) that says whether the
+    ``timeseries_decompose_weekday`` seasonal indices are signal or
+    noise, i.e. whether a forecast should carry the weekly term at
+    all. Same frame conventions as the registered decomposition:
+    centered 7-day MA trend, full-window days only, weekday =
+    epoch-days mod 7 (integer-exact on both engines).
+
+    Scale shape: one date-keyed aggregate of the fact table; the MA
+    window and the variance pass run over the calendar-bounded daily
+    frame (~2.4k rows); the seasonal join is a broadcast of 7 rows."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("dt").rowsBetween(-3, 3)
+    tr = daily.select(
+        "dt",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == 7)
+    det = tr.select(
+        (
+            F.datediff(F.col("dt").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).alias("wd"),
+        (F.col("rev") - F.col("trend")).alias("x"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    seas = det.groupBy("wd").agg(F.avg("x").alias("s"))
+    agg = det.join(F.broadcast(seas), "wd").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_pop("x").alias("vd"),
+        F.var_pop(F.col("x") - F.col("s")).alias("vr"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("vd") + 1e-9, 2).alias("var_detrended"),
+        F.round(F.col("vr") + 1e-9, 2).alias("var_residual"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vd")) + 1e-9, 6
+        ).alias("seasonal_strength"),
+    )
