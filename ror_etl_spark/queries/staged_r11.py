@@ -101,6 +101,10 @@ def roc_auc_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-statistic closed form AUC = (R_pos - n_pos(n_pos+1)/2) /
     (n_pos * n_neg) with midranks for ties — exactly the Mann-Whitney U
     normalization, so ties contribute 1/2 per the standard definition.
+    Sibling of the registered ``auc_doclen_vs_lang`` (stats.py, the
+    length-vs-language separability diagnostic): same midrank closed
+    form, but scoring a MODEL-style score column against an outcome —
+    the head of the staged eval toolkit (AP, ECE, Brier, lift below).
 
     Scale shape: one groupBy(score) aggregate, one DISTRIBUTED exclusive
     cumsum over the distinct-score frame (``global_cumsum``), one scalar
@@ -447,6 +451,9 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-status contingency table, with Cramér's V as the bounded
     effect size (V = sqrt(chi2 / (n * (min(r,c)-1)))) — the categorical
     drift test a curation pipeline runs between corpus snapshots.
+    Sibling of the registered ``chisq_event_type_value_band``
+    (stats.py); the material addition here is Cramér's V, which makes
+    chi-square magnitudes comparable across tables of different size.
 
     Scale shape: one groupBy over the (r x c)-bounded cell domain; the
     marginals are broadcast joins against that bounded frame. The fact
@@ -551,66 +558,6 @@ def g_test_event_type_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Benford first-digit forensic screen
-# ---------------------------------------------------------------------------
-
-
-@staged(
-    "benford_first_digit_totalprice",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(floor(o_totalprice
-                        / power(10, floor(log10(o_totalprice)))) AS INT)
-             AS digit
-      FROM orders WHERE o_totalprice > 0),
-    obs AS (SELECT digit, count(*) AS o FROM d GROUP BY digit),
-    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs)
-    SELECT obs.digit, CAST(obs.o AS BIGINT) AS observed,
-           round(obs.o / n.n + 1e-9, 6) AS observed_share,
-           round(log10(1.0 + 1.0 / obs.digit) + 1e-9, 6) AS benford_share,
-           round((obs.o - n.n * log10(1.0 + 1.0 / obs.digit))
-                 * (obs.o - n.n * log10(1.0 + 1.0 / obs.digit))
-                 / (n.n * log10(1.0 + 1.0 / obs.digit)) + 1e-9, 4)
-             AS chi2_term
-    FROM obs, n ORDER BY obs.digit
-    """,
-)
-def benford_first_digit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-significant-digit screen on order totals: the
-    observed digit distribution vs log10(1 + 1/d), with each digit's
-    chi-square contribution — the classic fabricated-data / pipeline-bug
-    forensic (a unit mixup or synthetic filler shifts the digit law
-    before it shifts any mean).
-
-    Scale shape: first digit = floor(x / 10^floor(log10 x)) is a pure
-    map; then a 9-key groupBy."""
-    o = Tables(spark, sf_dir).orders.filter(F.col("o_totalprice") > 0)
-    d = o.select(
-        F.floor(
-            F.col("o_totalprice")
-            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-        )
-        .cast("int")
-        .alias("digit")
-    )
-    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("o"))
-    n = obs.agg(F.sum("o").cast("double").alias("n"))
-    bshare = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    exp = F.col("n") * bshare
-    return (
-        obs.crossJoin(F.broadcast(n))
-        .select(
-            "digit",
-            F.col("o").cast("long").alias("observed"),
-            F.round(F.col("o") / F.col("n") + 1e-9, 6).alias("observed_share"),
-            F.round(bshare + 1e-9, 6).alias("benford_share"),
-            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp + 1e-9, 4).alias(
-                "chi2_term"
-            ),
-        )
-        .orderBy("digit")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -816,81 +763,6 @@ def bh_fdr_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Robust trend: Theil-Sen median slope
-# ---------------------------------------------------------------------------
-
-
-@staged(
-    "theil_sen_daily_revenue",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS d,
-             round(sum(l_extendedprice) + 1e-9, 2) AS y
-      FROM lineitem GROUP BY d),
-    pairs AS (
-      SELECT (b.y - a.y) / (b.d - a.d) AS slope, a.d AS d1, b.d AS d2
-      FROM daily a JOIN daily b ON b.d > a.d),
-    cnt AS (SELECT count(*) AS np, (SELECT count(*) FROM daily) AS nd
-            FROM pairs),
-    r AS (
-      SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) - 1 AS rk
-      FROM pairs)
-    SELECT CAST(cnt.nd AS BIGINT) AS n_days, CAST(cnt.np AS BIGINT) AS n_pairs,
-           round(avg(r.slope) + 1e-9, 6) AS theil_sen_slope
-    FROM r, cnt
-    WHERE r.rk IN (CAST(floor((cnt.np - 1) / 2) AS BIGINT),
-                   CAST(floor(cnt.np / 2) AS BIGINT))
-    GROUP BY cnt.nd, cnt.np
-    """,
-)
-def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen robust trend estimate of daily revenue: the MEDIAN of
-    all pairwise slopes (y_j - y_i)/(d_j - d_i), i < j — breakdown
-    point 29%, immune to the outlier days that wreck an OLS slope. The
-    daily series is quantized to 2 dp first, so every pairwise slope is
-    the same IEEE double on both engines; the median picks the exact
-    middle element(s) by (slope, d1, d2) total order — no
-    percentile-approx anywhere.
-
-    Scale shape: days are a BOUNDED domain (the fact table aggregates
-    to ~2.5k rows per 7 years), so the pairwise self-join is
-    O(days^2) ~ 3M narrow rows — documented as domain-bounded, not
-    corpus-bounded; the median uses ``global_rank`` (distributed), not
-    a single-task sort."""
-    li = Tables(spark, sf_dir).lineitem
-    daily = li.groupBy(
-        F.datediff(
-            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
-        ).alias("d")
-    ).agg(F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("y"))
-    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
-    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
-    pairs = a.join(b, F.col("d2") > F.col("d1")).select(
-        ((F.col("y2") - F.col("y1")) / (F.col("d2") - F.col("d1"))).alias(
-            "slope"
-        ),
-        "d1",
-        "d2",
-    )
-    pairs = pairs.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-    cnt = pairs.agg(F.count(F.lit(1)).alias("np")).crossJoin(
-        F.broadcast(daily.agg(F.count(F.lit(1)).alias("nd")))
-    )
-    r = global_rank(pairs, "slope", "d1", "d2", out="rk")
-    mid = r.crossJoin(F.broadcast(cnt)).filter(
-        (F.col("rk") == F.floor((F.col("np") - 1) / 2))
-        | (F.col("rk") == F.floor(F.col("np") / 2))
-    )
-    return mid.groupBy("nd", "np").agg(
-        F.round(F.avg("slope") + 1e-9, 6).alias("theil_sen_slope")
-    ).select(
-        F.col("nd").cast("long").alias("n_days"),
-        F.col("np").cast("long").alias("n_pairs"),
-        "theil_sen_slope",
-    )
-
-
-# ---------------------------------------------------------------------------
 # Changepoint detection: CUSUM in exact integer cents
 # ---------------------------------------------------------------------------
 
@@ -918,7 +790,12 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint scan over daily revenue: the day k maximizing
-    |sum_{i<=k}(y_i - mean)| marks the most likely mean shift. Computed
+    |sum_{i<=k}(y_i - mean)| marks the most likely mean shift. The
+    SCALE-SAFE twin of the registered ``changepoint_cusum_daily_revenue``
+    (stats.py): same exact-integer-cents argmax, but the prefix sums run
+    through the distributed ``global_cumsum`` instead of the registered
+    op's bounded-domain cumulative window — the form that survives a
+    date domain too large for one task. Computed
     in EXACT integer cents — S_k = sum(n*y_i - T) avoids dividing by n,
     so the whole scan is int64 arithmetic and the argmax cannot flip on
     fp summation order (int64 bounds: ~1e14 daily cents x 2.5k days
@@ -1481,7 +1358,12 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spirakis A-Res): each row draws u ~ U(0,1) and keeps key =
     ln(u)/w (the log form of u^(1/w) — same argmax, no tiny-power
     precision cliff); the k largest keys are the sample, with
-    inclusion probability proportional to weight. The uniform stream
+    inclusion probability proportional to weight. Sibling of the
+    registered ``sample_weighted_pps`` (sampling.py, content-hash u
+    over text documents); the material difference is the uniform
+    stream — a Lehmer LCG on the numeric row key, for tables with no
+    content to hash (and the reservoir framing: the same keys stream
+    into a k-slot reservoir in one pass). The uniform stream
     is an ENGINE-PORTABLE Lehmer LCG on the row key ((k+1)*48271 mod
     2^31-1, +0.5 to stay strictly inside (0,1)) — exact int64
     arithmetic on both engines, so no hash-function mismatch and no
@@ -1515,7 +1397,7 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @staged(
-    "quantile_normalize_acctbal",
+    "quantile_normalize_across_segments",
     oracle="""
     WITH r AS (
       SELECT c_mktsegment AS seg, c_acctbal AS x,
@@ -1535,13 +1417,17 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.seg, b.bin ORDER BY b.seg, b.bin
     """,
 )
-def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantile_normalize_across_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization of account balances across market
     segments (the bioinformatics/feature-scaling transform): rank
     within each segment, cut into 20 quantile bins, and replace each
     bin's values with the ACROSS-SEGMENT mean of that bin — after which
     every segment has the same marginal distribution, isolating
-    within-segment structure from between-segment scale.
+    within-segment structure from between-segment scale. Distinct from
+    the registered ``quantile_normalize_acctbal`` (sampling.py), which
+    is the single-population rank→uniform[0,1] transform; this is the
+    k-population distribution-matching transform (renamed in staging
+    to avoid the registry name collision the r10 audit caught).
 
     Scale shape: the per-segment rank is a window PARTITIONED by
     segment (each partition is one shuffle group, no single-task
@@ -4237,89 +4123,6 @@ def ols_two_factor_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged(
-    "gini_split_stump_value",
-    oracle="""
-    WITH s AS (
-      SELECT value AS v,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events WHERE event_type IN ('click', 'purchase')),
-    g AS (SELECT v, count(*) AS c, sum(y) AS cp FROM s GROUP BY v),
-    r AS (
-      SELECT v,
-             sum(c) OVER (ORDER BY v) AS nl,
-             sum(cp) OVER (ORDER BY v) AS pl
-      FROM g),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(sum(cp) AS DOUBLE) AS p
-            FROM g),
-    sc AS (
-      SELECT r.v, r.nl, tot.n - r.nl AS nr,
-             (r.nl / tot.n) * 2.0 * (r.pl / r.nl) * (1.0 - r.pl / r.nl)
-             + ((tot.n - r.nl) / tot.n) * 2.0
-               * ((tot.p - r.pl) / (tot.n - r.nl))
-               * (1.0 - (tot.p - r.pl) / (tot.n - r.nl)) AS gw,
-             2.0 * (tot.p / tot.n) * (1.0 - tot.p / tot.n) AS gp
-      FROM r, tot WHERE r.nl < tot.n)
-    SELECT v AS split_value,
-           CAST(nl AS BIGINT) AS n_left,
-           CAST(nr AS BIGINT) AS n_right,
-           round(gw + 1e-9, 6) AS weighted_gini,
-           round(gp - gw + 1e-9, 6) AS gini_gain
-    FROM sc
-    ORDER BY round(gp - gw + 1e-9, 6) DESC, v
-    LIMIT 1
-    """,
-)
-def gini_split_stump_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best decision-stump split on `value` for purchase-vs-click: scan
-    every distinct score as a candidate threshold (left = value <= t),
-    score each by weighted Gini impurity, and return the argmax
-    impurity REDUCTION — the inner loop of every distributed
-    tree/GBDT learner, as one declarative plan.
-
-    Scale shape: groupBy(score) collapses the fact table to the
-    distinct-value frame, ONE distributed inclusive cumsum
-    (``global_cumsum``) yields every candidate's left-side counts
-    simultaneously, and the argmax is a rounded-gain TakeOrdered(1)
-    with the round-before-rank discipline (gain quantized at 6 dp,
-    threshold value as tiebreak) so a cross-engine ULP cannot flip the
-    winning split."""
-    e = Tables(spark, sf_dir).events.filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    g = e.groupBy(F.col("value").alias("v")).agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "cp"
-        ),
-    )
-    g = g.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-    r = global_cumsum(g, ["v"], ["c", "cp"], out=["ca", "pa"])
-    tot = g.agg(
-        F.sum("c").cast("double").alias("n"),
-        F.sum("cp").cast("double").alias("p"),
-    )
-    sc = r.crossJoin(F.broadcast(tot)).select(
-        "v",
-        (F.col("ca") + F.col("c")).alias("nl"),
-        (F.col("pa") + F.col("cp")).alias("pl"),
-        "n",
-        "p",
-    )
-    nl, pl, n, p = F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
-    nr, pr = n - nl, p - pl
-    gw = (nl / n) * 2.0 * (pl / nl) * (1.0 - pl / nl) + (nr / n) * 2.0 * (
-        pr / nr
-    ) * (1.0 - pr / nr)
-    gp = 2.0 * (p / n) * (1.0 - p / n)
-    out = sc.filter(nl < n).select(
-        F.col("v").alias("split_value"),
-        nl.cast("long").alias("n_left"),
-        nr.cast("long").alias("n_right"),
-        F.round(gw + 1e-9, 6).alias("weighted_gini"),
-        F.round(gp - gw + 1e-9, 6).alias("gini_gain"),
-    )
-    return out.orderBy(F.desc("gini_gain"), F.asc("split_value")).limit(1)
 
 
 @staged(

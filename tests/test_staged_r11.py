@@ -153,12 +153,28 @@ def test_isotropy_against_numpy(spark):
     assert abs(row["rms_norm"] - np.sqrt((x * x).sum(axis=1).mean())) < 1e-6
 
 
-def test_gini_stump_beats_no_split(spark):
-    fn, _ = STAGED["gini_split_stump_value"]
-    row = fn(spark, SF_SMALL).collect()[0]
-    assert row["gini_gain"] >= 0.0
-    assert row["n_left"] > 0 and row["n_right"] > 0
-    assert row["weighted_gini"] >= 0.0
+def test_no_staged_name_collides_with_registry():
+    """The r11 flip calls ``query(name)`` for every staged entry, and
+    ``query`` raises on duplicates — so a staged name that already
+    exists in the live registry would CRASH the whole registry load at
+    flip time (caught in the r10 audit: wave-1 staged two names that
+    stats.py/sampling.py had registered in the meantime). Pin the
+    invariant for every staged module."""
+    from ror_etl_spark import registry
+    from ror_etl_spark.queries.staged_r10 import STAGED as S10
+    from ror_etl_spark.queries.staged_r9 import STAGED as S9
+
+    registry.load_all()
+    live = set(registry.QUERIES)
+    for batch in (set(S9), set(S10), set(STAGED)):
+        # staged_r9/r10 are already flipped INTO the registry; only
+        # names still pending (not yet registered) must be disjoint
+        pending = batch - {n for n in batch if n in live}
+        assert pending == batch or batch <= live, (
+            "staged batch must be fully live or fully pending"
+        )
+    clash = set(STAGED) & live
+    assert not clash, f"staged_r11 names collide with registry: {clash}"
 
 
 def test_logrank_chi2_nonnegative(spark):
