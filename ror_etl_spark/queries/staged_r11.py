@@ -4565,10 +4565,17 @@ def mood_median_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency table is one broadcast-median pass over the fact
     table; the chi-square runs on a k-row frame."""
     o = Tables(spark, sf_dir).orders
-    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    # o_totalprice is ~unique, so this distinct-value frame is
+    # DATA-sized (not domain-bounded): checkpoint it for its two
+    # consumers and size the cumsum like the SPRT stream walk
+    # (n_parts=64 — exact integer counts, partition-carry association
+    # cannot change any bit)
+    g = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
     )
-    r = global_cumsum(g, ["v"], "c", out="before")
+    r = global_cumsum(g, ["v"], "c", out="before", n_parts=64)
     tot = g.agg(F.sum("c").alias("n"))
     med = (
         r.crossJoin(F.broadcast(tot))
@@ -4685,10 +4692,9 @@ def charclass_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-@staged(
-    "link_prediction_trade_graph",
-    oracle="""
-    WITH e0 AS (
+
+_TRADE_EDGE_CTES = """
+    e0 AS (
       SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
              greatest(s.s_nationkey, c.c_nationkey) AS b
       FROM lineitem l
@@ -4698,7 +4704,38 @@ def charclass_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s.s_nationkey <> c.c_nationkey),
     und AS (
       SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
-    deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY u),
+    deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY u)"""
+
+
+def _trade_edges(t: Tables) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Undirected simple nation trade graph: (e0, und, deg) — distinct
+    least/greatest edge list (DISK_ONLY checkpointed for its multiple
+    consumers), the both-directions view, and node degrees. The Python
+    twin of ``_TRADE_EDGE_CTES``; link prediction and rich club share
+    it so the two ops' graph definitions cannot drift apart."""
+    e0 = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    return e0, und, deg
+
+
+@staged(
+    "link_prediction_trade_graph",
+    oracle=f"""
+    WITH {_TRADE_EDGE_CTES},
     wed AS (
       SELECT n1.u AS u, n2.u AS v, count(*) AS n_common,
              sum(1.0 / ln(dz.d)) AS aa
@@ -4739,23 +4776,7 @@ def link_prediction_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-pair set materialization because the wedge join already
     delivers one row per (pair, witness). Wedge centers always have
     deg ≥ 2, so ln(deg) never vanishes."""
-    t = Tables(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-    )
-    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    e0, und, deg = _trade_edges(Tables(spark, sf_dir))
     n1 = und.select(F.col("u").alias("u"), F.col("v").alias("z"))
     n2 = und.select(F.col("u").alias("v2"), F.col("v").alias("z"))
     dz = deg.select(F.col("n").alias("z"), F.col("d").alias("dz"))
@@ -4799,18 +4820,8 @@ def link_prediction_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @staged(
     "rich_club_trade_graph",
-    oracle="""
-    WITH e0 AS (
-      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
-             greatest(s.s_nationkey, c.c_nationkey) AS b
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey),
-    und AS (
-      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
-    deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY u),
+    oracle=f"""
+    WITH {_TRADE_EDGE_CTES},
     hist AS (SELECT d, count(*) AS nd FROM deg GROUP BY d),
     ks AS (SELECT DISTINCT d AS k FROM deg),
     em AS (
@@ -4847,23 +4858,7 @@ def rich_club_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, not the node/edge count); the histograms come from one
     node-keyed and one edge-keyed aggregate, and the suffix sums are
     broadcast theta-joins of two tiny frames."""
-    t = Tables(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-    )
-    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    e0, und, deg = _trade_edges(Tables(spark, sf_dir))
     deg = deg.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
     hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("nd"))
     ks = deg.select(F.col("d").alias("k")).distinct()
@@ -5060,7 +5055,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seasonal_strength_weekday",
     oracle="""
     WITH daily AS (
-      SELECT o_orderdate AS dt, sum(o_totalprice) AS rev
+      SELECT o_orderdate AS dt, round(sum(o_totalprice) + 1e-9, 2) AS rev
       FROM orders GROUP BY dt),
     tr AS (
       SELECT dt, rev,
@@ -5073,17 +5068,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_diff('day', TIMESTAMP '1970-01-01', dt) % 7 AS wd,
              rev - trend AS x
       FROM tr WHERE wn = 7),
-    seas AS (SELECT wd, avg(x) AS s FROM det GROUP BY wd),
+    seas AS (SELECT wd, round(avg(x) + 1e-9, 4) AS s FROM det GROUP BY wd),
     agg AS (
       SELECT count(*) AS n, var_pop(det.x) AS vd,
              var_pop(det.x - seas.s) AS vr
-      FROM det JOIN seas ON seas.wd = det.wd)
-    SELECT CAST(n AS BIGINT) AS n_days,
-           round(vd + 1e-9, 2) AS var_detrended,
-           round(vr + 1e-9, 2) AS var_residual,
-           round(greatest(0.0, 1.0 - vr / vd) + 1e-9, 6)
+      FROM det JOIN seas ON seas.wd = det.wd),
+    pk AS (
+      SELECT wd AS peak_weekday FROM seas ORDER BY s DESC, wd LIMIT 1)
+    SELECT CAST(agg.n AS BIGINT) AS n_days,
+           CAST(pk.peak_weekday AS BIGINT) AS peak_weekday,
+           round(greatest(0.0, 1.0 - agg.vr / agg.vd) + 1e-9, 6)
              AS seasonal_strength
-    FROM agg
+    FROM agg, pk
     """,
 )
 def seasonal_strength_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5092,18 +5088,26 @@ def seasonal_strength_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     single number (Hyndman's STL feature) that says whether the
     ``timeseries_decompose_weekday`` seasonal indices are signal or
     noise, i.e. whether a forecast should carry the weekly term at
-    all. Same frame conventions as the registered decomposition:
-    centered 7-day MA trend, full-window days only, weekday =
-    epoch-days mod 7 (integer-exact on both engines).
+    all — plus the peak weekday (argmax seasonal index, rounded
+    before the rank with a weekday tiebreak). Same frame conventions
+    as the registered decomposition: centered 7-day MA trend,
+    full-window days only, weekday = epoch-days mod 7 (integer-exact
+    on both engines).
+
+    Exactness: the daily series is quantized at 2 dp (the
+    wilcoxon/ar1 rule — each day's sum is the same IEEE double on
+    both engines) and the 7 seasonal indices at 4 dp before the
+    residual subtraction; the only outputs are scale-free (a variance
+    RATIO and an integer argmax), because raw variances of ~1e6-sized
+    residuals sit at ~1e11 where a 2 dp round is tighter than
+    cross-engine summation-order agreement.
 
     Scale shape: one date-keyed aggregate of the fact table; the MA
     window and the variance pass run over the calendar-bounded daily
     frame (~2.4k rows); the seasonal join is a broadcast of 7 rows."""
-    from pyspark.sql import Window
-
     o = Tables(spark, sf_dir).orders
     daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
-        F.sum("o_totalprice").alias("rev")
+        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("rev")
     )
     w = Window.orderBy("dt").rowsBetween(-3, 3)
     tr = daily.select(
@@ -5119,16 +5123,19 @@ def seasonal_strength_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wd"),
         (F.col("rev") - F.col("trend")).alias("x"),
     ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-    seas = det.groupBy("wd").agg(F.avg("x").alias("s"))
+    seas = det.groupBy("wd").agg(F.round(F.avg("x") + 1e-9, 4).alias("s"))
+    seas = seas.localCheckpoint(eager=False)
     agg = det.join(F.broadcast(seas), "wd").agg(
         F.count(F.lit(1)).alias("n"),
         F.var_pop("x").alias("vd"),
         F.var_pop(F.col("x") - F.col("s")).alias("vr"),
     )
-    return agg.select(
+    pk = seas.orderBy(F.desc("s"), F.asc("wd")).limit(1).select(
+        F.col("wd").alias("peak_weekday")
+    )
+    return agg.crossJoin(F.broadcast(pk)).select(
         F.col("n").cast("long").alias("n_days"),
-        F.round(F.col("vd") + 1e-9, 2).alias("var_detrended"),
-        F.round(F.col("vr") + 1e-9, 2).alias("var_residual"),
+        F.col("peak_weekday").cast("long").alias("peak_weekday"),
         F.round(
             F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vd")) + 1e-9, 6
         ).alias("seasonal_strength"),

@@ -167,10 +167,9 @@ def test_no_staged_name_collides_with_registry():
     registry.load_all()
     live = set(registry.QUERIES)
     for batch in (set(S9), set(S10), set(STAGED)):
-        # staged_r9/r10 are already flipped INTO the registry; only
-        # names still pending (not yet registered) must be disjoint
-        pending = batch - {n for n in batch if n in live}
-        assert pending == batch or batch <= live, (
+        # staged_r9/r10 are already flipped INTO the registry; a batch
+        # must be fully live (flipped) or fully pending (disjoint)
+        assert batch.isdisjoint(live) or batch <= live, (
             "staged batch must be fully live or fully pending"
         )
     clash = set(STAGED) & live
