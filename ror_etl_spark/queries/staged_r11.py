@@ -5140,3 +5140,355 @@ def seasonal_strength_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vd")) + 1e-9, 6
         ).alias("seasonal_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sixth wave (staged late r10): spectral seasonality, multivariate outliers,
+# diff-in-differences, energy distance
+# ---------------------------------------------------------------------------
+
+# cos/sin of 2*pi*k/7 as shared 17-significant-digit literals: BOTH engines
+# consume the identical doubles, so no libm-vs-Java trig ULP ever crosses
+# the comparison boundary (the same literal-constant trick as the BH normal
+# CDF polynomial).
+import math as _math
+
+_COS7 = [float(f"{_math.cos(2 * _math.pi * k / 7):.17g}") for k in range(7)]
+_SIN7 = [float(f"{_math.sin(2 * _math.pi * k / 7):.17g}") for k in range(7)]
+
+
+def _dft_oracle() -> str:
+    cos_l = ", ".join(f"{c:.17g}" for c in _COS7)
+    sin_l = ", ".join(f"{s:.17g}" for s in _SIN7)
+    return f"""
+    WITH daily AS (
+      SELECT date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS d,
+             round(sum(l_extendedprice) + 1e-9, 2) AS y
+      FROM lineitem GROUP BY d),
+    st AS (SELECT avg(y) AS ybar, CAST(count(*) AS DOUBLE) AS n,
+                  var_pop(y) * count(*) AS ss FROM daily),
+    tr AS (
+      SELECT (daily.y - st.ybar) * ([{cos_l}])[(daily.d % 7) + 1] AS cy,
+             (daily.y - st.ybar) * ([{sin_l}])[(daily.d % 7) + 1] AS sy
+      FROM daily, st),
+    agg AS (SELECT sum(cy) AS c, sum(sy) AS s FROM tr)
+    SELECT CAST(st.n AS BIGINT) AS n_days,
+           round(2.0 * sqrt(agg.c * agg.c + agg.s * agg.s) / st.n + 1e-9, 2)
+             AS weekly_amplitude,
+           round(2.0 * (agg.c * agg.c + agg.s * agg.s) / (st.n * st.ss)
+                 + 1e-9, 6) AS frac_variance_weekly
+    FROM agg, st
+    """
+
+
+@staged("dft_weekly_power", oracle=_dft_oracle())
+def dft_weekly_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin discrete Fourier transform of daily revenue at the
+    weekly frequency (the Goertzel statistic): C = Σ(y−ȳ)cos(2πd/7),
+    S = Σ(y−ȳ)sin(2πd/7), reported as the fitted weekly AMPLITUDE
+    2√(C²+S²)/n (in revenue units) and the fraction of series variance
+    the weekly sinusoid explains, 2(C²+S²)/(n·SS) — the spectral twin
+    of ``seasonal_strength_weekday`` (that one measures the arbitrary
+    weekday PROFILE; this one the pure sinusoid, so profile-shaped but
+    non-sinusoidal seasonality splits the two diagnostics).
+
+    Exactness: only 7 distinct angles exist (d mod 7), and their
+    cos/sin enter BOTH engines as the same 17-digit literals — no trig
+    function runs in either engine, so no libm ULP can cross the
+    boundary; the daily series is 2dp-quantized as usual.
+
+    Scale shape: one date-keyed aggregate, then two scalar passes over
+    the calendar-bounded daily frame."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("d")
+    ).agg(F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("y"))
+    daily = daily.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    st = daily.agg(
+        F.avg("y").alias("ybar"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.var_pop("y") * F.count(F.lit(1))).alias("ss"),
+    )
+    cos_arr = F.array(*[F.lit(c) for c in _COS7])
+    sin_arr = F.array(*[F.lit(s) for s in _SIN7])
+    k = (F.pmod(F.col("d"), F.lit(7)) + 1).cast("int")
+    tr = daily.crossJoin(F.broadcast(st)).select(
+        ((F.col("y") - F.col("ybar")) * F.element_at(cos_arr, k)).alias("cy"),
+        ((F.col("y") - F.col("ybar")) * F.element_at(sin_arr, k)).alias("sy"),
+        "n",
+        "ss",
+    )
+    agg = tr.agg(
+        F.sum("cy").alias("c"),
+        F.sum("sy").alias("s"),
+        F.max("n").alias("n"),
+        F.max("ss").alias("ss"),
+    )
+    r2 = F.col("c") * F.col("c") + F.col("s") * F.col("s")
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(2.0 * F.sqrt(r2) / F.col("n") + 1e-9, 2).alias(
+            "weekly_amplitude"
+        ),
+        F.round(2.0 * r2 / (F.col("n") * F.col("ss")) + 1e-9, 6).alias(
+            "frac_variance_weekly"
+        ),
+    )
+
+
+@staged(
+    "mahalanobis_outlier_customers",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS ck, CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice) + 1e-9, 2) AS spend
+      FROM orders GROUP BY o_custkey),
+    mo AS (
+      SELECT avg(spend) AS m1, avg(n_orders) AS m2,
+             var_pop(spend) AS s11, var_pop(n_orders) AS s22,
+             covar_pop(spend, n_orders) AS s12
+      FROM cust),
+    d AS (
+      SELECT cust.ck, cust.spend, cust.n_orders,
+             ((cust.spend - mo.m1) * (cust.spend - mo.m1) * mo.s22
+              - 2 * (cust.spend - mo.m1) * (cust.n_orders - mo.m2) * mo.s12
+              + (cust.n_orders - mo.m2) * (cust.n_orders - mo.m2) * mo.s11)
+             / (mo.s11 * mo.s22 - mo.s12 * mo.s12) AS d2
+      FROM cust, mo)
+    SELECT CAST(ck AS BIGINT) AS c_custkey, spend,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(d2 + 1e-9, 4) AS mahalanobis_d2
+    FROM d
+    ORDER BY round(d2 + 1e-9, 4) DESC, ck
+    LIMIT 10
+    """,
+)
+def mahalanobis_outlier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier screen: top-10 customers by Mahalanobis
+    distance in the (total spend, order count) plane, with the 2x2
+    covariance inverted in closed form — catches the joint outliers a
+    per-column IQR/MAD screen misses (huge spend on few orders, or
+    many tiny orders). The multivariate sibling of the registered
+    ``outlier_iqr_events`` / ``outlier_mad_events``.
+
+    Scale shape: one customer-keyed aggregate, ONE streaming-moment
+    pass for the 5 covariance terms (broadcast back), a pure map for
+    d², and a round-before-rank TakeOrdered(10) with custkey tiebreak."""
+    o = Tables(spark, sf_dir).orders
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("spend"),
+    )
+    cust = cust.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    mo = cust.agg(
+        F.avg("spend").alias("m1"),
+        F.avg("n_orders").alias("m2"),
+        F.var_pop("spend").alias("s11"),
+        F.var_pop("n_orders").alias("s22"),
+        F.covar_pop("spend", "n_orders").alias("s12"),
+    )
+    j = cust.crossJoin(F.broadcast(mo))
+    dx = F.col("spend") - F.col("m1")
+    dy = F.col("n_orders") - F.col("m2")
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    d2 = (
+        dx * dx * F.col("s22") - 2 * dx * dy * F.col("s12") + dy * dy * F.col("s11")
+    ) / det
+    out = j.select(
+        F.col("ck").cast("long").alias("c_custkey"),
+        "spend",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(d2 + 1e-9, 4).alias("mahalanobis_d2"),
+    )
+    return out.orderBy(F.desc("mahalanobis_d2"), F.asc("c_custkey")).limit(10)
+
+
+@staged(
+    "did_revenue_building_1995",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS trt,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1995-01-01' THEN 1
+                  ELSE 0 END AS post,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cells AS (
+      SELECT trt, post, CAST(count(*) AS DOUBLE) AS n, avg(y) AS m,
+             var_samp(y) AS v
+      FROM s GROUP BY trt, post),
+    w AS (
+      SELECT
+        max(CASE WHEN trt = 1 AND post = 1 THEN m END) AS m11,
+        max(CASE WHEN trt = 1 AND post = 0 THEN m END) AS m10,
+        max(CASE WHEN trt = 0 AND post = 1 THEN m END) AS m01,
+        max(CASE WHEN trt = 0 AND post = 0 THEN m END) AS m00,
+        sum(v / n) AS var_did,
+        CAST(sum(n) AS BIGINT) AS n_orders
+      FROM cells)
+    SELECT n_orders,
+           round(m10 + 1e-9, 4) AS pre_treated,
+           round(m00 + 1e-9, 4) AS pre_control,
+           round((m11 - m10) - (m01 - m00) + 1e-9, 4) AS did_estimate,
+           round(((m11 - m10) - (m01 - m00)) / sqrt(var_did) + 1e-9, 4) AS z
+    FROM w
+    """,
+)
+def did_revenue_building_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the BUILDING segment's
+    order-value shift after 1995-01-01: (treated post − treated pre) −
+    (control post − control pre), with the Welch-style standard error
+    from the four cell variances — the workhorse quasi-experimental
+    estimator, as one declarative plan. Companion to the staged CUPED
+    op (variance reduction when a pre-period covariate exists; DiD
+    when only group-level parallel trends are defensible).
+
+    Scale shape: one broadcast-dimension join, one 4-cell aggregate
+    (map-side combinable), then scalar algebra on the 4-row frame."""
+    t = Tables(spark, sf_dir)
+    s = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("trt"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cells = s.groupBy("trt", "post").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    w = cells.agg(
+        F.max(F.when((F.col("trt") == 1) & (F.col("post") == 1), F.col("m"))).alias("m11"),
+        F.max(F.when((F.col("trt") == 1) & (F.col("post") == 0), F.col("m"))).alias("m10"),
+        F.max(F.when((F.col("trt") == 0) & (F.col("post") == 1), F.col("m"))).alias("m01"),
+        F.max(F.when((F.col("trt") == 0) & (F.col("post") == 0), F.col("m"))).alias("m00"),
+        F.sum(F.col("v") / F.col("n")).alias("var_did"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    return w.select(
+        "n_orders",
+        F.round(F.col("m10") + 1e-9, 4).alias("pre_treated"),
+        F.round(F.col("m00") + 1e-9, 4).alias("pre_control"),
+        F.round(did + 1e-9, 4).alias("did_estimate"),
+        F.round(did / F.sqrt(F.col("var_did")) + 1e-9, 4).alias("z"),
+    )
+
+
+@staged(
+    "energy_distance_value",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT v, CAST(sum(ia) AS DOUBLE) AS ca,
+                 CAST(count(*) - sum(ia) AS DOUBLE) AS cb
+          FROM s GROUP BY v),
+    r AS (
+      SELECT v, ca, cb,
+             sum(ca) OVER w AS cai, sum(cb) OVER w AS cbi,
+             sum(v * ca) OVER w AS sai, sum(v * cb) OVER w AS sbi
+      FROM g
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW)),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                   sum(v * ca) AS ta, sum(v * cb) AS tb FROM g),
+    agg AS (
+      SELECT
+        sum(r.ca * (2 * r.v * r.cbi - 2 * r.sbi + tot.tb - r.v * tot.nb))
+          AS cross_sum,
+        sum(r.ca * (2 * r.v * r.cai - 2 * r.sai + tot.ta - r.v * tot.na))
+          AS wa_sum,
+        sum(r.cb * (2 * r.v * r.cbi - 2 * r.sbi + tot.tb - r.v * tot.nb))
+          AS wb_sum,
+        max(tot.na) AS na, max(tot.nb) AS nb
+      FROM r, tot)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(cross_sum / (na * nb) + 1e-9, 4) AS mean_cross_dist,
+           round(wa_sum / (na * na) + 1e-9, 4) AS mean_within_a,
+           round(wb_sum / (nb * nb) + 1e-9, 4) AS mean_within_b,
+           round(2 * cross_sum / (na * nb) - wa_sum / (na * na)
+                 - wb_sum / (nb * nb) + 1e-9, 4) AS energy_distance
+    FROM agg
+    """,
+)
+def energy_distance_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample ENERGY DISTANCE between the click and purchase value
+    distributions: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — zero iff the
+    distributions are equal, and sensitive to spread/shape differences
+    that location tests (Mann-Whitney) and sup-gap tests (KS) both
+    underweight; completes the staged two-sample battery (KS, CvM, MW,
+    Mood). Each all-pairs mean |difference| collapses to a closed form
+    over the SORTED distinct-value frame — Σ_pairs|a−b| =
+    Σ_v c_v·(2v·C(v) − 2S(v) + T − v·N) with inclusive cumulative
+    count C and sum S — so the O(n²) statistic costs one cumsum.
+
+    Scale shape: one groupBy(value), ONE distributed inclusive cumsum
+    of four columns (``global_cumsum``), one scalar aggregate; count
+    products in double (ADVICE-r9 rule)."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 0).otherwise(1))
+        .cast("double")
+        .alias("cb"),
+    )
+    g = g.select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("v") * F.col("ca")).alias("va"),
+        (F.col("v") * F.col("cb")).alias("vb"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    r = global_cumsum(
+        g, ["v"], ["ca", "cb", "va", "vb"], out=["bca", "bcb", "bva", "bvb"]
+    )
+    tot = g.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum("va").alias("ta"),
+        F.sum("vb").alias("tb"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    cai = F.col("bca") + F.col("ca")
+    cbi = F.col("bcb") + F.col("cb")
+    sai = F.col("bva") + F.col("va")
+    sbi = F.col("bvb") + F.col("vb")
+    v = F.col("v")
+    agg = j.agg(
+        F.sum(
+            F.col("ca") * (2 * v * cbi - 2 * sbi + F.col("tb") - v * F.col("nb"))
+        ).alias("cross_sum"),
+        F.sum(
+            F.col("ca") * (2 * v * cai - 2 * sai + F.col("ta") - v * F.col("na"))
+        ).alias("wa_sum"),
+        F.sum(
+            F.col("cb") * (2 * v * cbi - 2 * sbi + F.col("tb") - v * F.col("nb"))
+        ).alias("wb_sum"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    mc = F.col("cross_sum") / (na * nb)
+    wa = F.col("wa_sum") / (na * na)
+    wb = F.col("wb_sum") / (nb * nb)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(mc + 1e-9, 4).alias("mean_cross_dist"),
+        F.round(wa + 1e-9, 4).alias("mean_within_a"),
+        F.round(wb + 1e-9, 4).alias("mean_within_b"),
+        F.round(2 * mc - wa - wb + 1e-9, 4).alias("energy_distance"),
+    )
