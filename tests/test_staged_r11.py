@@ -182,3 +182,62 @@ def test_logrank_chi2_nonnegative(spark):
     assert row["chi2"] >= 0.0
     assert 0 <= row["o1"] <= row["n_events"]
     assert row["n_users"] >= row["n_events"]
+
+
+def test_energy_distance_against_numpy_brute(spark):
+    """Independent replay: the cumsum closed form must equal the
+    brute-force all-pairs means on the small corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    fn, _ = STAGED["energy_distance_value"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    t = pq.read_table(os.path.join(SF_SMALL, "events.parquet")).to_pandas()
+    t = t[t.event_type.isin(["click", "purchase"])]
+    a = t[t.event_type == "click"].value.to_numpy()
+    b = t[t.event_type == "purchase"].value.to_numpy()
+    cross = np.abs(a[:, None] - b[None, :]).mean()
+    wa = np.abs(a[:, None] - a[None, :]).mean()
+    wb = np.abs(b[:, None] - b[None, :]).mean()
+    assert abs(row["mean_cross_dist"] - cross) < 1e-3
+    assert abs(row["energy_distance"] - (2 * cross - wa - wb)) < 1e-3
+    assert row["energy_distance"] >= -1e-9
+
+
+def test_mahalanobis_against_numpy(spark):
+    """Top-1 customer and its d2 must match a numpy covariance replay."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    fn, _ = STAGED["mahalanobis_outlier_customers"]
+    rows = fn(spark, SF_SMALL).collect()
+    o = pq.read_table(os.path.join(SF_SMALL, "orders.parquet")).to_pandas()
+    g = o.groupby("o_custkey").agg(
+        spend=("o_totalprice", "sum"), n=("o_totalprice", "count")
+    )
+    x = np.column_stack([g.spend.round(2).to_numpy(), g.n.to_numpy(float)])
+    mu = x.mean(axis=0)
+    cov = np.cov(x.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d2 = np.einsum("ij,jk,ik->i", x - mu, inv, x - mu)
+    top = np.argsort(-np.round(d2 + 1e-9, 4))[0]
+    assert rows[0]["c_custkey"] == g.index.to_numpy()[top]
+    assert abs(rows[0]["mahalanobis_d2"] - d2[top]) < 1e-3
+    assert all(r["mahalanobis_d2"] >= 0 for r in rows)
+
+
+def test_dft_matches_numpy_goertzel(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    fn, _ = STAGED["dft_weekly_power"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    li = pq.read_table(os.path.join(SF_SMALL, "lineitem.parquet")).to_pandas()
+    d = (li.l_shipdate.dt.normalize() - np.datetime64("1992-01-01")).dt.days
+    daily = li.assign(d=d).groupby("d").l_extendedprice.sum().round(2)
+    y = daily.to_numpy() - daily.mean()
+    ang = 2 * np.pi * (daily.index.to_numpy() % 7) / 7
+    c, s = (y * np.cos(ang)).sum(), (y * np.sin(ang)).sum()
+    amp = 2 * np.sqrt(c * c + s * s) / len(y)
+    assert abs(row["weekly_amplitude"] - amp) < max(0.02, abs(amp) * 1e-4)
+    assert 0.0 <= row["frac_variance_weekly"] <= 1.0 + 1e-9
