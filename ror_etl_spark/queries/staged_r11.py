@@ -5492,3 +5492,106 @@ def energy_distance_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wb + 1e-9, 4).alias("mean_within_b"),
         F.round(2 * mc - wa - wb + 1e-9, 4).alias("energy_distance"),
     )
+
+
+@staged(
+    "heaps_law_vocab_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents),
+    per AS (SELECT doc_id, CAST(array_length(t) AS BIGINT) AS n_tok FROM toks),
+    firsts AS (
+      SELECT min_doc, count(*) AS newt FROM (
+        SELECT u.tok AS tok, min(toks.doc_id) AS min_doc
+        FROM toks, unnest(toks.t) AS u(tok) GROUP BY u.tok)
+      GROUP BY min_doc),
+    pts AS (
+      SELECT per.doc_id,
+             sum(per.n_tok) OVER w AS cum_n,
+             sum(coalesce(firsts.newt, 0)) OVER w AS cum_v
+      FROM per LEFT JOIN firsts ON firsts.min_doc = per.doc_id
+      WINDOW w AS (ORDER BY per.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    lg AS (
+      SELECT ln(CAST(cum_n AS DOUBLE)) AS x, ln(CAST(cum_v AS DOUBLE)) AS y
+      FROM pts WHERE cum_n > 0 AND cum_v > 0),
+    mo AS (
+      SELECT count(*) AS np, covar_pop(x, y) AS sxy, var_pop(x) AS sx,
+             var_pop(y) AS sy, avg(x) AS mx, avg(y) AS my
+      FROM lg)
+    SELECT CAST(np AS BIGINT) AS n_points,
+           round(sxy / sx + 1e-9, 4) AS beta,
+           round(exp(my - (sxy / sx) * mx) + 1e-9, 2) AS k_coef,
+           round(sxy * sxy / (sx * sy) + 1e-9, 6) AS r2
+    FROM mo
+    """,
+)
+def heaps_law_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β, estimated by
+    log-log OLS over the per-document prefix points (cumulative tokens
+    N_d, cumulative distinct types V_d) in doc_id order — the
+    corpus-health diagnostic behind the repo's open-vocabulary
+    rehearsal tiers (β ≈ 0.4–0.6 for natural text; β near 0 flags a
+    closed template vocabulary, β near 1 flags id/noise contamination).
+    Companion to ``text_zipf_fit`` (rank-frequency) and
+    ``text_ngram_novelty`` (whose per-doc first-seen counts are
+    exactly the V increments used here).
+
+    Exactness: both cumulative series are INTEGER counts (one
+    distributed cumsum via ``global_cumsum``), so both engines take ln
+    of identical doubles; the OLS is one streaming-moment aggregate.
+
+    Scale shape: one token explode + token-keyed min aggregate (the
+    novelty shape), one doc-keyed aggregate, one distributed cumsum
+    over the doc frame, one scalar moment pass."""
+    d = Tables(spark, sf_dir).documents
+    toks = spread(d).select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    per = toks.select("doc_id", F.size("t").cast("long").alias("n_tok"))
+    firsts = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("min_doc"))
+        .groupBy("min_doc")
+        .agg(F.count(F.lit(1)).alias("newt"))
+    )
+    base = per.join(
+        firsts, per["doc_id"] == firsts["min_doc"], "left"
+    ).select(
+        "doc_id", "n_tok", F.coalesce(F.col("newt"), F.lit(0)).alias("newt")
+    )
+    r = global_cumsum(base, ["doc_id"], ["n_tok", "newt"], out=["bn", "bv"])
+    pts = r.select(
+        (F.col("bn") + F.col("n_tok")).alias("cum_n"),
+        (F.col("bv") + F.col("newt")).alias("cum_v"),
+    ).filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+    lg = pts.select(
+        F.log(F.col("cum_n").cast("double")).alias("x"),
+        F.log(F.col("cum_v").cast("double")).alias("y"),
+    )
+    mo = lg.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.covar_pop("x", "y").alias("sxy"),
+        F.var_pop("x").alias("sx"),
+        F.var_pop("y").alias("sy"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    )
+    beta = F.col("sxy") / F.col("sx")
+    return mo.select(
+        F.col("np").cast("long").alias("n_points"),
+        F.round(beta + 1e-9, 4).alias("beta"),
+        F.round(F.exp(F.col("my") - beta * F.col("mx")) + 1e-9, 2).alias(
+            "k_coef"
+        ),
+        F.round(
+            F.col("sxy") * F.col("sxy") / (F.col("sx") * F.col("sy")) + 1e-9, 6
+        ).alias("r2"),
+    )
