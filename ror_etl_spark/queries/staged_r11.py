@@ -5595,3 +5595,60 @@ def heaps_law_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sxy") * F.col("sxy") / (F.col("sx") * F.col("sy")) + 1e-9, 6
         ).alias("r2"),
     )
+
+
+@staged(
+    "negbin_overdispersion_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS c FROM events
+      GROUP BY user_id),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(c) AS m, var_samp(c) AS v
+      FROM u)
+    SELECT n AS n_users,
+           round(m + 1e-9, 4) AS mean_count,
+           round(v / m + 1e-9, 4) AS dispersion_index,
+           round((v / m - 1.0) * sqrt((n - 1) / 2.0) + 1e-9, 4)
+             AS overdispersion_z,
+           round(CASE WHEN v > m THEN m * m / (v - m) ELSE -1.0 END + 1e-9, 4)
+             AS nb_r,
+           round(CASE WHEN v > m THEN m / v ELSE -1.0 END + 1e-9, 6) AS nb_p
+    FROM mo
+    """,
+)
+def negbin_overdispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of per-user event counts by method of
+    moments (r = m²/(v−m), p = m/v) plus the dispersion index v/m and
+    its normal-approximation z against the Poisson null — the
+    count-model diagnostic that says whether per-user activity needs a
+    heterogeneity (NB) model or plain Poisson; companion to
+    ``fano_factor_by_event_type`` (windowed counts) and the staged
+    interarrival/log-normal fits. Underdispersed data (v ≤ m) reports
+    the sentinel -1 for the NB parameters on both engines instead of a
+    negative-r nonsense fit.
+
+    Scale shape: one user-keyed count aggregate, one streaming-moment
+    scalar pass."""
+    e = Tables(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    mo = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("c").alias("m"),
+        F.var_samp("c").alias("v"),
+    )
+    m, v, n = F.col("m"), F.col("v"), F.col("n")
+    return mo.select(
+        n.alias("n_users"),
+        F.round(m + 1e-9, 4).alias("mean_count"),
+        F.round(v / m + 1e-9, 4).alias("dispersion_index"),
+        F.round(
+            (v / m - 1.0) * F.sqrt((n - 1).cast("double") / 2.0) + 1e-9, 4
+        ).alias("overdispersion_z"),
+        F.round(
+            F.when(v > m, m * m / (v - m)).otherwise(F.lit(-1.0)) + 1e-9, 4
+        ).alias("nb_r"),
+        F.round(
+            F.when(v > m, m / v).otherwise(F.lit(-1.0)) + 1e-9, 6
+        ).alias("nb_p"),
+    )
