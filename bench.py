@@ -70,6 +70,38 @@ HEADLINE = [
 ]
 
 
+def scan_cpu_ref_floor(repo_root: str) -> float | None:
+    """Fastest single-thread calibration (cpu_ref_s) ever recorded in a
+    BENCH_r*.json — the cross-round host-speed floor the gate and the
+    normalized total are tied to.
+
+    r10 (VERDICT r9 item 3) introduced the floor but read
+    ``rec["cpu_ref_s"]`` at TOP level; every driver-written artifact
+    nests bench.py's JSON line under ``"parsed"`` (verified: 0 of 10
+    artifacts have the top-level key), so the floor was always None and
+    the gate silently stayed at the static default (VERDICT r10 "What's
+    wrong"). Read both shapes; covered by tests/test_bench_gate.py with
+    a driver-shaped artifact.
+    """
+    import glob as _glob
+
+    floor: float | None = None
+    for path in sorted(_glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            raw = rec.get("cpu_ref_s")
+            if raw is None and isinstance(rec.get("parsed"), dict):
+                raw = rec["parsed"].get("cpu_ref_s")
+            if raw is None:
+                continue
+            v = float(raw)
+        except (OSError, ValueError, TypeError):
+            continue
+        floor = v if floor is None else min(floor, v)
+    return floor
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -91,7 +123,12 @@ def main() -> None:
     # retries until it lands inside the quiet band (item 3 — loadavg
     # cannot see hypervisor-level contention; cpu_ref_s can). All
     # attempts are recorded in the artifact. --quiet-max 0 disables.
-    ap.add_argument("--quiet-load", type=float, default=4.0)
+    # r11 (VERDICT r10 "What's wrong"): loadavg 3.51 passed the old gate
+    # while 32-way Spark was still contended (BENCH_r10 36.6 s vs 32.8 s
+    # quiet same-day) — a single-thread loop can read fast under turbo
+    # while the wide run is not. Gate on BOTH loadavg <= ~1 AND
+    # cpu_ref <= 1.1 x cross-round floor.
+    ap.add_argument("--quiet-load", type=float, default=1.0)
     ap.add_argument("--quiet-max", type=float, default=600.0,
                     help="max seconds to wait for the quiet window")
     ap.add_argument("--quiet-cpu-ref", type=float, default=0.95,
@@ -100,24 +137,8 @@ def main() -> None:
                     "~0.78-0.90 s")
     args = ap.parse_args()
 
-    # r10 (VERDICT r9 item 3): BENCH_r09 recorded at cpu_ref 0.931 — 20%
-    # above the historical floor — with quiet_gate_ok=true, so 22 queries
-    # read as regressed when the code was actually at parity. Tie the gate
-    # to the measured floor instead of a static band: the threshold is
-    # min(--quiet-cpu-ref, 1.1 x best cpu_ref_s ever recorded in a
-    # BENCH_r*.json), and the artifact carries a cpu_ref-normalized total
-    # so readers never have to re-derive the correction by hand.
-    cpu_ref_floor = None
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    import glob as _glob
-    for path in sorted(_glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-            v = float(rec["cpu_ref_s"])
-        except (OSError, ValueError, KeyError, TypeError):
-            continue
-        cpu_ref_floor = v if cpu_ref_floor is None else min(cpu_ref_floor, v)
+    cpu_ref_floor = scan_cpu_ref_floor(repo_root)
     quiet_cpu_ref = args.quiet_cpu_ref
     if cpu_ref_floor is not None:
         quiet_cpu_ref = min(quiet_cpu_ref, round(1.1 * cpu_ref_floor, 3))
@@ -197,11 +218,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # cross-round comparable number: total scaled to the fastest host state
-    # any round's bench ever ran in (value * floor / cpu_ref_s); identical
+    # any PAST round's bench ran in (value * floor / cpu_ref_s); identical
     # code on a 20%-slower host normalizes back to parity instead of
-    # reading as a 20% regression.
+    # reading as a 20% regression. The floor is the CROSS-ROUND one, not
+    # min(floor, current) — folding the current reading in made the
+    # normalized total degenerate to the raw total whenever this run was
+    # the fastest ever (VERDICT r10 "What's wrong").
     floor = cpu_ref_floor if cpu_ref_floor is not None else cpu_ref_s
-    floor = min(floor, cpu_ref_s)
     print(
         json.dumps(
             {

@@ -43,7 +43,7 @@ def load() -> None:
         vector,
         windows,
     )
-    from ror_etl_spark.queries import staged_r9, staged_r10
+    from ror_etl_spark.queries import staged_r9, staged_r10, staged_r11
 
     # r9 flip (VERDICT r8 item 1): the 16 operators staged under the r8
     # registry freeze are now live registry entries.
@@ -54,5 +54,12 @@ def load() -> None:
     # driver verdict, so ``ordered_queries`` tiers them first and the r10
     # driver window records all 28 before any re-confirmation.
     staged_r10.register()
+
+    # r11 flip (VERDICT r10 item 1): the 63 operators staged under the
+    # r10 registry freeze are now live registry entries. They carry no
+    # past driver verdict, so ``ordered_queries`` tiers them first; the
+    # r11 driver window (cap 50) records the first 50 and the remaining
+    # 13 lead the r12 window.
+    staged_r11.register()
 
     _LOADED = True

@@ -249,9 +249,9 @@ def calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = e.agg(F.max("v").alias("m"), F.count(F.lit(1)).alias("n"))
     b = e.crossJoin(F.broadcast(mx)).select(
-        F.least(F.floor(F.col("v") / F.col("m") * 10).cast("int"), F.lit(9)).alias(
-            "bin"
-        ),
+        F.least(
+            F.floor(F.col("v") / F.col("m") * 10).cast("long"), F.lit(9).cast("long")
+        ).alias("bin"),
         (F.col("v") / F.col("m")).alias("p"),
         "y",
         "n",
@@ -1444,7 +1444,8 @@ def quantile_normalize_across_segments(spark: SparkSession, sf_dir: str) -> Data
         "seg",
         "x",
         F.least(
-            F.floor(F.col("rk") * 20.0 / F.col("n")).cast("int"), F.lit(19)
+            F.floor(F.col("rk") * 20.0 / F.col("n")).cast("long"),
+            F.lit(19).cast("long"),
         ).alias("bin"),
     )
     ref = b.groupBy("bin").agg(F.avg("x").alias("norm"))

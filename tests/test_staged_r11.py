@@ -52,9 +52,20 @@ def con():
 def test_staged_query_matches_oracle(spark, con, name):
     fn, oracle = STAGED[name]
     assert oracle, f"staged query {name} must carry an oracle"
-    got_cols, got_rows = _key(fn(spark, SF_SMALL).toPandas())
-    want_cols, want_rows = _key(con.execute(oracle).df())
+    sdf = fn(spark, SF_SMALL).toPandas()
+    odf = con.execute(oracle).df()
+    got_cols, got_rows = _key(sdf)
+    want_cols, want_rows = _key(odf)
     assert got_cols == want_cols
+    # dtype check mirrors tools/check.py (and a maximally strict driver):
+    # the r11 flip found two staged queries green here but int32-vs-int64
+    # red under the replica — value normalization alone hides dtype drift.
+    dt_mismatch = [
+        (c, str(sdf[c].dtype), str(odf[c].dtype))
+        for c in got_cols
+        if str(sdf[c].dtype) != str(odf[c].dtype)
+    ]
+    assert not dt_mismatch, f"dtype mismatch {dt_mismatch}"
     assert len(got_rows) == len(want_rows)
     assert got_rows == want_rows
 
@@ -172,8 +183,11 @@ def test_no_staged_name_collides_with_registry():
         assert batch.isdisjoint(live) or batch <= live, (
             "staged batch must be fully live or fully pending"
         )
-    clash = set(STAGED) & live
-    assert not clash, f"staged_r11 names collide with registry: {clash}"
+    # r11 flip happened (queries.load() calls staged_r11.register()):
+    # the batch must now be FULLY live — a partial flip means a name
+    # collided and crashed registration halfway.
+    missing = set(STAGED) - live
+    assert not missing, f"staged_r11 names missing from registry: {missing}"
 
 
 def test_logrank_chi2_nonnegative(spark):

@@ -1,0 +1,168 @@
+"""Oracle checks for the r12-staged operators (queries/staged_r12.py) —
+the same Spark-vs-DuckDB comparison the driver gate runs (including the
+strict dtype rule the r11 flip added), applied to queries implemented
+but deliberately NOT registered in round 11 (the r11 driver window is
+committed to the first 50 staged_r11 names flipped live this round;
+r12 flips ``staged_r12.register()`` after CORRECTNESS_r11 lands).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from ror_etl_spark.queries.staged_r12 import STAGED
+from ror_etl_spark.tables import TABLE_NAMES
+from tests.conftest import SF_SMALL
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return repr(v)
+
+
+def _key(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    return cols, rows
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(SF_SMALL, t + '.parquet')}'"
+        )
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, con, name):
+    fn, oracle = STAGED[name]
+    assert oracle, f"staged query {name} must carry an oracle"
+    sdf = fn(spark, SF_SMALL).toPandas()
+    odf = con.execute(oracle).df()
+    got_cols, got_rows = _key(sdf)
+    want_cols, want_rows = _key(odf)
+    assert got_cols == want_cols
+    dt_mismatch = [
+        (c, str(sdf[c].dtype), str(odf[c].dtype))
+        for c in got_cols
+        if str(sdf[c].dtype) != str(odf[c].dtype)
+    ]
+    assert not dt_mismatch, f"dtype mismatch {dt_mismatch}"
+    assert len(got_rows) == len(want_rows)
+    assert got_rows == want_rows
+
+
+def test_no_staged_name_collides_with_registry():
+    """The r12 flip calls ``query(name)`` for every staged entry and
+    ``query`` raises on duplicates — a collision would crash the whole
+    registry load at flip time. The batch must stay fully pending until
+    the flip, then fully live (the r11 lesson: update this assert at
+    flip time)."""
+    from ror_etl_spark import registry
+
+    registry.load_all()
+    live = set(registry.QUERIES)
+    batch = set(STAGED)
+    assert batch.isdisjoint(live) or batch <= live, (
+        "staged batch must be fully live or fully pending"
+    )
+
+
+def test_k_anonymity_monotone_in_k(spark):
+    """Raising k can only grow the at-risk set."""
+    fn, _ = STAGED["k_anonymity_customer_qi"]
+    rows = sorted(fn(spark, SF_SMALL).collect(), key=lambda r: r["k"])
+    risk = [r["rows_at_risk"] for r in rows]
+    grp = [r["groups_below"] for r in rows]
+    assert risk == sorted(risk)
+    assert grp == sorted(grp)
+    for r in rows:
+        assert 0.0 <= r["risk_share"] <= 1.0
+
+
+def test_l_diversity_bounds(spark):
+    fn, _ = STAGED["l_diversity_order_priority"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert 1 <= row["min_l"] <= 5  # 5 distinct priorities exist
+    assert row["groups_l_below_2"] <= row["groups_l_below_3"] <= row["n_groups"]
+    assert row["min_l"] <= row["avg_l"] <= 5.0
+
+
+def test_dp_noise_is_laplace_shaped(spark):
+    """Released counts differ from true counts by the deterministic
+    Laplace draw; at b=1 the median |noise| is ln 2 over many groups."""
+    fn, _ = STAGED["dp_noisy_counts_laplace"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) >= 100  # 30 days x 5 types
+    noises = sorted(r["abs_noise"] for r in rows)
+    med = noises[len(noises) // 2]
+    assert 0.3 < med < 1.5  # median of |Laplace(1)| = ln 2 ≈ 0.693
+    for r in rows[:10]:
+        assert abs(r["released_n"] - r["true_n"]) <= 15  # tail bound, b=1
+
+
+def test_target_encoding_shrinks_toward_global(spark):
+    """|encoded - global| <= |raw - global| for every segment."""
+    fn, _ = STAGED["target_encoding_smoothed"]
+    rows = fn(spark, SF_SMALL).collect()
+    # recover global mean: encoded = (n*m + 50*g)/(n+50) -> g
+    r0 = rows[0]
+    g = (r0["encoded"] * (r0["n"] + 50.0) - r0["n"] * r0["seg_mean"]) / 50.0
+    for r in rows:
+        assert abs(r["encoded"] - g) <= abs(r["seg_mean"] - g) + 1e-6
+
+
+def test_woe_iv_consistency(spark):
+    """WOE shares sum: sum over bands of pos-share minus neg-share = 0,
+    IV total equals the recomputed sum of terms."""
+    fn, _ = STAGED["woe_iv_acctbal_band"]
+    rows = fn(spark, SF_SMALL).collect()
+    tg = sum(r["n_pos"] + 0.5 for r in rows)
+    tb = sum(r["n_neg"] + 0.5 for r in rows)
+    iv = sum(
+        ((r["n_pos"] + 0.5) / tg - (r["n_neg"] + 0.5) / tb) * r["woe"]
+        for r in rows
+    )
+    assert abs(iv - rows[0]["iv_total"]) < 1e-4
+    assert rows[0]["iv_total"] >= 0.0
+
+
+def test_vif_at_least_one(spark):
+    """VIF_i >= 1 always (R^2_i >= 0); det in (0, 1]."""
+    fn, _ = STAGED["vif_lineitem_factors"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    for c in ("vif_quantity", "vif_extendedprice", "vif_discount"):
+        assert row[c] >= 1.0 - 1e-9
+    assert 0.0 < row["corr_det"] <= 1.0 + 1e-9
+
+
+def test_partial_corr_in_unit_interval(spark):
+    fn, _ = STAGED["partial_corr_qty_price_disc"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert -1.0 <= row["r_partial"] <= 1.0
+    assert row["confounding_shift"] >= 0.0
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split conformal at alpha=0.1 guarantees coverage >= 0.9 - O(1/n)
+    in expectation; on a fixed split allow a slack band."""
+    fn, _ = STAGED["conformal_interval_totalprice"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert row["qhat"] > 0
+    assert 0.80 <= row["coverage"] <= 1.0
+    assert row["n_calib"] > 0 and row["n_test"] > 0
