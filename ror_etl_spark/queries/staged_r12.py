@@ -38,6 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ror_etl_spark.queries.util import epoch_us
 from ror_etl_spark.tables import Tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -629,4 +630,1183 @@ def conformal_interval_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_test"),
         F.round(F.min("qhat") + 1e-9, 4).alias("qhat"),
         F.round(F.avg("covered") + 1e-9, 6).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Causal measurement: IPTW ATE, regression discontinuity, interrupted TS
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "iptw_ate_urgent_revenue",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS s,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+               AS tr,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    e AS (SELECT s, avg(tr) AS ps FROM base GROUP BY s),
+    w AS (
+      SELECT b.tr, b.y,
+             CASE WHEN b.tr = 1.0 THEN 1.0 / e.ps
+                  ELSE 1.0 / (1.0 - e.ps) END AS wt
+      FROM base b JOIN e ON b.s = e.s)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN tr = 1.0 THEN wt * y ELSE 0 END)
+                 / sum(CASE WHEN tr = 1.0 THEN wt ELSE 0 END)
+               - sum(CASE WHEN tr = 0.0 THEN wt * y ELSE 0 END)
+                 / sum(CASE WHEN tr = 0.0 THEN wt ELSE 0 END) + 1e-9, 4)
+             AS ate_hajek,
+           round(avg(CASE WHEN tr = 1.0 THEN y END)
+               - avg(CASE WHEN tr = 0.0 THEN y END) + 1e-9, 4) AS naive_diff,
+           round(max(wt) + 1e-9, 4) AS max_weight
+    FROM w
+    """,
+)
+def iptw_ate_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect of URGENT order priority on order value
+    via inverse-propensity-of-treatment weighting: propensity e(x) =
+    P(urgent | market segment) estimated per stratum, Hájek
+    (self-normalized) estimator Σwᵢyᵢ/Σwᵢ per arm — the standard
+    observational-causal correction when treatment assignment varies by
+    a measured confounder. Reports the naive difference beside the ATE
+    so the confounding correction is visible, plus the max weight (the
+    positivity/overlap diagnostic a practitioner always checks).
+
+    Scale shape: fact⋈dim join, a 5-row propensity dim broadcast back,
+    one weighted aggregate — two scans of orders, no per-row state."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("s"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+        .otherwise(0.0)
+        .alias("tr"),
+        F.col("o_totalprice").alias("y"),
+    )
+    e = base.groupBy("s").agg(F.avg("tr").alias("ps"))
+    w = base.join(F.broadcast(e), "s").select(
+        "tr",
+        "y",
+        F.when(F.col("tr") == 1.0, 1.0 / F.col("ps"))
+        .otherwise(1.0 / (1.0 - F.col("ps")))
+        .alias("wt"),
+    )
+    t1 = F.sum(F.when(F.col("tr") == 1.0, F.col("wt") * F.col("y")).otherwise(0))
+    w1 = F.sum(F.when(F.col("tr") == 1.0, F.col("wt")).otherwise(0))
+    t0 = F.sum(F.when(F.col("tr") == 0.0, F.col("wt") * F.col("y")).otherwise(0))
+    w0 = F.sum(F.when(F.col("tr") == 0.0, F.col("wt")).otherwise(0))
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(t1 / w1 - t0 / w0 + 1e-9, 4).alias("ate_hajek"),
+        F.round(
+            F.avg(F.when(F.col("tr") == 1.0, F.col("y")))
+            - F.avg(F.when(F.col("tr") == 0.0, F.col("y")))
+            + 1e-9,
+            4,
+        ).alias("naive_diff"),
+        F.round(F.max("wt") + 1e-9, 4).alias("max_weight"),
+    )
+
+
+@staged(
+    "rdd_acctbal_threshold",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_acctbal AS x,
+             CASE WHEN c.c_acctbal >= 0 THEN 1 ELSE 0 END AS side,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal BETWEEN -3000 AND 3000),
+    fits AS (
+      SELECT side, count(*) AS n,
+             regr_intercept(y, x) AS a, regr_slope(y, x) AS b
+      FROM base GROUP BY side)
+    SELECT CAST(sum(n) AS BIGINT) AS n_window,
+           round(max(CASE WHEN side = 1 THEN a END)
+               - max(CASE WHEN side = 0 THEN a END) + 1e-9, 4) AS rd_effect,
+           round(max(CASE WHEN side = 0 THEN a END) + 1e-9, 4) AS left_limit,
+           round(max(CASE WHEN side = 1 THEN a END) + 1e-9, 4) AS right_limit,
+           round(max(CASE WHEN side = 1 THEN b END)
+               - max(CASE WHEN side = 0 THEN b END) + 1e-9, 6) AS slope_change
+    FROM fits
+    """,
+)
+def rdd_acctbal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at the zero-balance
+    cutoff: within a ±3000 bandwidth of c_acctbal = 0, fit a separate
+    local linear regression of order value on the running variable per
+    side; the RD effect is the jump between the two intercepts (the
+    limits of the fits at the cutoff). The design a platform uses to
+    measure a threshold rule's causal effect (credit gates, quality
+    score cutoffs) without an experiment.
+
+    Scale shape: bandwidth filter pushes to the scan; per-side OLS is
+    one partial-agg groupBy over co-moments (regr_slope/intercept are
+    single-pass); output is a 1-row pivot of a 2-row frame."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_acctbal").between(-3000, 3000))
+        .select(
+            F.col("c_acctbal").alias("x"),
+            F.when(F.col("c_acctbal") >= 0, 1).otherwise(0).alias("side"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    fits = base.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+        F.expr("regr_slope(y, x)").alias("b"),
+    )
+    a1 = F.max(F.when(F.col("side") == 1, F.col("a")))
+    a0 = F.max(F.when(F.col("side") == 0, F.col("a")))
+    b1 = F.max(F.when(F.col("side") == 1, F.col("b")))
+    b0 = F.max(F.when(F.col("side") == 0, F.col("b")))
+    return fits.agg(
+        F.sum("n").alias("n_window"),
+        F.round(a1 - a0 + 1e-9, 4).alias("rd_effect"),
+        F.round(a0 + 1e-9, 4).alias("left_limit"),
+        F.round(a1 + 1e-9, 4).alias("right_limit"),
+        F.round(b1 - b0 + 1e-9, 6).alias("slope_change"),
+    )
+
+
+@staged(
+    "its_segmented_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS DOUBLE)
+               AS t,
+             sum(value) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    seg AS (
+      SELECT t, y,
+             CASE WHEN t >= 15 THEN 1.0 ELSE 0.0 END AS post,
+             CASE WHEN t >= 15 THEN t - 15.0 ELSE 0.0 END AS tpost
+      FROM daily),
+    m AS (
+      SELECT count(*) AS n, avg(t) AS mt, avg(y) AS my, avg(post) AS mp,
+             avg(tpost) AS mtp,
+             covar_pop(t, y) AS sty, covar_pop(post, y) AS spy,
+             covar_pop(tpost, y) AS stpy,
+             var_pop(t) AS stt, var_pop(post) AS spp, var_pop(tpost) AS stptp,
+             covar_pop(t, post) AS stp, covar_pop(t, tpost) AS sttp,
+             covar_pop(post, tpost) AS sptp
+      FROM seg),
+    sol AS (
+      SELECT n, mt, my, mp, mtp,
+             stt * (spp * stptp - sptp * sptp)
+           - stp * (stp * stptp - sptp * sttp)
+           + sttp * (stp * sptp - spp * sttp) AS det,
+             sty * (spp * stptp - sptp * sptp)
+           - stp * (spy * stptp - sptp * stpy)
+           + sttp * (spy * sptp - spp * stpy) AS det1,
+             stt * (spy * stptp - sptp * stpy)
+           - sty * (stp * stptp - sptp * sttp)
+           + sttp * (stp * stpy - spy * sttp) AS det2,
+             stt * (spp * stpy - spy * sptp)
+           - stp * (stp * stpy - spy * sttp)
+           + sty * (stp * sptp - spp * sttp) AS det3
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(det1 / det + 1e-9, 4) AS base_slope,
+           round(det2 / det + 1e-9, 4) AS level_change,
+           round(det3 / det + 1e-9, 4) AS slope_change,
+           round(my - (det1 / det) * mt - (det2 / det) * mp
+                 - (det3 / det) * mtp + 1e-9, 4) AS intercept
+    FROM sol
+    """,
+)
+def its_segmented_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented) regression of daily purchase
+    revenue around the day-15 intervention: y = a + b·t + c·post +
+    d·(t−t₀)·post, solved exactly via Cramer's rule on the 3×3 centered
+    normal equations (covariances of t, post, t·post) — b is the
+    pre-trend, c the immediate level change, d the slope change. The
+    design for 'we changed the pipeline on day X — did the metric's
+    level or trajectory move?' when no concurrent control exists
+    (complements the staged-r11 DiD, which needs one).
+
+    Scale shape: one groupBy(day) then a single pass of co-moments over
+    the (tiny) daily frame; the 3×3 solve is scalar math in the plan."""
+    e = Tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("t")
+    ).agg(F.sum("value").alias("y"))
+    seg = daily.select(
+        "t",
+        "y",
+        F.when(F.col("t") >= 15, 1.0).otherwise(0.0).alias("post"),
+        F.when(F.col("t") >= 15, F.col("t") - 15.0).otherwise(0.0).alias("tpost"),
+    )
+    m = seg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("t").alias("mt"),
+        F.avg("y").alias("my"),
+        F.avg("post").alias("mp"),
+        F.avg("tpost").alias("mtp"),
+        F.covar_pop("t", "y").alias("sty"),
+        F.covar_pop("post", "y").alias("spy"),
+        F.covar_pop("tpost", "y").alias("stpy"),
+        F.var_pop("t").alias("stt"),
+        F.var_pop("post").alias("spp"),
+        F.var_pop("tpost").alias("stptp"),
+        F.covar_pop("t", "post").alias("stp"),
+        F.covar_pop("t", "tpost").alias("sttp"),
+        F.covar_pop("post", "tpost").alias("sptp"),
+    )
+    det = (
+        F.col("stt") * (F.col("spp") * F.col("stptp") - F.col("sptp") * F.col("sptp"))
+        - F.col("stp")
+        * (F.col("stp") * F.col("stptp") - F.col("sptp") * F.col("sttp"))
+        + F.col("sttp")
+        * (F.col("stp") * F.col("sptp") - F.col("spp") * F.col("sttp"))
+    )
+    det1 = (
+        F.col("sty") * (F.col("spp") * F.col("stptp") - F.col("sptp") * F.col("sptp"))
+        - F.col("stp")
+        * (F.col("spy") * F.col("stptp") - F.col("sptp") * F.col("stpy"))
+        + F.col("sttp")
+        * (F.col("spy") * F.col("sptp") - F.col("spp") * F.col("stpy"))
+    )
+    det2 = (
+        F.col("stt") * (F.col("spy") * F.col("stptp") - F.col("sptp") * F.col("stpy"))
+        - F.col("sty")
+        * (F.col("stp") * F.col("stptp") - F.col("sptp") * F.col("sttp"))
+        + F.col("sttp")
+        * (F.col("stp") * F.col("stpy") - F.col("spy") * F.col("sttp"))
+    )
+    det3 = (
+        F.col("stt") * (F.col("spp") * F.col("stpy") - F.col("spy") * F.col("sptp"))
+        - F.col("stp")
+        * (F.col("stp") * F.col("stpy") - F.col("spy") * F.col("sttp"))
+        + F.col("sty")
+        * (F.col("stp") * F.col("sptp") - F.col("spp") * F.col("sttp"))
+    )
+    b = det1 / det
+    c = det2 / det
+    d = det3 / det
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(b + 1e-9, 4).alias("base_slope"),
+        F.round(c + 1e-9, 4).alias("level_change"),
+        F.round(d + 1e-9, 4).alias("slope_change"),
+        F.round(
+            F.col("my") - b * F.col("mt") - c * F.col("mp") - d * F.col("mtp")
+            + 1e-9,
+            4,
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survival / spectral / serial-dependence closures
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "weibull_fit_time_to_purchase",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (
+      SELECT ln((epoch_us(pu.t1) - epoch_us(su.t0)) / 3.6e9) AS lx
+      FROM su JOIN pu ON su.user_id = pu.user_id
+      WHERE pu.t1 > su.t0),
+    r AS (
+      SELECT lx,
+             row_number() OVER (ORDER BY lx) AS i,
+             count(*) OVER () AS n
+      FROM d),
+    lin AS (
+      SELECT lx AS x,
+             ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) AS yy, n
+      FROM r),
+    fit AS (
+      SELECT min(n) AS n, regr_slope(yy, x) AS k,
+             regr_intercept(yy, x) AS c
+      FROM lin)
+    SELECT CAST(n AS BIGINT) AS n_durations,
+           round(k + 1e-9, 6) AS shape_k,
+           round(exp(-c / k) + 1e-9, 4) AS scale_hours,
+           round(exp(-c / k) * pow(ln(2.0), 1.0 / k) + 1e-9, 4)
+             AS median_hours
+    FROM fit
+    """,
+)
+def weibull_fit_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of signup→first-purchase latency by median-rank
+    regression (the probability-plot / Weibull-paper method): with
+    F̂ᵢ = (i−0.3)/(n+0.4) (Benard's approximation), ln(−ln(1−F̂)) is
+    linear in ln t with slope = shape k and intercept −k·ln λ; the
+    median is λ·(ln 2)^(1/k) (the Γ-free closed form — Spark SQL exposes
+    no gamma function, so the reported central summary is the median).
+    k < 1 = decelerating conversion hazard (users
+    who haven't converted become ever less likely to), k > 1 = wear-in.
+    Complements the registered ``interarrival_exponential_fit`` (the
+    k = 1 special case) and the Kaplan-Meier/Nelson-Aalen pair
+    (nonparametric; this is the parametric summary).
+
+    Scale shape: two self-aggregations of events (min per user), one
+    join on user_id, a distributed rank (global sort of the duration
+    frame — user-sized, not event-sized), then single-pass OLS
+    co-moments."""
+    e = Tables(spark, sf_dir).events
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    d = (
+        su.join(pu, "user_id")
+        .where(F.col("t1") > F.col("t0"))
+        .select(
+            F.log(
+                (epoch_us(F.col("t1")) - epoch_us(F.col("t0"))) / 3.6e9
+            ).alias("lx")
+        )
+    )
+    r = d.select(
+        "lx",
+        F.row_number().over(Window.orderBy("lx")).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    lin = r.select(
+        F.col("lx").alias("x"),
+        F.log(-F.log(1.0 - (F.col("i") - 0.3) / (F.col("n") + 0.4))).alias("yy"),
+        "n",
+    )
+    fit = lin.agg(
+        F.min("n").alias("n"),
+        F.expr("regr_slope(yy, x)").alias("k"),
+        F.expr("regr_intercept(yy, x)").alias("c"),
+    )
+    lam = F.exp(-F.col("c") / F.col("k"))
+    return fit.select(
+        F.col("n").alias("n_durations"),
+        F.round(F.col("k") + 1e-9, 6).alias("shape_k"),
+        F.round(lam + 1e-9, 4).alias("scale_hours"),
+        F.round(
+            lam * F.pow(F.log(F.lit(2.0)), 1.0 / F.col("k")) + 1e-9, 4
+        ).alias("median_hours"),
+    )
+
+
+@staged(
+    "spectral_entropy_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS t,
+             sum(value) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    c AS (SELECT count(*) AS n, avg(y) AS mu FROM daily),
+    freqs AS (
+      SELECT unnest(range(1, 15)) AS f),
+    dft AS (
+      SELECT f.f AS f,
+             sum((d.y - c.mu) * cos(2 * pi() * f.f * d.t / c.n)) AS re,
+             sum((d.y - c.mu) * sin(2 * pi() * f.f * d.t / c.n)) AS im
+      FROM freqs f CROSS JOIN daily d CROSS JOIN c
+      GROUP BY f.f),
+    pw AS (SELECT f, re * re + im * im AS p FROM dft),
+    tot AS (SELECT sum(p) AS sp FROM pw),
+    ent AS (
+      SELECT -sum((p / sp) * ln(p / sp)) AS h, count(*) AS nf
+      FROM pw CROSS JOIN tot WHERE p > 0)
+    SELECT CAST(nf AS BIGINT) AS n_freqs,
+           round(h + 1e-9, 6) AS spectral_entropy,
+           round(h / ln(CAST(nf AS DOUBLE)) + 1e-9, 6) AS normalized_entropy
+    FROM ent
+    """,
+)
+def spectral_entropy_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of the daily purchase-revenue series: Shannon
+    entropy of the normalized DFT power spectrum over frequencies
+    1..14 (mean removed, so no DC term) — near 0 when one periodicity
+    dominates (strong weekly seasonality), near 1 (normalized) for
+    white noise. The one-number 'is this series structured or noise'
+    screen that complements the registered ``dft_weekly_power``
+    (single-frequency energy) and ``seasonal_strength_weekday``.
+
+    Scale shape: the daily frame is tiny after the first groupBy; the
+    DFT is a 14×n_days broadcast cross join aggregated per frequency —
+    at 100 TB the only data-sized pass is the daily rollup itself."""
+    import math as _math
+
+    e = Tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(F.sum("value").alias("y"))
+    c = daily.agg(F.count(F.lit(1)).alias("n"), F.avg("y").alias("mu"))
+    freqs = spark.range(1, 15).select(F.col("id").alias("f"))
+    two_pi = 2.0 * _math.pi
+    dft = (
+        F.broadcast(freqs)
+        .crossJoin(daily)
+        .crossJoin(F.broadcast(c))
+        .groupBy("f")
+        .agg(
+            F.sum(
+                (F.col("y") - F.col("mu"))
+                * F.cos(two_pi * F.col("f") * F.col("t") / F.col("n"))
+            ).alias("re"),
+            F.sum(
+                (F.col("y") - F.col("mu"))
+                * F.sin(two_pi * F.col("f") * F.col("t") / F.col("n"))
+            ).alias("im"),
+        )
+    )
+    pw = dft.select(
+        "f", (F.col("re") * F.col("re") + F.col("im") * F.col("im")).alias("p")
+    )
+    tot = pw.agg(F.sum("p").alias("sp"))
+    ent = (
+        pw.crossJoin(F.broadcast(tot))
+        .where(F.col("p") > 0)
+        .agg(
+            (-F.sum((F.col("p") / F.col("sp")) * F.log(F.col("p") / F.col("sp"))))
+            .alias("h"),
+            F.count(F.lit(1)).alias("nf"),
+        )
+    )
+    return ent.select(
+        F.col("nf").alias("n_freqs"),
+        F.round(F.col("h") + 1e-9, 6).alias("spectral_entropy"),
+        F.round(
+            F.col("h") / F.log(F.col("nf").cast("double")) + 1e-9, 6
+        ).alias("normalized_entropy"),
+    )
+
+
+@staged(
+    "yule_walker_ar2_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS t,
+             sum(value) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    c AS (SELECT avg(y) AS mu, var_pop(y) AS v, count(*) AS n FROM daily),
+    lags AS (
+      SELECT a.t, (a.y - c.mu) AS y0,
+             (b1.y - c.mu) AS y1, (b2.y - c.mu) AS y2
+      FROM daily a
+      JOIN daily b1 ON b1.t = a.t - 1
+      JOIN daily b2 ON b2.t = a.t - 2
+      CROSS JOIN c),
+    rr AS (
+      SELECT sum(y0 * y1) / (min(c.v) * min(c.n)) AS r1,
+             sum(y0 * y2) / (min(c.v) * min(c.n)) AS r2,
+             min(c.n) AS n
+      FROM lags CROSS JOIN c)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(r1 + 1e-9, 6) AS r1,
+           round(r2 + 1e-9, 6) AS r2,
+           round(r1 * (1 - r2) / (1 - r1 * r1) + 1e-9, 6) AS phi1,
+           round((r2 - r1 * r1) / (1 - r1 * r1) + 1e-9, 6) AS phi2
+    FROM rr
+    """,
+)
+def yule_walker_ar2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) coefficients for daily purchase revenue via the Yule-Walker
+    equations: φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from the
+    lag-1/lag-2 autocorrelations (biased n-denominator estimates, the
+    standard YW convention — guarantees a stationary fit). φ₂ < 0 with
+    φ₁ > 0 indicates mean-reverting oscillation; extends the registered
+    ``ar1_forecast_backtest_daily`` one order up without iterative
+    fitting. Autocorrelations via self-joins on the day index (exact,
+    no window-frame edge semantics to match across engines).
+
+    Scale shape: data-sized work is the daily rollup; the lag joins run
+    on the tiny daily frame."""
+    e = Tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(F.sum("value").alias("y"))
+    c = daily.agg(
+        F.avg("y").alias("mu"), F.var_pop("y").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    a = daily.alias("a")
+    b1 = daily.select(F.col("t").alias("t1"), F.col("y").alias("yb1"))
+    b2 = daily.select(F.col("t").alias("t2"), F.col("y").alias("yb2"))
+    lags = (
+        a.join(b1, F.col("t1") == F.col("t") - 1)
+        .join(b2, F.col("t2") == F.col("t") - 2)
+        .crossJoin(F.broadcast(c))
+        .select(
+            (F.col("y") - F.col("mu")).alias("y0"),
+            (F.col("yb1") - F.col("mu")).alias("y1"),
+            (F.col("yb2") - F.col("mu")).alias("y2"),
+            "v",
+            "n",
+        )
+    )
+    rr = lags.agg(
+        (F.sum(F.col("y0") * F.col("y1")) / (F.min("v") * F.min("n"))).alias("r1"),
+        (F.sum(F.col("y0") * F.col("y2")) / (F.min("v") * F.min("n"))).alias("r2"),
+        F.min("n").alias("n"),
+    )
+    return rr.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("r1") + 1e-9, 6).alias("r1"),
+        F.round(F.col("r2") + 1e-9, 6).alias("r2"),
+        F.round(
+            F.col("r1") * (1 - F.col("r2")) / (1 - F.col("r1") * F.col("r1"))
+            + 1e-9,
+            6,
+        ).alias("phi1"),
+        F.round(
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1 - F.col("r1") * F.col("r1"))
+            + 1e-9,
+            6,
+        ).alias("phi2"),
+    )
+
+
+@staged(
+    "poisson_two_rate_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS d, count(*) AS k
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    half AS (
+      SELECT CASE WHEN d < 15 THEN 0 ELSE 1 END AS h,
+             sum(k) AS events, count(*) AS days
+      FROM daily GROUP BY 1),
+    agg AS (
+      SELECT max(CASE WHEN h = 0 THEN events END) AS k1,
+             max(CASE WHEN h = 0 THEN days END) AS t1,
+             max(CASE WHEN h = 1 THEN events END) AS k2,
+             max(CASE WHEN h = 1 THEN days END) AS t2
+      FROM half)
+    SELECT CAST(k1 AS BIGINT) AS events_first_half,
+           CAST(k2 AS BIGINT) AS events_second_half,
+           round(CAST(k1 AS DOUBLE) / t1 + 1e-9, 4) AS rate1,
+           round(CAST(k2 AS DOUBLE) / t2 + 1e-9, 4) AS rate2,
+           round((CAST(k2 AS DOUBLE) / t2) / (CAST(k1 AS DOUBLE) / t1)
+                 + 1e-9, 6) AS rate_ratio,
+           round((k1 - (k1 + k2) * (t1 * 1.0 / (t1 + t2)))
+                 / sqrt((k1 + k2) * (t1 * 1.0 / (t1 + t2))
+                        * (1 - t1 * 1.0 / (t1 + t2))) + 1e-9, 6) AS z
+    FROM agg
+    """,
+)
+def poisson_two_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison (purchase arrivals, first vs
+    second half of the month) via the conditional binomial test: given
+    K = k₁+k₂ total events, k₁ ~ Binomial(K, t₁/(t₁+t₂)) under H₀ of
+    equal rates — the z-statistic is the normal approximation to that
+    exact conditional law (the standard epidemiology/SRE incidence-rate
+    test). Reports both rates, their ratio, and z.
+
+    Scale shape: one partial-agg groupBy(day), a 2-row pivot, scalar
+    math — nothing else touches data."""
+    e = Tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    half = daily.groupBy(
+        F.when(F.col("d") < 15, 0).otherwise(1).alias("h")
+    ).agg(F.sum("k").alias("events"), F.count(F.lit(1)).alias("days"))
+    agg = half.agg(
+        F.max(F.when(F.col("h") == 0, F.col("events"))).alias("k1"),
+        F.max(F.when(F.col("h") == 0, F.col("days"))).alias("t1"),
+        F.max(F.when(F.col("h") == 1, F.col("events"))).alias("k2"),
+        F.max(F.when(F.col("h") == 1, F.col("days"))).alias("t2"),
+    )
+    p = F.col("t1") * 1.0 / (F.col("t1") + F.col("t2"))
+    ktot = F.col("k1") + F.col("k2")
+    return agg.select(
+        F.col("k1").alias("events_first_half"),
+        F.col("k2").alias("events_second_half"),
+        F.round(F.col("k1").cast("double") / F.col("t1") + 1e-9, 4).alias("rate1"),
+        F.round(F.col("k2").cast("double") / F.col("t2") + 1e-9, 4).alias("rate2"),
+        F.round(
+            (F.col("k2").cast("double") / F.col("t2"))
+            / (F.col("k1").cast("double") / F.col("t1"))
+            + 1e-9,
+            6,
+        ).alias("rate_ratio"),
+        F.round(
+            (F.col("k1") - ktot * p) / F.sqrt(ktot * p * (1 - p)) + 1e-9, 6
+        ).alias("z"),
+    )
+
+
+@staged(
+    "anderson_darling_click_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    r AS (
+      SELECT is_a,
+             row_number() OVER (ORDER BY v, is_a) AS i,
+             sum(is_a) OVER (ORDER BY v, is_a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ma
+      FROM s),
+    c AS (
+      SELECT CAST(sum(is_a) AS DOUBLE) AS m,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM s),
+    terms AS (
+      SELECT (r.ma * c.n - r.i * c.m) * (r.ma * c.n - r.i * c.m)
+               / (r.i * (c.n - r.i)) AS term
+      FROM r CROSS JOIN c WHERE r.i < c.n),
+    a2 AS (
+      SELECT sum(term) AS s FROM terms)
+    SELECT CAST(c.m AS BIGINT) AS n_click,
+           CAST(c.n - c.m AS BIGINT) AS n_purchase,
+           round(a2.s / (c.m * (c.n - c.m)) + 1e-9, 6) AS ad_statistic
+    FROM a2 CROSS JOIN c
+    """,
+)
+def anderson_darling_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Pettitt's computing
+    formula for the no-ties rank form): A² = (1/(m·(n−m))) ·
+    Σᵢ₌₁ⁿ⁻¹ (Mᵢn − i·m)²/(i(n−i)), where Mᵢ counts sample-A members
+    among the i smallest pooled values. Weights the CDF discrepancy by
+    1/(F(1−F)) — far more tail-sensitive than KS (registered
+    ``ks_test_value_click_purchase``) and than CVM (staged r11), which
+    this completes into the EDF-test trio. Deterministic is_a tiebreak
+    in the pooled order keeps both engines on one ranking.
+
+    Scale shape: the pooled rank and running count ride ONE ordered
+    pass (at driver scale the frame is the filtered two-sample slice);
+    the quadratic-looking formula is a linear scan, no pairs
+    materialize."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    w = Window.orderBy("v", "is_a")
+    r = s.select(
+        "is_a",
+        F.row_number().over(w).alias("i"),
+        F.sum("is_a").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("ma"),
+    )
+    c = s.agg(
+        F.sum("is_a").cast("double").alias("m"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    terms = (
+        r.crossJoin(F.broadcast(c))
+        .where(F.col("i") < F.col("n"))
+        .select(
+            (
+                (F.col("ma") * F.col("n") - F.col("i") * F.col("m"))
+                * (F.col("ma") * F.col("n") - F.col("i") * F.col("m"))
+                / (F.col("i") * (F.col("n") - F.col("i")))
+            ).alias("term"),
+            "m",
+            "n",
+        )
+    )
+    return terms.agg(
+        F.min("m").cast("long").alias("n_click"),
+        (F.min("n") - F.min("m")).cast("long").alias("n_purchase"),
+        F.round(
+            F.sum("term") / (F.min("m") * (F.min("n") - F.min("m"))) + 1e-9, 6
+        ).alias("ad_statistic"),
+    )
+
+
+@staged(
+    "eb_shrunk_source_rates",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS k
+      FROM documents GROUP BY source),
+    mom AS (
+      SELECT avg(k / n) AS pbar,
+             var_samp(k / n) AS s2,
+             avg(n) AS nbar
+      FROM s),
+    prior AS (
+      SELECT pbar, s2, nbar,
+             CASE WHEN s2 > pbar * (1 - pbar) / nbar
+                  THEN (pbar * (1 - pbar) / s2) - 1
+                  ELSE nbar END AS m
+      FROM mom)
+    SELECT s.source AS source, CAST(s.n AS BIGINT) AS n_docs,
+           round(s.k / s.n + 1e-9, 6) AS raw_rate,
+           round((s.k + prior.m * prior.pbar) / (s.n + prior.m) + 1e-9, 6)
+             AS shrunk_rate,
+           round(prior.m + 1e-9, 4) AS prior_strength
+    FROM s CROSS JOIN prior ORDER BY source
+    """,
+)
+def eb_shrunk_source_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-source quality-pass rates: the prior strength m is backed out of
+    the across-source dispersion (m = p̄(1−p̄)/s² − 1 when the observed
+    variance exceeds binomial noise, else fall back to n̄ — no signal to
+    shrink against), and each source's posterior mean is (k + m·p̄) /
+    (n + m). The fix for 'a 10-doc source with 10 passes ranks above a
+    100k-doc source at 99.9%' — same inferential move as the staged-r11
+    Wilson bound, but borrowing strength ACROSS groups instead of
+    within-group confidence.
+
+    Scale shape: one groupBy(source), a scalar moment pass over the
+    (small) source frame, broadcast back — the corpus is scanned once."""
+    d = Tables(spark, sf_dir).documents
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0))
+        .cast("double")
+        .alias("k"),
+    )
+    mom = s.agg(
+        F.avg(F.col("k") / F.col("n")).alias("pbar"),
+        F.var_samp(F.col("k") / F.col("n")).alias("s2"),
+        F.avg("n").alias("nbar"),
+    )
+    prior = mom.select(
+        "pbar",
+        F.when(
+            F.col("s2") > F.col("pbar") * (1 - F.col("pbar")) / F.col("nbar"),
+            (F.col("pbar") * (1 - F.col("pbar")) / F.col("s2")) - 1,
+        )
+        .otherwise(F.col("nbar"))
+        .alias("m"),
+    )
+    return (
+        s.crossJoin(F.broadcast(prior))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col("k") / F.col("n") + 1e-9, 6).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("m") * F.col("pbar"))
+                / (F.col("n") + F.col("m"))
+                + 1e-9,
+                6,
+            ).alias("shrunk_rate"),
+            F.round(F.col("m") + 1e-9, 4).alias("prior_strength"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics state: DAU/WAU stickiness, session bounce depth
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS day_idx,
+             user_id
+      FROM events),
+    dau AS (
+      SELECT day_idx, count(DISTINCT user_id) AS dau
+      FROM d GROUP BY day_idx),
+    wau AS (
+      SELECT day_idx // 7 AS week_idx, count(DISTINCT user_id) AS wau
+      FROM d GROUP BY 1)
+    SELECT w.week_idx AS week_idx,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(avg(a.dau) + 1e-9, 4) AS avg_dau,
+           round(avg(a.dau) / w.wau + 1e-9, 6) AS stickiness
+    FROM wau w JOIN dau a ON a.day_idx // 7 = w.week_idx
+    GROUP BY w.week_idx, w.wau ORDER BY week_idx
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week (the product-analytics engagement
+    ratio: how much of the weekly audience shows up on an average day —
+    1/7 = each user once a week, 1.0 = everyone daily). Distinct from
+    the registered ``rolling_distinct_users_7d`` (a per-day trailing
+    window count): this is the calendar-week cohort ratio PMs actually
+    report.
+
+    Scale shape: two distinct-count aggregates over (day|week, user) —
+    both partial-agg friendly; the join runs on the tiny daily frame.
+    At 100 TB the distinct-counts become the registered theta/HLL
+    sketch rollups; this exact form is the oracle-checkable core."""
+    e = Tables(spark, sf_dir).events
+    d = e.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+        "user_id",
+    )
+    dau = d.groupBy("day_idx").agg(F.countDistinct("user_id").alias("dau"))
+    wau = d.groupBy(
+        (F.col("day_idx") / 7).cast("long").alias("week_idx")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        wau.join(
+            dau, (F.col("day_idx") / 7).cast("long") == F.col("week_idx")
+        )
+        .groupBy("week_idx", "wau")
+        .agg(
+            F.round(F.avg("dau") + 1e-9, 4).alias("avg_dau"),
+            F.round(F.avg("dau") / F.col("wau") + 1e-9, 6).alias("stickiness"),
+        )
+        .select("week_idx", "wau", "avg_dau", "stickiness")
+        .orderBy("week_idx")
+    )
+
+
+@staged(
+    "session_bounce_depth",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                  > 1800000000 OR
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                  IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered),
+    per AS (
+      SELECT user_id, sid,
+             min_by(event_type, ts) AS first_type,
+             count(*) AS depth
+      FROM sess GROUP BY user_id, sid)
+    SELECT first_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(CASE WHEN depth = 1 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+             AS bounce_rate,
+           round(avg(CAST(depth AS DOUBLE)) + 1e-9, 4) AS avg_depth,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM per GROUP BY first_type ORDER BY first_type
+    """,
+)
+def session_bounce_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate and depth by session ENTRY event type: sessionize
+    with the standard 30-minute inactivity gap, then group sessions by
+    their first event — a one-event session is a bounce. The
+    landing-page quality report, keyed by what users arrived to do.
+    Complements the registered ``sessionize_events`` (session stats)
+    and ``funnel_signup_click_purchase`` (fixed path): this keys
+    QUALITY on the entry point.
+
+    Scale shape: the gap-and-cumsum sessionizer is two windows
+    PARTITIONED BY user (parallel across users, the standard
+    distributed sessionize), then a groupBy(user, sid) and a tiny
+    groupBy(first_type). min_by picks the entry event without a third
+    window pass."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = epoch_us(F.col("ts"))
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000)
+            | F.lag(us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = ordered.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.count(F.lit(1)).alias("depth"),
+    )
+    return (
+        per.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.avg(F.when(F.col("depth") == 1, 1.0).otherwise(0.0)) + 1e-9, 6
+            ).alias("bounce_rate"),
+            F.round(F.avg(F.col("depth").cast("double")) + 1e-9, 4).alias(
+                "avg_depth"
+            ),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy("first_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geo family over deterministic coordinates (Lehmer lat/lon per user)
+# ---------------------------------------------------------------------------
+#
+# The test tables carry no geography, so the geo operators derive
+# deterministic coordinates from user_id via the same two-step Lehmer
+# stream both engines share: lat = u(key)·180 − 90, lon = u(key+7)·360 −
+# 180. What matters is the OPERATOR shape (grid bucketing, broadcast
+# haversine k-NN, bbox range join) — swap the synthetic columns for real
+# lat/lon at deployment and nothing else changes.
+
+
+def _geo_sql(table: str = "events") -> str:
+    ulat = _lehmer_u_sql("user_id * 2 + 1")
+    ulon = _lehmer_u_sql("user_id * 2 + 2")
+    return (
+        f"SELECT user_id, ({ulat}) * 180.0 - 90.0 AS lat,"
+        f" ({ulon}) * 360.0 - 180.0 AS lon"
+        f" FROM (SELECT DISTINCT user_id FROM {table})"
+    )
+
+
+def _geo_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Tables(spark, sf_dir).events
+    users = e.select("user_id").distinct()
+    return users.select(
+        "user_id",
+        (_lehmer_u(F.col("user_id") * 2 + 1) * 180.0 - 90.0).alias("lat"),
+        (_lehmer_u(F.col("user_id") * 2 + 2) * 360.0 - 180.0).alias("lon"),
+    )
+
+
+@staged(
+    "geo_zorder_cell_counts",
+    oracle=f"""
+    WITH pts AS ({_geo_sql()}),
+    cells AS (
+      SELECT user_id,
+             CAST(floor((lat + 90.0) / 180.0 * 16.0) AS BIGINT) AS gy,
+             CAST(floor((lon + 180.0) / 360.0 * 16.0) AS BIGINT) AS gx
+      FROM pts),
+    clamped AS (
+      SELECT user_id, least(gy, 15) AS gy, least(gx, 15) AS gx FROM cells),
+    z AS (
+      SELECT user_id, gy, gx,
+             (gx & 1) + 2 * (gy & 1) + 4 * ((gx >> 1) & 1)
+           + 8 * ((gy >> 1) & 1) + 16 * ((gx >> 2) & 1)
+           + 32 * ((gy >> 2) & 1) + 64 * ((gx >> 3) & 1)
+           + 128 * ((gy >> 3) & 1) AS zcell
+      FROM clamped)
+    SELECT zcell, CAST(min(gy) AS BIGINT) AS gy, CAST(min(gx) AS BIGINT) AS gx,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM z GROUP BY zcell ORDER BY n_users DESC, zcell LIMIT 25
+    """,
+)
+def geo_zorder_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial cell assignment on a 16×16 lat/lon grid:
+    interleave the 4-bit cell coordinates into a single Morton index —
+    the locality-preserving key used to range-partition spatial data so
+    near points land in near partitions (the same trick the registered
+    ``zorder_cluster_key`` applies to tabular clustering, here in its
+    native geographic habitat). Reports the 25 densest cells.
+
+    Scale shape: pure per-row bit arithmetic (whole-stage codegen) into
+    a groupBy(cell) with a top-k — no shuffle beyond the 256-key agg;
+    the Morton key is exactly what a 100 TB deployment would
+    repartitionByRange on."""
+    pts = _geo_df(spark, sf_dir)
+    gy = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * 16.0).cast("long"), F.lit(15)
+    )
+    gx = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 16.0).cast("long"), F.lit(15)
+    )
+    cells = pts.select("user_id", gy.alias("gy"), gx.alias("gx"))
+    zcell = (
+        (F.col("gx").bitwiseAND(1))
+        + 2 * (F.col("gy").bitwiseAND(1))
+        + 4 * (F.shiftright("gx", 1).bitwiseAND(1))
+        + 8 * (F.shiftright("gy", 1).bitwiseAND(1))
+        + 16 * (F.shiftright("gx", 2).bitwiseAND(1))
+        + 32 * (F.shiftright("gy", 2).bitwiseAND(1))
+        + 64 * (F.shiftright("gx", 3).bitwiseAND(1))
+        + 128 * (F.shiftright("gy", 3).bitwiseAND(1))
+    )
+    z = cells.select("user_id", "gy", "gx", zcell.alias("zcell"))
+    return (
+        z.groupBy("zcell")
+        .agg(
+            F.min("gy").alias("gy"),
+            F.min("gx").alias("gx"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("zcell"))
+        .limit(25)
+    )
+
+
+@staged(
+    "geo_haversine_knn",
+    oracle=f"""
+    WITH pts AS ({_geo_sql()}),
+    q AS (
+      SELECT n_nationkey AS qid,
+             (CAST(n_nationkey AS DOUBLE) * 7.0) - 84.0 AS qlat,
+             (CAST(n_nationkey AS DOUBLE) * 14.3) - 170.0 AS qlon
+      FROM nation),
+    d AS (
+      SELECT q.qid, p.user_id,
+             2.0 * 6371.0 * asin(sqrt(
+               pow(sin(radians(p.lat - q.qlat) / 2), 2)
+               + cos(radians(q.qlat)) * cos(radians(p.lat))
+                 * pow(sin(radians(p.lon - q.qlon) / 2), 2))) AS km
+      FROM q CROSS JOIN pts p),
+    r AS (
+      SELECT qid, user_id, km,
+             row_number() OVER (PARTITION BY qid ORDER BY km, user_id) AS rn
+      FROM d)
+    SELECT qid, CAST(rn AS BIGINT) AS rn, user_id,
+           round(km + 1e-9, 3) AS km
+    FROM r WHERE rn <= 3 ORDER BY qid, rn
+    """,
+)
+def geo_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine k-nearest-neighbors: for each of 25 deterministic query
+    points (one per nation), the 3 closest user locations by
+    great-circle distance (R = 6371 km). The small-query-side spatial
+    k-NN: BROADCAST the 25 queries against the big point table, compute
+    the trig distance in whole-stage codegen, and take a per-query
+    top-k — no all-pairs materialization (row_number over the per-query
+    partition compiles to WindowGroupLimit rank pushdown).
+
+    Scale shape: |points| × 25 flops map-side, then a k-bounded window;
+    the 100 TB upgrade path swaps the cross join for the Z-order cell
+    blocking of ``geo_zorder_cell_counts`` with ring expansion — the
+    brute form here is the recall-1.0 oracle the blocked variant would
+    be checked against (same pattern as the embedding ANN family)."""
+    pts = _geo_df(spark, sf_dir)
+    n = Tables(spark, sf_dir).nation
+    q = n.select(
+        F.col("n_nationkey").alias("qid"),
+        (F.col("n_nationkey").cast("double") * 7.0 - 84.0).alias("qlat"),
+        (F.col("n_nationkey").cast("double") * 14.3 - 170.0).alias("qlon"),
+    )
+    km = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - F.col("qlat")) / 2), 2)
+                + F.cos(F.radians("qlat"))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - F.col("qlon")) / 2), 2)
+            )
+        )
+    )
+    d = F.broadcast(q).crossJoin(pts).select("qid", "user_id", km.alias("km"))
+    r = d.select(
+        "qid",
+        "user_id",
+        "km",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy("km", "user_id"))
+        .alias("rn"),
+    )
+    return (
+        r.where(F.col("rn") <= 3)
+        .select("qid", F.col("rn").cast("long").alias("rn"), "user_id",
+                F.round(F.col("km") + 1e-9, 3).alias("km"))
+        .orderBy("qid", "rn")
+    )
+
+
+@staged(
+    "geo_bbox_containment_join",
+    oracle=f"""
+    WITH pts AS ({_geo_sql()}),
+    box AS (
+      SELECT n_nationkey AS box_id,
+             (CAST(n_nationkey AS DOUBLE) * 6.0) - 80.0 AS lat_lo,
+             (CAST(n_nationkey AS DOUBLE) * 6.0) - 50.0 AS lat_hi,
+             (CAST(n_nationkey AS DOUBLE) * 13.0) - 170.0 AS lon_lo,
+             (CAST(n_nationkey AS DOUBLE) * 13.0) - 110.0 AS lon_hi
+      FROM nation)
+    SELECT b.box_id AS box_id,
+           CAST(count(p.user_id) AS BIGINT) AS n_inside,
+           round(coalesce(avg(p.lat), 0.0) + 1e-9, 4) AS avg_lat,
+           round(coalesce(avg(p.lon), 0.0) + 1e-9, 4) AS avg_lon
+    FROM box b LEFT JOIN pts p
+      ON p.lat BETWEEN b.lat_lo AND b.lat_hi
+     AND p.lon BETWEEN b.lon_lo AND b.lon_hi
+    GROUP BY b.box_id ORDER BY box_id
+    """,
+)
+def geo_bbox_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box containment join: 25 deterministic 30°×60° boxes
+    (one per nation) LEFT-joined to the point table on the
+    lat/lon range predicates, counting and centroid-ing the points each
+    box contains — the rectangle-overlay primitive under geofencing,
+    tile statistics, and map-reduce spatial rollups. LEFT join keeps
+    empty boxes in the report (coalesced centroids), the edge a
+    naive inner-join version silently drops.
+
+    Scale shape: broadcast the 25 boxes; the range predicates evaluate
+    map-side (BroadcastNestedLoopJoin on purpose — the small side is 25
+    rows, so 'nested loop' means 25 comparisons per point in codegen,
+    cheaper than any shuffle). The 100 TB path pre-buckets points by
+    Z-cell and joins boxes to their covering cells first."""
+    pts = _geo_df(spark, sf_dir)
+    n = Tables(spark, sf_dir).nation
+    box = n.select(
+        F.col("n_nationkey").alias("box_id"),
+        (F.col("n_nationkey").cast("double") * 6.0 - 80.0).alias("lat_lo"),
+        (F.col("n_nationkey").cast("double") * 6.0 - 50.0).alias("lat_hi"),
+        (F.col("n_nationkey").cast("double") * 13.0 - 170.0).alias("lon_lo"),
+        (F.col("n_nationkey").cast("double") * 13.0 - 110.0).alias("lon_hi"),
+    )
+    joined = F.broadcast(box).join(
+        pts,
+        F.col("lat").between(F.col("lat_lo"), F.col("lat_hi"))
+        & F.col("lon").between(F.col("lon_lo"), F.col("lon_hi")),
+        "left",
+    )
+    return (
+        joined.groupBy("box_id")
+        .agg(
+            F.count("user_id").alias("n_inside"),
+            F.round(F.coalesce(F.avg("lat"), F.lit(0.0)) + 1e-9, 4).alias(
+                "avg_lat"
+            ),
+            F.round(F.coalesce(F.avg("lon"), F.lit(0.0)) + 1e-9, 4).alias(
+                "avg_lon"
+            ),
+        )
+        .orderBy("box_id")
     )
