@@ -166,3 +166,152 @@ def test_conformal_coverage_near_nominal(spark):
     assert row["qhat"] > 0
     assert 0.80 <= row["coverage"] <= 1.0
     assert row["n_calib"] > 0 and row["n_test"] > 0
+
+
+def test_iptw_weights_bounded_and_correcting(spark):
+    """Max IPW weight is 1/min(ps) — finite given overlap; the ATE and
+    naive difference are both finite."""
+    fn, _ = STAGED["iptw_ate_urgent_revenue"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert row["max_weight"] >= 1.0
+    assert row["max_weight"] < 100.0  # positivity holds on TPC-H priorities
+    assert abs(row["ate_hajek"]) < 1e6 and abs(row["naive_diff"]) < 1e6
+
+
+def test_rdd_limits_consistent(spark):
+    fn, _ = STAGED["rdd_acctbal_threshold"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert abs(row["rd_effect"] - (row["right_limit"] - row["left_limit"])) < 1e-3
+    assert row["n_window"] > 0
+
+
+def test_its_pre_trend_plus_changes_reconstruct(spark):
+    """The four coefficients must reproduce the post-period mean:
+    checked loosely — level_change and slope_change are finite and the
+    day count matches the calendar."""
+    fn, _ = STAGED["its_segmented_daily_revenue"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert 28 <= row["n_days"] <= 31
+    for c in ("base_slope", "level_change", "slope_change", "intercept"):
+        assert abs(row[c]) < 1e7
+
+
+def test_weibull_shape_positive(spark):
+    fn, _ = STAGED["weibull_fit_time_to_purchase"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert row["shape_k"] > 0
+    assert row["scale_hours"] > 0
+    # median < scale iff k < 1 (ln2^(1/k) < 1); consistency either way
+    import math
+
+    expected_median = row["scale_hours"] * math.log(2) ** (1 / row["shape_k"])
+    assert abs(expected_median - row["median_hours"]) / expected_median < 0.01
+
+
+def test_spectral_entropy_normalized_in_unit(spark):
+    fn, _ = STAGED["spectral_entropy_daily_revenue"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= row["normalized_entropy"] <= 1.0 + 1e-9
+    assert row["n_freqs"] == 14
+
+
+def test_yule_walker_stationarity_triangle(spark):
+    """AR(2) from Yule-Walker on biased autocorrs always lands inside
+    the stationarity triangle: |phi2| < 1, phi1 + phi2 < 1,
+    phi2 - phi1 < 1."""
+    fn, _ = STAGED["yule_walker_ar2_daily"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert abs(row["phi2"]) < 1.0
+    assert row["phi1"] + row["phi2"] < 1.0
+    assert row["phi2"] - row["phi1"] < 1.0
+    assert abs(row["r1"]) <= 1.0 and abs(row["r2"]) <= 1.0
+
+
+def test_poisson_rate_ratio_matches_rates(spark):
+    fn, _ = STAGED["poisson_two_rate_test"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert abs(row["rate_ratio"] - row["rate2"] / row["rate1"]) < 1e-2
+    assert row["events_first_half"] + row["events_second_half"] > 0
+
+
+def test_anderson_darling_nonnegative(spark):
+    fn, _ = STAGED["anderson_darling_click_purchase"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert row["ad_statistic"] >= 0.0
+    assert row["n_click"] > 0 and row["n_purchase"] > 0
+
+
+def test_eb_shrinkage_contracts_toward_pooled(spark):
+    """Every shrunk rate sits between the raw rate and the pooled mean."""
+    fn, _ = STAGED["eb_shrunk_source_rates"]
+    rows = fn(spark, SF_SMALL).collect()
+    pbar = sum(r["raw_rate"] for r in rows) / len(rows)
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], pbar))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+
+
+def test_stickiness_bounds(spark):
+    """avg DAU <= WAU always; stickiness in (0, 1]."""
+    fn, _ = STAGED["dau_wau_stickiness"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) >= 4
+    for r in rows:
+        assert 0.0 < r["stickiness"] <= 1.0 + 1e-9
+        assert r["avg_dau"] <= r["wau"] + 1e-9
+
+
+def test_bounce_rate_and_depth_consistent(spark):
+    fn, _ = STAGED["session_bounce_depth"]
+    rows = fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+        assert r["avg_depth"] >= 1.0
+        assert r["max_depth"] >= 1
+
+
+def test_zorder_cells_cover_all_users(spark):
+    """Cell counts sum to <= distinct users (top-25 cut) and every cell
+    coordinate pair is on the 16x16 grid."""
+    fn, _ = STAGED["geo_zorder_cell_counts"]
+    rows = fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert 0 <= r["gy"] <= 15 and 0 <= r["gx"] <= 15
+        assert 0 <= r["zcell"] <= 255
+
+
+def test_haversine_knn_shape_and_monotone(spark):
+    fn, _ = STAGED["geo_haversine_knn"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 25 * 3
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["qid"]].append((r["rn"], r["km"]))
+    for qid, lst in per.items():
+        lst.sort()
+        kms = [k for _, k in lst]
+        assert kms == sorted(kms)
+        assert all(0 <= k <= 20100 for k in kms)  # max half circumference
+
+
+def test_bbox_join_keeps_all_boxes(spark):
+    fn, _ = STAGED["geo_bbox_containment_join"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 25  # every nation box present even if empty
+    for r in rows:
+        assert r["n_inside"] >= 0
+
+
+def test_closeness_bounds(spark):
+    """Closeness = reached/total_dist <= 1 (every distance >= 1), and
+    total_dist >= n_reached."""
+    fn, _ = STAGED["closeness_centrality_trade"]
+    rows = fn(spark, SF_SMALL).collect()
+    # sf0.001's sparsified trade graph has ~10 nations with out-edges
+    assert len(rows) >= 5
+    for r in rows:
+        if r["n_reached"] > 0:
+            assert r["total_dist"] >= r["n_reached"]
+            assert 0.0 < r["closeness"] <= 1.0 + 1e-9
