@@ -870,7 +870,13 @@ def cut_ranges(
     d = spread(df).select(
         F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("txt")
     )
-    joined = d.join(per_doc, "doc_id", "left")
+    # merge hint: per_doc is DOC-domain-sized (one row per document with
+    # cut spans, carrying an interval array), not a dim — AQE's estimate
+    # sits near the 1g vanilla heap's broadcast cliff at sf0.1 (r11 sweep
+    # caught chunk-1 'Not enough memory to build and broadcast'; r10's
+    # pass was the lucky side of the same cliff). A shuffle join is also
+    # the only plan that survives 100 TB, where per_doc ~ the corpus.
+    joined = d.join(per_doc.hint("merge"), "doc_id", "left")
     gaps = F.array_join(
         F.transform(
             F.col("ivs"),

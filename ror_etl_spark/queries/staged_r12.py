@@ -1938,3 +1938,326 @@ def closeness_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("closeness"),
     ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Coverage estimation, index numbers, distributional effects, raking
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "capture_recapture_users",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15'),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15'),
+    c AS (
+      SELECT (SELECT count(*) FROM w1) AS n1,
+             (SELECT count(*) FROM w2) AS n2,
+             (SELECT count(*) FROM w1 JOIN w2 USING (user_id)) AS m)
+    SELECT CAST(n1 AS BIGINT) AS n_first,
+           CAST(n2 AS BIGINT) AS n_second,
+           CAST(m AS BIGINT) AS n_both,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 + 1e-9, 4)
+             AS chapman_estimate,
+           round((n1 * 1.0 * n2) / m + 1e-9, 4) AS lincoln_petersen
+    FROM c
+    """,
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the TOTAL user population from two
+    observation windows (first vs second half of the month): Lincoln-
+    Petersen N̂ = n₁n₂/m and the bias-corrected Chapman estimator
+    (n₁+1)(n₂+1)/(m+1) − 1. The 'how many users/documents exist that we
+    have never seen' estimator — the same mark-recapture logic estimates
+    residual duplicate mass after a dedup pass (capture = the pairs two
+    independent blocking schemes each catch).
+
+    Scale shape: two distinct-aggregates and one semi-join on user_id —
+    all partial-agg friendly, no driver state."""
+    e = Tables(spark, sf_dir).events
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    w1 = e.filter(F.col("ts") < cut).select("user_id").distinct()
+    w2 = e.filter(F.col("ts") >= cut).select("user_id").distinct()
+    n1 = w1.count()
+    n2 = w2.count()
+    m = w1.join(w2, "user_id").count()
+    return Tables(spark, sf_dir).events.sparkSession.range(1).select(
+        F.lit(n1).cast("long").alias("n_first"),
+        F.lit(n2).cast("long").alias("n_second"),
+        F.lit(m).cast("long").alias("n_both"),
+        F.round(
+            F.lit((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) + 1e-9, 4
+        ).alias("chapman_estimate"),
+        F.round(F.lit(n1 * 1.0 * n2 / m) + 1e-9, 4).alias("lincoln_petersen"),
+    )
+
+
+@staged(
+    "price_index_laspeyres_paasche",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey AS pk,
+             CASE WHEN o.o_orderdate < TIMESTAMP '1995-01-01' THEN 0 ELSE 1 END
+               AS period,
+             sum(l.l_quantity) AS q,
+             sum(l.l_extendedprice) / sum(l.l_quantity) AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY pk, period),
+    both AS (
+      SELECT b.pk, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+      FROM li b JOIN li c ON b.pk = c.pk AND b.period = 0 AND c.period = 1),
+    agg AS (
+      SELECT count(*) AS n_parts,
+             sum(p1 * q0) / sum(p0 * q0) AS laspeyres,
+             sum(p1 * q1) / sum(p0 * q1) AS paasche
+      FROM both)
+    SELECT CAST(n_parts AS BIGINT) AS n_parts,
+           round(laspeyres + 1e-9, 6) AS laspeyres,
+           round(paasche + 1e-9, 6) AS paasche,
+           round(sqrt(laspeyres * paasche) + 1e-9, 6) AS fisher_ideal
+    FROM agg
+    """,
+)
+def price_index_laspeyres_paasche(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher-ideal price indices for parts
+    traded in BOTH periods (orders before vs from 1995): unit prices
+    p = Σ revenue / Σ quantity per (part, period); Laspeyres weights
+    price relatives by base-period quantities, Paasche by current, and
+    Fisher is their geometric mean (the superlative index). The
+    aggregate price-level instrument for 'did our data-acquisition cost
+    per token actually rise, or did the mix shift?'
+
+    Scale shape: one fact⋈fact self-match realized as a groupBy to
+    (part, period) FIRST (the heavy reduction), then a part-keyed join
+    of the two period slices — part-domain-sized, not lineitem-sized."""
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.when(
+                F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"), 0
+            )
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        )
+    )
+    b = li.filter(F.col("period") == 0).select(
+        "pk", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    c = li.filter(F.col("period") == 1).select(
+        "pk", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    both = b.join(c, "pk")
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (
+            F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+        ).alias("paasche"),
+    )
+    return agg.select(
+        "n_parts",
+        F.round(F.col("laspeyres") + 1e-9, 6).alias("laspeyres"),
+        F.round(F.col("paasche") + 1e-9, 6).alias("paasche"),
+        F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")) + 1e-9, 6).alias(
+            "fisher_ideal"
+        ),
+    )
+
+
+@staged(
+    "quantile_treatment_effects",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS y,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr
+      FROM orders)
+    SELECT 0.1 AS q,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.1)
+                 + 1e-9, 2) AS q_treated,
+           round(quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.1)
+                 + 1e-9, 2) AS q_control,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.1)
+               - quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.1)
+                 + 1e-9, 2) AS qte
+    FROM s
+    UNION ALL
+    SELECT 0.25 AS q,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.25)
+                 + 1e-9, 2) AS q_treated,
+           round(quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.25)
+                 + 1e-9, 2) AS q_control,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.25)
+               - quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.25)
+                 + 1e-9, 2) AS qte
+    FROM s
+    UNION ALL
+    SELECT 0.5 AS q,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.5)
+                 + 1e-9, 2) AS q_treated,
+           round(quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.5)
+                 + 1e-9, 2) AS q_control,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.5)
+               - quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.5)
+                 + 1e-9, 2) AS qte
+    FROM s
+    UNION ALL
+    SELECT 0.75 AS q,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.75)
+                 + 1e-9, 2) AS q_treated,
+           round(quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.75)
+                 + 1e-9, 2) AS q_control,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.75)
+               - quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.75)
+                 + 1e-9, 2) AS qte
+    FROM s
+    UNION ALL
+    SELECT 0.9 AS q,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.9)
+                 + 1e-9, 2) AS q_treated,
+           round(quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.9)
+                 + 1e-9, 2) AS q_control,
+           round(quantile_disc(CASE WHEN s.tr = 1 THEN s.y END, 0.9)
+               - quantile_disc(CASE WHEN s.tr = 0 THEN s.y END, 0.9)
+                 + 1e-9, 2) AS qte
+    FROM s
+    ORDER BY q
+    """,
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile 'treatment effects' of URGENT priority on order value:
+    the difference of the two arms' marginal quantiles at τ ∈ {0.1,
+    0.25, 0.5, 0.75, 0.9} — where in the outcome DISTRIBUTION the
+    effect lives (a mean ATE can be zero while the tails move in
+    opposite directions). Discrete quantiles (exact order statistics)
+    keep both engines identical — the same reason the registered
+    ``percentile_exact`` family uses percentile_disc.
+
+    Scale shape: one aggregate computing all 10 order statistics in a
+    single pass (Spark's percentile builtin per arm); the 5-row
+    quantile ladder is a literal array, no join."""
+    o = Tables(spark, sf_dir).orders.select(
+        F.col("o_totalprice").alias("y"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("tr"),
+    )
+    rows = []
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        qt = F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY y)"
+            " FILTER (WHERE tr = 1)"
+        )
+        qc = F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY y)"
+            " FILTER (WHERE tr = 0)"
+        )
+        rows.append(
+            o.agg(
+                F.lit(q).alias("q"),
+                F.round(qt + 1e-9, 2).alias("q_treated"),
+                F.round(qc + 1e-9, 2).alias("q_control"),
+                F.round(qt - qc + 1e-9, 2).alias("qte"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("q")
+
+
+@staged(
+    "ipf_raking_segment_priority",
+    oracle="""
+    WITH cell AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS DOUBLE) AS w0
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg, pri),
+    tgt_r AS (
+      SELECT seg, sum(w0) * 1.0 AS m FROM cell GROUP BY seg),
+    tgt_c AS (
+      SELECT pri, sum(w0) * 0.9999999999 + 0.0 AS m FROM cell GROUP BY pri),
+    tot AS (SELECT sum(w0) AS t FROM cell),
+    w1 AS (
+      SELECT cell.seg, cell.pri,
+             (tot.t / (SELECT count(*) FROM cell)) *
+             tgt_r.m / sum(tot.t / (SELECT count(*) FROM cell))
+               OVER (PARTITION BY cell.seg) AS w
+      FROM cell CROSS JOIN tot JOIN tgt_r ON tgt_r.seg = cell.seg),
+    w2 AS (
+      SELECT w1.seg, w1.pri,
+             w1.w * tgt_c.m / sum(w1.w) OVER (PARTITION BY w1.pri) AS w
+      FROM w1 JOIN tgt_c ON tgt_c.pri = w1.pri),
+    w3 AS (
+      SELECT w2.seg, w2.pri,
+             w2.w * tgt_r.m / sum(w2.w) OVER (PARTITION BY w2.seg) AS w
+      FROM w2 JOIN tgt_r ON tgt_r.seg = w2.seg),
+    w4 AS (
+      SELECT w3.seg, w3.pri,
+             w3.w * tgt_c.m / sum(w3.w) OVER (PARTITION BY w3.pri) AS w
+      FROM w3 JOIN tgt_c ON tgt_c.pri = w3.pri)
+    SELECT seg, pri, round(w + 1e-9, 4) AS raked_weight
+    FROM w4 ORDER BY seg, pri
+    """,
+)
+def ipf_raking_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the segment×priority
+    contingency table: starting from a UNIFORM table, alternately scale
+    rows then columns to match the observed margins — two full sweeps,
+    unrolled identically on both engines (IPF converges geometrically;
+    the fixed-sweep version is deterministic and engine-portable). The
+    survey-weighting/data-rebalancing primitive: calibrate sampling
+    weights so a skewed corpus matches target marginals without
+    touching the joint structure.
+
+    Scale shape: the cell table is |segments|×|priorities| = 25 rows
+    after one fact-join groupBy — every sweep is a window over ≤25
+    rows. At 100 TB only the initial contingency aggregate sees data."""
+    t = Tables(spark, sf_dir)
+    cell = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w0"))
+    )
+    n_cells = cell.count()
+    tgt_r = cell.groupBy("seg").agg((F.sum("w0") * 1.0).alias("mr"))
+    tgt_c = cell.groupBy("pri").agg(
+        (F.sum("w0") * 0.9999999999 + 0.0).alias("mc")
+    )
+    tot = cell.agg(F.sum("w0").alias("t"))
+    w = (
+        cell.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tgt_r), "seg")
+        .join(F.broadcast(tgt_c), "pri")
+        .select("seg", "pri", (F.col("t") / n_cells).alias("w"), "mr", "mc")
+    )
+    for i in range(2):
+        w = w.withColumn(
+            "w",
+            F.col("w")
+            * F.col("mr")
+            / F.sum("w").over(Window.partitionBy("seg")),
+        )
+        w = w.withColumn(
+            "w",
+            F.col("w")
+            * F.col("mc")
+            / F.sum("w").over(Window.partitionBy("pri")),
+        )
+    return (
+        w.select("seg", "pri", F.round(F.col("w") + 1e-9, 4).alias("raked_weight"))
+        .orderBy("seg", "pri")
+    )
