@@ -2007,14 +2007,14 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(l.l_extendedprice) / sum(l.l_quantity) AS p
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY pk, period),
-    both AS (
+    bp AS (
       SELECT b.pk, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
       FROM li b JOIN li c ON b.pk = c.pk AND b.period = 0 AND c.period = 1),
     agg AS (
       SELECT count(*) AS n_parts,
              sum(p1 * q0) / sum(p0 * q0) AS laspeyres,
              sum(p1 * q1) / sum(p0 * q1) AS paasche
-      FROM both)
+      FROM bp)
     SELECT CAST(n_parts AS BIGINT) AS n_parts,
            round(laspeyres + 1e-9, 6) AS laspeyres,
            round(paasche + 1e-9, 6) AS paasche,
