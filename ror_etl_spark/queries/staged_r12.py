@@ -976,21 +976,30 @@ def weibull_fit_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    from ror_etl_spark.operators.util import global_cumsum
+
     d = (
         su.join(pu, "user_id")
         .where(F.col("t1") > F.col("t0"))
         .select(
+            "user_id",
             F.log(
                 (epoch_us(F.col("t1")) - epoch_us(F.col("t0"))) / 3.6e9
-            ).alias("lx")
+            ).alias("lx"),
+            F.lit(1).alias("one"),
         )
     )
-    r = d.select(
-        "lx",
-        F.row_number().over(Window.orderBy("lx")).alias("i"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    # Distributed median rank: exclusive cumsum over (lx, user_id) — the
+    # user_id tiebreak makes the order total (equal durations get
+    # adjacent ranks; the plotting positions are internal-order-
+    # invariant), and no single-task global window appears. n rides a
+    # broadcast scalar.
+    parts = max(su.sparkSession.sparkContext.defaultParallelism, 8)
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    r = global_cumsum(
+        d, ["lx", "user_id"], "one", out="prior_n", n_parts=parts
+    ).crossJoin(F.broadcast(nn)).select(
+        "lx", (F.col("prior_n") + 1).alias("i"), "n"
     )
     lin = r.select(
         F.col("lx").alias("x"),
@@ -1306,20 +1315,35 @@ def anderson_darling_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     pass (at driver scale the frame is the filtered two-sample slice);
     the quadratic-looking formula is a linear scan, no pairs
     materialize."""
+    from ror_etl_spark.operators.util import global_cumsum
+
     e = Tables(spark, sf_dir).events.filter(
         F.col("event_type").isin("click", "purchase")
     )
     s = e.select(
+        "event_id",
         F.col("value").alias("v"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.lit(1).alias("one"),
     )
-    w = Window.orderBy("v", "is_a")
-    r = s.select(
+    # Distributed pooled rank + running class count: ONE global_cumsum
+    # over the total order (v, is_a, event_id) computes both exclusive
+    # sums (the single-task Window.orderBy anti-pattern never appears).
+    # The event_id tiebreak changes nothing: within a (v, is_a) tie
+    # group the multiset of (i, Mi) pairs — and so the A2 sum — is
+    # internal-order-invariant, which is why the oracle's (v, is_a)
+    # row_number matches exactly.
+    parts = max(e.sparkSession.sparkContext.defaultParallelism, 8)
+    r = global_cumsum(
+        s,
+        ["v", "is_a", "event_id"],
+        ["one", "is_a"],
+        out=["prior_n", "prior_a"],
+        n_parts=parts,
+    ).select(
         "is_a",
-        F.row_number().over(w).alias("i"),
-        F.sum("is_a").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("ma"),
+        (F.col("prior_n") + 1).alias("i"),
+        (F.col("prior_a") + F.col("is_a")).alias("ma"),
     )
     c = s.agg(
         F.sum("is_a").cast("double").alias("m"),

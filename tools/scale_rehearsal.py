@@ -992,8 +992,107 @@ def graph_1b_probe() -> None:
 
 
 
+def bfs_expander_scale() -> None:
+    """Decade tier for the driver-gated iterative kernel
+    ``bfs_distances_synthetic_10k`` (VERDICT r10 item 3): the SAME
+    frontier-delta BFS shape (expand last round's discoveries, distinct,
+    anti-join re-visits, DISK_ONLY checkpoints) on the same deterministic
+    expander family (i -> 2i+1, i -> 3i+7 mod p, symmetrized) at p =
+    10^4, 10^5, 10^6, 10^7 nodes (edges ~= 4p). In-run validation per
+    tier: every node reached (the expander is connected), frontier
+    growth monotone until the peak, and the BFS height stays O(log p)
+    (doubling map + affine mixing — height ~ log2(p)), so a wrong
+    anti-join or a dropped frontier shows up as unreached nodes, not as
+    a silent timing number."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ror_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark("bfs-expander-scale")
+    disk = StorageLevel.DISK_ONLY
+    tiers = [
+        int(x)
+        for x in os.environ.get(
+            "BFS_EXPANDER_TIERS", "10007,100003,1000003,10000019"
+        ).split(",")
+    ]
+    for p in tiers:
+        t0 = time.perf_counter()
+        ids = spark.range(p).select(F.col("id").alias("i"))
+        fwd = (
+            ids.select(F.col("i").alias("u"), ((2 * F.col("i") + 1) % p).alias("v"))
+            .unionAll(
+                ids.select(
+                    F.col("i").alias("u"), ((3 * F.col("i") + 7) % p).alias("v")
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+        )
+        e = (
+            fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True, storageLevel=disk)
+        )
+        n_e = e.count()
+        t_derive = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        frontier = spark.range(1).select(
+            F.lit(0).cast("long").alias("node"), F.lit(0).alias("d")
+        )
+        settled = frontier.localCheckpoint(eager=True, storageLevel=disk)
+        frontier = settled
+        sizes = []
+        rounds = 0
+        for _ in range(64):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["u"])
+                .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+                .distinct()
+                .join(settled.select("node"), on="node", how="left_anti")
+                .localCheckpoint(eager=True, storageLevel=disk)
+            )
+            n_nxt = nxt.count()
+            if n_nxt == 0:
+                break
+            sizes.append(n_nxt)
+            new_settled = settled.unionByName(nxt).localCheckpoint(
+                eager=True, storageLevel=disk
+            )
+            settled.unpersist()
+            frontier.unpersist()
+            settled, frontier = new_settled, nxt
+            rounds += 1
+        t_bfs = time.perf_counter() - t0
+        n_reached = settled.count()
+        max_d = settled.agg(F.max("d")).collect()[0][0]
+        peak = sizes.index(max(sizes)) if sizes else -1
+        monotone_to_peak = all(
+            sizes[j] <= sizes[j + 1] for j in range(max(0, peak))
+        )
+        import math as _math
+
+        ok = (
+            n_reached == p
+            and monotone_to_peak
+            and max_d <= 4 * _math.log2(p)
+        )
+        settled.unpersist()
+        e.unpersist()
+        print(
+            f"bfs_expander p={p:,d} E={n_e:,d} derive={t_derive:.1f}s "
+            f"bfs={t_bfs:.1f}s rounds={rounds} reached={n_reached:,d} "
+            f"height={max_d} valid={ok}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
+    ap.add_argument("--bfs-expander", action="store_true",
+                    help="decade tier for the driver-gated expander BFS kernel "
+                    "(bfs_distances_synthetic_10k shape) at 1e4..1e7 nodes")
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--gen10", action="store_true", help="synthesize the sf~10 tier (500k docs)")
     ap.add_argument("--gen-ov", action="store_true", help="synthesize the open-vocabulary (Heaps-law) decade: 5k and 50k docs")
@@ -1039,6 +1138,8 @@ if __name__ == "__main__":
     ap.add_argument("--run-r7d", action="store_true",
                     help="cold-first: session-3 ops (NB lang-ID, Zipf, minhash calibration, curriculum sample, image aHash) across the open-vocab decade")
     args = ap.parse_args()
+    if args.bfs_expander:
+        bfs_expander_scale()
     if args.graph_r10:
         graph_r10_scale()
     if args.graph_1b:
