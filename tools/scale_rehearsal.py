@@ -992,6 +992,74 @@ def graph_1b_probe() -> None:
 
 
 
+def cc_1b_probe() -> None:
+    """Second 10^9-edge kernel probe (VERDICT r10 item 7 stretch): ONE
+    hash-min connected-components round on the same uniform
+    hash-generated graph as ``graph_1b_probe`` (1e9 directed edges /
+    1e8 nodes) — widens the third decade beyond LPA with the OTHER
+    fixpoint kernel family (min-propagation instead of mode-vote). One
+    round: labels start as node ids, each node takes min(own, all
+    neighbours') over the symmetrized edge view — per round exactly one
+    edges⋈labels shuffle and one min-aggregate, the loop body of
+    ``operators/components.py:connected_components``. In-run
+    validation: output is node-sized, every new label is a valid node
+    id, and new_label <= node id everywhere (min-propagation can only
+    decrease — a violated row means the aggregate mixed keys)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ror_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "100g")
+    spark = get_spark("cc-1b")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    div = max(1, int(os.environ.get("GRAPH_REHEARSAL_DIV", "1")))
+    E, N = 1_000_000_000 // div, 100_000_000 // div
+
+    t0 = time.perf_counter()
+    e = spark.range(E)
+    und = (
+        e.select(
+            (((F.xxhash64("id") % N) + N) % N).alias("u"),
+            (((F.xxhash64("id", F.lit(1)) % N) + N) % N).alias("v"),
+        )
+        .filter("u <> v")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    n_e = und.count()
+    t_derive = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # symmetrize in the select (no second checkpoint): each directed
+    # edge contributes min-candidates in both directions
+    cand = und.select(F.col("u").alias("nid"), F.col("v").alias("cand")).unionAll(
+        und.select(F.col("v").alias("nid"), F.col("u").alias("cand"))
+    )
+    new_labels = cand.groupBy("nid").agg(
+        F.least(F.min("cand"), F.col("nid")).alias("label")
+    )
+    stats = new_labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("label") < 0) | (F.col("label") >= N), 1).otherwise(0)
+        ).alias("bad"),
+        F.sum(F.when(F.col("label") > F.col("nid"), 1).otherwise(0)).alias(
+            "increased"
+        ),
+        F.sum(F.when(F.col("label") < F.col("nid"), 1).otherwise(0)).alias(
+            "decreased"
+        ),
+    ).first()
+    t_cc = time.perf_counter() - t0
+    und.unpersist()
+    print(
+        f"cc1_1b E={n_e:,d} N={N:,d} derive={t_derive:.1f}s "
+        f"cc1={t_cc:.1f}s nodes={stats['n']:,d} bad={stats['bad']} "
+        f"increased={stats['increased']} decreased={stats['decreased']:,d}",
+        flush=True,
+    )
+
+
 def bfs_expander_scale() -> None:
     """Decade tier for the driver-gated iterative kernel
     ``bfs_distances_synthetic_10k`` (VERDICT r10 item 3): the SAME
@@ -1128,6 +1196,8 @@ if __name__ == "__main__":
                     help="cold-first: session-5 ops (debounce, portable HLL, Welch, basket, PIT join, skyline) across their decades")
     ap.add_argument("--graph-1b", action="store_true",
                     help="1e9-edge single-round LPA probe (third decade)")
+    ap.add_argument("--cc-1b", action="store_true",
+                    help="1e9-edge single-round hash-min CC probe (second third-decade kernel)")
     ap.add_argument("--graph-r10", action="store_true",
                     help="decade rows for the r10 staged graph ops: "
                     "multi-source BFS + per-node triangle credit")
@@ -1144,6 +1214,8 @@ if __name__ == "__main__":
         graph_r10_scale()
     if args.graph_1b:
         graph_1b_probe()
+    if args.cc_1b:
+        cc_1b_probe()
     if args.graph:
         graph_scale()
     if args.graph_skew:
