@@ -2285,3 +2285,479 @@ def ipf_raking_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.select("seg", "pri", F.round(F.col("w") + 1e-9, 4).alias("raked_weight"))
         .orderBy("seg", "pri")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: competing risks, Markov entropy rate, growth accounting, CMH
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "aalen_johansen_cif",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS tmax,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS te
+      FROM events GROUP BY user_id),
+    dur AS (
+      SELECT user_id,
+             CASE
+               WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+               WHEN te IS NOT NULL AND (tp IS NULL OR te < tp) THEN 2
+               ELSE 0 END AS cause,
+             (epoch_us(CASE
+               WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp
+               WHEN te IS NOT NULL AND (tp IS NULL OR te < tp) THEN te
+               ELSE tmax END) - epoch_us(t0)) // 3600000000 AS d_h
+      FROM per_user),
+    n_all AS (SELECT count(*) AS n FROM dur),
+    by_t AS (
+      SELECT d_h, count(*) AS n_total,
+             sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d2
+      FROM dur GROUP BY d_h),
+    risk AS (
+      SELECT d_h, n_total, d1, d2,
+             n_all.n - coalesce(sum(n_total) OVER (ORDER BY d_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_t, n_all),
+    ev AS (SELECT * FROM risk WHERE d1 + d2 > 0),
+    km AS (
+      SELECT d_h, n_risk, d1, d2,
+             exp(coalesce(sum(ln(CASE WHEN d1 + d2 < n_risk
+                 THEN 1.0 - CAST(d1 + d2 AS DOUBLE) / n_risk
+                 ELSE 1.0 END)) OVER (ORDER BY d_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               AS s_minus
+      FROM ev),
+    cif AS (
+      SELECT d_h, n_risk, d1, d2,
+             sum(s_minus * d1 / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY d_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cif_purchase,
+             sum(s_minus * d2 / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY d_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cif_error
+      FROM km)
+    SELECT CAST(d_h AS BIGINT) AS duration_h,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d1 AS BIGINT) AS d_purchase,
+           CAST(d2 AS BIGINT) AS d_error,
+           round(cif_purchase + 1e-9, 6) AS cif_purchase,
+           round(cif_error + 1e-9, 6) AS cif_error
+    FROM cif ORDER BY duration_h
+    """,
+)
+def aalen_johansen_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    RISKS: each user's first purchase and first error compete (whichever
+    strikes first is the user's cause; neither = censored at last
+    activity). CIF_k(t) = Σ_{s≤t} Ŝ(s⁻)·d_k(s)/n(s), with Ŝ the
+    all-cause KM survival — the estimator that fixes the classic
+    mistake of running per-cause KM and pretending competitors are
+    censoring (which over-counts: per-cause '1−KM's can sum past 1;
+    the CIFs cannot). Completes the registered survival family
+    (KM, Nelson-Aalen, log-rank, Weibull) with the multi-state member.
+
+    Scale shape: identical to KM — one user-keyed aggregate, then the
+    hour-domain frame (bounded keys at any corpus size) carries the
+    cumulative windows."""
+    e = Tables(spark, sf_dir).events
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
+    )
+    cause = (
+        F.when(
+            F.col("tp").isNotNull()
+            & (F.col("te").isNull() | (F.col("tp") <= F.col("te"))),
+            1,
+        )
+        .when(
+            F.col("te").isNotNull()
+            & (F.col("tp").isNull() | (F.col("te") < F.col("tp"))),
+            2,
+        )
+        .otherwise(0)
+    )
+    tend = (
+        F.when(
+            F.col("tp").isNotNull()
+            & (F.col("te").isNull() | (F.col("tp") <= F.col("te"))),
+            F.col("tp"),
+        )
+        .when(
+            F.col("te").isNotNull()
+            & (F.col("tp").isNull() | (F.col("te") < F.col("tp"))),
+            F.col("te"),
+        )
+        .otherwise(F.col("tmax"))
+    )
+    dur = per_user.select(
+        cause.alias("cause"),
+        F.timestamp_diff("MICROSECOND", F.col("t0"), tend).alias("d_us"),
+    ).select("cause", F.expr("d_us div 3600000000").alias("d_h"))
+    n_all = dur.agg(F.count(F.lit(1)).alias("n"))
+    by_t = dur.groupBy("d_h").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    from ror_etl_spark.operators.util import global_cumsum
+
+    risk = (
+        global_cumsum(by_t, ["d_h"], "n_total", out="before")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "d_h", "d1", "d2", (F.col("n") - F.col("before")).alias("n_risk")
+        )
+    )
+    ev = risk.filter(F.col("d1") + F.col("d2") > 0)
+    dall = (F.col("d1") + F.col("d2")).cast("double")
+    guarded = F.when(
+        F.col("d1") + F.col("d2") < F.col("n_risk"),
+        1.0 - dall / F.col("n_risk"),
+    ).otherwise(F.lit(1.0))
+    wk = Window.orderBy("d_h").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("d_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = ev.select(
+        "d_h",
+        "n_risk",
+        "d1",
+        "d2",
+        F.exp(F.coalesce(F.sum(F.log(guarded)).over(wk), F.lit(0.0))).alias(
+            "s_minus"
+        ),
+    )
+    cif = km.select(
+        "d_h",
+        "n_risk",
+        "d1",
+        "d2",
+        F.sum(
+            F.col("s_minus") * F.col("d1") / F.col("n_risk").cast("double")
+        ).over(wc).alias("cif_purchase"),
+        F.sum(
+            F.col("s_minus") * F.col("d2") / F.col("n_risk").cast("double")
+        ).over(wc).alias("cif_error"),
+    )
+    return cif.select(
+        F.col("d_h").cast("long").alias("duration_h"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d1").cast("long").alias("d_purchase"),
+        F.col("d2").cast("long").alias("d_error"),
+        F.round(F.col("cif_purchase") + 1e-9, 6).alias("cif_purchase"),
+        F.round(F.col("cif_error") + 1e-9, 6).alias("cif_error"),
+    ).orderBy("duration_h")
+
+
+@staged(
+    "entropy_rate_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events),
+    tr AS (
+      SELECT event_type AS a, nxt AS b, CAST(count(*) AS DOUBLE) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY a, b),
+    row_tot AS (SELECT a, sum(c) AS ra FROM tr GROUP BY a),
+    tot AS (SELECT sum(c) AS t FROM tr),
+    h AS (
+      SELECT sum((row_tot.ra / tot.t)
+                 * (tr.c / row_tot.ra) * -ln(tr.c / row_tot.ra)) AS rate,
+             sum((tr.c / tot.t) * -ln(tr.c / tot.t)) AS joint
+      FROM tr JOIN row_tot ON tr.a = row_tot.a CROSS JOIN tot)
+    SELECT round(rate + 1e-9, 6) AS entropy_rate_nats,
+           round(joint + 1e-9, 6) AS joint_entropy_nats,
+           round(rate / ln(5.0) + 1e-9, 6) AS normalized_rate
+    FROM h
+    """,
+)
+def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: H = Σ_a
+    π(a) Σ_b P(b|a)·(−ln P(b|a)), with the stationary weights taken as
+    the empirical transition-row masses — how PREDICTABLE the next user
+    action is given the current one (0 = deterministic flows, ln 5 =
+    uniform over the 5 event types). Reports the joint bigram entropy
+    beside it; the gap (joint − rate) is the information carried by the
+    current state. Builds the information-theoretic summary on top of
+    the registered ``markov_event_transitions`` (the matrix itself).
+
+    Scale shape: one user-partitioned lead window over the fact table
+    (the sessionize shape), then everything is a ≤25-row transition
+    frame."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    tr = seq.groupBy(
+        F.col("event_type").alias("a"), F.col("nxt").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    row_tot = tr.groupBy("a").agg(F.sum("c").alias("ra"))
+    tot = tr.agg(F.sum("c").alias("t"))
+    joined = tr.join(F.broadcast(row_tot), "a").crossJoin(F.broadcast(tot))
+    h = joined.agg(
+        F.sum(
+            (F.col("ra") / F.col("t"))
+            * (F.col("c") / F.col("ra"))
+            * -F.log(F.col("c") / F.col("ra"))
+        ).alias("rate"),
+        F.sum(
+            (F.col("c") / F.col("t")) * -F.log(F.col("c") / F.col("t"))
+        ).alias("joint"),
+    )
+    import math as _math
+
+    return h.select(
+        F.round(F.col("rate") + 1e-9, 6).alias("entropy_rate_nats"),
+        F.round(F.col("joint") + 1e-9, 6).alias("joint_entropy_nats"),
+        F.round(F.col("rate") / _math.log(5.0) + 1e-9, 6).alias(
+            "normalized_rate"
+        ),
+    )
+
+
+@staged(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) // 7
+               AS week_idx
+      FROM events),
+    firsts AS (
+      SELECT user_id, min(week_idx) AS first_week FROM wk GROUP BY user_id),
+    status AS (
+      SELECT w.week_idx, w.user_id,
+             CASE
+               WHEN f.first_week = w.week_idx THEN 'new'
+               WHEN prev.user_id IS NOT NULL THEN 'retained'
+               ELSE 'resurrected' END AS kind
+      FROM wk w
+      JOIN firsts f ON f.user_id = w.user_id
+      LEFT JOIN wk prev
+        ON prev.user_id = w.user_id AND prev.week_idx = w.week_idx - 1),
+    churn AS (
+      SELECT w.week_idx + 1 AS week_idx, count(*) AS churned
+      FROM wk w
+      LEFT JOIN wk nxt
+        ON nxt.user_id = w.user_id AND nxt.week_idx = w.week_idx + 1
+      WHERE nxt.user_id IS NULL
+      GROUP BY w.week_idx + 1),
+    agg AS (
+      SELECT week_idx,
+             sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS new_users,
+             sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS retained,
+             sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+               AS resurrected
+      FROM status GROUP BY week_idx)
+    SELECT a.week_idx AS week_idx,
+           CAST(a.new_users AS BIGINT) AS new_users,
+           CAST(a.retained AS BIGINT) AS retained,
+           CAST(a.resurrected AS BIGINT) AS resurrected,
+           CAST(coalesce(c.churned, 0) AS BIGINT) AS churned,
+           round((a.retained * 1.0) / nullif(a.retained +
+                 coalesce(c.churned, 0), 0) + 1e-9, 6) AS retention_rate
+    FROM agg a LEFT JOIN churn c ON c.week_idx = a.week_idx
+    WHERE a.week_idx <= 4 ORDER BY week_idx
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    decomposition every consumer-product dashboard runs): a user active
+    in week w is NEW (first-ever week), RETAINED (also active in w−1),
+    or RESURRECTED (active before, not in w−1); a user active in w−1
+    but not w CHURNS into w. retention_rate = retained/(retained+
+    churned) — the quick ratio's denominator pair. Distinct from the
+    registered ``cohort_retention`` (fixed-cohort triangle): this is
+    the per-period flow decomposition.
+
+    Scale shape: the (user, week) distinct frame is the only fact-sized
+    reduction; the three self-joins run on it keyed by (user, week) —
+    at 100 TB they're shuffle joins on the same key, one exchange
+    reused."""
+    e = Tables(spark, sf_dir).events
+    wk = e.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS date), DATE '2024-01-01') AS BIGINT)"
+            " div 7"
+        ).alias("week_idx"),
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("week_idx").alias("first_week"))
+    prev = wk.select("user_id", (F.col("week_idx") + 1).alias("week_idx"))
+    status = (
+        wk.join(firsts, "user_id")
+        .join(
+            prev.withColumn("was_prev", F.lit(1)),
+            ["user_id", "week_idx"],
+            "left",
+        )
+        .select(
+            "week_idx",
+            F.when(F.col("first_week") == F.col("week_idx"), "new")
+            .when(F.col("was_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("kind"),
+        )
+    )
+    nxt = wk.select("user_id", (F.col("week_idx") - 1).alias("week_idx"))
+    churn = (
+        wk.join(
+            nxt.withColumn("has_next", F.lit(1)),
+            ["user_id", "week_idx"],
+            "left",
+        )
+        .where(F.col("has_next").isNull())
+        .groupBy((F.col("week_idx") + 1).alias("week_idx"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    agg = status.groupBy("week_idx").agg(
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0)).alias("new_users"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0)).alias(
+            "retained"
+        ),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0)).alias(
+            "resurrected"
+        ),
+    )
+    return (
+        agg.join(churn, "week_idx", "left")
+        .where(F.col("week_idx") <= 4)
+        .select(
+            "week_idx",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0)).alias("churned"),
+            F.round(
+                (F.col("retained") * 1.0)
+                / F.nullif(
+                    F.col("retained") + F.coalesce(F.col("churned"), F.lit(0)),
+                    F.lit(0),
+                )
+                + 1e-9,
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("week_idx")
+    )
+
+
+@staged(
+    "cmh_test_segment_strata",
+    oracle="""
+    WITH med AS (
+      SELECT quantile_disc(o_totalprice, 0.5) AS m FROM orders),
+    cell AS (
+      SELECT c.c_mktsegment AS k,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+             CASE WHEN o.o_totalprice > med.m THEN 1 ELSE 0 END AS hi
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      CROSS JOIN med),
+    strata AS (
+      SELECT k,
+             CAST(sum(CASE WHEN tr = 1 AND hi = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS m1,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM cell GROUP BY k),
+    sums AS (
+      SELECT sum(a) AS sa,
+             sum(n1 * m1 / n) AS se,
+             sum(n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - 1))) AS sv,
+             sum(a * (n - n1 - m1 + a) / n) AS rr_num,
+             sum((n1 - a) * (m1 - a) / n) AS rr_den,
+             count(*) AS n_strata
+      FROM strata WHERE n > 1)
+    SELECT CAST(n_strata AS BIGINT) AS n_strata,
+           round(sa - se + 1e-9, 4) AS observed_minus_expected,
+           round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv + 1e-9, 6)
+             AS cmh_chi2,
+           round(rr_num / rr_den + 1e-9, 6) AS mh_odds_ratio
+    FROM sums
+    """,
+)
+def cmh_test_segment_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of urgent-priority × above-median
+    order value, STRATIFIED by market segment: pools the per-stratum
+    2×2 evidence (hypergeometric mean/variance of cell a) into one
+    continuity-corrected chi-square plus the Mantel-Haenszel common
+    odds ratio — association net of the stratifying confounder, the
+    categorical sibling of the staged IPTW (which adjusts a MEAN; CMH
+    adjusts an odds ratio). Exact discrete median via quantile_disc on
+    both engines.
+
+    Scale shape: one broadcast scalar (median), one groupBy(segment)
+    over indicator sums, then 5-row scalar math."""
+    o = Tables(spark, sf_dir).orders
+    t = Tables(spark, sf_dir)
+    med = o.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("m")
+    )
+    cell = (
+        o.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("c_mktsegment").alias("k"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.when(F.col("o_totalprice") > F.col("m"), 1).otherwise(0).alias(
+                "hi"
+            ),
+        )
+    )
+    strata = cell.groupBy("k").agg(
+        F.sum(F.when((F.col("tr") == 1) & (F.col("hi") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum("tr").cast("double").alias("n1"),
+        F.sum("hi").cast("double").alias("m1"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    sums = strata.where(F.col("n") > 1).agg(
+        F.sum("a").alias("sa"),
+        F.sum(F.col("n1") * F.col("m1") / F.col("n")).alias("se"),
+        F.sum(
+            F.col("n1")
+            * (F.col("n") - F.col("n1"))
+            * F.col("m1")
+            * (F.col("n") - F.col("m1"))
+            / (F.col("n") * F.col("n") * (F.col("n") - 1))
+        ).alias("sv"),
+        F.sum(
+            F.col("a")
+            * (F.col("n") - F.col("n1") - F.col("m1") + F.col("a"))
+            / F.col("n")
+        ).alias("rr_num"),
+        F.sum(
+            (F.col("n1") - F.col("a")) * (F.col("m1") - F.col("a")) / F.col("n")
+        ).alias("rr_den"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    dev = F.col("sa") - F.col("se")
+    return sums.select(
+        F.col("n_strata").alias("n_strata"),
+        F.round(dev + 1e-9, 4).alias("observed_minus_expected"),
+        F.round(
+            (F.abs(dev) - 0.5) * (F.abs(dev) - 0.5) / F.col("sv") + 1e-9, 6
+        ).alias("cmh_chi2"),
+        F.round(F.col("rr_num") / F.col("rr_den") + 1e-9, 6).alias(
+            "mh_odds_ratio"
+        ),
+    )

@@ -315,3 +315,45 @@ def test_closeness_bounds(spark):
         if r["n_reached"] > 0:
             assert r["total_dist"] >= r["n_reached"]
             assert 0.0 < r["closeness"] <= 1.0 + 1e-9
+
+
+def test_cif_sum_bounded_and_monotone(spark):
+    """Each CIF is nondecreasing and their sum never exceeds 1 — the
+    property per-cause 1-KM famously violates under competing risks."""
+    fn, _ = STAGED["aalen_johansen_cif"]
+    rows = sorted(fn(spark, SF_SMALL).collect(), key=lambda r: r["duration_h"])
+    prev_p = prev_e = 0.0
+    for r in rows:
+        assert r["cif_purchase"] >= prev_p - 1e-9
+        assert r["cif_error"] >= prev_e - 1e-9
+        prev_p, prev_e = r["cif_purchase"], r["cif_error"]
+        assert r["cif_purchase"] + r["cif_error"] <= 1.0 + 1e-6
+
+
+def test_entropy_rate_below_joint_and_cap(spark):
+    """Conditioning can't raise entropy: rate <= joint <= ... and the
+    normalized rate sits in [0, 1]."""
+    fn, _ = STAGED["entropy_rate_markov"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= row["entropy_rate_nats"] <= row["joint_entropy_nats"] + 1e-9
+    assert 0.0 <= row["normalized_rate"] <= 1.0 + 1e-9
+
+
+def test_growth_accounting_identity(spark):
+    """Week-1 actives decompose exactly: every active user is new,
+    retained, or resurrected; week 0 has no retained/resurrected."""
+    fn, _ = STAGED["growth_accounting_weekly"]
+    rows = sorted(fn(spark, SF_SMALL).collect(), key=lambda r: r["week_idx"])
+    w0 = rows[0]
+    assert w0["week_idx"] == 0
+    assert w0["retained"] == 0 and w0["resurrected"] == 0 and w0["churned"] == 0
+    for r in rows:
+        assert 0.0 <= (r["retention_rate"] or 0.0) <= 1.0 + 1e-9
+
+
+def test_cmh_chi2_nonnegative_and_or_positive(spark):
+    fn, _ = STAGED["cmh_test_segment_strata"]
+    row = fn(spark, SF_SMALL).collect()[0]
+    assert row["cmh_chi2"] >= 0.0
+    assert row["mh_odds_ratio"] > 0.0
+    assert row["n_strata"] == 5
