@@ -40,6 +40,9 @@ EVENTS_OPS = [
     "dp_noisy_counts_laplace",
     "geo_zorder_cell_counts",
     "spectral_entropy_daily_revenue",
+    "aalen_johansen_cif",
+    "entropy_rate_markov",
+    "growth_accounting_weekly",
 ]
 # fact-join ops on the tpch decade
 TPCH_OPS = [
@@ -52,6 +55,7 @@ TPCH_OPS = [
     "l_diversity_order_priority",
     "ipf_raking_segment_priority",
     "closeness_centrality_trade",
+    "cmh_test_segment_strata",
 ]
 
 
