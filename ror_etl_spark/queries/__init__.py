@@ -43,7 +43,7 @@ def load() -> None:
         vector,
         windows,
     )
-    from ror_etl_spark.queries import staged_r9, staged_r10, staged_r11
+    from ror_etl_spark.queries import staged_r9, staged_r10, staged_r11, staged_r12
 
     # r9 flip (VERDICT r8 item 1): the 16 operators staged under the r8
     # registry freeze are now live registry entries.
@@ -61,5 +61,12 @@ def load() -> None:
     # r11 driver window (cap 50) records the first 50 and the remaining
     # 13 lead the r12 window.
     staged_r11.register()
+
+    # r12 flip (VERDICT r11 item 1): the 31 operators staged under the
+    # r11 registry freeze are now live registry entries. The r12 driver
+    # window = 13 r11 names still lacking a driver verdict (tier-0 by
+    # ordered_queries) + these 31 = 44 <= 50, so one round records a
+    # driver verdict for every previously-unverified registry entry.
+    staged_r12.register()
 
     _LOADED = True

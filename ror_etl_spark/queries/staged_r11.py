@@ -829,6 +829,95 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / (100.0 * F.col("n")) + 1e-9, 2).alias("max_cusum"),
     )
 
+# r12 (VERDICT r11 item 2): the raw nation trade graph is the COMPLETE
+# graph K25 at every test SF (every nation pair trades at least once),
+# which made rich-club's output empty (no node exceeds the max degree)
+# and link-prediction's scores near-constant — green-but-vacuous
+# evidence. The family now runs on the SPARSIFIED trade graph: the
+# top-90 nation pairs by trade volume (count desc, then (a, b) — a
+# total order, so the cut is deterministic at every SF). Trade volumes
+# concentrate, so the induced graph is degree-DIVERSE (measured: deg
+# 1..24, 11-14 distinct degrees at sf0.001/0.01/0.1) and both ops
+# produce non-trivial output. item 3: the CTEs are MATERIALIZED —
+# DuckDB inlines CTEs by default, so the un-hinted 4-way fact join was
+# re-evaluated once per consumer (345.7 s at sf0.1 for link-prediction
+# alone); materializing it is the whole fix (the Spark twin always
+# checkpointed).
+_TRADE_TOP_M = 90
+# LPA modularity uses a sparser cut: at top-90 density the nation graph
+# has no community structure left for LPA to find (one giant label —
+# measured at all three SFs); at top-40 the 3-round partition holds
+# 8-13 communities of varied size at every SF, so the per-community
+# modularity terms (w_in, d_c) take real, distinct values.
+_MOD_TOP_M = 40
+
+
+def _trade_edge_ctes(top_m: int) -> str:
+    return f"""
+    pw AS MATERIALIZED (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+             greatest(s.s_nationkey, c.c_nationkey) AS b,
+             count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY a, b),
+    e0 AS MATERIALIZED (
+      SELECT a, b, w FROM (
+        SELECT a, b, w, row_number() OVER (ORDER BY w DESC, a, b) AS rn
+        FROM pw)
+      WHERE rn <= {top_m}),
+    und AS (
+      SELECT a AS u, b AS v, w FROM e0
+      UNION ALL SELECT b AS u, a AS v, w FROM e0),
+    deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY u)"""
+
+
+_TRADE_EDGE_CTES = _trade_edge_ctes(_TRADE_TOP_M)
+
+
+def _trade_edges(
+    t: Tables, top_m: int = _TRADE_TOP_M
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Sparsified undirected nation trade graph: (e0, und, deg) — the
+    top-``_TRADE_TOP_M`` least/greatest pairs by trade count (DISK_ONLY
+    checkpointed for the multiple consumers), the both-directions view
+    (weight kept for the weighted consumers), and node degrees. The
+    Python twin of ``_TRADE_EDGE_CTES``; link prediction, rich club,
+    assortativity, and LPA modularity share it so the family's graph
+    definition cannot drift apart. The global top-M window runs on the
+    pair-weight frame, bounded by |nations|^2/2 rows — a domain-bounded
+    single-partition sort, not a data-sized one."""
+    pw = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e0 = (
+        pw.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("w"), F.asc("a"), F.asc("b"))),
+        )
+        .filter(F.col("rn") <= top_m)
+        .select("a", "b", "w")
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    return e0, und, deg
+
+
+
 # ---------------------------------------------------------------------------
 # Link analysis: HITS hubs & authorities
 # ---------------------------------------------------------------------------
@@ -836,14 +925,29 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HITS_ITERS = 5
 _HITS_ROUND = 8
 
-_TRADE_EDGES_SQL = """edges AS (
+# r12 (VERDICT r11 item 2): the raw directed trade graph is complete
+# with near-uniform weights, which flattened the HITS fixpoint to
+# near-identical scores. Sparsified to each nation's top-K out-edges by
+# shipment count (deterministic (w DESC, v) tiebreak) — in-degrees then
+# vary with real trade concentration, so authorities separate. The CTEs
+# are MATERIALIZED so DuckDB evaluates the 4-way fact join once, not
+# once per unrolled half-iteration.
+_HITS_TOP_K = 5
+
+_TRADE_EDGES_SQL = f"""edges_all AS MATERIALIZED (
       SELECT s.s_nationkey AS u, c.c_nationkey AS v,
              CAST(count(*) AS DOUBLE) AS w
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      GROUP BY u, v)"""
+      GROUP BY u, v),
+    edges AS MATERIALIZED (
+      SELECT u, v, w FROM (
+        SELECT u, v, w,
+               row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+        FROM edges_all)
+      WHERE rn <= {_HITS_TOP_K})"""
 
 
 def _hits_oracle() -> str:
@@ -907,14 +1011,30 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per half-iteration ONE shuffle keyed by node id;
     scores are node-sized, edges partition by the join key. The
-    fact-table edge derivation is shared with pagerank/LPA."""
+    fact-table edge derivation is shared with pagerank/LPA.
+    r12 re-base (VERDICT r11 item 2): edges sparsified to each
+    nation's top-``_HITS_TOP_K`` out-edges by shipment count — the raw
+    complete near-uniform graph flattened hub/authority scores to
+    near-identical values (real hashes, degenerate evidence); the
+    per-u top-k window runs on the nation-pair aggregate, bounded by
+    the |nations| domain per partition."""
     t = Tables(spark, sf_dir)
-    edges = (
+    edges_all = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = (
+        edges_all.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("rn") <= _HITS_TOP_K)
+        .select("u", "v", "w")
         .localCheckpoint(eager=False)
     )
     nodes = t.nation.select(F.col("n_nationkey").alias("id"))
@@ -972,21 +1092,13 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @staged(
     "degree_assortativity_trade",
-    oracle="""
-    WITH e0 AS (
-      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
-             greatest(s.s_nationkey, c.c_nationkey) AS b
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey),
-    und AS (
-      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
-    deg AS (SELECT u AS n, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY u),
+    oracle=f"""
+    WITH {_TRADE_EDGE_CTES},
     mo AS (
-      SELECT count(*) AS ne, covar_pop(du.d, dv.d) AS sxy,
-             var_pop(du.d) AS sx, var_pop(dv.d) AS sy
+      SELECT count(*) AS ne,
+             covar_pop(CAST(du.d AS DOUBLE), CAST(dv.d AS DOUBLE)) AS sxy,
+             var_pop(CAST(du.d AS DOUBLE)) AS sx,
+             var_pop(CAST(dv.d AS DOUBLE)) AS sy
       FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v)
     SELECT CAST(ne AS BIGINT) AS n_directed_edges,
            CAST(CASE WHEN sx > 0 AND sy > 0 THEN 1 ELSE 0 END AS BIGINT)
@@ -997,35 +1109,23 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity of the undirected nation trade graph: the
-    Pearson correlation of endpoint degrees over the directed edge
-    list (each undirected edge counted in both directions, the standard
-    Newman formulation) — positive means hubs trade with hubs,
-    negative means a hub-and-spoke topology.
+    """Degree assortativity of the sparsified (top-90 by volume,
+    ``_trade_edges``) undirected nation trade graph: the Pearson
+    correlation of endpoint degrees over the directed edge list (each
+    undirected edge counted in both directions, the standard Newman
+    formulation) — positive means hubs trade with hubs, negative means
+    a hub-and-spoke topology. r12 re-base (VERDICT r11 item 2): on the
+    raw COMPLETE graph every degree was 24, variance zero, and the
+    statistic was pinned at defined=0 — real but degenerate evidence;
+    the sparsified graph has 11-14 distinct degrees, so the
+    correlation is exercised for real.
 
     Scale shape: degrees are one node-keyed aggregate of the edge list;
     the correlation is a single pass of streaming moments over edges
     joined to two broadcast degree maps."""
-    t = Tables(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
-        )
-        .distinct()
-    )
-    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    deg = und.groupBy(F.col("u").alias("n")).agg(
-        F.count(F.lit(1)).cast("double").alias("d")
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
+    _, und, deg = _trade_edges(Tables(spark, sf_dir))
+    du = deg.select(F.col("n").alias("u"), F.col("d").cast("double").alias("d_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").cast("double").alias("d_v"))
     mo = (
         und.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
@@ -1059,18 +1159,12 @@ _MOD_LPA_ROUNDS = 3
 def _modularity_oracle() -> str:
     """LPA label replay (the staged_r9 ``_lpa_oracle`` CTE chain,
     rebuilt here with the same rounds/tiebreaks) followed by the
-    weighted-modularity computation on those labels."""
+    weighted-modularity computation on those labels. r12: the graph is
+    the shared sparsified ``_TRADE_EDGE_CTES`` und (top-90 pairs,
+    weight-carrying) — LPA on the raw complete graph produced one
+    near-degenerate all-in-one community."""
     ctes = [
-        """edges AS (
-      SELECT s.s_nationkey AS u, c.c_nationkey AS v, CAST(count(*) AS BIGINT) AS w
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      GROUP BY u, v)""",
-        """und AS (
-      SELECT u, v, w FROM edges UNION ALL
-      SELECT v AS u, u AS v, w FROM edges)""",
+        _trade_edge_ctes(_MOD_TOP_M).strip(),
         """nodes AS (SELECT n_nationkey AS id FROM nation)""",
         """l0 AS (SELECT id, id AS label FROM nodes)""",
     ]
@@ -1135,21 +1229,16 @@ def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME deterministic one ``label_propagation_communities`` registers
     (synchronous, greatest-incident-weight, smallest-label tiebreak),
     so the quality metric composes with the detector it evaluates.
+    r12 re-base (VERDICT r11 item 2): the graph is the shared
+    sparsified ``_trade_edges`` und (top-90 pairs, degree-diverse) —
+    the raw complete graph collapsed LPA to near-one community.
 
     Scale shape: LPA is one shuffle per round (node-sized labels join
     the edge list); the modularity pass is two label-keyed aggregates
     of the edge list plus a broadcast scalar 2m."""
     t = Tables(spark, sf_dir)
-    edges = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    ).localCheckpoint(eager=False)
+    _, und, _ = _trade_edges(t, top_m=_MOD_TOP_M)
+    und = und.localCheckpoint(eager=False)
     nodes = t.nation.select(F.col("n_nationkey").alias("id"))
     labels = nodes.select("id", F.col("id").alias("label"))
     for _ in range(_MOD_LPA_ROUNDS):
@@ -4694,45 +4783,6 @@ def charclass_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_TRADE_EDGE_CTES = """
-    e0 AS (
-      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
-             greatest(s.s_nationkey, c.c_nationkey) AS b
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey),
-    und AS (
-      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
-    deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY u)"""
-
-
-def _trade_edges(t: Tables) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Undirected simple nation trade graph: (e0, und, deg) — distinct
-    least/greatest edge list (DISK_ONLY checkpointed for its multiple
-    consumers), the both-directions view, and node degrees. The Python
-    twin of ``_TRADE_EDGE_CTES``; link prediction and rich club share
-    it so the two ops' graph definitions cannot drift apart."""
-    e0 = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-    )
-    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    return e0, und, deg
-
-
 @staged(
     "link_prediction_trade_graph",
     oracle=f"""
@@ -4762,7 +4812,9 @@ def _trade_edges(t: Tables) -> tuple[DataFrame, DataFrame, DataFrame]:
     """,
 )
 def link_prediction_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-prediction scores on the undirected nation trade graph:
+    """Link-prediction scores on the SPARSIFIED undirected nation trade
+    graph (top-90 pairs by volume — degree-diverse, unlike the complete
+    raw graph where every score was the constant n_common = 23):
     for every node pair sharing at least one common neighbor, the
     three classical predictors — common-neighbor count, neighborhood
     Jaccard, and Adamic-Adar (Σ 1/ln(deg z), which down-weights
@@ -4846,7 +4898,8 @@ def link_prediction_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rich_club_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rich-club coefficient curve of the nation trade graph: for each
+    """Rich-club coefficient curve of the sparsified (top-90 by volume)
+    nation trade graph: for each
     degree threshold k (the distinct observed degrees), phi(k) =
     2·E_k / (N_k·(N_k−1)) where N_k nodes have degree > k and E_k
     edges connect two such nodes — the standard diagnostic for

@@ -1518,22 +1518,26 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_bounce_depth",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_us(ts)
-                    - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                    - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
                   > 1800000000 OR
-                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
                   IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events),
     sess AS (
-      SELECT user_id, ts, event_type,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM ordered),
     per AS (
       SELECT user_id, sid,
-             min_by(event_type, ts) AS first_type,
+             min_by(event_type,
+                    CAST(epoch_us(ts) AS HUGEINT) * 100000000000
+                      + event_id) AS first_type,
              count(*) AS depth
       FROM sess GROUP BY user_id, sid)
     SELECT first_type,
@@ -1558,13 +1562,18 @@ def session_bounce_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED BY user (parallel across users, the standard
     distributed sessionize), then a groupBy(user, sid) and a tiny
     groupBy(first_type). min_by picks the entry event without a third
-    window pass."""
+    window pass; its key is the TOTAL order (ts, event_id) — two
+    events sharing a session's minimum ts would otherwise let Spark
+    and the oracle pick different first_type values (the oracle
+    mirrors the tiebreak as the scalar epoch_us·1e11 + event_id,
+    since DuckDB's min_by takes no struct keys)."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = epoch_us(F.col("ts"))
     ordered = e.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         F.when(
             (us - F.lag(us).over(w) > 1_800_000_000)
@@ -1577,13 +1586,14 @@ def session_bounce_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = ordered.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         F.sum("is_start")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("sid"),
     )
     per = sess.groupBy("user_id", "sid").agg(
-        F.min_by("event_type", "ts").alias("first_type"),
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
         F.count(F.lit(1)).alias("depth"),
     )
     return (
@@ -1987,7 +1997,9 @@ def closeness_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m AS BIGINT) AS n_both,
            round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 + 1e-9, 4)
              AS chapman_estimate,
-           round((n1 * 1.0 * n2) / m + 1e-9, 4) AS lincoln_petersen
+           CASE WHEN m > 0
+                THEN round((n1 * 1.0 * n2) / m + 1e-9, 4)
+                ELSE NULL END AS lincoln_petersen
     FROM c
     """,
 )
@@ -2001,22 +2013,35 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent blocking schemes each catch).
 
     Scale shape: two distinct-aggregates and one semi-join on user_id —
-    all partial-agg friendly, no driver state."""
+    all partial-agg friendly, no driver state. The three counts stay
+    LAZY single-row aggregates cross-joined into one plan (broadcast of
+    three scalar frames), so construction never triggers an action and
+    an empty overlap (m = 0) degrades to a NULL Lincoln-Petersen row
+    instead of a driver-side ZeroDivisionError."""
     e = Tables(spark, sf_dir).events
     cut = F.lit("2024-01-15").cast("timestamp_ntz")
     w1 = e.filter(F.col("ts") < cut).select("user_id").distinct()
     w2 = e.filter(F.col("ts") >= cut).select("user_id").distinct()
-    n1 = w1.count()
-    n2 = w2.count()
-    m = w1.join(w2, "user_id").count()
-    return Tables(spark, sf_dir).events.sparkSession.range(1).select(
-        F.lit(n1).cast("long").alias("n_first"),
-        F.lit(n2).cast("long").alias("n_second"),
-        F.lit(m).cast("long").alias("n_both"),
-        F.round(
-            F.lit((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) + 1e-9, 4
-        ).alias("chapman_estimate"),
-        F.round(F.lit(n1 * 1.0 * n2 / m) + 1e-9, 4).alias("lincoln_petersen"),
+    a1 = w1.agg(F.count(F.lit(1)).alias("n_first"))
+    a2 = w2.agg(F.count(F.lit(1)).alias("n_second"))
+    am = w1.join(w2, "user_id").agg(F.count(F.lit(1)).alias("n_both"))
+    n1 = F.col("n_first").cast("double")
+    n2 = F.col("n_second").cast("double")
+    m = F.col("n_both").cast("double")
+    return (
+        a1.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(am))
+        .select(
+            F.col("n_first").cast("long").alias("n_first"),
+            F.col("n_second").cast("long").alias("n_second"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 + F.lit(1e-9), 4
+            ).alias("chapman_estimate"),
+            F.when(
+                m > 0, F.round(n1 * n2 / m + F.lit(1e-9), 4)
+            ).alias("lincoln_petersen"),
+        )
     )
 
 
@@ -2168,35 +2193,49 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep both engines identical — the same reason the registered
     ``percentile_exact`` family uses percentile_disc.
 
-    Scale shape: one aggregate computing all 10 order statistics in a
-    single pass (Spark's percentile builtin per arm); the 5-row
-    quantile ladder is a literal array, no join."""
+    Scale shape: ONE aggregate computes all 10 order statistics in a
+    single scan of orders (10 percentile_disc expressions in the same
+    .agg — Catalyst shares the scan and sort state), then the 1-row
+    result is exploded into the 5-row τ ladder via an array-of-structs
+    projection: no union of five full-table scans, no join."""
     o = Tables(spark, sf_dir).orders.select(
         F.col("o_totalprice").alias("y"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("tr"),
     )
-    rows = []
-    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
-        qt = F.expr(
-            f"percentile_disc({q}) WITHIN GROUP (ORDER BY y)"
-            " FILTER (WHERE tr = 1)"
+    taus = (0.1, 0.25, 0.5, 0.75, 0.9)
+    aggs = []
+    for i, q in enumerate(taus):
+        aggs.append(
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY y)"
+                " FILTER (WHERE tr = 1)"
+            ).alias(f"qt_{i}")
         )
-        qc = F.expr(
-            f"percentile_disc({q}) WITHIN GROUP (ORDER BY y)"
-            " FILTER (WHERE tr = 0)"
+        aggs.append(
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY y)"
+                " FILTER (WHERE tr = 0)"
+            ).alias(f"qc_{i}")
         )
-        rows.append(
-            o.agg(
+    one = o.agg(*aggs)
+    ladder = F.array(
+        *[
+            F.struct(
                 F.lit(q).alias("q"),
-                F.round(qt + 1e-9, 2).alias("q_treated"),
-                F.round(qc + 1e-9, 2).alias("q_control"),
-                F.round(qt - qc + 1e-9, 2).alias("qte"),
+                F.round(F.col(f"qt_{i}") + 1e-9, 2).alias("q_treated"),
+                F.round(F.col(f"qc_{i}") + 1e-9, 2).alias("q_control"),
+                F.round(
+                    F.col(f"qt_{i}") - F.col(f"qc_{i}") + 1e-9, 2
+                ).alias("qte"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("q")
+            for i, q in enumerate(taus)
+        ]
+    )
+    return (
+        one.select(F.explode(ladder).alias("r"))
+        .select("r.q", "r.q_treated", "r.q_control", "r.qte")
+        .orderBy("q")
+    )
 
 
 @staged(

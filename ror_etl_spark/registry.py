@@ -113,6 +113,17 @@ _R10_CHANGED = [
     "bfs_levels_trade_graph",
 ]
 
+# Queries whose IMPLEMENTATION changed in r12 (trade-graph family
+# re-based from the vacuous complete K25 onto the sparsified top-90
+# graph — VERDICT r11 item 2): already driver-green, but the new graph
+# changes their hashes, so they lead the re-confirmation tier of the
+# r12 window — right after the 44 tier-0 names (44 + 3 = 47 <= 50).
+_R12_CHANGED = [
+    "hits_nation_trade",
+    "degree_assortativity_trade",
+    "modularity_lpa_communities",
+]
+
 
 def load_all() -> None:
     """Import every query module (idempotent)."""
@@ -131,6 +142,9 @@ def load_all() -> None:
     for name in _R10_CHANGED:
         if name in QUERIES:
             PRIORITY[name] = max(PRIORITY.get(name, 0), 8)
+    for name in _R12_CHANGED:
+        if name in QUERIES:
+            PRIORITY[name] = max(PRIORITY.get(name, 0), 9)
 
 
 def _past_verdicts(repo_root: str) -> dict[str, bool]:
