@@ -1788,3 +1788,486 @@ def ktruss_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("long").alias("b"),
         F.col("sup").cast("long").alias("support"),
     ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Geo scale path, incremental sessionization, retention, fertility
+# ---------------------------------------------------------------------------
+
+from ror_etl_spark.queries.staged_r12 import _geo_df, _geo_sql  # noqa: E402
+
+
+@staged(
+    "geo_knn_cell_blocked",
+    oracle=f"""
+    WITH pts AS ({_geo_sql()}),
+    cells AS (
+      SELECT user_id, lat, lon,
+             least(CAST(floor((lat + 90.0) / 180.0 * 16.0) AS BIGINT), 15)
+               AS gy,
+             least(CAST(floor((lon + 180.0) / 360.0 * 16.0) AS BIGINT), 15)
+               AS gx
+      FROM pts),
+    q AS (
+      SELECT n_nationkey AS qid,
+             (CAST(n_nationkey AS DOUBLE) * 7.0) - 84.0 AS qlat,
+             (CAST(n_nationkey AS DOUBLE) * 14.3) - 170.0 AS qlon
+      FROM nation),
+    qc AS (
+      SELECT qid, qlat, qlon,
+             least(CAST(floor((qlat + 90.0) / 180.0 * 16.0) AS BIGINT), 15)
+               AS qgy,
+             least(CAST(floor((qlon + 180.0) / 360.0 * 16.0) AS BIGINT), 15)
+               AS qgx
+      FROM q),
+    probe AS (
+      SELECT qc.qid, qc.qlat, qc.qlon,
+             qc.qgy + dy.d AS gy, qc.qgx + dx.d AS gx
+      FROM qc
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx),
+    d AS (
+      SELECT p.qid, c.user_id,
+             2.0 * 6371.0 * asin(sqrt(
+               pow(sin(radians(c.lat - p.qlat) / 2), 2)
+               + cos(radians(p.qlat)) * cos(radians(c.lat))
+                 * pow(sin(radians(c.lon - p.qlon) / 2), 2))) AS km
+      FROM probe p JOIN cells c ON c.gy = p.gy AND c.gx = p.gx),
+    r AS (
+      SELECT qid, user_id, km,
+             row_number() OVER (PARTITION BY qid ORDER BY km, user_id) AS rn
+      FROM d)
+    SELECT qid, CAST(rn AS BIGINT) AS rn, user_id,
+           round(km + 1e-9, 3) AS km
+    FROM r WHERE rn <= 3 ORDER BY qid, rn
+    """,
+)
+def geo_knn_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked haversine k-NN — the 100 TB scale path the
+    registered brute ``geo_haversine_knn`` is the recall oracle for:
+    points land in the same 16×16 lat/lon grid as
+    ``geo_zorder_cell_counts``, each query probes its 3×3 cell
+    neighborhood, and the trig distance runs only on those candidates.
+    The cross join is GONE — candidates arrive through an equi-join on
+    the cell key, which scales as |points in probed cells|, not
+    |points|·|queries|. Deliberately approximate at the probe
+    boundary (a neighbor outside the 3×3 ring is missed); the staging
+    test measures recall against the brute op.
+
+    Scale shape: one map-side cell assignment, a broadcast of 225
+    (query, probe-cell) rows, an equi-join on the cell key, and a
+    k-bounded per-query window (WindowGroupLimit)."""
+    pts = _geo_df(spark, sf_dir)
+    cells = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.least(
+            F.floor((F.col("lat") + 90.0) / 180.0 * 16.0).cast("long"),
+            F.lit(15).cast("long"),
+        ).alias("gy"),
+        F.least(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 16.0).cast("long"),
+            F.lit(15).cast("long"),
+        ).alias("gx"),
+    )
+    n = Tables(spark, sf_dir).nation
+    q = n.select(
+        F.col("n_nationkey").alias("qid"),
+        (F.col("n_nationkey").cast("double") * 7.0 - 84.0).alias("qlat"),
+        (F.col("n_nationkey").cast("double") * 14.3 - 170.0).alias("qlon"),
+    )
+    qc = q.select(
+        "qid",
+        "qlat",
+        "qlon",
+        F.least(
+            F.floor((F.col("qlat") + 90.0) / 180.0 * 16.0).cast("long"),
+            F.lit(15).cast("long"),
+        ).alias("qgy"),
+        F.least(
+            F.floor((F.col("qlon") + 180.0) / 360.0 * 16.0).cast("long"),
+            F.lit(15).cast("long"),
+        ).alias("qgx"),
+    )
+    ring = spark.createDataFrame([(-1,), (0,), (1,)], "d long")
+    probe = (
+        qc.crossJoin(ring.select(F.col("d").alias("dy")))
+        .crossJoin(ring.select(F.col("d").alias("dx")))
+        .select(
+            "qid",
+            "qlat",
+            "qlon",
+            (F.col("qgy") + F.col("dy")).alias("gy"),
+            (F.col("qgx") + F.col("dx")).alias("gx"),
+        )
+    )
+    km = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - F.col("qlat")) / 2), 2)
+                + F.cos(F.radians("qlat"))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - F.col("qlon")) / 2), 2)
+            )
+        )
+    )
+    d = F.broadcast(probe).join(cells, ["gy", "gx"]).select(
+        "qid", "user_id", km.alias("km")
+    )
+    r = d.select(
+        "qid",
+        "user_id",
+        "km",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy("km", "user_id"))
+        .alias("rn"),
+    )
+    return (
+        r.where(F.col("rn") <= 3)
+        .select(
+            "qid",
+            F.col("rn").cast("long").alias("rn"),
+            "user_id",
+            F.round(F.col("km") + 1e-9, 3).alias("km"),
+        )
+        .orderBy("qid", "rn")
+    )
+
+
+_SESS_CUT = "2024-01-15"
+_SESS_GAP_US = 1_800_000_000
+
+
+@staged(
+    "incremental_sessionize_merge",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                  > {_SESS_GAP_US} OR
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                  IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked),
+    per AS (
+      SELECT user_id, sid, count(*) AS depth,
+             max(CASE WHEN ts < TIMESTAMP '{_SESS_CUT}' THEN 1 ELSE 0 END)
+               AS has_a,
+             max(CASE WHEN ts >= TIMESTAMP '{_SESS_CUT}' THEN 1 ELSE 0 END)
+               AS has_b
+      FROM sess GROUP BY user_id, sid)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN has_a = 1 AND has_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boundary_sessions,
+           CAST(sum(depth) AS BIGINT) AS total_events,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM per
+    """,
+)
+def incremental_sessionize_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization with boundary stitching, PROVEN
+    equivalent to the full-corpus sessionizer: the Spark side
+    sessionizes the pre-cut batch (2024-01-15) and the post-cut batch
+    INDEPENDENTLY (the nightly-increment reality — yesterday's
+    sessions are already closed and stored), then merges each user's
+    last pre-cut session with their first post-cut session when the
+    boundary gap is within the 30-minute timeout. The DuckDB oracle
+    sessionizes the WHOLE corpus in one pass — a hash match is an
+    equivalence proof that the incremental path loses nothing at the
+    batch seam, the property every incremental pipeline claims and
+    few test.
+
+    Scale shape: each batch sessionizes with the standard
+    user-partitioned windows; the stitch is one per-user aggregate of
+    batch tails and heads (user-sized), and the final report is a
+    scalar aggregate."""
+    e = Tables(spark, sf_dir).events
+    cut = F.lit(_SESS_CUT).cast("timestamp_ntz")
+    from ror_etl_spark.queries.util import epoch_us as _eus
+
+    def _sessionize(batch: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = _eus(F.col("ts"))
+        marked = batch.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                (us - F.lag(us).over(w) > _SESS_GAP_US)
+                | F.lag(us).over(w).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_start"),
+        )
+        sid = marked.select(
+            "user_id",
+            "ts",
+            F.sum("is_start")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("sid"),
+        )
+        return sid.groupBy("user_id", "sid").agg(
+            F.count(F.lit(1)).alias("depth"),
+            F.min(_eus(F.col("ts"))).alias("start_us"),
+            F.max(_eus(F.col("ts"))).alias("end_us"),
+        )
+    a = _sessionize(e.filter(F.col("ts") < cut))
+    b = _sessionize(e.filter(F.col("ts") >= cut))
+    a_tail = a.groupBy("user_id").agg(
+        F.max_by(F.struct("depth", "end_us"), "end_us").alias("t")
+    ).select("user_id", F.col("t.depth").alias("a_depth"),
+             F.col("t.end_us").alias("a_end"))
+    b_head = b.groupBy("user_id").agg(
+        F.min_by(F.struct("depth", "start_us"), "start_us").alias("h")
+    ).select("user_id", F.col("h.depth").alias("b_depth"),
+             F.col("h.start_us").alias("b_start"))
+    stitch = a_tail.join(b_head, "user_id").select(
+        "user_id",
+        (F.col("b_start") - F.col("a_end") <= _SESS_GAP_US).alias("merged"),
+        (F.col("a_depth") + F.col("b_depth")).alias("merged_depth"),
+    )
+    counts_a = a.agg(
+        F.count(F.lit(1)).alias("na"),
+        F.coalesce(F.sum("depth"), F.lit(0)).alias("ea"),
+        F.coalesce(F.max("depth"), F.lit(0)).alias("ma"),
+    )
+    counts_b = b.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(F.sum("depth"), F.lit(0)).alias("eb"),
+        F.coalesce(F.max("depth"), F.lit(0)).alias("mb"),
+    )
+    counts_m = stitch.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("merged"), 1).otherwise(0)), F.lit(0)
+        ).alias("nm"),
+        F.coalesce(
+            F.max(F.when(F.col("merged"), F.col("merged_depth"))), F.lit(0)
+        ).alias("mm"),
+    )
+    return (
+        counts_a.crossJoin(F.broadcast(counts_b))
+        .crossJoin(F.broadcast(counts_m))
+        .select(
+            (F.col("na") + F.col("nb") - F.col("nm"))
+            .cast("long")
+            .alias("n_sessions"),
+            F.col("nm").cast("long").alias("n_boundary_sessions"),
+            (F.col("ea") + F.col("eb")).cast("long").alias("total_events"),
+            F.greatest("ma", "mb", "mm").cast("long").alias("max_depth"),
+        )
+    )
+
+
+@staged(
+    "session_depth_halflife_fit",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                  > {_SESS_GAP_US} OR
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                  IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked),
+    per AS (SELECT count(*) AS depth FROM sess GROUP BY user_id, sid),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n0 FROM per),
+    grid AS (SELECT unnest(range(1, 9)) AS d),
+    surv AS (
+      SELECT grid.d AS x,
+             ln(count(CASE WHEN per.depth >= grid.d THEN 1 END) / tot.n0)
+               AS ly
+      FROM grid CROSS JOIN per CROSS JOIN tot
+      GROUP BY grid.d, tot.n0
+      HAVING count(CASE WHEN per.depth >= grid.d THEN 1 END) > 0),
+    fit AS (
+      SELECT count(*) AS np, covar_pop(x, ly) AS sxy,
+             var_pop(x) AS sxx, var_pop(ly) AS syy
+      FROM surv)
+    SELECT CAST(np AS BIGINT) AS n_depths,
+           CASE WHEN sxx > 0 THEN round(sxy / sxx + 1e-9, 6)
+                ELSE NULL END AS decay_slope,
+           CASE WHEN sxx > 0 AND sxy < 0
+                THEN round(-ln(2.0) * sxx / sxy + 1e-9, 4)
+                ELSE NULL END AS halflife_depth,
+           CASE WHEN sxx > 0 AND syy > 0
+                THEN round(sxy * sxy / (sxx * syy) + 1e-9, 6)
+                ELSE NULL END AS r2
+    FROM fit
+    """,
+)
+def session_depth_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth half-life: the survival curve P(depth >= d) of
+    30-minute sessions over d = 1..8, fit log-linearly — halflife =
+    -ln2/slope is 'every H extra events, half the sessions have
+    dropped off', with R² as the geometric-decay fit quality. Session
+    depth genuinely decays on this corpus (unlike weekly user
+    retention, which is flat because the synthetic users never churn),
+    so the fit is exercised with real variance at every SF. The decay
+    constant compresses the registered ``sessionize_events`` depth
+    distribution into the single number a product review quotes.
+
+    Scale shape: the sessionizer is the standard user-partitioned
+    window pair; the survival ladder is an 8-row broadcast grid joined
+    against the session-depth aggregate, and the fit is closed-form
+    moments over <= 8 points."""
+    e = Tables(spark, sf_dir).events
+    from ror_etl_spark.queries.util import epoch_us as _eus
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _eus(F.col("ts"))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > _SESS_GAP_US)
+            | F.lag(us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.select(
+        "user_id",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("depth"))
+    tot = per.agg(F.count(F.lit(1)).cast("double").alias("n0"))
+    grid = spark.range(1, 9).select(F.col("id").alias("d"))
+    surv = (
+        F.broadcast(grid)
+        .crossJoin(per)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("d", "n0")
+        .agg(
+            F.count(F.when(F.col("depth") >= F.col("d"), 1)).alias("nk")
+        )
+        .where(F.col("nk") > 0)
+        .select(
+            F.col("d").cast("double").alias("x"),
+            F.log(F.col("nk") / F.col("n0")).alias("ly"),
+        )
+    )
+    fit = surv.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.covar_pop("x", "ly").alias("sxy"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("ly").alias("syy"),
+    )
+    import math as _math
+
+    ok_x = F.col("sxx") > 0
+    return fit.select(
+        F.col("np").cast("long").alias("n_depths"),
+        F.when(
+            ok_x, F.round(F.col("sxy") / F.col("sxx") + 1e-9, 6)
+        ).alias("decay_slope"),
+        F.when(
+            ok_x & (F.col("sxy") < 0),
+            F.round(
+                -_math.log(2.0) * F.col("sxx") / F.col("sxy") + 1e-9, 4
+            ),
+        ).alias("halflife_depth"),
+        F.when(
+            ok_x & (F.col("syy") > 0),
+            F.round(
+                F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy"))
+                + 1e-9,
+                6,
+            ),
+        ).alias("r2"),
+    )
+
+
+@staged(
+    "tokenizer_fertility_by_language",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             CAST(length(list_filter(
+               regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'),
+               x -> x <> '')) AS BIGINT) AS bpe,
+             CAST(length(list_filter(
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS BIGINT) AS words,
+             n_chars
+      FROM documents),
+    agg AS (
+      SELECT lang, count(*) AS n_docs, sum(bpe) AS t, sum(words) AS w,
+             sum(n_chars) AS ch
+      FROM tok GROUP BY lang)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(t AS BIGINT) AS n_tokens,
+           CAST(w AS BIGINT) AS n_words,
+           round(t * 1.0 / w + 1e-9, 4) AS fertility,
+           round(ch * 1.0 / t + 1e-9, 4) AS chars_per_token
+    FROM agg ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    word and characters per token, per document language — the
+    tokenizer-equity report (languages with fertility ≫ English pay
+    more context budget per word, the standard multilingual-corpus
+    health check). Uses the registered deterministic BPE-ish token
+    estimator so the number is comparable with
+    ``llm_bpe_token_counts``.
+
+    Scale shape: one map-side regex pass per document and one tiny
+    per-language aggregate — no shuffle beyond the groupBy."""
+    from ror_etl_spark.functions.text import bpe_ish_token_count
+
+    d = Tables(spark, sf_dir).documents
+    words = F.size(
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+            ),
+            lambda x: x != "",
+        )
+    )
+    tok = d.select(
+        "lang",
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe"),
+        words.cast("long").alias("words"),
+        "n_chars",
+    )
+    agg = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("t"),
+        F.sum("words").alias("w"),
+        F.sum("n_chars").alias("ch"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("t").cast("long").alias("n_tokens"),
+        F.col("w").cast("long").alias("n_words"),
+        F.round(F.col("t") * 1.0 / F.col("w") + 1e-9, 4).alias("fertility"),
+        F.round(F.col("ch") * 1.0 / F.col("t") + 1e-9, 4).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")
