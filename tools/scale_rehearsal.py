@@ -1060,6 +1060,87 @@ def cc_1b_probe() -> None:
     )
 
 
+def pr_1b_probe() -> None:
+    """Third 10^9-edge kernel probe (VERDICT r11 item 8 stretch): ONE
+    damped PageRank rank-flow round on the same uniform hash-generated
+    graph as ``graph_1b_probe``/``cc_1b_probe`` (1e9 directed edges /
+    1e8 nodes) — completes the third-decade kernel triptych: mode-vote
+    (LPA), min-propagation (CC), and now RANK-FLOW, the loop body of
+    ``queries/engineops.py:pagerank_nation_trade`` at six orders of
+    magnitude more edges. Pre-step: the out-degree aggregate (timed
+    separately — at a real deployment it is computed once and reused
+    across all iterations). Round: contribution r(u)/deg(u) flows along
+    every edge, sums per target, and damps with teleport 0.15/N; nodes
+    with no in-edges keep the teleport base via a right join against
+    the node domain. In-run validation: output is node-sized, no rank
+    below the teleport base (flow is non-negative), and total mass
+    <= 1 + eps (rank-flow conserves mass up to dangling-node loss —
+    a sum above 1 means the aggregate double-counted)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ror_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "100g")
+    spark = get_spark("pr-1b")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    div = max(1, int(os.environ.get("GRAPH_REHEARSAL_DIV", "1")))
+    E, N = 1_000_000_000 // div, 100_000_000 // div
+
+    t0 = time.perf_counter()
+    e = spark.range(E)
+    und = (
+        e.select(
+            (((F.xxhash64("id") % N) + N) % N).alias("u"),
+            (((F.xxhash64("id", F.lit(1)) % N) + N) % N).alias("v"),
+        )
+        .filter("u <> v")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    n_e = und.count()
+    t_derive = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    n_deg = deg.count()
+    t_deg = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    base = 0.15 / N
+    # uniform start: r(u) = 1/N, so the flow join carries a literal —
+    # the round's cost is the edges-side shuffle, identical to any
+    # later iteration where r is a node-sized frame
+    flow = (
+        und.join(deg, "u")
+        .select("v", (F.lit(1.0 / N) / F.col("d")).alias("c"))
+        .groupBy("v")
+        .agg(F.sum("c").alias("fin"))
+    )
+    nodes = spark.range(N).select(F.col("id").alias("v"))
+    ranks = nodes.join(flow, "v", "left").select(
+        "v",
+        (F.lit(base) + 0.85 * F.coalesce(F.col("fin"), F.lit(0.0))).alias("r"),
+    )
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("r") < base - 1e-15, 1).otherwise(0)).alias("bad"),
+        F.sum("r").alias("mass"),
+    ).first()
+    t_pr = time.perf_counter() - t0
+    und.unpersist()
+    deg.unpersist()
+    print(
+        f"pr1_1b E={n_e:,d} N={N:,d} derive={t_derive:.1f}s "
+        f"deg={t_deg:.1f}s (out_nodes={n_deg:,d}) pr1={t_pr:.1f}s "
+        f"nodes={stats['n']:,d} bad={stats['bad']} mass={stats['mass']:.6f}",
+        flush=True,
+    )
+
+
 def bfs_expander_scale() -> None:
     """Decade tier for the driver-gated iterative kernel
     ``bfs_distances_synthetic_10k`` (VERDICT r10 item 3): the SAME
@@ -1198,6 +1279,8 @@ if __name__ == "__main__":
                     help="1e9-edge single-round LPA probe (third decade)")
     ap.add_argument("--cc-1b", action="store_true",
                     help="1e9-edge single-round hash-min CC probe (second third-decade kernel)")
+    ap.add_argument("--pr-1b", action="store_true",
+                    help="1e9-edge single-round PageRank rank-flow probe (third third-decade kernel)")
     ap.add_argument("--graph-r10", action="store_true",
                     help="decade rows for the r10 staged graph ops: "
                     "multi-source BFS + per-node triangle credit")
@@ -1216,6 +1299,8 @@ if __name__ == "__main__":
         graph_1b_probe()
     if args.cc_1b:
         cc_1b_probe()
+    if args.pr_1b:
+        pr_1b_probe()
     if args.graph:
         graph_scale()
     if args.graph_skew:
