@@ -23,8 +23,10 @@ quantized power iteration, k-means elbow inertia ladder), sparse-graph
 kernels (personalized PageRank, k-truss), the cell-blocked geo k-NN
 scale path whose recall the registered broadcast k-NN oracles, and
 incremental product-state closures (two-batch sessionize merge proven
-against the full-corpus sessionizer, cohort retention half-life fit,
-BPE tokenizer fertility by language).
+against the full-corpus sessionizer, session-depth half-life fit,
+BPE tokenizer fertility by language), plus wave 8: revenue-weighted
+quantiles over the discrete quantity domain and a Simpson's-paradox
+reversal screen.
 
 Every entry follows the registry discipline (registry.py module
 docstring): identical aliases both sides, epsilon-shifted rounding on
@@ -2271,3 +2273,170 @@ def tokenizer_fertility_by_language(spark: SparkSession, sf_dir: str) -> DataFra
             "chars_per_token"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: weighted quantiles, Simpson-paradox screen
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "weighted_quantiles_quantity",
+    oracle="""
+    WITH wv AS (
+      SELECT l_quantity AS q, sum(l_extendedprice) AS w
+      FROM lineitem GROUP BY q),
+    cum AS (
+      SELECT q, w,
+             sum(w) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER () AS tw
+      FROM wv),
+    taus AS (SELECT unnest([0.25, 0.5, 0.75]) AS tau),
+    pick AS (
+      SELECT taus.tau, min(cum.q) AS value
+      FROM taus JOIN cum ON cum.cw >= taus.tau * cum.tw
+      GROUP BY taus.tau)
+    SELECT pick.tau AS tau,
+           round(pick.value + 1e-9, 2) AS value,
+           round(c2.cw / c2.tw + 1e-9, 6) AS cum_weight_share
+    FROM pick JOIN cum c2 ON c2.q = pick.value
+    ORDER BY tau
+    """,
+)
+def weighted_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted quantiles of order quantity (tau = .25/.5/.75):
+    the smallest quantity whose cumulative revenue weight reaches
+    tau·W — 'half the revenue ships in lines of quantity <= X', the
+    weighted-median primitive every mixture-reweighting pipeline needs
+    (plain medians answer the row question; weighted medians answer
+    the MASS question).
+
+    Scale shape: l_quantity is a small discrete domain (1..50), so ONE
+    value-keyed aggregate reduces the fact table to a domain-bounded
+    frame and the cumulative scan is a 50-row window — at 100 TB only
+    the first aggregate sees data. For continuous weight columns the
+    same op runs on ``equidepth_bin_assign``'s binned domain."""
+    li = Tables(spark, sf_dir).lineitem
+    wv = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.sum("l_extendedprice").alias("w")
+    )
+    wall = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = wv.select(
+        "q",
+        F.sum("w").over(wall).alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("tw"),
+    )
+    taus = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "tau double")
+    pick = (
+        F.broadcast(taus)
+        .join(cum, F.col("cw") >= F.col("tau") * F.col("tw"))
+        .groupBy("tau")
+        .agg(F.min("q").alias("value"))
+    )
+    c2 = cum.select(F.col("q").alias("value"), "cw", "tw")
+    return (
+        pick.join(c2, "value")
+        .select(
+            "tau",
+            F.round(F.col("value") + 1e-9, 2).alias("value"),
+            F.round(F.col("cw") / F.col("tw") + 1e-9, 6).alias(
+                "cum_weight_share"
+            ),
+        )
+        .orderBy("tau")
+    )
+
+
+@staged(
+    "simpson_paradox_screen",
+    oracle="""
+    WITH med AS (
+      SELECT quantile_disc(o_totalprice, 0.5) AS m FROM orders),
+    base AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS x,
+             CASE WHEN o.o_totalprice > med.m THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      CROSS JOIN med),
+    strat AS (
+      SELECT seg,
+             avg(CASE WHEN x = 1 THEN CAST(y AS DOUBLE) END)
+             - avg(CASE WHEN x = 0 THEN CAST(y AS DOUBLE) END) AS d
+      FROM base GROUP BY seg),
+    agg AS (
+      SELECT avg(CASE WHEN x = 1 THEN CAST(y AS DOUBLE) END)
+             - avg(CASE WHEN x = 0 THEN CAST(y AS DOUBLE) END) AS d
+      FROM base),
+    sm AS (
+      SELECT count(*) AS n_strata,
+             sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_neg,
+             round(avg(d) + 1e-9, 6) AS mean_stratum_diff
+      FROM strat)
+    SELECT CAST(sm.n_strata AS BIGINT) AS n_strata,
+           CAST(sm.n_pos AS BIGINT) AS n_pos,
+           CAST(sm.n_neg AS BIGINT) AS n_neg,
+           sm.mean_stratum_diff,
+           round(agg.d + 1e-9, 6) AS aggregate_diff,
+           CAST(CASE WHEN (agg.d > 0 AND sm.n_neg > sm.n_pos)
+                       OR (agg.d < 0 AND sm.n_pos > sm.n_neg)
+                     THEN 1 ELSE 0 END AS BIGINT) AS reversal_flag
+    FROM sm CROSS JOIN agg
+    """,
+)
+def simpson_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen for the URGENT-priority -> high-value
+    association: the aggregate risk difference P(high|urgent) −
+    P(high|other) next to the per-market-segment differences, with a
+    reversal flag when the aggregate sign contradicts the stratum
+    majority — the confounding tripwire to run before quoting ANY
+    aggregate uplift (companion to the registered CMH test, which
+    assumes you already knew to stratify).
+
+    Scale shape: one exact-median pass, one fact-join aggregate to
+    (segment, x) sufficient statistics, then scalar algebra on the
+    5-row stratum frame."""
+    t = Tables(spark, sf_dir)
+    med = t.orders.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("m")
+    )
+    base = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("x"),
+            F.when(F.col("o_totalprice") > F.col("m"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    d_expr = F.avg(
+        F.when(F.col("x") == 1, F.col("y").cast("double"))
+    ) - F.avg(F.when(F.col("x") == 0, F.col("y").cast("double")))
+    strat = base.groupBy("seg").agg(d_expr.alias("d"))
+    agg = base.agg(d_expr.alias("da"))
+    sm = strat.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).alias("n_neg"),
+        F.round(F.avg("d") + 1e-9, 6).alias("mean_stratum_diff"),
+    )
+    rev = (
+        ((F.col("da") > 0) & (F.col("n_neg") > F.col("n_pos")))
+        | ((F.col("da") < 0) & (F.col("n_pos") > F.col("n_neg")))
+    )
+    return sm.crossJoin(F.broadcast(agg)).select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        "mean_stratum_diff",
+        F.round(F.col("da") + 1e-9, 6).alias("aggregate_diff"),
+        F.when(rev, 1).otherwise(0).cast("long").alias("reversal_flag"),
+    )

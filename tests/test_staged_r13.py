@@ -319,3 +319,24 @@ def test_fertility_at_least_one_token_per_word(spark):
         assert r["n_tokens"] >= r["n_words"]
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] > 0
+
+
+def test_weighted_quantiles_monotone(spark):
+    """Weighted quantile values are nondecreasing in tau and each
+    cumulative share covers at least its tau."""
+    rows = sorted(
+        STAGED["weighted_quantiles_quantity"][0](spark, SF_SMALL).collect(),
+        key=lambda r: r["tau"],
+    )
+    assert len(rows) == 3
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals)
+    for r in rows:
+        assert r["cum_weight_share"] >= r["tau"] - 1e-9
+
+
+def test_simpson_screen_counts_partition(spark):
+    r = STAGED["simpson_paradox_screen"][0](spark, SF_SMALL).collect()[0]
+    assert r["n_pos"] + r["n_neg"] <= r["n_strata"]
+    assert r["reversal_flag"] in (0, 1)
+    assert -1.0 <= r["aggregate_diff"] <= 1.0
