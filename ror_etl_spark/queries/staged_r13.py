@@ -2322,11 +2322,14 @@ def weighted_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_extendedprice").alias("w")
     )
     wall = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    # lazy checkpoint: cum feeds BOTH the tau pick and the share
+    # lookup; without it Catalyst re-derives the aggregate from a
+    # second full lineitem scan (verified in the r12 plan audit)
     cum = wv.select(
         "q",
         F.sum("w").over(wall).alias("cw"),
         F.sum("w").over(Window.partitionBy()).alias("tw"),
-    )
+    ).localCheckpoint(eager=False)
     taus = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "tau double")
     pick = (
         F.broadcast(taus)
