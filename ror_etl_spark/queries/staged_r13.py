@@ -2443,3 +2443,1085 @@ def simpson_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("da") + 1e-9, 6).alias("aggregate_diff"),
         F.when(rev, 1).otherwise(0).cast("long").alias("reversal_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 9: inequality indices, 2x2/ordinal association, unit-root and
+# Granger diagnostics, exact Wasserstein, burstiness, graph centrality,
+# hubness, Holt smoothing
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "atkinson_index_customer_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS y FROM orders GROUP BY 1),
+    m AS (
+      SELECT count(*) AS n, avg(y) AS mu,
+             avg(sqrt(y)) AS mh, sum(1.0 / y) AS sinv
+      FROM rev)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(mu + 1e-9, 2) AS mean_revenue,
+           round(1.0 - (mh * mh) / mu + 1e-9, 6) AS atkinson_e05,
+           round(1.0 - (n / sinv) / mu + 1e-9, 6) AS atkinson_e2
+    FROM m
+    """,
+)
+def atkinson_index_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality indices of per-customer revenue at aversion
+    epsilon = 0.5 (A = 1 - (mean sqrt y)^2 / mean y) and epsilon = 2
+    (A = 1 - harmonic_mean / mean). Welfare-weighted complements to the
+    registered Gini/Theil/Lorenz family: epsilon picks WHERE on the
+    distribution inequality hurts (eps=2 is dominated by the poorest
+    customers, eps=0.5 by the bulk), so the pair localizes which tail
+    drives a Gini move.
+
+    Scale shape: one custkey-keyed aggregate then one scalar aggregate
+    — all-row statistics from sums of y^p, never a sort."""
+    o = Tables(spark, sf_dir).orders
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("y"))
+    m = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.avg(F.sqrt("y")).alias("mh"),
+        F.sum(F.lit(1.0) / F.col("y")).alias("sinv"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("mu") + 1e-9, 2).alias("mean_revenue"),
+        F.round(
+            1.0 - (F.col("mh") * F.col("mh")) / F.col("mu") + 1e-9, 6
+        ).alias("atkinson_e05"),
+        F.round(
+            1.0 - (F.col("n") / F.col("sinv")) / F.col("mu") + 1e-9, 6
+        ).alias("atkinson_e2"),
+    )
+
+
+@staged(
+    "income_share_ratios_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS y FROM orders GROUP BY 1),
+    rk AS (
+      SELECT o_custkey, y,
+             row_number() OVER (ORDER BY y, o_custkey) AS r
+      FROM rev),
+    tot AS (SELECT count(*) AS n, sum(y) AS ty FROM rev),
+    seg AS (
+      SELECT 'q' || CAST(((r - 1) * 5) // n + 1 AS VARCHAR) AS segment,
+             count(*) AS nc, sum(y) AS sy
+      FROM rk CROSS JOIN tot GROUP BY 1
+      UNION ALL
+      SELECT 'bottom40', count(*), sum(y)
+      FROM rk CROSS JOIN tot WHERE r <= (n * 2) // 5
+      UNION ALL
+      SELECT 'top10', count(*), sum(y)
+      FROM rk CROSS JOIN tot WHERE r > n - n // 10),
+    palma AS (
+      SELECT (SELECT sum(y) FROM rk CROSS JOIN tot WHERE r > n - n // 10)
+             / (SELECT sum(y) FROM rk CROSS JOIN tot
+                WHERE r <= (n * 2) // 5) AS p)
+    SELECT seg.segment,
+           CAST(seg.nc AS BIGINT) AS n_customers,
+           round(seg.sy / tot.ty + 1e-9, 6) AS revenue_share,
+           round(palma.p + 1e-9, 6) AS palma_ratio
+    FROM seg CROSS JOIN tot CROSS JOIN palma
+    ORDER BY segment
+    """,
+)
+def income_share_ratios_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration shares: exact quintile shares of
+    per-customer revenue plus the bottom-40% and top-10% segments and
+    the Palma ratio (top-10 share / bottom-40 share) — the
+    concentration summary regulators and data-mixture owners actually
+    quote, complementing the registered Lorenz/Gini curve with named
+    cut points. Cutoffs are exact integer ranks (floor arithmetic on
+    row_number over (revenue, custkey)), so no percentile
+    interpolation rule crosses the engine boundary.
+
+    Scale shape: ranks over the customer-sized frame route through
+    ``global_cumsum`` (range shuffle + carry), never a single-task
+    global window; segments then aggregate to <= 7 rows."""
+    from ror_etl_spark.operators.util import global_cumsum
+
+    o = Tables(spark, sf_dir).orders
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("y"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    rk = global_cumsum(rev, ["y", "o_custkey"], "one", out="prior").select(
+        "o_custkey", "y", (F.col("prior") + 1).alias("r")
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("ty")
+    )
+    j = rk.crossJoin(F.broadcast(tot)).localCheckpoint(
+        eager=False, storageLevel=_DISK_ONLY
+    )
+    # the oracle's ((r-1)*5)/n is DuckDB integer division; Spark's / is
+    # double division, so the same floor is spelled explicitly
+    quint = j.groupBy(
+        F.concat(
+            F.lit("q"),
+            (F.floor((F.col("r") - 1) * 5 / F.col("n")) + 1).cast("string"),
+        ).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("nc"), F.sum("y").alias("sy"))
+    bottom = j.filter(
+        F.col("r") <= F.floor(F.col("n") * 2 / 5)
+    ).agg(
+        F.lit("bottom40").alias("segment"),
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("y").alias("sy"),
+    )
+    top = j.filter(
+        F.col("r") > F.col("n") - F.floor(F.col("n") / 10)
+    ).agg(
+        F.lit("top10").alias("segment"),
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("y").alias("sy"),
+    )
+    segs = quint.unionByName(bottom).unionByName(top)
+    palma = (
+        top.select(F.col("sy").alias("sy_top"))
+        .crossJoin(bottom.select(F.col("sy").alias("sy_bot")))
+        .select((F.col("sy_top") / F.col("sy_bot")).alias("p"))
+    )
+    return (
+        segs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(palma))
+        .select(
+            "segment",
+            F.col("nc").cast("long").alias("n_customers"),
+            F.round(F.col("sy") / F.col("ty") + 1e-9, 6).alias(
+                "revenue_share"
+            ),
+            F.round(F.col("p") + 1e-9, 6).alias("palma_ratio"),
+        )
+        .orderBy("segment")
+    )
+
+
+@staged(
+    "odds_ratio_click_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pu
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN ck = 1 AND pu = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN ck = 1 AND pu = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN ck = 0 AND pu = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN ck = 0 AND pu = 0 THEN 1 ELSE 0 END) AS d
+      FROM u),
+    s AS (
+      SELECT n, a, b, c, d,
+             ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)) AS orr,
+             sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                  + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)) AS se
+      FROM t)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_click_only,
+           CAST(c AS BIGINT) AS n_purchase_only,
+           CAST(d AS BIGINT) AS n_neither,
+           round(orr + 1e-9, 6) AS odds_ratio,
+           round(ln(orr) + 1e-9, 6) AS log_or,
+           round(exp(ln(orr) - 1.959964 * se) + 1e-9, 6) AS ci_low,
+           round(exp(ln(orr) + 1.959964 * se) + 1e-9, 6) AS ci_high
+    FROM s
+    """,
+)
+def odds_ratio_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level click/purchase odds ratio with the Haldane-Anscombe
+    +0.5 correction (applied unconditionally so zero cells degrade
+    gracefully instead of producing inf) and the Woolf-logit 95% CI.
+    The effect-size-with-uncertainty companion to the registered
+    chi-square/McNemar family — a chi-square says the 2x2 is
+    dependent, the OR+CI says HOW MUCH and with what precision.
+
+    Scale shape: one user-keyed aggregate then one 4-cell scalar
+    aggregate; the CI is pure scalar algebra on one row."""
+    e = Tables(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ck"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "pu"
+        ),
+    )
+    t = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("ck") == 1) & (F.col("pu") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("ck") == 1) & (F.col("pu") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("ck") == 0) & (F.col("pu") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("ck") == 0) & (F.col("pu") == 0), 1).otherwise(0)).alias("d"),
+    )
+    orr = ((F.col("a") + 0.5) * (F.col("d") + 0.5)) / (
+        (F.col("b") + 0.5) * (F.col("c") + 0.5)
+    )
+    se = F.sqrt(
+        1.0 / (F.col("a") + 0.5)
+        + 1.0 / (F.col("b") + 0.5)
+        + 1.0 / (F.col("c") + 0.5)
+        + 1.0 / (F.col("d") + 0.5)
+    )
+    s = t.select("n", "a", "b", "c", "d", orr.alias("orr"), se.alias("se"))
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("a").cast("long").alias("n_both"),
+        F.col("b").cast("long").alias("n_click_only"),
+        F.col("c").cast("long").alias("n_purchase_only"),
+        F.col("d").cast("long").alias("n_neither"),
+        F.round(F.col("orr") + 1e-9, 6).alias("odds_ratio"),
+        F.round(F.log(F.col("orr")) + 1e-9, 6).alias("log_or"),
+        F.round(
+            F.exp(F.log(F.col("orr")) - 1.959964 * F.col("se")) + 1e-9, 6
+        ).alias("ci_low"),
+        F.round(
+            F.exp(F.log(F.col("orr")) + 1.959964 * F.col("se")) + 1e-9, 6
+        ).alias("ci_high"),
+    )
+
+
+@staged(
+    "goodman_kruskal_gamma_priority_status",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pr,
+             o_orderstatus AS st, count(*) AS n
+      FROM orders GROUP BY 1, 2),
+    pairs AS (
+      SELECT sum(CASE WHEN (a.pr < b.pr AND a.st < b.st) THEN a.n * b.n
+                      ELSE 0 END) AS conc,
+             sum(CASE WHEN (a.pr < b.pr AND a.st > b.st) THEN a.n * b.n
+                      ELSE 0 END) AS disc
+      FROM cells a CROSS JOIN cells b),
+    tot AS (SELECT sum(n) AS n_orders FROM cells)
+    SELECT CAST(tot.n_orders AS BIGINT) AS n_orders,
+           CAST(pairs.conc AS BIGINT) AS concordant,
+           CAST(pairs.disc AS BIGINT) AS discordant,
+           round((pairs.conc - pairs.disc) * 1.0
+                 / (pairs.conc + pairs.disc) + 1e-9, 6) AS gamma
+    FROM pairs CROSS JOIN tot
+    """,
+)
+def goodman_kruskal_gamma_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal gamma between order priority (ordinal 1-URGENT
+    .. 5-LOW by numeric prefix) and order status (ordinal by its
+    F < O < P string order): gamma = (C - D)/(C + D) over concordant /
+    discordant pairs, ties dropped. The ordinal-association companion
+    to the registered Cramer's V (nominal) and Kendall tau (numeric) —
+    gamma is the one that respects category ORDER without requiring
+    numeric scores.
+
+    Scale shape: the fact table reduces to a <= 15-cell contingency
+    aggregate; the pair double-sum is a bounded crossJoin of that cell
+    frame with itself (<= 225 rows) — exact integer counts, O(n) in the
+    fact table and O(cells^2) after."""
+    o = Tables(spark, sf_dir).orders
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cells.select(
+        F.col("pr").alias("pa"), F.col("st").alias("sa"), F.col("n").alias("na")
+    )
+    b = cells.select(
+        F.col("pr").alias("pb"), F.col("st").alias("sb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pa") < F.col("pb")) & (F.col("sa") < F.col("sb")),
+                    F.col("na") * F.col("nb"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("pa") < F.col("pb")) & (F.col("sa") > F.col("sb")),
+                    F.col("na") * F.col("nb"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("disc"),
+        )
+    )
+    tot = cells.agg(F.sum("n").alias("n_orders"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / (F.col("conc") + F.col("disc"))
+            + 1e-9,
+            6,
+        ).alias("gamma"),
+    )
+
+
+@staged(
+    "dickey_fuller_daily_revenue",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    lagged AS (
+      SELECT y - lag(y) OVER (ORDER BY t) AS dy,
+             lag(y) OVER (ORDER BY t) AS x
+      FROM daily),
+    obs AS (SELECT dy, x FROM lagged WHERE x IS NOT NULL),
+    mu AS (SELECT avg(dy) AS mdy, avg(x) AS mx, count(*) AS n FROM obs),
+    s AS (
+      SELECT max(mu.n) AS n,
+             sum((o.x - mu.mx) * (o.x - mu.mx)) AS sxx,
+             sum((o.x - mu.mx) * (o.dy - mu.mdy)) AS sxy,
+             sum((o.dy - mu.mdy) * (o.dy - mu.mdy)) AS syy
+      FROM obs o CROSS JOIN mu),
+    fit AS (
+      SELECT n, sxy / sxx AS g,
+             (syy - (sxy / sxx) * sxy) / (n - 2) AS s2, sxx
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(g + 1e-9, 6) AS gamma_hat,
+           round(g / sqrt(s2 / sxx) + 1e-9, 6) AS df_t_stat,
+           CASE WHEN g < 0 AND g > -1
+                THEN round(ln(0.5) / ln(1.0 + g) + 1e-9, 4)
+                ELSE NULL END AS halflife_days
+    FROM fit
+    """,
+)
+def dickey_fuller_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root screen on daily purchase revenue:
+    regress delta-y on lagged y (with intercept, via centered
+    co-moments); gamma ~ 0 means a random-walk-like series whose
+    shocks persist (don't difference-detrend with a constant), gamma
+    well below 0 means mean reversion with half-life
+    ln(.5)/ln(1+gamma). Gate for the registered AR(1)/Holt forecast
+    closures — their prediction intervals assume stationarity, and
+    this is the test of that assumption.
+
+    Scale shape: the events table reduces to the bounded daily frame
+    (~366 rows) in one groupBy; the lag window and the two-pass
+    central-moment aggregates are domain-bounded."""
+    d = _daily_df(spark, sf_dir)
+    w = Window.orderBy("t")
+    lagged = d.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    mu = lagged.agg(
+        F.avg("dy").alias("mdy"), F.avg("x").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    s = lagged.crossJoin(F.broadcast(mu)).agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias("sxx"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("dy") - F.col("mdy"))).alias("sxy"),
+        F.sum((F.col("dy") - F.col("mdy")) * (F.col("dy") - F.col("mdy"))).alias(
+            "syy"
+        ),
+    )
+    g = F.col("sxy") / F.col("sxx")
+    s2 = (F.col("syy") - g * F.col("sxy")) / (F.col("n") - 2)
+    return s.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(g + 1e-9, 6).alias("gamma_hat"),
+        F.round(g / F.sqrt(s2 / F.col("sxx")) + 1e-9, 6).alias("df_t_stat"),
+        F.when(
+            (g < 0) & (g > -1),
+            F.round(F.log(F.lit(0.5)) / F.log(1.0 + g) + 1e-9, 4),
+        ).alias("halflife_days"),
+    )
+
+
+_GRANGER_DAILY_SQL = """dcounts AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS t,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cc
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1)"""
+
+
+@staged(
+    "granger_causality_click_purchase",
+    oracle=f"""
+    WITH {_GRANGER_DAILY_SQL},
+    lagged AS (
+      SELECT pc, cc,
+             lag(pc) OVER (ORDER BY t) AS pl,
+             lag(cc) OVER (ORDER BY t) AS cl
+      FROM dcounts),
+    obs AS (SELECT pc, cc, pl, cl FROM lagged WHERE pl IS NOT NULL),
+    mu AS (
+      SELECT avg(pc) AS mpc, avg(cc) AS mcc, avg(pl) AS mpl,
+             avg(cl) AS mcl, count(*) AS n
+      FROM obs),
+    s AS (
+      SELECT max(mu.n) AS n,
+             sum((pl - mpl) * (pl - mpl)) AS vpl,
+             sum((cl - mcl) * (cl - mcl)) AS vcl,
+             sum((pc - mpc) * (pc - mpc)) AS vpc,
+             sum((cc - mcc) * (cc - mcc)) AS vcc,
+             sum((pl - mpl) * (cl - mcl)) AS cplcl,
+             sum((pl - mpl) * (pc - mpc)) AS cplpc,
+             sum((cl - mcl) * (pc - mpc)) AS cclpc,
+             sum((cl - mcl) * (cc - mcc)) AS cclcc,
+             sum((pl - mpl) * (cc - mcc)) AS cplcc
+      FROM obs CROSS JOIN mu),
+    fits AS (
+      SELECT 'click->purchase' AS direction, n,
+             (cclpc * vpl - cplpc * cplcl)
+               / (vpl * vcl - cplcl * cplcl) AS beta_cross,
+             vpc - ((cplpc * vcl - cclpc * cplcl)
+                    / (vpl * vcl - cplcl * cplcl)) * cplpc
+                 - ((cclpc * vpl - cplpc * cplcl)
+                    / (vpl * vcl - cplcl * cplcl)) * cclpc AS sse_u,
+             vpc - cplpc * cplpc / vpl AS sse_r
+      FROM s
+      UNION ALL
+      SELECT 'purchase->click' AS direction, n,
+             (cplcc * vcl - cclcc * cplcl)
+               / (vpl * vcl - cplcl * cplcl) AS beta_cross,
+             vcc - ((cclcc * vpl - cplcc * cplcl)
+                    / (vpl * vcl - cplcl * cplcl)) * cclcc
+                 - ((cplcc * vcl - cclcc * cplcl)
+                    / (vpl * vcl - cplcl * cplcl)) * cplcc AS sse_u,
+             vcc - cclcc * cclcc / vcl AS sse_r
+      FROM s)
+    SELECT direction, CAST(n AS BIGINT) AS n_obs,
+           round(beta_cross + 1e-9, 6) AS beta_cross,
+           round((sse_r - sse_u) * (n - 3) / sse_u + 1e-9, 6) AS f_stat
+    FROM fits
+    ORDER BY direction
+    """,
+)
+def granger_causality_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-1 Granger causality between daily click and purchase counts,
+    both directions: F-test of whether yesterday's clicks improve
+    today's purchase forecast beyond yesterday's purchases (and vice
+    versa). Unrestricted OLS y_t ~ 1 + y_{t-1} + x_{t-1} solved in
+    closed form from centered co-moments (2x2 normal equations);
+    F = (SSE_r - SSE_u)(n-3)/SSE_u. The lead-lag DIRECTION diagnostic
+    the registered cross-correlation op can't give (correlation at lag
+    k is symmetric evidence; Granger conditions on own history).
+
+    Scale shape: one day-keyed aggregate reduces events to the bounded
+    daily frame; BOTH directions come from ONE nine-sum co-moment
+    aggregate (the restricted and unrestricted fits share sufficient
+    statistics), so adding a direction costs zero passes."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    d = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pc"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("cc"),
+    )
+    w = Window.orderBy("t")
+    lagged = d.select(
+        "pc",
+        "cc",
+        F.lag("pc").over(w).alias("pl"),
+        F.lag("cc").over(w).alias("cl"),
+    ).filter(F.col("pl").isNotNull())
+    mu = lagged.agg(
+        F.avg("pc").alias("mpc"),
+        F.avg("cc").alias("mcc"),
+        F.avg("pl").alias("mpl"),
+        F.avg("cl").alias("mcl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = lambda c, m: F.col(c) - F.col(m)  # noqa: E731
+    s = lagged.crossJoin(F.broadcast(mu)).agg(
+        F.max("n").alias("n"),
+        F.sum(dev("pl", "mpl") * dev("pl", "mpl")).alias("vpl"),
+        F.sum(dev("cl", "mcl") * dev("cl", "mcl")).alias("vcl"),
+        F.sum(dev("pc", "mpc") * dev("pc", "mpc")).alias("vpc"),
+        F.sum(dev("cc", "mcc") * dev("cc", "mcc")).alias("vcc"),
+        F.sum(dev("pl", "mpl") * dev("cl", "mcl")).alias("cplcl"),
+        F.sum(dev("pl", "mpl") * dev("pc", "mpc")).alias("cplpc"),
+        F.sum(dev("cl", "mcl") * dev("pc", "mpc")).alias("cclpc"),
+        F.sum(dev("cl", "mcl") * dev("cc", "mcc")).alias("cclcc"),
+        F.sum(dev("pl", "mpl") * dev("cc", "mcc")).alias("cplcc"),
+    )
+    det = F.col("vpl") * F.col("vcl") - F.col("cplcl") * F.col("cplcl")
+
+    def fit(direction, y_var, own_cov, cross_cov, own_var):
+        # own_cov: cov(own lag, y); cross_cov: cov(other lag, y);
+        # own_var: var(own lag). b solves the 2x2 system with the own
+        # lag first; beta_cross is the OTHER series' coefficient.
+        other_var = F.col("vcl") if own_var == "vpl" else F.col("vpl")
+        b_own = (
+            F.col(own_cov) * other_var - F.col(cross_cov) * F.col("cplcl")
+        ) / det
+        b_cross = (
+            F.col(cross_cov) * F.col(own_var) - F.col(own_cov) * F.col("cplcl")
+        ) / det
+        sse_u = (
+            F.col(y_var) - b_own * F.col(own_cov) - b_cross * F.col(cross_cov)
+        )
+        sse_r = F.col(y_var) - F.col(own_cov) * F.col(own_cov) / F.col(own_var)
+        return s.select(
+            F.lit(direction).alias("direction"),
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(b_cross + 1e-9, 6).alias("beta_cross"),
+            F.round(
+                (sse_r - sse_u) * (F.col("n") - 3) / sse_u + 1e-9, 6
+            ).alias("f_stat"),
+        )
+
+    a = fit("click->purchase", "vpc", "cplpc", "cclpc", "vpl")
+    b = fit("purchase->click", "vcc", "cclcc", "cplcc", "vcl")
+    return a.unionByName(b).orderBy("direction")
+
+
+@staged(
+    "wasserstein_value_click_purchase",
+    oracle="""
+    WITH g AS (
+      SELECT value AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               * 1.0 AS ca,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               * 1.0 AS cb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+    cum AS (
+      SELECT v, ca, cb,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bca,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bcb
+      FROM g)
+    SELECT CAST(tot.na AS BIGINT) AS n_click,
+           CAST(tot.nb AS BIGINT) AS n_purchase,
+           round(sum(
+             cum.v * (abs(coalesce(cum.bca, 0) / tot.na
+                          - coalesce(cum.bcb, 0) / tot.nb)
+                      - abs((coalesce(cum.bca, 0) + cum.ca) / tot.na
+                            - (coalesce(cum.bcb, 0) + cum.cb) / tot.nb))
+           ) + 1e-9, 6) AS wasserstein_1
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def wasserstein_value_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 1-Wasserstein (earth-mover) distance between the click and
+    purchase value distributions — the integral of |F_click - F_purch|
+    over the value axis, telescoped so NO neighbor-gap lookup is
+    needed: sum_j v_j * (|D_{j-1}| - |D_j|) with D the running ECDF
+    difference, which only takes each row's own mass and the EXCLUSIVE
+    cumulative counts. Completes the two-sample battery with the
+    metric that reports the gap in VALUE UNITS (KS gives a
+    probability, energy distance a squared blend; W1 is 'how many
+    dollars apart the distributions sit').
+
+    Scale shape: one groupBy(value), ONE distributed exclusive cumsum
+    of two columns (``global_cumsum``), one scalar aggregate — the
+    same one-cumsum closed form as the staged energy distance."""
+    from ror_etl_spark.operators.util import global_cumsum
+
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("cb"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    r = global_cumsum(g, ["v"], ["ca", "cb"], out=["bca", "bcb"])
+    tot = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = r.crossJoin(F.broadcast(tot))
+    d_prev = F.abs(F.col("bca") / F.col("na") - F.col("bcb") / F.col("nb"))
+    d_incl = F.abs(
+        (F.col("bca") + F.col("ca")) / F.col("na")
+        - (F.col("bcb") + F.col("cb")) / F.col("nb")
+    )
+    return j.agg(
+        F.max("na").cast("long").alias("n_click"),
+        F.max("nb").cast("long").alias("n_purchase"),
+        F.round(F.sum(F.col("v") * (d_prev - d_incl)) + 1e-9, 6).alias(
+            "wasserstein_1"
+        ),
+    )
+
+
+@staged(
+    "term_burstiness_topk",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    dt AS (
+      SELECT doc_id, tok, count(*) * 1.0 AS c FROM tc GROUP BY 1, 2),
+    n AS (SELECT count(*) * 1.0 AS nd FROM documents),
+    term AS (
+      SELECT tok, sum(c) AS tf, count(*) AS df, sum(c * c) AS s2
+      FROM dt GROUP BY tok HAVING count(*) >= 5),
+    scored AS (
+      SELECT tok, tf, df,
+             round(tf / df + 1e-9, 6) AS katz_burstiness,
+             round((s2 / n.nd - (tf / n.nd) * (tf / n.nd))
+                   / (tf / n.nd) + 1e-9, 6) AS vmr
+      FROM term CROSS JOIN n)
+    SELECT tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           katz_burstiness, vmr
+    FROM scored
+    ORDER BY vmr DESC, tok
+    LIMIT 20
+    """,
+)
+def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness screen (Church-Gale): for each term with df >= 5,
+    the variance-to-mean ratio of its per-document count (zeros
+    included — computed closed-form from sum c, sum c^2, N) and the
+    Katz burstiness tf/df (mean occurrences per CONTAINING doc). Terms
+    with VMR >> 1 clump into few documents — content words and
+    boilerplate markers — while function words sit near Poisson
+    (VMR ~ 1); the top-20 list is the 'which terms are topical'
+    diagnostic that raw tf ranking (registered text_term_frequency)
+    buries under stopwords.
+
+    Scale shape: explode -> (doc,term) count -> term-keyed aggregate;
+    the all-doc variance needs NO dense doc x term matrix because the
+    zero cells enter only through N. Top-20 on the ROUNDED score with
+    a term tiebreak (round-before-rank)."""
+    d = Tables(spark, sf_dir).documents
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    nd = d.count() * 1.0  # scalar; at scale a broadcast single-row agg
+    term = dt.groupBy("tok").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    ).filter(F.col("df") >= 5)
+    mean = F.col("tf") / F.lit(nd)
+    scored = term.select(
+        "tok",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(F.col("tf") / F.col("df") + 1e-9, 6).alias("katz_burstiness"),
+        F.round(
+            (F.col("s2") / F.lit(nd) - mean * mean) / mean + 1e-9, 6
+        ).alias("vmr"),
+    )
+    return scored.orderBy(F.desc("vmr"), F.asc("tok")).limit(20)
+
+
+_HC_ROUNDS = 6
+
+
+def _harmonic_oracle() -> str:
+    """Unrolled multi-source min-plus BFS on the sparsified trade graph
+    (6 rounds >= graph diameter), then harmonic = sum 1/d over reached
+    pairs."""
+    ctes = [
+        _TRADE_EDGE_CTES.strip(),
+        "d0 AS (SELECT n AS s, n AS v, 0 AS d FROM deg)",
+    ]
+    for k in range(_HC_ROUNDS):
+        ctes.append(
+            f"""d{k + 1} AS (
+      SELECT s, v, min(d) AS d FROM (
+        SELECT s, v, d FROM d{k}
+        UNION ALL
+        SELECT d{k}.s, und.v, d{k}.d + 1
+        FROM d{k} JOIN und ON und.u = d{k}.v) GROUP BY s, v)"""
+        )
+    final = f"d{_HC_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(s AS BIGINT) AS nationkey,
+           CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reached,
+           round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) + 1e-9, 6)
+             AS harmonic
+    FROM {final}
+    GROUP BY s
+    ORDER BY harmonic DESC, nationkey
+    """
+    )
+
+
+@staged("harmonic_centrality_trade", oracle=_harmonic_oracle())
+def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of every nation in the sparsified trade
+    graph: sum over other nations of 1/d(u,v), with unreachable pairs
+    contributing zero (the property that makes harmonic the
+    disconnected-safe replacement for closeness — the registered
+    closeness op must special-case isolated nodes; harmonic doesn't).
+    Computed by 6 unrolled synchronous min-plus rounds of multi-source
+    BFS (6 >= the sparsified graph's diameter; a fixed-round kernel is
+    the oracle-replayable form of iterate-to-convergence).
+
+    Scale shape: state is (src, node, dist) — O(V^2) on this bounded
+    graph; at 100 TB the same kernel runs per-source-batch (pick K
+    sources per wave) so state stays K*V, the standard trick for
+    all-sources distances on big graphs."""
+    _, und, deg = _trade_edges(Tables(spark, sf_dir))
+    dist = deg.select(
+        F.col("n").alias("s"), F.col("n").alias("v"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    hops = und.select(F.col("u"), F.col("v").alias("dst"))
+    for _ in range(_HC_ROUNDS):
+        hop = dist.join(hops, dist["v"] == hops["u"]).select(
+            "s", F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("s", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    out = dist.groupBy("s").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_reached"
+        ),
+        F.round(
+            F.sum(F.when(F.col("d") > 0, 1.0 / F.col("d")).otherwise(0.0))
+            + 1e-9,
+            6,
+        ).alias("harmonic"),
+    )
+    return out.select(
+        F.col("s").cast("long").alias("nationkey"), "n_reached", "harmonic"
+    ).orderBy(F.desc("harmonic"), F.asc("nationkey"))
+
+
+_SR_ITERS = 5
+_SR_ROUND = 8
+
+
+def _spectral_radius_oracle() -> str:
+    """Unrolled power iteration x <- Ax / max(Ax) on the sparsified
+    trade adjacency (ones start, 8-dp quantized trajectory), then the
+    Rayleigh quotient x'Ax / x'x."""
+    ctes = [
+        _TRADE_EDGE_CTES.strip(),
+        "x0 AS (SELECT n AS id, 1.0 AS x FROM deg)",
+    ]
+    for k in range(_SR_ITERS):
+        ctes.append(
+            f"""y{k} AS (
+      SELECT und.v AS id, sum(x{k}.x) AS y
+      FROM und JOIN x{k} ON x{k}.id = und.u
+      GROUP BY und.v)"""
+        )
+        ctes.append(
+            f"""x{k + 1} AS (
+      SELECT deg.n AS id,
+             round(coalesce(y{k}.y, 0.0)
+                   / (SELECT max(y) FROM y{k}) + 1e-12, {_SR_ROUND}) AS x
+      FROM deg LEFT JOIN y{k} ON y{k}.id = deg.n)"""
+        )
+    xf = f"x{_SR_ITERS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    ax AS (
+      SELECT und.v AS id, sum(b.x) AS ax
+      FROM und JOIN {xf} b ON b.id = und.u
+      GROUP BY und.v),
+    ray AS (
+      SELECT sum(a.x * coalesce(ax.ax, 0.0)) AS num, sum(a.x * a.x) AS den
+      FROM {xf} a LEFT JOIN ax ON ax.id = a.id)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+           round(num / den + 1e-9, 6) AS spectral_radius_est
+    FROM ray
+    """
+    )
+
+
+@staged("spectral_radius_trade_graph", oracle=_spectral_radius_oracle())
+def spectral_radius_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral radius (largest adjacency eigenvalue) of the sparsified
+    trade graph via 5 quantized power-iteration rounds from the ones
+    vector, reported as the Rayleigh quotient x'Ax/x'x of the final
+    iterate. lambda_max bounds epidemic/cascade thresholds (spread
+    dies iff beta/delta < 1/lambda_max) and average degree <=
+    lambda_max <= max degree sanity-brackets it — the one-number
+    'how explosive is this network' summary next to the registered
+    PageRank/HITS scores.
+
+    Scale shape: per round ONE edge-keyed shuffle (x flows along
+    edges) and a scalar max; state is node-sized; the trajectory is
+    8-dp quantized each round so DuckDB replays it bit-for-bit (the
+    HITS/PCA discipline)."""
+    e0, und, deg = _trade_edges(Tables(spark, sf_dir))
+    x = deg.select(F.col("n").alias("id"), F.lit(1.0).alias("x"))
+    for _ in range(_SR_ITERS):
+        y = (
+            und.join(x.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("x").alias("y"))
+        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        mx = y.agg(F.max("y").alias("m"))
+        x = (
+            deg.join(y, deg["n"] == y["id"], "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                deg["n"].alias("id"),
+                F.round(
+                    F.coalesce(F.col("y"), F.lit(0.0)) / F.col("m") + 1e-12,
+                    _SR_ROUND,
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    ax = (
+        und.join(x.withColumnRenamed("id", "u").withColumnRenamed("x", "bx"), "u")
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum("bx").alias("ax"))
+    )
+    ray = x.join(ax, "id", "left").agg(
+        F.sum(F.col("x") * F.coalesce(F.col("ax"), F.lit(0.0))).alias("num"),
+        F.sum(F.col("x") * F.col("x")).alias("den"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ray.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round(F.col("num") / F.col("den") + 1e-9, 6).alias(
+                "spectral_radius_est"
+            ),
+        )
+    )
+
+
+@staged(
+    "embedding_hubness_koccurrence",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 2 = 0),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) + 1e-9, 6)
+               AS cos
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+    topk AS (
+      SELECT ia, ib FROM (
+        SELECT ia, ib,
+               row_number() OVER (PARTITION BY ia
+                                  ORDER BY cos DESC, ib) AS rn
+        FROM pairs) WHERE rn <= 10),
+    occ AS (
+      SELECT sub.vec_id, coalesce(k.c, 0) * 1.0 AS nk
+      FROM sub LEFT JOIN (
+        SELECT ib, count(*) AS c FROM topk GROUP BY ib) k
+      ON k.ib = sub.vec_id),
+    mu AS (SELECT avg(nk) AS m, count(*) AS n FROM occ),
+    cm AS (
+      SELECT max(mu.n) AS n,
+             sum((o.nk - mu.m) * (o.nk - mu.m)) / max(mu.n) AS m2,
+             sum((o.nk - mu.m) * (o.nk - mu.m) * (o.nk - mu.m)) / max(mu.n)
+               AS m3
+      FROM occ o CROSS JOIN mu),
+    ext AS (
+      SELECT max(nk) AS mx,
+             sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS anti,
+             sum(CASE WHEN nk >= 20 THEN 1 ELSE 0 END) AS hubs
+      FROM occ)
+    SELECT CAST(cm.n AS BIGINT) AS n_vectors,
+           CAST(ext.mx AS BIGINT) AS max_k_occ,
+           CAST(ext.anti AS BIGINT) AS n_antihubs,
+           CAST(ext.hubs AS BIGINT) AS n_hubs,
+           round(cm.m3 / (cm.m2 ^ 1.5) + 1e-9, 6) AS skewness_k_occ
+    FROM cm CROSS JOIN ext
+    """,
+)
+def embedding_hubness_koccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness of the embedding space: the k-occurrence distribution
+    N_10(x) = how often x appears in other points' cosine top-10, on
+    the deterministic even-vec_id half of the corpus. High positive
+    skewness means a few 'hub' vectors dominate everyone's neighbor
+    lists — the high-dimensional pathology that silently corrupts
+    kNN-based dedup/retrieval (SemDeDup, ANN recall) long before
+    recall metrics notice. Reports skewness, max N_10, anti-hub count
+    (never retrieved) and hub count (N_10 >= 2k).
+
+    Scale shape: this instance runs the exact brute pair join on the
+    bounded subsample (the all_pairs_above baseline posture); at 100 TB
+    the SAME k-occurrence aggregate consumes the registered LSH/IVF
+    top-k pairs instead — hubness is a one-groupBy postprocess of
+    whatever neighbor lists the index already produces. Ranks use
+    round-before-rank with a vec_id tiebreak."""
+    from ror_etl_spark.functions.vectors import as_double, cosine
+
+    emb = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") % 2 == 0)
+    sub = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    a = sub.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = sub.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(cosine(F.col("va"), F.col("vb")) + 1e-9, 6).alias("cos"),
+    )
+    wk = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 10)
+        .select("ia", "ib")
+    )
+    kcnt = topk.groupBy("ib").agg(F.count(F.lit(1)).alias("c"))
+    occ = sub.join(kcnt, sub["vec_id"] == kcnt["ib"], "left").select(
+        "vec_id", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("nk")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    mu = occ.agg(F.avg("nk").alias("m"), F.count(F.lit(1)).alias("n"))
+    cm = occ.crossJoin(F.broadcast(mu)).agg(
+        F.max("n").alias("n"),
+        (F.sum((F.col("nk") - F.col("m")) * (F.col("nk") - F.col("m"))) / F.max("n")).alias("m2"),
+        (
+            F.sum(
+                (F.col("nk") - F.col("m"))
+                * (F.col("nk") - F.col("m"))
+                * (F.col("nk") - F.col("m"))
+            )
+            / F.max("n")
+        ).alias("m3"),
+    )
+    ext = occ.agg(
+        F.max("nk").alias("mx"),
+        F.sum(F.when(F.col("nk") == 0, 1).otherwise(0)).alias("anti"),
+        F.sum(F.when(F.col("nk") >= 20, 1).otherwise(0)).alias("hubs"),
+    )
+    return cm.crossJoin(F.broadcast(ext)).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.col("mx").cast("long").alias("max_k_occ"),
+        F.col("anti").cast("long").alias("n_antihubs"),
+        F.col("hubs").cast("long").alias("n_hubs"),
+        F.round(F.col("m3") / F.pow(F.col("m2"), 1.5) + 1e-9, 6).alias(
+            "skewness_k_occ"
+        ),
+    )
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+def _qr_sql(x: str) -> str:
+    """The engine-portable 6-dp quantizer: identical IEEE ops on both
+    sides (shift, scale, floor, unscale — NOT the engine's round(),
+    whose tie rule differs from Python's)."""
+    return (
+        f"CASE WHEN ({x}) + 1e-9 >= 0 THEN"
+        f" floor((({x}) + 1e-9) * 1000000.0 + 0.5) / 1000000.0"
+        f" ELSE -floor(-(({x}) + 1e-9) * 1000000.0 + 0.5) / 1000000.0 END"
+    )
+
+
+def _holt_oracle() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    newl = _qr_sql(f"{a} * rn.y + {1 - a} * (st.l + st.b)")
+    return f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    rn AS (SELECT row_number() OVER (ORDER BY t) AS k, y FROM daily),
+    st (k, l, b, sse) AS (
+      SELECT CAST(1 AS BIGINT),
+             CAST((SELECT y FROM rn WHERE k = 1) AS DOUBLE),
+             CAST({_qr_sql("coalesce((SELECT y FROM rn WHERE k = 2) - (SELECT y FROM rn WHERE k = 1), 0.0)")} AS DOUBLE),
+             CAST(0.0 AS DOUBLE)
+      UNION ALL
+      SELECT rn.k,
+             {newl},
+             {_qr_sql(f"{b} * (({newl}) - st.l) + {1 - b} * st.b")},
+             {_qr_sql("st.sse + (rn.y - (st.l + st.b)) * (rn.y - (st.l + st.b))")}
+      FROM st JOIN rn ON rn.k = st.k + 1)
+    SELECT CAST(k AS BIGINT) AS n_days,
+           l AS level, b AS trend,
+           {_qr_sql("st.l + st.b")} AS forecast_1,
+           {_qr_sql("st.l + 7.0 * st.b")} AS forecast_7,
+           sse AS sse_1step
+    FROM st WHERE k = (SELECT max(k) FROM rn)
+    """
+
+
+@staged("holt_linear_daily_revenue", oracle=_holt_oracle())
+def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level+trend) smoothing of daily purchase
+    revenue, alpha=0.3 / beta=0.1, init l=y1, b=y2-y1: final state,
+    1- and 7-step-ahead forecasts, and the accumulated one-step SSE.
+    Completes the forecasting closures (EWMA = level-only, AR(1) =
+    stationary, seasonal-naive = pure season) with the trending one.
+
+    The recurrence is inherently sequential over the BOUNDED daily
+    frame (<= ~366 rows at any SF — the calendar, not the data, sets
+    its size), so it runs as one Arrow kernel on the coalesced frame
+    (the adaptive-rollup single-task posture: an executor task, never
+    the driver); every step is quantized with the engine-portable
+    floor-based 6-dp rule so DuckDB's recursive CTE replays the exact
+    trajectory. At 100 TB only the day-keyed pre-aggregate sees data."""
+    d = _daily_df(spark, sf_dir)
+    a_, b_ = _HOLT_ALPHA, _HOLT_BETA
+
+    def q(x: float) -> float:
+        import math
+
+        v = x + 1e-9
+        if v >= 0:
+            return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+        return -math.floor(-v * 1000000.0 + 0.5) / 1000000.0
+
+    def kernel(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values("t")
+        ys = rows["y"].tolist()
+        n = len(ys)
+        level = ys[0]
+        trend = q(ys[1] - ys[0]) if n >= 2 else 0.0
+        sse = 0.0
+        for y in ys[1:]:
+            e = y - (level + trend)
+            sse = q(sse + e * e)
+            prev_l = level
+            level = q(a_ * y + (1 - a_) * (prev_l + trend))
+            trend = q(b_ * (level - prev_l) + (1 - b_) * trend)
+        yield pd.DataFrame(
+            {
+                "n_days": pd.Series([n], dtype="int64"),
+                "level": [level],
+                "trend": [trend],
+                "forecast_1": [q(level + trend)],
+                "forecast_7": [q(level + 7.0 * trend)],
+                "sse_1step": [sse],
+            }
+        )
+
+    schema = (
+        "n_days long, level double, trend double, forecast_1 double,"
+        " forecast_7 double, sse_1step double"
+    )
+    return d.coalesce(1).mapInPandas(kernel, schema=schema)

