@@ -1141,6 +1141,105 @@ def pr_1b_probe() -> None:
     )
 
 
+
+
+def ecc_1e8_probe() -> None:
+    """Sampled-source eccentricity / diameter lower bound at 10^8 edges
+    (VERDICT r11 item 8 stretch, second half): K = 4 deterministic
+    sources, frontier-delta multi-source BFS run to EXHAUSTION on the
+    symmetrized uniform hash graph (1e8 directed edges / 1e7 nodes,
+    same generator family as the 1e9 kernel probes). Eccentricity of a
+    source = its final BFS height; max over sources is the standard
+    sampled lower bound on the graph diameter (exact all-pairs is
+    O(V*E) and never runs at this scale; sampled-source ecc is what
+    production graph stacks ship). In-run validation: frontiers are
+    disjoint from visited by construction (anti-join), per-source
+    reached counts must agree across sources up to isolated-node loss
+    (a uniform graph at mean degree 20 has one giant component), and
+    the height must stay O(log N / log deg) ~ 6-8 rounds — a dropped
+    frontier or broken anti-join shows up as a wrong reached count,
+    not a silent timing number."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ror_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "100g")
+    spark = get_spark("ecc-1e8")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    disk = StorageLevel.DISK_ONLY
+    div = max(1, int(os.environ.get("GRAPH_REHEARSAL_DIV", "1")))
+    E, N = 100_000_000 // div, 10_000_000 // div
+    sources = [0, N // 3, 2 * N // 3, N - 1]
+
+    t0 = time.perf_counter()
+    e = spark.range(E)
+    fwd = e.select(
+        (((F.xxhash64("id") % N) + N) % N).alias("u"),
+        (((F.xxhash64("id", F.lit(1)) % N) + N) % N).alias("v"),
+    ).filter("u <> v")
+    und = (
+        fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True, storageLevel=disk)
+    )
+    n_e = und.count()
+    t_derive = time.perf_counter() - t0
+
+    src_df = spark.createDataFrame(
+        [(s,) for s in sources], "s long"
+    ).select("s", F.col("s").alias("v"))
+    visited = src_df.select("s", "v", F.lit(0).alias("d")).localCheckpoint(
+        eager=True, storageLevel=disk
+    )
+    frontier = visited.select("s", "v")
+    d = 0
+    heights: dict[int, int] = {}
+    while True:
+        d += 1
+        t0 = time.perf_counter()
+        nxt = (
+            frontier.join(und, frontier["v"] == und["u"])
+            .select("s", und["v"].alias("v"))
+            .distinct()
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True, storageLevel=disk)
+        )
+        n_new = nxt.count()
+        t_round = time.perf_counter() - t0
+        print(
+            f"ecc1e8 round={d} new={n_new:,d} wall={t_round:.1f}s",
+            flush=True,
+        )
+        if n_new == 0:
+            break
+        old = visited
+        visited = visited.unionAll(
+            nxt.select("s", "v", F.lit(d).alias("d"))
+        ).localCheckpoint(eager=True, storageLevel=disk)
+        visited.count()
+        old.unpersist()
+        frontier = nxt.select("s", "v")
+        if d > 40:
+            print("ecc1e8 ABORT: >40 rounds (expected ~6-8)", flush=True)
+            break
+    stats = (
+        visited.groupBy("s")
+        .agg(F.max("d").alias("ecc"), F.count(F.lit(1)).alias("reached"))
+        .orderBy("s")
+        .collect()
+    )
+    per_src = ", ".join(
+        f"s={r['s']}: ecc={r['ecc']} reached={r['reached']:,d}" for r in stats
+    )
+    diam_lb = max(r["ecc"] for r in stats)
+    spread = max(r["reached"] for r in stats) - min(r["reached"] for r in stats)
+    print(
+        f"ecc1e8 E={n_e:,d} N={N:,d} derive={t_derive:.1f}s K={len(sources)} "
+        f"[{per_src}] diameter_lb={diam_lb} reached_spread={spread}",
+        flush=True,
+    )
+
+
 def bfs_expander_scale() -> None:
     """Decade tier for the driver-gated iterative kernel
     ``bfs_distances_synthetic_10k`` (VERDICT r10 item 3): the SAME
@@ -1281,6 +1380,8 @@ if __name__ == "__main__":
                     help="1e9-edge single-round hash-min CC probe (second third-decade kernel)")
     ap.add_argument("--pr-1b", action="store_true",
                     help="1e9-edge single-round PageRank rank-flow probe (third third-decade kernel)")
+    ap.add_argument("--ecc-1e8", action="store_true",
+                    help="sampled-source eccentricity / diameter lower bound at 1e8 edges (BFS to exhaustion, K=4 sources)")
     ap.add_argument("--graph-r10", action="store_true",
                     help="decade rows for the r10 staged graph ops: "
                     "multi-source BFS + per-node triangle credit")
@@ -1301,6 +1402,8 @@ if __name__ == "__main__":
         cc_1b_probe()
     if args.pr_1b:
         pr_1b_probe()
+    if args.ecc_1e8:
+        ecc_1e8_probe()
     if args.graph:
         graph_scale()
     if args.graph_skew:

@@ -50,6 +50,15 @@ EVENTS_OPS = [
     "cf_distance_click_purchase",
     "incremental_sessionize_merge",
     "session_depth_halflife_fit",
+    # wave 9/10
+    "odds_ratio_click_purchase",
+    "dickey_fuller_daily_revenue",
+    "granger_causality_click_purchase",
+    "wasserstein_value_click_purchase",
+    "holt_linear_daily_revenue",
+    "pinball_loss_forecast_daily",
+    "gaussian_mixture_em_value",
+    "markov_absorption_time_purchase",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -62,10 +71,23 @@ TPCH_OPS = [
     "ktruss_trade_graph",
     "geo_knn_cell_blocked",
     "tokenizer_fertility_by_language",
+    # wave 9/10
+    "atkinson_index_customer_revenue",
+    "income_share_ratios_revenue",
+    "goodman_kruskal_gamma_priority_status",
+    "harmonic_centrality_trade",
+    "spectral_radius_trade_graph",
+    "term_burstiness_topk",
+    "text_rake_keyphrases",
+    "ridge_elasticity_qty_price",
+    "huber_irls_elasticity",
 ]
 EMB_OPS = [
     "embedding_pca_power_iteration",
     "embedding_kmeans_elbow",
+    # wave 9/10
+    "embedding_hubness_koccurrence",
+    "embedding_participation_ratio",
 ]
 
 
