@@ -3525,3 +3525,755 @@ def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         " forecast_7 double, sse_1step double"
     )
     return d.coalesce(1).mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: regularized/robust regression, forecast quantile loss, EM,
+# absorption times, embedding effective rank, RAKE keyphrases
+# ---------------------------------------------------------------------------
+
+_DAILY_LOGLOG_SQL = """daily AS (
+      SELECT l_shipdate AS dt, ln(sum(l_quantity)) AS lq,
+             ln(avg(l_extendedprice)) AS lp
+      FROM lineitem GROUP BY 1),
+    mu AS (SELECT avg(lp) AS mx, avg(lq) AS my, count(*) AS n FROM daily),
+    s AS (
+      SELECT max(mu.n) AS n, max(mu.mx) AS mx, max(mu.my) AS my,
+             sum((lp - mu.mx) * (lp - mu.mx)) AS sxx,
+             sum((lp - mu.mx) * (lq - mu.my)) AS sxy,
+             sum((lq - mu.my) * (lq - mu.my)) AS syy
+      FROM daily CROSS JOIN mu)"""
+
+
+@staged(
+    "ridge_elasticity_qty_price",
+    oracle=f"""
+    WITH {_DAILY_LOGLOG_SQL},
+    lam AS (SELECT unnest([0.0, 0.05, 0.5]) AS lambda)
+    SELECT lam.lambda AS lambda,
+           CAST(s.n AS BIGINT) AS n_days,
+           round(s.sxy / (s.sxx + lam.lambda) + 1e-9, 6) AS slope,
+           round(s.my - (s.sxy / (s.sxx + lam.lambda)) * s.mx + 1e-9, 6)
+             AS intercept,
+           round((s.sxy / (s.sxx + lam.lambda)) / (s.sxy / s.sxx) + 1e-9, 6)
+             AS shrinkage
+    FROM lam CROSS JOIN s
+    ORDER BY lambda
+    """,
+)
+def ridge_elasticity_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-regularized price elasticity on the registered log-log
+    daily frame, lambda ladder {0, 0.05, 0.5} (lambda = 0 pins the
+    ladder to the registered OLS op): with centered data and an
+    unpenalized intercept the closed form is beta = Sxy/(Sxx+lambda),
+    so the whole regularization path costs ONE moment aggregate + a
+    3-literal explode. The bias-variance knob every forecasting
+    pipeline turns when the daily frame is short.
+
+    Scale shape: one date-keyed aggregate, one scalar moment aggregate,
+    a bounded literal cross join — no per-lambda data pass."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(F.col("l_shipdate").alias("dt")).agg(
+        F.log(F.sum("l_quantity")).alias("lq"),
+        F.log(F.avg("l_extendedprice")).alias("lp"),
+    )
+    mu = daily.agg(
+        F.avg("lp").alias("mx"), F.avg("lq").alias("my"), F.count(F.lit(1)).alias("n")
+    )
+    s = daily.crossJoin(F.broadcast(mu)).agg(
+        F.max("n").alias("n"),
+        F.max("mx").alias("mx"),
+        F.max("my").alias("my"),
+        F.sum((F.col("lp") - F.col("mx")) * (F.col("lp") - F.col("mx"))).alias("sxx"),
+        F.sum((F.col("lp") - F.col("mx")) * (F.col("lq") - F.col("my"))).alias("sxy"),
+        F.sum((F.col("lq") - F.col("my")) * (F.col("lq") - F.col("my"))).alias("syy"),
+    )
+    lam = s.select(
+        F.explode(F.array(F.lit(0.0), F.lit(0.05), F.lit(0.5))).alias("lambda"),
+        "n", "mx", "my", "sxx", "sxy",
+    )
+    beta = F.col("sxy") / (F.col("sxx") + F.col("lambda"))
+    return lam.select(
+        F.col("lambda"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(beta + 1e-9, 6).alias("slope"),
+        F.round(F.col("my") - beta * F.col("mx") + 1e-9, 6).alias("intercept"),
+        F.round(beta / (F.col("sxy") / F.col("sxx")) + 1e-9, 6).alias(
+            "shrinkage"
+        ),
+    ).orderBy("lambda")
+
+
+_HUBER_K = 1.345
+_HUBER_ROUNDS = 2
+_HUBER_Q = 8
+
+
+def _huber_oracle() -> str:
+    """Unrolled 2-round Huber IRLS replay: OLS start (slope/intercept/
+    scale quantized 8 dp), then per round Huber weights w = min(1,
+    k*s/|resid|) and a weighted least-squares refit, re-quantized."""
+    rounds = []
+    prev = "f0"
+    rounds.append(
+        f"""f0 AS (
+      SELECT round(sxy / sxx + 1e-12, {_HUBER_Q}) AS b,
+             round(my - (sxy / sxx) * mx + 1e-12, {_HUBER_Q}) AS a,
+             round(sqrt((syy - (sxy / sxx) * sxy) / (n - 2)) + 1e-12,
+                   {_HUBER_Q}) AS s
+      FROM s)"""
+    )
+    for r in range(_HUBER_ROUNDS):
+        rounds.append(
+            f"""w{r} AS (
+      SELECT d.lp, d.lq,
+             CASE WHEN abs(d.lq - ({prev}.a + {prev}.b * d.lp)) < 1e-12
+                  THEN 1.0
+                  ELSE least(1.0, {_HUBER_K} * {prev}.s
+                             / abs(d.lq - ({prev}.a + {prev}.b * d.lp)))
+             END AS w,
+             {prev}.s AS s
+      FROM daily d CROSS JOIN {prev})"""
+        )
+        rounds.append(
+            f"""f{r + 1} AS (
+      SELECT round((sum(w) * sum(w * lp * lq) - sum(w * lp) * sum(w * lq))
+                   / (sum(w) * sum(w * lp * lp) - sum(w * lp) * sum(w * lp))
+                   + 1e-12, {_HUBER_Q}) AS b,
+             round((sum(w * lq)
+                    - ((sum(w) * sum(w * lp * lq) - sum(w * lp) * sum(w * lq))
+                       / (sum(w) * sum(w * lp * lp)
+                          - sum(w * lp) * sum(w * lp))) * sum(w * lp))
+                   / sum(w) + 1e-12, {_HUBER_Q}) AS a,
+             max(s) AS s
+      FROM w{r})"""
+        )
+        prev = f"f{r + 1}"
+    return (
+        f"WITH {_DAILY_LOGLOG_SQL},\n    "
+        + ",\n    ".join(rounds)
+        + f"""
+    SELECT CAST(s2.n AS BIGINT) AS n_days,
+           round(s2.sxy / s2.sxx + 1e-9, 6) AS slope_ols,
+           round({prev}.b + 1e-9, 6) AS slope_huber,
+           round({prev}.a + 1e-9, 6) AS intercept_huber,
+           CAST((SELECT sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END)
+                 FROM w{_HUBER_ROUNDS - 1}) AS BIGINT) AS n_downweighted,
+           round((SELECT min(w) FROM w{_HUBER_ROUNDS - 1}) + 1e-9, 6)
+             AS min_weight
+    FROM {prev} CROSS JOIN s s2
+    """
+    )
+
+
+@staged("huber_irls_elasticity", oracle=_huber_oracle())
+def huber_irls_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-robust price elasticity: 2 IRLS rounds from the OLS start
+    on the registered log-log daily frame, weights w = min(1,
+    1.345*s/|resid|) with the OLS residual scale held fixed (the
+    textbook one-scale simplification, quantized so both engines walk
+    the same trajectory). Where the registered Theil-Sen op is the
+    rank-robust slope, Huber is the efficiency-preserving one — and
+    n_downweighted names exactly which days the OLS fit was letting
+    outvote the rest.
+
+    Scale shape: the daily frame is bounded; each IRLS round is one
+    weighted-moment aggregate + a broadcast scalar re-join. At 100 TB
+    the only data-sized pass remains the first date-keyed groupBy."""
+    li = Tables(spark, sf_dir).lineitem
+    daily = li.groupBy(F.col("l_shipdate").alias("dt")).agg(
+        F.log(F.sum("l_quantity")).alias("lq"),
+        F.log(F.avg("l_extendedprice")).alias("lp"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    mu = daily.agg(
+        F.avg("lp").alias("mx"), F.avg("lq").alias("my"), F.count(F.lit(1)).alias("n")
+    )
+    s = daily.crossJoin(F.broadcast(mu)).agg(
+        F.max("n").alias("n"),
+        F.max("mx").alias("mx"),
+        F.max("my").alias("my"),
+        F.sum((F.col("lp") - F.col("mx")) * (F.col("lp") - F.col("mx"))).alias("sxx"),
+        F.sum((F.col("lp") - F.col("mx")) * (F.col("lq") - F.col("my"))).alias("sxy"),
+        F.sum((F.col("lq") - F.col("my")) * (F.col("lq") - F.col("my"))).alias("syy"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    b_ols = F.col("sxy") / F.col("sxx")
+    fit = s.select(
+        F.round(b_ols + 1e-12, _HUBER_Q).alias("b"),
+        F.round(F.col("my") - b_ols * F.col("mx") + 1e-12, _HUBER_Q).alias("a"),
+        F.round(
+            F.sqrt((F.col("syy") - b_ols * F.col("sxy")) / (F.col("n") - 2))
+            + 1e-12,
+            _HUBER_Q,
+        ).alias("s"),
+    )
+    wdf = None
+    for _ in range(_HUBER_ROUNDS):
+        resid = F.abs(F.col("lq") - (F.col("a") + F.col("b") * F.col("lp")))
+        wdf = daily.crossJoin(F.broadcast(fit)).select(
+            "lp",
+            "lq",
+            F.when(resid < 1e-12, 1.0)
+            .otherwise(F.least(F.lit(1.0), _HUBER_K * F.col("s") / resid))
+            .alias("w"),
+            F.col("s"),
+        )
+        num = F.sum("w") * F.sum(F.col("w") * F.col("lp") * F.col("lq")) - F.sum(
+            F.col("w") * F.col("lp")
+        ) * F.sum(F.col("w") * F.col("lq"))
+        den = F.sum("w") * F.sum(F.col("w") * F.col("lp") * F.col("lp")) - F.sum(
+            F.col("w") * F.col("lp")
+        ) * F.sum(F.col("w") * F.col("lp"))
+        fit = wdf.agg(
+            F.round(num / den + 1e-12, _HUBER_Q).alias("b"),
+            F.round(
+                (F.sum(F.col("w") * F.col("lq")) - (num / den) * F.sum(F.col("w") * F.col("lp")))
+                / F.sum("w")
+                + 1e-12,
+                _HUBER_Q,
+            ).alias("a"),
+            F.max("s").alias("s"),
+        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    wstats = wdf.agg(
+        F.sum(F.when(F.col("w") < 1.0, 1).otherwise(0)).alias("ndw"),
+        F.min("w").alias("minw"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(wstats))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.round(F.col("sxy") / F.col("sxx") + 1e-9, 6).alias("slope_ols"),
+            F.round(F.col("b") + 1e-9, 6).alias("slope_huber"),
+            F.round(F.col("a") + 1e-9, 6).alias("intercept_huber"),
+            F.col("ndw").cast("long").alias("n_downweighted"),
+            F.round(F.col("minw") + 1e-9, 6).alias("min_weight"),
+        )
+    )
+
+
+@staged(
+    "pinball_loss_forecast_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rn AS (SELECT row_number() OVER (ORDER BY t) AS k, t, y FROM daily),
+    naive AS (
+      SELECT a.y AS actual, b.y AS fc FROM rn a JOIN rn b ON b.k = a.k - 1),
+    snaive AS (
+      SELECT a.y AS actual, b.y AS fc
+      FROM daily a JOIN daily b ON b.t = a.t - 7),
+    preds AS (
+      SELECT 'naive_lag1' AS method, actual, fc FROM naive
+      UNION ALL SELECT 'seasonal_naive_lag7', actual, fc FROM snaive),
+    taus AS (SELECT unnest([0.5, 0.9]) AS tau)
+    SELECT preds.method, taus.tau AS tau,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(avg(taus.tau * greatest(actual - fc, 0)
+                     + (1 - taus.tau) * greatest(fc - actual, 0))
+                 + 1e-9, 6) AS pinball
+    FROM preds CROSS JOIN taus
+    GROUP BY 1, 2 ORDER BY method, tau
+    """,
+)
+def pinball_loss_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the two parameter-free forecasters on
+    daily purchase revenue — naive (yesterday) and seasonal-naive
+    (same weekday last week, calendar-joined so gaps don't slip the
+    season) — at tau = 0.5 and 0.9. The quantile counterpart of the
+    staged Theil's U RMSE skill score: a forecaster can win on RMSE
+    and still be unusable for the P90 capacity question this loss
+    prices directly.
+
+    Scale shape: everything after the day-keyed reduce is bounded; the
+    seasonal pairing is an equi-join on t-7, never a window scan."""
+    d = _daily_df(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=_DISK_ONLY
+    )
+    w = Window.orderBy("t")
+    naive = (
+        d.select("t", "y", F.lag("y").over(w).alias("fc"))
+        .filter(F.col("fc").isNotNull())
+        .select(F.lit("naive_lag1").alias("method"), F.col("y").alias("actual"), "fc")
+    )
+    b7 = d.select((F.col("t") + 7).alias("t"), F.col("y").alias("fc"))
+    snaive = d.join(b7, "t").select(
+        F.lit("seasonal_naive_lag7").alias("method"),
+        F.col("y").alias("actual"),
+        "fc",
+    )
+    both = naive.unionByName(snaive)
+    taus = both.crossJoin(
+        F.broadcast(
+            both.sparkSession.range(1).select(
+                F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("tau")
+            )
+        )
+    )
+    loss = F.col("tau") * F.greatest(
+        F.col("actual") - F.col("fc"), F.lit(0.0)
+    ) + (1 - F.col("tau")) * F.greatest(F.col("fc") - F.col("actual"), F.lit(0.0))
+    return (
+        taus.groupBy("method", "tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.round(F.avg(loss) + 1e-9, 6).alias("pinball"),
+        )
+        .orderBy("method", "tau")
+    )
+
+
+_EM_ROUNDS = 3
+_EM_Q = 8
+
+
+def _gmm_oracle() -> str:
+    """Replay of the 3-round two-component 1-D Gaussian EM on purchase
+    values: exact order-statistic init (p25/p75 means, pooled variance,
+    pi = 0.5), per round the E-step responsibilities and one-pass
+    M-step moments, every parameter quantized to 8 dp."""
+    ctes = [
+        """pv AS (SELECT value AS x FROM events
+                  WHERE event_type = 'purchase')""",
+        f"""p0 AS (
+      SELECT 0.5 AS pi,
+             round(percentile_disc(0.25) WITHIN GROUP (ORDER BY x)
+                   + 1e-12, {_EM_Q}) AS m1,
+             round(var_pop(x) + 1e-12, {_EM_Q}) AS v1,
+             round(percentile_disc(0.75) WITHIN GROUP (ORDER BY x)
+                   + 1e-12, {_EM_Q}) AS m2,
+             round(var_pop(x) + 1e-12, {_EM_Q}) AS v2,
+             count(*) AS n
+      FROM pv)""",
+    ]
+    for k in range(_EM_ROUNDS):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT pv.x,
+             (p{k}.pi * exp(-(pv.x - p{k}.m1) * (pv.x - p{k}.m1)
+                            / (2 * p{k}.v1)) / sqrt(p{k}.v1))
+             / ((p{k}.pi * exp(-(pv.x - p{k}.m1) * (pv.x - p{k}.m1)
+                               / (2 * p{k}.v1)) / sqrt(p{k}.v1))
+                + ((1 - p{k}.pi) * exp(-(pv.x - p{k}.m2) * (pv.x - p{k}.m2)
+                                       / (2 * p{k}.v2)) / sqrt(p{k}.v2)))
+               AS resp
+      FROM pv CROSS JOIN p{k})""",
+        )
+        ctes.append(
+            f"""p{k + 1} AS (
+      SELECT round(sum(resp) / count(*) + 1e-12, {_EM_Q}) AS pi,
+             round(sum(resp * x) / sum(resp) + 1e-12, {_EM_Q}) AS m1,
+             round(sum(resp * x * x) / sum(resp)
+                   - (sum(resp * x) / sum(resp))
+                     * (sum(resp * x) / sum(resp)) + 1e-12, {_EM_Q}) AS v1,
+             round(sum((1 - resp) * x) / sum(1 - resp) + 1e-12, {_EM_Q})
+               AS m2,
+             round(sum((1 - resp) * x * x) / sum(1 - resp)
+                   - (sum((1 - resp) * x) / sum(1 - resp))
+                     * (sum((1 - resp) * x) / sum(1 - resp)) + 1e-12,
+                   {_EM_Q}) AS v2,
+             count(*) AS n
+      FROM r{k})""",
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS round, pi AS pi1, m1 AS mu1, "
+        f"v1 AS var1, m2 AS mu2, v2 AS var2 FROM p{k + 1}"
+        for k in range(_EM_ROUNDS)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    {sel} ORDER BY round"
+    )
+
+
+@staged("gaussian_mixture_em_value", oracle=_gmm_oracle())
+def gaussian_mixture_em_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fitted to purchase values by
+    3 synchronous EM rounds — deterministic init from exact order
+    statistics (component means at p25/p75, pooled variance, pi=0.5),
+    each round's five parameters quantized to 8 dp so DuckDB replays
+    the identical trajectory (the power-iteration discipline applied
+    to EM). The mixture-model primitive behind soft user segmentation
+    and heavy-tail/body decomposition; emits the full 3-round
+    trajectory, so convergence is part of the checked evidence.
+
+    Scale shape: per round ONE pass over the fact rows (E-step
+    responsibilities inline in the M-step aggregate, no materialized
+    assignment) and a 1-row broadcast parameter frame — the textbook
+    distributed-EM layout."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    ).select(F.col("value").alias("x")).localCheckpoint(
+        eager=False, storageLevel=_DISK_ONLY
+    )
+    p = e.agg(
+        F.lit(0.5).alias("pi"),
+        F.round(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)") + 1e-12,
+            _EM_Q,
+        ).alias("m1"),
+        F.round(F.var_pop("x") + 1e-12, _EM_Q).alias("v1"),
+        F.round(
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)") + 1e-12,
+            _EM_Q,
+        ).alias("m2"),
+        F.round(F.var_pop("x") + 1e-12, _EM_Q).alias("v2"),
+    )
+    traj = []
+    for k in range(_EM_ROUNDS):
+        j = e.crossJoin(F.broadcast(p))
+        d1 = (F.col("x") - F.col("m1")) * (F.col("x") - F.col("m1"))
+        d2 = (F.col("x") - F.col("m2")) * (F.col("x") - F.col("m2"))
+        p1 = F.col("pi") * F.exp(-d1 / (2 * F.col("v1"))) / F.sqrt("v1")
+        p2 = (1 - F.col("pi")) * F.exp(-d2 / (2 * F.col("v2"))) / F.sqrt("v2")
+        r = (p1 / (p1 + p2)).alias("resp")
+        rx = j.select("x", r)
+        m1n = F.sum(F.col("resp") * F.col("x")) / F.sum("resp")
+        m2n = F.sum((1 - F.col("resp")) * F.col("x")) / F.sum(1 - F.col("resp"))
+        p = rx.agg(
+            F.round(F.sum("resp") / F.count(F.lit(1)) + 1e-12, _EM_Q).alias("pi"),
+            F.round(m1n + 1e-12, _EM_Q).alias("m1"),
+            F.round(
+                F.sum(F.col("resp") * F.col("x") * F.col("x")) / F.sum("resp")
+                - m1n * m1n
+                + 1e-12,
+                _EM_Q,
+            ).alias("v1"),
+            F.round(m2n + 1e-12, _EM_Q).alias("m2"),
+            F.round(
+                F.sum((1 - F.col("resp")) * F.col("x") * F.col("x"))
+                / F.sum(1 - F.col("resp"))
+                - m2n * m2n
+                + 1e-12,
+                _EM_Q,
+            ).alias("v2"),
+        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        traj.append(
+            p.select(
+                F.lit(k + 1).cast("long").alias("round"),
+                F.col("pi").alias("pi1"),
+                F.col("m1").alias("mu1"),
+                F.col("v1").alias("var1"),
+                F.col("m2").alias("mu2"),
+                F.col("v2").alias("var2"),
+            )
+        )
+    out = traj[0]
+    for t in traj[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("round")
+
+
+_ABS_ROUNDS = 12
+_ABS_Q = 8
+
+
+def _absorption_oracle() -> str:
+    """Unrolled fixed-point iteration t <- 1 + Q t (12 rounds, 8-dp
+    quantized) for expected steps to purchase-absorption, Q estimated
+    from the (ts, event_id)-ordered per-user transitions."""
+    ctes = [
+        """seq AS (
+      SELECT event_type AS t,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events)""",
+        """c AS (
+      SELECT t, nxt, count(*) AS cnt FROM seq
+      WHERE nxt IS NOT NULL AND t <> 'purchase' GROUP BY t, nxt)""",
+        """tot AS (SELECT t, CAST(sum(cnt) AS DOUBLE) AS nt
+                   FROM c GROUP BY t)""",
+        """q AS (
+      SELECT c.t, c.nxt, c.cnt / tot.nt AS p FROM c JOIN tot USING (t)
+      WHERE c.nxt <> 'purchase')""",
+        "t0 AS (SELECT t, CAST(0.0 AS DOUBLE) AS tv FROM tot)",
+    ]
+    for k in range(_ABS_ROUNDS):
+        ctes.append(
+            f"""t{k + 1} AS (
+      SELECT tot.t,
+             round(1.0 + coalesce(f.fl, 0.0) + 1e-12, {_ABS_Q}) AS tv
+      FROM tot LEFT JOIN (
+        SELECT q.t, sum(q.p * t{k}.tv) AS fl
+        FROM q JOIN t{k} ON t{k}.t = q.nxt GROUP BY q.t) f
+      ON f.t = tot.t)"""
+        )
+    final = f"t{_ABS_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT {final}.t AS from_type,
+           round(coalesce(pa.p, 0.0) + 1e-9, 6) AS p_purchase_next,
+           round({final}.tv + 1e-9, 6) AS expected_steps
+    FROM {final} LEFT JOIN (
+      SELECT c.t, c.cnt / tot.nt AS p FROM c JOIN tot USING (t)
+      WHERE c.nxt = 'purchase') pa ON pa.t = {final}.t
+    ORDER BY from_type
+    """
+    )
+
+
+@staged("markov_absorption_time_purchase", oracle=_absorption_oracle())
+def markov_absorption_time_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected number of events until the next purchase, per current
+    event type, treating purchase as the absorbing state of the
+    first-order user-journey Markov chain (same transition estimate
+    as the registered ``markov_event_transitions``): 12 quantized
+    fixed-point rounds of t <- 1 + Q t (the Neumann series for
+    (I-Q)^-1 1 — a matrix inverse expressed as the same iterate-and-
+    quantize kernel as PageRank/HITS/PPR). The 'how far is each state
+    from conversion' number attribution models start from.
+
+    Scale shape: ONE user-partitioned window pass over the fact table,
+    then every round is a join of two <= k-row frames (k = event-type
+    domain). At 100 TB the chain solve is free; only the transition
+    count sees data."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & (F.col("t") != "purchase"))
+    c = seq.groupBy("t", "nxt").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=False, storageLevel=_DISK_ONLY
+    )
+    tot = c.groupBy("t").agg(F.sum("cnt").cast("double").alias("nt")).localCheckpoint(
+        eager=False, storageLevel=_DISK_ONLY
+    )
+    q = (
+        c.join(tot, "t")
+        .filter(F.col("nxt") != "purchase")
+        .select("t", "nxt", (F.col("cnt") / F.col("nt")).alias("p"))
+    )
+    tv = tot.select("t", F.lit(0.0).alias("tv"))
+    for _ in range(_ABS_ROUNDS):
+        fl = (
+            q.join(tv.withColumnRenamed("t", "nxt"), "nxt")
+            .groupBy("t")
+            .agg(F.sum(F.col("p") * F.col("tv")).alias("fl"))
+        )
+        tv = (
+            tot.join(fl, "t", "left")
+            .select(
+                "t",
+                F.round(
+                    1.0 + F.coalesce(F.col("fl"), F.lit(0.0)) + 1e-12, _ABS_Q
+                ).alias("tv"),
+            )
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    pa = (
+        c.join(tot, "t")
+        .filter(F.col("nxt") == "purchase")
+        .select("t", (F.col("cnt") / F.col("nt")).alias("p"))
+    )
+    return (
+        tv.join(pa, "t", "left")
+        .select(
+            F.col("t").alias("from_type"),
+            F.round(F.coalesce(F.col("p"), F.lit(0.0)) + 1e-9, 6).alias(
+                "p_purchase_next"
+            ),
+            F.round(F.col("tv") + 1e-9, 6).alias("expected_steps"),
+        )
+        .orderBy("from_type")
+    )
+
+
+@staged(
+    "embedding_participation_ratio",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (
+      SELECT vec_id, idx.i AS i, v[idx.i] AS val
+      FROM e, (SELECT unnest(range(1, 65)) AS i) idx),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    m AS (SELECT i, sum(val) / max(n.n) AS mi FROM ex CROSS JOIN n GROUP BY i),
+    s AS (
+      SELECT a.i AS i, b.i AS j, sum(a.val * b.val) AS sij
+      FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i),
+    c AS (
+      SELECT s.i, s.j, s.sij / n.n - ma.mi * mb.mi AS cij
+      FROM s CROSS JOIN n
+      JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j),
+    agg AS (
+      SELECT sum(CASE WHEN i = j THEN cij ELSE 0 END) AS tr,
+             sum(cij * cij) AS frob
+      FROM c)
+    SELECT CAST(n.n AS BIGINT) AS n_vectors,
+           CAST(64 AS BIGINT) AS dim,
+           round(agg.tr + 1e-9, 6) AS trace_cov,
+           round(agg.frob + 1e-9, 8) AS frob_norm_sq,
+           round(agg.tr * agg.tr / agg.frob + 1e-9, 4)
+             AS participation_ratio,
+           round(agg.tr * agg.tr / agg.frob / 64 + 1e-9, 4) AS pr_fraction
+    FROM agg CROSS JOIN n
+    """,
+)
+def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio (effective dimensionality) of the embedding
+    covariance: PR = (tr C)^2 / ||C||_F^2 = (sum lambda)^2 / sum
+    lambda^2 — the eigenvalue-free effective-rank measure (equals d
+    for isotropic spectra, 1 when one direction dominates), computed
+    WITHOUT an eigendecomposition because trace and Frobenius norm
+    are basis-free. Complements the staged top-PC power iteration
+    (which finds the dominant direction) and the registered isotropy
+    stats (mean-direction bias) with 'how many directions carry real
+    variance' — the dimension-collapse alarm for learned embeddings.
+
+    Scale shape: mean vector from one dim-keyed aggregate; second
+    moments from ONE vec_id-equi-join of the exploded frame with
+    itself (n*d rows a side, d^2-bounded output) — at 100 TB the
+    Gram accumulation is the standard d x d map-side-combinable
+    aggregate, never an n x n object."""
+    emb = Tables(spark, sf_dir).embeddings
+    from ror_etl_spark.functions.vectors import as_double
+
+    ex = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("i", "val")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = (
+        ex.crossJoin(F.broadcast(n))
+        .groupBy("i")
+        .agg((F.sum("val") / F.max("n")).alias("mi"))
+    )
+    a = ex.select("vec_id", F.col("i").alias("ia"), F.col("val").alias("va"))
+    b = ex.select("vec_id", F.col("i").alias("ib"), F.col("val").alias("vb"))
+    s = (
+        a.join(b, "vec_id")
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("sij"))
+    )
+    c = (
+        s.crossJoin(F.broadcast(n))
+        .join(F.broadcast(m.select(F.col("i").alias("ia"), F.col("mi").alias("ma"))), "ia")
+        .join(F.broadcast(m.select(F.col("i").alias("ib"), F.col("mi").alias("mb"))), "ib")
+        .select(
+            "ia",
+            "ib",
+            (F.col("sij") / F.col("n") - F.col("ma") * F.col("mb")).alias("cij"),
+        )
+    )
+    agg = c.agg(
+        F.sum(F.when(F.col("ia") == F.col("ib"), F.col("cij")).otherwise(0.0)).alias(
+            "tr"
+        ),
+        F.sum(F.col("cij") * F.col("cij")).alias("frob"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.lit(64).cast("long").alias("dim"),
+        F.round(F.col("tr") + 1e-9, 6).alias("trace_cov"),
+        F.round(F.col("frob") + 1e-9, 8).alias("frob_norm_sq"),
+        F.round(F.col("tr") * F.col("tr") / F.col("frob") + 1e-9, 4).alias(
+            "participation_ratio"
+        ),
+        F.round(
+            F.col("tr") * F.col("tr") / F.col("frob") / 64 + 1e-9, 4
+        ).alias("pr_fraction"),
+    )
+
+
+_RAKE_STOPS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+
+@staged(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(arr) AS tok,
+             generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr
+            FROM documents WHERE lang = 'en') d),
+    marked AS (
+      SELECT doc_id, tok, pos,
+             sum(CASE WHEN tok IN ({', '.join(repr(w) for w in _RAKE_STOPS)})
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid,
+             CASE WHEN tok IN ({', '.join(repr(w) for w in _RAKE_STOPS)})
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM toks),
+    pw AS (
+      SELECT doc_id, pid, tok, pos,
+             count(*) OVER (PARTITION BY doc_id, pid) AS plen
+      FROM marked WHERE is_stop = 0),
+    ws AS (
+      SELECT tok, count(*) * 1.0 AS freq, sum(plen) * 1.0 AS deg
+      FROM pw GROUP BY tok),
+    phr AS (
+      SELECT doc_id, pid,
+             string_agg(pw.tok, ' ' ORDER BY pw.pos) AS phrase,
+             sum(ws.deg / ws.freq) AS score
+      FROM pw JOIN ws USING (tok)
+      GROUP BY doc_id, pid),
+    dedup AS (
+      SELECT phrase, count(*) AS n_occurrences,
+             round(max(score) + 1e-9, 6) AS rake_score
+      FROM phr GROUP BY phrase)
+    SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           rake_score
+    FROM dedup
+    ORDER BY rake_score DESC, phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the English slice: stopwords
+    (the registered lang-ID list, so the boundary definition is shared
+    with the quality ops) delimit candidate phrases; word score =
+    degree/frequency where degree sums the lengths of phrases
+    containing the word; phrase score = sum of member word scores;
+    top-15 distinct phrases. The unsupervised 'what is this corpus
+    about' extractor that complements PMI/LLR collocations (fixed
+    n-grams) with variable-length phrases.
+
+    Scale shape: explode -> per-doc running stop-count (a DOC-bounded
+    window) -> phrase and word aggregates keyed by token/phrase —
+    shuffles are vocabulary/phrase-sized after the first pass.
+    Round-before-rank with a phrase tiebreak."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("lang") == "en")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    stops = F.array(*[F.lit(w) for w in _RAKE_STOPS])
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.sum(
+            F.when(F.array_contains(stops, F.col("tok")), 1).otherwise(0)
+        ).over(wdoc).alias("pid"),
+        F.array_contains(stops, F.col("tok")).alias("is_stop"),
+    )
+    wphr = Window.partitionBy("doc_id", "pid")
+    pw = (
+        marked.filter(~F.col("is_stop"))
+        .withColumn("plen", F.count(F.lit(1)).over(wphr))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    ws = pw.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum("plen").cast("double").alias("deg"),
+    )
+    phr = (
+        pw.join(F.broadcast(ws), "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum(F.col("deg") / F.col("freq")).alias("score"),
+        )
+    )
+    dedup = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.round(F.max("score") + 1e-9, 6).alias("rake_score"),
+    )
+    return dedup.orderBy(F.desc("rake_score"), F.asc("phrase")).limit(15)

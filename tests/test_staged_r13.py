@@ -520,3 +520,107 @@ def test_holt_matches_pure_python_replay(spark):
     assert r["forecast_1"] == q(lv + tr)
     assert r["forecast_7"] == q(lv + 7.0 * tr)
     assert r["sse_1step"] == sse
+
+
+# ---------------------------------------------------------------------------
+# Wave 10 property pins
+# ---------------------------------------------------------------------------
+
+
+def test_ridge_ladder_monotone_shrinkage(spark):
+    """|slope| decreases as lambda grows; lambda=0 is exactly OLS
+    (shrinkage 1)."""
+    rows = sorted(
+        STAGED["ridge_elasticity_qty_price"][0](spark, SF_SMALL).collect(),
+        key=lambda r: r["lambda"],
+    )
+    assert rows[0]["lambda"] == 0.0
+    assert abs(rows[0]["shrinkage"] - 1.0) < 1e-6
+    mags = [abs(r["slope"]) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    for r in rows:
+        assert 0 < r["shrinkage"] <= 1.0 + 1e-9
+
+
+def test_huber_weights_bounded(spark):
+    r = STAGED["huber_irls_elasticity"][0](spark, SF_SMALL).collect()[0]
+    assert 0 < r["min_weight"] <= 1.0 + 1e-9
+    assert 0 <= r["n_downweighted"] <= r["n_days"]
+    # Huber moves the slope but not wildly: same sign, within 3x
+    if abs(r["slope_ols"]) > 1e-6:
+        assert r["slope_huber"] * r["slope_ols"] >= 0 or abs(
+            r["slope_huber"]
+        ) < abs(r["slope_ols"])
+
+
+def test_pinball_median_symmetry(spark):
+    """tau=0.5 pinball is half the MAE — replay from the daily frame."""
+    import duckdb as d
+
+    rows = STAGED["pinball_loss_forecast_daily"][0](spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    daily = d.sql(
+        "SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) t,"
+        " sum(value) y FROM "
+        f"'{os.path.join(SF_SMALL, 'events.parquet')}' "
+        "WHERE event_type = 'purchase' GROUP BY 1 ORDER BY t"
+    ).fetchall()
+    ys = [y for _, y in daily]
+    mae_half = sum(abs(a - b) for a, b in zip(ys[1:], ys[:-1])) / (
+        2 * (len(ys) - 1)
+    )
+    naive05 = next(
+        r for r in rows if r["method"] == "naive_lag1" and r["tau"] == 0.5
+    )
+    assert abs(naive05["pinball"] - mae_half) < 1e-4
+
+
+def test_gmm_em_invariants(spark):
+    """pi in (0,1), variances positive, components stay ordered
+    (p25/p75 init), and responsibilities conserve mass (pi1 + pi2 = 1
+    by construction)."""
+    rows = sorted(
+        STAGED["gaussian_mixture_em_value"][0](spark, SF_SMALL).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert 0.0 < r["pi1"] < 1.0
+        assert r["var1"] > 0 and r["var2"] > 0
+        assert r["mu1"] < r["mu2"]
+
+
+def test_absorption_consistent_with_direct_prob(spark):
+    """expected_steps >= 1 always, and a state with higher next-step
+    purchase probability can't have a (much) longer wait under a
+    near-uniform chain; also 12-round truncation means steps <=
+    12 + 1."""
+    rows = STAGED["markov_absorption_time_purchase"][0](
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["expected_steps"] >= 1.0
+        assert r["expected_steps"] <= 13.0
+        assert 0.0 <= r["p_purchase_next"] <= 1.0
+
+
+def test_participation_ratio_bounds(spark):
+    """1 <= PR <= dim, and trace/frobenius are positive."""
+    r = STAGED["embedding_participation_ratio"][0](spark, SF_SMALL).collect()[0]
+    assert r["trace_cov"] > 0
+    assert r["frob_norm_sq"] > 0
+    assert 1.0 - 1e-6 <= r["participation_ratio"] <= 64.0 + 1e-6
+    assert abs(r["pr_fraction"] - r["participation_ratio"] / 64) < 1e-3
+
+
+def test_rake_phrases_contain_no_stopwords(spark):
+    from ror_etl_spark.queries.staged_r13 import _RAKE_STOPS
+
+    rows = STAGED["text_rake_keyphrases"][0](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 15
+    stops = set(_RAKE_STOPS)
+    for r in rows:
+        assert not (set(r["phrase"].split(" ")) & stops)
+        assert r["rake_score"] >= 1.0 - 1e-6  # deg >= freq => score >= 1
+        assert r["n_occurrences"] >= 1
