@@ -26,7 +26,12 @@ incremental product-state closures (two-batch sessionize merge proven
 against the full-corpus sessionizer, session-depth half-life fit,
 BPE tokenizer fertility by language), plus wave 8: revenue-weighted
 quantiles over the discrete quantity domain and a Simpson's-paradox
-reversal screen.
+reversal screen; waves 9-10: inequality/association/unit-root
+closures, exact 1-Wasserstein, centrality and robust-regression
+kernels; wave 11: Chao1 unseen-vocabulary richness, Cronbach's alpha
+(zero-cell-free sufficient statistics), Page-Hinkley drift,
+Hotelling's T-squared two-sample test, and the Calinski-Harabasz
+variance-ratio index completing the clustering-validity triad.
 
 Every entry follows the registry discipline (registry.py module
 docstring): identical aliases both sides, epsilon-shifted rounding on
@@ -4277,3 +4282,575 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("score") + 1e-9, 6).alias("rake_score"),
     )
     return dedup.orderBy(F.desc("rake_score"), F.asc("phrase")).limit(15)
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: vocabulary richness, psychometrics, drift detection,
+# multivariate testing, clustering validity
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+',
+                    ' ', 'g')), ' ')) AS tok
+      FROM documents),
+    wc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ag AS (
+      SELECT count(*) AS s_obs, sum(c) AS n_tokens,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+      FROM wc)
+    SELECT CAST(s_obs AS BIGINT) AS s_obs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+           round(s_obs + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)) + 1e-9, 4)
+             AS chao1_bc,
+           CASE WHEN f2 > 0
+                THEN round(s_obs + f1 * 1.0 * f1 / (2.0 * f2) + 1e-9, 4)
+                END AS chao1_classic,
+           round(1.0 - f1 * 1.0 / n_tokens + 1e-9, 6) AS good_coverage
+    FROM ag
+    """,
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary: from
+    the frequency-of-frequencies ladder (f1 singletons, f2 doubletons),
+    the bias-corrected Chao1 = S_obs + f1(f1-1)/(2(f2+1)) (always
+    defined) and the classic f1^2/(2 f2) form, plus Good's sample
+    coverage 1 - f1/N. The 'how many word types exist that this corpus
+    has never seen' companion to ``heaps_law_vocab_fit`` (growth-curve
+    extrapolation) and ``good_turing_word_smoothing`` (probability-mass
+    reassignment) — same whitespace tokenization as both.
+
+    Scale shape: token explode -> vocabulary-keyed count -> ONE scalar
+    aggregate over the count frame (the frequency-of-frequencies never
+    materializes; the CASE sums consume counts directly). Two shuffles
+    total, both partial-agg friendly; output is a single row."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("tok")
+    )
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ag = wc.agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    s = F.col("s_obs").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    n = F.col("n_tokens").cast("double")
+    return ag.select(
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(
+            s + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)) + 1e-9, 4
+        ).alias("chao1_bc"),
+        F.when(
+            f2 > 0, F.round(s + f1 * f1 / (2.0 * f2) + 1e-9, 4)
+        ).alias("chao1_classic"),
+        F.round(1.0 - f1 / n + 1e-9, 6).alias("good_coverage"),
+    )
+
+
+@staged(
+    "cronbach_alpha_event_types",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu,
+             CAST(count(DISTINCT event_type) AS DOUBLE) AS k
+      FROM ut),
+    pt AS (
+      SELECT event_type, sum(x) AS s, sum(x * x) AS ss
+      FROM ut GROUP BY event_type),
+    iv AS (
+      SELECT sum((pt.ss - pt.s * pt.s / u.nu) / (u.nu - 1.0)) AS item_var
+      FROM pt CROSS JOIN u),
+    tot AS (SELECT user_id, sum(x) AS t FROM ut GROUP BY user_id),
+    tv AS (
+      SELECT (sum(t.t * t.t) - sum(t.t) * sum(t.t) / u.nu) / (u.nu - 1.0)
+               AS total_var
+      FROM tot t CROSS JOIN u GROUP BY u.nu)
+    SELECT CAST(u.nu AS BIGINT) AS n_users, CAST(u.k AS BIGINT) AS k_items,
+           round(iv.item_var + 1e-9, 4) AS sum_item_var,
+           round(tv.total_var + 1e-9, 4) AS total_var,
+           round(u.k / (u.k - 1.0)
+                 * (1.0 - iv.item_var / tv.total_var) + 1e-9, 6)
+             AS cronbach_alpha
+    FROM u CROSS JOIN iv CROSS JOIN tv
+    """,
+)
+def cronbach_alpha_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the user x event-type count matrix: items
+    = the event types, subjects = users, score = per-user event count
+    of that type (implicit ZEROS for types a user never fired). alpha
+    = k/(k-1) (1 - sum_t var_t / var(total)) — the internal-consistency
+    screen for 'do these event streams measure one underlying
+    engagement trait', the psychometric complement to
+    ``user_event_entropy_topk`` (per-user mix) and
+    ``cochran_q_daily_types`` (binary repeated measures).
+
+    Exactness trick: the zero cells never materialize — a type's
+    across-ALL-users variance comes from sufficient statistics of the
+    PRESENT (user, type) rows alone, since zeros add nothing to sum or
+    sum-of-squares: var_t = (ss_t - s_t^2/U) / (U-1) with U the full
+    user count. The same closed form covers the row-total variance, so
+    both engines compute identical algebra on one (user, type) frame.
+
+    Scale shape: one data-sized groupBy to the (user, type) frame,
+    then a type-keyed aggregate (bounded by the type domain) and a
+    user-keyed total aggregate — all partial-agg friendly, no grid
+    materialization, single-row output."""
+    e = Tables(spark, sf_dir).events
+    ut = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    u = ut.agg(
+        F.countDistinct("user_id").cast("double").alias("nu"),
+        F.countDistinct("event_type").cast("double").alias("k"),
+    )
+    pt = ut.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("ss")
+    )
+    iv = (
+        pt.crossJoin(F.broadcast(u))
+        .select(
+            (
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("nu"))
+                / (F.col("nu") - 1.0)
+            ).alias("v")
+        )
+        .agg(F.sum("v").alias("item_var"))
+    )
+    tot = ut.groupBy("user_id").agg(F.sum("x").alias("t"))
+    tv = (
+        tot.agg(
+            F.sum(F.col("t") * F.col("t")).alias("tss"),
+            F.sum("t").alias("ts"),
+        )
+        .crossJoin(F.broadcast(u))
+        .select(
+            (
+                (F.col("tss") - F.col("ts") * F.col("ts") / F.col("nu"))
+                / (F.col("nu") - 1.0)
+            ).alias("total_var")
+        )
+    )
+    return (
+        u.crossJoin(F.broadcast(iv))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            F.col("nu").cast("long").alias("n_users"),
+            F.col("k").cast("long").alias("k_items"),
+            F.round(F.col("item_var") + 1e-9, 4).alias("sum_item_var"),
+            F.round(F.col("total_var") + 1e-9, 4).alias("total_var"),
+            F.round(
+                F.col("k")
+                / (F.col("k") - 1.0)
+                * (1.0 - F.col("item_var") / F.col("total_var"))
+                + 1e-9,
+                6,
+            ).alias("cronbach_alpha"),
+        )
+    )
+
+
+@staged(
+    "page_hinkley_daily_revenue",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    cm AS (
+      SELECT t, y,
+             avg(y) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ca
+      FROM daily),
+    mseq AS (
+      SELECT t,
+             sum(y - ca) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS m
+      FROM cm),
+    ph AS (
+      SELECT t,
+             round(m - min(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) + 1e-9, 4) AS ph
+      FROM mseq),
+    mx AS (SELECT max(ph) AS ph_max FROM ph),
+    arg AS (
+      SELECT min(ph.t) AS t_at_max FROM ph CROSS JOIN mx
+      WHERE ph.ph = mx.ph_max),
+    sd AS (
+      SELECT count(*) AS n_days, stddev_pop(y) AS sigma FROM daily)
+    SELECT CAST(sd.n_days AS BIGINT) AS n_days,
+           mx.ph_max,
+           CAST(arg.t_at_max AS BIGINT) AS t_at_max,
+           round(sd.sigma + 1e-9, 4) AS sigma,
+           CAST(mx.ph_max > 3.0 * sd.sigma AS BOOLEAN) AS drift_detected
+    FROM sd CROSS JOIN mx CROSS JOIN arg
+    """,
+)
+def page_hinkley_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic on the daily purchase-revenue
+    series (delta = 0 form): d_t = y_t - cumulative-mean_t, m_t =
+    cumsum(d), PH_t = m_t - running-min(m); the reported PH_max with
+    its day and the 3-sigma comparison is the standard data-stream
+    mean-shift detector — the sequential complement to
+    ``changepoint_binseg_daily_revenue`` (offline SSE split) and
+    ``cusum_changepoint_daily`` (known-target CUSUM): PH needs no
+    reference mean, it tracks its own.
+
+    Round-before-rank: PH_t is quantized to 4 dp BEFORE the argmax and
+    the argmax tiebreak is min(t), so both engines pick the same day.
+
+    Scale shape: after the one data-sized daily rollup every window
+    runs on the bounded (~month) frame — single-partition by
+    construction, domain-bounded, not data-sized."""
+    daily = _daily_df(spark, sf_dir)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cm = daily.select("t", "y", F.avg("y").over(w).alias("ca"))
+    mseq = cm.select(
+        "t", F.sum(F.col("y") - F.col("ca")).over(w).alias("m")
+    )
+    ph = mseq.select(
+        "t",
+        F.round(F.col("m") - F.min("m").over(w) + 1e-9, 4).alias("ph"),
+    )
+    mx = ph.agg(F.max("ph").alias("ph_max"))
+    arg = (
+        ph.crossJoin(F.broadcast(mx))
+        .filter(F.col("ph") == F.col("ph_max"))
+        .agg(F.min("t").alias("t_at_max"))
+    )
+    sd = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.stddev_pop("y").alias("sigma"),
+    )
+    return (
+        sd.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(arg))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("ph_max"),
+            F.col("t_at_max").cast("long").alias("t_at_max"),
+            F.round(F.col("sigma") + 1e-9, 4).alias("sigma"),
+            (F.col("ph_max") > 3.0 * F.col("sigma")).alias(
+                "drift_detected"
+            ),
+        )
+    )
+
+
+@staged(
+    "hotelling_t2_click_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             value AS x,
+             CAST(date_part('hour', ts) AS DOUBLE) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    st AS (
+      SELECT sum(CASE WHEN g = 1 THEN 1.0 ELSE 0 END) AS n1,
+             sum(CASE WHEN g = 0 THEN 1.0 ELSE 0 END) AS n0,
+             sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS sx1,
+             sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS sx0,
+             sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS sy1,
+             sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS sy0,
+             sum(CASE WHEN g = 1 THEN x * x ELSE 0 END) AS sxx1,
+             sum(CASE WHEN g = 0 THEN x * x ELSE 0 END) AS sxx0,
+             sum(CASE WHEN g = 1 THEN y * y ELSE 0 END) AS syy1,
+             sum(CASE WHEN g = 0 THEN y * y ELSE 0 END) AS syy0,
+             sum(CASE WHEN g = 1 THEN x * y ELSE 0 END) AS sxy1,
+             sum(CASE WHEN g = 0 THEN x * y ELSE 0 END) AS sxy0
+      FROM ev),
+    pc AS (
+      SELECT n1, n0,
+             sx1 / n1 - sx0 / n0 AS dx,
+             sy1 / n1 - sy0 / n0 AS dy,
+             ((sxx1 - sx1 * sx1 / n1) + (sxx0 - sx0 * sx0 / n0))
+               / (n1 + n0 - 2.0) AS vxx,
+             ((syy1 - sy1 * sy1 / n1) + (syy0 - sy0 * sy0 / n0))
+               / (n1 + n0 - 2.0) AS vyy,
+             ((sxy1 - sx1 * sy1 / n1) + (sxy0 - sx0 * sy0 / n0))
+               / (n1 + n0 - 2.0) AS vxy
+      FROM st),
+    t2 AS (
+      SELECT n1, n0, dx, dy,
+             (n1 * n0 / (n1 + n0))
+               * (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx)
+               / (vxx * vyy - vxy * vxy) AS t2
+      FROM pc)
+    SELECT CAST(n0 AS BIGINT) AS n_click, CAST(n1 AS BIGINT) AS n_purchase,
+           round(dx + 1e-9, 4) AS diff_value,
+           round(dy + 1e-9, 6) AS diff_hour,
+           round(t2 + 1e-9, 4) AS t2,
+           round((n1 + n0 - 3.0) / (2.0 * (n1 + n0 - 2.0)) * t2 + 1e-9, 4)
+             AS f_stat
+    FROM t2
+    """,
+)
+def hotelling_t2_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hotelling's T-squared two-sample test on the BIVARIATE outcome
+    (event value, hour-of-day) between click and purchase events: T2 =
+    (n1 n0/(n1+n0)) d' S_pooled^-1 d with the 2x2 pooled covariance
+    inverted in closed form, plus the exact F-map (n-p-1)/((n-2)p) T2
+    for p = 2. The multivariate generalization the univariate pair
+    (``cohens_d_urgent_low``, ``ks_test_value_click_purchase``) can't
+    express: a shift that's null on each margin but real jointly
+    (value and time-of-day move TOGETHER) lights up only here.
+
+    Scale shape: ONE twelve-sum conditional aggregate over the
+    filtered fact scan (sufficient statistics; hour() stays JVM-side
+    under the UTC-pinned session), then scalar algebra on the 1-row
+    frame. No shuffle beyond the partial-agg merge."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ev = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+    )
+    g1 = F.col("g") == 1
+    g0 = F.col("g") == 0
+    st = ev.agg(
+        F.sum(F.when(g1, 1.0).otherwise(0.0)).alias("n1"),
+        F.sum(F.when(g0, 1.0).otherwise(0.0)).alias("n0"),
+        F.sum(F.when(g1, F.col("x")).otherwise(0.0)).alias("sx1"),
+        F.sum(F.when(g0, F.col("x")).otherwise(0.0)).alias("sx0"),
+        F.sum(F.when(g1, F.col("y")).otherwise(0.0)).alias("sy1"),
+        F.sum(F.when(g0, F.col("y")).otherwise(0.0)).alias("sy0"),
+        F.sum(F.when(g1, F.col("x") * F.col("x")).otherwise(0.0)).alias(
+            "sxx1"
+        ),
+        F.sum(F.when(g0, F.col("x") * F.col("x")).otherwise(0.0)).alias(
+            "sxx0"
+        ),
+        F.sum(F.when(g1, F.col("y") * F.col("y")).otherwise(0.0)).alias(
+            "syy1"
+        ),
+        F.sum(F.when(g0, F.col("y") * F.col("y")).otherwise(0.0)).alias(
+            "syy0"
+        ),
+        F.sum(F.when(g1, F.col("x") * F.col("y")).otherwise(0.0)).alias(
+            "sxy1"
+        ),
+        F.sum(F.when(g0, F.col("x") * F.col("y")).otherwise(0.0)).alias(
+            "sxy0"
+        ),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    pc = st.select(
+        n1,
+        n0,
+        (F.col("sx1") / n1 - F.col("sx0") / n0).alias("dx"),
+        (F.col("sy1") / n1 - F.col("sy0") / n0).alias("dy"),
+        (
+            (
+                (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1)
+                + (F.col("sxx0") - F.col("sx0") * F.col("sx0") / n0)
+            )
+            / (n1 + n0 - 2.0)
+        ).alias("vxx"),
+        (
+            (
+                (F.col("syy1") - F.col("sy1") * F.col("sy1") / n1)
+                + (F.col("syy0") - F.col("sy0") * F.col("sy0") / n0)
+            )
+            / (n1 + n0 - 2.0)
+        ).alias("vyy"),
+        (
+            (
+                (F.col("sxy1") - F.col("sx1") * F.col("sy1") / n1)
+                + (F.col("sxy0") - F.col("sx0") * F.col("sy0") / n0)
+            )
+            / (n1 + n0 - 2.0)
+        ).alias("vxy"),
+    )
+    t2c = (
+        n1
+        * n0
+        / (n1 + n0)
+        * (
+            F.col("dx") * F.col("dx") * F.col("vyy")
+            - 2.0 * F.col("dx") * F.col("dy") * F.col("vxy")
+            + F.col("dy") * F.col("dy") * F.col("vxx")
+        )
+        / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    )
+    t2 = pc.select(n1, n0, F.col("dx"), F.col("dy"), t2c.alias("t2"))
+    return t2.select(
+        n0.cast("long").alias("n_click"),
+        n1.cast("long").alias("n_purchase"),
+        F.round(F.col("dx") + 1e-9, 4).alias("diff_value"),
+        F.round(F.col("dy") + 1e-9, 6).alias("diff_hour"),
+        F.round(F.col("t2") + 1e-9, 4).alias("t2"),
+        F.round(
+            (n1 + n0 - 3.0) / (2.0 * (n1 + n0 - 2.0)) * F.col("t2") + 1e-9,
+            4,
+        ).alias("f_stat"),
+    )
+
+
+@staged(
+    "calinski_harabasz_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    dims AS (
+      SELECT label, idx.i AS i, sum(v[idx.i]) AS s, count(*) AS n
+      FROM e, (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, idx.i),
+    cent AS (
+      SELECT label, max(n) AS n,
+             list(s / n ORDER BY i) AS c,
+             list(s ORDER BY i) AS sv
+      FROM dims GROUP BY label),
+    grand AS (
+      SELECT list(gs / gn ORDER BY i) AS g FROM (
+        SELECT i, sum(s) AS gs, sum(n) AS gn FROM dims GROUP BY i)),
+    btw AS (
+      SELECT cent.label, cent.n,
+             cent.n * list_sum(list_transform(
+               list_zip(cent.c, grand.g),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS b
+      FROM cent CROSS JOIN grand),
+    wss AS (
+      SELECT e.label,
+             sum(list_sum(list_transform(
+               list_zip(e.v, cent.c),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS w
+      FROM e JOIN cent ON cent.label = e.label
+      GROUP BY e.label),
+    tot AS (
+      SELECT sum(btw.b) AS bt, sum(wss.w) AS wt,
+             sum(btw.n) AS nt, count(*) AS k
+      FROM btw JOIN wss ON wss.label = btw.label),
+    ch AS (
+      SELECT round((bt / (k - 1.0)) / (wt / (nt - k)) + 1e-9, 6)
+               AS ch_index
+      FROM tot)
+    SELECT btw.label, CAST(btw.n AS BIGINT) AS n_vectors,
+           round(wss.w + 1e-9, 4) AS within_ss,
+           round(btw.b + 1e-9, 4) AS between_ss,
+           ch.ch_index
+    FROM btw JOIN wss ON wss.label = btw.label CROSS JOIN ch
+    ORDER BY btw.label
+    """,
+)
+def calinski_harabasz_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calinski-Harabasz variance-ratio index of the planted embedding
+    clusters: CH = (B/(k-1)) / (W/(n-k)) with B = sum_c n_c ||c_c -
+    g||^2 (between-cluster dispersion vs the grand centroid) and W =
+    sum_points ||x - c_label||^2 (within-cluster). Completes the
+    internal-validity triad with ``embedding_silhouette_by_label``
+    (per-point margins) and ``davies_bouldin_embeddings`` (worst-pair
+    overlap) — CH is the only one of the three built purely from
+    VARIANCE decomposition, so it is the cheapest to monitor at scale.
+
+    Scale shape: one (label, dim)-keyed sum/count aggregate feeds both
+    the per-label centroids AND the grand centroid (re-aggregated from
+    the k x 64 frame, no second data pass for it); W is one map-side
+    distance pass over vectors against the broadcast centroids. All
+    downstream frames are k-sized."""
+    emb = Tables(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("i"), (F.col("s") / F.col("n")).alias("c"))
+                )
+            ).alias("ic"),
+        )
+        .select("label", "n", F.transform("ic", lambda s: s["c"]).alias("c"))
+    )
+    grand = (
+        dims.groupBy("i")
+        .agg(F.sum("s").alias("gs"), F.sum("n").alias("gn"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("i"), (F.col("gs") / F.col("gn")).alias("g")
+                    )
+                )
+            ).alias("ig")
+        )
+        .select(F.transform("ig", lambda s: s["g"]).alias("g"))
+    )
+    sqdist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    btw = cent.crossJoin(F.broadcast(grand)).select(
+        "label",
+        "n",
+        (F.col("n") * sqdist(F.col("c"), F.col("g"))).alias("b"),
+    )
+    wss = (
+        e.join(F.broadcast(cent.select("label", "c")), "label")
+        .select("label", sqdist(F.col("v"), F.col("c")).alias("d2"))
+        .groupBy("label")
+        .agg(F.sum("d2").alias("w"))
+    )
+    tot = (
+        btw.join(wss, "label")
+        .agg(
+            F.sum("b").alias("bt"),
+            F.sum("w").alias("wt"),
+            F.sum("n").alias("nt"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .select(
+            F.round(
+                (F.col("bt") / (F.col("k") - 1.0))
+                / (F.col("wt") / (F.col("nt") - F.col("k")))
+                + 1e-9,
+                6,
+            ).alias("ch_index")
+        )
+    )
+    return (
+        btw.join(wss, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(F.col("w") + 1e-9, 4).alias("within_ss"),
+            F.round(F.col("b") + 1e-9, 4).alias("between_ss"),
+            "ch_index",
+        )
+        .orderBy("label")
+    )

@@ -624,3 +624,111 @@ def test_rake_phrases_contain_no_stopwords(spark):
         assert not (set(r["phrase"].split(" ")) & stops)
         assert r["rake_score"] >= 1.0 - 1e-6  # deg >= freq => score >= 1
         assert r["n_occurrences"] >= 1
+
+
+def test_chao1_recombines_and_bounds(spark):
+    """Chao1 must recombine exactly from the reported f1/f2 and never
+    fall below the observed richness; Good's coverage lives in [0, 1]."""
+    fn, _ = STAGED["chao1_vocab_richness"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    bc = r["s_obs"] + r["f1"] * (r["f1"] - 1.0) / (2.0 * (r["f2"] + 1.0))
+    assert abs(bc - r["chao1_bc"]) < 1e-3
+    assert r["chao1_bc"] >= r["s_obs"]
+    if r["chao1_classic"] is not None:
+        assert r["chao1_classic"] >= r["s_obs"]
+    assert 0.0 <= r["good_coverage"] <= 1.0
+    assert r["n_tokens"] >= r["s_obs"] >= r["f1"] + r["f2"]
+
+
+def test_cronbach_alpha_pandas_replay(spark):
+    """Full-matrix pandas replay: materialize the user x type count
+    grid WITH zeros and recompute alpha = k/(k-1)(1 - sum var_i /
+    var_total) — pins the sufficient-statistics zero-cell trick."""
+    import numpy as np
+
+    fn, _ = STAGED["cronbach_alpha_event_types"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    ev = (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        .groupBy("user_id", "event_type")
+        .count()
+        .toPandas()
+    )
+    grid = ev.pivot_table(
+        index="user_id", columns="event_type", values="count", fill_value=0
+    ).to_numpy(dtype=float)
+    u, k = grid.shape
+    item_var = grid.var(axis=0, ddof=1).sum()
+    total_var = grid.sum(axis=1).var(ddof=1)
+    alpha = k / (k - 1.0) * (1.0 - item_var / total_var)
+    assert r["n_users"] == u and r["k_items"] == k
+    assert abs(r["sum_item_var"] - item_var) < 1e-2 * max(1.0, item_var)
+    assert abs(r["cronbach_alpha"] - alpha) < 1e-4
+    assert r["cronbach_alpha"] <= 1.0 + 1e-9
+    assert np.isfinite(alpha)
+
+
+def test_page_hinkley_numpy_replay(spark):
+    """Sequential numpy replay of the PH trajectory on the same daily
+    frame; PH_max is nonnegative by construction (PH_1 = 0)."""
+    import numpy as np
+
+    from ror_etl_spark.queries.staged_r13 import _daily_df
+
+    fn, _ = STAGED["page_hinkley_daily_revenue"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    d = _daily_df(spark, SF_SMALL).orderBy("t").toPandas()
+    y = d["y"].to_numpy(dtype=float)
+    ca = np.cumsum(y) / np.arange(1, len(y) + 1)
+    m = np.cumsum(y - ca)
+    ph = m - np.minimum.accumulate(m)
+    assert r["n_days"] == len(y)
+    assert r["ph_max"] >= -1e-9
+    assert abs(r["ph_max"] - ph.max()) < 1e-2 * max(1.0, ph.max())
+    t_at = d["t"].to_numpy()[int(np.argmax(np.round(ph + 1e-9, 4)))]
+    assert r["t_at_max"] == t_at
+
+
+def test_hotelling_t2_numpy_replay(spark):
+    """Replay T2 via numpy pooled covariance on the same two samples;
+    T2 >= 0 and the F-map is the exact p=2 constant."""
+    import numpy as np
+
+    fn, _ = STAGED["hotelling_t2_click_purchase"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    ev = (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        .filter("event_type IN ('click', 'purchase')")
+        .selectExpr(
+            "event_type", "value AS x", "CAST(hour(ts) AS DOUBLE) AS y"
+        )
+        .toPandas()
+    )
+    a = ev[ev.event_type == "purchase"][["x", "y"]].to_numpy()
+    b = ev[ev.event_type == "click"][["x", "y"]].to_numpy()
+    n1, n0 = len(a), len(b)
+    d = a.mean(axis=0) - b.mean(axis=0)
+    sp = ((n1 - 1) * np.cov(a.T) + (n0 - 1) * np.cov(b.T)) / (n1 + n0 - 2)
+    t2 = n1 * n0 / (n1 + n0) * d @ np.linalg.solve(sp, d)
+    assert r["n_purchase"] == n1 and r["n_click"] == n0
+    assert r["t2"] >= 0
+    assert abs(r["t2"] - t2) < 1e-3 * max(1.0, t2)
+    assert abs(
+        r["f_stat"] - (n1 + n0 - 3.0) / (2.0 * (n1 + n0 - 2.0)) * r["t2"]
+    ) < 1e-3
+
+
+def test_calinski_harabasz_recombines(spark):
+    """CH must recombine from the reported per-label rows: ch =
+    (sum B/(k-1)) / (sum W/(n-k)); both dispersion columns >= 0."""
+    fn, _ = STAGED["calinski_harabasz_embeddings"]
+    rows = fn(spark, SF_SMALL).collect()
+    k = len(rows)
+    n = sum(r["n_vectors"] for r in rows)
+    bt = sum(r["between_ss"] for r in rows)
+    wt = sum(r["within_ss"] for r in rows)
+    ch = (bt / (k - 1.0)) / (wt / (n - k))
+    assert all(r["within_ss"] >= 0 and r["between_ss"] >= 0 for r in rows)
+    assert len({r["ch_index"] for r in rows}) == 1
+    assert abs(rows[0]["ch_index"] - ch) < 1e-2 * max(1.0, ch)
+    assert ch > 0
