@@ -3382,9 +3382,16 @@ def embedding_hubness_koccurrence(spark: SparkSession, sf_dir: str) -> DataFrame
     from ror_etl_spark.functions.vectors import as_double, cosine
 
     emb = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") % 2 == 0)
-    sub = emb.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    # repartition BEFORE the non-equi join: the BroadcastNestedLoopJoin
+    # parallelizes over the STREAM side's partitions, and the
+    # checkpointed subsample otherwise collapses to one parquet split —
+    # a single task grinding |sub|^2 pairs (caught live by the emb10x
+    # tier run: 625M pairs on one core).
+    sub = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .repartition(32, "vec_id")
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
     a = sub.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = sub.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("ia") != F.col("ib")).select(

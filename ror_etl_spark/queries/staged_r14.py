@@ -1,0 +1,1878 @@
+"""Operators staged during round 12 for the (future) r14 registry flip
+— same discipline as ``staged_r9``..``staged_r13``: implemented,
+oracle-equipped, and driver-gate-checked under pytest
+(``tests/test_staged_r14.py``) while staying OUT of the live registry.
+Pre-building the r14 batch one round early keeps the flip pipeline full:
+r13 flips ``staged_r13`` (50 ops, exactly one driver window) and can
+accumulate tri-SF evidence for this batch without authoring from zero.
+
+Batch theme: EXACT SMALL-SAMPLE INFERENCE & SEQUENCE MODELS — exact
+hypergeometric inference on bounded populations (Fisher's exact test on
+the 25-nation grid), odds-ratio homogeneity across strata (Breslow-Day
+on the CMH common OR), the Kuiper circular-sensitive ECDF statistic
+completing the KS/CvM/AD family, rank concordance across repeated
+rankings (Kendall's W), grouped logistic regression by IRLS with its
+Hosmer-Lemeshow calibration companion, a 1-D local-level Kalman filter
+(the state-space complement to Holt), corpus language-model scoring by
+stupid-backoff trigrams, TextRank keyword extraction (PageRank over the
+token co-occurrence graph), linear CKA between embedding halves,
+grid-density (DBSCAN-style) clustering over the embedding plane,
+doubly-robust AIPW treatment effects, kth-NN distance outliers, and
+deterministic Misra-Gries heavy-hitter tokens with an exact recount.
+
+Every entry follows the registry discipline (registry.py module
+docstring): identical aliases both sides, epsilon-shifted rounding on
+floats, round-before-rank with total-order tiebreaks, quantized
+iteration trajectories replayed by the DuckDB oracle, and the strict
+dtype rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark.storagelevel import StorageLevel
+
+from ror_etl_spark.tables import Tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_DISK_ONLY = StorageLevel.DISK_ONLY
+
+STAGED: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def staged(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query: {name}")
+        STAGED[name] = (fn, " ".join(oracle.split()) if oracle else None)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """r14 switch: move every staged query into the live registry."""
+    from ror_etl_spark.registry import query
+
+    for name, (fn, oracle) in STAGED.items():
+        query(name, oracle=oracle)(fn)
+
+
+# ---------------------------------------------------------------------------
+# Exact small-sample inference on bounded populations
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "fisher_exact_nation_revenue",
+    oracle="""
+    WITH nrev AS (
+      SELECT n.n_nationkey AS nk, n.n_regionkey AS rk,
+             sum(o.o_totalprice) AS rev
+      FROM nation n
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_nationkey, n.n_regionkey),
+    med AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY rev) AS m
+      FROM nrev),
+    flags AS (
+      SELECT nk,
+             CASE WHEN rk IN (2, 3) THEN 1 ELSE 0 END AS t,
+             CASE WHEN rev > med.m THEN 1 ELSE 0 END AS hi
+      FROM nrev CROSS JOIN med),
+    cells AS (
+      SELECT sum(CASE WHEN t = 1 AND hi = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN t = 1 AND hi = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN t = 0 AND hi = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN t = 0 AND hi = 0 THEN 1 ELSE 0 END) AS d
+      FROM flags),
+    marg AS (
+      SELECT a, b, c, d, a + b AS r1, a + c AS c1,
+             a + b + c + d AS n
+      FROM cells),
+    supp AS (
+      SELECT marg.*, gs.k FROM marg
+      CROSS JOIN (SELECT unnest(range(0, 26)) AS k) gs
+      WHERE gs.k >= greatest(0, marg.r1 + marg.c1 - marg.n)
+        AND gs.k <= least(marg.r1, marg.c1)),
+    lf AS (
+      SELECT gs.x,
+             coalesce(list_sum(list_transform(
+               range(2, CAST(gs.x AS BIGINT) + 1),
+               i -> ln(CAST(i AS DOUBLE)))), 0.0) AS lfact
+      FROM (SELECT unnest(range(0, 26)) AS x) gs),
+    pk AS (
+      SELECT supp.*,
+             round(exp(l1.lfact - l2.lfact - l3.lfact
+                       + l4.lfact - l5.lfact - l6.lfact
+                       - (l7.lfact - l8.lfact - l9.lfact))
+                   + 1e-12, 10) AS p
+      FROM supp
+      JOIN lf l1 ON l1.x = supp.r1
+      JOIN lf l2 ON l2.x = supp.k
+      JOIN lf l3 ON l3.x = supp.r1 - supp.k
+      JOIN lf l4 ON l4.x = supp.n - supp.r1
+      JOIN lf l5 ON l5.x = supp.c1 - supp.k
+      JOIN lf l6 ON l6.x = supp.n - supp.r1 - supp.c1 + supp.k
+      JOIN lf l7 ON l7.x = supp.n
+      JOIN lf l8 ON l8.x = supp.c1
+      JOIN lf l9 ON l9.x = supp.n - supp.c1),
+    pobs AS (SELECT p AS po FROM pk WHERE k = a),
+    sums AS (
+      SELECT sum(CASE WHEN pk.p <= pobs.po * (1.0 + 1e-7)
+                      THEN pk.p ELSE 0 END) AS p_two,
+             sum(CASE WHEN pk.k >= pk.a THEN pk.p ELSE 0 END) AS p_one
+      FROM pk CROSS JOIN pobs)
+    SELECT CAST(marg.a AS BIGINT) AS a, CAST(marg.b AS BIGINT) AS b,
+           CAST(marg.c AS BIGINT) AS c, CAST(marg.d AS BIGINT) AS d,
+           round(CASE WHEN marg.b * marg.c > 0
+                      THEN marg.a * 1.0 * marg.d / (marg.b * marg.c)
+                      END + 1e-9, 4) AS sample_or,
+           round(least(sums.p_two, 1.0) + 1e-9, 6) AS p_two_sided,
+           round(least(sums.p_one, 1.0) + 1e-9, 6) AS p_one_sided
+    FROM marg CROSS JOIN sums
+    """,
+)
+def fisher_exact_nation_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fisher's EXACT test on a bounded population: is membership in
+    the ASIA/EUROPE regions (regionkeys 2, 3) associated with
+    above-median total order revenue, across the 25 nations? The 2x2
+    table's cells are NATION counts, so the hypergeometric support is
+    at most 26 terms at ANY data scale — the exact-inference
+    complement to the asymptotic ``chi_square_priority_status`` /
+    ``g_test_independence`` family, usable exactly where chi-square's
+    expected-count assumptions fail. Two-sided p sums P(k) <= P(obs)
+    x (1+1e-7) (the R convention); probabilities are quantized to 10
+    dp before the comparison so both engines sum identical terms.
+
+    Scale shape: one fact-scan aggregate to the 25-row nation frame;
+    the hypergeometric enumeration is a <=26-row exploded sequence of
+    lgamma terms. Nothing downstream of the rollup is data-sized."""
+    t = Tables(spark, sf_dir)
+    nrev = (
+        t.nation.join(
+            t.customer, t.nation["n_nationkey"] == t.customer["c_nationkey"]
+        )
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("n_nationkey", "n_regionkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    med = nrev.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY rev)"
+        ).alias("m")
+    )
+    flags = nrev.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("n_regionkey").isin(2, 3), 1).otherwise(0).alias("t"),
+        F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("hi"),
+    )
+    cells = flags.agg(
+        F.sum(F.when((F.col("t") == 1) & (F.col("hi") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("hi") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("hi") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("hi") == 0), 1).otherwise(0)).alias("d"),
+    )
+    marg = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+    )
+    def lfact(x):
+        # ln(x!) as an ascending fold over [2..x]; bounded by n <= 25.
+        # No lgamma in Spark SQL — an explicit log-sum keeps both
+        # engines on the same bounded arithmetic (10-dp quantization
+        # absorbs fold-order ulps).
+        return F.when(
+            x >= 2,
+            F.aggregate(
+                F.sequence(F.lit(2), x.cast("int")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.log(i.cast("double")),
+            ),
+        ).otherwise(0.0)
+
+    supp = (
+        marg.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(25))).alias("k")
+        )
+        .filter(
+            (F.col("k") >= F.greatest(F.lit(0), F.col("r1") + F.col("c1") - F.col("n")))
+            & (F.col("k") <= F.least(F.col("r1"), F.col("c1")))
+        )
+    )
+    r1, c1, n, k = F.col("r1"), F.col("c1"), F.col("n"), F.col("k")
+    logp = (
+        lfact(r1)
+        - lfact(k)
+        - lfact(r1 - k)
+        + lfact(n - r1)
+        - lfact(c1 - k)
+        - lfact(n - r1 - c1 + k)
+        - (lfact(n) - lfact(c1) - lfact(n - c1))
+    )
+    pk = supp.select(
+        "*", F.round(F.exp(logp) + 1e-12, 10).alias("p")
+    )
+    pobs = pk.filter(F.col("k") == F.col("a")).select(
+        F.col("p").alias("po")
+    )
+    sums = pk.crossJoin(F.broadcast(pobs)).agg(
+        F.sum(
+            F.when(F.col("p") <= F.col("po") * (1.0 + 1e-7), F.col("p")).otherwise(0.0)
+        ).alias("p_two"),
+        F.sum(
+            F.when(F.col("k") >= F.col("a"), F.col("p")).otherwise(0.0)
+        ).alias("p_one"),
+    )
+    return marg.crossJoin(F.broadcast(sums)).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(
+            F.when(
+                F.col("b") * F.col("c") > 0,
+                F.col("a").cast("double")
+                * F.col("d")
+                / (F.col("b").cast("double") * F.col("c")),
+            )
+            + 1e-9,
+            4,
+        ).alias("sample_or"),
+        F.round(F.least(F.col("p_two"), F.lit(1.0)) + 1e-9, 6).alias(
+            "p_two_sided"
+        ),
+        F.round(F.least(F.col("p_one"), F.lit(1.0)) + 1e-9, 6).alias(
+            "p_one_sided"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ECDF and rank statistics
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "kuiper_value_click_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT value, sum(ia) AS ca, sum(ib) AS cb FROM s GROUP BY value),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+             sum(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+      FROM g)
+    SELECT CAST(tot.na AS BIGINT) AS n_a,
+           CAST(tot.nb AS BIGINT) AS n_b,
+           round(max(cca / tot.na - ccb / tot.nb) + 1e-9, 6) AS d_plus,
+           round(max(ccb / tot.nb - cca / tot.na) + 1e-9, 6) AS d_minus,
+           round(max(cca / tot.na - ccb / tot.nb)
+                 + max(ccb / tot.nb - cca / tot.na) + 1e-9, 6) AS kuiper_v,
+           round((max(cca / tot.na - ccb / tot.nb)
+                  + max(ccb / tot.nb - cca / tot.na))
+                 * sqrt(tot.na * 1.0 * tot.nb / (tot.na + tot.nb))
+                 + 1e-9, 4) AS kuiper_stat
+    FROM cum, tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def kuiper_value_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kuiper two-sample statistic between the click and purchase
+    ``value`` distributions: V = D+ + D- (the sum of the largest
+    signed ECDF exceedances in each direction), plus the scaled
+    V·sqrt(na·nb/(na+nb)). Kuiper weights both tails equally and is
+    invariant to cyclic shifts — the member of the ECDF family
+    (KS sup-gap, CvM integrated, AD tail-weighted) that detects
+    two-sided spread changes KS halves its power on.
+
+    Scale shape: identical to the registered KS op — one
+    groupBy(value) aggregate, one DISTRIBUTED running sum over the
+    distinct-value frame (``global_cumsum``), one max-pair. Integer
+    counts divide once at the end, so both engines compare identical
+    rationals."""
+    from ror_etl_spark.operators.util import global_cumsum
+
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+    )
+    tot = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cum = (
+        global_cumsum(g, ["value"], ["ca", "cb"], out=["pa", "pb"])
+        .select(
+            (F.col("pa") + F.col("ca")).alias("cca"),
+            (F.col("pb") + F.col("cb")).alias("ccb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    up = F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")
+    return cum.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(F.max(up) + 1e-9, 6).alias("d_plus"),
+        F.round(F.max(-up) + 1e-9, 6).alias("d_minus"),
+        F.round(F.max(up) + F.max(-up) + 1e-9, 6).alias("kuiper_v"),
+        F.round(
+            (F.max(up) + F.max(-up))
+            * F.sqrt(
+                F.max("na").cast("double")
+                * F.max("nb").cast("double")
+                / (F.max("na") + F.max("nb"))
+            )
+            + 1e-9,
+            4,
+        ).alias("kuiper_stat"),
+    )
+
+
+@staged(
+    "kendall_w_weekday_type_ranks",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS wd, event_type,
+             round(sum(value) + 1e-9, 4) AS v
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT wd, event_type,
+             rank() OVER (PARTITION BY wd ORDER BY v DESC, event_type)
+               AS r
+      FROM cell),
+    rs AS (
+      SELECT event_type, sum(r) AS rj FROM rk GROUP BY event_type),
+    dims AS (
+      SELECT CAST(count(DISTINCT wd) AS DOUBLE) AS m,
+             CAST(count(DISTINCT event_type) AS DOUBLE) AS k
+      FROM rk),
+    sdev AS (
+      SELECT sum((rs.rj - dims.m * (dims.k + 1.0) / 2.0)
+                 * (rs.rj - dims.m * (dims.k + 1.0) / 2.0)) AS s
+      FROM rs CROSS JOIN dims)
+    SELECT CAST(dims.m AS BIGINT) AS m_weekdays,
+           CAST(dims.k AS BIGINT) AS k_types,
+           round(sdev.s + 1e-9, 4) AS s_dev,
+           round(12.0 * sdev.s
+                 / (dims.m * dims.m * (dims.k * dims.k * dims.k - dims.k))
+                 + 1e-9, 6) AS kendall_w,
+           round(dims.m * (dims.k - 1.0) * 12.0 * sdev.s
+                 / (dims.m * dims.m * (dims.k * dims.k * dims.k - dims.k))
+                 + 1e-9, 4) AS chi2_stat
+    FROM dims CROSS JOIN sdev
+    """,
+)
+def kendall_w_weekday_type_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's coefficient of concordance W across repeated rankings:
+    each weekday 'judge' ranks the event types by total value; W =
+    12·S/(m²(k³-k)) with S the squared deviation of rank sums from
+    their mean, and chi² = m(k-1)·W. The effect-size companion to
+    ``friedman_daily_type_ranks`` (same ranking model, W answers 'how
+    strong is the agreement', Friedman answers 'is it nonzero').
+    Revenue totals are quantized to 4 dp BEFORE ranking
+    (round-before-rank) with an event-type tiebreak.
+
+    Scale shape: one data-sized rollup to the 7 x |types| grid; ranks,
+    rank sums, and W all run on bounded frames."""
+    e = Tables(spark, sf_dir).events
+    cell = e.groupBy(
+        F.dayofweek("ts").cast("long").alias("wd"), "event_type"
+    ).agg(F.round(F.sum("value") + 1e-9, 4).alias("v"))
+    wr = Window.partitionBy("wd").orderBy(F.desc("v"), F.asc("event_type"))
+    rk = cell.select("wd", "event_type", F.rank().over(wr).alias("r"))
+    rs = rk.groupBy("event_type").agg(F.sum("r").alias("rj"))
+    dims = rk.agg(
+        F.countDistinct("wd").cast("double").alias("m"),
+        F.countDistinct("event_type").cast("double").alias("k"),
+    )
+    sdev = (
+        rs.crossJoin(F.broadcast(dims))
+        .select(
+            (
+                (F.col("rj") - F.col("m") * (F.col("k") + 1.0) / 2.0)
+                * (F.col("rj") - F.col("m") * (F.col("k") + 1.0) / 2.0)
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").alias("s"))
+    )
+    m, k, s = F.col("m"), F.col("k"), F.col("s")
+    denom = m * m * (k * k * k - k)
+    return dims.crossJoin(F.broadcast(sdev)).select(
+        m.cast("long").alias("m_weekdays"),
+        k.cast("long").alias("k_types"),
+        F.round(s + 1e-9, 4).alias("s_dev"),
+        F.round(12.0 * s / denom + 1e-9, 6).alias("kendall_w"),
+        F.round(m * (k - 1.0) * 12.0 * s / denom + 1e-9, 4).alias(
+            "chi2_stat"
+        ),
+    )
+
+
+@staged(
+    "breslow_day_or_homogeneity",
+    oracle="""
+    WITH base AS (
+      SELECT r.r_name AS region,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS t,
+             CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS hi
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey),
+    cells AS (
+      SELECT region,
+             CAST(sum(CASE WHEN t = 1 AND hi = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN t = 1 AND hi = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS b,
+             CAST(sum(CASE WHEN t = 0 AND hi = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c,
+             CAST(sum(CASE WHEN t = 0 AND hi = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS d
+      FROM base GROUP BY region),
+    psi AS (
+      SELECT sum(a * d / (a + b + c + d))
+             / sum(b * c / (a + b + c + d)) AS w
+      FROM cells),
+    ex AS (
+      SELECT cells.region, cells.a, cells.b, cells.c, cells.d, psi.w,
+             cells.a + cells.b AS r1, cells.a + cells.c AS c1,
+             cells.a + cells.b + cells.c + cells.d AS nn
+      FROM cells CROSS JOIN psi),
+    sol AS (
+      SELECT region, a, b, c, d, w, r1, c1, nn,
+             CASE WHEN abs(w - 1.0) < 1e-12 THEN r1 * c1 / nn
+                  ELSE ((w * (r1 + c1) + (nn - r1 - c1))
+                        - sqrt((w * (r1 + c1) + (nn - r1 - c1))
+                               * (w * (r1 + c1) + (nn - r1 - c1))
+                               - 4.0 * (w - 1.0) * w * r1 * c1))
+                       / (2.0 * (w - 1.0)) END AS e
+      FROM ex),
+    vv AS (
+      SELECT region, a, b, c, d, w, e,
+             1.0 / (1.0 / e + 1.0 / (r1 - e) + 1.0 / (c1 - e)
+                    + 1.0 / (nn - r1 - c1 + e)) AS v
+      FROM sol),
+    bd AS (
+      SELECT round(sum((a - e) * (a - e) / v) + 1e-9, 4) AS bd_stat,
+             CAST(count(*) - 1 AS BIGINT) AS df
+      FROM vv)
+    SELECT vv.region,
+           CAST(vv.a AS BIGINT) AS a,
+           round(vv.e + 1e-9, 4) AS expected_a,
+           round(vv.v + 1e-9, 4) AS var_a,
+           round(vv.a * vv.d / (vv.b * vv.c) + 1e-9, 4) AS or_stratum,
+           round(vv.w + 1e-9, 4) AS psi_cmh,
+           bd.bd_stat, bd.df
+    FROM vv CROSS JOIN bd
+    ORDER BY vv.region
+    """,
+)
+def breslow_day_or_homogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breslow-Day test for odds-ratio HOMOGENEITY across region
+    strata (treatment = URGENT priority, outcome = order value >
+    150k): under the CMH common odds ratio psi, each stratum's
+    expected a-cell solves the quadratic (psi-1)E^2 - [psi(r1+c1) +
+    (N-r1-c1)]E + psi*r1*c1 = 0 (valid minus-sqrt root; exact
+    r1*c1/N fallback at psi = 1), V is the inverse-sum-of-inverses
+    hypergeometric variance, and BD = sum (a-E)^2/V ~ chi2(strata-1).
+    The homogeneity gate that tells you whether the registered
+    ``cmh_common_odds_ratio``'s pooling is even licensed — a large BD
+    means report per-stratum ORs instead.
+
+    Scale shape: one fact-scan conditional aggregate to the 5-stratum
+    cell frame; everything after is closed-form algebra on 5 rows."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("t"),
+            F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("hi"),
+        )
+    )
+    cells = base.groupBy("region").agg(
+        F.sum(F.when((F.col("t") == 1) & (F.col("hi") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("hi") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("hi") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("hi") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("d"),
+    )
+    nn_ = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    psi = cells.agg(
+        (
+            F.sum(F.col("a") * F.col("d") / nn_)
+            / F.sum(F.col("b") * F.col("c") / nn_)
+        ).alias("w")
+    )
+    ex = cells.crossJoin(F.broadcast(psi)).select(
+        "*",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        nn_.alias("nn"),
+    )
+    w, r1, c1, nn = F.col("w"), F.col("r1"), F.col("c1"), F.col("nn")
+    bq = w * (r1 + c1) + (nn - r1 - c1)
+    root = (bq - F.sqrt(bq * bq - 4.0 * (w - 1.0) * w * r1 * c1)) / (
+        2.0 * (w - 1.0)
+    )
+    sol = ex.select(
+        "*",
+        F.when(F.abs(w - 1.0) < 1e-12, r1 * c1 / nn)
+        .otherwise(root)
+        .alias("e"),
+    )
+    e = F.col("e")
+    vv = sol.select(
+        "*",
+        (
+            1.0
+            / (
+                1.0 / e
+                + 1.0 / (r1 - e)
+                + 1.0 / (c1 - e)
+                + 1.0 / (nn - r1 - c1 + e)
+            )
+        ).alias("v"),
+    )
+    bd = vv.agg(
+        F.round(
+            F.sum((F.col("a") - e) * (F.col("a") - e) / F.col("v")) + 1e-9,
+            4,
+        ).alias("bd_stat"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+    )
+    return (
+        vv.crossJoin(F.broadcast(bd))
+        .select(
+            "region",
+            F.col("a").cast("long").alias("a"),
+            F.round(e + 1e-9, 4).alias("expected_a"),
+            F.round(F.col("v") + 1e-9, 4).alias("var_a"),
+            F.round(
+                F.col("a") * F.col("d") / (F.col("b") * F.col("c")) + 1e-9, 4
+            ).alias("or_stratum"),
+            F.round(w + 1e-9, 4).alias("psi_cmh"),
+            "bd_stat",
+            "df",
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped logistic regression (IRLS) + calibration companion
+# ---------------------------------------------------------------------------
+
+_IRLS_ROUNDS = 2
+_IRLS_Q = 8
+
+
+def _logit_cells_sql() -> str:
+    """Hour-grouped purchase-vs-click cells shared by the logistic and
+    Hosmer-Lemeshow oracles."""
+    return """hc AS (
+      SELECT CAST(date_part('hour', ts) AS DOUBLE) AS h,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1)"""
+
+
+def _logit_irls_ctes() -> list[str]:
+    """Unrolled IRLS rounds: beta_k -> weighted-OLS sums -> beta_{k+1},
+    each coefficient quantized to 8 dp (the PPR/EM trajectory rule)."""
+    ctes = [_logit_cells_sql(), "b0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"]
+    for k in range(_IRLS_ROUNDS):
+        ctes.append(
+            f"""s{k} AS (
+      SELECT sum(w) AS sw, sum(w * h) AS sh, sum(w * h * h) AS shh,
+             sum(w * z) AS sz, sum(w * h * z) AS shz
+      FROM (
+        SELECT hc.h, hc.n * p * (1.0 - p) AS w,
+               (b{k}.b0 + b{k}.b1 * hc.h)
+                 + (hc.y - hc.n * p) / (hc.n * p * (1.0 - p)) AS z
+        FROM (SELECT hc.h, hc.n, hc.y,
+                     1.0 / (1.0 + exp(-(b{k}.b0 + b{k}.b1 * hc.h))) AS p
+              FROM hc CROSS JOIN b{k}) hc CROSS JOIN b{k}))"""
+        )
+        ctes.append(
+            f"""b{k + 1} AS (
+      SELECT round((shh * sz - sh * shz) / (sw * shh - sh * sh)
+                   + 1e-12, {_IRLS_Q}) AS b0,
+             round((sw * shz - sh * sz) / (sw * shh - sh * sh)
+                   + 1e-12, {_IRLS_Q}) AS b1
+      FROM s{k})"""
+        )
+    return ctes
+
+
+def _logit_final() -> str:
+    return f"b{_IRLS_ROUNDS}"
+
+
+_LOGIT_CTES = ",\n    ".join(_logit_irls_ctes())
+
+
+@staged(
+    "logistic_irls_purchase_hour",
+    oracle=f"""
+    WITH {_LOGIT_CTES},
+    tot AS (SELECT sum(n) AS nobs, count(*) AS g FROM hc)
+    SELECT CAST(tot.nobs AS BIGINT) AS n_obs,
+           CAST(tot.g AS BIGINT) AS n_cells,
+           round(fb.b0 + 1e-9, 6) AS beta0,
+           round(fb.b1 + 1e-9, 6) AS beta1,
+           round(1.0 / (1.0 + exp(-(fb.b0 + fb.b1 * 12.0))) + 1e-9, 6)
+             AS p_noon
+    FROM {_logit_final()} fb CROSS JOIN tot
+    """,
+)
+def logistic_irls_purchase_hour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped logistic regression P(purchase | hour) by IRLS: events
+    collapse to 24 (hour, n, y) cells, then two Newton/IRLS rounds of
+    weighted least squares on the working response z = eta +
+    (y - n·p)/(n·p(1-p)), coefficients quantized to 8 dp per round so
+    the DuckDB oracle replays the exact trajectory (the registered
+    GMM/PPR discipline). The GLM complement to
+    ``ridge_elasticity_qty_price`` (Gaussian) and
+    ``poisson_two_rate_test`` (counts): a binary-outcome model whose
+    sufficient statistics live on the hour domain.
+
+    Scale shape: ONE data-sized conditional aggregate to the 24-cell
+    frame; each IRLS round is closed-form algebra on 24 rows (the
+    2x2 normal equations are solved symbolically — no matrix
+    library, no driver math)."""
+    hc_df, beta = _logit_fit(spark, sf_dir)
+    tot = hc_df.agg(
+        F.sum("n").cast("long").alias("nobs"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    return tot.crossJoin(F.broadcast(beta)).select(
+        F.col("nobs").alias("n_obs"),
+        F.col("g").alias("n_cells"),
+        F.round(F.col("b0") + 1e-9, 6).alias("beta0"),
+        F.round(F.col("b1") + 1e-9, 6).alias("beta1"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * 12.0))) + 1e-9,
+            6,
+        ).alias("p_noon"),
+    )
+
+
+def _logit_fit(spark: SparkSession, sf_dir: str):
+    """Shared IRLS fit: returns (24-cell frame, 1-row beta frame)."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hc = (
+        e.groupBy(F.hour("ts").cast("double").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    beta = hc.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_IRLS_ROUNDS):
+        cells = hc.crossJoin(F.broadcast(beta))
+        eta = F.col("b0") + F.col("b1") * F.col("h")
+        p = 1.0 / (1.0 + F.exp(-eta))
+        w = F.col("n") * p * (1.0 - p)
+        z = eta + (F.col("y") - F.col("n") * p) / w
+        s = cells.agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * F.col("h")).alias("sh"),
+            F.sum(w * F.col("h") * F.col("h")).alias("shh"),
+            F.sum(w * z).alias("sz"),
+            F.sum(w * F.col("h") * z).alias("shz"),
+        )
+        det = F.col("sw") * F.col("shh") - F.col("sh") * F.col("sh")
+        beta = s.select(
+            F.round(
+                (F.col("shh") * F.col("sz") - F.col("sh") * F.col("shz"))
+                / det
+                + 1e-12,
+                _IRLS_Q,
+            ).alias("b0"),
+            F.round(
+                (F.col("sw") * F.col("shz") - F.col("sh") * F.col("sz"))
+                / det
+                + 1e-12,
+                _IRLS_Q,
+            ).alias("b1"),
+        )
+    return hc, beta
+
+
+@staged(
+    "hosmer_lemeshow_logistic_hour",
+    oracle=f"""
+    WITH {_LOGIT_CTES},
+    pred AS (
+      SELECT hc.h, hc.n, hc.y,
+             1.0 / (1.0 + exp(-(fb.b0 + fb.b1 * hc.h))) AS p
+      FROM hc CROSS JOIN {_logit_final()} fb),
+    hl AS (
+      SELECT CAST(count(*) AS BIGINT) AS g_cells,
+             round(sum((y - n * p) * (y - n * p)
+                       / (n * p * (1.0 - p))) + 1e-9, 4) AS hl_stat,
+             round(max(abs(y / n - p)) + 1e-9, 6) AS max_cell_gap
+      FROM pred)
+    SELECT g_cells, CAST(g_cells - 2 AS BIGINT) AS df, hl_stat,
+           max_cell_gap
+    FROM hl
+    """,
+)
+def hosmer_lemeshow_logistic_hour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-calibration for the IRLS logistic
+    model of P(purchase | hour): over the 24 natural hour cells, HL =
+    sum (y - n·p)^2 / (n·p(1-p)) ~ chi2(cells - 2), plus the largest
+    per-cell absolute calibration gap. Complements the model-free
+    ``calibration_ece_bins`` (which bins by SCORE): HL conditions on
+    the covariate cells the model was fit on, so it detects functional
+    -form misfit (a quadratic hour effect) that score-binned ECE
+    blurs. Shares the exact quantized IRLS trajectory with
+    ``logistic_irls_purchase_hour`` — one fit, two verdicts.
+
+    Scale shape: the same 24-cell aggregate + closed-form algebra; the
+    only data-sized work is the one fact scan."""
+    hc_df, beta = _logit_fit(spark, sf_dir)
+    pred = hc_df.crossJoin(F.broadcast(beta)).select(
+        "h",
+        "n",
+        "y",
+        (1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("h"))))).alias("p"),
+    )
+    return pred.agg(
+        F.count(F.lit(1)).cast("long").alias("g_cells"),
+        (F.count(F.lit(1)) - 2).cast("long").alias("df"),
+        F.round(
+            F.sum(
+                (F.col("y") - F.col("n") * F.col("p"))
+                * (F.col("y") - F.col("n") * F.col("p"))
+                / (F.col("n") * F.col("p") * (1.0 - F.col("p")))
+            )
+            + 1e-9,
+            4,
+        ).alias("hl_stat"),
+        F.round(
+            F.max(F.abs(F.col("y") / F.col("n") - F.col("p"))) + 1e-9, 6
+        ).alias("max_cell_gap"),
+    ).select("g_cells", "df", "hl_stat", "max_cell_gap")
+
+
+# ---------------------------------------------------------------------------
+# State-space smoothing on the daily series
+# ---------------------------------------------------------------------------
+
+# Shared daily frame + engine-portable quantizer from the r13 batch —
+# reusing them keeps the series definition identical across batches.
+from ror_etl_spark.queries.staged_r13 import (  # noqa: E402
+    _DAILY_SQL,
+    _daily_df,
+    _qr_sql,
+)
+
+_KF_Q = 100.0
+_KF_R = 10000.0
+
+
+def _kalman_oracle() -> str:
+    newl = _qr_sql(
+        f"st.l + ((st.p + {_KF_Q}) / (st.p + {_KF_Q} + {_KF_R}))"
+        " * (rn.y - st.l)"
+    )
+    newp = _qr_sql(
+        f"(1.0 - (st.p + {_KF_Q}) / (st.p + {_KF_Q} + {_KF_R}))"
+        f" * (st.p + {_KF_Q})"
+    )
+    newsse = _qr_sql("st.sse + (rn.y - st.l) * (rn.y - st.l)")
+    return f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    rn AS (SELECT row_number() OVER (ORDER BY t) AS k, y FROM daily),
+    st (k, l, p, sse) AS (
+      SELECT CAST(1 AS BIGINT),
+             CAST((SELECT y FROM rn WHERE k = 1) AS DOUBLE),
+             CAST({_KF_R} AS DOUBLE), CAST(0.0 AS DOUBLE)
+      UNION ALL
+      SELECT rn.k, {newl}, {newp}, {newsse}
+      FROM st JOIN rn ON rn.k = st.k + 1)
+    SELECT CAST(st.k AS BIGINT) AS n_days,
+           st.l AS level,
+           st.p AS p_var,
+           {_qr_sql(f"(st.p + {_KF_Q}) / (st.p + {_KF_Q} + {_KF_R})")}
+             AS k_gain,
+           round(sqrt(st.sse / (st.k - 1.0)) + 1e-9, 4) AS innov_rmse
+    FROM st WHERE st.k = (SELECT max(k) FROM rn)
+    """
+
+
+@staged("kalman_local_level_daily", oracle=_kalman_oracle())
+def kalman_local_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D local-level Kalman filter on daily purchase revenue (state =
+    latent level; fixed process variance q = 100, observation variance
+    r = 10000): per step, predict P' = P + q, gain K = P'/(P' + r),
+    update l <- l + K(y - l), P <- (1-K)P'. Reports the final filtered
+    level, steady-state-ish P and K, and the one-step innovation RMSE.
+    The probabilistic counterpart to ``ewma_daily_revenue`` — EWMA is
+    exactly the K = const special case; the Kalman gain ADAPTS from 0.5
+    at t=1 toward its Riccati fixed point, trusting early noisy
+    estimates less.
+
+    The recurrence is sequential over the BOUNDED daily frame, so it
+    runs as one Arrow kernel on the coalesced frame (the Holt posture:
+    an executor task, never the driver); level, P, and SSE are
+    quantized each step with the engine-portable floor-based 6-dp rule
+    so DuckDB's recursive CTE replays the exact trajectory. At 100 TB
+    only the day-keyed pre-aggregate sees data."""
+    d = _daily_df(spark, sf_dir)
+
+    def q6(x: float) -> float:
+        import math
+
+        v = x + 1e-9
+        if v >= 0:
+            return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+        return -math.floor(-v * 1000000.0 + 0.5) / 1000000.0
+
+    def kernel(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values("t")
+        ys = rows["y"].tolist()
+        n = len(ys)
+        level = ys[0]
+        pvar = _KF_R
+        sse = 0.0
+        gain = 0.0
+        for y in ys[1:]:
+            pp = pvar + _KF_Q
+            gain = pp / (pp + _KF_R)
+            sse = q6(sse + (y - level) * (y - level))
+            level = q6(level + gain * (y - level))
+            pvar = q6((1.0 - gain) * pp)
+        yield pd.DataFrame(
+            {
+                "n_days": pd.Series([n], dtype="int64"),
+                "level": [level],
+                "p_var": [pvar],
+                "k_gain": [q6((pvar + _KF_Q) / (pvar + _KF_Q + _KF_R))],
+                # floor-based 4-dp half-up — Python round() is
+                # banker's; DuckDB round() is half-away (wave-9 lore)
+                "innov_rmse": [
+                    __import__("math").floor(
+                        ((sse / (n - 1.0)) ** 0.5 + 1e-9) * 10000.0 + 0.5
+                    )
+                    / 10000.0
+                ],
+            }
+        )
+
+    schema = (
+        "n_days long, level double, p_var double, k_gain double,"
+        " innov_rmse double"
+    )
+    return d.coalesce(1).mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust causal estimation
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "causal_aipw_ate",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS x,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0
+                  ELSE 0.0 END AS t,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    mod AS (
+      SELECT x,
+             avg(t) AS e,
+             sum(t * y) / nullif(sum(t), 0) AS m1,
+             sum((1.0 - t) * y) / nullif(sum(1.0 - t), 0) AS m0
+      FROM base GROUP BY x),
+    infl AS (
+      SELECT b.t, b.y, m.e, m.m1, m.m0,
+             m.m1 - m.m0
+               + b.t * (b.y - m.m1) / m.e
+               - (1.0 - b.t) * (b.y - m.m0) / (1.0 - m.e) AS psi
+      FROM base b JOIN mod m ON m.x = b.x),
+    naive AS (
+      SELECT sum(t * y) / sum(t) - sum((1.0 - t) * y) / sum(1.0 - t)
+               AS ate FROM base)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(infl.psi) + 1e-9, 4) AS ate_aipw,
+           round(stddev_samp(infl.psi) / sqrt(count(*)) + 1e-9, 4)
+             AS se_aipw,
+           round(max(naive.ate) + 1e-9, 4) AS ate_naive
+    FROM infl CROSS JOIN naive
+    """,
+)
+def causal_aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust AIPW estimate of the 'effect' of URGENT priority
+    on order value, adjusting for market segment: psi_i = m1(x) -
+    m0(x) + t(y - m1)/e(x) - (1-t)(y - m0)/(1-e(x)), ATE = mean(psi),
+    with the influence-function standard error mean +/- sd/sqrt(n).
+    With a discrete covariate both nuisance models (propensity e(x),
+    outcome means m1/m0) are exact group frequencies, so the estimator
+    is consistent if EITHER is right — the doubly-robust upgrade of
+    ``iptw_ate_urgent_revenue`` (weighting only), and the influence
+    function gives the SE the IPTW point estimate lacks.
+
+    Scale shape: one groupBy(segment) nuisance aggregate (bounded,
+    broadcast back), one map-side influence-function pass, one scalar
+    aggregate. Two fact scans total, no data-sized state."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+        .otherwise(0.0)
+        .alias("t"),
+        F.col("o_totalprice").alias("y"),
+    )
+    mod = base.groupBy("x").agg(
+        F.avg("t").alias("e"),
+        (
+            F.sum(F.col("t") * F.col("y"))
+            / F.nullif(F.sum("t"), F.lit(0))
+        ).alias("m1"),
+        (
+            F.sum((1.0 - F.col("t")) * F.col("y"))
+            / F.nullif(F.sum(1.0 - F.col("t")), F.lit(0))
+        ).alias("m0"),
+    )
+    infl = base.join(F.broadcast(mod), "x").select(
+        (
+            F.col("m1")
+            - F.col("m0")
+            + F.col("t") * (F.col("y") - F.col("m1")) / F.col("e")
+            - (1.0 - F.col("t"))
+            * (F.col("y") - F.col("m0"))
+            / (1.0 - F.col("e"))
+        ).alias("psi")
+    )
+    naive = base.agg(
+        (
+            F.sum(F.col("t") * F.col("y")) / F.sum("t")
+            - F.sum((1.0 - F.col("t")) * F.col("y"))
+            / F.sum(1.0 - F.col("t"))
+        ).alias("ate")
+    )
+    return infl.crossJoin(F.broadcast(naive)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("psi") + 1e-9, 4).alias("ate_aipw"),
+        F.round(
+            F.stddev_samp("psi") / F.sqrt(F.count(F.lit(1))) + 1e-9, 4
+        ).alias("se_aipw"),
+        F.round(F.max("ate") + 1e-9, 4).alias("ate_naive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic heavy hitters with exact recount
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "misra_gries_heavy_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+',
+                    ' ', 'g')), ' ')) AS tok
+      FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks),
+    wc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+    SELECT wc.tok, CAST(wc.c AS BIGINT) AS freq,
+           round(wc.c * 1.0 / tot.n + 1e-9, 6) AS share
+    FROM wc CROSS JOIN tot
+    WHERE wc.c * 200 > tot.n
+    ORDER BY wc.c DESC, wc.tok
+    """,
+)
+def misra_gries_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi = 1/200 heavy-hitter tokens via per-partition Misra-Gries
+    summaries + an EXACT recount of the merged candidates: each
+    partition keeps k = 399 counters (an Arrow kernel over
+    mapInPandas), the candidate union is exact-counted with one
+    semi-joined aggregate, and only tokens with true freq > N/200
+    survive. The MG guarantee — any token above phi·N in the full
+    stream survives every partition summary — makes the FINAL output
+    exactly the true heavy-hitter set regardless of partition order,
+    which is what lets a deterministic oracle exist at all (and is
+    the same two-pass candidate->verify shape as the dedup funnels).
+    The deterministic counterpart to ``sketch_count_min_heavy_hitters``
+    (probabilistic bounds) on the Zipf-skewed token stream.
+
+    Scale shape: the summaries are k-sized per partition (bounded
+    driver-side union), the recount is ONE semi-joined aggregate over
+    the token stream. No vocabulary-sized shuffle for the candidate
+    pass — only candidates are counted exactly."""
+    import pandas as pd
+
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("tok")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        k = 399
+        for b in batches:
+            for tok in b["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = [w for w in counters if counters[w] == 1]
+                    for w in counters:
+                        counters[w] -= 1
+                    for w in dead:
+                        del counters[w]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    cand = toks.mapInPandas(mg, schema="tok string").distinct()
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    counted = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * 200 > F.col("n"))
+    )
+    return counted.select(
+        "tok",
+        F.col("c").cast("long").alias("freq"),
+        F.round(F.col("c") / F.col("n") + 1e-9, 6).alias("share"),
+    ).orderBy(F.desc("freq"), F.asc("tok"))
+
+
+# ---------------------------------------------------------------------------
+# kth-NN distance outliers on the embedding subsample
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "knn_distance_outliers_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 2 = 0),
+    pairs AS (
+      SELECT a.vec_id AS ia, a.label,
+             round(sqrt(list_sum(list_transform(
+               list_zip(a.v, b.v),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) + 1e-9, 6) AS d
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    kth AS (
+      SELECT ia, label, d,
+             row_number() OVER (PARTITION BY ia ORDER BY d, ia) AS rn
+      FROM pairs)
+    SELECT CAST(ia AS BIGINT) AS vec_id, label,
+           d AS kth_nn_dist
+    FROM kth WHERE rn = 5
+    ORDER BY d DESC, vec_id LIMIT 10
+    """,
+)
+def knn_distance_outliers_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 kth-NN distance outliers (k = 5, Euclidean) on the
+    even-id embedding subsample: a point whose 5th-nearest neighbor
+    is far sits in a sparse region — the classic distance-based
+    outlier definition, the LOCAL complement to
+    ``mahalanobis_outlier_customers`` (global ellipsoid): a point
+    between two tight planted clusters is Mahalanobis-normal but
+    kth-NN-extreme. Distances are quantized to 6 dp BEFORE the rank
+    (round-before-rank) with vec_id tiebreaks on both the kth-NN
+    selection and the final top-10.
+
+    Scale shape: brute-force on the bounded even-id subsample (the
+    registered hubness posture); at scale the same kth-distance
+    aggregate consumes LSH/IVF candidate lists instead of the
+    crossJoin — the scoring logic is index-agnostic."""
+    from ror_etl_spark.functions.vectors import as_double
+
+    emb = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") % 2 == 0)
+    # repartition before the non-equi join — the BNLJ parallelizes over
+    # the stream side's partitions (the hubness emb10x tier lesson)
+    sub = (
+        emb.select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        )
+        .repartition(32, "vec_id")
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    a = sub.select(
+        F.col("vec_id").alias("ia"), F.col("label"), F.col("v").alias("va")
+    )
+    b = sub.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia", "label", F.round(F.sqrt(sqd) + 1e-9, 6).alias("d")
+    )
+    wk = Window.partitionBy("ia").orderBy(F.asc("d"), F.asc("ia"))
+    kth = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 5)
+    )
+    return (
+        kth.select(
+            F.col("ia").cast("long").alias("vec_id"),
+            "label",
+            F.col("d").alias("kth_nn_dist"),
+        )
+        .orderBy(F.desc("kth_nn_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus language-model scoring: stupid-backoff trigrams
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "stupid_backoff_trigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, u.u.pos AS pos, u.u.w AS w
+      FROM (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                            'g')), ' ') AS ws
+        FROM documents) d,
+      unnest(list_transform(d.ws,
+             (x, i) -> struct_pack(w := x, pos := i))) AS u(u)),
+    seq AS (
+      SELECT doc_id, source, pos, w,
+             lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks),
+    train AS (SELECT * FROM seq WHERE doc_id % 5 <> 0),
+    test AS (
+      SELECT * FROM seq WHERE doc_id % 5 = 0 AND w2 IS NOT NULL),
+    uni AS (SELECT w, count(*) AS c FROM train GROUP BY w),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+    bi AS (
+      SELECT w1, w, count(*) AS c FROM train WHERE w1 IS NOT NULL
+      GROUP BY w1, w),
+    tri AS (
+      SELECT w2, w1, w, count(*) AS c FROM train WHERE w2 IS NOT NULL
+      GROUP BY w2, w1, w),
+    bctx AS (SELECT w1, w, count(*) AS cc FROM train
+             WHERE w1 IS NOT NULL GROUP BY w1, w),
+    scored AS (
+      SELECT test.source,
+             CASE
+               WHEN tri.c IS NOT NULL THEN 0
+               WHEN bi.c IS NOT NULL THEN 1
+               ELSE 2 END AS lvl,
+             CASE
+               WHEN tri.c IS NOT NULL
+                 THEN ln(tri.c * 1.0 / bc.cc) / ln(10.0)
+               WHEN bi.c IS NOT NULL
+                 THEN ln(0.4 * bi.c / uc.c) / ln(10.0)
+               ELSE ln(0.16 * coalesce(u0.c, 0.5) / n.n) / ln(10.0)
+             END AS s
+      FROM test
+      LEFT JOIN tri ON tri.w2 = test.w2 AND tri.w1 = test.w1
+                   AND tri.w = test.w
+      LEFT JOIN bctx bc ON bc.w1 = test.w2 AND bc.w = test.w1
+      LEFT JOIN bi ON bi.w1 = test.w1 AND bi.w = test.w
+      LEFT JOIN uni uc ON uc.w = test.w1
+      LEFT JOIN uni u0 ON u0.w = test.w
+      CROSS JOIN n)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           round(avg(CASE WHEN lvl = 0 THEN 1.0 ELSE 0 END) + 1e-9, 6)
+             AS share_trigram,
+           round(avg(CASE WHEN lvl = 1 THEN 1.0 ELSE 0 END) + 1e-9, 6)
+             AS share_bigram,
+           round(avg(CASE WHEN lvl = 2 THEN 1.0 ELSE 0 END) + 1e-9, 6)
+             AS share_unigram,
+           round(avg(s) + 1e-9, 6) AS avg_log10_score
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def stupid_backoff_trigram_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stupid-backoff trigram language-model scoring of held-out text:
+    the LM trains on the doc_id %% 5 != 0 split (trigram, bigram,
+    unigram count tables), and every full-context position of the
+    held-out docs scores S(w|w2 w1) = c3/c2ctx, else 0.4·c2/c1ctx,
+    else 0.4²·c1/N (unseen words get count 0.5). Per source: the
+    backoff-level mix and the mean log10 score — the cheap
+    LM-quality filter (Brants et al.'s stupid backoff) that ranks
+    sources by fluency without smoothing machinery, complementing
+    the registered unigram/bigram surprisal filters with a deeper
+    context and an explicit train/held-out split (scoring a corpus
+    with its own counts makes every trigram seen — the split is what
+    makes backoff real).
+
+    Scale shape: lag windows are doc-bounded; all count tables are
+    vocabulary-keyed aggregates; scoring is a chain of LEFT equi-joins
+    on token keys — no data-sized state beyond the shuffles Catalyst
+    already partial-aggregates."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id",
+        "source",
+        "pos",
+        "w",
+        F.lag("w", 1).over(wdoc).alias("w1"),
+        F.lag("w", 2).over(wdoc).alias("w2"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    train = seq.filter(F.col("doc_id") % 5 != 0)
+    test = seq.filter(
+        (F.col("doc_id") % 5 == 0) & F.col("w2").isNotNull()
+    )
+    uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = train.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    bi = (
+        train.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tri = (
+        train.filter(F.col("w2").isNotNull())
+        .groupBy("w2", "w1", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t3 = tri.select(
+        F.col("w2").alias("t_w2"),
+        F.col("w1").alias("t_w1"),
+        F.col("w").alias("t_w"),
+        F.col("c").alias("c3"),
+    )
+    bc = bi.select(
+        F.col("w1").alias("bc_w1"),
+        F.col("w").alias("bc_w"),
+        F.col("c").alias("c2ctx"),
+    )
+    b2 = bi.select(
+        F.col("w1").alias("b_w1"),
+        F.col("w").alias("b_w"),
+        F.col("c").alias("c2"),
+    )
+    u1 = uni.select(F.col("w").alias("u_w"), F.col("c").alias("c1ctx"))
+    u0 = uni.select(F.col("w").alias("u0_w"), F.col("c").alias("c1"))
+    scored = (
+        test.join(
+            t3,
+            (F.col("w2") == F.col("t_w2"))
+            & (F.col("w1") == F.col("t_w1"))
+            & (F.col("w") == F.col("t_w")),
+            "left",
+        )
+        .join(
+            bc,
+            (F.col("w2") == F.col("bc_w1")) & (F.col("w1") == F.col("bc_w")),
+            "left",
+        )
+        .join(
+            b2,
+            (F.col("w1") == F.col("b_w1")) & (F.col("w") == F.col("b_w")),
+            "left",
+        )
+        .join(u1, F.col("w1") == F.col("u_w"), "left")
+        .join(u0, F.col("w") == F.col("u0_w"), "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.when(F.col("c3").isNotNull(), 0)
+            .when(F.col("c2").isNotNull(), 1)
+            .otherwise(2)
+            .alias("lvl"),
+            F.when(
+                F.col("c3").isNotNull(),
+                F.log(F.col("c3") / F.col("c2ctx")) / F.log(F.lit(10.0)),
+            )
+            .when(
+                F.col("c2").isNotNull(),
+                F.log(0.4 * F.col("c2") / F.col("c1ctx"))
+                / F.log(F.lit(10.0)),
+            )
+            .otherwise(
+                F.log(
+                    0.16
+                    * F.coalesce(F.col("c1"), F.lit(0.5))
+                    / F.col("n")
+                )
+                / F.log(F.lit(10.0))
+            )
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.round(
+                F.avg(F.when(F.col("lvl") == 0, 1.0).otherwise(0.0)) + 1e-9,
+                6,
+            ).alias("share_trigram"),
+            F.round(
+                F.avg(F.when(F.col("lvl") == 1, 1.0).otherwise(0.0)) + 1e-9,
+                6,
+            ).alias("share_bigram"),
+            F.round(
+                F.avg(F.when(F.col("lvl") == 2, 1.0).otherwise(0.0)) + 1e-9,
+                6,
+            ).alias("share_unigram"),
+            F.round(F.avg("s") + 1e-9, 6).alias("avg_log10_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: PageRank over the token co-occurrence graph
+# ---------------------------------------------------------------------------
+
+from ror_etl_spark.queries.staged_r13 import _RAKE_STOPS  # noqa: E402
+
+_TR_ITERS = 4
+_TR_DAMP = 0.85
+_TR_ROUND = 8
+
+
+def _textrank_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    ctes = [
+        f"""toks AS (
+      SELECT d.doc_id, u.u.pos AS pos, u.u.w AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE lang = 'en') d,
+      unnest(list_transform(d.ws,
+             (x, i) -> struct_pack(w := x, pos := i))) AS u(u))""",
+        """adj AS (
+      SELECT lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p,
+             tok AS c
+      FROM toks)""",
+        f"""edge AS (
+      SELECT least(p, c) AS u, greatest(p, c) AS v, count(*) AS w
+      FROM adj
+      WHERE p IS NOT NULL AND p <> c
+        AND p NOT IN ({stops}) AND c NOT IN ({stops})
+      GROUP BY least(p, c), greatest(p, c))""",
+        """dir AS (
+      SELECT u, v, w FROM edge
+      UNION ALL SELECT v AS u, u AS v, w FROM edge)""",
+        """deg AS (SELECT u AS n, CAST(sum(w) AS DOUBLE) AS wo
+      FROM dir GROUP BY u)""",
+        """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)""",
+        """r0 AS (SELECT deg.n AS id, 1.0 / nn.n AS r
+      FROM deg CROSS JOIN nn)""",
+    ]
+    for k in range(_TR_ITERS):
+        ctes.append(
+            f"""f{k} AS (
+      SELECT dir.v AS id, sum(r{k}.r * dir.w / deg.wo) AS fin
+      FROM dir JOIN r{k} ON r{k}.id = dir.u JOIN deg ON deg.n = dir.u
+      GROUP BY dir.v)"""
+        )
+        ctes.append(
+            f"""r{k + 1} AS (
+      SELECT deg.n AS id,
+             round((1.0 - {_TR_DAMP}) / nn.n
+                   + {_TR_DAMP} * coalesce(f{k}.fin, 0.0)
+                   + 1e-12, {_TR_ROUND}) AS r
+      FROM deg CROSS JOIN nn LEFT JOIN f{k} ON f{k}.id = deg.n)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT id AS tok, round(r + 1e-9, 6) AS textrank
+    FROM r{_TR_ITERS}
+    ORDER BY round(r + 1e-9, 6) DESC, id LIMIT 15
+    """
+
+
+@staged("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords over the English slice: nodes = non-stopword
+    tokens, undirected edges = adjacent-token co-occurrences (weight =
+    corpus count), ranked by 4 quantized rounds of damped weighted
+    PageRank r <- (1-d)/N + d·sum w(u,v)/W_u·r_u, d = 0.85. The
+    graph-centrality keyword extractor (Mihalcea & Tarau) that
+    complements ``text_rake_keyphrases`` (degree/frequency scoring,
+    phrase-level) and TF-IDF (document-frequency weighting) — a token
+    bridging many contexts outranks a merely frequent one. Stopword
+    list shared with RAKE; per-round scores quantized to 8 dp so the
+    DuckDB oracle replays the trajectory (the PPR discipline);
+    round-before-rank top-15 with token tiebreak.
+
+    Scale shape: edge derivation is one doc-bounded lag window + a
+    vocabulary-pair-keyed aggregate; each PR round is one shuffle of
+    the vocabulary-sized rank frame against the edge list. Nothing is
+    data-sized after the first aggregate."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("lang") == "en")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    adj = toks.select(
+        F.lag("tok").over(wdoc).alias("p"), F.col("tok").alias("c")
+    )
+    stops = F.array(*[F.lit(w) for w in _RAKE_STOPS])
+    edge = (
+        adj.filter(
+            F.col("p").isNotNull()
+            & (F.col("p") != F.col("c"))
+            & ~F.array_contains(stops, F.col("p"))
+            & ~F.array_contains(stops, F.col("c"))
+        )
+        .groupBy(
+            F.least("p", "c").alias("u"), F.greatest("p", "c").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    direct = (
+        edge.select("u", "v", "w")
+        .unionAll(
+            edge.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    deg = (
+        direct.groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").cast("double").alias("wo"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("node").alias("id"), (F.lit(1.0) / F.col("cnt")).alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        flow = (
+            direct.join(r.withColumnRenamed("id", "u"), "u")
+            .join(deg.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(
+                F.sum(F.col("r") * F.col("w") / F.col("wo")).alias("fin")
+            )
+        )
+        r = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(flow, deg["node"] == flow["id"], "left")
+            .select(
+                deg["node"].alias("id"),
+                F.round(
+                    (1.0 - _TR_DAMP) / F.col("cnt")
+                    + _TR_DAMP * F.coalesce(F.col("fin"), F.lit(0.0))
+                    + 1e-12,
+                    _TR_ROUND,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    return (
+        r.select(
+            F.col("id").alias("tok"),
+            F.round(F.col("r") + 1e-9, 6).alias("textrank"),
+        )
+        .orderBy(F.desc("textrank"), F.asc("tok"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear CKA between embedding halves
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "embedding_cka_halves",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cell AS (
+      SELECT i.i AS i, j.j AS j,
+             sum(e.v[i.i] * e.v[j.j]) AS s
+      FROM e,
+           (SELECT unnest(range(1, 65)) AS i) i,
+           (SELECT unnest(range(1, 65)) AS j) j
+      GROUP BY i.i, j.j),
+    mu AS (
+      SELECT i.i AS i, avg(e.v[i.i]) AS m
+      FROM e, (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY i.i),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    cov AS (
+      SELECT cell.i, cell.j,
+             cell.s / nv.n - mi.m * mj.m AS c
+      FROM cell
+      JOIN mu mi ON mi.i = cell.i
+      JOIN mu mj ON mj.i = cell.j
+      CROSS JOIN nv),
+    fro AS (
+      SELECT sum(CASE WHEN i <= 32 AND j > 32 THEN c * c ELSE 0 END)
+               AS fxy,
+             sum(CASE WHEN i <= 32 AND j <= 32 THEN c * c ELSE 0 END)
+               AS fxx,
+             sum(CASE WHEN i > 32 AND j > 32 THEN c * c ELSE 0 END)
+               AS fyy
+      FROM cov)
+    SELECT CAST(nv.n AS BIGINT) AS n_vectors,
+           round(fro.fxy + 1e-9, 6) AS fro_xy_sq,
+           round(sqrt(fro.fxx) + 1e-9, 6) AS fro_xx,
+           round(sqrt(fro.fyy) + 1e-9, 6) AS fro_yy,
+           round(fro.fxy / (sqrt(fro.fxx) * sqrt(fro.fyy)) + 1e-9, 6)
+             AS cka_linear
+    FROM fro CROSS JOIN nv
+    """,
+)
+def embedding_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Centered Kernel Alignment between the first and last 32
+    dimensions of the embedding: CKA = ||Cxy||_F^2 / (||Cxx||_F
+    ||Cyy||_F) over the centered cross-covariance blocks of the full
+    64x64 second-moment grid. The representation-similarity metric
+    (Kornblith et al.) answering 'do the two halves encode the same
+    geometry' — near 1 means half the dimensions are redundant (prune
+    before the ANN index), near 0 means they carry complementary
+    structure. Complements ``embedding_participation_ratio`` (how many
+    effective dims) with WHERE the information lives.
+
+    Scale shape: ONE map-side outer-product pass builds the 64x64
+    sufficient-statistics grid (4096 cells + 64 means — partial-agg
+    friendly, constant-size state); everything downstream is algebra
+    on the bounded grid. The feature-space formulation — never the
+    n x n Gram matrix, which is what makes CKA computable at 100 TB."""
+    emb = Tables(spark, sf_dir).embeddings
+    # outer product via per-vector self-join on the exploded frame;
+    # dims are 1-based to match the oracle's list indexing
+    ev = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("i0", "x"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    ca = ev.select("vec_id", F.col("i").alias("i"), F.col("x").alias("xi"))
+    cb = ev.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("i").alias("j"),
+        F.col("x").alias("xj"),
+    )
+    cell = (
+        ca.join(cb, ca["vec_id"] == cb["vid2"])
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("s"))
+    )
+    mu = ev.groupBy("i").agg(F.avg("x").alias("m"))
+    nv = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("m_i"))
+    mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("m_j"))
+    cov = (
+        cell.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_j"))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "i",
+            "j",
+            (F.col("s") / F.col("n") - F.col("m_i") * F.col("m_j")).alias(
+                "c"
+            ),
+        )
+    )
+    fro = cov.agg(
+        F.sum(
+            F.when(
+                (F.col("i") <= 32) & (F.col("j") > 32),
+                F.col("c") * F.col("c"),
+            ).otherwise(0.0)
+        ).alias("fxy"),
+        F.sum(
+            F.when(
+                (F.col("i") <= 32) & (F.col("j") <= 32),
+                F.col("c") * F.col("c"),
+            ).otherwise(0.0)
+        ).alias("fxx"),
+        F.sum(
+            F.when(
+                (F.col("i") > 32) & (F.col("j") > 32),
+                F.col("c") * F.col("c"),
+            ).otherwise(0.0)
+        ).alias("fyy"),
+    )
+    return fro.crossJoin(F.broadcast(nv)).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(F.col("fxy") + 1e-9, 6).alias("fro_xy_sq"),
+        F.round(F.sqrt(F.col("fxx")) + 1e-9, 6).alias("fro_xx"),
+        F.round(F.sqrt(F.col("fyy")) + 1e-9, 6).alias("fro_yy"),
+        F.round(
+            F.col("fxy")
+            / (F.sqrt(F.col("fxx")) * F.sqrt(F.col("fyy")))
+            + 1e-9,
+            6,
+        ).alias("cka_linear"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density (DBSCAN-style) clustering on the embedding plane
+# ---------------------------------------------------------------------------
+
+from ror_etl_spark.queries.staged_r12 import (  # noqa: E402
+    _lehmer_u,
+    _lehmer_u_sql,
+)
+
+_GRID = 32
+_DB_ROUNDS = 10
+
+
+def _dbscan_oracle() -> str:
+    ctes = [
+        f"""pts AS (
+      SELECT event_id,
+             ((user_id % 7) * 37 % 100) / 100.0 * 6.0 - 3.0
+               + (({_lehmer_u_sql("event_id * 2 + 1")}) - 0.5) * 0.8 AS x,
+             ((user_id % 7) * 53 % 100) / 100.0 * 6.0 - 3.0
+               + (({_lehmer_u_sql("event_id * 2 + 2")}) - 0.5) * 0.8 AS y
+      FROM events)""",
+        f"""cellpts AS (
+      SELECT event_id,
+             least(CAST(floor((x + 4.0) / 8.0 * {_GRID}) AS BIGINT),
+                   {_GRID - 1}) AS gx,
+             least(CAST(floor((y + 4.0) / 8.0 * {_GRID}) AS BIGINT),
+                   {_GRID - 1}) AS gy
+      FROM pts)""",
+        """tot AS (SELECT count(*) AS n FROM cellpts)""",
+        """minpts AS (
+      SELECT greatest(5, CAST(ceil(tot.n / 500.0) AS BIGINT)) AS mp
+      FROM tot)""",
+        """cc AS (
+      SELECT gx, gy, count(*) AS c FROM cellpts GROUP BY gx, gy)""",
+        f"""dense AS (
+      SELECT cc.gy * {_GRID} + cc.gx AS cid, cc.gx, cc.gy, cc.c
+      FROM cc CROSS JOIN minpts WHERE cc.c >= minpts.mp)""",
+        """nbr AS (
+      SELECT a.cid AS u, b.cid AS v
+      FROM dense a JOIN dense b
+        ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)""",
+        """l0 AS (SELECT cid, cid AS lab FROM dense)""",
+    ]
+    for k in range(_DB_ROUNDS):
+        ctes.append(
+            f"""l{k + 1} AS (
+      SELECT nbr.u AS cid, min(l{k}.lab) AS lab
+      FROM nbr JOIN l{k} ON l{k}.cid = nbr.v
+      GROUP BY nbr.u)"""
+        )
+    final = f"l{_DB_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    sizes AS (
+      SELECT {final}.lab, count(*) AS n_cells, sum(dense.c) AS n_points
+      FROM {final} JOIN dense ON dense.cid = {final}.cid
+      GROUP BY {final}.lab),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(max(n_cells) AS BIGINT) AS largest_cluster_cells,
+             CAST(max(n_points) AS BIGINT) AS largest_cluster_points
+      FROM sizes),
+    dn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dense_cells,
+             CAST(sum(c) AS BIGINT) AS n_core_points
+      FROM dense),
+    noise AS (
+      SELECT CAST(tot.n - dn.n_core_points AS BIGINT) AS n_noise_points
+      FROM tot CROSS JOIN dn)
+    SELECT dn.n_dense_cells, agg.n_clusters, agg.largest_cluster_cells,
+           agg.largest_cluster_points, noise.n_noise_points,
+           CAST(minpts.mp AS BIGINT) AS min_pts
+    FROM dn CROSS JOIN agg CROSS JOIN noise CROSS JOIN minpts
+    """
+
+
+@staged("grid_dbscan_user_clusters", oracle=_dbscan_oracle())
+def grid_dbscan_user_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the DBSCAN scale recipe) on a planted
+    2-D plane: each event lands in a deterministic square blob
+    around one of 7 Lehmer-spread centers keyed by its user cohort (the embedding table's
+    cluster structure lives across all 64 dims — no 2-D projection of
+    it is multimodal, so the instance is SYNTHESIZED the way
+    ``bfs_distances_synthetic_10k`` plants its expander). Points land
+    in a 32x32 grid over [-4,4]^2, a cell is DENSE if it holds >=
+    max(5, n/500) points, and clusters are connected components of
+    the 8-neighbor adjacency over dense cells (10 unrolled min-label
+    rounds; the staging test pins that one extra round changes
+    nothing). Points outside dense cells are noise. This is how density clustering actually runs at 100 TB:
+    the data pass is ONE cell-count aggregate; the quadratic
+    neighbor-join runs on the <= 1024-cell dense frame, never on
+    points (the ``geo_knn_cell_blocked`` posture applied to DBSCAN).
+
+    The oracle replays the same 10 rounds, so agreement is exact even
+    before convergence; the convergence pin is what upgrades the
+    labels to true components."""
+    ev = Tables(spark, sf_dir).events.select("event_id", "user_id")
+    cx = ((F.col("user_id") % 7) * 37 % 100) / 100.0 * 6.0 - 3.0
+    cy = ((F.col("user_id") % 7) * 53 % 100) / 100.0 * 6.0 - 3.0
+    pts = ev.select(
+        "event_id",
+        (cx + (_lehmer_u(F.col("event_id") * 2 + 1) - 0.5) * 0.8).alias("x"),
+        (cy + (_lehmer_u(F.col("event_id") * 2 + 2) - 0.5) * 0.8).alias("y"),
+    )
+    cellpts = pts.select(
+        "event_id",
+        F.least(
+            F.floor((F.col("x") + 4.0) / 8.0 * _GRID).cast("long"),
+            F.lit(_GRID - 1).cast("long"),
+        ).alias("gx"),
+        F.least(
+            F.floor((F.col("y") + 4.0) / 8.0 * _GRID).cast("long"),
+            F.lit(_GRID - 1).cast("long"),
+        ).alias("gy"),
+    )
+    tot = cellpts.agg(F.count(F.lit(1)).alias("n"))
+    minpts = tot.select(
+        F.greatest(
+            F.lit(5).cast("long"),
+            F.ceil(F.col("n") / 500.0).cast("long"),
+        ).alias("mp"),
+        F.col("n"),
+    )
+    cc = cellpts.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        cc.crossJoin(F.broadcast(minpts))
+        .filter(F.col("c") >= F.col("mp"))
+        .select(
+            (F.col("gy") * _GRID + F.col("gx")).alias("cid"),
+            "gx",
+            "gy",
+            "c",
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    a = dense.select(
+        F.col("cid").alias("u"), F.col("gx").alias("ax"), F.col("gy").alias("ay")
+    )
+    b = dense.select(
+        F.col("cid").alias("v"), F.col("gx").alias("bx"), F.col("gy").alias("by")
+    )
+    nbr = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1),
+    ).select("u", "v")
+    lab = dense.select("cid", F.col("cid").alias("lab"))
+    for _ in range(_DB_ROUNDS):
+        lab = (
+            nbr.join(lab.withColumnRenamed("cid", "v"), "v")
+            .groupBy(F.col("u").alias("cid"))
+            .agg(F.min("lab").alias("lab"))
+        )
+    sizes = (
+        lab.join(dense.select("cid", "c"), "cid")
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("c").alias("n_points"),
+        )
+    )
+    agg = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("n_cells").cast("long").alias("largest_cluster_cells"),
+        F.max("n_points").cast("long").alias("largest_cluster_points"),
+    )
+    dn = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dense_cells"),
+        F.sum("c").alias("n_core"),
+    )
+    return (
+        dn.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(minpts))
+        .select(
+            "n_dense_cells",
+            "n_clusters",
+            "largest_cluster_cells",
+            "largest_cluster_points",
+            (F.col("n") - F.col("n_core")).cast("long").alias(
+                "n_noise_points"
+            ),
+            F.col("mp").cast("long").alias("min_pts"),
+        )
+    )

@@ -1,0 +1,342 @@
+"""Staging gate for the r14 batch (``queries/staged_r14.py``): every
+staged op matches its DuckDB oracle at sf0.001 under the driver-replica
+comparison (columns + dtypes + order-insensitive values), names collide
+with nothing live or staged, and each op carries an independent
+property pin (numpy/pure-Python replays, recombination identities,
+convergence checks)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from ror_etl_spark.queries.staged_r13 import STAGED as STAGED_R13
+from ror_etl_spark.queries.staged_r14 import STAGED
+from ror_etl_spark.tables import TABLE_NAMES
+from tests.conftest import SF_SMALL
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return repr(v)
+
+
+def _key(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    return cols, rows
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(SF_SMALL, t + '.parquet')}'"
+        )
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_r14_matches_oracle(spark, con, name):
+    fn, oracle = STAGED[name]
+    assert oracle, f"staged query {name} must carry an oracle"
+    sdf = fn(spark, SF_SMALL).toPandas()
+    odf = con.execute(oracle).df()
+    got_cols, got_rows = _key(sdf)
+    want_cols, want_rows = _key(odf)
+    assert got_cols == want_cols
+    dt_mismatch = [
+        (c, str(sdf[c].dtype), str(odf[c].dtype))
+        for c in got_cols
+        if str(sdf[c].dtype) != str(odf[c].dtype)
+    ]
+    assert not dt_mismatch, f"dtype mismatch {dt_mismatch}"
+    assert len(got_rows) == len(want_rows)
+    assert got_rows == want_rows
+
+
+def test_no_r14_name_collides_with_registry_or_r13():
+    """The r14 flip calls query(name) for every staged entry; a
+    collision with the live registry OR the r13 batch (which flips
+    first) would crash the load."""
+    from ror_etl_spark import registry
+
+    registry.load_all()
+    live = set(registry.QUERIES)
+    batch = set(STAGED)
+    assert batch.isdisjoint(live) or batch <= live
+    assert batch.isdisjoint(set(STAGED_R13))
+
+
+# --------------------------- property pins ---------------------------
+
+
+def test_fisher_exact_scipy_free_replay(spark):
+    """Exact hypergeometric replay in pure Python (fractions-free,
+    same lfact algebra) — pins both p-values."""
+    fn, _ = STAGED["fisher_exact_nation_revenue"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    a, b, c, d = r["a"], r["b"], r["c"], r["d"]
+    r1, c1, n = a + b, a + c, a + b + c + d
+
+    def lfact(x):
+        return sum(math.log(i) for i in range(2, x + 1))
+
+    def p(k):
+        lp = (
+            lfact(r1)
+            - lfact(k)
+            - lfact(r1 - k)
+            + lfact(n - r1)
+            - lfact(c1 - k)
+            - lfact(n - r1 - c1 + k)
+            - (lfact(n) - lfact(c1) - lfact(n - c1))
+        )
+        return round(math.exp(lp) + 1e-12, 10)
+
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    po = p(a)
+    p_two = min(
+        1.0,
+        sum(p(k) for k in range(lo, hi + 1) if p(k) <= po * (1 + 1e-7)),
+    )
+    p_one = min(1.0, sum(p(k) for k in range(a, hi + 1)))
+    assert abs(r["p_two_sided"] - p_two) < 1e-5
+    assert abs(r["p_one_sided"] - p_one) < 1e-5
+    assert 0.0 <= r["p_two_sided"] <= 1.0
+
+
+def test_kuiper_dominates_ks_and_bounds(spark):
+    """V = D+ + D- >= each one-sided gap; both gaps in [0, 1]."""
+    fn, _ = STAGED["kuiper_value_click_purchase"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["d_plus"] <= 1.0 and 0.0 <= r["d_minus"] <= 1.0
+    assert abs(r["kuiper_v"] - (r["d_plus"] + r["d_minus"])) < 1e-5
+    assert r["kuiper_v"] >= max(r["d_plus"], r["d_minus"]) - 1e-9
+
+
+def test_kendall_w_bounds_and_chi2_identity(spark):
+    """W in [0, 1]; chi2 = m(k-1)W exactly."""
+    fn, _ = STAGED["kendall_w_weekday_type_ranks"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert -1e-9 <= r["kendall_w"] <= 1.0 + 1e-9
+    assert (
+        abs(
+            r["chi2_stat"]
+            - r["m_weekdays"] * (r["k_types"] - 1) * r["kendall_w"]
+        )
+        < 1e-2
+    )
+
+
+def test_breslow_day_expected_cells_valid(spark):
+    """Every expected a-cell lies inside its margin box and the BD
+    statistic is nonnegative; the common OR brackets the stratum ORs."""
+    fn, _ = STAGED["breslow_day_or_homogeneity"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    ors = [r["or_stratum"] for r in rows]
+    psi = rows[0]["psi_cmh"]
+    assert min(ors) - 1e-9 <= psi <= max(ors) + 1e-9
+    for r in rows:
+        assert r["expected_a"] > 0 and r["var_a"] > 0
+        assert r["bd_stat"] >= 0
+
+
+def test_logistic_irls_against_numpy(spark):
+    """Two IRLS rounds replayed with numpy linear algebra on the same
+    hour cells (quantized identically)."""
+    import numpy as np
+
+    fn, _ = STAGED["logistic_irls_purchase_hour"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    ev = (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        .filter("event_type IN ('click','purchase')")
+        .selectExpr(
+            "CAST(hour(ts) AS DOUBLE) h",
+            "CAST(event_type = 'purchase' AS INT) y",
+        )
+        .groupBy("h")
+        .agg({"*": "count", "y": "sum"})
+        .toPandas()
+    )
+    h = ev["h"].to_numpy()
+    n = ev["count(1)"].to_numpy(dtype=float)
+    y = ev["sum(y)"].to_numpy(dtype=float)
+    b0 = b1 = 0.0
+    for _ in range(2):
+        eta = b0 + b1 * h
+        p = 1.0 / (1.0 + np.exp(-eta))
+        w = n * p * (1 - p)
+        z = eta + (y - n * p) / w
+        X = np.stack([np.ones_like(h), h], axis=1)
+        beta = np.linalg.solve((X.T * w) @ X, (X.T * w) @ z)
+        b0 = round(beta[0] + 1e-12, 8)
+        b1 = round(beta[1] + 1e-12, 8)
+    assert abs(r["beta0"] - b0) < 1e-5
+    assert abs(r["beta1"] - b1) < 1e-5
+    assert 0.0 < r["p_noon"] < 1.0
+
+
+def test_hosmer_lemeshow_nonnegative_and_df(spark):
+    fn, _ = STAGED["hosmer_lemeshow_logistic_hour"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["hl_stat"] >= 0
+    assert r["df"] == r["g_cells"] - 2
+    assert 0.0 <= r["max_cell_gap"] <= 1.0
+
+
+def test_kalman_numpy_replay_and_gain_decay(spark):
+    """Sequential numpy replay; the Kalman gain must end BELOW its
+    t=1 value (it adapts down toward the Riccati fixed point) and
+    above the fixed-point lower bound."""
+    from ror_etl_spark.queries.staged_r13 import _daily_df
+    from ror_etl_spark.queries.staged_r14 import _KF_Q, _KF_R
+
+    fn, _ = STAGED["kalman_local_level_daily"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    d = _daily_df(spark, SF_SMALL).orderBy("t").toPandas()
+    ys = d["y"].tolist()
+
+    def q6(x):
+        v = x + 1e-9
+        s = 1.0 if v >= 0 else -1.0
+        return s * math.floor(abs(v) * 1e6 + 0.5) / 1e6
+
+    level, pvar, sse = ys[0], _KF_R, 0.0
+    for y in ys[1:]:
+        pp = pvar + _KF_Q
+        k = pp / (pp + _KF_R)
+        sse = q6(sse + (y - level) ** 2)
+        level = q6(level + k * (y - level))
+        pvar = q6((1 - k) * pp)
+    assert abs(r["level"] - level) < 1e-4
+    assert abs(r["p_var"] - pvar) < 1e-4
+    # fixed point of P = (1-K)(P+q): K* = (sqrt(q^2+4qr)-q)/(2r)
+    kstar = (math.sqrt(_KF_Q**2 + 4 * _KF_Q * _KF_R) - _KF_Q) / (2 * _KF_R)
+    assert kstar - 1e-3 <= r["k_gain"] <= 0.5
+    assert r["innov_rmse"] > 0
+
+
+def test_backoff_shares_partition_and_score_negative(spark):
+    fn, _ = STAGED["stupid_backoff_trigram_score"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        tot = r["share_trigram"] + r["share_bigram"] + r["share_unigram"]
+        assert abs(tot - 1.0) < 1e-4
+        assert r["avg_log10_score"] < 0
+        assert r["share_trigram"] > 0  # held-out split still overlaps
+
+
+def test_textrank_scores_are_distribution_like(spark):
+    """Ranks positive with real variance; stopwords never rank."""
+    from ror_etl_spark.queries.staged_r13 import _RAKE_STOPS
+
+    fn, _ = STAGED["textrank_keywords"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 15
+    scores = [r["textrank"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert len(set(scores)) > 1
+    assert not any(r["tok"] in set(_RAKE_STOPS) for r in rows)
+
+
+def test_cka_in_unit_interval_and_cauchy_schwarz(spark):
+    """0 <= CKA <= 1 (Cauchy-Schwarz on the centered cross-block)."""
+    fn, _ = STAGED["embedding_cka_halves"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert -1e-9 <= r["cka_linear"] <= 1.0 + 1e-9
+    assert r["fro_xx"] > 0 and r["fro_yy"] > 0
+    assert r["fro_xy_sq"] >= 0
+
+
+def test_grid_dbscan_converged_and_partitions(spark):
+    """One extra propagation round must not change the labels (the
+    convergence pin the 10-round unroll relies on), and the point
+    partition must add up."""
+    from ror_etl_spark.queries import staged_r14 as m
+
+    fn, _ = STAGED["grid_dbscan_user_clusters"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["n_clusters"] >= 2
+    assert r["largest_cluster_cells"] <= r["n_dense_cells"]
+    old_rounds = m._DB_ROUNDS
+    try:
+        m._DB_ROUNDS = old_rounds + 1
+        r2 = fn(spark, SF_SMALL).collect()[0]
+    finally:
+        m._DB_ROUNDS = old_rounds
+    assert r == r2
+    ev_n = (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet")).count()
+    )
+    assert (
+        r["largest_cluster_points"] <= ev_n - r["n_noise_points"]
+    )
+
+
+def test_aipw_between_arm_means_and_se_positive(spark):
+    """With discrete covariates AIPW equals the stratified estimator,
+    which must lie between the per-arm extremes; SE > 0."""
+    fn, _ = STAGED["causal_aipw_ate"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["se_aipw"] > 0
+    assert abs(r["ate_aipw"] - r["ate_naive"]) < 10 * r["se_aipw"]
+
+
+def test_misra_gries_exact_vs_full_count(spark):
+    """The MG candidate pass + exact recount must equal the plain
+    full groupBy heavy-hitter set (the guarantee the op's determinism
+    rests on)."""
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["misra_gries_heavy_tokens"]
+    got = {
+        (r["tok"], r["freq"]) for r in fn(spark, SF_SMALL).collect()
+    }
+    toks = (
+        spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+        .select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            ).alias("tok")
+        )
+    )
+    n = toks.count()
+    want = {
+        (r["tok"], r["c"])
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 200 > n)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_knn_outliers_are_k5_and_ordered(spark):
+    fn, _ = STAGED["knn_distance_outliers_embeddings"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    dists = [r["kth_nn_dist"] for r in rows]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d > 0 for d in dists)
+    assert all(r["vec_id"] % 2 == 0 for r in rows)

@@ -59,6 +59,10 @@ EVENTS_OPS = [
     "pinball_loss_forecast_daily",
     "gaussian_mixture_em_value",
     "markov_absorption_time_purchase",
+    # wave 11
+    "cronbach_alpha_event_types",
+    "page_hinkley_daily_revenue",
+    "hotelling_t2_click_purchase",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -81,6 +85,11 @@ TPCH_OPS = [
     "text_rake_keyphrases",
     "ridge_elasticity_qty_price",
     "huber_irls_elasticity",
+    # wave 8 (rows recorded together with waves 9-11)
+    "weighted_quantiles_quantity",
+    "simpson_paradox_screen",
+    # wave 11
+    "chao1_vocab_richness",
 ]
 EMB_OPS = [
     "embedding_pca_power_iteration",
@@ -88,6 +97,8 @@ EMB_OPS = [
     # wave 9/10
     "embedding_hubness_koccurrence",
     "embedding_participation_ratio",
+    # wave 11
+    "calinski_harabasz_embeddings",
 ]
 
 
