@@ -159,7 +159,7 @@ def fisher_exact_nation_revenue(
     t = Tables(spark, sf_dir)
     nrev = (
         t.nation.join(
-            t.customer, t.nation["n_nationkey"] == t.customer["c_nationkey"]
+            t.customer, F.col("n_nationkey") == F.col("c_nationkey")
         )
         .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("n_nationkey", "n_regionkey")
