@@ -1,0 +1,74 @@
+"""Decade tier rows for the r14-staged batch (pre-registration scale
+evidence, same discipline as the r10-r13 staged tiers in SCALING.md):
+cold-first / best-of-2 timings across the events decade
+(ev-1m/10m/100m), the sf0.1 → tpch10 fact decade, and the embedding
+decade (sf0.1 → emb10x). Tier dirs come from ``tools/gen_tiers.py``.
+Usage:
+
+    python tools/staged_r14_tiers.py --events --tpch --emb
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ror_etl_spark.queries import staged_r14  # noqa: E402
+from tools.staged_r13_tiers import (  # noqa: E402
+    EMB_TIERS,
+    EV_TIERS,
+    TPCH_TIERS,
+    run,
+)
+
+# events.parquet-only staged ops
+EVENTS_OPS = [
+    "kuiper_value_click_purchase",
+    "kendall_w_weekday_type_ranks",
+    "logistic_irls_purchase_hour",
+    "hosmer_lemeshow_logistic_hour",
+    "kalman_local_level_daily",
+    "grid_dbscan_user_clusters",
+]
+# ops needing the full table set (tpch10 carries every table at ~10x)
+TPCH_OPS = [
+    "fisher_exact_nation_revenue",
+    "breslow_day_or_homogeneity",
+    "causal_aipw_ate",
+    "stupid_backoff_trigram_score",
+    "textrank_keywords",
+    "misra_gries_heavy_tokens",
+]
+EMB_OPS = [
+    "embedding_cka_halves",
+    "knn_distance_outliers_embeddings",
+]
+
+
+def run_r14(ops: list[str], tiers: list[tuple[str, str]]) -> None:
+    # reuse the r13 runner but source functions from the r14 STAGED dict
+    import tools.staged_r13_tiers as base
+
+    saved = base.STAGED
+    try:
+        base.STAGED = staged_r14.STAGED
+        run(ops, tiers)
+    finally:
+        base.STAGED = saved
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", action="store_true")
+    ap.add_argument("--tpch", action="store_true")
+    ap.add_argument("--emb", action="store_true")
+    args = ap.parse_args()
+    if args.events:
+        run_r14(EVENTS_OPS, EV_TIERS)
+    if args.tpch:
+        run_r14(TPCH_OPS, TPCH_TIERS)
+    if args.emb:
+        run_r14(EMB_OPS, EMB_TIERS)
