@@ -1876,3 +1876,438 @@ def grid_dbscan_user_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mp").cast("long").alias("min_pts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: Cox proportional hazards, isotonic regression, DTW
+# ---------------------------------------------------------------------------
+
+_COX_ROUNDS = 3
+_COX_Q = 8
+
+_COX_BASE_SQL = """per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             max(ts) AS tmax,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id),
+    dur AS (
+      SELECT user_id,
+             (epoch_us(coalesce(tp, tmax)) - epoch_us(t0)) // 3600000000
+               AS d_h,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             CAST(user_id % 2 AS DOUBLE) AS x
+      FROM per_user),
+    bt AS (
+      SELECT d_h,
+             CAST(sum(x) AS DOUBLE) AS c1,
+             CAST(count(*) - sum(x) AS DOUBLE) AS c0,
+             CAST(sum(observed) AS DOUBLE) AS d,
+             CAST(sum(observed * x) AS DOUBLE) AS sx
+      FROM dur GROUP BY d_h),
+    tots AS (SELECT sum(c1) AS t1, sum(c0) AS t0 FROM bt),
+    risk AS (
+      SELECT bt.d_h, bt.d, bt.sx,
+             tots.t1 - coalesce(sum(bt.c1) OVER (ORDER BY bt.d_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r1,
+             tots.t0 - coalesce(sum(bt.c0) OVER (ORDER BY bt.d_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r0
+      FROM bt, tots),
+    ev AS (SELECT * FROM risk WHERE d > 0)"""
+
+
+def _cox_oracle() -> str:
+    ctes = [_COX_BASE_SQL, "b0 AS (SELECT 0.0 AS b)"]
+    for k in range(_COX_ROUNDS):
+        ctes.append(
+            f"""s{k} AS (
+      SELECT sum(ev.sx - ev.d * (exp(b{k}.b) * ev.r1)
+                 / (ev.r0 + exp(b{k}.b) * ev.r1)) AS u,
+             sum(ev.d * ((exp(b{k}.b) * ev.r1)
+                         / (ev.r0 + exp(b{k}.b) * ev.r1))
+                      * (1.0 - (exp(b{k}.b) * ev.r1)
+                         / (ev.r0 + exp(b{k}.b) * ev.r1))) AS i
+      FROM ev CROSS JOIN b{k})"""
+        )
+        ctes.append(
+            f"""b{k + 1} AS (
+      SELECT round(b{k}.b + s{k}.u / s{k}.i + 1e-12, {_COX_Q}) AS b
+      FROM b{k} CROSS JOIN s{k})"""
+        )
+    fb = f"b{_COX_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    fin AS (
+      SELECT sum(ev.sx - ev.d * (exp({fb}.b) * ev.r1)
+                 / (ev.r0 + exp({fb}.b) * ev.r1)) AS u,
+             sum(ev.d * ((exp({fb}.b) * ev.r1)
+                         / (ev.r0 + exp({fb}.b) * ev.r1))
+                      * (1.0 - (exp({fb}.b) * ev.r1)
+                         / (ev.r0 + exp({fb}.b) * ev.r1))) AS i
+      FROM ev CROSS JOIN {fb}),
+    nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(observed) AS BIGINT) AS n_events
+      FROM dur)
+    SELECT nn.n_users, nn.n_events,
+           round({fb}.b + 1e-9, 6) AS beta,
+           round(exp({fb}.b) + 1e-9, 6) AS hazard_ratio,
+           round(1.0 / sqrt(fin.i) + 1e-9, 6) AS se_beta,
+           round(abs(fin.u) + 1e-9, 4) AS score_residual
+    FROM nn CROSS JOIN {fb} CROSS JOIN fin
+    """
+
+
+@staged("cox_ph_time_to_purchase", oracle=_cox_oracle())
+def cox_ph_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit of time-to-first-purchase on a
+    binary user cohort (x = user_id %% 2): Breslow partial likelihood
+    with tied events, 3 Newton rounds beta <- beta + U/I from 0, each
+    quantized to 8 dp (the IRLS/PPR trajectory rule). For binary x the
+    risk-set sums collapse to S0 = r0 + e^b r1, S1 = e^b r1, so U and
+    I are ONE aggregate per round over the event-time frame. Completes
+    the survival family — ``kaplan_meier_time_to_purchase`` (marginal
+    curve, same duration model), ``logrank_*`` (two-sample test),
+    ``aalen_johansen_cif`` (competing risks) — with the REGRESSION
+    member: a hazard ratio with a standard error, plus the |U| score
+    residual as the convergence witness.
+
+    Scale shape: one data-sized per-user rollup; the event-time frame
+    is bounded by the integer-hour domain (~720 rows — the calendar,
+    not the data), so its suffix-sum windows and per-round aggregates
+    are domain-bounded."""
+    e = Tables(spark, sf_dir).events
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    # timestamp_diff(MICROSECOND) works on NTZ (unix_micros rejects
+    # it); `div` keeps the exact integer floor (the registered KM
+    # duration idiom, staged_r10.py)
+    dur = (
+        per_user.select(
+            "user_id",
+            F.timestamp_diff(
+                "MICROSECOND", F.col("t0"), F.coalesce("tp", "tmax")
+            ).alias("d_us"),
+            F.when(F.col("tp").isNotNull(), 1)
+            .otherwise(0)
+            .alias("observed"),
+            (F.col("user_id") % 2).cast("double").alias("x"),
+        )
+        .select(
+            F.expr("d_us div 3600000000").alias("d_h"),
+            "observed",
+            "x",
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    bt = dur.groupBy("d_h").agg(
+        F.sum("x").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("x")).cast("double").alias("c0"),
+        F.sum("observed").cast("double").alias("d"),
+        F.sum(F.col("observed") * F.col("x")).alias("sx"),
+    )
+    tots = bt.agg(F.sum("c1").alias("t1"), F.sum("c0").alias("t0c"))
+    # bounded-domain window (integer-hour event times, <= ~720 rows at
+    # any SF) — the documented exception to the global_cumsum rule
+    wpre = Window.orderBy("d_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        bt.crossJoin(F.broadcast(tots))
+        .select(
+            "d_h",
+            "d",
+            "sx",
+            (
+                F.col("t1")
+                - F.coalesce(F.sum("c1").over(wpre), F.lit(0.0))
+            ).alias("r1"),
+            (
+                F.col("t0c")
+                - F.coalesce(F.sum("c0").over(wpre), F.lit(0.0))
+            ).alias("r0"),
+        )
+        .filter(F.col("d") > 0)
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    beta = dur.sparkSession.range(1).select(F.lit(0.0).alias("b"))
+    frac = lambda b: (  # noqa: E731
+        F.exp(b) * F.col("r1") / (F.col("r0") + F.exp(b) * F.col("r1"))
+    )
+    for _ in range(_COX_ROUNDS):
+        s = risk.crossJoin(F.broadcast(beta)).agg(
+            F.sum(F.col("sx") - F.col("d") * frac(F.col("b"))).alias("u"),
+            F.sum(
+                F.col("d") * frac(F.col("b")) * (1.0 - frac(F.col("b")))
+            ).alias("i"),
+        )
+        beta = beta.crossJoin(F.broadcast(s)).select(
+            F.round(
+                F.col("b") + F.col("u") / F.col("i") + 1e-12, _COX_Q
+            ).alias("b")
+        )
+    fin = risk.crossJoin(F.broadcast(beta)).agg(
+        F.sum(F.col("sx") - F.col("d") * frac(F.col("b"))).alias("u"),
+        F.sum(
+            F.col("d") * frac(F.col("b")) * (1.0 - frac(F.col("b")))
+        ).alias("i"),
+    )
+    nn = dur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("observed").cast("long").alias("n_events"),
+    )
+    return (
+        nn.crossJoin(F.broadcast(beta))
+        .crossJoin(F.broadcast(fin))
+        .select(
+            "n_users",
+            "n_events",
+            F.round(F.col("b") + 1e-9, 6).alias("beta"),
+            F.round(F.exp(F.col("b")) + 1e-9, 6).alias("hazard_ratio"),
+            F.round(1.0 / F.sqrt(F.col("i")) + 1e-9, 6).alias("se_beta"),
+            F.round(F.abs(F.col("u")) + 1e-9, 4).alias("score_residual"),
+        )
+    )
+
+
+@staged(
+    "isotonic_purchase_rate_by_hour",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS p
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    pairs AS (
+      SELECT a.h AS i, b.h AS j,
+             sum(c.p) / sum(c.n) AS avg_ij
+      FROM cells a
+      JOIN cells b ON b.h >= a.h
+      JOIN cells c ON c.h BETWEEN a.h AND b.h
+      GROUP BY a.h, b.h),
+    inner_min AS (
+      SELECT t.h, pairs.i, min(pairs.avg_ij) AS mn
+      FROM cells t
+      JOIN pairs ON pairs.i <= t.h AND pairs.j >= t.h
+      GROUP BY t.h, pairs.i),
+    fit AS (
+      SELECT h, max(mn) AS iso FROM inner_min GROUP BY h)
+    SELECT cells.h,
+           CAST(cells.n AS BIGINT) AS n,
+           round(cells.p / cells.n + 1e-9, 6) AS raw_rate,
+           round(fit.iso + 1e-9, 6) AS iso_rate
+    FROM cells JOIN fit ON fit.h = cells.h
+    ORDER BY cells.h
+    """,
+)
+def isotonic_purchase_rate_by_hour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted isotonic (monotone nondecreasing) regression of the
+    purchase rate on hour-of-day via the EXACT minimax identity:
+    fitted(t) = max_{i<=t} min_{j>=t} weightedAvg(y[i..j]) — the
+    closed form of pool-adjacent-violators, which needs no sequential
+    pooling loop and therefore no quantized trajectory: both engines
+    evaluate identical pooled-rate rationals (integer purchase and
+    event counts divided once). The shape-constrained calibration
+    primitive (monotone score->rate maps for the calibration ops;
+    'conversion can only grow with exposure' business priors).
+
+    Scale shape: ONE data-sized aggregate to the 24-cell frame; the
+    minimax enumerates O(24^3) bounded combinations via two grouped
+    joins. Nothing downstream is data-sized."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cells = e.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("p"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    a = cells.select(F.col("h").alias("i"))
+    b = cells.select(F.col("h").alias("j"))
+    c = cells.select(F.col("h").alias("hc"), "n", "p")
+    pairs = (
+        a.join(b, F.col("j") >= F.col("i"))
+        .join(
+            c,
+            (F.col("hc") >= F.col("i")) & (F.col("hc") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg((F.sum("p") / F.sum("n")).alias("avg_ij"))
+    )
+    t = cells.select(F.col("h").alias("t"))
+    inner_min = (
+        t.join(
+            pairs,
+            (F.col("i") <= F.col("t")) & (F.col("j") >= F.col("t")),
+        )
+        .groupBy("t", "i")
+        .agg(F.min("avg_ij").alias("mn"))
+    )
+    fit = inner_min.groupBy("t").agg(F.max("mn").alias("iso"))
+    return (
+        cells.join(fit, cells["h"] == fit["t"])
+        .select(
+            "h",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("p") / F.col("n") + 1e-9, 6).alias("raw_rate"),
+            F.round(F.col("iso") + 1e-9, 6).alias("iso_rate"),
+        )
+        .orderBy("h")
+    )
+
+
+def _dtw_oracle() -> str:
+    # weekday/weekend split: DuckDB dayofweek is Sun=0..Sat=6 (Spark is
+    # Sun=1..Sat=7 — verified live; the split must match, the label
+    # convention does not matter elsewhere)
+    ctes = [
+        """hours AS (SELECT unnest(range(0, 24)) AS h)""",
+        """raw AS (
+      SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+             round(avg(value) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2)""",
+        """prof AS (
+      SELECT hours.h,
+             coalesce(max(CASE WHEN raw.we = 0 THEN raw.v END), 0.0) AS a,
+             coalesce(max(CASE WHEN raw.we = 1 THEN raw.v END), 0.0) AS b
+      FROM hours LEFT JOIN raw ON raw.h = hours.h
+      GROUP BY hours.h)""",
+        """cost AS MATERIALIZED (
+      SELECT pa.h AS i, pb.h AS j, abs(pa.a - pb.b) AS c
+      FROM prof pa CROSS JOIN prof pb)""",
+        """dg0 AS MATERIALIZED (SELECT 0 AS i, 0 AS j, c AS d FROM cost
+      WHERE i = 0 AND j = 0)""",
+    ]
+    for k in range(1, 47):
+        p2join = (
+            f"LEFT JOIN dg{k - 2} p2 ON p2.i = cost.i - 1"
+            " AND p2.j = cost.j - 1"
+            if k >= 2
+            else ""
+        )
+        p2term = "coalesce(p2.d, 1e18)" if k >= 2 else "1e18"
+        # AS MATERIALIZED: each diagonal is referenced up to 3 times
+        # downstream — default inlining re-expands the whole DP chain
+        # exponentially (the r11 link-prediction CTE lesson; surfaced
+        # here as a too-many-open-files parquet re-scan storm)
+        ctes.append(
+            f"""dg{k} AS MATERIALIZED (
+      SELECT cost.i, cost.j,
+             cost.c + least(coalesce(p1a.d, 1e18),
+                            coalesce(p1b.d, 1e18),
+                            {p2term}) AS d
+      FROM cost
+      LEFT JOIN dg{k - 1} p1a ON p1a.i = cost.i - 1 AND p1a.j = cost.j
+      LEFT JOIN dg{k - 1} p1b ON p1b.i = cost.i AND p1b.j = cost.j - 1
+      {p2join}
+      WHERE cost.i + cost.j = {k})"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    l1 AS (SELECT sum(abs(a - b)) AS l1d FROM prof)
+    SELECT CAST(24 AS BIGINT) AS n_hours,
+           round(dg46.d + 1e-9, 4) AS dtw_distance,
+           round(l1.l1d + 1e-9, 4) AS l1_diagonal,
+           round(dg46.d / l1.l1d + 1e-9, 6) AS warp_gain
+    FROM dg46 CROSS JOIN l1
+    """
+
+
+@staged("dtw_weekday_weekend_profiles", oracle=_dtw_oracle())
+def dtw_weekday_weekend_profiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-time-warping distance between the weekday and weekend
+    hourly value profiles: D(i,j) = |a_i - b_j| + min(D(i-1,j),
+    D(i,j-1), D(i-1,j-1)) over the 24x24 grid, reported next to the
+    no-warp L1 diagonal (warp_gain < 1 means the weekend curve is a
+    time-SHIFTED weekday curve, not a different one — the question
+    Euclidean metrics can't answer). The profiles are quantized to
+    6 dp at BUILD time; the DP itself is exact (identical doubles
+    through add/min on both engines), so no per-cell quantization is
+    needed. Empty (hour, split) cells default to 0 via an explicit
+    0..23 scaffold.
+
+    Scale shape: one data-sized aggregate to 48 cells; the DP is a
+    bounded 24x24 grid — an Arrow kernel here (the Holt posture), 46
+    unrolled anti-diagonal CTEs in the oracle (each diagonal depends
+    on the previous two only, which is what makes the wavefront
+    SQL-expressible)."""
+    e = Tables(spark, sf_dir).events
+    raw = e.groupBy(
+        F.hour("ts").cast("long").alias("h"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("we"),
+    ).agg(F.round(F.avg("value") + 1e-9, 6).alias("v"))
+    hours = e.sparkSession.range(24).select(F.col("id").alias("h"))
+    prof = (
+        hours.join(raw, "h", "left")
+        .groupBy("h")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("we") == 0, F.col("v"))), F.lit(0.0)
+            ).alias("a"),
+            F.coalesce(
+                F.max(F.when(F.col("we") == 1, F.col("v"))), F.lit(0.0)
+            ).alias("b"),
+        )
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("h")
+        a = rows["a"].tolist()
+        b = rows["b"].tolist()
+        n = len(a)
+        inf = 1e18
+        d = [[0.0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                c = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    d[i][j] = c
+                else:
+                    best = min(
+                        d[i - 1][j] if i > 0 else inf,
+                        d[i][j - 1] if j > 0 else inf,
+                        d[i - 1][j - 1] if i > 0 and j > 0 else inf,
+                    )
+                    d[i][j] = c + best
+        l1 = sum(abs(x - y) for x, y in zip(a, b))
+
+        def r(x, k):
+            import math
+
+            v = x + 1e-9
+            s = 1.0 if v >= 0 else -1.0
+            return s * math.floor(abs(v) * 10.0**k + 0.5) / 10.0**k
+
+        yield pd.DataFrame(
+            {
+                "n_hours": pd.Series([n], dtype="int64"),
+                "dtw_distance": [r(d[n - 1][n - 1], 4)],
+                "l1_diagonal": [r(l1, 4)],
+                "warp_gain": [r(d[n - 1][n - 1] / l1, 6)],
+            }
+        )
+
+    schema = (
+        "n_hours long, dtw_distance double, l1_diagonal double,"
+        " warp_gain double"
+    )
+    return prof.coalesce(1).mapInPandas(kernel, schema=schema)

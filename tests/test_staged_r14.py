@@ -340,3 +340,117 @@ def test_knn_outliers_are_k5_and_ordered(spark):
     assert dists == sorted(dists, reverse=True)
     assert all(d > 0 for d in dists)
     assert all(r["vec_id"] % 2 == 0 for r in rows)
+
+
+def test_cox_newton_converged_and_lifelines_free_replay(spark):
+    """Pure-Python Newton replay on the same (d_h, observed, x)
+    frame; the |U| score residual must witness convergence."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["cox_ph_time_to_purchase"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    e = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    pu = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    dur = pu.selectExpr(
+        "timestampdiff(MICROSECOND, t0, coalesce(tp, tmax))"
+        " div 3600000000 AS d_h",
+        "CAST(tp IS NOT NULL AS INT) AS observed",
+        "CAST(user_id % 2 AS DOUBLE) AS x",
+    ).toPandas()
+    ts = np.sort(dur[dur.observed == 1].d_h.unique())
+    beta = 0.0
+    for _ in range(3):
+        u = ii = 0.0
+        for t in ts:
+            ev = dur[(dur.d_h == t) & (dur.observed == 1)]
+            risk = dur[dur.d_h >= t]
+            r1 = float((risk.x == 1).sum())
+            r0 = float((risk.x == 0).sum())
+            frac = np.exp(beta) * r1 / (r0 + np.exp(beta) * r1)
+            u += ev.x.sum() - len(ev) * frac
+            ii += len(ev) * frac * (1 - frac)
+        beta = round(beta + u / ii + 1e-12, 8)
+    assert abs(r["beta"] - beta) < 1e-5
+    assert abs(r["hazard_ratio"] - math.exp(beta)) < 1e-4
+    assert r["se_beta"] > 0
+    assert r["score_residual"] < 0.05 * max(1.0, r["n_events"] ** 0.5)
+
+
+def test_isotonic_is_monotone_and_pava_equivalent(spark):
+    """The minimax fit must be nondecreasing, mean-preserving on
+    pooled blocks, and equal to an independent PAVA implementation."""
+    fn, _ = STAGED["isotonic_purchase_rate_by_hour"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 24
+    iso = [r["iso_rate"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(iso, iso[1:]))
+    # independent PAVA replay
+    w = [float(r["n"]) for r in rows]
+    y = [r["raw_rate"] for r in rows]
+    blocks = [[wi, wi * yi] for wi, yi in zip(w, y)]
+    out = []
+    for blk in blocks:
+        out.append(blk[:])
+        while len(out) > 1 and out[-2][1] / out[-2][0] > out[-1][1] / out[-1][0] + 1e-15:
+            b = out.pop()
+            out[-1][0] += b[0]
+            out[-1][1] += b[1]
+    # rebuild per-cell fits by walking blocks
+    fitted = []
+    idx = 0
+    for bw, bs in out:
+        acc = 0.0
+        while acc < bw - 1e-9:
+            acc += w[idx]
+            fitted.append(bs / bw)
+            idx += 1
+    assert len(fitted) == 24
+    for got, want in zip(iso, fitted):
+        assert abs(got - want) < 1e-4
+
+
+def test_dtw_bounds_and_numpy_replay(spark):
+    """DTW <= L1 diagonal (the diagonal is one admissible path) and a
+    numpy DP replay agrees."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["dtw_weekday_weekend_profiles"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["dtw_distance"] <= r["l1_diagonal"] + 1e-6
+    assert 0.0 < r["warp_gain"] <= 1.0 + 1e-9
+    e = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    raw = (
+        e.groupBy(
+            F.hour("ts").alias("h"),
+            F.dayofweek("ts").isin(1, 7).cast("int").alias("we"),
+        )
+        .agg(F.round(F.avg("value") + 1e-9, 6).alias("v"))
+        .toPandas()
+    )
+    a = np.zeros(24)
+    b = np.zeros(24)
+    for _, row in raw.iterrows():
+        (b if row.we else a)[int(row.h)] = row.v
+    n = 24
+    d = np.full((n, n), np.inf)
+    for i in range(n):
+        for j in range(n):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                d[i, j] = c
+            else:
+                prev = min(
+                    d[i - 1, j] if i > 0 else np.inf,
+                    d[i, j - 1] if j > 0 else np.inf,
+                    d[i - 1, j - 1] if i > 0 and j > 0 else np.inf,
+                )
+                d[i, j] = c + prev
+    assert abs(r["dtw_distance"] - d[-1, -1]) < 1e-3
