@@ -32,6 +32,10 @@ EVENTS_OPS = [
     "hosmer_lemeshow_logistic_hour",
     "kalman_local_level_daily",
     "grid_dbscan_user_clusters",
+    # wave 2
+    "cox_ph_time_to_purchase",
+    "isotonic_purchase_rate_by_hour",
+    "dtw_weekday_weekend_profiles",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
