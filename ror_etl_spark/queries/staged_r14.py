@@ -2311,3 +2311,263 @@ def dtw_weekday_weekend_profiles(
         " warp_gain double"
     )
     return prof.coalesce(1).mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: spatial autocorrelation, paired-comparison ranking
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "morans_i_planted_plane",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ((user_id % 7) * 37 % 100) / 100.0 * 6.0 - 3.0
+               + (({_lehmer_u_sql("event_id * 2 + 1")}) - 0.5) * 0.8 AS x,
+             ((user_id % 7) * 53 % 100) / 100.0 * 6.0 - 3.0
+               + (({_lehmer_u_sql("event_id * 2 + 2")}) - 0.5) * 0.8 AS y
+      FROM events),
+    cnt AS (
+      SELECT least(CAST(floor((x + 4.0) / 8.0 * {_GRID}) AS BIGINT),
+                   {_GRID - 1}) AS gx,
+             least(CAST(floor((y + 4.0) / 8.0 * {_GRID}) AS BIGINT),
+                   {_GRID - 1}) AS gy,
+             count(*) AS c
+      FROM pts GROUP BY 1, 2),
+    grid AS (
+      SELECT gx.i AS gx, gy.i AS gy,
+             CAST(coalesce(cnt.c, 0) AS DOUBLE) AS c
+      FROM (SELECT unnest(range(0, {_GRID})) AS i) gx
+      CROSS JOIN (SELECT unnest(range(0, {_GRID})) AS i) gy
+      LEFT JOIN cnt ON cnt.gx = gx.i AND cnt.gy = gy.i),
+    mu AS (SELECT avg(c) AS m, count(*) AS n FROM grid),
+    z AS (
+      SELECT grid.gx, grid.gy, grid.c - mu.m AS z
+      FROM grid CROSS JOIN mu),
+    cross_t AS (
+      SELECT sum(a.z * b.z) AS num, count(*) AS w
+      FROM z a JOIN z b
+        ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1),
+    denom AS (SELECT sum(z * z) AS zz FROM z)
+    SELECT CAST(mu.n AS BIGINT) AS n_cells,
+           CAST(cross_t.w AS BIGINT) AS w_pairs,
+           round((mu.n * 1.0 / cross_t.w) * cross_t.num / denom.zz
+                 + 1e-9, 6) AS morans_i,
+           round(-1.0 / (mu.n - 1.0) + 1e-9, 6) AS expected_i
+    FROM mu CROSS JOIN cross_t CROSS JOIN denom
+    """,
+)
+def morans_i_planted_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of the planted 7-blob plane's
+    cell counts (rook adjacency, binary weights, the FULL 32x32
+    scaffold including empty cells): I = (N/W)·sum_adj z_i z_j /
+    sum z_i^2 vs E[I] = -1/(N-1). Strongly positive I says the point
+    mass clusters spatially — the scalar screen you run BEFORE paying
+    for ``grid_dbscan_user_clusters``' component labeling, on exactly
+    the same cell aggregate (one shared data pass in a real pipeline).
+
+    Scale shape: one data-sized cell count; the adjacency cross term
+    is a self-join of the bounded 1024-cell frame on |dx|+|dy| = 1.
+    Everything after the rollup is grid-sized."""
+    ev = Tables(spark, sf_dir).events.select("event_id", "user_id")
+    cx = ((F.col("user_id") % 7) * 37 % 100) / 100.0 * 6.0 - 3.0
+    cy = ((F.col("user_id") % 7) * 53 % 100) / 100.0 * 6.0 - 3.0
+    pts = ev.select(
+        (cx + (_lehmer_u(F.col("event_id") * 2 + 1) - 0.5) * 0.8).alias("x"),
+        (cy + (_lehmer_u(F.col("event_id") * 2 + 2) - 0.5) * 0.8).alias("y"),
+    )
+    cnt = pts.groupBy(
+        F.least(
+            F.floor((F.col("x") + 4.0) / 8.0 * _GRID).cast("long"),
+            F.lit(_GRID - 1).cast("long"),
+        ).alias("gx"),
+        F.least(
+            F.floor((F.col("y") + 4.0) / 8.0 * _GRID).cast("long"),
+            F.lit(_GRID - 1).cast("long"),
+        ).alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ss = ev.sparkSession
+    gx = ss.range(_GRID).select(F.col("id").alias("sgx"))
+    gy = ss.range(_GRID).select(F.col("id").alias("sgy"))
+    grid = (
+        gx.crossJoin(gy)
+        .join(
+            cnt,
+            (F.col("sgx") == F.col("gx")) & (F.col("sgy") == F.col("gy")),
+            "left",
+        )
+        .select(
+            F.col("sgx").alias("gx2"),
+            F.col("sgy").alias("gy2"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c"),
+        )
+    )
+    mu = grid.agg(F.avg("c").alias("m"), F.count(F.lit(1)).alias("n"))
+    z = grid.crossJoin(F.broadcast(mu)).select(
+        "gx2", "gy2", (F.col("c") - F.col("m")).alias("z")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    a = z.select(
+        F.col("gx2").alias("ax"), F.col("gy2").alias("ay"), F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("gx2").alias("bx"), F.col("gy2").alias("by"), F.col("z").alias("zb")
+    )
+    cross_t = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by")))
+        == 1,
+    ).agg(
+        F.sum(F.col("za") * F.col("zb")).alias("num"),
+        F.count(F.lit(1)).alias("w"),
+    )
+    denom = z.agg(F.sum(F.col("z") * F.col("z")).alias("zz"))
+    return (
+        mu.crossJoin(F.broadcast(cross_t))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            F.col("n").cast("long").alias("n_cells"),
+            F.col("w").cast("long").alias("w_pairs"),
+            F.round(
+                (F.col("n") / F.col("w")) * F.col("num") / F.col("zz")
+                + 1e-9,
+                6,
+            ).alias("morans_i"),
+            F.round(-1.0 / (F.col("n") - 1.0) + 1e-9, 6).alias(
+                "expected_i"
+            ),
+        )
+    )
+
+
+_BT_ROUNDS = 3
+_BT_Q = 8
+
+
+def _bt_oracle() -> str:
+    ctes = [
+        """dc AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2)""",
+        """wins AS (
+      SELECT a.event_type AS i, b.event_type AS j,
+             CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS DOUBLE)
+               AS w
+      FROM dc a JOIN dc b
+        ON a.d = b.d AND a.event_type <> b.event_type
+      GROUP BY a.event_type, b.event_type)""",
+        """pairs AS (
+      SELECT w1.i, w1.j, w1.w AS wij, w1.w + w2.w AS nij
+      FROM wins w1 JOIN wins w2 ON w2.i = w1.j AND w2.j = w1.i)""",
+        """types AS (SELECT i AS t, sum(wij) AS wi FROM pairs GROUP BY i)""",
+        """k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM types)""",
+        """s0 AS (SELECT types.t, 1.0 / k.k AS s FROM types CROSS JOIN k)""",
+    ]
+    for r in range(_BT_ROUNDS):
+        ctes.append(
+            f"""m{r} AS (
+      SELECT pairs.i AS t,
+             max(types.wi) / sum(pairs.nij / (si.s + sj.s)) AS raw
+      FROM pairs
+      JOIN types ON types.t = pairs.i
+      JOIN s{r} si ON si.t = pairs.i
+      JOIN s{r} sj ON sj.t = pairs.j
+      GROUP BY pairs.i)"""
+        )
+        ctes.append(
+            f"""s{r + 1} AS (
+      SELECT m{r}.t,
+             round(m{r}.raw / (SELECT sum(raw) FROM m{r})
+                   + 1e-12, {_BT_Q}) AS s
+      FROM m{r})"""
+        )
+    fb = f"s{_BT_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT {fb}.t AS event_type,
+           CAST(types.wi AS BIGINT) AS wins,
+           round({fb}.s + 1e-9, 6) AS bt_strength
+    FROM {fb} JOIN types ON types.t = {fb}.t
+    ORDER BY round({fb}.s + 1e-9, 6) DESC, {fb}.t
+    """
+
+
+@staged("bradley_terry_event_types", oracle=_bt_oracle())
+def bradley_terry_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry paired-comparison strengths of the event types:
+    each calendar day is a 'match' between every ordered type pair
+    (the higher daily count wins; exact ties are no-contests), and 3
+    Zermelo minorize-maximize rounds s_i <- W_i / sum_j n_ij/(s_i+s_j)
+    (sum-normalized and quantized to 8 dp per round) estimate latent
+    strengths from the win matrix. The ranking-model primitive behind
+    LLM preference/arena scoring — here demonstrating the exact MM
+    trajectory both engines replay. Round-before-rank ordering with a
+    type tiebreak.
+
+    Scale shape: one data-sized (day, type) rollup; the win matrix,
+    the MM rounds, and the output are all bounded by the type domain
+    (k^2 pairs, k <= 5)."""
+    e = Tables(spark, sf_dir).events
+    dc = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = dc.select(
+        F.col("d").alias("da"), F.col("event_type").alias("i"), F.col("c").alias("ca")
+    )
+    b = dc.select(
+        F.col("d").alias("db"), F.col("event_type").alias("j"), F.col("c").alias("cb")
+    )
+    wins = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("i") != F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0))
+            .cast("double")
+            .alias("w")
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    w2 = wins.select(
+        F.col("i").alias("j2"), F.col("j").alias("i2"), F.col("w").alias("wji")
+    )
+    pairs = wins.join(
+        w2, (F.col("i") == F.col("i2")) & (F.col("j") == F.col("j2"))
+    ).select("i", "j", F.col("w").alias("wij"), (F.col("w") + F.col("wji")).alias("nij"))
+    types = pairs.groupBy(F.col("i").alias("t")).agg(
+        F.sum("wij").alias("wi")
+    )
+    k = types.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    s = types.crossJoin(F.broadcast(k)).select(
+        "t", (F.lit(1.0) / F.col("k")).alias("s")
+    )
+    for _ in range(_BT_ROUNDS):
+        si = s.select(F.col("t").alias("ti"), F.col("s").alias("s_i"))
+        sj = s.select(F.col("t").alias("tj"), F.col("s").alias("s_j"))
+        raw = (
+            pairs.join(F.broadcast(si), F.col("i") == F.col("ti"))
+            .join(F.broadcast(sj), F.col("j") == F.col("tj"))
+            .join(F.broadcast(types), F.col("i") == F.col("t"))
+            .groupBy(F.col("i").alias("t2"))
+            .agg(
+                (
+                    F.max("wi")
+                    / F.sum(F.col("nij") / (F.col("s_i") + F.col("s_j")))
+                ).alias("raw")
+            )
+        )
+        tot = raw.agg(F.sum("raw").alias("tr"))
+        s = raw.crossJoin(F.broadcast(tot)).select(
+            F.col("t2").alias("t"),
+            F.round(F.col("raw") / F.col("tr") + 1e-12, _BT_Q).alias("s"),
+        )
+    return (
+        s.join(types, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("wi").cast("long").alias("wins"),
+            F.round(F.col("s") + 1e-9, 6).alias("bt_strength"),
+        )
+        .orderBy(F.desc("bt_strength"), F.asc("event_type"))
+    )

@@ -454,3 +454,61 @@ def test_dtw_bounds_and_numpy_replay(spark):
                 )
                 d[i, j] = c + prev
     assert abs(r["dtw_distance"] - d[-1, -1]) < 1e-3
+
+
+def test_morans_i_detects_planted_clustering(spark):
+    """The planted blobs must yield strongly positive I (far above
+    E[I] ~ -1/(N-1)); the adjacency pair count is the exact rook
+    lattice constant 2*2*G*(G-1)."""
+    fn, _ = STAGED["morans_i_planted_plane"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    g = int(round(math.sqrt(r["n_cells"])))
+    assert g * g == r["n_cells"]
+    assert r["w_pairs"] == 4 * g * (g - 1)
+    assert abs(r["expected_i"] - (-1.0 / (r["n_cells"] - 1))) < 1e-6
+    assert r["morans_i"] > 0.05
+    assert r["morans_i"] <= 1.0 + 1e-6
+
+
+def test_bradley_terry_mm_replay_and_simplex(spark):
+    """Strengths live on the simplex; a pure-Python Zermelo replay on
+    the win matrix reproduces them; more wins => higher strength is
+    NOT guaranteed in general BT, but total wins and strengths must
+    co-rank on this near-balanced design."""
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["bradley_terry_event_types"]
+    rows = fn(spark, SF_SMALL).collect()
+    s_sum = sum(r["bt_strength"] for r in rows)
+    assert abs(s_sum - 1.0) < 1e-4
+    dc = (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        .groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+        .count()
+        .toPandas()
+    )
+    piv = dc.pivot_table(
+        index="d", columns="event_type", values="count", fill_value=0
+    )
+    types = sorted(piv.columns)
+    w = {
+        (i, j): int((piv[i] > piv[j]).sum())
+        for i in types
+        for j in types
+        if i != j
+    }
+    s = {t: 1.0 / len(types) for t in types}
+    for _ in range(3):
+        raw = {}
+        for i in types:
+            wi = sum(w[(i, j)] for j in types if j != i)
+            den = sum(
+                (w[(i, j)] + w[(j, i)]) / (s[i] + s[j])
+                for j in types
+                if j != i
+            )
+            raw[i] = wi / den
+        tot = sum(raw.values())
+        s = {t: round(raw[t] / tot + 1e-12, 8) for t in types}
+    for r in rows:
+        assert abs(r["bt_strength"] - s[r["event_type"]]) < 1e-4
