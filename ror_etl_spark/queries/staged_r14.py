@@ -2571,3 +2571,310 @@ def bradley_terry_event_types(
         )
         .orderBy(F.desc("bt_strength"), F.asc("event_type"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: decision-layer replays — sequential monitoring, bandits
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "obrien_fleming_daily_monitor",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS t,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             value AS v
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    daily AS (
+      SELECT t,
+             sum(CASE WHEN g = 1 THEN 1.0 ELSE 0 END) AS n1,
+             sum(CASE WHEN g = 0 THEN 1.0 ELSE 0 END) AS n0,
+             sum(CASE WHEN g = 1 THEN v ELSE 0 END) AS s1,
+             sum(CASE WHEN g = 0 THEN v ELSE 0 END) AS s0,
+             sum(CASE WHEN g = 1 THEN v * v ELSE 0 END) AS q1,
+             sum(CASE WHEN g = 0 THEN v * v ELSE 0 END) AS q0
+      FROM s GROUP BY t),
+    cum AS (
+      SELECT t,
+             sum(n1) OVER w AS cn1, sum(n0) OVER w AS cn0,
+             sum(s1) OVER w AS cs1, sum(s0) OVER w AS cs0,
+             sum(q1) OVER w AS cq1, sum(q0) OVER w AS cq0,
+             row_number() OVER (ORDER BY t) AS k,
+             count(*) OVER () AS kk
+      FROM daily
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    z AS (
+      SELECT t, k, kk,
+             round((cs1 / cn1 - cs0 / cn0)
+                   / sqrt((cq1 - cs1 * cs1 / cn1) / (cn1 - 1.0) / cn1
+                          + (cq0 - cs0 * cs0 / cn0) / (cn0 - 1.0) / cn0)
+                   + 1e-9, 4) AS zstat,
+             round(2.24 / sqrt(k * 1.0 / kk) + 1e-9, 4) AS boundary
+      FROM cum WHERE cn1 > 1 AND cn0 > 1),
+    cross_d AS (
+      SELECT min(t) AS t_cross FROM z WHERE abs(zstat) > boundary),
+    mx AS (
+      SELECT CAST(max(kk) AS BIGINT) AS n_looks,
+             round(max(abs(zstat)) + 1e-9, 4) AS max_abs_z
+      FROM z)
+    SELECT mx.n_looks, mx.max_abs_z,
+           CAST(cross_d.t_cross AS BIGINT) AS first_crossing_day,
+           CAST(cross_d.t_cross IS NOT NULL AS BOOLEAN) AS crossed
+    FROM mx CROSS JOIN cross_d
+    """,
+)
+def obrien_fleming_daily_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O'Brien-Fleming-shaped sequential monitoring of the running
+    purchase-vs-click value difference: at each daily look k of K, the
+    cumulative Welch z-statistic is compared to the OBF-shaped
+    boundary c/sqrt(k/K) with c = 2.24 (the large-K OBF constant for
+    two-sided alpha 0.05 — documented approximation, not an exact
+    alpha-spending solve). Early looks need overwhelming evidence,
+    late looks approach the fixed-sample threshold — the sequential
+    complement to ``sprt_ab_value_test`` (likelihood-ratio based) and
+    the daily analogue of peeking-safe A/B dashboards.
+
+    Scale shape: one data-sized six-sum daily aggregate; the z
+    trajectory and boundary live on the bounded daily frame."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.col("value").alias("v"),
+    )
+    g1 = F.col("g") == 1
+    daily = s.groupBy("t").agg(
+        F.sum(F.when(g1, 1.0).otherwise(0.0)).alias("n1"),
+        F.sum(F.when(~g1, 1.0).otherwise(0.0)).alias("n0"),
+        F.sum(F.when(g1, F.col("v")).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(~g1, F.col("v")).otherwise(0.0)).alias("s0"),
+        F.sum(F.when(g1, F.col("v") * F.col("v")).otherwise(0.0)).alias("q1"),
+        F.sum(F.when(~g1, F.col("v") * F.col("v")).otherwise(0.0)).alias("q0"),
+    )
+    # bounded daily frame — bare windows are domain-sized here
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("t")
+    cum = daily.select(
+        "t",
+        F.sum("n1").over(w).alias("cn1"),
+        F.sum("n0").over(w).alias("cn0"),
+        F.sum("s1").over(w).alias("cs1"),
+        F.sum("s0").over(w).alias("cs0"),
+        F.sum("q1").over(w).alias("cq1"),
+        F.sum("q0").over(w).alias("cq0"),
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("kk"),
+    )
+    se = F.sqrt(
+        (F.col("cq1") - F.col("cs1") * F.col("cs1") / F.col("cn1"))
+        / (F.col("cn1") - 1.0)
+        / F.col("cn1")
+        + (F.col("cq0") - F.col("cs0") * F.col("cs0") / F.col("cn0"))
+        / (F.col("cn0") - 1.0)
+        / F.col("cn0")
+    )
+    z = cum.filter((F.col("cn1") > 1) & (F.col("cn0") > 1)).select(
+        "t",
+        "k",
+        "kk",
+        F.round(
+            (F.col("cs1") / F.col("cn1") - F.col("cs0") / F.col("cn0"))
+            / se
+            + 1e-9,
+            4,
+        ).alias("zstat"),
+        F.round(
+            2.24 / F.sqrt(F.col("k") / F.col("kk")) + 1e-9, 4
+        ).alias("boundary"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    crossed = z.filter(F.abs(F.col("zstat")) > F.col("boundary")).agg(
+        F.min("t").alias("t_cross")
+    )
+    mx = z.agg(
+        F.max("kk").cast("long").alias("n_looks"),
+        F.round(F.max(F.abs(F.col("zstat"))) + 1e-9, 4).alias("max_abs_z"),
+    )
+    return mx.crossJoin(F.broadcast(crossed)).select(
+        "n_looks",
+        "max_abs_z",
+        F.col("t_cross").cast("long").alias("first_crossing_day"),
+        F.col("t_cross").isNotNull().alias("crossed"),
+    )
+
+
+_UCB_Q = 6
+
+
+def _ucb_oracle() -> str:
+    # rewards: per (day-index, type) share of that day's max type
+    # revenue, quantized; the bandit replays days in order, arms
+    # initialized by one forced pull each in type-name order
+    return f"""
+    WITH RECURSIVE dc AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS d,
+             event_type AS arm, CAST(count(*) AS DOUBLE) AS rev
+      FROM events GROUP BY 1, 2),
+    days AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS step FROM
+      (SELECT DISTINCT d FROM dc)),
+    arms AS (
+      SELECT arm, row_number() OVER (ORDER BY arm) AS aidx
+      FROM (SELECT DISTINCT arm FROM dc)),
+    rew AS (
+      SELECT days.step, dc.arm,
+             round(dc.rev / max(dc.rev) OVER (PARTITION BY dc.d)
+                   + 1e-9, {_UCB_Q}) AS r
+      FROM dc JOIN days ON days.d = dc.d),
+    ka AS (SELECT CAST(count(*) AS BIGINT) AS k FROM arms),
+    st (step, arm, n, s) AS (
+      SELECT 0, arms.arm, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+      FROM arms
+      UNION ALL
+      SELECT st.step + 1, st.arm,
+             st.n + CASE WHEN st.arm = pick.parm THEN 1 ELSE 0 END,
+             st.s + CASE WHEN st.arm = pick.parm
+                         THEN coalesce(pr.r, 0.0) ELSE 0 END
+      FROM st
+      CROSS JOIN (
+        SELECT s2.arm AS parm FROM st s2
+        CROSS JOIN arms a2
+        CROSS JOIN ka
+        WHERE a2.arm = s2.arm
+        ORDER BY
+          CASE WHEN s2.step + 1 <= ka.k
+               THEN CASE WHEN a2.aidx = s2.step + 1 THEN 1 ELSE 0 END
+               ELSE 1 END DESC,
+          CASE WHEN s2.step + 1 <= ka.k THEN 0.0
+               WHEN s2.n = 0 THEN 1e18
+               ELSE round(s2.s / s2.n
+                    + sqrt(2.0 * ln(s2.step + 1.0) / s2.n)
+                    + 1e-12, {_UCB_Q}) END DESC,
+          s2.arm
+        LIMIT 1) pick
+      LEFT JOIN rew pr ON pr.step = st.step + 1 AND pr.arm = pick.parm
+      WHERE st.step + 1 <= (SELECT max(step) FROM days)),
+    fin AS (
+      SELECT arm, n, s FROM st
+      WHERE step = (SELECT max(step) FROM days)),
+    best AS (
+      SELECT max(tot) AS btot FROM
+      (SELECT arm, sum(r) AS tot FROM rew GROUP BY arm)),
+    tot AS (SELECT sum(s) AS treward FROM fin)
+    SELECT fin.arm AS event_type,
+           CAST(fin.n AS BIGINT) AS pulls,
+           round(fin.s + 1e-9, 4) AS arm_reward,
+           round(tot.treward + 1e-9, 4) AS total_reward,
+           round(best.btot - tot.treward + 1e-9, 4) AS regret_vs_best
+    FROM fin CROSS JOIN best CROSS JOIN tot
+    ORDER BY fin.arm
+    """
+
+
+@staged("ucb1_bandit_replay_event_types", oracle=_ucb_oracle())
+def ucb1_bandit_replay_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic UCB1 bandit replay over the calendar: each day is
+    one pull, arms are the event types, reward = that type's share of
+    the day's best type event COUNT (integer counts divided once, so
+    both engines quantize identical rationals — revenue sums differ in
+    ulps across engines and would fork the trajectory; caught in
+    staging). The first k days
+    force one pull per arm in name order; afterwards the policy picks
+    argmax of mean + sqrt(2 ln t / n) (quantized round-before-argmax,
+    name tiebreak). Reports pulls, per-arm reward, and regret against
+    the best fixed arm in hindsight — the explore/exploit primitive
+    behind adaptive data-selection policies, demonstrated as an exact
+    replayable trajectory (both engines walk the same decisions).
+
+    Scale shape: one data-sized (day, type) rollup; the replay is a
+    bounded sequential Arrow kernel over |days| x |types| rows (the
+    Holt posture); the oracle walks the same steps in a recursive CTE
+    whose working set is the k-row arm state."""
+    import pandas as pd
+
+    e = Tables(spark, sf_dir).events
+    dc = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.col("event_type").alias("arm"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("rev"))
+    wd = Window.partitionBy("d")
+    rew = dc.select(
+        "d",
+        "arm",
+        F.round(
+            F.col("rev") / F.max("rev").over(wd) + 1e-9, _UCB_Q
+        ).alias("r"),
+    )
+
+    def kernel(batches):
+        import math as _m
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        days = sorted(rows["d"].unique())
+        arms = sorted(rows["arm"].unique())
+        lut = {
+            (row.d, row.arm): row.r
+            for row in rows.itertuples(index=False)
+        }
+        n = {a: 0 for a in arms}
+        s = {a: 0.0 for a in arms}
+        for step, d in enumerate(days, start=1):
+            if step <= len(arms):
+                pick = arms[step - 1]
+            else:
+
+                def ucb(a):
+                    if n[a] == 0:
+                        return 1e18
+                    v = (
+                        s[a] / n[a]
+                        + _m.sqrt(2.0 * _m.log(step) / n[a])
+                        + 1e-12
+                    )
+                    return _m.floor(v * 10.0**_UCB_Q + 0.5) / 10.0**_UCB_Q
+
+                pick = max(arms, key=lambda a: (ucb(a), [-ord(c) for c in a]))
+            n[pick] += 1
+            s[pick] += lut.get((d, pick), 0.0)
+        btot = max(
+            sum(lut.get((d, a), 0.0) for d in days) for a in arms
+        )
+        treward = sum(s.values())
+
+        def r4(x):
+            return _m.floor((x + 1e-9) * 10000.0 + 0.5) / 10000.0
+
+        yield pd.DataFrame(
+            {
+                "event_type": arms,
+                "pulls": pd.Series([n[a] for a in arms], dtype="int64"),
+                "arm_reward": [r4(s[a]) for a in arms],
+                "total_reward": [r4(treward)] * len(arms),
+                "regret_vs_best": [r4(btot - treward)] * len(arms),
+            }
+        )
+
+    schema = (
+        "event_type string, pulls long, arm_reward double,"
+        " total_reward double, regret_vs_best double"
+    )
+    return rew.coalesce(1).mapInPandas(kernel, schema=schema).orderBy(
+        "event_type"
+    )

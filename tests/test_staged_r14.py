@@ -512,3 +512,77 @@ def test_bradley_terry_mm_replay_and_simplex(spark):
         s = {t: round(raw[t] / tot + 1e-12, 8) for t in types}
     for r in rows:
         assert abs(r["bt_strength"] - s[r["event_type"]]) < 1e-4
+
+
+def test_obf_boundary_shape_and_welch_agreement(spark):
+    """The OBF boundary at the last look must equal the constant
+    (k = K => c/1); max|z| never exceeds what a crossing would imply
+    when crossed is false."""
+    fn, _ = STAGED["obrien_fleming_daily_monitor"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["n_looks"] >= 2
+    if not r["crossed"]:
+        assert r["first_crossing_day"] is None
+        assert r["max_abs_z"] <= 2.24 / math.sqrt(1.0 / r["n_looks"])
+    else:
+        assert r["first_crossing_day"] is not None
+
+
+def test_ucb1_replay_pure_python(spark):
+    """Full pure-Python replay of the UCB1 trajectory from the
+    (day, type) count frame; pulls must sum to the day count and
+    regret must equal best-fixed-arm minus collected."""
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["ucb1_bandit_replay_event_types"]
+    rows = fn(spark, SF_SMALL).collect()
+    dc = (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        .groupBy(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')"
+                " AS LONG)"
+            ).alias("d"),
+            F.col("event_type").alias("arm"),
+        )
+        .count()
+        .toPandas()
+    )
+    piv = dc.pivot_table(
+        index="d", columns="arm", values="count", fill_value=0
+    )
+    days = sorted(piv.index)
+    arms = sorted(piv.columns)
+    lut = {}
+    for d in days:
+        mx = float(piv.loc[d].max())
+        for a in arms:
+            v = float(piv.loc[d, a]) / mx
+            if piv.loc[d, a] > 0:
+                lut[(d, a)] = math.floor((v + 1e-9) * 1e6 + 0.5) / 1e6
+    n = {a: 0 for a in arms}
+    s = {a: 0.0 for a in arms}
+    for step, d in enumerate(days, start=1):
+        if step <= len(arms):
+            pick = arms[step - 1]
+        else:
+
+            def ucb(a):
+                v = s[a] / n[a] + math.sqrt(2 * math.log(step) / n[a]) + 1e-12
+                return math.floor(v * 1e6 + 0.5) / 1e6
+
+            best = max(ucb(a) for a in arms)
+            pick = min(a for a in arms if ucb(a) == best)
+        n[pick] += 1
+        s[pick] += lut.get((d, pick), 0.0)
+    got = {r["event_type"]: r for r in rows}
+    assert sum(r["pulls"] for r in rows) == len(days)
+    for a in arms:
+        assert got[a]["pulls"] == n[a]
+        assert abs(got[a]["arm_reward"] - s[a]) < 1e-3
+    btot = max(
+        sum(lut.get((d, a), 0.0) for d in days) for a in arms
+    )
+    assert abs(
+        rows[0]["regret_vs_best"] - (btot - sum(s.values()))
+    ) < 1e-3
