@@ -2878,3 +2878,499 @@ def ucb1_bandit_replay_event_types(
     return rew.coalesce(1).mapInPandas(kernel, schema=schema).orderBy(
         "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: ordered-trend, mediation, instrumental variables,
+# multi-rater agreement, indirect standardization
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "cochran_armitage_trend_priority",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS r
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT sum(n) AS nn, sum(r) AS rr,
+             sum(s * n) AS sn, sum(s * s * n) AS ssn,
+             sum(s * r) AS sr
+      FROM cells),
+    st AS (
+      SELECT nn, rr,
+             sr - sn * rr / nn AS t,
+             (rr / nn) * (1.0 - rr / nn) * (ssn - sn * sn / nn) AS v
+      FROM tot)
+    SELECT CAST(nn AS BIGINT) AS n_orders,
+           round(rr / nn + 1e-9, 6) AS p_overall,
+           round(t + 1e-9, 4) AS trend_t,
+           round(t / sqrt(v) + 1e-9, 4) AS z_stat,
+           round(t * t / v + 1e-9, 4) AS chi2_trend
+    FROM st
+    """,
+)
+def cochran_armitage_trend_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: does the proportion of high-value
+    orders (> 150k) trend MONOTONICALLY across the ordered priorities
+    (scores 1..5 from the priority prefix)? T = sum s_i(r_i - n_i R/N)
+    with variance p(1-p)(sum s_i^2 n_i - (sum s_i n_i)^2/N); z = T/
+    sqrt(V), chi2 = z^2 on 1 df. The ORDERED-alternative complement to
+    the unordered ``chi_square_priority_status`` (which burns 4 df on
+    any deviation) and the proportions analogue of
+    ``jonckheere_trend_priority`` (rank-based, means).
+
+    Scale shape: ONE grouped conditional aggregate to the 5-score
+    frame; everything after is scalar algebra."""
+    o = Tables(spark, sf_dir).orders
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+        .cast("double")
+        .alias("r"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("s") * F.col("n")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("ssn"),
+        F.sum(F.col("s") * F.col("r")).alias("sr"),
+    )
+    t = F.col("sr") - F.col("sn") * F.col("rr") / F.col("nn")
+    v = (
+        (F.col("rr") / F.col("nn"))
+        * (1.0 - F.col("rr") / F.col("nn"))
+        * (F.col("ssn") - F.col("sn") * F.col("sn") / F.col("nn"))
+    )
+    return tot.select(
+        F.col("nn").cast("long").alias("n_orders"),
+        F.round(F.col("rr") / F.col("nn") + 1e-9, 6).alias("p_overall"),
+        F.round(t + 1e-9, 4).alias("trend_t"),
+        F.round(t / F.sqrt(v) + 1e-9, 4).alias("z_stat"),
+        F.round(t * t / v + 1e-9, 4).alias("chi2_trend"),
+    )
+
+
+@staged(
+    "sobel_mediation_urgent_items_revenue",
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0
+                  ELSE 0.0 END AS x,
+             CAST(count(l.l_orderkey) AS DOUBLE) AS m,
+             max(o.o_totalprice) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority),
+    mo AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(m) AS sm, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(m * m) AS smm,
+             sum(x * m) AS sxm, sum(x * y) AS sxy, sum(m * y) AS smy
+      FROM base),
+    cm AS (
+      SELECT n,
+             sxx - sx * sx / n AS cxx,
+             smm - sm * sm / n AS cmm,
+             sxm - sx * sm / n AS cxm,
+             sxy - sx * sy / n AS cxy,
+             smy - sm * sy / n AS cmy
+      FROM mo),
+    paths AS (
+      SELECT n, cxx, cmm, cxm, cxy, cmy,
+             cxm / cxx AS a,
+             (cmy * cxx - cxm * cxy) / (cmm * cxx - cxm * cxm) AS b,
+             (cxy * cmm - cxm * cmy) / (cmm * cxx - cxm * cxm)
+               AS c_prime
+      FROM cm),
+    resid AS (
+      SELECT p.n, p.a, p.b, p.c_prime, p.cxx,
+             (p.cmm - p.a * p.cxm) / (p.n - 2.0) AS s2_a
+      FROM paths p)
+    SELECT CAST(r.n AS BIGINT) AS n_orders,
+           round(r.a + 1e-9, 6) AS path_a,
+           round(r.b + 1e-9, 6) AS path_b,
+           round(r.c_prime + 1e-9, 6) AS direct_effect,
+           round(r.a * r.b + 1e-9, 6) AS indirect_effect,
+           round(r.a * r.b
+                 / sqrt(r.b * r.b * (r.s2_a / r.cxx)
+                        + r.a * r.a * (r.s2_a / r.cxx)) + 1e-9, 4)
+             AS sobel_z_approx
+    FROM resid r
+    """,
+)
+def sobel_mediation_urgent_items_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Baron-Kenny mediation decomposition: does URGENT priority (X)
+    move order revenue (Y) THROUGH the item count (M)? Path a = slope
+    of M~X; paths b (mediator) and c' (direct) from the two-regressor
+    OLS of Y on (X, M) in closed co-moment form; indirect effect =
+    a·b with a Sobel-style z using the a-path residual variance (the
+    approximation is documented — the point is the exact replayable
+    decomposition, not the asymptotics). The mediation primitive the
+    causal family (IPTW, AIPW, DiD, RDD, ITS) lacked: it answers
+    'HOW does the effect flow', not just 'how big is it'.
+
+    Scale shape: one orders-lineitem join aggregated per order, then
+    ONE nine-sum co-moment aggregate; everything after is scalar
+    algebra on a single row."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.join(
+            t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("l_orderkey").cast("double").alias("m"),
+            F.max("o_totalprice").alias("y"),
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+            .otherwise(0.0)
+            .alias("x"),
+            "m",
+            "y",
+        )
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).alias("smy"),
+    )
+    n = F.col("n")
+    cm = mo.select(
+        n,
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n).alias("cxx"),
+        (F.col("smm") - F.col("sm") * F.col("sm") / n).alias("cmm"),
+        (F.col("sxm") - F.col("sx") * F.col("sm") / n).alias("cxm"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / n).alias("cxy"),
+        (F.col("smy") - F.col("sm") * F.col("sy") / n).alias("cmy"),
+    )
+    det = F.col("cmm") * F.col("cxx") - F.col("cxm") * F.col("cxm")
+    paths = cm.select(
+        n,
+        F.col("cxx"),
+        F.col("cmm"),
+        F.col("cxm"),
+        (F.col("cxm") / F.col("cxx")).alias("a"),
+        ((F.col("cmy") * F.col("cxx") - F.col("cxm") * F.col("cxy")) / det).alias("b"),
+        ((F.col("cxy") * F.col("cmm") - F.col("cxm") * F.col("cmy")) / det).alias("c_prime"),
+    )
+    s2a = (F.col("cmm") - F.col("a") * F.col("cxm")) / (n - 2.0)
+    return paths.select(
+        n.cast("long").alias("n_orders"),
+        F.round(F.col("a") + 1e-9, 6).alias("path_a"),
+        F.round(F.col("b") + 1e-9, 6).alias("path_b"),
+        F.round(F.col("c_prime") + 1e-9, 6).alias("direct_effect"),
+        F.round(F.col("a") * F.col("b") + 1e-9, 6).alias(
+            "indirect_effect"
+        ),
+        F.round(
+            F.col("a")
+            * F.col("b")
+            / F.sqrt(
+                F.col("b") * F.col("b") * (s2a / F.col("cxx"))
+                + F.col("a") * F.col("a") * (s2a / F.col("cxx"))
+            )
+            + 1e-9,
+            4,
+        ).alias("sobel_z_approx"),
+    )
+
+
+@staged(
+    "iv_wald_orderkey_items_revenue",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o.o_orderkey % 2 AS DOUBLE) AS z,
+             CAST(count(l.l_orderkey) AS DOUBLE) AS x,
+             max(o.o_totalprice) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey),
+    mo AS (
+      SELECT count(*) AS n,
+             sum(z) AS sz, sum(x) AS sx, sum(y) AS sy,
+             sum(z * z) AS szz, sum(x * x) AS sxx,
+             sum(z * x) AS szx, sum(z * y) AS szy, sum(x * y) AS sxy
+      FROM base),
+    cm AS (
+      SELECT n,
+             szz - sz * sz / n AS czz,
+             sxx - sx * sx / n AS cxx,
+             szx - sz * sx / n AS czx,
+             szy - sz * sy / n AS czy,
+             sxy - sx * sy / n AS cxy
+      FROM mo)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(czy / czx + 1e-9, 4) AS beta_iv,
+           round(cxy / cxx + 1e-9, 4) AS beta_ols,
+           round(czx / czz + 1e-9, 6) AS first_stage_slope,
+           round((czx * czx / (czz * cxx)) * (n - 2.0)
+                 / (1.0 - czx * czx / (czz * cxx)) + 1e-9, 4)
+             AS first_stage_f
+    FROM cm
+    """,
+)
+def iv_wald_orderkey_items_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-instrument Wald/2SLS estimate: instrument z = orderkey
+    parity ('as-if random assignment'), endogenous regressor x = item
+    count, outcome y = order revenue: beta_IV = cov(z,y)/cov(z,x),
+    reported against the naive OLS slope and with the first-stage
+    slope and F statistic (the weak-instrument diagnostic — F below
+    ~10 says the parity instrument barely moves x, which on this
+    synthetic data is exactly what an honest IV report should show).
+    Completes the causal-identification toolbox: confounder
+    adjustment (IPTW/AIPW), discontinuities (RDD), time (DiD/ITS),
+    mediation (Sobel), and now instruments.
+
+    Scale shape: one join-aggregate per order, ONE nine-sum co-moment
+    aggregate, scalar algebra."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.join(
+            t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").cast("double").alias("x"),
+            F.max("o_totalprice").alias("y"),
+        )
+        .select(
+            (F.col("o_orderkey") % 2).cast("double").alias("z"), "x", "y"
+        )
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("z") * F.col("x")).alias("szx"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cm = mo.select(
+        n,
+        (F.col("szz") - F.col("sz") * F.col("sz") / n).alias("czz"),
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n).alias("cxx"),
+        (F.col("szx") - F.col("sz") * F.col("sx") / n).alias("czx"),
+        (F.col("szy") - F.col("sz") * F.col("sy") / n).alias("czy"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / n).alias("cxy"),
+    )
+    r2 = F.col("czx") * F.col("czx") / (F.col("czz") * F.col("cxx"))
+    return cm.select(
+        n.cast("long").alias("n_orders"),
+        F.round(F.col("czy") / F.col("czx") + 1e-9, 4).alias("beta_iv"),
+        F.round(F.col("cxy") / F.col("cxx") + 1e-9, 4).alias("beta_ols"),
+        F.round(F.col("czx") / F.col("czz") + 1e-9, 6).alias(
+            "first_stage_slope"
+        ),
+        F.round(r2 * (n - 2.0) / (1.0 - r2) + 1e-9, 4).alias(
+            "first_stage_f"
+        ),
+    )
+
+
+@staged(
+    "fleiss_kappa_first_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    first5 AS (SELECT * FROM ranked WHERE rn <= 5),
+    eligible AS (
+      SELECT user_id FROM first5 GROUP BY user_id HAVING count(*) = 5),
+    cnt AS (
+      SELECT f.user_id, f.event_type, CAST(count(*) AS DOUBLE) AS c
+      FROM first5 f JOIN eligible e ON e.user_id = f.user_id
+      GROUP BY f.user_id, f.event_type),
+    pi AS (
+      SELECT user_id, (sum(c * c) - 5.0) / (5.0 * 4.0) AS p_i
+      FROM cnt GROUP BY user_id),
+    pbar AS (SELECT avg(p_i) AS pb, count(*) AS n_items FROM pi),
+    pc AS (
+      SELECT sum(csum * csum) AS pe FROM (
+        SELECT event_type,
+               sum(c) / (SELECT 5.0 * count(*) FROM eligible) AS csum
+        FROM cnt GROUP BY event_type))
+    SELECT CAST(pbar.n_items AS BIGINT) AS n_users,
+           round(pbar.pb + 1e-9, 6) AS p_observed,
+           round(pc.pe + 1e-9, 6) AS p_expected,
+           round((pbar.pb - pc.pe) / (1.0 - pc.pe) + 1e-9, 6)
+             AS fleiss_kappa
+    FROM pbar CROSS JOIN pc
+    """,
+)
+def fleiss_kappa_first_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleiss' kappa over each user's FIRST FIVE events (items =
+    users with >= 5 events, raters = the five event slots, categories
+    = event types): P_i = (sum_c n_ic^2 - n)/(n(n-1)), kappa =
+    (P_bar - P_e)/(1 - P_e). Near-zero kappa says a user's early
+    events are exchangeable draws from the type mix; high kappa says
+    users specialize from the start — the multi-rater generalization
+    of ``cohens_kappa_lang_id`` (two raters) and the agreement
+    counterpart of ``user_event_entropy_topk``. The first-5 slots use
+    a (ts, event_id) total order.
+
+    Scale shape: one user-partitioned ranking window (the sessionize
+    posture), then user-and-type-keyed aggregates — all partial-agg
+    friendly, bounded output."""
+    e = Tables(spark, sf_dir).events
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        e.select(
+            "user_id", "event_type", F.row_number().over(wu).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    eligible = (
+        first5.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c5"))
+        .filter(F.col("c5") == 5)
+        .select("user_id")
+    )
+    cnt = (
+        first5.join(eligible, "user_id")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    pi = cnt.groupBy("user_id").agg(
+        ((F.sum(F.col("c") * F.col("c")) - 5.0) / 20.0).alias("p_i")
+    )
+    pbar = pi.agg(
+        F.avg("p_i").alias("pb"), F.count(F.lit(1)).alias("n_items")
+    )
+    tot = pbar.select((5.0 * F.col("n_items")).alias("tot5"))
+    pc = (
+        cnt.groupBy("event_type")
+        .agg(F.sum("c").alias("tc"))
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("tc") / F.col("tot5")).alias("csum"))
+        .agg(F.sum(F.col("csum") * F.col("csum")).alias("pe"))
+    )
+    return pbar.crossJoin(F.broadcast(pc)).select(
+        F.col("n_items").cast("long").alias("n_users"),
+        F.round(F.col("pb") + 1e-9, 6).alias("p_observed"),
+        F.round(F.col("pe") + 1e-9, 6).alias("p_expected"),
+        F.round(
+            (F.col("pb") - F.col("pe")) / (1.0 - F.col("pe")) + 1e-9, 6
+        ).alias("fleiss_kappa"),
+    )
+
+
+@staged(
+    "smr_indirect_standardization_asia",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN n.n_regionkey = 2 THEN 1 ELSE 0 END AS study,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0
+                  ELSE 0.0 END AS ev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    ref AS (
+      SELECT seg, sum(ev) / count(*) AS rate FROM base GROUP BY seg),
+    study AS (
+      SELECT b.seg, CAST(count(*) AS DOUBLE) AS n,
+             sum(b.ev) AS obs
+      FROM base b WHERE b.study = 1 GROUP BY b.seg),
+    agg AS (
+      SELECT sum(s.obs) AS observed,
+             sum(s.n * r.rate) AS expected,
+             CAST(sum(s.n) AS BIGINT) AS n_study
+      FROM study s JOIN ref r ON r.seg = s.seg)
+    SELECT n_study,
+           CAST(observed AS BIGINT) AS observed_urgent,
+           round(expected + 1e-9, 4) AS expected_urgent,
+           round(observed / expected + 1e-9, 6) AS smr,
+           round(exp(ln(observed / expected)
+                     - 1.96 / sqrt(observed)) + 1e-9, 6) AS smr_lo,
+           round(exp(ln(observed / expected)
+                     + 1.96 / sqrt(observed)) + 1e-9, 6) AS smr_hi
+    FROM agg
+    """,
+)
+def smr_indirect_standardization_asia(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standardized morbidity/mortality-ratio machinery applied to
+    order urgency: is the ASIA region's urgent-order rate higher than
+    the whole population's, AFTER adjusting for market-segment mix?
+    Expected = sum over segments of (ASIA orders in segment) x
+    (population urgent rate of that segment); SMR = O/E with the
+    log-normal approximate CI exp(ln SMR +/- 1.96/sqrt(O)). The
+    indirect-standardization primitive (epidemiology's workhorse for
+    small-area comparison) — the rate-adjusted complement to
+    ``simpson_paradox_screen``, which detects the mix confounding
+    this op corrects.
+
+    Scale shape: one three-way join scan feeding two bounded grouped
+    aggregates (segment domain); scalar algebra after."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("n_regionkey") == 2, 1).otherwise(0).alias("study"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+            .otherwise(0.0)
+            .alias("ev"),
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    ref = base.groupBy("seg").agg(
+        (F.sum("ev") / F.count(F.lit(1))).alias("rate")
+    )
+    study = (
+        base.filter(F.col("study") == 1)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("ev").alias("obs"),
+        )
+    )
+    agg = study.join(F.broadcast(ref), "seg").agg(
+        F.sum("obs").alias("observed"),
+        F.sum(F.col("n") * F.col("rate")).alias("expected"),
+        F.sum("n").cast("long").alias("n_study"),
+    )
+    smr = F.col("observed") / F.col("expected")
+    return agg.select(
+        "n_study",
+        F.col("observed").cast("long").alias("observed_urgent"),
+        F.round(F.col("expected") + 1e-9, 4).alias("expected_urgent"),
+        F.round(smr + 1e-9, 6).alias("smr"),
+        F.round(
+            F.exp(F.log(smr) - 1.96 / F.sqrt(F.col("observed"))) + 1e-9, 6
+        ).alias("smr_lo"),
+        F.round(
+            F.exp(F.log(smr) + 1.96 / F.sqrt(F.col("observed"))) + 1e-9, 6
+        ).alias("smr_hi"),
+    )

@@ -586,3 +586,91 @@ def test_ucb1_replay_pure_python(spark):
     assert abs(
         rows[0]["regret_vs_best"] - (btot - sum(s.values()))
     ) < 1e-3
+
+
+def test_cochran_armitage_chi2_is_z_squared(spark):
+    fn, _ = STAGED["cochran_armitage_trend_priority"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert abs(r["chi2_trend"] - r["z_stat"] ** 2) < 1e-2
+    assert 0.0 <= r["p_overall"] <= 1.0
+
+
+def test_sobel_paths_recombine_to_total_effect(spark):
+    """Total effect c = c' + a*b must equal the simple OLS slope of
+    Y on X (the Baron-Kenny identity) — replayed with numpy."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["sobel_mediation_urgent_items_revenue"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF_SMALL, "lineitem.parquet"))
+    base = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("l_orderkey").cast("double").alias("m"),
+            F.max("o_totalprice").alias("y"),
+        )
+        .selectExpr(
+            "CAST(o_orderpriority = '1-URGENT' AS INT) AS x", "m", "y"
+        )
+        .toPandas()
+    )
+    x = base.x.to_numpy(dtype=float)
+    y = base.y.to_numpy(dtype=float)
+    c_total = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
+    assert abs((r["direct_effect"] + r["indirect_effect"]) - c_total) < max(
+        1.0, abs(c_total) * 1e-3
+    )
+
+
+def test_iv_wald_equals_reduced_over_first_stage(spark):
+    """beta_IV must equal (reduced-form slope)/(first-stage slope)."""
+    fn, _ = STAGED["iv_wald_orderkey_items_revenue"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["first_stage_f"] >= 0
+    # reduced-form slope = beta_iv * first_stage_slope (identity)
+    # verified through the co-moment route on the same frame:
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF_SMALL, "lineitem.parquet"))
+    base = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").cast("double").alias("x"),
+            F.max("o_totalprice").alias("y"),
+        )
+        .selectExpr("CAST(o_orderkey % 2 AS DOUBLE) AS z", "x", "y")
+        .toPandas()
+    )
+    z = base.z.to_numpy()
+    x = base.x.to_numpy()
+    y = base.y.to_numpy()
+    beta_iv = np.cov(z, y, ddof=0)[0, 1] / np.cov(z, x, ddof=0)[0, 1]
+    assert abs(r["beta_iv"] - beta_iv) < max(1.0, abs(beta_iv) * 1e-3)
+
+
+def test_fleiss_kappa_bounds_and_eligibility(spark):
+    fn, _ = STAGED["fleiss_kappa_first_events"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert -1.0 <= r["fleiss_kappa"] <= 1.0
+    assert 0.0 <= r["p_observed"] <= 1.0
+    assert 0.0 <= r["p_expected"] <= 1.0
+    assert abs(
+        r["fleiss_kappa"]
+        - (r["p_observed"] - r["p_expected"]) / (1.0 - r["p_expected"])
+    ) < 1e-4
+
+
+def test_smr_ci_brackets_point_and_additivity(spark):
+    fn, _ = STAGED["smr_indirect_standardization_asia"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["smr_lo"] <= r["smr"] <= r["smr_hi"]
+    assert abs(
+        r["smr"] - r["observed_urgent"] / r["expected_urgent"]
+    ) < 1e-3
+    assert r["n_study"] >= r["observed_urgent"]
