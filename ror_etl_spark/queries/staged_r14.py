@@ -19,6 +19,17 @@ token co-occurrence graph), linear CKA between embedding halves,
 grid-density (DBSCAN-style) clustering over the embedding plane,
 doubly-robust AIPW treatment effects, kth-NN distance outliers, and
 deterministic Misra-Gries heavy-hitter tokens with an exact recount.
+Wave 2 completes the survival family with Cox proportional hazards,
+adds exact-minimax isotonic regression (the PAVA closed form needs no
+sequential pooling), and DTW between weekday/weekend profiles (the
+anti-diagonal wavefront makes the DP SQL-expressible). Wave 3 adds
+Moran's I spatial autocorrelation and Bradley-Terry paired-comparison
+strengths (Zermelo MM). Wave 4 adds the decision layer: an
+O'Brien-Fleming-shaped sequential monitor and a deterministic UCB1
+bandit replay. Wave 5 rounds out classical inference: Cochran-Armitage
+ordered trend, Baron-Kenny/Sobel mediation, single-instrument
+Wald/2SLS with the weak-instrument F, Fleiss' kappa, and SMR indirect
+standardization.
 
 Every entry follows the registry discipline (registry.py module
 docstring): identical aliases both sides, epsilon-shifted rounding on
@@ -3374,3 +3385,485 @@ def smr_indirect_standardization_asia(
             F.exp(F.log(smr) + 1.96 / F.sqrt(F.col("observed"))) + 1e-9, 6
         ).alias("smr_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: seasonal state-space, gap decomposition, uplift, attribution
+# ---------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+
+from ror_etl_spark.queries.staged_r13 import _qr_sql as _q6  # noqa: E402
+
+
+def _hw_oracle() -> str:
+    a, b, g = _HW_A, _HW_B, _HW_G
+    newl = _q6(
+        f"{a} * (rn.y - st.sl[CAST((rn.k - 1) % 7 AS BIGINT) + 1])"
+        f" + {1 - a} * (st.l + st.b)"
+    )
+    newb = _q6(f"{b} * (({newl}) - st.l) + {1 - b} * st.b")
+    news = _q6(
+        f"{g} * (rn.y - ({newl}))"
+        f" + {1 - g} * st.sl[CAST((rn.k - 1) % 7 AS BIGINT) + 1]"
+    )
+    return f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    rn AS (SELECT row_number() OVER (ORDER BY t) AS k, y FROM daily),
+    nn AS (SELECT max(k) AS n FROM rn),
+    l0 AS (SELECT avg(y) AS l FROM rn WHERE k <= 7),
+    b0 AS (
+      SELECT {_q6("((SELECT avg(y) FROM rn WHERE k BETWEEN 8 AND 14)"
+                  " - (SELECT avg(y) FROM rn WHERE k <= 7)) / 7.0")} AS b),
+    s0 AS (
+      SELECT list({_q6("rn.y - l0.l")} ORDER BY rn.k) AS sl
+      FROM rn CROSS JOIN l0 WHERE rn.k <= 7),
+    st (k, l, b, sl, sse) AS (
+      SELECT CAST(7 AS BIGINT), {_q6("l0.l")}, b0.b, s0.sl,
+             CAST(0.0 AS DOUBLE)
+      FROM l0 CROSS JOIN b0 CROSS JOIN s0
+      UNION ALL
+      SELECT rn.k,
+             {newl},
+             {newb},
+             list_transform(
+               range(1, 8),
+               i -> CASE WHEN i = CAST((rn.k - 1) % 7 AS BIGINT) + 1
+                         THEN {news} ELSE st.sl[i] END),
+             {_q6(f"st.sse + (rn.y - (st.l + st.b"
+                  f" + st.sl[CAST((rn.k - 1) % 7 AS BIGINT) + 1]))"
+                  f" * (rn.y - (st.l + st.b"
+                  f" + st.sl[CAST((rn.k - 1) % 7 AS BIGINT) + 1]))")}
+      FROM st JOIN rn ON rn.k = st.k + 1)
+    SELECT CAST(st.k AS BIGINT) AS n_days,
+           st.l AS level, st.b AS trend,
+           round(list_min(st.sl) + 1e-9, 6) AS seasonal_min,
+           round(list_max(st.sl) + 1e-9, 6) AS seasonal_max,
+           {_q6("st.l + st.b + st.sl[CAST(st.k % 7 AS BIGINT) + 1]")}
+             AS forecast_1,
+           st.sse AS sse_1step
+    FROM st CROSS JOIN nn WHERE st.k = nn.n
+    """
+
+
+@staged("holt_winters_weekday_daily", oracle=_hw_oracle())
+def holt_winters_weekday_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekday season, m = 7)
+    on daily purchase revenue, alpha/beta/gamma = 0.3/0.1/0.2: init
+    l = mean(week 1), b = (mean(week 2) - mean(week 1))/7, s_i =
+    y_i - l over week 1; from day 8 the full three-equation recursion
+    runs with every state quantized by the engine-portable 6-dp rule
+    (``holt_linear_daily_revenue``'s discipline extended to a
+    SEASONAL state vector — the oracle carries the 7-slot list
+    through the recursive CTE via an indexed list_transform). The
+    forecasting family is now complete: EWMA (level), Holt (trend),
+    AR(1)/AR(2) (stationary), seasonal-naive (pure season), Kalman
+    (probabilistic level), and Holt-Winters (all three components).
+
+    Scale shape: one data-sized daily rollup; the recursion is a
+    bounded single-task Arrow kernel (the Holt posture)."""
+    d = _daily_df(spark, sf_dir)
+
+    def q(x: float) -> float:
+        import math
+
+        v = x + 1e-9
+        s = 1.0 if v >= 0 else -1.0
+        return s * math.floor(abs(v) * 1e6 + 0.5) / 1e6
+
+    def kernel(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("t")
+        ys = rows["y"].tolist()
+        n = len(ys)
+        level = q(sum(ys[:7]) / 7.0)
+        trend = q((sum(ys[7:14]) / 7.0 - sum(ys[:7]) / 7.0) / 7.0)
+        sl = [q(ys[i] - level) for i in range(7)]
+        sse = 0.0
+        for k in range(8, n + 1):
+            y = ys[k - 1]
+            si = (k - 1) % 7
+            err = y - (level + trend + sl[si])
+            sse = q(sse + err * err)
+            prev_l = level
+            level = q(
+                _HW_A * (y - sl[si]) + (1 - _HW_A) * (prev_l + trend)
+            )
+            trend = q(_HW_B * (level - prev_l) + (1 - _HW_B) * trend)
+            sl[si] = q(_HW_G * (y - level) + (1 - _HW_G) * sl[si])
+        yield pd.DataFrame(
+            {
+                "n_days": pd.Series([n], dtype="int64"),
+                "level": [level],
+                "trend": [trend],
+                "seasonal_min": [q(min(sl))],
+                "seasonal_max": [q(max(sl))],
+                "forecast_1": [q(level + trend + sl[n % 7])],
+                "sse_1step": [sse],
+            }
+        )
+
+    schema = (
+        "n_days long, level double, trend double, seasonal_min double,"
+        " seasonal_max double, forecast_1 double, sse_1step double"
+    )
+    return d.coalesce(1).mapInPandas(kernel, schema=schema)
+
+
+@staged(
+    "blinder_oaxaca_region_revenue",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN n.n_regionkey = 2 THEN 1 ELSE 0 END AS grp,
+             CAST(cnt.items AS DOUBLE) AS x,
+             cnt.y
+      FROM (
+        SELECT o_orderkey, o_custkey, count(*) AS items,
+               max(o_totalprice) AS y
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o_orderkey, o_custkey) cnt
+      JOIN customer c ON c.c_custkey = cnt.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    mo AS (
+      SELECT grp, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+             covar_pop(x, y) / var_pop(x) AS beta
+      FROM base GROUP BY grp),
+    ab AS (
+      SELECT a.n AS na, b.n AS nb,
+             a.mx AS mxa, b.mx AS mxb, a.my AS mya, b.my AS myb,
+             a.beta AS ba, b.beta AS bb,
+             a.my - a.beta * a.mx AS ia,
+             b.my - b.beta * b.mx AS ib
+      FROM (SELECT * FROM mo WHERE grp = 1) a
+      CROSS JOIN (SELECT * FROM mo WHERE grp = 0) b)
+    SELECT CAST(na AS BIGINT) AS n_asia,
+           CAST(nb AS BIGINT) AS n_rest,
+           round(mya - myb + 1e-9, 4) AS total_gap,
+           round(bb * (mxa - mxb) + 1e-9, 4) AS explained,
+           round((ba - bb) * mxa + (ia - ib) + 1e-9, 4) AS unexplained,
+           round(bb * (mxa - mxb)
+                 / nullif(mya - myb, 0) + 1e-9, 6) AS explained_share
+    FROM ab
+    """,
+)
+def blinder_oaxaca_region_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blinder-Oaxaca decomposition of the ASIA-vs-rest order-revenue
+    gap: with the single regressor x = item count, gap = (Ȳ_A - Ȳ_B)
+    splits into the EXPLAINED part beta_B(X̄_A - X̄_B) (different item
+    counts priced at the reference group's slope) and the UNEXPLAINED
+    part (beta_A - beta_B)X̄_A + (alpha_A - alpha_B) (different
+    pricing structure). The econometric gap-accounting primitive —
+    the regression-based sibling of ``simpson_paradox_screen`` and
+    ``smr_indirect_standardization_asia``, answering 'how much of the
+    gap is composition vs structure'.
+
+    Scale shape: one join-aggregate per order, one grouped co-moment
+    aggregate per group (2 rows), closed-form algebra."""
+    t = Tables(spark, sf_dir)
+    cnt = (
+        t.orders.join(
+            t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.max("o_totalprice").alias("y"),
+        )
+    )
+    base = (
+        cnt.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.when(F.col("n_regionkey") == 2, 1).otherwise(0).alias("grp"),
+            "x",
+            "y",
+        )
+    )
+    mo = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("beta"),
+    )
+    a = mo.filter(F.col("grp") == 1).select(
+        F.col("n").alias("na"),
+        F.col("mx").alias("mxa"),
+        F.col("my").alias("mya"),
+        F.col("beta").alias("ba"),
+        (F.col("my") - F.col("beta") * F.col("mx")).alias("ia"),
+    )
+    b = mo.filter(F.col("grp") == 0).select(
+        F.col("n").alias("nb"),
+        F.col("mx").alias("mxb"),
+        F.col("my").alias("myb"),
+        F.col("beta").alias("bb"),
+        (F.col("my") - F.col("beta") * F.col("mx")).alias("ib"),
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    gap = F.col("mya") - F.col("myb")
+    expl = F.col("bb") * (F.col("mxa") - F.col("mxb"))
+    unex = (F.col("ba") - F.col("bb")) * F.col("mxa") + (
+        F.col("ia") - F.col("ib")
+    )
+    return ab.select(
+        F.col("na").cast("long").alias("n_asia"),
+        F.col("nb").cast("long").alias("n_rest"),
+        F.round(gap + 1e-9, 4).alias("total_gap"),
+        F.round(expl + 1e-9, 4).alias("explained"),
+        F.round(unex + 1e-9, 4).alias("unexplained"),
+        F.round(expl / F.nullif(gap, F.lit(0)) + 1e-9, 6).alias(
+            "explained_share"
+        ),
+    )
+
+
+@staged(
+    "uplift_qini_by_segment",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS t,
+             CASE WHEN o.o_totalprice > 150000 THEN 1.0 ELSE 0.0 END
+               AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    segs AS (
+      SELECT seg,
+             CAST(sum(t) AS DOUBLE) AS n1,
+             CAST(count(*) - sum(t) AS DOUBLE) AS n0,
+             sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS y1,
+             sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS y0
+      FROM base GROUP BY seg),
+    ranked AS (
+      SELECT seg, n1, n0, y1, y0,
+             round(y1 / n1 - y0 / n0 + 1e-9, 6) AS uplift,
+             row_number() OVER (
+               ORDER BY round(y1 / n1 - y0 / n0 + 1e-9, 6) DESC, seg)
+               AS rk
+      FROM segs),
+    cum AS (
+      SELECT seg, uplift, rk,
+             sum(y1) OVER w AS cy1, sum(y0) OVER w AS cy0,
+             sum(n1) OVER w AS cn1, sum(n0) OVER w AS cn0
+      FROM ranked
+      WINDOW w AS (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    q AS (
+      SELECT seg, uplift, rk,
+             round(cy1 - cy0 * cn1 / cn0 + 1e-9, 4) AS qini_value
+      FROM cum),
+    coef AS (
+      SELECT round(avg(qini_value) + 1e-9, 4) AS qini_auc FROM q)
+    SELECT q.seg AS segment, q.uplift, q.rk AS targeting_rank,
+           q.qini_value, coef.qini_auc
+    FROM q CROSS JOIN coef
+    ORDER BY q.rk
+    """,
+)
+def uplift_qini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level uplift modeling with a Qini curve: per market
+    segment, uplift = P(high-value | urgent) - P(high-value | not),
+    segments ranked by uplift (round-before-rank, name tiebreak), and
+    the cumulative Qini value cy1 - cy0·(cn1/cn0) at each targeting
+    depth, summarized by its mean (a bounded-support Qini AUC). The
+    'WHO should get the treatment' layer on top of the ATE family —
+    two ops with identical average effects can have opposite
+    targeting value, which only the uplift ordering reveals.
+
+    Scale shape: one fact-scan conditional aggregate to the 5-segment
+    frame; ranking, cumulatives, and the curve are segment-domain
+    bounded."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.when(F.col("o_totalprice") > 150000, 1.0).otherwise(0.0).alias("y"),
+    )
+    segs = base.groupBy("seg").agg(
+        F.sum("t").cast("double").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("double").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0.0)).alias("y1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0.0)).alias("y0"),
+    )
+    uplift = F.round(
+        F.col("y1") / F.col("n1") - F.col("y0") / F.col("n0") + 1e-9, 6
+    )
+    wrk = Window.orderBy(F.desc("uplift"), F.asc("seg"))
+    ranked = segs.select("*", uplift.alias("uplift")).select(
+        "*", F.row_number().over(wrk).alias("rk")
+    )
+    wcum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "seg",
+        "uplift",
+        "rk",
+        F.sum("y1").over(wcum).alias("cy1"),
+        F.sum("y0").over(wcum).alias("cy0"),
+        F.sum("n1").over(wcum).alias("cn1"),
+        F.sum("n0").over(wcum).alias("cn0"),
+    )
+    q = cum.select(
+        "seg",
+        "uplift",
+        "rk",
+        F.round(
+            F.col("cy1") - F.col("cy0") * F.col("cn1") / F.col("cn0")
+            + 1e-9,
+            4,
+        ).alias("qini_value"),
+    )
+    coef = q.agg(F.round(F.avg("qini_value") + 1e-9, 4).alias("qini_auc"))
+    return (
+        q.crossJoin(F.broadcast(coef))
+        .select(
+            F.col("seg").alias("segment"),
+            "uplift",
+            F.col("rk").cast("long").alias("targeting_rank"),
+            "qini_value",
+            "qini_auc",
+        )
+        .orderBy("targeting_rank")
+    )
+
+
+@staged(
+    "linear_shapley_attribution",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0
+                  ELSE 0.0 END AS x1,
+             CAST(count(l.l_orderkey) AS DOUBLE) AS x2,
+             max(o.o_totalprice) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority),
+    mo AS (
+      SELECT count(*) AS n, avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+             covar_pop(x1, x1) AS c11, covar_pop(x2, x2) AS c22,
+             covar_pop(x1, x2) AS c12,
+             covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+             var_pop(y) AS cyy
+      FROM base),
+    beta AS (
+      SELECT n, m1, m2, my, c11, c22, c12, c1y, c2y, cyy,
+             (c1y * c22 - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c2y * c11 - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM mo),
+    phi AS (
+      SELECT b.n, b.b1, b.b2,
+             (b.b1 * b.c1y + b.b2 * b.c2y) / b.cyy AS r2,
+             abs(b.b1) * (SELECT avg(abs(x1 - b.m1)) FROM base) AS ma1,
+             abs(b.b2) * (SELECT avg(abs(x2 - b.m2)) FROM base) AS ma2
+      FROM beta b)
+    SELECT f.feature,
+           round(f.beta + 1e-9, 4) AS beta,
+           round(f.mean_abs_phi + 1e-9, 4) AS mean_abs_phi,
+           round(f.mean_abs_phi / (phi.ma1 + phi.ma2) + 1e-9, 6)
+             AS phi_share,
+           round(phi.r2 + 1e-9, 6) AS model_r2
+    FROM phi,
+    LATERAL (VALUES ('urgent', phi.b1, phi.ma1),
+                    ('items', phi.b2, phi.ma2))
+      AS f(feature, beta, mean_abs_phi)
+    ORDER BY f.feature
+    """,
+)
+def linear_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Shapley attribution for the two-feature linear model of
+    order revenue on (urgent, item count): for linear models the
+    Shapley value is analytic — phi_j(i) = beta_j (x_ij - mean_j) —
+    so mean |phi_j| = |beta_j| · mean|x_j - mean_j| measures each
+    feature's typical contribution magnitude, reported with its share
+    and the model R². The model-explanation primitive (the honest
+    special case of SHAP: no sampling, no surrogates) that turns the
+    registry's regression closures into per-feature attribution
+    language.
+
+    Scale shape: one join-aggregate per order, one co-moment
+    aggregate + one mean-absolute-deviation aggregate — two bounded
+    passes, 2-row output."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.join(
+            t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("l_orderkey").cast("double").alias("x2"),
+            F.max("o_totalprice").alias("y"),
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+            .otherwise(0.0)
+            .alias("x1"),
+            "x2",
+            "y",
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.covar_pop("x1", "x1").alias("c11"),
+        F.covar_pop("x2", "x2").alias("c22"),
+        F.covar_pop("x1", "x2").alias("c12"),
+        F.covar_pop("x1", "y").alias("c1y"),
+        F.covar_pop("x2", "y").alias("c2y"),
+        F.var_pop("y").alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    beta = mo.select(
+        "*",
+        ((F.col("c1y") * F.col("c22") - F.col("c12") * F.col("c2y")) / det).alias("b1"),
+        ((F.col("c2y") * F.col("c11") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
+    )
+    mad = base.crossJoin(F.broadcast(beta.select("m1", "m2"))).agg(
+        F.avg(F.abs(F.col("x1") - F.col("m1"))).alias("d1"),
+        F.avg(F.abs(F.col("x2") - F.col("m2"))).alias("d2"),
+    )
+    phi = beta.crossJoin(F.broadcast(mad)).select(
+        F.col("b1"),
+        F.col("b2"),
+        (
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+            / F.col("cyy")
+        ).alias("r2"),
+        (F.abs(F.col("b1")) * F.col("d1")).alias("ma1"),
+        (F.abs(F.col("b2")) * F.col("d2")).alias("ma2"),
+    )
+    rows = phi.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("items").alias("feature"),
+                    F.col("b2").alias("beta_raw"),
+                    F.col("ma2").alias("ma"),
+                ),
+                F.struct(
+                    F.lit("urgent").alias("feature"),
+                    F.col("b1").alias("beta_raw"),
+                    F.col("ma1").alias("ma"),
+                ),
+            )
+        ).alias("f"),
+        (F.col("ma1") + F.col("ma2")).alias("tot"),
+        "r2",
+    )
+    return rows.select(
+        F.col("f.feature").alias("feature"),
+        F.round(F.col("f.beta_raw") + 1e-9, 4).alias("beta"),
+        F.round(F.col("f.ma") + 1e-9, 4).alias("mean_abs_phi"),
+        F.round(F.col("f.ma") / F.col("tot") + 1e-9, 6).alias(
+            "phi_share"
+        ),
+        F.round(F.col("r2") + 1e-9, 6).alias("model_r2"),
+    ).orderBy("feature")

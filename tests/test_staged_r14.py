@@ -674,3 +674,74 @@ def test_smr_ci_brackets_point_and_additivity(spark):
         r["smr"] - r["observed_urgent"] / r["expected_urgent"]
     ) < 1e-3
     assert r["n_study"] >= r["observed_urgent"]
+
+
+def test_holt_winters_python_replay(spark):
+    """Sequential pure-Python replay of the three-equation recursion
+    (same quantizer); the seasonal band must bracket zero-ish
+    deviations around the level."""
+    from ror_etl_spark.queries.staged_r13 import _daily_df
+    from ror_etl_spark.queries.staged_r14 import _HW_A, _HW_B, _HW_G
+
+    fn, _ = STAGED["holt_winters_weekday_daily"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    ys = [
+        row["y"]
+        for row in _daily_df(spark, SF_SMALL).orderBy("t").collect()
+    ]
+
+    def q(x):
+        v = x + 1e-9
+        s = 1.0 if v >= 0 else -1.0
+        return s * math.floor(abs(v) * 1e6 + 0.5) / 1e6
+
+    n = len(ys)
+    level = q(sum(ys[:7]) / 7.0)
+    trend = q((sum(ys[7:14]) / 7.0 - sum(ys[:7]) / 7.0) / 7.0)
+    sl = [q(ys[i] - level) for i in range(7)]
+    for k in range(8, n + 1):
+        y = ys[k - 1]
+        si = (k - 1) % 7
+        prev_l = level
+        level = q(_HW_A * (y - sl[si]) + (1 - _HW_A) * (prev_l + trend))
+        trend = q(_HW_B * (level - prev_l) + (1 - _HW_B) * trend)
+        sl[si] = q(_HW_G * (y - level) + (1 - _HW_G) * sl[si])
+    assert abs(r["level"] - level) < 1e-4
+    assert abs(r["trend"] - trend) < 1e-4
+    assert r["seasonal_min"] <= r["seasonal_max"]
+    assert abs(r["forecast_1"] - q(level + trend + sl[n % 7])) < 1e-4
+
+
+def test_oaxaca_parts_sum_to_gap(spark):
+    fn, _ = STAGED["blinder_oaxaca_region_revenue"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert abs(
+        r["total_gap"] - (r["explained"] + r["unexplained"])
+    ) < 1e-2
+    assert r["n_asia"] > 0 and r["n_rest"] > 0
+
+
+def test_qini_ranking_is_by_uplift(spark):
+    fn, _ = STAGED["uplift_qini_by_segment"]
+    rows = fn(spark, SF_SMALL).collect()
+    ups = [r["uplift"] for r in rows]
+    assert ups == sorted(ups, reverse=True)
+    assert [r["targeting_rank"] for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    import statistics
+
+    assert abs(
+        rows[0]["qini_auc"]
+        - round(statistics.mean(r["qini_value"] for r in rows) + 1e-9, 4)
+    ) < 5e-4
+
+
+def test_linear_shapley_shares_sum_to_one(spark):
+    fn, _ = STAGED["linear_shapley_attribution"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 2
+    assert abs(sum(r["phi_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["mean_abs_phi"] >= 0 for r in rows)
+    assert len({r["model_r2"] for r in rows}) == 1
+    assert 0.0 <= rows[0]["model_r2"] <= 1.0

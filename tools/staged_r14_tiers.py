@@ -36,6 +36,14 @@ EVENTS_OPS = [
     "cox_ph_time_to_purchase",
     "isotonic_purchase_rate_by_hour",
     "dtw_weekday_weekend_profiles",
+    # waves 3-5 (events-only)
+    "morans_i_planted_plane",
+    "bradley_terry_event_types",
+    "obrien_fleming_daily_monitor",
+    "ucb1_bandit_replay_event_types",
+    "fleiss_kappa_first_events",
+    # wave 6
+    "holt_winters_weekday_daily",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -45,6 +53,15 @@ TPCH_OPS = [
     "stupid_backoff_trigram_score",
     "textrank_keywords",
     "misra_gries_heavy_tokens",
+    # wave 5
+    "cochran_armitage_trend_priority",
+    "sobel_mediation_urgent_items_revenue",
+    "iv_wald_orderkey_items_revenue",
+    "smr_indirect_standardization_asia",
+    # wave 6
+    "blinder_oaxaca_region_revenue",
+    "uplift_qini_by_segment",
+    "linear_shapley_attribution",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
