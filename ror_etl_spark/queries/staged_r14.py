@@ -3867,3 +3867,476 @@ def linear_shapley_attribution(
         ),
         F.round(F.col("r2") + 1e-9, 6).alias("model_r2"),
     ).orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: volatility filtering, latent regimes, weighted graph kernels
+# ---------------------------------------------------------------------------
+
+_GARCH_W, _GARCH_A, _GARCH_B = 0.1, 0.1, 0.8
+
+
+def _q8_sql(x: str) -> str:
+    """8-dp engine-portable floor quantizer (the 6-dp rule scaled up
+    for small-magnitude volatility states)."""
+    return (
+        f"CASE WHEN ({x}) + 1e-11 >= 0 THEN"
+        f" floor((({x}) + 1e-11) * 100000000.0 + 0.5) / 100000000.0"
+        f" ELSE -floor(-(({x}) + 1e-11) * 100000000.0 + 0.5)"
+        f" / 100000000.0 END"
+    )
+
+
+def _garch_oracle() -> str:
+    w, a, b = _GARCH_W, _GARCH_A, _GARCH_B
+    news = _q8_sql(
+        f"mo.om + {a} * (rn.r - mo.mr) * (rn.r - mo.mr) + {b} * st.s2"
+    )
+    return f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    ord AS (SELECT row_number() OVER (ORDER BY t) AS k, y FROM daily),
+    ret AS (
+      SELECT o1.k - 1 AS k, ln(o1.y / o0.y) AS r
+      FROM ord o1 JOIN ord o0 ON o0.k = o1.k - 1),
+    rn AS (SELECT k, r FROM ret),
+    mo AS (
+      SELECT avg(r) AS mr, var_pop(r) AS vr,
+             {w} * var_pop(r) AS om, count(*) AS n
+      FROM rn),
+    st (k, s2, mx) AS (
+      SELECT CAST(1 AS BIGINT), {_q8_sql("mo.vr")},
+             {_q8_sql("mo.vr")} FROM mo
+      UNION ALL
+      SELECT st.k + 1, {news}, greatest(st.mx, {news})
+      FROM st JOIN rn ON rn.k = st.k CROSS JOIN mo
+      WHERE st.k + 1 <= (SELECT max(k) FROM rn))
+    SELECT CAST(mo.n AS BIGINT) AS n_returns,
+           round(mo.om + 1e-11, 8) AS omega,
+           round({a} + {b}, 2) AS persistence,
+           round(mo.om / (1.0 - {a} - {b}) + 1e-11, 8)
+             AS unconditional_var,
+           st.s2 AS final_sigma2,
+           st.mx AS max_sigma2
+    FROM st CROSS JOIN mo WHERE st.k = (SELECT max(k) FROM rn)
+    """
+
+
+@staged("garch11_filter_daily", oracle=_garch_oracle())
+def garch11_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional-variance FILTER over daily log revenue
+    returns (fixed canonical parameters alpha = 0.1, beta = 0.8,
+    omega = 0.1 x var(r), so persistence 0.9): sigma2_t = omega +
+    alpha(r_{t-1} - mean)^2 + beta sigma2_{t-1}, initialized at the
+    sample variance. Reports the final and maximum conditional
+    variance against the unconditional omega/(1-alpha-beta) — the
+    volatility-clustering diagnostic the homoskedastic family
+    (Breusch-Pagan flags it, EWMA smooths it) cannot track. This is
+    deliberate FILTERING with fixed parameters, not MLE fitting — the
+    replayable part is the state recursion, quantized at 8 dp (the
+    6-dp rule scaled for small variance states).
+
+    Scale shape: daily rollup -> bounded return frame -> single-task
+    Arrow kernel (the Holt/Kalman posture)."""
+    d = _daily_df(spark, sf_dir)
+
+    def q8(x: float) -> float:
+        import math
+
+        v = x + 1e-11
+        s = 1.0 if v >= 0 else -1.0
+        return s * math.floor(abs(v) * 1e8 + 0.5) / 1e8
+
+    def kernel(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("t")
+        ys = rows["y"].tolist()
+        import math
+
+        rs = [math.log(ys[i] / ys[i - 1]) for i in range(1, len(ys))]
+        n = len(rs)
+        mr = sum(rs) / n
+        vr = sum((r - mr) ** 2 for r in rs) / n
+        om = _GARCH_W * vr
+        s2 = q8(vr)
+        mx = s2
+        for k in range(1, n):
+            s2 = q8(om + _GARCH_A * (rs[k - 1] - mr) ** 2 + _GARCH_B * s2)
+            mx = max(mx, s2)
+        yield pd.DataFrame(
+            {
+                "n_returns": pd.Series([n], dtype="int64"),
+                "omega": [q8(om)],
+                "persistence": [round(_GARCH_A + _GARCH_B, 2)],
+                "unconditional_var": [
+                    q8(om / (1.0 - _GARCH_A - _GARCH_B))
+                ],
+                "final_sigma2": [s2],
+                "max_sigma2": [mx],
+            }
+        )
+
+    schema = (
+        "n_returns long, omega double, persistence double,"
+        " unconditional_var double, final_sigma2 double,"
+        " max_sigma2 double"
+    )
+    return d.coalesce(1).mapInPandas(kernel, schema=schema)
+
+
+_HMM_STAY = 0.8
+_HMM_EH = 0.7  # P(high | state H); P(high | state L) = 1 - _HMM_EH
+
+
+def _hmm_oracle() -> str:
+    import math
+
+    l_stay = round(math.log(_HMM_STAY), 10)
+    l_sw = round(math.log(1.0 - _HMM_STAY), 10)
+    l_eh1 = round(math.log(_HMM_EH), 10)
+    l_eh0 = round(math.log(1.0 - _HMM_EH), 10)
+    l_half = round(math.log(0.5), 10)
+    # emission log-prob for state H given obs o: o=1 -> l_eh1, o=0 -> l_eh0
+    # state L is the mirror
+    eh = f"CASE WHEN rn.o = 1 THEN {l_eh1} ELSE {l_eh0} END"
+    el = f"CASE WHEN rn.o = 1 THEN {l_eh0} ELSE {l_eh1} END"
+    dh = (
+        f"({eh}) + greatest(st.dh + {l_stay}, st.dl + {l_sw})"
+    )
+    dl = (
+        f"({el}) + greatest(st.dl + {l_stay}, st.dh + {l_sw})"
+    )
+    return f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    med AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY y) AS m
+      FROM daily),
+    rn AS (
+      SELECT row_number() OVER (ORDER BY t) AS k,
+             CASE WHEN y > med.m THEN 1 ELSE 0 END AS o
+      FROM daily CROSS JOIN med),
+    fwd (k, dh, dl, ph, pl) AS (
+      SELECT CAST(1 AS BIGINT),
+             {_q8_sql(f"{l_half} + CASE WHEN rn.o = 1 THEN {l_eh1}"
+                      f" ELSE {l_eh0} END")},
+             {_q8_sql(f"{l_half} + CASE WHEN rn.o = 1 THEN {l_eh0}"
+                      f" ELSE {l_eh1} END")},
+             0, 0
+      FROM rn WHERE k = 1
+      UNION ALL
+      SELECT rn.k,
+             {_q8_sql(dh)},
+             {_q8_sql(dl)},
+             CASE WHEN st.dh + {l_stay} >= st.dl + {l_sw}
+                  THEN 1 ELSE 0 END,
+             CASE WHEN st.dl + {l_stay} >= st.dh + {l_sw}
+                  THEN 0 ELSE 1 END
+      FROM fwd st JOIN rn ON rn.k = st.k + 1),
+    nn AS (SELECT max(k) AS n FROM rn),
+    back (k, s) AS (
+      SELECT fwd.k,
+             CASE WHEN fwd.dh >= fwd.dl THEN 1 ELSE 0 END
+      FROM fwd CROSS JOIN nn WHERE fwd.k = nn.n
+      UNION ALL
+      SELECT back.k - 1,
+             CASE WHEN back.s = 1 THEN f2.ph ELSE f2.pl END
+      FROM back JOIN fwd f2 ON f2.k = back.k
+      WHERE back.k > 1),
+    path AS (SELECT k, s FROM back),
+    sw AS (
+      SELECT sum(CASE WHEN p1.s <> p0.s THEN 1 ELSE 0 END) AS switches
+      FROM path p1 JOIN path p0 ON p0.k = p1.k - 1),
+    fh AS (SELECT min(k) AS first_high FROM path WHERE s = 1)
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           CAST((SELECT sum(s) FROM path) AS BIGINT) AS n_high_days,
+           CAST(sw.switches AS BIGINT) AS n_switches,
+           CAST(fh.first_high AS BIGINT) AS first_high_day,
+           round(greatest(f.dh, f.dl) + 1e-9, 6) AS viterbi_logprob
+    FROM fwd f CROSS JOIN nn CROSS JOIN sw CROSS JOIN fh
+    WHERE f.k = nn.n
+    """
+
+
+@staged("hmm_viterbi_daily_regimes", oracle=_hmm_oracle())
+def hmm_viterbi_daily_regimes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-state HMM Viterbi decoding of daily revenue regimes: the
+    observation is 'above the median day' (exact percentile_disc cut),
+    transitions stay/switch = 0.8/0.2, emissions P(high|H) = 0.7
+    mirrored for L, uniform prior. The most-likely regime PATH (not
+    per-day filtering) via the log-space Viterbi recursion with
+    8-dp-quantized scores, then a backward pointer walk — the oracle
+    runs BOTH passes as recursive CTEs (the forward CTE's full
+    iteration history is a table, which is what makes backtracking
+    SQL-expressible). Reports regime occupancy, switch count, first
+    high-regime day, and the best-path log-probability — the
+    latent-state complement to ``entropy_rate_markov`` (observed
+    chain) and ``changepoint_binseg_daily_revenue`` (single split):
+    the HMM finds RECURRING regimes.
+
+    Scale shape: daily rollup -> bounded Arrow kernel (forward +
+    backtrack in one pass over ~30 rows)."""
+    import math as _math
+
+    d = _daily_df(spark, sf_dir)
+    l_stay = round(_math.log(_HMM_STAY), 10)
+    l_sw = round(_math.log(1.0 - _HMM_STAY), 10)
+    l_eh1 = round(_math.log(_HMM_EH), 10)
+    l_eh0 = round(_math.log(1.0 - _HMM_EH), 10)
+    l_half = round(_math.log(0.5), 10)
+
+    def q8(x: float) -> float:
+        v = x + 1e-11
+        s = 1.0 if v >= 0 else -1.0
+        return s * _math.floor(abs(v) * 1e8 + 0.5) / 1e8
+
+    def kernel(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("t")
+        ys = rows["y"].tolist()
+        n = len(ys)
+        med = sorted(ys)[(n - 1) // 2]  # percentile_disc(0.5)
+        obs = [1 if y > med else 0 for y in ys]
+        eh = lambda o: l_eh1 if o == 1 else l_eh0  # noqa: E731
+        el = lambda o: l_eh0 if o == 1 else l_eh1  # noqa: E731
+        dh = q8(l_half + eh(obs[0]))
+        dl = q8(l_half + el(obs[0]))
+        phs, pls = [0], [0]
+        for k in range(1, n):
+            ph = 1 if dh + l_stay >= dl + l_sw else 0
+            pl = 0 if dl + l_stay >= dh + l_sw else 1
+            ndh = q8(eh(obs[k]) + max(dh + l_stay, dl + l_sw))
+            ndl = q8(el(obs[k]) + max(dl + l_stay, dh + l_sw))
+            dh, dl = ndh, ndl
+            phs.append(ph)
+            pls.append(pl)
+        def q6v(v: float) -> float:
+            s = 1.0 if v >= 0 else -1.0
+            return s * _math.floor(abs(v) * 1e6 + 0.5) / 1e6
+
+        path = [0] * n
+        path[n - 1] = 1 if dh >= dl else 0
+        for k in range(n - 1, 0, -1):
+            path[k - 1] = phs[k] if path[k] == 1 else pls[k]
+        switches = sum(
+            1 for i in range(1, n) if path[i] != path[i - 1]
+        )
+        highs = [i + 1 for i in range(n) if path[i] == 1]
+        yield pd.DataFrame(
+            {
+                "n_days": pd.Series([n], dtype="int64"),
+                "n_high_days": pd.Series([sum(path)], dtype="int64"),
+                "n_switches": pd.Series([switches], dtype="int64"),
+                "first_high_day": pd.Series(
+                    [highs[0] if highs else None], dtype="Int64"
+                ),
+                # 6-dp floor-half-up on the signed shifted value,
+                # mirroring round(x + 1e-9, 6) on the oracle side
+                "viterbi_logprob": [q6v(max(dh, dl) + 1e-9)],
+            }
+        )
+
+    schema = (
+        "n_days long, n_high_days long, n_switches long,"
+        " first_high_day long, viterbi_logprob double"
+    )
+    return d.coalesce(1).mapInPandas(kernel, schema=schema)
+
+
+# Shared sparsified trade graph (r12 re-base builders)
+from ror_etl_spark.queries.staged_r11 import (  # noqa: E402
+    _TRADE_EDGE_CTES as _TG_CTES,
+    _trade_edges as _tg_edges,
+)
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        _TG_CTES.strip(),
+        """src AS (SELECT n AS s FROM deg ORDER BY d DESC, n LIMIT 1)""",
+        """wedge AS (SELECT u, v, 1.0 / w AS c FROM und)""",
+        """d0 AS (
+      SELECT deg.n AS id,
+             CASE WHEN deg.n = src.s THEN 0.0 ELSE 1e18 END AS dist
+      FROM deg CROSS JOIN src)""",
+    ]
+    for k in range(_SSSP_ROUNDS):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT wedge.v AS id, min(d{k}.dist + wedge.c) AS nd
+      FROM wedge JOIN d{k} ON d{k}.id = wedge.u
+      WHERE d{k}.dist < 1e17 GROUP BY wedge.v)"""
+        )
+        ctes.append(
+            f"""d{k + 1} AS (
+      SELECT d{k}.id, least(d{k}.dist, coalesce(r{k}.nd, 1e18)) AS dist
+      FROM d{k} LEFT JOIN r{k} ON r{k}.id = d{k}.id)"""
+        )
+    fin = f"d{_SSSP_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST({fin}.id AS BIGINT) AS nationkey,
+           round({fin}.dist + 1e-9, 6) AS cost_dist,
+           CAST({fin}.id = src.s AS BOOLEAN) AS is_source
+    FROM {fin} CROSS JOIN src WHERE {fin}.dist < 1e17
+    ORDER BY round({fin}.dist + 1e-9, 6) DESC, {fin}.id LIMIT 10
+    """
+
+
+@staged("weighted_sssp_trade", oracle=_sssp_oracle())
+def weighted_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths on the sparsified trade
+    graph with edge cost 1/weight (heavier trade = shorter distance):
+    6 synchronous Bellman-Ford relaxation rounds from the max-degree
+    nation — the weighted upgrade of ``harmonic_centrality_trade``'s
+    unweighted min-plus, and exactly how SSSP runs on a cluster (a
+    delta-stepping/Bellman-Ford round is one edge-join + min-combine
+    shuffle; Dijkstra's priority queue does not distribute). Costs
+    1/w are exact IEEE divisions of integer weights, so min-plus runs
+    on identical doubles in both engines; top-10 FARTHEST reachable
+    nations with round-before-rank ordering.
+
+    Scale shape: one fact-scan edge derivation; each round is one
+    join of the node-sized distance frame against the edge list."""
+    _, und, deg = _tg_edges(Tables(spark, sf_dir))
+    deg = deg.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    src = deg.orderBy(F.desc("d"), F.asc("n")).limit(1).select(
+        F.col("n").alias("s")
+    )
+    wedge = und.select(
+        "u", "v", (F.lit(1.0) / F.col("w")).alias("c")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    dist = deg.crossJoin(F.broadcast(src)).select(
+        F.col("n").alias("id"),
+        F.when(F.col("n") == F.col("s"), 0.0).otherwise(1e18).alias("dist"),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relax = (
+            wedge.join(dist.withColumnRenamed("id", "u"), "u")
+            .filter(F.col("dist") < 1e17)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("c")).alias("nd"))
+        )
+        dist = (
+            dist.join(relax.withColumnRenamed("id", "rid"),
+                      dist["id"] == F.col("rid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce(F.col("nd"), F.lit(1e18)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    return (
+        dist.filter(F.col("dist") < 1e17)
+        .crossJoin(F.broadcast(src))
+        .select(
+            F.col("id").cast("long").alias("nationkey"),
+            F.round(F.col("dist") + 1e-9, 6).alias("cost_dist"),
+            (F.col("id") == F.col("s")).alias("is_source"),
+        )
+        .orderBy(F.desc("cost_dist"), F.asc("nationkey"))
+        .limit(10)
+    )
+
+
+def _mst_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_TG_CTES.strip()},
+    se AS (
+      SELECT a, b, w, row_number() OVER (ORDER BY w DESC, a, b) AS k
+      FROM e0),
+    nn AS (SELECT max(k) AS n FROM se),
+    st (k, labs, acc, aa, bb, ww) AS (
+      SELECT CAST(0 AS BIGINT),
+             list_transform(range(0, 25), i -> CAST(i AS BIGINT)),
+             FALSE, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT se.k,
+             CASE WHEN st.labs[se.a + 1] <> st.labs[se.b + 1]
+                  THEN list_transform(st.labs,
+                    x -> CASE WHEN x = greatest(st.labs[se.a + 1],
+                                                st.labs[se.b + 1])
+                              THEN least(st.labs[se.a + 1],
+                                         st.labs[se.b + 1])
+                              ELSE x END)
+                  ELSE st.labs END,
+             st.labs[se.a + 1] <> st.labs[se.b + 1],
+             se.a, se.b, se.w
+      FROM st JOIN se ON se.k = st.k + 1),
+    mst AS (
+      SELECT aa AS a, bb AS b, ww AS w FROM st WHERE acc),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(w) AS BIGINT) AS total_weight
+      FROM mst)
+    SELECT CAST(mst.a AS BIGINT) AS a, CAST(mst.b AS BIGINT) AS b,
+           CAST(mst.w AS BIGINT) AS w,
+           tot.n_edges, tot.total_weight
+    FROM mst CROSS JOIN tot
+    ORDER BY mst.w DESC, mst.a, mst.b
+    """
+
+
+@staged("mst_kruskal_trade_backbone", oracle=_mst_oracle())
+def mst_kruskal_trade_backbone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAXIMUM-weight spanning tree of the sparsified trade graph —
+    the 'trade backbone': the lightest set of relationships that still
+    connects every nation, preferring the heaviest flows. Exact
+    Kruskal replay over the (w DESC, a, b)-sorted 90-edge list with
+    union-find labels; all weights are integer trade counts, so both
+    engines walk identical decisions (the oracle carries the 25-slot
+    label list through a recursive CTE, the same state-vector trick as
+    Holt-Winters' seasonal list). At data scale the graph DERIVATION
+    is the only data-sized pass (the family's standard posture); on a
+    graph too large for this replay, the distributed algorithm is
+    Boruvka rounds (per-component best edge + hash-min merge), which
+    the CC/LPA kernels already demonstrate at 1e9 edges.
+
+    Output: the backbone edges with the forest size and total carried
+    weight."""
+    import pandas as pd
+
+    e0, _, _ = _tg_edges(Tables(spark, sf_dir))
+    se = e0.orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+
+    def kernel(batches):
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values(
+            ["w", "a", "b"], ascending=[False, True, True]
+        )
+        labs = list(range(25))
+        acc = []
+        for r in rows.itertuples(index=False):
+            la, lb = labs[int(r.a)], labs[int(r.b)]
+            if la != lb:
+                lo, hi = min(la, lb), max(la, lb)
+                labs = [lo if x == hi else x for x in labs]
+                acc.append((int(r.a), int(r.b), int(r.w)))
+        tot = sum(w for _, _, w in acc)
+        yield pd.DataFrame(
+            {
+                "a": pd.Series([e[0] for e in acc], dtype="int64"),
+                "b": pd.Series([e[1] for e in acc], dtype="int64"),
+                "w": pd.Series([e[2] for e in acc], dtype="int64"),
+                "n_edges": pd.Series([len(acc)] * len(acc), dtype="int64"),
+                "total_weight": pd.Series([tot] * len(acc), dtype="int64"),
+            }
+        )
+
+    schema = "a long, b long, w long, n_edges long, total_weight long"
+    return (
+        se.coalesce(1)
+        .mapInPandas(kernel, schema=schema)
+        .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+    )

@@ -745,3 +745,76 @@ def test_linear_shapley_shares_sum_to_one(spark):
     assert all(r["mean_abs_phi"] >= 0 for r in rows)
     assert len({r["model_r2"] for r in rows}) == 1
     assert 0.0 <= rows[0]["model_r2"] <= 1.0
+
+
+def test_garch_filter_python_replay_and_mean_reversion(spark):
+    from ror_etl_spark.queries.staged_r13 import _daily_df
+    from ror_etl_spark.queries.staged_r14 import (
+        _GARCH_A,
+        _GARCH_B,
+        _GARCH_W,
+    )
+
+    fn, _ = STAGED["garch11_filter_daily"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    ys = [
+        row["y"]
+        for row in _daily_df(spark, SF_SMALL).orderBy("t").collect()
+    ]
+    rs = [math.log(ys[i] / ys[i - 1]) for i in range(1, len(ys))]
+    mr = sum(rs) / len(rs)
+    vr = sum((x - mr) ** 2 for x in rs) / len(rs)
+
+    def q8(x):
+        v = x + 1e-11
+        s = 1.0 if v >= 0 else -1.0
+        return s * math.floor(abs(v) * 1e8 + 0.5) / 1e8
+
+    s2 = q8(vr)
+    mx = s2
+    om = _GARCH_W * vr
+    for k in range(1, len(rs)):
+        s2 = q8(om + _GARCH_A * (rs[k - 1] - mr) ** 2 + _GARCH_B * s2)
+        mx = max(mx, s2)
+    assert abs(r["final_sigma2"] - s2) < 1e-6
+    assert abs(r["max_sigma2"] - mx) < 1e-6
+    assert r["max_sigma2"] >= r["final_sigma2"]
+    assert abs(r["persistence"] - 0.9) < 1e-9
+    assert r["unconditional_var"] > 0
+
+
+def test_hmm_viterbi_counts_consistent(spark):
+    fn, _ = STAGED["hmm_viterbi_daily_regimes"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert 0 <= r["n_high_days"] <= r["n_days"]
+    assert 0 <= r["n_switches"] < r["n_days"]
+    assert r["viterbi_logprob"] < 0
+    if r["n_high_days"] > 0:
+        assert 1 <= r["first_high_day"] <= r["n_days"]
+
+
+def test_sssp_distances_positive_and_triangle(spark):
+    """All reported costs positive; the farthest top-10 is sorted;
+    source excluded (it has dist 0 but ranks last, so top-10 farthest
+    should not include it unless the graph is tiny)."""
+    fn, _ = STAGED["weighted_sssp_trade"]
+    rows = fn(spark, SF_SMALL).collect()
+    ds = [r["cost_dist"] for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    assert all(d >= 0 for d in ds)
+
+
+def test_mst_is_acyclic_spanning_forest(spark):
+    """The accepted edge set must be acyclic (|E| = |V| - #components
+    via union-find replay) and maximal (every rejected edge closes a
+    cycle — i.e., re-running Kruskal on the output accepts all)."""
+    fn, _ = STAGED["mst_kruskal_trade_backbone"]
+    rows = fn(spark, SF_SMALL).collect()
+    labs = list(range(25))
+    for r in rows:
+        la, lb = labs[r["a"]], labs[r["b"]]
+        assert la != lb, "MST output contains a cycle edge"
+        lo, hi = min(la, lb), max(la, lb)
+        labs = [lo if x == hi else x for x in labs]
+    assert rows[0]["n_edges"] == len(rows)
+    assert rows[0]["total_weight"] == sum(r["w"] for r in rows)
