@@ -44,6 +44,9 @@ EVENTS_OPS = [
     "fleiss_kappa_first_events",
     # wave 6
     "holt_winters_weekday_daily",
+    # wave 7
+    "garch11_filter_daily",
+    "hmm_viterbi_daily_regimes",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -62,6 +65,9 @@ TPCH_OPS = [
     "blinder_oaxaca_region_revenue",
     "uplift_qini_by_segment",
     "linear_shapley_attribution",
+    # wave 7
+    "weighted_sssp_trade",
+    "mst_kruskal_trade_backbone",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
