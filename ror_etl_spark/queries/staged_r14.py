@@ -4340,3 +4340,339 @@ def mst_kruskal_trade_backbone(
         .mapInPandas(kernel, schema=schema)
         .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: entropic optimal transport, spectral graph bisection
+# ---------------------------------------------------------------------------
+
+_SK_EPS = 0.5
+_SK_ROUNDS = 6
+
+
+def _sinkhorn_oracle() -> str:
+    ctes = [
+        """marg AS MATERIALIZED (
+      SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) - 1 AS i,
+             sum(CASE WHEN n.n_regionkey = 2 THEN 1.0 ELSE 0 END) AS ca,
+             sum(CASE WHEN n.n_regionkey <> 2 THEN 1.0 ELSE 0 END) AS cb
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1)""",
+        """pq AS MATERIALIZED (
+      SELECT i, ca / (SELECT sum(ca) FROM marg) AS p,
+             cb / (SELECT sum(cb) FROM marg) AS q
+      FROM marg)""",
+        f"""kk AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             exp(-abs(a.i - b.i) / {_SK_EPS}) AS k
+      FROM pq a CROSS JOIN pq b)""",
+        """v0 AS (SELECT i AS j, 1.0 AS v FROM pq)""",
+    ]
+    for r in range(_SK_ROUNDS):
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+      SELECT pq.i,
+             {_q8_sql(f"pq.p / kvs.s")} AS u
+      FROM pq JOIN (
+        SELECT kk.i, sum(kk.k * v{r}.v) AS s
+        FROM kk JOIN v{r} ON v{r}.j = kk.j GROUP BY kk.i) kvs
+      ON kvs.i = pq.i)"""
+        )
+        ctes.append(
+            f"""v{r + 1} AS MATERIALIZED (
+      SELECT pq.i AS j,
+             {_q8_sql(f"pq.q / kus.s")} AS v
+      FROM pq JOIN (
+        SELECT kk.j, sum(kk.k * u{r}.u) AS s
+        FROM kk JOIN u{r} ON u{r}.i = kk.i GROUP BY kk.j) kus
+      ON kus.j = pq.i)"""
+        )
+    fu, fv = f"u{_SK_ROUNDS - 1}", f"v{_SK_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    plan AS (
+      SELECT kk.i, kk.j,
+             {fu}.u * kk.k * {fv}.v AS m
+      FROM kk JOIN {fu} ON {fu}.i = kk.i
+      JOIN {fv} ON {fv}.j = kk.j),
+    cost AS (
+      SELECT sum(plan.m * abs(plan.i - plan.j)) AS ot,
+             sum(plan.m) AS mass FROM plan),
+    rowerr AS (
+      SELECT max(abs(rs.s - pq.p)) AS merr
+      FROM (SELECT i, sum(m) AS s FROM plan GROUP BY i) rs
+      JOIN pq ON pq.i = rs.i),
+    w1 AS (
+      SELECT sum(abs(cp - cq)) AS w1 FROM (
+        SELECT sum(p) OVER (ORDER BY i) AS cp,
+               sum(q) OVER (ORDER BY i) AS cq,
+               row_number() OVER (ORDER BY i) AS rn,
+               count(*) OVER () AS k
+        FROM pq) c WHERE rn < k)
+    SELECT CAST(5 AS BIGINT) AS support_size,
+           round(cost.ot + 1e-9, 6) AS sinkhorn_cost,
+           round(cost.mass + 1e-9, 6) AS plan_mass,
+           round(rowerr.merr + 1e-9, 6) AS max_marginal_err,
+           round(w1.w1 + 1e-9, 6) AS exact_w1
+    FROM cost CROSS JOIN rowerr CROSS JOIN w1
+    """
+
+
+@staged("sinkhorn_ot_priority_mix", oracle=_sinkhorn_oracle())
+def sinkhorn_ot_priority_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropic optimal transport between the ASIA and non-ASIA
+    order-priority mixes (ordinal cost |i-j|, epsilon = 0.5): 6
+    Sinkhorn scaling rounds u <- p/(Kv), v <- q/(K'u), each scaling
+    vector quantized to 8 dp so both engines walk the same trajectory
+    (the GMM/IRLS discipline applied to matrix scaling). Reports the
+    entropic transport cost NEXT TO the exact 1-Wasserstein on the
+    same ordered support (the cumulative-difference identity the
+    registered ``wasserstein_value_click_purchase`` uses) plus the
+    worst row-marginal violation — showing exactly how converged 6
+    rounds get. OT is how distribution shift is costed when supports
+    do not align; Sinkhorn is its scalable form.
+
+    Scale shape: one fact-scan aggregate to the 5-point marginals;
+    everything else lives on 5- and 25-row frames."""
+    t = Tables(spark, sf_dir)
+    marg = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            (
+                F.substring("o_orderpriority", 1, 1).cast("long") - 1
+            ).alias("i")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("n_regionkey") == 2, 1.0).otherwise(0.0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("n_regionkey") != 2, 1.0).otherwise(0.0)
+            ).alias("cb"),
+        )
+    )
+    tots = marg.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    pq = marg.crossJoin(F.broadcast(tots)).select(
+        "i",
+        (F.col("ca") / F.col("ta")).alias("p"),
+        (F.col("cb") / F.col("tb")).alias("q"),
+    )
+
+    def kernel(batches):
+        import math as _m
+
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("i")
+        p = rows["p"].tolist()
+        q = rows["q"].tolist()
+        k = len(p)
+        kmat = [
+            [_m.exp(-abs(i - j) / _SK_EPS) for j in range(k)]
+            for i in range(k)
+        ]
+
+        def q8(x):
+            v = x + 1e-11
+            s = 1.0 if v >= 0 else -1.0
+            return s * _m.floor(abs(v) * 1e8 + 0.5) / 1e8
+
+        v = [1.0] * k
+        u = [1.0] * k
+        for _ in range(_SK_ROUNDS):
+            u = [
+                q8(p[i] / sum(kmat[i][j] * v[j] for j in range(k)))
+                for i in range(k)
+            ]
+            v = [
+                q8(q[j] / sum(kmat[i][j] * u[i] for i in range(k)))
+                for j in range(k)
+            ]
+        plan = [
+            [u[i] * kmat[i][j] * v[j] for j in range(k)] for i in range(k)
+        ]
+        ot = sum(
+            plan[i][j] * abs(i - j) for i in range(k) for j in range(k)
+        )
+        mass = sum(sum(row) for row in plan)
+        merr = max(abs(sum(plan[i]) - p[i]) for i in range(k))
+        cp = cq = 0.0
+        w1 = 0.0
+        for i in range(k - 1):
+            cp += p[i]
+            cq += q[i]
+            w1 += abs(cp - cq)
+
+        def r6(x):
+            v2 = x + 1e-9
+            s = 1.0 if v2 >= 0 else -1.0
+            return s * _m.floor(abs(v2) * 1e6 + 0.5) / 1e6
+
+        yield pd.DataFrame(
+            {
+                "support_size": pd.Series([k], dtype="int64"),
+                "sinkhorn_cost": [r6(ot)],
+                "plan_mass": [r6(mass)],
+                "max_marginal_err": [r6(merr)],
+                "exact_w1": [r6(w1)],
+            }
+        )
+
+    schema = (
+        "support_size long, sinkhorn_cost double, plan_mass double,"
+        " max_marginal_err double, exact_w1 double"
+    )
+    return pq.coalesce(1).mapInPandas(kernel, schema=schema)
+
+
+_SB_ROUNDS = 6
+
+
+def _bisect_oracle() -> str:
+    ctes = [
+        _TG_CTES.strip(),
+        """wdeg AS (SELECT u AS n, CAST(sum(w) AS DOUBLE) AS wd
+      FROM und GROUP BY u)""",
+        """shift AS (SELECT max(wd) + 1.0 AS c FROM wdeg)""",
+        """x0 AS (
+      SELECT wdeg.n AS id,
+             CASE WHEN wdeg.n % 2 = 0 THEN 1.0 ELSE -1.0 END AS x
+      FROM wdeg)""",
+    ]
+    for k in range(_SB_ROUNDS):
+        ctes.append(
+            f"""y{k} AS MATERIALIZED (
+      SELECT wdeg.n AS id,
+             (shift.c - wdeg.wd) * x{k}.x + coalesce(nb.s, 0.0) AS y
+      FROM wdeg CROSS JOIN shift
+      JOIN x{k} ON x{k}.id = wdeg.n
+      LEFT JOIN (
+        SELECT und.v AS id, sum(und.w * x{k}.x) AS s
+        FROM und JOIN x{k} ON x{k}.id = und.u GROUP BY und.v) nb
+      ON nb.id = wdeg.n)"""
+        )
+        ctes.append(
+            f"""z{k} AS MATERIALIZED (
+      SELECT y{k}.id, y{k}.y - (SELECT avg(y) FROM y{k}) AS z
+      FROM y{k})"""
+        )
+        ctes.append(
+            f"""x{k + 1} AS MATERIALIZED (
+      SELECT z{k}.id,
+             {_q8_sql(f"z{k}.z / (SELECT max(abs(z)) FROM z{k})")} AS x
+      FROM z{k})"""
+        )
+    fx = f"x{_SB_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    part AS (
+      SELECT id, CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side
+      FROM {fx}),
+    cut AS (
+      SELECT sum(e0.w) AS cw FROM e0
+      JOIN part pa ON pa.id = e0.a
+      JOIN part pb ON pb.id = e0.b
+      WHERE pa.side <> pb.side),
+    sizes AS (
+      SELECT sum(side) AS na, count(*) - sum(side) AS nb FROM part)
+    SELECT CAST(sizes.na AS BIGINT) AS n_side_a,
+           CAST(sizes.nb AS BIGINT) AS n_side_b,
+           CAST(coalesce(cut.cw, 0) AS BIGINT) AS cut_weight
+    FROM sizes CROSS JOIN cut
+    """
+
+
+@staged("spectral_bisection_trade", oracle=_bisect_oracle())
+def spectral_bisection_trade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral bisection of the weighted trade graph: 6 quantized
+    power-iteration rounds on the shifted Laplacian cI - L (c = max
+    weighted degree + 1, whose top eigenvector is the Fiedler vector
+    once the constant component is deflated — the per-round
+    mean-subtraction), parity-seeded, max-abs normalized and 8-dp
+    quantized per round (the registered PCA/HITS trajectory
+    discipline). Nations split by the sign of the converged vector;
+    reports the side sizes and the weight of the cut — the
+    graph-partitioning primitive behind min-cut data placement, on
+    the same graph family as PPR/k-truss/SSSP.
+
+    Scale shape: per round one edge-join shuffle + node-sized frames;
+    the graph derivation is the only data-sized pass."""
+    _, und, _ = _tg_edges(Tables(spark, sf_dir))
+    e0 = und.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "w"
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    wdeg = und.groupBy(F.col("u").alias("n")).agg(
+        F.sum("w").cast("double").alias("wd")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    shift = wdeg.agg((F.max("wd") + 1.0).alias("c"))
+    x = wdeg.select(
+        F.col("n").alias("id"),
+        F.when(F.col("n") % 2 == 0, 1.0).otherwise(-1.0).alias("x"),
+    )
+
+    def q8c(c):
+        v = c + 1e-11
+        return F.when(
+            v >= 0, F.floor(v * 1e8 + F.lit(0.5)) / 1e8
+        ).otherwise(-F.floor(-v * 1e8 + F.lit(0.5)) / 1e8)
+
+    for _ in range(_SB_ROUNDS):
+        nb = (
+            und.join(x.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("x")).alias("s"))
+        )
+        y = (
+            wdeg.crossJoin(F.broadcast(shift))
+            .join(x.withColumnRenamed("id", "nid"), F.col("n") == F.col("nid"))
+            .join(nb.withColumnRenamed("id", "bid"),
+                  F.col("n") == F.col("bid"), "left")
+            .select(
+                F.col("n").alias("id"),
+                (
+                    (F.col("c") - F.col("wd")) * F.col("x")
+                    + F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("y"),
+            )
+        )
+        mu = y.agg(F.avg("y").alias("m"))
+        z = y.crossJoin(F.broadcast(mu)).select(
+            "id", (F.col("y") - F.col("m")).alias("z")
+        )
+        mx = z.agg(F.max(F.abs(F.col("z"))).alias("mz"))
+        x = (
+            z.crossJoin(F.broadcast(mx))
+            .select("id", q8c(F.col("z") / F.col("mz")).alias("x"))
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    part = x.select(
+        "id", F.when(F.col("x") >= 0, 1).otherwise(0).alias("side")
+    )
+    cut = (
+        e0.join(part.withColumnRenamed("id", "a").withColumnRenamed("side", "sa"), "a")
+        .join(part.withColumnRenamed("id", "b").withColumnRenamed("side", "sb"), "b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.sum("w").alias("cw"))
+    )
+    sizes = part.agg(
+        F.sum("side").cast("long").alias("n_side_a"),
+        (F.count(F.lit(1)) - F.sum("side")).cast("long").alias("n_side_b"),
+    )
+    return sizes.crossJoin(F.broadcast(cut)).select(
+        "n_side_a",
+        "n_side_b",
+        F.coalesce(F.col("cw"), F.lit(0)).cast("long").alias("cut_weight"),
+    )

@@ -818,3 +818,33 @@ def test_mst_is_acyclic_spanning_forest(spark):
         labs = [lo if x == hi else x for x in labs]
     assert rows[0]["n_edges"] == len(rows)
     assert rows[0]["total_weight"] == sum(r["w"] for r in rows)
+
+
+def test_sinkhorn_mass_and_w1_bound(spark):
+    """Plan mass ~ 1, marginal error small after 6 rounds, and the
+    exact W1 lower-bounds the entropic cost on this cost metric."""
+    fn, _ = STAGED["sinkhorn_ot_priority_mix"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert abs(r["plan_mass"] - 1.0) < 0.05
+    assert r["max_marginal_err"] < 0.05
+    assert r["exact_w1"] >= 0
+    assert r["sinkhorn_cost"] >= 0
+    # entropic smoothing spreads mass, so cost >= the exact OT cost
+    assert r["sinkhorn_cost"] >= r["exact_w1"] - 1e-6
+
+
+def test_spectral_bisection_is_nontrivial_cut(spark):
+    """Both sides nonempty (the mean-deflation worked — a constant
+    vector would put everyone on one side) and the cut weight is less
+    than the total graph weight."""
+    import pyspark.sql.functions as F
+
+    from ror_etl_spark.queries.staged_r11 import _trade_edges
+    from ror_etl_spark.tables import Tables
+
+    fn, _ = STAGED["spectral_bisection_trade"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["n_side_a"] > 0 and r["n_side_b"] > 0
+    e0, _, _ = _trade_edges(Tables(spark, SF_SMALL))
+    tot = e0.agg(F.sum("w")).collect()[0][0]
+    assert 0 < r["cut_weight"] < tot
