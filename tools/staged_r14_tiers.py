@@ -68,6 +68,9 @@ TPCH_OPS = [
     # wave 7
     "weighted_sssp_trade",
     "mst_kruskal_trade_backbone",
+    # wave 8
+    "sinkhorn_ot_priority_mix",
+    "spectral_bisection_trade",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
