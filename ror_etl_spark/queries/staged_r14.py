@@ -4676,3 +4676,677 @@ def spectral_bisection_trade(
         "n_side_b",
         F.coalesce(F.col("cw"), F.lit(0)).cast("long").alias("cut_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 9: graph mixing, robustness, temporal comparison, second PC
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "region_homophily_trade",
+    oracle=f"""
+    WITH {_TG_CTES.strip()},
+    lab AS (
+      SELECT n_nationkey AS nk, n_regionkey AS rg FROM nation),
+    mix AS (
+      SELECT la.rg AS ri, lb.rg AS rj, CAST(sum(e0.w) AS DOUBLE) AS w
+      FROM e0
+      JOIN lab la ON la.nk = e0.a
+      JOIN lab lb ON lb.nk = e0.b
+      GROUP BY la.rg, lb.rg),
+    tot AS (SELECT sum(w) AS tw FROM mix),
+    eii AS (
+      SELECT sum(CASE WHEN ri = rj THEN w ELSE 0 END) / tot.tw AS diag
+      FROM mix CROSS JOIN tot GROUP BY tot.tw),
+    margs AS (
+      SELECT r, sum(ai) AS a, sum(bi) AS b FROM (
+        SELECT ri AS r, w / tot.tw AS ai, 0.0 AS bi
+        FROM mix CROSS JOIN tot
+        UNION ALL
+        SELECT rj AS r, 0.0 AS ai, w / tot.tw AS bi
+        FROM mix CROSS JOIN tot)
+      GROUP BY r),
+    ab AS (SELECT sum(a * b) AS sab FROM margs)
+    SELECT CAST((SELECT count(*) FROM mix) AS BIGINT) AS n_mix_cells,
+           round(eii.diag + 1e-9, 6) AS same_region_share,
+           round(ab.sab + 1e-9, 6) AS expected_share,
+           round((eii.diag - ab.sab) / (1.0 - ab.sab) + 1e-9, 6)
+             AS homophily_r
+    FROM eii CROSS JOIN ab
+    """,
+)
+def region_homophily_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman attribute-assortativity (homophily) of the trade graph
+    by REGION: from the weighted mixing matrix e_ij (region of the
+    lesser endpoint x region of the greater), r = (sum e_ii - sum
+    a_i b_i)/(1 - sum a_i b_i). Positive r = nations trade within
+    their region; negative = cross-region backbone. The CATEGORICAL
+    companion to ``degree_assortativity_trade`` (numeric attribute) —
+    a different question on the same edges: homophily of WHAT a node
+    is, not how connected it is.
+
+    Scale shape: edge derivation + region-domain-bounded (5x5) mixing
+    aggregates."""
+    e0, _, _ = _tg_edges(Tables(spark, sf_dir))
+    lab = Tables(spark, sf_dir).nation.select(
+        F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rg")
+    )
+    mix = (
+        e0.join(
+            F.broadcast(lab.withColumnRenamed("nk", "a").withColumnRenamed("rg", "ri")),
+            "a",
+        )
+        .join(
+            F.broadcast(lab.withColumnRenamed("nk", "b").withColumnRenamed("rg", "rj")),
+            "b",
+        )
+        .groupBy("ri", "rj")
+        .agg(F.sum("w").cast("double").alias("w"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    tot = mix.agg(F.sum("w").alias("tw"))
+    mt = mix.crossJoin(F.broadcast(tot))
+    diag = mt.agg(
+        (
+            F.sum(F.when(F.col("ri") == F.col("rj"), F.col("w")).otherwise(0.0))
+            / F.max("tw")
+        ).alias("diag"),
+        F.count(F.lit(1)).cast("long").alias("n_mix_cells"),
+    )
+    ai = mt.groupBy(F.col("ri").alias("r")).agg(
+        (F.sum("w") / F.max("tw")).alias("a")
+    )
+    bi = mt.groupBy(F.col("rj").alias("r")).agg(
+        (F.sum("w") / F.max("tw")).alias("b")
+    )
+    ab = (
+        ai.join(bi, "r", "full")
+        .select(
+            (
+                F.coalesce(F.col("a"), F.lit(0.0))
+                * F.coalesce(F.col("b"), F.lit(0.0))
+            ).alias("p")
+        )
+        .agg(F.sum("p").alias("sab"))
+    )
+    return diag.crossJoin(F.broadcast(ab)).select(
+        "n_mix_cells",
+        F.round(F.col("diag") + 1e-9, 6).alias("same_region_share"),
+        F.round(F.col("sab") + 1e-9, 6).alias("expected_share"),
+        F.round(
+            (F.col("diag") - F.col("sab")) / (1.0 - F.col("sab")) + 1e-9, 6
+        ).alias("homophily_r"),
+    )
+
+
+@staged(
+    "trade_percolation_sweep",
+    oracle=f"""
+    WITH {_TG_CTES.strip()},
+    qs AS (
+      SELECT 0.0 AS q,
+             (SELECT percentile_disc(0.0) WITHIN GROUP (ORDER BY w)
+              FROM e0) AS thr
+      UNION ALL SELECT 0.25,
+        (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY w) FROM e0)
+      UNION ALL SELECT 0.5,
+        (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY w) FROM e0)
+      UNION ALL SELECT 0.75,
+        (SELECT percentile_disc(0.75) WITHIN GROUP (ORDER BY w) FROM e0)),
+    surv AS (
+      SELECT qs.q, qs.thr, e0.a, e0.b
+      FROM qs JOIN e0 ON e0.w >= qs.thr),
+    nodes AS (
+      SELECT DISTINCT q, thr, n FROM (
+        SELECT q, thr, a AS n FROM surv
+        UNION ALL SELECT q, thr, b AS n FROM surv)),
+    l0 AS (SELECT q, n, n AS lab FROM nodes),
+    l1 AS MATERIALIZED (
+      SELECT l0.q, l0.n, least(l0.lab, coalesce(mn.m, l0.lab)) AS lab
+      FROM l0 LEFT JOIN (
+        SELECT s.q, e.n, min(s.lab) AS m FROM (
+          SELECT q, a AS n, b AS o FROM surv
+          UNION ALL SELECT q, b AS n, a AS o FROM surv) e
+        JOIN l0 s ON s.q = e.q AND s.n = e.o GROUP BY s.q, e.n) mn
+      ON mn.q = l0.q AND mn.n = l0.n),
+    l2 AS MATERIALIZED (
+      SELECT l1.q, l1.n, least(l1.lab, coalesce(mn.m, l1.lab)) AS lab
+      FROM l1 LEFT JOIN (
+        SELECT s.q, e.n, min(s.lab) AS m FROM (
+          SELECT q, a AS n, b AS o FROM surv
+          UNION ALL SELECT q, b AS n, a AS o FROM surv) e
+        JOIN l1 s ON s.q = e.q AND s.n = e.o GROUP BY s.q, e.n) mn
+      ON mn.q = l1.q AND mn.n = l1.n),
+    l3 AS MATERIALIZED (
+      SELECT l2.q, l2.n, least(l2.lab, coalesce(mn.m, l2.lab)) AS lab
+      FROM l2 LEFT JOIN (
+        SELECT s.q, e.n, min(s.lab) AS m FROM (
+          SELECT q, a AS n, b AS o FROM surv
+          UNION ALL SELECT q, b AS n, a AS o FROM surv) e
+        JOIN l2 s ON s.q = e.q AND s.n = e.o GROUP BY s.q, e.n) mn
+      ON mn.q = l2.q AND mn.n = l2.n),
+    l4 AS MATERIALIZED (
+      SELECT l3.q, l3.n, least(l3.lab, coalesce(mn.m, l3.lab)) AS lab
+      FROM l3 LEFT JOIN (
+        SELECT s.q, e.n, min(s.lab) AS m FROM (
+          SELECT q, a AS n, b AS o FROM surv
+          UNION ALL SELECT q, b AS n, a AS o FROM surv) e
+        JOIN l3 s ON s.q = e.q AND s.n = e.o GROUP BY s.q, e.n) mn
+      ON mn.q = l3.q AND mn.n = l3.n),
+    l5 AS MATERIALIZED (
+      SELECT l4.q, l4.n, least(l4.lab, coalesce(mn.m, l4.lab)) AS lab
+      FROM l4 LEFT JOIN (
+        SELECT s.q, e.n, min(s.lab) AS m FROM (
+          SELECT q, a AS n, b AS o FROM surv
+          UNION ALL SELECT q, b AS n, a AS o FROM surv) e
+        JOIN l4 s ON s.q = e.q AND s.n = e.o GROUP BY s.q, e.n) mn
+      ON mn.q = l4.q AND mn.n = l4.n),
+    comp AS (
+      SELECT q, count(DISTINCT lab) AS nc, count(*) AS nn,
+             max(cnt) AS giant FROM (
+        SELECT q, lab, count(*) OVER (PARTITION BY q, lab) AS cnt
+        FROM l5) GROUP BY q),
+    ecnt AS (SELECT q, count(*) AS ne FROM surv GROUP BY q)
+    SELECT comp.q AS quantile,
+           CAST(ecnt.ne AS BIGINT) AS n_edges,
+           CAST(comp.nn AS BIGINT) AS n_nodes,
+           CAST(comp.nc AS BIGINT) AS n_components,
+           CAST(comp.giant AS BIGINT) AS giant_size
+    FROM comp JOIN ecnt ON ecnt.q = comp.q
+    ORDER BY comp.q
+    """,
+)
+def trade_percolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness sweep of the trade graph: at each
+    weight-quantile threshold q in {0, .25, .5, .75}, keep only edges
+    with w >= percentile_disc(q), then count surviving nodes,
+    connected components (5 unrolled min-label rounds — enough for
+    the sparsified graph's diameter, pinned by the convergence test),
+    and the giant-component size. The robustness curve answers 'how
+    much trade can vanish before the network fragments' — the
+    graph-level complement to ``mst_kruskal_trade_backbone`` (the
+    minimal connector) and the percolation framing of k-core.
+
+    Scale shape: ONE edge derivation; the sweep replicates only the
+    90-edge frame per threshold (bounded x 4), labels are node-sized."""
+    e0, _, _ = _tg_edges(Tables(spark, sf_dir))
+    e0 = e0.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    qs = None
+    sp = e0.sparkSession
+    rows = []
+    for q in (0.0, 0.25, 0.5, 0.75):
+        thr = e0.agg(
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY w)"
+            ).alias("thr")
+        ).select(F.lit(q).alias("q"), "thr")
+        rows.append(thr)
+    qs = rows[0]
+    for r in rows[1:]:
+        qs = qs.unionAll(r)
+    qs = F.broadcast(qs)
+    surv = qs.join(e0, F.col("w") >= F.col("thr")).select(
+        "q", "a", "b"
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    nodes = (
+        surv.select("q", F.col("a").alias("n"))
+        .unionAll(surv.select("q", F.col("b").alias("n")))
+        .distinct()
+    )
+    und2 = surv.select("q", F.col("a").alias("n"), F.col("b").alias("o")).unionAll(
+        surv.select("q", F.col("b").alias("n"), F.col("a").alias("o"))
+    )
+    lab = nodes.select("q", "n", F.col("n").alias("lab"))
+    for _ in range(5):
+        mn = (
+            und2.join(
+                lab.select(
+                    F.col("q").alias("q2"),
+                    F.col("n").alias("o2"),
+                    F.col("lab").alias("ol"),
+                ),
+                (F.col("q") == F.col("q2")) & (F.col("o") == F.col("o2")),
+            )
+            .groupBy("q", "n")
+            .agg(F.min("ol").alias("m"))
+        )
+        lab = (
+            lab.join(
+                mn.select(
+                    F.col("q").alias("q3"),
+                    F.col("n").alias("n3"),
+                    "m",
+                ),
+                (lab["q"] == F.col("q3")) & (lab["n"] == F.col("n3")),
+                "left",
+            )
+            .select(
+                lab["q"],
+                lab["n"],
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("m"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    sizes = lab.groupBy("q", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+    comp = sizes.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("cnt").cast("long").alias("n_nodes"),
+        F.max("cnt").cast("long").alias("giant_size"),
+    )
+    ecnt = surv.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        comp.join(ecnt, "q")
+        .select(
+            F.col("q").alias("quantile"),
+            "n_edges",
+            "n_nodes",
+            "n_components",
+            "giant_size",
+        )
+        .orderBy("quantile")
+    )
+
+
+def _period_edges_sql(pred: str, alias: str) -> str:
+    return f"""{alias} AS MATERIALIZED (
+      SELECT a, b, w FROM (
+        SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b,
+               count(*) AS w,
+               row_number() OVER (ORDER BY count(*) DESC,
+                 least(s.s_nationkey, c.c_nationkey),
+                 greatest(s.s_nationkey, c.c_nationkey)) AS rn
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey AND ({pred})
+        GROUP BY 1, 2)
+      WHERE rn <= 45)"""
+
+
+@staged(
+    "trade_graph_period_jaccard",
+    oracle=f"""
+    WITH {_period_edges_sql("o.o_orderdate < TIMESTAMP '1998-01-01'", "ea")},
+    {_period_edges_sql("o.o_orderdate >= TIMESTAMP '1998-01-01'", "eb")},
+    inter AS (
+      SELECT ea.a, ea.b, ea.w AS wa, eb.w AS wb
+      FROM ea JOIN eb ON eb.a = ea.a AND eb.b = ea.b),
+    sizes AS (
+      SELECT (SELECT count(*) FROM ea) AS na,
+             (SELECT count(*) FROM eb) AS nb,
+             (SELECT count(*) FROM inter) AS ni),
+    corr_i AS (
+      SELECT CASE WHEN count(*) > 2
+                  THEN round(corr(wa, wb) + 1e-9, 6) END AS wcorr
+      FROM inter)
+    SELECT CAST(sizes.na AS BIGINT) AS edges_pre,
+           CAST(sizes.nb AS BIGINT) AS edges_post,
+           CAST(sizes.ni AS BIGINT) AS edges_shared,
+           round(sizes.ni * 1.0 / (sizes.na + sizes.nb - sizes.ni)
+                 + 1e-9, 6) AS edge_jaccard,
+           corr_i.wcorr AS weight_corr_shared
+    FROM sizes CROSS JOIN corr_i
+    """,
+)
+def trade_graph_period_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal graph stability: derive the top-45 trade edges
+    separately for orders BEFORE and FROM 1998 (the midpoint of the
+    1995-2001 order window), then measure the edge
+    -set Jaccard and the weight correlation on the shared edges. High
+    Jaccard + high correlation = a stable backbone whose graph ops
+    (PageRank, k-truss, MST) can be computed incrementally; low =
+    the graph must be re-derived per period. The temporal-drift
+    counterpart of ``corpus_drift_psi`` for GRAPH-shaped state.
+
+    Scale shape: two period-filtered fact-scan aggregates (each the
+    standard edge derivation with a domain-bounded top-45 window),
+    then everything is 45-row algebra."""
+    t = Tables(spark, sf_dir)
+
+    def period(pred):
+        pw = (
+            t.lineitem.join(
+                t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .filter(
+                (F.col("s_nationkey") != F.col("c_nationkey")) & pred
+            )
+            .groupBy(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        return (
+            pw.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+                ),
+            )
+            .filter(F.col("rn") <= 45)
+            .select("a", "b", "w")
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    ea = period(F.col("o_orderdate") < cut)
+    eb = period(F.col("o_orderdate") >= cut)
+    inter = ea.join(
+        eb.select(
+            F.col("a").alias("a2"),
+            F.col("b").alias("b2"),
+            F.col("w").alias("wb"),
+        ),
+        (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2")),
+    ).select(F.col("w").alias("wa"), "wb")
+    na = ea.agg(F.count(F.lit(1)).alias("na"))
+    nb = eb.agg(F.count(F.lit(1)).alias("nb"))
+    ii = inter.agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.when(
+            F.count(F.lit(1)) > 2,
+            F.round(F.corr("wa", "wb") + 1e-9, 6),
+        ).alias("wcorr"),
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ii))
+        .select(
+            F.col("na").cast("long").alias("edges_pre"),
+            F.col("nb").cast("long").alias("edges_post"),
+            F.col("ni").cast("long").alias("edges_shared"),
+            F.round(
+                F.col("ni")
+                / (F.col("na") + F.col("nb") - F.col("ni"))
+                + 1e-9,
+                6,
+            ).alias("edge_jaccard"),
+            F.col("wcorr").alias("weight_corr_shared"),
+        )
+    )
+
+
+_PCA2_ITERS = 3
+_PCA2_ROUND = 8
+
+
+def _pca2_oracle() -> str:
+    ctes = [
+        """ex AS (
+      SELECT vec_id, idx.i AS i,
+             CAST(embedding AS DOUBLE[])[idx.i] AS val
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx)""",
+        """mu AS (SELECT i, avg(val) AS m FROM ex GROUP BY i)""",
+        """xc AS MATERIALIZED (
+      SELECT ex.vec_id, ex.i, ex.val - mu.m AS x
+      FROM ex JOIN mu ON mu.i = ex.i)""",
+        """v0 AS (SELECT unnest(range(1, 65)) AS i, 0.125 AS v)""",
+    ]
+    # first PC: the registered 3-round recipe
+    for k in range(_PCA2_ITERS):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT xc.vec_id, sum(xc.x * v{k}.v) AS s
+      FROM xc JOIN v{k} ON v{k}.i = xc.i GROUP BY xc.vec_id)"""
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT xc.i, sum(xc.x * s{k}.s) AS w
+      FROM xc JOIN s{k} ON s{k}.vec_id = xc.vec_id GROUP BY xc.i)"""
+        )
+        ctes.append(
+            f"""v{k + 1} AS MATERIALIZED (
+      SELECT i, round(w / max(abs(w)) OVER () + 1e-12, {_PCA2_ROUND})
+               AS v
+      FROM w{k})"""
+        )
+    v1 = f"v{_PCA2_ITERS}"
+    # second PC: same action + projection deflation against v1
+    ctes.append(
+        """u0 AS (
+      SELECT unnest(range(1, 65)) AS i,
+             CASE WHEN (unnest(range(1, 65))) % 2 = 0
+                  THEN 0.125 ELSE -0.125 END AS v)"""
+    )
+    for k in range(_PCA2_ITERS):
+        ctes.append(
+            f"""t{k} AS MATERIALIZED (
+      SELECT xc.vec_id, sum(xc.x * u{k}.v) AS s
+      FROM xc JOIN u{k} ON u{k}.i = xc.i GROUP BY xc.vec_id)"""
+        )
+        ctes.append(
+            f"""y{k} AS MATERIALIZED (
+      SELECT xc.i, sum(xc.x * t{k}.s) AS w
+      FROM xc JOIN t{k} ON t{k}.vec_id = xc.vec_id GROUP BY xc.i)"""
+        )
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT (SELECT sum(y{k}.w * {v1}.v)
+              FROM y{k} JOIN {v1} ON {v1}.i = y{k}.i)
+             / (SELECT sum(v * v) FROM {v1}) AS pr)"""
+        )
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT y{k}.i, y{k}.w - p{k}.pr * {v1}.v AS w
+      FROM y{k} JOIN {v1} ON {v1}.i = y{k}.i CROSS JOIN p{k})"""
+        )
+        ctes.append(
+            f"""u{k + 1} AS MATERIALIZED (
+      SELECT i, round(w / max(abs(w)) OVER () + 1e-12, {_PCA2_ROUND})
+               AS v
+      FROM d{k})"""
+        )
+    v2 = f"u{_PCA2_ITERS}"
+    ctes.append(
+        f"""sf1 AS (
+      SELECT xc.vec_id, sum(xc.x * f.v) AS s
+      FROM xc JOIN {v1} f ON f.i = xc.i GROUP BY xc.vec_id)"""
+    )
+    ctes.append(
+        f"""sf2 AS (
+      SELECT xc.vec_id, sum(xc.x * f.v) AS s
+      FROM xc JOIN {v2} f ON f.i = xc.i GROUP BY xc.vec_id)"""
+    )
+    ctes.append(
+        f"""lams AS (
+      SELECT (SELECT sum(s * s) / count(*) FROM sf1)
+             / (SELECT sum(v * v) FROM {v1}) AS l1,
+             (SELECT sum(s * s) / count(*) FROM sf2)
+             / (SELECT sum(v * v) FROM {v2}) AS l2)"""
+    )
+    ctes.append(
+        """tv AS (SELECT sum(x * x)
+                   / (SELECT count(DISTINCT vec_id) FROM xc) AS t
+                  FROM xc)"""
+    )
+    ctes.append(
+        f"""ortho AS (
+      SELECT abs((SELECT sum(a.v * b.v)
+                  FROM {v1} a JOIN {v2} b ON b.i = a.i))
+             / sqrt((SELECT sum(v * v) FROM {v1})
+                    * (SELECT sum(v * v) FROM {v2})) AS c)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(64 AS BIGINT) AS dim,
+           round(lams.l1 + 1e-9, 4) AS lambda1,
+           round(lams.l2 + 1e-9, 4) AS lambda2,
+           round(lams.l1 / tv.t + 1e-9, 6) AS evr1,
+           round(lams.l2 / tv.t + 1e-9, 6) AS evr2,
+           round(ortho.c + 1e-9, 6) AS v1_v2_cos
+    FROM lams CROSS JOIN tv CROSS JOIN ortho
+    """
+
+
+@staged("embedding_pca2_deflation", oracle=_pca2_oracle())
+def embedding_pca2_deflation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SECOND principal component of the embedding covariance via
+    projection deflation: the registered 3-round quantized power
+    iteration produces v1, then a second parity-seeded iteration runs
+    the same centered action with the v1-component projected out
+    after every multiply (for symmetric C, projection deflation ==
+    matrix deflation without materializing C). Reports both Rayleigh
+    eigenvalues, their explained-variance ratios, and |cos(v1, v2)|
+    — the orthogonality witness that the deflation actually worked
+    (the staging pin requires it ~ 0). Extends
+    ``embedding_pca_power_iteration`` (top PC only) toward a true
+    spectral profile, still without any matrix library.
+
+    Scale shape: per round two narrow-row aggregates over the
+    exploded frame (the registered PCA posture); deflation adds one
+    64-row projection per round. State is always dim-sized."""
+    emb = Tables(spark, sf_dir).embeddings
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("i0", "val"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "val")
+    mu = ex.groupBy("i").agg(F.avg("val").alias("m"))
+    xc = (
+        ex.join(F.broadcast(mu), "i")
+        .select("vec_id", "i", (F.col("val") - F.col("m")).alias("x"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+
+    def q8c(c):
+        v = c + 1e-12
+        return F.when(
+            v >= 0, F.floor(v * 1e8 + F.lit(0.5)) / 1e8
+        ).otherwise(-F.floor(-v * 1e8 + F.lit(0.5)) / 1e8)
+
+    def one_round(vec, deflate_against=None):
+        s = (
+            xc.join(F.broadcast(vec), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("s"))
+        )
+        w = (
+            xc.join(s, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("w"))
+        )
+        if deflate_against is not None:
+            v1n = deflate_against.agg(
+                F.sum(F.col("v") * F.col("v")).alias("nn")
+            )
+            pr = (
+                w.join(
+                    F.broadcast(
+                        deflate_against.select(
+                            F.col("i").alias("i1"), F.col("v").alias("v1")
+                        )
+                    ),
+                    F.col("i") == F.col("i1"),
+                )
+                .crossJoin(F.broadcast(v1n))
+                .agg(
+                    (F.sum(F.col("w") * F.col("v1")) / F.max("nn")).alias(
+                        "pr"
+                    )
+                )
+            )
+            w = (
+                w.join(
+                    F.broadcast(
+                        deflate_against.select(
+                            F.col("i").alias("i1"), F.col("v").alias("v1")
+                        )
+                    ),
+                    F.col("i") == F.col("i1"),
+                )
+                .crossJoin(F.broadcast(pr))
+                .select(
+                    "i",
+                    (F.col("w") - F.col("pr") * F.col("v1")).alias("w"),
+                )
+            )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
+        return (
+            w.crossJoin(F.broadcast(mx))
+            .select("i", q8c(F.col("w") / F.col("mw")).alias("v"))
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+
+    ss = emb.sparkSession
+    v = ss.range(1, 65).select(
+        F.col("id").alias("i"), F.lit(0.125).alias("v")
+    )
+    for _ in range(_PCA2_ITERS):
+        v = one_round(v)
+    v1 = v
+    u = ss.range(1, 65).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") % 2 == 0, 0.125).otherwise(-0.125).alias("v"),
+    )
+    for _ in range(_PCA2_ITERS):
+        u = one_round(u, deflate_against=v1)
+    v2 = u
+
+    def rayleigh(vec):
+        s = (
+            xc.join(F.broadcast(vec), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("s"))
+        )
+        num = s.agg(
+            (F.sum(F.col("s") * F.col("s")) / F.count(F.lit(1))).alias("n2")
+        )
+        den = vec.agg(F.sum(F.col("v") * F.col("v")).alias("d2"))
+        return num.crossJoin(F.broadcast(den)).select(
+            (F.col("n2") / F.col("d2")).alias("l")
+        )
+
+    l1 = rayleigh(v1).select(F.col("l").alias("l1"))
+    l2 = rayleigh(v2).select(F.col("l").alias("l2"))
+    nv = emb.agg(F.countDistinct("vec_id").alias("nv"))
+    tv = (
+        xc.agg(F.sum(F.col("x") * F.col("x")).alias("sx"))
+        .crossJoin(F.broadcast(nv))
+        .select((F.col("sx") / F.col("nv")).alias("t"))
+    )
+    dot = (
+        v1.select(F.col("i").alias("i1"), F.col("v").alias("va"))
+        .join(
+            v2.select(F.col("i").alias("i2"), F.col("v").alias("vb")),
+            F.col("i1") == F.col("i2"),
+        )
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("d"))
+    )
+    n1 = v1.agg(F.sum(F.col("v") * F.col("v")).alias("na"))
+    n2 = v2.agg(F.sum(F.col("v") * F.col("v")).alias("nb"))
+    ortho = (
+        dot.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            (
+                F.abs(F.col("d")) / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("c")
+        )
+    )
+    return (
+        l1.crossJoin(F.broadcast(l2))
+        .crossJoin(F.broadcast(tv))
+        .crossJoin(F.broadcast(ortho))
+        .select(
+            F.lit(64).cast("long").alias("dim"),
+            F.round(F.col("l1") + 1e-9, 4).alias("lambda1"),
+            F.round(F.col("l2") + 1e-9, 4).alias("lambda2"),
+            F.round(F.col("l1") / F.col("t") + 1e-9, 6).alias("evr1"),
+            F.round(F.col("l2") / F.col("t") + 1e-9, 6).alias("evr2"),
+            F.round(F.col("c") + 1e-9, 6).alias("v1_v2_cos"),
+        )
+    )

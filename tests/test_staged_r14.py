@@ -848,3 +848,49 @@ def test_spectral_bisection_is_nontrivial_cut(spark):
     e0, _, _ = _trade_edges(Tables(spark, SF_SMALL))
     tot = e0.agg(F.sum("w")).collect()[0][0]
     assert 0 < r["cut_weight"] < tot
+
+
+def test_homophily_bounds_and_share_consistency(spark):
+    fn, _ = STAGED["region_homophily_trade"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert -1.0 <= r["homophily_r"] <= 1.0
+    assert 0.0 <= r["same_region_share"] <= 1.0
+    assert 0.0 <= r["expected_share"] <= 1.0
+    want = (r["same_region_share"] - r["expected_share"]) / (
+        1.0 - r["expected_share"]
+    )
+    assert abs(r["homophily_r"] - want) < 1e-4
+
+
+def test_percolation_monotone_in_threshold(spark):
+    """Raising the threshold can only remove edges/nodes and split
+    components; the q=0 row keeps every edge."""
+    fn, _ = STAGED["trade_percolation_sweep"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert [r["quantile"] for r in rows] == [0.0, 0.25, 0.5, 0.75]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_edges"] <= a["n_edges"]
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["giant_size"] <= a["giant_size"]
+    for r in rows:
+        assert r["giant_size"] <= r["n_nodes"]
+        assert r["n_components"] >= 1
+
+
+def test_period_jaccard_bounds(spark):
+    fn, _ = STAGED["trade_graph_period_jaccard"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["edge_jaccard"] <= 1.0
+    assert r["edges_shared"] <= min(r["edges_pre"], r["edges_post"])
+    if r["weight_corr_shared"] is not None:
+        assert -1.0 <= r["weight_corr_shared"] <= 1.0
+
+
+def test_pca2_orthogonal_and_positive(spark):
+    """Deflation must produce a v2 orthogonal to v1 (cos ~ 0) with a
+    positive Rayleigh quotient; explained ratios live in (0, 1)."""
+    fn, _ = STAGED["embedding_pca2_deflation"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert r["v1_v2_cos"] < 0.01
+    assert r["lambda1"] > 0 and r["lambda2"] > 0
+    assert 0.0 < r["evr1"] < 1.0 and 0.0 < r["evr2"] < 1.0
