@@ -71,10 +71,16 @@ TPCH_OPS = [
     # wave 8
     "sinkhorn_ot_priority_mix",
     "spectral_bisection_trade",
+    # wave 9
+    "region_homophily_trade",
+    "trade_percolation_sweep",
+    "trade_graph_period_jaccard",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
     "knn_distance_outliers_embeddings",
+    # wave 9
+    "embedding_pca2_deflation",
 ]
 
 
