@@ -5350,3 +5350,236 @@ def embedding_pca2_deflation(
             F.round(F.col("c") + 1e-9, 6).alias("v1_v2_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: zero-inflated counts, two-way fixed effects
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "zero_inflated_poisson_errors",
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id, d.d FROM
+      (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN
+      (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) d),
+    cnt AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    cells AS (
+      SELECT CAST(coalesce(cnt.c, 0) AS DOUBLE) AS c
+      FROM grid LEFT JOIN cnt
+      ON cnt.user_id = grid.user_id AND cnt.d = grid.d),
+    mo AS (
+      SELECT count(*) AS n, avg(c) AS m, var_pop(c) AS v,
+             avg(CASE WHEN c = 0 THEN 1.0 ELSE 0 END) AS p0
+      FROM cells),
+    fit AS (
+      SELECT n, m, v, p0,
+             m + v / m - 1.0 AS lam,
+             CASE WHEN m + v / m - 1.0 > 0
+                  THEN 1.0 - m / (m + v / m - 1.0) END AS pi
+      FROM mo)
+    SELECT CAST(n AS BIGINT) AS n_cells,
+           round(m + 1e-9, 6) AS mean_count,
+           round(v / m + 1e-9, 6) AS dispersion,
+           round(p0 + 1e-9, 6) AS zero_share,
+           round(lam + 1e-9, 6) AS zip_lambda,
+           round(pi + 1e-9, 6) AS zip_pi,
+           round(CASE WHEN pi IS NOT NULL
+                      THEN pi + (1.0 - pi) * exp(-lam) END + 1e-9, 6)
+             AS zip_p0_implied
+    FROM fit
+    """,
+)
+def zero_inflated_poisson_errors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-inflated Poisson fit of per-(user, day) ERROR counts by
+    method of moments over the FULL user x day grid (implicit zeros
+    materialized from the cross of domains): lambda = m + v/m - 1,
+    pi = 1 - m/lambda, with the implied zero mass pi + (1-pi)e^-lambda
+    reported against the observed zero share — the structural-zeros
+    complement to ``negbin_overdispersion_events`` (which explains
+    extra variance by heterogeneity; ZIP explains it by a
+    never-at-risk class). The gap between implied and observed zeros
+    is the model-choice diagnostic.
+
+    Scale shape: one data-sized count aggregate + a domain cross for
+    the grid (users x ~30 days; at 100 TB the zero cells never need
+    materializing — the same sufficient-statistics trick as
+    ``cronbach_alpha_event_types`` applies, kept explicit here for
+    oracle clarity on the bounded day domain)."""
+    e = Tables(spark, sf_dir).events
+    users = e.select("user_id").distinct()
+    days = e.select(F.col("ts").cast("date").alias("d")).distinct()
+    cnt = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = (
+        users.crossJoin(days)
+        .join(cnt, ["user_id", "d"], "left")
+        .select(F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c"))
+    )
+    mo = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("c").alias("m"),
+        F.var_pop("c").alias("v"),
+        F.avg(F.when(F.col("c") == 0, 1.0).otherwise(0.0)).alias("p0"),
+    )
+    lam = F.col("m") + F.col("v") / F.col("m") - 1.0
+    pi = F.when(lam > 0, 1.0 - F.col("m") / lam)
+    return mo.select(
+        F.col("n").alias("n_cells"),
+        F.round(F.col("m") + 1e-9, 6).alias("mean_count"),
+        F.round(F.col("v") / F.col("m") + 1e-9, 6).alias("dispersion"),
+        F.round(F.col("p0") + 1e-9, 6).alias("zero_share"),
+        F.round(lam + 1e-9, 6).alias("zip_lambda"),
+        F.round(pi + 1e-9, 6).alias("zip_pi"),
+        F.round(
+            F.when(
+                pi.isNotNull(), pi + (1.0 - pi) * F.exp(-lam)
+            )
+            + 1e-9,
+            6,
+        ).alias("zip_p0_implied"),
+    )
+
+
+_FE_ROUNDS = 3
+
+
+def _twfe_oracle() -> str:
+    ctes = [
+        """base AS MATERIALIZED (
+      SELECT l_partkey AS pk,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+             ln(l_quantity) AS y,
+             ln(l_extendedprice / l_quantity) AS x
+      FROM lineitem)""",
+        """r0 AS MATERIALIZED (SELECT pk, mo, y, x FROM base)""",
+    ]
+    for k in range(_FE_ROUNDS):
+        ctes.append(
+            f"""gp{k} AS MATERIALIZED (
+      SELECT pk, round(avg(y) + 1e-12, 8) AS my,
+             round(avg(x) + 1e-12, 8) AS mx
+      FROM r{k} GROUP BY pk)"""
+        )
+        ctes.append(
+            f"""rp{k} AS MATERIALIZED (
+      SELECT r{k}.pk, r{k}.mo, r{k}.y - gp{k}.my AS y,
+             r{k}.x - gp{k}.mx AS x
+      FROM r{k} JOIN gp{k} ON gp{k}.pk = r{k}.pk)"""
+        )
+        ctes.append(
+            f"""gm{k} AS MATERIALIZED (
+      SELECT mo, round(avg(y) + 1e-12, 8) AS my,
+             round(avg(x) + 1e-12, 8) AS mx
+      FROM rp{k} GROUP BY mo)"""
+        )
+        ctes.append(
+            f"""r{k + 1} AS MATERIALIZED (
+      SELECT rp{k}.pk, rp{k}.mo, rp{k}.y - gm{k}.my AS y,
+             rp{k}.x - gm{k}.mx AS x
+      FROM rp{k} JOIN gm{k} ON gm{k}.mo = rp{k}.mo)"""
+        )
+    fin = f"r{_FE_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    pooled AS (
+      SELECT covar_pop(x, y) / var_pop(x) AS b FROM base),
+    within AS (
+      SELECT sum(x * y) / sum(x * x) AS b,
+             count(*) AS n FROM {fin}),
+    dims AS (
+      SELECT (SELECT count(DISTINCT pk) FROM base) AS np,
+             (SELECT count(DISTINCT mo) FROM base) AS nm)
+    SELECT CAST(within.n AS BIGINT) AS n_rows,
+           CAST(dims.np AS BIGINT) AS n_part_groups,
+           CAST(dims.nm AS BIGINT) AS n_month_groups,
+           round(within.b + 1e-9, 6) AS beta_within,
+           round(pooled.b + 1e-9, 6) AS beta_pooled
+    FROM within CROSS JOIN pooled CROSS JOIN dims
+    """
+
+
+@staged("twfe_price_qty_elasticity", oracle=_twfe_oracle())
+def twfe_price_qty_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-way fixed-effects (part + ship-month) price elasticity of
+    quantity: the within estimator via THREE alternating-demeaning
+    rounds (part means, then month means, repeated — the alternating
+    -projections solution to the unbalanced two-way FE problem; group
+    means are quantized to 8 dp each pass so both engines subtract
+    identical values), then slope = sum xy / sum xx on the residuals,
+    reported against the pooled OLS slope. The panel-econometrics
+    workhorse: 'within part and month, does a higher unit price mean
+    a lower quantity' — confounds that IPTW/AIPW address with
+    covariates are absorbed here by the fixed effects themselves.
+
+    Scale shape: each demeaning pass is one partial-agg groupBy + one
+    broadcast-or-shuffle join, all narrow columns; 3 rounds = 6
+    passes, the honest cost of unbalanced two-way FE at 100 TB (a
+    balanced panel would close in one)."""
+    li = Tables(spark, sf_dir).lineitem
+    base = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mo"),
+        F.log(F.col("l_quantity")).alias("y"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    r = base
+    for _ in range(_FE_ROUNDS):
+        gp = r.groupBy("pk").agg(
+            F.round(F.avg("y") + 1e-12, 8).alias("my"),
+            F.round(F.avg("x") + 1e-12, 8).alias("mx"),
+        )
+        r = r.join(gp, "pk").select(
+            "pk",
+            "mo",
+            (F.col("y") - F.col("my")).alias("y"),
+            (F.col("x") - F.col("mx")).alias("x"),
+        )
+        gm = r.groupBy("mo").agg(
+            F.round(F.avg("y") + 1e-12, 8).alias("my"),
+            F.round(F.avg("x") + 1e-12, 8).alias("mx"),
+        )
+        r = (
+            r.join(F.broadcast(gm), "mo")
+            .select(
+                "pk",
+                "mo",
+                (F.col("y") - F.col("my")).alias("y"),
+                (F.col("x") - F.col("mx")).alias("x"),
+            )
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+    within = r.agg(
+        (F.sum(F.col("x") * F.col("y")) / F.sum(F.col("x") * F.col("x"))).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pooled = base.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("bp")
+    )
+    dims = base.agg(
+        F.countDistinct("pk").cast("long").alias("np"),
+        F.countDistinct("mo").cast("long").alias("nm"),
+    )
+    return (
+        within.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("np").alias("n_part_groups"),
+            F.col("nm").alias("n_month_groups"),
+            F.round(F.col("b") + 1e-9, 6).alias("beta_within"),
+            F.round(F.col("bp") + 1e-9, 6).alias("beta_pooled"),
+        )
+    )

@@ -894,3 +894,49 @@ def test_pca2_orthogonal_and_positive(spark):
     assert r["v1_v2_cos"] < 0.01
     assert r["lambda1"] > 0 and r["lambda2"] > 0
     assert 0.0 < r["evr1"] < 1.0 and 0.0 < r["evr2"] < 1.0
+
+
+def test_zip_moments_recombine(spark):
+    """ZIP MoM identities: lambda = m + v/m - 1, pi = 1 - m/lambda,
+    and implied zero mass >= the Poisson-alone zero mass."""
+    fn, _ = STAGED["zero_inflated_poisson_errors"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    # dispersion = v/m, so lambda = m + v/m - 1 = m + dispersion - 1
+    lam2 = r["mean_count"] + r["dispersion"] - 1.0
+    assert abs(r["zip_lambda"] - lam2) < 1e-3
+    if r["zip_pi"] is not None:
+        assert abs(
+            r["zip_pi"] - (1.0 - r["mean_count"] / r["zip_lambda"])
+        ) < 1e-3
+        assert r["zip_p0_implied"] >= math.exp(-r["zip_lambda"]) - 1e-6
+    assert 0.0 <= r["zero_share"] <= 1.0
+
+
+def test_twfe_within_kills_group_means(spark):
+    """After the op's demeaning recipe the residual group means must
+    be ~0 for BOTH factors (the alternating projection converged),
+    verified independently with pandas."""
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["twfe_price_qty_elasticity"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    li = spark.read.parquet(os.path.join(SF_SMALL, "lineitem.parquet"))
+    pdf = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mo"),
+        F.log("l_quantity").alias("y"),
+        (F.log(F.col("l_extendedprice") / F.col("l_quantity"))).alias("x"),
+    ).toPandas()
+    for _ in range(3):
+        for col in ("y", "x"):
+            pdf[col] = pdf[col] - pdf.groupby("pk")[col].transform(
+                "mean"
+            ).round(8)
+        for col in ("y", "x"):
+            pdf[col] = pdf[col] - pdf.groupby("mo")[col].transform(
+                "mean"
+            ).round(8)
+    beta = (pdf.x * pdf.y).sum() / (pdf.x * pdf.x).sum()
+    assert abs(r["beta_within"] - beta) < 1e-3
+    assert abs(pdf.groupby("mo")["x"].mean().abs().max()) < 1e-6
+    assert r["n_rows"] == len(pdf)

@@ -47,6 +47,8 @@ EVENTS_OPS = [
     # wave 7
     "garch11_filter_daily",
     "hmm_viterbi_daily_regimes",
+    # wave 10
+    "zero_inflated_poisson_errors",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -75,6 +77,8 @@ TPCH_OPS = [
     "region_homophily_trade",
     "trade_percolation_sweep",
     "trade_graph_period_jaccard",
+    # wave 10
+    "twfe_price_qty_elasticity",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
