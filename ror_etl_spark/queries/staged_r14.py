@@ -5583,3 +5583,493 @@ def twfe_price_qty_elasticity(
             F.round(F.col("bp") + 1e-9, 6).alias("beta_pooled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: omnibus normality, lexical diversity, robust location shift,
+# Katz centrality, disproportionality signals
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "dagostino_k2_daily_revenue",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    mu AS (SELECT avg(y) AS m, CAST(count(*) AS DOUBLE) AS n FROM daily),
+    cm AS (
+      SELECT max(mu.n) AS n,
+             sum((d.y - mu.m) * (d.y - mu.m)) / max(mu.n) AS m2,
+             sum((d.y - mu.m) * (d.y - mu.m) * (d.y - mu.m)) / max(mu.n)
+               AS m3,
+             sum((d.y - mu.m) * (d.y - mu.m) * (d.y - mu.m) * (d.y - mu.m))
+               / max(mu.n) AS m4
+      FROM daily d CROSS JOIN mu),
+    g AS (
+      SELECT n, m3 / (m2 ^ 1.5) AS g1, m4 / (m2 * m2) AS b2 FROM cm),
+    sk AS (
+      SELECT g.*,
+             g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS yy,
+             3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) AS beta2
+      FROM g),
+    sk2 AS (
+      SELECT sk.*, sqrt(2.0 * (beta2 - 1.0)) - 1.0 AS w2 FROM sk),
+    sk3 AS (
+      SELECT sk2.*,
+             1.0 / sqrt(0.5 * ln(w2)) AS delta,
+             sqrt(2.0 / (w2 - 1.0)) AS alpha
+      FROM sk2),
+    z1 AS (
+      SELECT sk3.*,
+             delta * ln(yy / alpha + sqrt((yy / alpha) * (yy / alpha)
+               + 1.0)) AS zs
+      FROM sk3),
+    ku AS (
+      SELECT z1.*,
+             (b2 - 3.0 * (n - 1.0) / (n + 1.0))
+               / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                      / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)))
+               AS x,
+             6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+               * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                      / (n * (n - 2.0) * (n - 3.0))) AS sb1
+      FROM z1),
+    ku2 AS (
+      SELECT ku.*,
+             6.0 + 8.0 / sb1 * (2.0 / sb1
+               + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS a
+      FROM ku),
+    ku3 AS (
+      SELECT ku2.*,
+             (1.0 - 2.0 / (9.0 * a)
+              - sign(1.0 + x * sqrt(2.0 / (a - 4.0)))
+                * cbrt((1.0 - 2.0 / a)
+                       / abs(1.0 + x * sqrt(2.0 / (a - 4.0)))))
+             / sqrt(2.0 / (9.0 * a)) AS zk
+      FROM ku2)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(g1 + 1e-9, 6) AS skew_g1,
+           round(b2 + 1e-9, 6) AS kurtosis_b2,
+           round(zs + 1e-9, 6) AS z_skew,
+           round(zk + 1e-9, 6) AS z_kurt,
+           round(zs * zs + zk * zk + 1e-9, 6) AS k2_stat
+    FROM ku3
+    """,
+)
+def dagostino_k2_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K-squared omnibus normality test on the daily
+    purchase-revenue series: the skewness transform Z(sqrt(b1))
+    (Johnson SU fit via W^2 = sqrt(2(beta2-1)) - 1) and the
+    Anscombe-Glynn kurtosis transform Z(b2) (Wilson-Hilferty cube root
+    of a scaled chi-square), combined as K^2 = Z1^2 + Z2^2 ~ chi2(2).
+    The finite-sample-calibrated upgrade of
+    ``jarque_bera_daily_revenue`` — JB's asymptotic chi2(2) is badly
+    anticonservative at n~350 days; these are the exact small-sample
+    moment transforms scipy.stats.normaltest uses.
+
+    Scale shape: identical to JB — two-pass central moments (mean
+    first, then centered power sums; raw-moment cancellation at
+    revenue^4 scale would flip 6th decimals between engines), both
+    passes partial-agg friendly, then a pure scalar expression tree on
+    the single-row moment frame."""
+    daily = _daily_df(spark, sf_dir)
+    mu = daily.agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    d = F.col("y") - F.col("m")
+    cm = daily.crossJoin(F.broadcast(mu)).agg(
+        F.max("n").alias("n"),
+        (F.sum(d * d) / F.max("n")).alias("m2"),
+        (F.sum(d * d * d) / F.max("n")).alias("m3"),
+        (F.sum(d * d * d * d) / F.max("n")).alias("m4"),
+    )
+    n = F.col("n")
+    g1 = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    b2 = F.col("m4") / (F.col("m2") * F.col("m2"))
+    g = cm.select(n.alias("n"), g1.alias("g1"), b2.alias("b2"))
+    n, g1, b2 = F.col("n"), F.col("g1"), F.col("b2")
+    yy = g1 * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = F.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+    delta = 1.0 / F.sqrt(0.5 * F.log(w2))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    zs = delta * F.log(yy / alpha + F.sqrt((yy / alpha) * (yy / alpha) + 1.0))
+    x = (b2 - 3.0 * (n - 1.0) / (n + 1.0)) / F.sqrt(
+        24.0
+        * n
+        * (n - 2.0)
+        * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    sb1 = (
+        6.0
+        * (n * n - 5.0 * n + 2.0)
+        / ((n + 7.0) * (n + 9.0))
+        * F.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+    )
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    denom = 1.0 + x * F.sqrt(2.0 / (a - 4.0))
+    zk = (
+        1.0
+        - 2.0 / (9.0 * a)
+        - F.signum(denom) * F.cbrt((1.0 - 2.0 / a) / F.abs(denom))
+    ) / F.sqrt(2.0 / (9.0 * a))
+    return g.select(
+        n.cast("long").alias("n_days"),
+        F.round(g1 + 1e-9, 6).alias("skew_g1"),
+        F.round(b2 + 1e-9, 6).alias("kurtosis_b2"),
+        F.round(zs + 1e-9, 6).alias("z_skew"),
+        F.round(zk + 1e-9, 6).alias("z_kurt"),
+        F.round(zs * zs + zk * zk + 1e-9, 6).alias("k2_stat"),
+    )
+
+
+@staged(
+    "yule_k_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+',
+                    ' ', 'g')), ' ')) AS tok
+      FROM documents),
+    wc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ag AS (
+      SELECT CAST(count(*) AS DOUBLE) AS v,
+             CAST(sum(c) AS DOUBLE) AS n,
+             CAST(sum(c * c) AS DOUBLE) AS s2,
+             CAST(sum(c * (c - 1)) AS DOUBLE) AS srep
+      FROM wc)
+    SELECT CAST(v AS BIGINT) AS s_types,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(10000.0 * (s2 - n) / (n * n) + 1e-9, 6) AS yule_k,
+           round(srep / (n * (n - 1.0)) + 1e-12, 8) AS simpson_repeat,
+           round(ln(v) / ln(n) + 1e-9, 6) AS herdan_c
+    FROM ag
+    """,
+)
+def yule_k_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K = 10^4 (sum m^2 V_m - N) / N^2, the
+    repeat-rate Simpson index sum f(f-1)/(N(N-1)), and Herdan's C =
+    ln V / ln N over the corpus token-frequency spectrum — the
+    length-robust lexical-diversity triple completing the vocabulary
+    family (``chao1_vocab_richness`` estimates unseen types,
+    ``heaps_law_vocab_fit`` the growth curve; these measure
+    concentration of the SEEN mass). Same whitespace tokenization as
+    both siblings.
+
+    Scale shape: token explode -> vocabulary-keyed count -> one scalar
+    aggregate consuming counts directly (sum c^2 and sum c(c-1) need
+    no frequency-of-frequencies materialization). Two partial-agg
+    shuffles; single-row output."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tok")
+    )
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("double")
+    ag = wc.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(c).alias("n"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * (c - 1.0)).alias("srep"),
+    )
+    v, nn, s2, srep = F.col("v"), F.col("n"), F.col("s2"), F.col("srep")
+    return ag.select(
+        v.cast("long").alias("s_types"),
+        nn.cast("long").alias("n_tokens"),
+        F.round(10000.0 * (s2 - nn) / (nn * nn) + 1e-9, 6).alias("yule_k"),
+        F.round(srep / (nn * (nn - 1.0)) + 1e-12, 8).alias("simpson_repeat"),
+        F.round(F.log(v) / F.log(nn) + 1e-9, 6).alias("herdan_c"),
+    )
+
+
+@staged(
+    "hodges_lehmann_weekend_shift",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dq AS (
+      SELECT t, round(y + 1e-9, 4) AS y,
+             ((t % 7) + 7) % 7 IN (5, 6) AS wknd
+      FROM daily),
+    wd AS (SELECT y FROM dq WHERE NOT wknd),
+    we AS (SELECT y FROM dq WHERE wknd),
+    pairs AS (
+      SELECT wd.y - we.y AS diff FROM wd CROSS JOIN we),
+    ps AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(diff, 0.5) AS hl,
+             avg(CASE WHEN diff > 0 THEN 1.0
+                      WHEN diff = 0 THEN 0.5 ELSE 0.0 END) AS sup
+      FROM pairs),
+    gm AS (
+      SELECT CAST(sum(CASE WHEN NOT wknd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_weekday_days,
+             CAST(sum(CASE WHEN wknd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_weekend_days,
+             quantile_cont(CASE WHEN NOT wknd THEN y END, 0.5) AS mwd,
+             quantile_cont(CASE WHEN wknd THEN y END, 0.5) AS mwe
+      FROM dq)
+    SELECT gm.n_weekday_days, gm.n_weekend_days, ps.n_pairs,
+           round(ps.hl + 1e-9, 6) AS hl_shift,
+           round(ps.sup + 1e-9, 6) AS p_superiority,
+           round(gm.mwd + 1e-9, 6) AS median_weekday,
+           round(gm.mwe + 1e-9, 6) AS median_weekend
+    FROM ps CROSS JOIN gm
+    """,
+)
+def hodges_lehmann_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimator of the weekday-vs-weekend daily-revenue
+    location shift: the median of ALL pairwise differences y_weekday -
+    y_weekend (the estimator dual to the Mann-Whitney test — robust to
+    outlier days where the mean difference is not), plus the
+    probability of superiority P(weekday > weekend) with the 1/2-tie
+    convention, and the two group medians. Weekend membership comes
+    from the day index ((t % 7)+7) % 7 in {{5, 6}} (2024-01-01 is a
+    Monday) — identical arithmetic both engines, no locale-dependent
+    dayofweek.
+
+    Scale shape: the pairwise cross runs on the DOMAIN-bounded daily
+    frame (|weekday days| x |weekend days| ~ 2.6e2 x 1e2 pairs at any
+    SF — the date span, not the data, sets it), after one data-sized
+    groupBy. Daily sums are quantized to 4 dp BEFORE pairing (the
+    r14 UCB lesson: selection statistics need quantized inputs, since
+    an ulp of cross-engine sum drift at a median boundary would swap
+    the selected element, not just its 7th decimal)."""
+    daily = _daily_df(spark, sf_dir).select(
+        "t",
+        F.round(F.col("y") + 1e-9, 4).alias("y"),
+        (((F.col("t") % 7) + 7) % 7).isin(5, 6).alias("wknd"),
+    )
+    wd = daily.filter(~F.col("wknd")).select(F.col("y").alias("yw"))
+    we = daily.filter(F.col("wknd")).select(F.col("y").alias("ye"))
+    diff = F.col("yw") - F.col("ye")
+    ps = (
+        wd.crossJoin(F.broadcast(we))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.percentile(diff, F.lit(0.5)).alias("hl"),
+            F.avg(
+                F.when(diff > 0, 1.0).when(diff == 0, 0.5).otherwise(0.0)
+            ).alias("sup"),
+        )
+    )
+    gm = daily.agg(
+        F.sum(F.when(~F.col("wknd"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_weekday_days"),
+        F.sum(F.when(F.col("wknd"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_weekend_days"),
+        F.percentile(F.when(~F.col("wknd"), F.col("y")), F.lit(0.5)).alias(
+            "mwd"
+        ),
+        F.percentile(F.when(F.col("wknd"), F.col("y")), F.lit(0.5)).alias(
+            "mwe"
+        ),
+    )
+    return ps.crossJoin(F.broadcast(gm)).select(
+        "n_weekday_days",
+        "n_weekend_days",
+        "n_pairs",
+        F.round(F.col("hl") + 1e-9, 6).alias("hl_shift"),
+        F.round(F.col("sup") + 1e-9, 6).alias("p_superiority"),
+        F.round(F.col("mwd") + 1e-9, 6).alias("median_weekday"),
+        F.round(F.col("mwe") + 1e-9, 6).alias("median_weekend"),
+    )
+
+
+_KATZ_ROUNDS = 6
+_KATZ_ALPHA = 0.05
+
+
+def _katz_oracle() -> str:
+    ctes = [
+        _TG_CTES.strip(),
+        """x0 AS (SELECT deg.n AS id, 1.0 AS x FROM deg)""",
+    ]
+    for k in range(_KATZ_ROUNDS):
+        ctes.append(
+            f"""s{k} AS (
+      SELECT und.v AS id, sum(x{k}.x) AS s
+      FROM und JOIN x{k} ON x{k}.id = und.u GROUP BY und.v)"""
+        )
+        ctes.append(
+            f"""x{k + 1} AS (
+      SELECT x{k}.id,
+             round(1.0 + {_KATZ_ALPHA} * coalesce(s{k}.s, 0.0) + 1e-12, 8)
+               AS x
+      FROM x{k} LEFT JOIN s{k} ON s{k}.id = x{k}.id)"""
+        )
+    fin = f"x{_KATZ_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    tot AS (SELECT sum(x) AS sx FROM {fin})
+    SELECT CAST({fin}.id AS BIGINT) AS nationkey,
+           round({fin}.x + 1e-9, 6) AS katz,
+           round({fin}.x / tot.sx + 1e-9, 6) AS katz_share,
+           CAST(row_number() OVER (ORDER BY {fin}.x DESC, {fin}.id)
+                AS BIGINT) AS rnk
+    FROM {fin} CROSS JOIN tot
+    ORDER BY rnk LIMIT 10
+    """
+
+
+@staged("katz_centrality_trade", oracle=_katz_oracle())
+def katz_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the sparsified trade graph: x <- 1 + alpha
+    A x, alpha = 0.05 (safely below 1/lambda_max for the top-90 graph,
+    whose max degree caps lambda_max well under 20), 6 synchronous
+    Jacobi rounds from x = 1 — the attenuated-walk-count complement to
+    ``pagerank_nation_trade`` (no stochastic normalization: hubs
+    accumulate walk mass rather than splitting it) and to
+    ``hits_nation_trade`` (undirected, single score). Per-round scores
+    are quantized to 8 dp so both engines iterate identical
+    trajectories; top 10 with (score DESC, id) tiebreak.
+
+    Scale shape: each round is one edge-join + node-keyed sum — the
+    canonical one-shuffle-per-iteration kernel that runs at any graph
+    size; node state is node-sized, never edge-sized. On the bounded
+    25-node instance every join broadcasts."""
+    t = Tables(spark, sf_dir)
+    _e0, und, deg = _tg_edges(t)
+    x = deg.select(F.col("n").alias("id"), F.lit(1.0).alias("x"))
+    for _ in range(_KATZ_ROUNDS):
+        s = (
+            und.join(F.broadcast(x), und["u"] == x["id"])
+            .groupBy(F.col("v").alias("sid"))
+            .agg(F.sum("x").alias("s"))
+        )
+        x = (
+            x.join(F.broadcast(s), x["id"] == s["sid"], "left")
+            .select(
+                "id",
+                F.round(
+                    1.0
+                    + _KATZ_ALPHA * F.coalesce(F.col("s"), F.lit(0.0))
+                    + 1e-12,
+                    8,
+                ).alias("x"),
+            )
+        )
+    tot = x.agg(F.sum("x").alias("sx"))
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("id").cast("long").alias("nationkey"),
+            F.round(F.col("x") + 1e-9, 6).alias("katz"),
+            F.round(F.col("x") / F.col("sx") + 1e-9, 6).alias("katz_share"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("x"), F.asc("id")))
+            .cast("long")
+            .alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(10)
+    )
+
+
+@staged(
+    "prr_disproportionality_events",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             ((CAST(date_diff('day', TIMESTAMP '2024-01-01', ts)
+                    AS BIGINT) % 7) + 7) % 7 IN (5, 6) AS wknd
+      FROM events),
+    cells AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN wknd THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN NOT wknd THEN 1 ELSE 0 END) AS DOUBLE) AS c
+      FROM ev GROUP BY event_type),
+    tot AS (
+      SELECT sum(a) AS tw, sum(c) AS td FROM cells),
+    tab AS (
+      SELECT cells.event_type, a, c, tot.tw - a AS b, tot.td - c AS d
+      FROM cells CROSS JOIN tot)
+    SELECT event_type,
+           CAST(a AS BIGINT) AS n_weekend,
+           CAST(c AS BIGINT) AS n_weekday,
+           round((a / (a + b)) / (c / (c + d)) + 1e-9, 6) AS prr,
+           round(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))
+                 + 1e-9, 6) AS ror_haldane,
+           round(sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5) + 1.0 / (c + 0.5)
+                      + 1.0 / (d + 0.5)) + 1e-9, 6) AS log_ror_se,
+           round((a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+                 / ((a + b) * (c + d) * (a + c) * (b + d)) + 1e-9, 6)
+             AS chi2,
+           CAST((a / (a + b)) / (c / (c + d)) > 1.2
+                AND (a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+                    / ((a + b) * (c + d) * (a + c) * (b + d)) > 4.0
+                AND a >= 3 AS BOOLEAN) AS signal
+    FROM tab ORDER BY event_type
+    """,
+)
+def prr_disproportionality_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pharmacovigilance-style disproportionality screen of event types
+    on weekends: for each event_type the 2x2 table (this type vs all
+    others) x (weekend vs weekday) yields the proportional reporting
+    ratio PRR, the Haldane-Anscombe-corrected reporting odds ratio
+    with its log-scale SE, the Pearson chi-square, and the classic
+    Evans signal flag (PRR above threshold AND chi2 > 4 AND a >= 3) —
+    the 'which event category over-reports in this stratum' screen
+    every ops dashboard runs. Weekend membership uses the same
+    engine-portable day-index arithmetic as
+    ``hodges_lehmann_weekend_shift``.
+
+    Scale shape: ONE data-sized groupBy(event_type) with conditional
+    count columns; marginals come from a broadcast 1-row aggregate of
+    the bounded cells frame. Output is |event types| rows."""
+    e = Tables(spark, sf_dir).events
+    idx = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    wknd = (((idx % 7) + 7) % 7).isin(5, 6)
+    cells = e.groupBy("event_type").agg(
+        F.sum(F.when(wknd, 1).otherwise(0)).cast("double").alias("a"),
+        F.sum(F.when(~wknd, 1).otherwise(0)).cast("double").alias("c"),
+    )
+    tot = cells.agg(F.sum("a").alias("tw"), F.sum("c").alias("td"))
+    a, c = F.col("a"), F.col("c")
+    b, d = F.col("tw") - a, F.col("td") - c
+    prr = (a / (a + b)) / (c / (c + d))
+    chi2 = (
+        (a + b + c + d)
+        * (a * d - b * c)
+        * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            a.cast("long").alias("n_weekend"),
+            c.cast("long").alias("n_weekday"),
+            F.round(prr + 1e-9, 6).alias("prr"),
+            F.round(
+                ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)) + 1e-9, 6
+            ).alias("ror_haldane"),
+            F.round(
+                F.sqrt(
+                    1.0 / (a + 0.5)
+                    + 1.0 / (b + 0.5)
+                    + 1.0 / (c + 0.5)
+                    + 1.0 / (d + 0.5)
+                )
+                + 1e-9,
+                6,
+            ).alias("log_ror_se"),
+            F.round(chi2 + 1e-9, 6).alias("chi2"),
+            ((prr > 1.2) & (chi2 > 4.0) & (a >= 3)).alias("signal"),
+        )
+        .orderBy("event_type")
+    )

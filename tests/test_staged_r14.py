@@ -940,3 +940,185 @@ def test_twfe_within_kills_group_means(spark):
     assert abs(r["beta_within"] - beta) < 1e-3
     assert abs(pdf.groupby("mo")["x"].mean().abs().max()) < 1e-6
     assert r["n_rows"] == len(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Wave 11 pins
+# ---------------------------------------------------------------------------
+
+
+def _daily_pdf(spark):
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("value").alias("y"))
+        .toPandas()
+    )
+
+
+def test_dagostino_k2_matches_numpy_replay(spark):
+    """Full independent replay of the skew/kurtosis transforms
+    (scipy.stats.normaltest formulas) in pure Python on the same daily
+    series."""
+    fn, _ = STAGED["dagostino_k2_daily_revenue"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    y = _daily_pdf(spark)["y"].to_numpy()
+    import numpy as np
+
+    n = float(len(y))
+    m = y.mean()
+    m2 = ((y - m) ** 2).mean()
+    m3 = ((y - m) ** 3).mean()
+    m4 = ((y - m) ** 4).mean()
+    g1, b2 = m3 / m2**1.5, m4 / m2**2
+    yy = g1 * math.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    delta = 1 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2 / (w2 - 1))
+    zs = delta * math.log(yy / alpha + math.sqrt((yy / alpha) ** 2 + 1))
+    x = (b2 - 3 * (n - 1) / (n + 1)) / math.sqrt(
+        24 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    )
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    a = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / sb1**2))
+    den = 1 + x * math.sqrt(2 / (a - 4))
+    zk = (
+        1 - 2 / (9 * a) - math.copysign(1, den)
+        * abs((1 - 2 / a) / abs(den)) ** (1 / 3)
+    ) / math.sqrt(2 / (9 * a))
+    assert r["n_days"] == int(n)
+    assert abs(r["z_skew"] - zs) < 1e-4
+    assert abs(r["z_kurt"] - zk) < 1e-4
+    assert abs(r["k2_stat"] - (zs * zs + zk * zk)) < 1e-3
+    assert np is not None
+
+
+def test_yule_k_matches_counter_replay(spark):
+    """Pure-Python Counter recount of the frequency spectrum."""
+    import re
+    from collections import Counter
+
+    fn, _ = STAGED["yule_k_lexical_diversity"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    docs = spark.read.parquet(
+        os.path.join(SF_SMALL, "documents.parquet")
+    ).toPandas()
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(re.sub(r"\s+", " ", t.lower()).strip().split(" "))
+    n = sum(cnt.values())
+    v = len(cnt)
+    s2 = sum(c * c for c in cnt.values())
+    srep = sum(c * (c - 1) for c in cnt.values())
+    assert r["s_types"] == v and r["n_tokens"] == n
+    assert abs(r["yule_k"] - 1e4 * (s2 - n) / n**2) < 1e-4
+    assert abs(r["simpson_repeat"] - srep / (n * (n - 1))) < 1e-6
+    assert abs(r["herdan_c"] - math.log(v) / math.log(n)) < 1e-4
+    assert 0.0 < r["herdan_c"] <= 1.0
+
+
+def test_hodges_lehmann_matches_numpy_pairs(spark):
+    """Numpy broadcasted pairwise-difference replay with the same 4-dp
+    input quantization."""
+    import numpy as np
+
+    fn, _ = STAGED["hodges_lehmann_weekend_shift"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    pdf = _daily_pdf(spark)
+    y = np.round(pdf["y"].to_numpy() + 1e-9, 4)
+    wk = (pdf["t"].to_numpy() % 7 + 7) % 7
+    wdv, wev = y[~np.isin(wk, (5, 6))], y[np.isin(wk, (5, 6))]
+    diffs = (wdv[:, None] - wev[None, :]).ravel()
+    assert r["n_pairs"] == len(wdv) * len(wev)
+    assert r["n_weekday_days"] == len(wdv)
+    assert r["n_weekend_days"] == len(wev)
+    assert abs(r["hl_shift"] - np.median(diffs)) < 1e-4
+    sup = (np.sum(diffs > 0) + 0.5 * np.sum(diffs == 0)) / len(diffs)
+    assert abs(r["p_superiority"] - sup) < 1e-6
+    assert abs(r["median_weekday"] - np.median(wdv)) < 1e-4
+    assert abs(r["median_weekend"] - np.median(wev)) < 1e-4
+
+
+def test_katz_matches_numpy_power_series(spark):
+    """Numpy replay of the quantized Jacobi iteration on the collected
+    (bounded, 90-edge) sparsified graph; scores >= 1, rnk is 1..10."""
+    import numpy as np
+
+    from ror_etl_spark.queries.staged_r11 import _trade_edges
+    from ror_etl_spark.queries.staged_r14 import _KATZ_ALPHA, _KATZ_ROUNDS
+    from ror_etl_spark.tables import Tables
+
+    fn, _ = STAGED["katz_centrality_trade"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert [r["rnk"] for r in rows] == list(range(1, 11))
+    _e0, und, _deg = _trade_edges(Tables(spark, SF_SMALL))
+    ed = und.select("u", "v").collect()
+    ids = sorted({r["u"] for r in ed} | {r["v"] for r in ed})
+    pos = {n: i for i, n in enumerate(ids)}
+    x = {n: 1.0 for n in ids}
+    for _ in range(_KATZ_ROUNDS):
+        s = {n: 0.0 for n in ids}
+        for r in ed:
+            s[r["v"]] += x[r["u"]]
+        x = {
+            n: round(1.0 + _KATZ_ALPHA * s[n] + 1e-12, 8) for n in ids
+        }
+    tot = sum(x.values())
+    top = sorted(ids, key=lambda n: (-x[n], n))[:10]
+    for r, n in zip(rows, top):
+        assert r["nationkey"] == n
+        assert abs(r["katz"] - round(x[n] + 1e-9, 6)) < 1e-9
+        assert abs(r["katz_share"] - x[n] / tot) < 1e-5
+        assert r["katz"] >= 1.0
+    assert np is not None and pos
+
+
+def test_prr_matches_pandas_recount(spark):
+    """Pandas 2x2 recount for every event type; PRR/ROR/chi2
+    recombine."""
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["prr_disproportionality_events"]
+    rows = {r["event_type"]: r for r in fn(spark, SF_SMALL).collect()}
+    e = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    pdf = e.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("idx"),
+    ).toPandas()
+    pdf["wknd"] = (pdf["idx"] % 7 + 7) % 7 >= 5
+    tw = int(pdf["wknd"].sum())
+    td = len(pdf) - tw
+    for et, r in rows.items():
+        sub = pdf[pdf.event_type == et]
+        a = int(sub["wknd"].sum())
+        c = len(sub) - a
+        b, d = tw - a, td - c
+        assert r["n_weekend"] == a and r["n_weekday"] == c
+        prr = (a / (a + b)) / (c / (c + d))
+        assert abs(r["prr"] - prr) < 1e-5
+        ror = ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))
+        assert abs(r["ror_haldane"] - ror) < 1e-5
+        n = a + b + c + d
+        chi2 = n * (a * d - b * c) ** 2 / (
+            (a + b) * (c + d) * (a + c) * (b + d)
+        )
+        assert abs(r["chi2"] - chi2) < 1e-3
+        assert r["signal"] == bool(prr > 1.2 and chi2 > 4.0 and a >= 3)

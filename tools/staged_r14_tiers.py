@@ -49,6 +49,10 @@ EVENTS_OPS = [
     "hmm_viterbi_daily_regimes",
     # wave 10
     "zero_inflated_poisson_errors",
+    # wave 11
+    "dagostino_k2_daily_revenue",
+    "hodges_lehmann_weekend_shift",
+    "prr_disproportionality_events",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -79,6 +83,9 @@ TPCH_OPS = [
     "trade_graph_period_jaccard",
     # wave 10
     "twfe_price_qty_elasticity",
+    # wave 11
+    "yule_k_lexical_diversity",
+    "katz_centrality_trade",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
