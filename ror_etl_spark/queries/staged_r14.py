@@ -6073,3 +6073,608 @@ def prr_disproportionality_events(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 12: random-walk tests, fluctuation scaling, Poisson GLM,
+# distribution distances, rank-based scale test
+# ---------------------------------------------------------------------------
+
+_VR_QS = (2, 4, 8)
+
+
+def _vr_oracle() -> str:
+    ctes = [
+        _DAILY_SQL,
+        """dq AS (
+      SELECT row_number() OVER (ORDER BY t) AS k,
+             ln(round(y + 1e-9, 4)) AS ly
+      FROM daily)""",
+        """rr AS (
+      SELECT k - 1 AS j, r FROM (
+        SELECT k, ly - lag(ly) OVER (ORDER BY k) AS r FROM dq)
+      WHERE r IS NOT NULL)""",
+        """mo AS (
+      SELECT CAST(count(*) AS DOUBLE) AS tt, avg(r) AS m,
+             var_pop(r) AS v1
+      FROM rr)""",
+    ]
+    rows = []
+    for q in _VR_QS:
+        ctes.append(
+            f"""s{q} AS (
+      SELECT j,
+             sum(r) OVER (ORDER BY j ROWS BETWEEN {q - 1} PRECEDING
+                          AND CURRENT ROW) AS s,
+             count(*) OVER (ORDER BY j ROWS BETWEEN {q - 1} PRECEDING
+                            AND CURRENT ROW) AS c
+      FROM rr)"""
+        )
+        ctes.append(
+            f"""v{q} AS (
+      SELECT avg((s - {q} * mo.m) * (s - {q} * mo.m)) AS vq
+      FROM s{q} CROSS JOIN mo WHERE c = {q})"""
+        )
+        rows.append(
+            f"""SELECT {q} AS q, mo.tt AS tt,
+             v{q}.vq / ({q} * mo.v1) AS vr
+      FROM v{q} CROSS JOIN mo"""
+        )
+    joined = ",\n    ".join(ctes)
+    un = "\n      UNION ALL ".join(rows)
+    return f"""
+    WITH {joined},
+    allq AS ({un})
+    SELECT CAST(q AS BIGINT) AS q,
+           CAST(tt AS BIGINT) AS n_returns,
+           round(vr + 1e-9, 6) AS vr,
+           round((vr - 1.0)
+                 / sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * tt))
+                 + 1e-9, 6) AS z_stat
+    FROM allq ORDER BY q
+    """
+
+
+@staged("variance_ratio_daily_revenue", oracle=_vr_oracle())
+def variance_ratio_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test of the random-walk hypothesis
+    on daily log-revenue returns: VR(q) = Var(q-period overlapping
+    sums) / (q Var(1-period)) for q in {2, 4, 8}, with the
+    homoskedastic z statistic z = (VR-1)/sqrt(2(2q-1)(q-1)/(3qT)).
+    VR < 1 flags mean reversion, VR > 1 momentum — the
+    aggregation-level complement to ``durbin_watson_daily_revenue``
+    (lag-1 only) and ``hurst_rs_daily_revenue`` (all-scales
+    exponent). Daily revenue is quantized to 4 dp before the log (the
+    selection-statistic input rule), returns are
+    adjacent-observation (row-number) differences.
+
+    Scale shape: one data-sized groupBy to the daily frame; returns,
+    overlapping window sums, and moments all live on the
+    domain-bounded (~360-row) series, so the single-partition windows
+    are bounded by the date span, not the data."""
+    daily = _daily_df(spark, sf_dir)
+    w = Window.orderBy("k")
+    dq = daily.select(
+        F.row_number().over(Window.orderBy("t")).alias("k"),
+        F.log(F.round(F.col("y") + 1e-9, 4)).alias("ly"),
+    )
+    rr = (
+        dq.select(
+            (F.col("k") - 1).alias("j"),
+            (F.col("ly") - F.lag("ly").over(w)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    mo = rr.agg(
+        F.count(F.lit(1)).cast("double").alias("tt"),
+        F.avg("r").alias("m"),
+        F.var_pop("r").alias("v1"),
+    )
+    parts = []
+    wj = Window.orderBy("j")
+    for q in _VR_QS:
+        wf = wj.rowsBetween(-(q - 1), 0)
+        sq = rr.select(
+            F.sum("r").over(wf).alias("s"),
+            F.count(F.lit(1)).over(wf).alias("c"),
+        ).filter(F.col("c") == q)
+        vq = (
+            sq.crossJoin(F.broadcast(mo))
+            .agg(
+                F.avg(
+                    (F.col("s") - q * F.col("m"))
+                    * (F.col("s") - q * F.col("m"))
+                ).alias("vq")
+            )
+            .crossJoin(F.broadcast(mo))
+            .select(
+                F.lit(q).cast("long").alias("q"),
+                F.col("tt").cast("long").alias("n_returns"),
+                F.round(F.col("vq") / (q * F.col("v1")) + 1e-9, 6).alias(
+                    "vr"
+                ),
+                F.round(
+                    (F.col("vq") / (q * F.col("v1")) - 1.0)
+                    / F.sqrt(
+                        2.0
+                        * (2 * q - 1)
+                        * (q - 1)
+                        / (3.0 * q * F.col("tt"))
+                    )
+                    + 1e-9,
+                    6,
+                ).alias("z_stat"),
+            )
+        )
+        parts.append(vq)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("q")
+
+
+@staged(
+    "taylor_power_law_users",
+    oracle="""
+    WITH dd AS (
+      SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS nd
+      FROM events),
+    uc AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2),
+    us AS (
+      SELECT user_id, sum(c) AS s1, sum(c * c) AS s2
+      FROM uc GROUP BY user_id),
+    mv AS (
+      SELECT user_id, s1 / dd.nd AS m,
+             s2 / dd.nd - (s1 / dd.nd) * (s1 / dd.nd) AS v
+      FROM us CROSS JOIN dd),
+    lg AS (
+      SELECT ln(m) AS x, ln(v) AS y FROM mv WHERE v > 0 AND m > 0),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             covar_pop(x, y) / var_pop(x) AS b,
+             avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS a,
+             covar_pop(x, y) * covar_pop(x, y)
+               / (var_pop(x) * var_pop(y)) AS r2
+      FROM lg)
+    SELECT fit.n_users,
+           CAST(dd.nd AS BIGINT) AS n_days,
+           round(fit.b + 1e-9, 6) AS taylor_slope,
+           round(fit.a + 1e-9, 6) AS taylor_intercept,
+           round(fit.r2 + 1e-9, 6) AS r2
+    FROM fit CROSS JOIN dd
+    """,
+)
+def taylor_power_law_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's law (fluctuation scaling) across users: each user's
+    per-day event-count mean and variance over the FULL day domain
+    (structural zero days enter through sufficient statistics — s1,
+    s2 over observed days divided by the global day count, so the
+    zero cells are never materialized), then the OLS slope of
+    ln var on ln mean. Slope 1 = Poisson-like users, slope 2 =
+    proportional bursts; ecology/ops' classic aggregation-invariant
+    heterogeneity measure, the per-entity complement to
+    ``negbin_overdispersion_events`` (global) and
+    ``zero_inflated_poisson_errors`` (zero-mass).
+
+    Scale shape: one data-sized (user, day) count, one user-keyed
+    sufficient-stats rollup, one scalar OLS aggregate — all
+    partial-agg friendly, no grid, no window."""
+    e = Tables(spark, sf_dir).events
+    dd = e.agg(
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("double")
+        .alias("nd")
+    )
+    uc = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    us = uc.groupBy("user_id").agg(
+        F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    m = F.col("s1") / F.col("nd")
+    v = F.col("s2") / F.col("nd") - m * m
+    lg = (
+        us.crossJoin(F.broadcast(dd))
+        .select(m.alias("m"), v.alias("v"))
+        .filter((F.col("v") > 0) & (F.col("m") > 0))
+        .select(F.log("m").alias("x"), F.log("v").alias("y"))
+    )
+    b = F.covar_pop("x", "y") / F.var_pop("x")
+    fit = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        b.alias("b"),
+        (F.avg("y") - b * F.avg("x")).alias("a"),
+        (
+            F.covar_pop("x", "y")
+            * F.covar_pop("x", "y")
+            / (F.var_pop("x") * F.var_pop("y"))
+        ).alias("r2"),
+    )
+    return fit.crossJoin(F.broadcast(dd)).select(
+        "n_users",
+        F.col("nd").cast("long").alias("n_days"),
+        F.round(F.col("b") + 1e-9, 6).alias("taylor_slope"),
+        F.round(F.col("a") + 1e-9, 6).alias("taylor_intercept"),
+        F.round(F.col("r2") + 1e-9, 6).alias("r2"),
+    )
+
+
+_PGLM_ROUNDS = 4
+_PGLM_Q = 8
+
+
+def _pglm_oracle() -> str:
+    ctes = [
+        _DAILY_SQL.replace("daily AS", "pday AS").replace(
+            "sum(value) AS y", "CAST(count(*) AS DOUBLE) AS y"
+        ).replace("WHERE event_type = 'purchase'", "WHERE event_type = 'error'"),
+        """cells AS (SELECT t, t / 100.0 AS x, y FROM pday)""",
+        """s0 AS (
+      SELECT sum(w) AS sw, sum(w * x) AS sx, sum(w * x * x) AS sxx,
+             sum(w * z) AS sz, sum(w * x * z) AS sxz
+      FROM (
+        SELECT x, y + 0.5 AS w,
+               ln(y + 0.5) + (y - (y + 0.5)) / (y + 0.5) AS z
+        FROM cells))""",
+        f"""b0 AS (
+      SELECT round((sxx * sz - sx * sxz) / (sw * sxx - sx * sx)
+                   + 1e-12, {_PGLM_Q}) AS b0,
+             round((sw * sxz - sx * sz) / (sw * sxx - sx * sx)
+                   + 1e-12, {_PGLM_Q}) AS b1
+      FROM s0)""",
+    ]
+    for k in range(_PGLM_ROUNDS):
+        ctes.append(
+            f"""s{k + 1} AS (
+      SELECT sum(w) AS sw, sum(w * x) AS sx, sum(w * x * x) AS sxx,
+             sum(w * z) AS sz, sum(w * x * z) AS sxz
+      FROM (
+        SELECT x, mu AS w, (b0 + b1 * x) + (y - mu) / mu AS z
+        FROM (SELECT cells.x, cells.y, b{k}.b0, b{k}.b1,
+                     exp(b{k}.b0 + b{k}.b1 * cells.x) AS mu
+              FROM cells CROSS JOIN b{k})))"""
+        )
+        ctes.append(
+            f"""b{k + 1} AS (
+      SELECT round((sxx * sz - sx * sxz) / (sw * sxx - sx * sx)
+                   + 1e-12, {_PGLM_Q}) AS b0,
+             round((sw * sxz - sx * sz) / (sw * sxx - sx * sx)
+                   + 1e-12, {_PGLM_Q}) AS b1
+      FROM s{k + 1})"""
+        )
+    fin = f"b{_PGLM_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    dev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days, sum(y) AS tot,
+             2.0 * sum(coalesce(CASE WHEN y > 0
+                            THEN y * ln(y / exp(b0 + b1 * x)) END, 0.0)
+                       - (y - exp(b0 + b1 * x))) AS d
+      FROM cells CROSS JOIN {fin})
+    SELECT dev.n_days, CAST(dev.tot AS BIGINT) AS n_errors,
+           round(fb.b0 + 1e-9, 6) AS beta0,
+           round(fb.b1 + 1e-9, 6) AS beta1,
+           round(dev.d + 1e-9, 6) AS deviance
+    FROM {fin} fb CROSS JOIN dev
+    """
+
+
+@staged("poisson_glm_irls_daily", oracle=_pglm_oracle())
+def poisson_glm_irls_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM (log link) of daily ERROR counts on scaled time
+    x = t/100 by IRLS: the standard GLM initialization mu0 = y + 0.5
+    (cell-level, so the first Newton step never overshoots exp),
+    then 4 weighted-least-squares rounds with w = mu and working
+    response z = eta + (y - mu)/mu, coefficients quantized to 8 dp
+    per round (the trajectory-replay rule), reported with the model
+    deviance 2 sum[y ln(y/mu) - (y - mu)]. The count-outcome member
+    of the GLM family: Gaussian = ``ridge_elasticity``, binomial =
+    ``logistic_irls_purchase_hour``, Poisson = this — a secular
+    error-rate trend test that respects the mean-variance link where
+    OLS on counts does not.
+
+    Scale shape: ONE data-sized day-grouped count; every IRLS round
+    is closed-form 2x2 normal-equation algebra on the domain-bounded
+    daily frame (no matrix library, no driver math)."""
+    e = Tables(spark, sf_dir).events.filter(F.col("event_type") == "error")
+    cells = (
+        e.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select("t", (F.col("t") / 100.0).alias("x"), "y")
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+
+    def _wls(frame: DataFrame) -> DataFrame:
+        s = frame.agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("sx"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("w") * F.col("z")).alias("sz"),
+            F.sum(F.col("w") * F.col("x") * F.col("z")).alias("sxz"),
+        )
+        det = F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+        return s.select(
+            F.round(
+                (F.col("sxx") * F.col("sz") - F.col("sx") * F.col("sxz"))
+                / det
+                + 1e-12,
+                _PGLM_Q,
+            ).alias("b0"),
+            F.round(
+                (F.col("sw") * F.col("sxz") - F.col("sx") * F.col("sz"))
+                / det
+                + 1e-12,
+                _PGLM_Q,
+            ).alias("b1"),
+        )
+
+    w0 = F.col("y") + 0.5
+    beta = _wls(
+        cells.select(
+            "x",
+            w0.alias("w"),
+            (F.log(w0) + (F.col("y") - w0) / w0).alias("z"),
+        )
+    )
+    for _ in range(_PGLM_ROUNDS):
+        mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        beta = _wls(
+            cells.crossJoin(F.broadcast(beta)).select(
+                "x",
+                mu.alias("w"),
+                (
+                    F.col("b0")
+                    + F.col("b1") * F.col("x")
+                    + (F.col("y") - mu) / mu
+                ).alias("z"),
+            )
+        )
+    mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+    dev = cells.crossJoin(F.broadcast(beta)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("n_errors"),
+        (
+            2.0
+            * F.sum(
+                F.coalesce(
+                    F.when(
+                        F.col("y") > 0, F.col("y") * F.log(F.col("y") / mu)
+                    ),
+                    F.lit(0.0),
+                )
+                - (F.col("y") - mu)
+            )
+        ).alias("d"),
+    )
+    return dev.crossJoin(F.broadcast(beta)).select(
+        "n_days",
+        "n_errors",
+        F.round(F.col("b0") + 1e-9, 6).alias("beta0"),
+        F.round(F.col("b1") + 1e-9, 6).alias("beta1"),
+        F.round(F.col("d") + 1e-9, 6).alias("deviance"),
+    )
+
+
+@staged(
+    "bhattacharyya_hellinger_regions",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS rn, o.o_totalprice AS p
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name IN ('ASIA', 'AMERICA')),
+    bins AS (
+      SELECT CAST(floor(4.0 * ln(p)) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN rn = 'ASIA' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS ca,
+             CAST(sum(CASE WHEN rn = 'AMERICA' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS cm
+      FROM rev GROUP BY 1),
+    tot AS (SELECT sum(ca) AS na, sum(cm) AS nm FROM bins),
+    pq AS (
+      SELECT ca / tot.na AS pa, cm / tot.nm AS pb
+      FROM bins CROSS JOIN tot),
+    dist AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             sum(sqrt(pa * pb)) AS bc,
+             0.5 * sum(abs(pa - pb)) AS tv,
+             sum(coalesce(CASE WHEN pa > 0 THEN
+                   0.5 * pa * ln(pa / (0.5 * (pa + pb))) END, 0.0)
+                 + coalesce(CASE WHEN pb > 0 THEN
+                   0.5 * pb * ln(pb / (0.5 * (pa + pb))) END, 0.0)) AS js
+      FROM pq)
+    SELECT dist.n_bins,
+           CAST(tot.na AS BIGINT) AS n_asia,
+           CAST(tot.nm AS BIGINT) AS n_america,
+           round(dist.bc + 1e-9, 6) AS bhattacharyya_coef,
+           round(sqrt(1.0 - dist.bc) + 1e-9, 6) AS hellinger,
+           round(dist.tv + 1e-9, 6) AS tv_distance,
+           round(dist.js + 1e-9, 6) AS js_divergence
+    FROM dist CROSS JOIN tot
+    """,
+)
+def bhattacharyya_hellinger_regions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-distance panel between ASIA and AMERICA order-price
+    distributions over fixed log-price bins (floor(4 ln p): ~25 bins,
+    data-independent edges so both engines bin identically): the
+    Bhattacharyya coefficient sum sqrt(pa pb), Hellinger distance
+    sqrt(1 - BC), total-variation distance, and Jensen-Shannon
+    divergence (zero-mass terms contribute 0, so no smoothing is
+    needed unlike KL). The bounded-metric complement to
+    ``energy_distance_value`` / ``wasserstein`` — these are
+    bin-spaced f-divergences, cheap enough for every-pair dashboards.
+
+    Scale shape: ONE data-sized conditional-count groupBy to the
+    bounded bin frame; marginals via a broadcast 1-row aggregate;
+    distances are one scalar pass over ~25 rows."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name").isin("ASIA", "AMERICA"))
+        .select(F.col("r_name").alias("rn"), F.col("o_totalprice").alias("p"))
+    )
+    bins = rev.groupBy(
+        F.floor(4.0 * F.log("p")).cast("long").alias("b")
+    ).agg(
+        F.sum(F.when(F.col("rn") == "ASIA", 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(F.col("rn") == "AMERICA", 1).otherwise(0))
+        .cast("double")
+        .alias("cm"),
+    )
+    tot = bins.agg(F.sum("ca").alias("na"), F.sum("cm").alias("nm"))
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cm") / F.col("nm")
+    m = 0.5 * (pa + pb)
+    dist = bins.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.sqrt(pa * pb)).alias("bc"),
+        (0.5 * F.sum(F.abs(pa - pb))).alias("tv"),
+        F.sum(
+            F.coalesce(
+                F.when(pa > 0, 0.5 * pa * F.log(pa / m)), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.when(pb > 0, 0.5 * pb * F.log(pb / m)), F.lit(0.0)
+            )
+        ).alias("js"),
+    )
+    return dist.crossJoin(F.broadcast(tot)).select(
+        "n_bins",
+        F.col("na").cast("long").alias("n_asia"),
+        F.col("nm").cast("long").alias("n_america"),
+        F.round(F.col("bc") + 1e-9, 6).alias("bhattacharyya_coef"),
+        F.round(F.sqrt(1.0 - F.col("bc")) + 1e-9, 6).alias("hellinger"),
+        F.round(F.col("tv") + 1e-9, 6).alias("tv_distance"),
+        F.round(F.col("js") + 1e-9, 6).alias("js_divergence"),
+    )
+
+
+@staged(
+    "ansari_bradley_weekend_scale",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dq AS (
+      SELECT t, round(y + 1e-9, 4) AS y,
+             ((t % 7) + 7) % 7 IN (5, 6) AS wknd
+      FROM daily),
+    rk AS (
+      SELECT wknd,
+             row_number() OVER (ORDER BY y, t) AS r,
+             CAST(count(*) OVER () AS DOUBLE) AS nn
+      FROM dq),
+    sc AS (
+      SELECT wknd, least(CAST(r AS DOUBLE), nn + 1 - r) AS s, nn
+      FROM rk),
+    ag AS (
+      SELECT max(nn) AS nn,
+             CAST(sum(CASE WHEN wknd THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN NOT wknd THEN 1 ELSE 0 END) AS DOUBLE)
+               AS m,
+             sum(CASE WHEN wknd THEN s ELSE 0 END) AS w
+      FROM sc),
+    st AS (
+      SELECT nn, n, m, w,
+             CASE WHEN CAST(nn AS BIGINT) % 2 = 0
+                  THEN n * (nn + 2.0) / 4.0
+                  ELSE n * (nn + 1.0) * (nn + 1.0) / (4.0 * nn) END AS ew,
+             CASE WHEN CAST(nn AS BIGINT) % 2 = 0
+                  THEN n * m * (nn + 2.0) * (nn - 2.0)
+                       / (48.0 * (nn - 1.0))
+                  ELSE n * m * (nn + 1.0) * (3.0 + nn * nn)
+                       / (48.0 * nn * nn) END AS vw
+      FROM ag)
+    SELECT CAST(m AS BIGINT) AS n_weekday_days,
+           CAST(n AS BIGINT) AS n_weekend_days,
+           round(w + 1e-9, 6) AS ab_stat,
+           round(ew + 1e-9, 6) AS ab_mean,
+           round((w - ew) / sqrt(vw) + 1e-9, 6) AS ab_z
+    FROM st
+    """,
+)
+def ansari_bradley_weekend_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ansari-Bradley rank test of SCALE difference between weekend and
+    weekday daily revenue: rank the pooled series, score each day
+    min(rank, N+1-rank) (small scores at both extremes), and sum the
+    weekend scores — a small W says weekends sit in the tails, i.e.
+    higher dispersion. Exact null mean/variance use the even/odd-N
+    closed forms; z = (W - E)/sqrt(V). The dispersion complement to
+    ``hodges_lehmann_weekend_shift`` (location) — together they are
+    the rank-based location-scale decomposition (Lepage components).
+    Ties after 4-dp input quantization are broken by day index (a
+    deterministic total order both engines replay; documented
+    departure from midrank scoring).
+
+    Scale shape: one data-sized groupBy to the daily frame; the rank
+    window is domain-bounded (~360 rows); everything after is one
+    scalar aggregate."""
+    daily = _daily_df(spark, sf_dir).select(
+        "t",
+        F.round(F.col("y") + 1e-9, 4).alias("y"),
+        (((F.col("t") % 7) + 7) % 7).isin(5, 6).alias("wknd"),
+    )
+    rk = daily.select(
+        "wknd",
+        F.row_number().over(Window.orderBy("y", "t")).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("nn"),
+    )
+    sc = rk.select(
+        "wknd",
+        F.least(F.col("r").cast("double"), F.col("nn") + 1 - F.col("r")).alias(
+            "s"
+        ),
+        "nn",
+    )
+    ag = sc.agg(
+        F.max("nn").alias("nn"),
+        F.sum(F.when(F.col("wknd"), 1).otherwise(0))
+        .cast("double")
+        .alias("n"),
+        F.sum(F.when(~F.col("wknd"), 1).otherwise(0))
+        .cast("double")
+        .alias("m"),
+        F.sum(F.when(F.col("wknd"), F.col("s")).otherwise(0.0)).alias("w"),
+    )
+    nn, n, m, w = F.col("nn"), F.col("n"), F.col("m"), F.col("w")
+    even = nn.cast("long") % 2 == 0
+    ew = F.when(even, n * (nn + 2.0) / 4.0).otherwise(
+        n * (nn + 1.0) * (nn + 1.0) / (4.0 * nn)
+    )
+    vw = F.when(
+        even, n * m * (nn + 2.0) * (nn - 2.0) / (48.0 * (nn - 1.0))
+    ).otherwise(n * m * (nn + 1.0) * (3.0 + nn * nn) / (48.0 * nn * nn))
+    return ag.select(
+        m.cast("long").alias("n_weekday_days"),
+        n.cast("long").alias("n_weekend_days"),
+        F.round(w + 1e-9, 6).alias("ab_stat"),
+        F.round(ew + 1e-9, 6).alias("ab_mean"),
+        F.round((w - ew) / F.sqrt(vw) + 1e-9, 6).alias("ab_z"),
+    )

@@ -1122,3 +1122,182 @@ def test_prr_matches_pandas_recount(spark):
         )
         assert abs(r["chi2"] - chi2) < 1e-3
         assert r["signal"] == bool(prr > 1.2 and chi2 > 4.0 and a >= 3)
+
+
+# ---------------------------------------------------------------------------
+# Wave 12 pins
+# ---------------------------------------------------------------------------
+
+
+def test_variance_ratio_matches_numpy_replay(spark):
+    """Numpy replay of overlapping-sum variance ratios for each q."""
+    import numpy as np
+
+    fn, _ = STAGED["variance_ratio_daily_revenue"]
+    rows = {r["q"]: r for r in fn(spark, SF_SMALL).collect()}
+    pdf = _daily_pdf(spark).sort_values("t")
+    ly = np.log(np.round(pdf["y"].to_numpy() + 1e-9, 4))
+    r = np.diff(ly)
+    t = float(len(r))
+    m, v1 = r.mean(), r.var()
+    assert set(rows) == {2, 4, 8}
+    for q, row in rows.items():
+        s = np.convolve(r, np.ones(q), mode="valid")
+        vq = ((s - q * m) ** 2).mean()
+        vr = vq / (q * v1)
+        assert row["n_returns"] == int(t)
+        assert abs(row["vr"] - vr) < 1e-4
+        z = (vr - 1.0) / math.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * t))
+        assert abs(row["z_stat"] - z) < 1e-3
+
+
+def test_taylor_law_matches_pandas_grid(spark):
+    """Pandas replay with the zero cells MATERIALIZED (pivot grid) —
+    proves the sufficient-statistics shortcut equals the explicit
+    grid."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["taylor_power_law_users"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    e = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    pdf = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("user_id", "d")
+        .count()
+        .toPandas()
+    )
+    grid = pdf.pivot_table(
+        index="user_id", columns="d", values="count", fill_value=0
+    )
+    assert r["n_days"] == grid.shape[1]
+    mean = grid.mean(axis=1).to_numpy()
+    var = grid.var(axis=1, ddof=0).to_numpy()
+    keep = (var > 0) & (mean > 0)
+    x, y = np.log(mean[keep]), np.log(var[keep])
+    b = np.cov(x, y, bias=True)[0, 1] / x.var()
+    a = y.mean() - b * x.mean()
+    r2 = np.cov(x, y, bias=True)[0, 1] ** 2 / (x.var() * y.var())
+    assert r["n_users"] == int(keep.sum())
+    assert abs(r["taylor_slope"] - b) < 1e-4
+    assert abs(r["taylor_intercept"] - a) < 1e-4
+    assert abs(r["r2"] - r2) < 1e-4
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_poisson_glm_matches_numpy_irls(spark):
+    """Numpy IRLS replay with identical quantization; deviance is
+    non-negative and the slope reproduces the fitted trend."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ror_etl_spark.queries.staged_r14 import _PGLM_Q, _PGLM_ROUNDS
+
+    fn, _ = STAGED["poisson_glm_irls_daily"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    e = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    pdf = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .count()
+        .toPandas()
+    )
+    x = pdf["t"].to_numpy() / 100.0
+    y = pdf["count"].to_numpy().astype(float)
+
+    def wls(w, z):
+        sw, sx, sxx = w.sum(), (w * x).sum(), (w * x * x).sum()
+        sz, sxz = (w * z).sum(), (w * x * z).sum()
+        det = sw * sxx - sx * sx
+        return (
+            round((sxx * sz - sx * sxz) / det + 1e-12, _PGLM_Q),
+            round((sw * sxz - sx * sz) / det + 1e-12, _PGLM_Q),
+        )
+
+    w0 = y + 0.5
+    b0, b1 = wls(w0, np.log(w0) + (y - w0) / w0)
+    for _ in range(_PGLM_ROUNDS):
+        mu = np.exp(b0 + b1 * x)
+        b0, b1 = wls(mu, (b0 + b1 * x) + (y - mu) / mu)
+    mu = np.exp(b0 + b1 * x)
+    dev = 2.0 * (
+        np.where(y > 0, y * np.log(np.where(y > 0, y, 1.0) / mu), 0.0)
+        - (y - mu)
+    ).sum()
+    assert r["n_days"] == len(y)
+    assert r["n_errors"] == int(y.sum())
+    assert abs(r["beta0"] - b0) < 1e-5
+    assert abs(r["beta1"] - b1) < 1e-5
+    assert abs(r["deviance"] - dev) < 1e-3
+    assert r["deviance"] >= 0.0
+
+
+def test_bhattacharyya_identities_and_recount(spark):
+    """Metric identities (H = sqrt(1-BC), H^2 <= TV <= sqrt(2) H,
+    JS <= ln 2) plus a pandas recount."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["bhattacharyya_hellinger_regions"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["bhattacharyya_coef"] <= 1.0
+    assert abs(r["hellinger"] - math.sqrt(1 - r["bhattacharyya_coef"])) < 1e-5
+    assert r["hellinger"] ** 2 - 1e-6 <= r["tv_distance"]
+    assert r["tv_distance"] <= math.sqrt(2) * r["hellinger"] + 1e-6
+    assert 0.0 <= r["js_divergence"] <= math.log(2) + 1e-9
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(SF_SMALL, "nation.parquet"))
+    g = spark.read.parquet(os.path.join(SF_SMALL, "region.parquet"))
+    pdf = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(g, n.n_regionkey == g.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "AMERICA"))
+        .select("r_name", "o_totalprice")
+        .toPandas()
+    )
+    pdf["b"] = np.floor(4.0 * np.log(pdf["o_totalprice"])).astype(int)
+    ct = pdf.pivot_table(
+        index="b", columns="r_name", values="o_totalprice",
+        aggfunc="count", fill_value=0,
+    )
+    pa = ct["ASIA"] / ct["ASIA"].sum()
+    pb = ct["AMERICA"] / ct["AMERICA"].sum()
+    assert r["n_bins"] == len(ct)
+    assert r["n_asia"] == int(ct["ASIA"].sum())
+    assert abs(r["bhattacharyya_coef"] - np.sqrt(pa * pb).sum()) < 1e-5
+    assert abs(r["tv_distance"] - 0.5 * np.abs(pa - pb).sum()) < 1e-5
+
+
+def test_ansari_bradley_matches_python_scores(spark):
+    """Pure-Python replay of the end-ranked scores and the exact null
+    moments."""
+    fn, _ = STAGED["ansari_bradley_weekend_scale"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    pdf = _daily_pdf(spark)
+    y = (pdf["y"] + 1e-9).round(4)
+    wk = ((pdf["t"] % 7) + 7) % 7 >= 5
+    order = sorted(range(len(y)), key=lambda i: (y.iloc[i], pdf["t"].iloc[i]))
+    nn = len(order)
+    w = 0.0
+    for pos, i in enumerate(order, start=1):
+        if wk.iloc[i]:
+            w += min(pos, nn + 1 - pos)
+    n, m = int(wk.sum()), nn - int(wk.sum())
+    assert r["n_weekend_days"] == n and r["n_weekday_days"] == m
+    assert abs(r["ab_stat"] - w) < 1e-6
+    if nn % 2 == 0:
+        ew = n * (nn + 2.0) / 4.0
+        vw = n * m * (nn + 2.0) * (nn - 2.0) / (48.0 * (nn - 1.0))
+    else:
+        ew = n * (nn + 1.0) ** 2 / (4.0 * nn)
+        vw = n * m * (nn + 1.0) * (3.0 + nn * nn) / (48.0 * nn * nn)
+    assert abs(r["ab_mean"] - ew) < 1e-6
+    assert abs(r["ab_z"] - (w - ew) / math.sqrt(vw)) < 1e-5

@@ -53,6 +53,11 @@ EVENTS_OPS = [
     "dagostino_k2_daily_revenue",
     "hodges_lehmann_weekend_shift",
     "prr_disproportionality_events",
+    # wave 12
+    "variance_ratio_daily_revenue",
+    "taylor_power_law_users",
+    "poisson_glm_irls_daily",
+    "ansari_bradley_weekend_scale",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -86,6 +91,8 @@ TPCH_OPS = [
     # wave 11
     "yule_k_lexical_diversity",
     "katz_centrality_trade",
+    # wave 12
+    "bhattacharyya_hellinger_regions",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
