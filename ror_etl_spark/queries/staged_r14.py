@@ -40,6 +40,7 @@ dtype rule.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -6677,4 +6678,579 @@ def ansari_bradley_weekend_scale(
         F.round(w + 1e-9, 6).alias("ab_stat"),
         F.round(ew + 1e-9, 6).alias("ab_mean"),
         F.round((w - ew) / F.sqrt(vw) + 1e-9, 6).alias("ab_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 13: rank change point, iterative outlier removal, spatial K,
+# post-hoc rank comparisons, decision stump
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "pettitt_change_point_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dq AS (SELECT t, round(y + 1e-9, 4) AS y FROM daily),
+    mr AS (
+      SELECT t,
+             rank() OVER (ORDER BY y)
+               + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS r
+      FROM dq),
+    cu AS (
+      SELECT t,
+             sum(r) OVER (ORDER BY t) AS s,
+             row_number() OVER (ORDER BY t) AS k,
+             CAST(count(*) OVER () AS DOUBLE) AS n
+      FROM mr),
+    u AS (
+      SELECT t, n, abs(2.0 * s - k * (n + 1.0)) AS au
+      FROM cu WHERE k < n),
+    best AS (
+      SELECT t, n, au FROM u
+      ORDER BY au DESC, t LIMIT 1)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(au + 1e-9, 6) AS k_stat,
+           CAST(t AS BIGINT) AS change_day,
+           round(2.0 * exp(-6.0 * au * au / (n * n * n + n * n))
+                 + 1e-12, 8) AS p_approx
+    FROM best
+    """,
+)
+def pettitt_change_point_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric change-point test on daily revenue: the
+    Mann-Whitney-type statistic U_t = sum_(i<=t) sum_(j>t)
+    sgn(y_i - y_j), computed via the exact midrank identity U_t =
+    2 S_t - t(n+1) (S_t = cumulative midrank sum — the identity holds
+    under ties because within-prefix sign pairs cancel), maximized
+    over split days with the classic approximate p = 2 exp(-6K^2 /
+    (n^3 + n^2)). The rank-robust single-change-point complement to
+    ``changepoint_binseg_daily_revenue`` (variance-based) and
+    ``page_hinkley_daily_revenue`` (sequential). Input quantized to
+    4 dp (selection rule); argmax tiebreak = earliest day.
+
+    Scale shape: one data-sized groupBy to the daily frame; ranks and
+    the cumulative scan live on the domain-bounded series."""
+    dq = _daily_df(spark, sf_dir).select(
+        "t", F.round(F.col("y") + 1e-9, 4).alias("y")
+    )
+    mr = dq.select(
+        "t",
+        (
+            F.rank().over(Window.orderBy("y"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
+        ).alias("r"),
+    )
+    wt = Window.orderBy("t")
+    cu = mr.select(
+        "t",
+        F.sum("r").over(wt).alias("s"),
+        F.row_number().over(wt).alias("k"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("n"),
+    )
+    u = cu.filter(F.col("k") < F.col("n")).select(
+        "t",
+        "n",
+        F.abs(2.0 * F.col("s") - F.col("k") * (F.col("n") + 1.0)).alias("au"),
+    )
+    best = u.orderBy(F.desc("au"), F.asc("t")).limit(1)
+    n, au = F.col("n"), F.col("au")
+    return best.select(
+        n.cast("long").alias("n_days"),
+        F.round(au + 1e-9, 6).alias("k_stat"),
+        F.col("t").cast("long").alias("change_day"),
+        F.round(
+            2.0 * F.exp(-6.0 * au * au / (n * n * n + n * n)) + 1e-12, 8
+        ).alias("p_approx"),
+    )
+
+
+_ESD_ROUNDS = 5
+
+
+def _esd_oracle() -> str:
+    ctes = [
+        _DAILY_SQL,
+        """rem0 AS (SELECT t, round(y + 1e-9, 4) AS y FROM daily)""",
+    ]
+    picks = []
+    for k in range(_ESD_ROUNDS):
+        ctes.append(
+            f"""st{k} AS (
+      SELECT avg(y) AS m, stddev_samp(y) AS s, count(*) AS c
+      FROM rem{k})"""
+        )
+        ctes.append(
+            f"""pick{k} AS (
+      SELECT {k + 1} AS rnd, rem{k}.t,
+             round(abs(rem{k}.y - st{k}.m) / st{k}.s + 1e-12, 8) AS r
+      FROM rem{k} CROSS JOIN st{k}
+      ORDER BY round(abs(rem{k}.y - st{k}.m) / st{k}.s + 1e-12, 8) DESC,
+               rem{k}.t
+      LIMIT 1)"""
+        )
+        ctes.append(
+            f"""rem{k + 1} AS (
+      SELECT rem{k}.* FROM rem{k}
+      WHERE rem{k}.t NOT IN (SELECT t FROM pick{k}))"""
+        )
+        picks.append(f"SELECT rnd, t, r FROM pick{k}")
+    joined = ",\n    ".join(ctes)
+    un = "\n      UNION ALL ".join(picks)
+    return f"""
+    WITH {joined},
+    allp AS ({un})
+    SELECT CAST(rnd AS BIGINT) AS esd_round,
+           CAST(t AS BIGINT) AS day,
+           round(r + 1e-9, 6) AS r_stat
+    FROM allp ORDER BY esd_round
+    """
+
+
+@staged("generalized_esd_daily", oracle=_esd_oracle())
+def generalized_esd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner) outlier ladder on daily revenue: 5
+    rounds of (standardize on the REMAINING days, extract the max
+    |z|, remove it) — the multi-outlier extension of
+    ``grubbs_outlier_daily_revenue``, whose single-shot test is
+    masked when two extreme days shadow each other. Each round's R_i
+    is quantized to 8 dp BEFORE the argmax (selection rule) with the
+    earliest-day tiebreak, so both engines remove the identical day
+    sequence; inputs quantized to 4 dp.
+
+    Scale shape: the iteration runs on the domain-bounded daily
+    frame; each round is one scalar aggregate + one top-1 selection —
+    at 100 TB the daily rollup is the only data-sized pass."""
+    rem = _daily_df(spark, sf_dir).select(
+        "t", F.round(F.col("y") + 1e-9, 4).alias("y")
+    ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    out = None
+    for k in range(_ESD_ROUNDS):
+        st = rem.agg(
+            F.avg("y").alias("m"), F.stddev_samp("y").alias("s")
+        )
+        r = F.round(
+            F.abs(F.col("y") - F.col("m")) / F.col("s") + 1e-12, 8
+        )
+        pick = (
+            rem.crossJoin(F.broadcast(st))
+            .select(F.lit(k + 1).alias("rnd"), "t", r.alias("r"))
+            .orderBy(F.desc("r"), F.asc("t"))
+            .limit(1)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+        )
+        out = pick if out is None else out.unionAll(pick)
+        rem = rem.join(
+            pick.select(F.col("t").alias("pt")),
+            rem["t"] == F.col("pt"),
+            "left_anti",
+        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    return out.select(
+        F.col("rnd").cast("long").alias("esd_round"),
+        F.col("t").cast("long").alias("day"),
+        F.round(F.col("r") + 1e-9, 6).alias("r_stat"),
+    ).orderBy("esd_round")
+
+
+_RIPLEY_RS = (1, 2, 4)
+
+
+def _ripley_oracle() -> str:
+    rows = []
+    for r in _RIPLEY_RS:
+        rows.append(
+            f"""SELECT {r} AS r, tot.n AS n, tot.a AS a,
+             sum(CASE WHEN pp.d2 <= {r * r} THEN pp.w ELSE 0 END) AS pr
+      FROM pp CROSS JOIN tot GROUP BY tot.n, tot.a"""
+        )
+    un = "\n      UNION ALL ".join(rows)
+    return f"""
+    WITH pts AS (
+      SELECT ((user_id % 7) * 37 % 100) / 100.0 * 6.0 - 3.0
+               + (({_lehmer_u_sql("event_id * 2 + 1")}) - 0.5) * 0.8 AS x,
+             ((user_id % 7) * 53 % 100) / 100.0 * 6.0 - 3.0
+               + (({_lehmer_u_sql("event_id * 2 + 2")}) - 0.5) * 0.8 AS y
+      FROM events),
+    cnt AS (
+      SELECT least(CAST(floor((x + 4.0) / 8.0 * {_GRID}) AS BIGINT),
+                   {_GRID - 1}) AS gx,
+             least(CAST(floor((y + 4.0) / 8.0 * {_GRID}) AS BIGINT),
+                   {_GRID - 1}) AS gy,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM pts GROUP BY 1, 2),
+    pp AS (
+      SELECT (a.gx - b.gx) * (a.gx - b.gx)
+               + (a.gy - b.gy) * (a.gy - b.gy) AS d2,
+             CASE WHEN a.gx = b.gx AND a.gy = b.gy
+                  THEN a.c * (a.c - 1.0) ELSE a.c * b.c END AS w
+      FROM cnt a JOIN cnt b
+        ON (a.gx - b.gx) * (a.gx - b.gx)
+           + (a.gy - b.gy) * (a.gy - b.gy) <= {max(_RIPLEY_RS) ** 2}),
+    tot AS (
+      SELECT sum(c) AS n, CAST({_GRID * _GRID} AS DOUBLE) AS a FROM cnt),
+    allr AS ({un})
+    SELECT CAST(r AS BIGINT) AS r,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(pr AS BIGINT) AS pairs_le_r,
+           round(a * pr / (n * (n - 1.0)) + 1e-9, 6) AS k_hat,
+           round(sqrt(a * pr / (n * (n - 1.0)) / pi()) + 1e-9, 6) AS l_hat,
+           round(pi() * r * r + 1e-9, 6) AS csr_k
+    FROM allr ORDER BY r
+    """
+
+
+@staged("ripley_k_quantized_plane", oracle=_ripley_oracle())
+def ripley_k_quantized_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K function of the planted 7-blob plane at cell
+    resolution: points quantize to the same 32x32 grid as
+    ``morans_i_planted_plane``, and K-hat(r) = A / (n(n-1)) x
+    #[ordered point pairs with cell-center distance <= r] for r in
+    {1, 2, 4} cell units (within-cell pairs enter at distance 0 as
+    c(c-1)), with L(r) = sqrt(K/pi) against the CSR expectation
+    K = pi r^2. K >> pi r^2 at small r quantifies the clustering that
+    Moran's I only sign-tests — the second-moment spatial statistic
+    on the SAME one-pass cell aggregate.
+
+    Scale shape: one data-sized cell count, then a radius-bounded
+    self-join of the <=1024-row cell frame (d^2 <= 16 prunes to the
+    local neighborhood — this is exactly the grid-blocked pair join
+    the geo k-NN family uses, never an all-points pair join)."""
+    ev = Tables(spark, sf_dir).events.select("event_id", "user_id")
+    cx = ((F.col("user_id") % 7) * 37 % 100) / 100.0 * 6.0 - 3.0
+    cy = ((F.col("user_id") % 7) * 53 % 100) / 100.0 * 6.0 - 3.0
+    pts = ev.select(
+        (cx + (_lehmer_u(F.col("event_id") * 2 + 1) - 0.5) * 0.8).alias("x"),
+        (cy + (_lehmer_u(F.col("event_id") * 2 + 2) - 0.5) * 0.8).alias("y"),
+    )
+    cnt = (
+        pts.groupBy(
+            F.least(
+                F.floor((F.col("x") + 4.0) / 8.0 * _GRID).cast("long"),
+                F.lit(_GRID - 1).cast("long"),
+            ).alias("gx"),
+            F.least(
+                F.floor((F.col("y") + 4.0) / 8.0 * _GRID).cast("long"),
+                F.lit(_GRID - 1).cast("long"),
+            ).alias("gy"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    a_ = cnt.select(
+        F.col("gx").alias("ax"), F.col("gy").alias("ay"), F.col("c").alias("ac")
+    )
+    b_ = cnt.select(
+        F.col("gx").alias("bx"), F.col("gy").alias("by"), F.col("c").alias("bc")
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pp = a_.join(b_, d2 <= max(_RIPLEY_RS) ** 2).select(
+        d2.alias("d2"),
+        F.when(
+            (F.col("ax") == F.col("bx")) & (F.col("ay") == F.col("by")),
+            F.col("ac") * (F.col("ac") - 1.0),
+        )
+        .otherwise(F.col("ac") * F.col("bc"))
+        .alias("w"),
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("n"),
+        F.lit(float(_GRID * _GRID)).alias("a"),
+    )
+    parts = []
+    for r in _RIPLEY_RS:
+        pr = (
+            pp.crossJoin(F.broadcast(tot))
+            .groupBy("n", "a")
+            .agg(
+                F.sum(
+                    F.when(F.col("d2") <= r * r, F.col("w")).otherwise(0.0)
+                ).alias("pr")
+            )
+            .select(
+                F.lit(r).cast("long").alias("r"),
+                F.col("n").cast("long").alias("n_points"),
+                F.col("pr").cast("long").alias("pairs_le_r"),
+                F.round(
+                    F.col("a") * F.col("pr") / (F.col("n") * (F.col("n") - 1.0))
+                    + 1e-9,
+                    6,
+                ).alias("k_hat"),
+                F.round(
+                    F.sqrt(
+                        F.col("a")
+                        * F.col("pr")
+                        / (F.col("n") * (F.col("n") - 1.0))
+                        / math.pi
+                    )
+                    + 1e-9,
+                    6,
+                ).alias("l_hat"),
+                F.round(F.lit(math.pi * r * r) + 1e-9, 6).alias("csr_k"),
+            )
+        )
+        parts.append(pr)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("r")
+
+
+@staged(
+    "dunn_posthoc_ship_delay_priority",
+    oracle="""
+    WITH del AS (
+      SELECT o.o_orderpriority AS g,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                  AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    dc AS (
+      SELECT d, CAST(count(*) AS DOUBLE) AS c FROM del GROUP BY d),
+    mrk AS (
+      SELECT d, c,
+             coalesce(sum(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               + (c + 1.0) / 2.0 AS mr
+      FROM dc),
+    gc AS (
+      SELECT g, d, CAST(count(*) AS DOUBLE) AS cg FROM del GROUP BY g, d),
+    gr AS (
+      SELECT gc.g, sum(gc.cg) AS ng, sum(gc.cg * mrk.mr) AS rg
+      FROM gc JOIN mrk ON mrk.d = gc.d GROUP BY gc.g),
+    gstats AS (
+      SELECT (SELECT sum(c) FROM dc) AS n,
+             (SELECT sum(c * c * c - c) FROM dc) AS tie),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+             a.rg / a.ng AS mr1, b.rg / b.ng AS mr2,
+             gstats.n AS n, gstats.tie AS tie
+      FROM gr a JOIN gr b ON a.g < b.g CROSS JOIN gstats)
+    SELECT g1, g2,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(mr1 + 1e-9, 6) AS mean_rank_1,
+           round(mr2 + 1e-9, 6) AS mean_rank_2,
+           round((mr1 - mr2)
+                 / sqrt((n * (n + 1.0) / 12.0
+                         - tie / (12.0 * (n - 1.0)))
+                        * (1.0 / n1 + 1.0 / n2)) + 1e-9, 6) AS dunn_z,
+           CAST(abs((mr1 - mr2)
+                 / sqrt((n * (n + 1.0) / 12.0
+                         - tie / (12.0 * (n - 1.0)))
+                        * (1.0 / n1 + 1.0 / n2))) > 2.807 AS BOOLEAN)
+             AS significant
+    FROM pairs ORDER BY g1, g2
+    """,
+)
+def dunn_posthoc_ship_delay_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparison of ship delay (days
+    from order to line shipment) across the 5 order priorities — the
+    follow-up that says WHICH priority pairs differ after an omnibus
+    Kruskal-Wallis fires: z = (Rbar_i - Rbar_j) / sqrt[(N(N+1)/12 -
+    sum(t^3-t)/(12(N-1))) (1/n_i + 1/n_j)] with midranks and the tie
+    correction, flagged at the Bonferroni 0.05/10 two-sided critical
+    value 2.807. Delays are integers, so ranks come EXACTLY from the
+    bounded distinct-delay frame (no data-sized sort).
+
+    Scale shape: two data-sized groupBys ((delay) and (group, delay));
+    midranks are a cumulative scan over the ~120-row delay domain;
+    rank sums are a bounded join; the pair frame is 10 rows."""
+    t = Tables(spark, sf_dir)
+    delay = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    )
+    dc = delay.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    mrk = dc.select(
+        "d",
+        "c",
+        (
+            F.coalesce(F.sum("c").over(wd), F.lit(0.0))
+            + (F.col("c") + 1.0) / 2.0
+        ).alias("mr"),
+    )
+    gc = delay.groupBy("g", "d").agg(
+        F.count(F.lit(1)).cast("double").alias("cg")
+    )
+    gr = (
+        gc.join(F.broadcast(mrk.select("d", "mr")), "d")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").alias("ng"),
+            F.sum(F.col("cg") * F.col("mr")).alias("rg"),
+        )
+    )
+    glob = dc.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie"),
+    )
+    a_ = gr.select(
+        F.col("g").alias("g1"), F.col("ng").alias("n1d"),
+        (F.col("rg") / F.col("ng")).alias("mr1"),
+    )
+    b_ = gr.select(
+        F.col("g").alias("g2"), F.col("ng").alias("n2d"),
+        (F.col("rg") / F.col("ng")).alias("mr2"),
+    )
+    pairs = a_.join(b_, F.col("g1") < F.col("g2")).crossJoin(
+        F.broadcast(glob)
+    )
+    se = F.sqrt(
+        (
+            F.col("n") * (F.col("n") + 1.0) / 12.0
+            - F.col("tie") / (12.0 * (F.col("n") - 1.0))
+        )
+        * (1.0 / F.col("n1d") + 1.0 / F.col("n2d"))
+    )
+    z = (F.col("mr1") - F.col("mr2")) / se
+    return pairs.select(
+        "g1",
+        "g2",
+        F.col("n1d").cast("long").alias("n1"),
+        F.col("n2d").cast("long").alias("n2"),
+        F.round(F.col("mr1") + 1e-9, 6).alias("mean_rank_1"),
+        F.round(F.col("mr2") + 1e-9, 6).alias("mean_rank_2"),
+        F.round(z + 1e-9, 6).alias("dunn_z"),
+        (F.abs(z) > 2.807).alias("significant"),
+    ).orderBy("g1", "g2")
+
+
+@staged(
+    "decision_stump_purchase_hour",
+    oracle="""
+    WITH hc AS (
+      SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    cum AS (
+      SELECT h,
+             sum(n) OVER (ORDER BY h) AS nl,
+             sum(y) OVER (ORDER BY h) AS yl
+      FROM hc),
+    tot AS (SELECT sum(n) AS nt, sum(y) AS yt FROM hc),
+    splits AS (
+      SELECT cum.h + 1 AS thr, cum.nl, cum.yl,
+             tot.nt - cum.nl AS nr, tot.yt - cum.yl AS yr,
+             tot.nt, tot.yt
+      FROM cum CROSS JOIN tot
+      WHERE cum.nl > 0 AND tot.nt - cum.nl > 0),
+    scored AS (
+      SELECT thr, nl, nr,
+             yl / nl AS pl, yr / nr AS pr,
+             round((nl / nt) * 2.0 * (yl / nl) * (1.0 - yl / nl)
+                   + (nr / nt) * 2.0 * (yr / nr) * (1.0 - yr / nr)
+                   + 1e-12, 10) AS gsplit,
+             2.0 * (yt / nt) * (1.0 - yt / nt) AS groot
+      FROM splits),
+    best AS (
+      SELECT * FROM scored ORDER BY gsplit, thr LIMIT 1)
+    SELECT CAST(thr AS BIGINT) AS split_hour,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           round(pl + 1e-9, 6) AS p_left,
+           round(pr + 1e-9, 6) AS p_right,
+           round(groot + 1e-9, 6) AS gini_root,
+           round(gsplit + 1e-9, 6) AS gini_split,
+           round(groot - gsplit + 1e-9, 6) AS gini_gain
+    FROM best
+    """,
+)
+def decision_stump_purchase_hour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimal depth-1 decision tree (stump) for P(purchase | hour):
+    scan all 23 'hour < thr' splits, score each by weighted Gini
+    impurity (nL/N)·2 pL(1-pL) + (nR/N)·2 pR(1-pR), and return the
+    minimizer with its leaves — the CART split-finding kernel reduced
+    to its distributed essence (split scores come entirely from
+    cumulative sufficient statistics, never from re-scanning data per
+    candidate; this is exactly how XGBoost/LightGBM histogram split
+    finding works at scale). Split score quantized to 10 dp before
+    the argmin (selection rule), earliest-threshold tiebreak;
+    continuous complement to ``logistic_irls_purchase_hour`` on the
+    identical 24-cell frame.
+
+    Scale shape: ONE data-sized conditional aggregate to 24 cells;
+    candidate scoring is a window cumsum + 24-row scalar algebra."""
+    e = Tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hc = e.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    )
+    wh = Window.orderBy("h")
+    cum = hc.select(
+        "h",
+        F.sum("n").over(wh).alias("nl"),
+        F.sum("y").over(wh).alias("yl"),
+    )
+    tot = hc.agg(F.sum("n").alias("nt"), F.sum("y").alias("yt"))
+    sp = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            (F.col("h") + 1).alias("thr"),
+            "nl",
+            "yl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("yt") - F.col("yl")).alias("yr"),
+            "nt",
+            "yt",
+        )
+    )
+    pl = F.col("yl") / F.col("nl")
+    pr = F.col("yr") / F.col("nr")
+    gsplit = F.round(
+        (F.col("nl") / F.col("nt")) * 2.0 * pl * (1.0 - pl)
+        + (F.col("nr") / F.col("nt")) * 2.0 * pr * (1.0 - pr)
+        + 1e-12,
+        10,
+    )
+    groot = 2.0 * (F.col("yt") / F.col("nt")) * (
+        1.0 - F.col("yt") / F.col("nt")
+    )
+    scored = sp.select(
+        "thr",
+        "nl",
+        "nr",
+        pl.alias("pl"),
+        pr.alias("pr"),
+        gsplit.alias("gsplit"),
+        groot.alias("groot"),
+    )
+    best = scored.orderBy("gsplit", "thr").limit(1)
+    return best.select(
+        F.col("thr").cast("long").alias("split_hour"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.round(F.col("pl") + 1e-9, 6).alias("p_left"),
+        F.round(F.col("pr") + 1e-9, 6).alias("p_right"),
+        F.round(F.col("groot") + 1e-9, 6).alias("gini_root"),
+        F.round(F.col("gsplit") + 1e-9, 6).alias("gini_split"),
+        F.round(F.col("groot") - F.col("gsplit") + 1e-9, 6).alias(
+            "gini_gain"
+        ),
     )

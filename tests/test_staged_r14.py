@@ -1301,3 +1301,195 @@ def test_ansari_bradley_matches_python_scores(spark):
         vw = n * m * (nn + 1.0) * (3.0 + nn * nn) / (48.0 * nn * nn)
     assert abs(r["ab_mean"] - ew) < 1e-6
     assert abs(r["ab_z"] - (w - ew) / math.sqrt(vw)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Wave 13 pins
+# ---------------------------------------------------------------------------
+
+
+def test_pettitt_matches_bruteforce_sgn(spark):
+    """O(n^2) direct sign-sum replay of U_t — proves the midrank
+    identity the op relies on."""
+    import numpy as np
+
+    fn, _ = STAGED["pettitt_change_point_daily"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    pdf = _daily_pdf(spark).sort_values("t")
+    y = np.round(pdf["y"].to_numpy() + 1e-9, 4)
+    t = pdf["t"].to_numpy()
+    n = len(y)
+    sg = np.sign(y[:, None] - y[None, :])
+    best_u, best_t = -1.0, None
+    for k in range(1, n):
+        u = abs(sg[:k, k:].sum())
+        if u > best_u:
+            best_u, best_t = u, t[k - 1]
+    assert r["n_days"] == n
+    assert abs(r["k_stat"] - best_u) < 1e-6
+    assert r["change_day"] == best_t
+    p = 2.0 * math.exp(-6.0 * best_u**2 / (n**3 + n**2))
+    assert abs(r["p_approx"] - p) < 1e-6
+
+
+def test_generalized_esd_matches_python_removal(spark):
+    """Pure-Python replay of the 5-round remove-the-max-|z| ladder."""
+    import numpy as np
+
+    fn, _ = STAGED["generalized_esd_daily"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert [r["esd_round"] for r in rows] == [1, 2, 3, 4, 5]
+    pdf = _daily_pdf(spark)
+    vals = {
+        int(t): v
+        for t, v in zip(
+            pdf["t"], np.round(pdf["y"].to_numpy() + 1e-9, 4)
+        )
+    }
+    removed = []
+    for r in rows:
+        ts = sorted(vals)
+        y = np.array([vals[t] for t in ts])
+        m, s = y.mean(), y.std(ddof=1)
+        rs = np.round(np.abs(y - m) / s + 1e-12, 8)
+        best = max(range(len(ts)), key=lambda i: (rs[i], -ts[i]))
+        assert r["day"] == ts[best]
+        assert abs(r["r_stat"] - round(rs[best] + 1e-9, 6)) < 1e-9
+        removed.append(ts[best])
+        del vals[ts[best]]
+    assert len(set(removed)) == 5
+
+
+def test_ripley_k_monotone_and_bruteforce(spark):
+    """Brute-force cell-pair recount; K and pair counts are monotone
+    in r and L = sqrt(K/pi)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ror_etl_spark.queries.staged_r12 import _lehmer_u
+    from ror_etl_spark.queries.staged_r14 import _GRID
+
+    fn, _ = STAGED["ripley_k_quantized_plane"]
+    rows = sorted(fn(spark, SF_SMALL).collect(), key=lambda r: r["r"])
+    ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    cx = ((F.col("user_id") % 7) * 37 % 100) / 100.0 * 6.0 - 3.0
+    cy = ((F.col("user_id") % 7) * 53 % 100) / 100.0 * 6.0 - 3.0
+    pts = ev.select(
+        (cx + (_lehmer_u(F.col("event_id") * 2 + 1) - 0.5) * 0.8).alias("x"),
+        (cy + (_lehmer_u(F.col("event_id") * 2 + 2) - 0.5) * 0.8).alias("y"),
+    ).toPandas()
+    gx = np.minimum(
+        np.floor((pts["x"] + 4.0) / 8.0 * _GRID).astype(int), _GRID - 1
+    )
+    gy = np.minimum(
+        np.floor((pts["y"] + 4.0) / 8.0 * _GRID).astype(int), _GRID - 1
+    )
+    from collections import Counter
+
+    cells = Counter(zip(gx, gy))
+    n = sum(cells.values())
+    ks = sorted(cells)
+    prev_pairs = -1
+    for row in rows:
+        r = row["r"]
+        pairs = 0
+        for (ax, ay), ca in cells.items():
+            for (bx, by), cb in cells.items():
+                d2 = (ax - bx) ** 2 + (ay - by) ** 2
+                if d2 <= r * r:
+                    pairs += ca * (ca - 1) if (ax, ay) == (bx, by) else ca * cb
+        assert row["n_points"] == n
+        assert row["pairs_le_r"] == pairs
+        k = _GRID * _GRID * pairs / (n * (n - 1.0))
+        assert abs(row["k_hat"] - k) < 1e-4
+        assert abs(row["l_hat"] - math.sqrt(k / math.pi)) < 1e-4
+        assert pairs >= prev_pairs
+        prev_pairs = pairs
+    assert ks
+
+
+def test_dunn_matches_pandas_midranks(spark):
+    """Pandas rank(method='average') on the RAW delays reproduces the
+    bounded distinct-value midrank construction and every pair z."""
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["dunn_posthoc_ship_delay_priority"]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    li = spark.read.parquet(os.path.join(SF_SMALL, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    pdf = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("d"),
+        )
+        .toPandas()
+    )
+    pdf["rank"] = pdf["d"].rank(method="average")
+    nn = len(pdf)
+    vc = pdf["d"].value_counts()
+    tie = float((vc**3 - vc).sum())
+    gstats = pdf.groupby("g")["rank"].agg(["count", "mean"])
+    for r in rows:
+        n1, m1 = gstats.loc[r["g1"]]
+        n2, m2 = gstats.loc[r["g2"]]
+        assert r["n1"] == int(n1) and r["n2"] == int(n2)
+        assert abs(r["mean_rank_1"] - m1) < 1e-4
+        assert abs(r["mean_rank_2"] - m2) < 1e-4
+        se = math.sqrt(
+            (nn * (nn + 1) / 12.0 - tie / (12.0 * (nn - 1)))
+            * (1.0 / n1 + 1.0 / n2)
+        )
+        z = (m1 - m2) / se
+        assert abs(r["dunn_z"] - z) < 1e-4
+        assert r["significant"] == (abs(z) > 2.807)
+
+
+def test_stump_matches_bruteforce_splits(spark):
+    """Brute-force all 23 thresholds in pandas; gain >= 0 and leaves
+    are probabilities."""
+    import pyspark.sql.functions as F
+
+    fn, _ = STAGED["decision_stump_purchase_hour"]
+    r = fn(spark, SF_SMALL).collect()[0]
+    e = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    pdf = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.hour("ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .toPandas()
+        .sort_values("h")
+    )
+    nt, yt = pdf["n"].sum(), pdf["y"].sum()
+    best = None
+    for thr in sorted(pdf["h"] + 1):
+        nl = pdf[pdf.h < thr]["n"].sum()
+        yl = pdf[pdf.h < thr]["y"].sum()
+        nr, yr = nt - nl, yt - yl
+        if nl == 0 or nr == 0:
+            continue
+        pl, pr = yl / nl, yr / nr
+        g = round(
+            (nl / nt) * 2 * pl * (1 - pl) + (nr / nt) * 2 * pr * (1 - pr)
+            + 1e-12,
+            10,
+        )
+        if best is None or (g, thr) < best[:2]:
+            best = (g, thr, nl, nr, pl, pr)
+    g, thr, nl, nr, pl, pr = best
+    assert r["split_hour"] == thr
+    assert r["n_left"] == nl and r["n_right"] == nr
+    assert abs(r["p_left"] - pl) < 1e-5 and abs(r["p_right"] - pr) < 1e-5
+    groot = 2 * (yt / nt) * (1 - yt / nt)
+    assert abs(r["gini_gain"] - (groot - g)) < 1e-5
+    assert r["gini_gain"] >= 0.0
+    assert 0.0 <= r["p_left"] <= 1.0 and 0.0 <= r["p_right"] <= 1.0

@@ -58,6 +58,11 @@ EVENTS_OPS = [
     "taylor_power_law_users",
     "poisson_glm_irls_daily",
     "ansari_bradley_weekend_scale",
+    # wave 13
+    "pettitt_change_point_daily",
+    "generalized_esd_daily",
+    "ripley_k_quantized_plane",
+    "decision_stump_purchase_hour",
 ]
 # ops needing the full table set (tpch10 carries every table at ~10x)
 TPCH_OPS = [
@@ -93,6 +98,8 @@ TPCH_OPS = [
     "katz_centrality_trade",
     # wave 12
     "bhattacharyya_hellinger_regions",
+    # wave 13
+    "dunn_posthoc_ship_delay_priority",
 ]
 EMB_OPS = [
     "embedding_cka_halves",
