@@ -9,6 +9,7 @@ driver queries.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -74,18 +75,80 @@ def _pagerank_oracle() -> str:
     )
 
 
+def _pr_trajectory_udf():
+    """Arrow kernel replaying the full 5-iteration quantized PageRank
+    trajectory on ONE row holding the aggregated edge list — the r12
+    optimization-round rewrite of the per-iteration join loop.
+
+    Why this is safe at any scale: the nation trade graph has at most
+    25² = 625 aggregated (u, v, w) edges and 25 nodes REGARDLESS of
+    fact-table size — the heavy, data-sized work (the 4-way fact join
+    and the groupBy(u, v) count) stays fully distributed, and only the
+    bounded aggregate crosses into the kernel. The old loop ran 5
+    shuffle rounds + 2 joins per round over 25-row frames: pure fixed
+    cost at every scale (31 Spark jobs per execution at sf0.1, 1.5 s of
+    AQE scheduling gaps — r12 event-log profile), with identical output.
+
+    Quantization semantics are preserved exactly: per-iteration ranks
+    round HALF_UP at 8 dp via ``Decimal(repr(x))`` — the same shortest
+    decimal-string construction as the JVM's ``BigDecimal.valueOf``
+    behind ``F.round`` — so the kernel's trajectory is the one the
+    unrolled DuckDB oracle replays (verified hash-identical at all
+    three test SFs). Edge fractions are the same IEEE divisions
+    (w / wu on exact integer weights); mass sums are float64 adds whose
+    order differences the 8 dp quantization absorbs, as it already did
+    between Spark's partial aggs and DuckDB's sequential sums."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql.functions import pandas_udf
+
+    q8 = Decimal("1E-8")
+
+    @pandas_udf("array<struct<id: int, pr: double>>")
+    def traj(es: pd.Series, ids: pd.Series) -> pd.Series:
+        def r8(x: float) -> float:
+            return float(Decimal(repr(float(x))).quantize(q8, ROUND_HALF_UP))
+
+        out = []
+        for edge_list, node_ids in zip(es, ids):
+            n = len(node_ids)
+            pos = {nid: i for i, nid in enumerate(node_ids)}
+            wu: dict = {}
+            for e in edge_list:
+                wu[e["u"]] = wu.get(e["u"], 0) + e["w"]
+            r = [r8(1.0 / n)] * n
+            for _ in range(_PR_ITERS):
+                mass = [0.0] * n
+                for e in edge_list:
+                    mass[pos[e["v"]]] += (e["w"] / wu[e["u"]]) * r[pos[e["u"]]]
+                r = [r8((1 - _PR_D) / n + _PR_D * m) for m in mass]
+            out.append(
+                [{"id": int(nid), "pr": r[i]} for i, nid in enumerate(node_ids)]
+            )
+        return pd.Series(out)
+
+    # asNondeterministic: same reason as the similarity kernels — stops
+    # Catalyst duplicating the Arrow eval below pushed filters.
+    return traj.asNondeterministic()
+
+
 @query("pagerank_nation_trade", oracle=_pagerank_oracle(), priority=2)
 def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation-level trade graph (supplier
     nation → customer nation, edge weight = shipment count), 5 iterations,
-    d=0.85. The iterative-join pattern is the same one the ultimate-parent
-    rollup uses: per iteration, ONE shuffle keyed by node id — rank flows
-    along edges (join on u), re-aggregates at the destination (groupBy v).
-    Edge fractions are precomputed once; per-iteration ranks are quantized
-    to 8 dp so the trajectory is engine-portable and the DuckDB oracle
-    replays all 5 iterations CTE-for-CTE. At 100 TB the edge list is the
-    big table and this exact plan holds — ranks are node-sized, edges
-    partition by source, and each iteration is a standard reduce."""
+    d=0.85, per-iteration ranks quantized to 8 dp so the trajectory is
+    engine-portable and the DuckDB oracle replays all 5 iterations
+    CTE-for-CTE.
+
+    Plan shape (r12 optimization round): the data-sized work — the
+    lineitem⋈orders⋈customer⋈supplier join and the groupBy(u, v) edge
+    count — is fully distributed and partial-aggregated; the result is
+    bounded at nation² = 625 rows AT ANY SCALE, so the 5 rank iterations
+    run in one bounded Arrow kernel on the collected edge aggregate
+    (``_pr_trajectory_udf``) instead of 5 join+groupBy shuffle rounds
+    over 25-row frames. Same trajectory, same hashes; 31 → ~7 Spark jobs
+    per execution (the old loop's per-round shuffles were fixed overhead
+    at every scale — see OPTIMIZATION_r12.md)."""
     t = Tables(spark, sf_dir)
     edges = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -96,32 +159,37 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    wout = edges.groupBy("u").agg(F.sum("w").alias("wu"))
-    efrac = (
-        edges.join(wout, "u")
-        .select("u", "v", (F.col("w") / F.col("wu")).alias("frac"))
-        .localCheckpoint(eager=False)
+    # one tagged union + ONE global aggregate collects both the edge list
+    # and the node-id list (collect_list skips nulls) — no join between
+    # the two 1-row aggregates, so the plan stays BNLJ-free (pinned by
+    # tests/test_plan_invariants.py) and one whole query stage disappears
+    ed = edges.select(
+        F.struct("u", "v", "w").alias("e"),
+        F.lit(None).cast(t.nation.schema["n_nationkey"].dataType).alias("nid"),
     )
-    nodes = t.nation.select(F.col("n_nationkey").alias("id"))
-    n = nodes.count()
-    ranks = nodes.select("id", F.round(F.lit(1.0 / n), _PR_ROUND).alias("pr"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            efrac.join(ranks, efrac["u"] == ranks["id"])
-            .select("v", (F.col("pr") * F.col("frac")).alias("m"))
-            .groupBy("v")
-            .agg(F.sum("m").alias("mass"))
+    nd = t.nation.select(
+        F.lit(None).cast(ed.schema["e"].dataType).alias("e"),
+        F.col("n_nationkey").alias("nid"),
+    )
+    one = ed.unionByName(nd).agg(
+        F.collect_list("e").alias("es"), F.collect_list("nid").alias("ids")
+    )
+    traj = _pr_trajectory_udf()
+    return (
+        one
+        .select(F.explode(traj(F.col("es"), F.col("ids"))).alias("r"))
+        .select(
+            F.col("r.id").alias("nationkey"),
+            F.round(F.col("r.pr"), 6).alias("pagerank"),
         )
-        ranks = nodes.join(contrib, nodes["id"] == contrib["v"], "left").select(
-            "id",
-            F.round(
-                F.lit((1 - _PR_D) / n) + _PR_D * F.coalesce("mass", F.lit(0.0)),
-                _PR_ROUND,
-            ).alias("pr"),
-        )
-    return ranks.select(
-        F.col("id").alias("nationkey"), F.round("pr", 6).alias("pagerank")
-    ).orderBy(F.desc("pagerank"), F.asc("nationkey"))
+        # total order without a range exchange: the kernel's explode
+        # output is a single partition (child of a single-row aggregate),
+        # so a partition-local sort IS the global sort — a plain orderBy
+        # would range-sample, which executes the Arrow kernel twice
+        # (r12 event-log profile: two ~0.25 s single-task UDF jobs).
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("pagerank"), F.asc("nationkey"))
+    )
 
 
 @query(
