@@ -43,6 +43,32 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array, as array<string>.
+
+    Same strings as ``transform(sequence(0, size(t)-n), i ->
+    array_join(slice(t, i+1, n), ' '))`` but built from n shifted
+    ``slice``s folded with ``zip_with``: a higher-order lambda
+    re-evaluates every OUTER expression it references per element, so
+    the indexed form re-ran the token-array expression (typically a
+    ``split`` of the document) once per position — O(n_positions)
+    re-tokenizes per document (r12 event-log profile; the same trap as
+    ``operators.dedup.shingles``). Here the array children are
+    evaluated once per row and the lambdas touch only their own
+    arguments.
+
+    Callers must guard ``size(toks) >= n`` (as all current sites do —
+    the indexed form's ``sequence(0, negative)`` was equally undefined
+    there); this form returns [] for shorter inputs."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """Cheap LLM-token estimate: count word-piece-ish units — runs of
     letters, runs of digits, or single punctuation — via regex extraction.

@@ -54,18 +54,17 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy count partial-aggregates map-side. At 100 TB you'd hash
     phrases to 64-bit before the shuffle and resolve strings for the
     survivors only — the plan shape is unchanged."""
+    from ror_etl_spark.functions.text import word_ngrams
+
     d = spread(Tables(spark, sf_dir).documents)
     t = F.split(F.col("text"), " ")
+    # word_ngrams, not transform(sequence, i -> slice(t, ...)): the indexed
+    # lambda re-split the text once per position (see word_ngrams docstring)
     grams = (
         d.filter(F.size(t) >= _NGRAM_N)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(t) - _NGRAM_N),
-                    lambda i: F.array_join(F.slice(t, i + 1, _NGRAM_N), " "),
-                )
-            ).alias("phrase"),
+            F.explode(word_ngrams(t, _NGRAM_N)).alias("phrase"),
         )
         .distinct()
     )
@@ -107,16 +106,16 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram. Machine-generated / low-quality text repeats phrases; a top
     bigram covering ≥5% of all bigrams flags the doc. Two map-side-
     combined aggregations keyed by doc_id — no joins, no UDFs."""
+    from ror_etl_spark.functions.text import word_ngrams
+
     d = spread(Tables(spark, sf_dir).documents)
     t = F.split(F.col("text"), " ")
+    # word_ngrams, not transform(sequence, i -> element_at(t, ...)): the
+    # indexed lambda re-split the text twice per position (word_ngrams
+    # docstring); the joined strings are identical
     bi = d.filter(F.size(t) >= 2).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - 2),
-                lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
-            )
-        ).alias("bigram"),
+        F.explode(word_ngrams(t, 2)).alias("bigram"),
     )
     cnt = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
     top = cnt.groupBy("doc_id").agg(
@@ -296,18 +295,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB shape (the benchmark is always driver-scale, the corpus
     never is). Reported per contaminated doc so the pipeline can drop or
     audit them."""
+    from ror_etl_spark.functions.text import word_ngrams
+
     d = spread(Tables(spark, sf_dir).documents)
     t = F.split(F.col("text"), " ")
+    # word_ngrams (slice/zip_with), not the indexed transform lambda — the
+    # latter re-split the text once per position (word_ngrams docstring)
     grams = (
         d.filter(F.size(t) >= _DECON_N)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(t) - _DECON_N),
-                    lambda i: F.array_join(F.slice(t, i + 1, _DECON_N), " "),
-                )
-            ).alias("g"),
+            F.explode(word_ngrams(t, _DECON_N)).alias("g"),
         )
         .distinct()
     )
@@ -379,7 +377,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Eval docs (doc_id < 25) are excluded from the OUTPUT corpus but vote
     their n-grams into the contamination index."""
-    from ror_etl_spark.functions.text import fingerprint_md5
+    from ror_etl_spark.functions.text import fingerprint_md5, word_ngrams
     from pyspark.sql import Window
 
     d = spread(Tables(spark, sf_dir).documents)
@@ -397,17 +395,13 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("fp", "rn")
     )
+    # word_ngrams (slice/zip_with), not the indexed transform lambda — the
+    # latter re-split the text once per position (word_ngrams docstring);
+    # survivors of the quality gate always have >= 50 >= _DECON_N words
     grams = (
         exact.select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.split("text", " ")) - _DECON_N),
-                    lambda i: F.array_join(
-                        F.slice(F.split(F.col("text"), " "), i + 1, _DECON_N), " "
-                    ),
-                )
-            ).alias("g"),
+            F.explode(word_ngrams(F.split(F.col("text"), " "), _DECON_N)).alias("g"),
         )
         .distinct()
     )
