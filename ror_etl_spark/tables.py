@@ -26,11 +26,34 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# Schema cache — METADATA only, the same role a catalog/metastore plays in
+# production (a 100 TB deployment never re-infers schemas per query).
+# ``spark.read.parquet`` runs driver-side footer reading + schema
+# inference on every call: measured ~90 ms per table, ~0.6 s per
+# construction of a 7-table TPC-H query — pure fixed driver latency paid
+# inside every timed bench rep (guide §5: the driver should do almost no
+# data work). Keyed by (absolute path, mtime_ns) so any rewrite of the
+# files invalidates the entry; no DATA or query RESULTS are ever cached
+# here — every execution still scans the parquet inputs.
+_SCHEMA_CACHE: dict = {}
+
 
 class Tables:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
+
+    def _read(self, path: str) -> DataFrame:
+        try:
+            key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+        except OSError:
+            return self.spark.read.parquet(path)
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            df = self.spark.read.parquet(path)
+            _SCHEMA_CACHE[key] = df.schema
+            return df
+        return self.spark.read.schema(schema).parquet(path)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name not in TABLE_NAMES:
@@ -39,7 +62,7 @@ class Tables:
             # the driver may hand us a vanilla session — this legacy conf is
             # runtime-settable and required to read TIMESTAMP(NANOS) parquet
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+        df = self._read(os.path.join(self.sf_dir, f"{name}.parquet"))
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # Some driver datasets write events.ts as TIMESTAMP(NANOS),
             # surfaced as long ns under nanosAsLong; current ones write
