@@ -738,30 +738,42 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windows only), ~99.9% fewer md5 calls under gram repetition, and
     # two window shuffles gone. The prior relational form and its
     # pushdown trap are preserved in git history.
-    per_doc = Window.partitionBy("doc_id")
     fp_set = winnow_fp_set_udf()
     fps = d.select(
         "doc_id", F.explode(fp_set(normalize_text(F.col("text")))).alias("fp")
     )
-    capped = fps.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("df") <= 50)
-    # the self-join's two sides are canonically identical, so the runtime
-    # computes the pre-join shuffle once (unlike the CONSECUTIVE-id ngram
-    # join, whose asymmetric keys defeat reuse and need the checkpoint) —
-    # measured: a localCheckpoint here changes nothing at either tier
-    x = capped.select("doc_id", "fp").withColumn(
-        "nf", F.count(F.lit(1)).over(per_doc)
+    # r12 (guide §2.4): the per-doc kept-fingerprint count used to ride a
+    # SECOND full-stream window (shuffle everything by doc_id) before the
+    # pair join re-shuffled by fp. Instead: checkpoint the capped stream
+    # once — it now has THREE consumers (both self-join sides and the
+    # per-doc count aggregate), and without the checkpoint Catalyst plans
+    # each consumer as a fresh scan→UDF→window subtree (measured: the
+    # fingerprint ArrowEvalPython stage ran 3×, +14% wall) — then
+    # aggregate pairs off it and attach the per-doc counts, a
+    # map-side-combined aggregate one row per doc, to the far smaller
+    # aggregated pair frame. Same jac arithmetic; the doc_id window's
+    # data-sized shuffle is gone and the fingerprint stage runs once.
+    capped = (
+        fps.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= 50)
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
     )
-    a, b = x.alias("a"), x.alias("b")
-    shared = F.count(F.lit(1)).cast("double")
-    jac = F.round(
-        shared / (F.any_value(F.col("a.nf")) + F.any_value(F.col("b.nf")) - shared), 4
-    )
-    return (
+    nf = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(jac.alias("jac"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    nfa = nf.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("nfa"))
+    nfb = nf.select(F.col("doc_id").alias("id_b"), F.col("nf").alias("nfb"))
+    shared = F.col("shared").cast("double")
+    jac = F.round(shared / (F.col("nfa") + F.col("nfb") - shared), 4)
+    return (
+        pairs.join(nfa, "id_a")
+        .join(nfb, "id_b")
+        .select("id_a", "id_b", jac.alias("jac"))
         .filter(F.col("jac") >= 0.5)
         .orderBy("id_a", "id_b")
     )
@@ -974,23 +986,27 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ror_etl_spark.operators.util import spread
 
     d = spread(Tables(spark, sf_dir).documents)
-    # the (doc_id, shingle) expansion feeds five consumers (df counts, doc
-    # sizes, ranking, and both sides of the verify join) — checkpoint it
-    # once or the normalize/split/concat pipeline re-executes per consumer
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh")
+    # checkpoint the per-doc DISTINCT SHINGLE ARRAY, not the exploded
+    # (doc_id, shingle) stream (r12: the exploded form stored one fat row
+    # per shingle and then re-aggregated BY DOC three times to rebuild
+    # what this frame already holds — a groupBy count for |d| and a
+    # collect_list forward index for each verify side. Deriving |d| as
+    # size(ss) and reading the forward index straight off the checkpoint
+    # removes the nt aggregate, its doc-keyed join, and both collect_list
+    # shuffles; guide §2.4). The array frame feeds the df counts and the
+    # ranking through a cheap explode of checkpointed arrays.
+    docarr = d.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("ss")
     ).localCheckpoint(eager=False)
+    toks = docarr.select(
+        "doc_id", F.size("ss").alias("nt"), F.explode("ss").alias("sh")
+    )
     dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    nt = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
-    ranked = (
-        toks.join(dfreq, "sh")
-        .join(nt, "doc_id")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
-            ),
-        )
+    ranked = toks.join(dfreq, "sh").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+        ),
     )
     prefix = ranked.filter(
         F.col("rk") <= F.floor((1 - _PF_T) * F.col("nt")) + 1
@@ -1023,13 +1039,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_intersect size IS the overlap). Neither index side is
     # broadcast: at 100 TB the forward index is corpus-sized, so both
     # attachments stay shuffle joins on the candidate's doc keys.
-    # both candidate sides consume the index; recomputing the agg per side
-    # beats materializing it (measured: a localCheckpoint here costs ~10%
-    # at BOTH sf0.1 and sf1 — the wide array column is expensive to spill
-    # and cheap to rebuild from the checkpointed toks)
-    arrs = toks.groupBy("doc_id").agg(F.collect_list("sh").alias("ss"))
-    sa = arrs.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ssa"))
-    sb = arrs.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ssb"))
+    # both candidate sides read the checkpointed array frame directly —
+    # no re-aggregation at all (the former collect_list per side rebuilt
+    # the arrays the checkpoint already stores; array_intersect/size are
+    # order-insensitive, so the set-semantics arrays are interchangeable)
+    sa = docarr.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ssa"))
+    sb = docarr.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ssb"))
     inter = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
