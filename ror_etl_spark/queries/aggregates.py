@@ -46,7 +46,6 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
             F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -110,8 +109,6 @@ def cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.cube("o_orderstatus", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), ravg4(F.avg("o_totalprice")).alias("avg_price"))
-        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
-                 F.col("c_mktsegment").asc_nulls_first())
     )
 
 

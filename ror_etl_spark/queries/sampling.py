@@ -84,7 +84,6 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
             F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
         )
-        .orderBy("o_orderstatus")
     )
 
 

@@ -36,7 +36,6 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("total"))
         .select(F.col("w.start").alias("wstart"), "event_type", "n", "total")
-        .orderBy("wstart", "event_type")
     )
 
 
@@ -104,7 +103,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id", "user_id", "ts", "purchase_event_id", "purchase_value"
-    ).orderBy("event_id")
+    )
 
 
 @query(

@@ -63,7 +63,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         r4(F.col("n_unique").cast("double") / F.col("n_tokens")).alias("ttr"),
         "n_chars",
-    ).transform(ordered, "doc_id")
+    )
 
 
 @query(
@@ -260,7 +260,6 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", st(normalize_text(F.col("text"))).alias("st"))
         .select("doc_id", "st.n_kgrams", "st.n_fingerprints", "st.min_fp")
-        .transform(ordered, "doc_id")
     )
 
 
@@ -312,7 +311,6 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
         )
-        .orderBy("source", "bin")
     )
 
 

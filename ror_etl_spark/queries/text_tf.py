@@ -76,7 +76,6 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("doc_id") <= 100))
         .select("doc_id", "tok", "tfidf")
-        .orderBy("doc_id")
     )
 
 

@@ -86,7 +86,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 1e-9
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
     )
 
 
@@ -135,7 +134,6 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
         .agg(r2(F.sum(profit)).alias("profit"))
-        .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
 
@@ -352,5 +350,4 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_name"))
     )

@@ -94,9 +94,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the tests' recall baseline. The oracle replays the seeded buckets in
     SQL, so the result is hash-checked end to end."""
     emb = Tables(spark, sf_dir).embeddings
-    return lsh_near_dup_pairs(emb, threshold=0.4, dim=64, n_planes=6).orderBy(
-        "id_a", "id_b"
-    )
+    # no trailing sort: gate hashes order-insensitively (cf. ultimate_parent_rollup_wide)
+    return lsh_near_dup_pairs(emb, threshold=0.4, dim=64, n_planes=6)
 
 
 def _near_dup_tuned_oracle(

