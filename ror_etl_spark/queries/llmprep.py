@@ -127,7 +127,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round(share, 4).alias("top_share"),
         (share >= 0.05).alias("is_repetitive"),
-    ).transform(ordered, "doc_id")
+    )
 
 
 @query(
@@ -378,7 +378,6 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Eval docs (doc_id < 25) are excluded from the OUTPUT corpus but vote
     their n-grams into the contamination index."""
     from ror_etl_spark.functions.text import fingerprint_md5, word_ngrams
-    from pyspark.sql import Window
 
     d = spread(Tables(spark, sf_dir).documents)
     t = F.split(F.col("text"), " ")
@@ -387,30 +386,37 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d.filter(
         (n_words >= 50) & (mean_wl >= 3) & (mean_wl <= 10) & (F.col("lang") == "en")
     ).select("doc_id", "text", n_words.alias("n_words"))
+    # keep-lowest-doc_id per fingerprint as ONE hash aggregate:
+    # min(struct(doc_id, ...)) short-circuits on the unique doc_id, so it
+    # picks exactly the row the former row_number window kept — but as a
+    # partially-aggregated HashAggregate instead of a full per-partition
+    # SORT of fat text rows under the same exchange (guide §2.3,
+    # aggregate before you shuffle; r12: Sort+Window → HashAggregate).
     exact = (
-        kept.withColumn("fp", fingerprint_md5(F.col("text")))
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-        )
-        .filter(F.col("rn") == 1)
-        .drop("fp", "rn")
+        kept.groupBy(fingerprint_md5(F.col("text")).alias("fp"))
+        .agg(F.min(F.struct("doc_id", "text", "n_words")).alias("r"))
+        .select("r.doc_id", "r.text", "r.n_words")
     )
     # word_ngrams (slice/zip_with), not the indexed transform lambda — the
     # latter re-split the text once per position (word_ngrams docstring);
     # survivors of the quality gate always have >= 50 >= _DECON_N words
-    grams = (
-        exact.select(
-            "doc_id",
-            F.explode(word_ngrams(F.split(F.col("text"), " "), _DECON_N)).alias("g"),
-        )
-        .distinct()
+    grams = exact.select(
+        "doc_id",
+        F.explode(word_ngrams(F.split(F.col("text"), " "), _DECON_N)).alias("g"),
     )
+    # r12 (guide §2.3/§2.4): no global distinct on the full gram stream —
+    # that was a data-sized shuffle of every (doc_id, 8-gram) pair whose
+    # only job was de-duplicating within-doc repeats. The broadcast
+    # semi-join drops non-matching grams map-side, so only MATCHED grams
+    # (bounded by eval-doc vocabulary) reach a shuffle, and
+    # count_distinct(g) per doc counts exactly what the old
+    # distinct-then-count counted.
     eval_grams = grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("g").distinct()
     contaminated = (
         grams.filter(F.col("doc_id") >= _EVAL_MAX_ID)
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("ns"))
+        .agg(F.count_distinct("g").alias("ns"))
         .filter(F.col("ns") >= 3)
         .select("doc_id")
     )
@@ -428,7 +434,6 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").cast("long").alias("n_tokens"),
         )
-        .orderBy("split")
     )
 
 
