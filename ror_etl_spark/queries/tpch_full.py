@@ -322,6 +322,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — both equi on l_orderkey, so all three self-join legs
     co-partition on the same key: one shuffle partitioning reused across
     the whole plan at any scale."""
+    from pyspark.sql import Window
+
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
     l1 = (
@@ -329,20 +331,47 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = li.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"),
-                   F.col("l_shipdate").alias("d3"))
-    cand = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("k2")) & (F.col("s2") != F.col("l_suppkey")),
-        "left_semi",
+    # r12 (guide §2.4): the semi + anti self-join legs shuffled lineitem
+    # three times for predicates that are all functions of the ORDER's
+    # line set. A line (s, d) survives both legs iff the order has a
+    # second supplier (semi) and no OTHER supplier ships strictly after d
+    # (anti), i.e. d >= max shipdate among the other suppliers' lines.
+    # That per-(order, supplier) "max of the others" follows from the
+    # standard two-max trick: it is the order max M unless s is the
+    # UNIQUE supplier shipping at M, in which case it is the max over the
+    # remaining suppliers' lines. Four chained window expressions over
+    # the same l_orderkey partitioning compute it with ONE exchange of
+    # the fact table; proved row-identical against the DuckDB oracle's
+    # EXISTS/NOT EXISTS form at all three SFs.
+    w = Window.partitionBy("l_orderkey")
+    staged = (
+        l1.withColumn("max_d", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "supp_at_max",
+            F.collect_set(
+                F.when(F.col("l_shipdate") == F.col("max_d"), F.col("l_suppkey"))
+            ).over(w),
+        )
+        .withColumn(
+            # max shipdate among suppliers OTHER than the unique max
+            # holder — only consulted when that holder exists
+            "max_d_rest",
+            F.max(
+                F.when(
+                    F.col("l_suppkey") != F.element_at(F.col("supp_at_max"), 1),
+                    F.col("l_shipdate"),
+                )
+            ).over(w),
+        )
     )
-    cand = cand.join(
-        l3,
-        (F.col("l_orderkey") == F.col("k3"))
-        & (F.col("s3") != F.col("l_suppkey"))
-        & (F.col("d3") > F.col("l_shipdate")),
-        "left_anti",
+    max_other = F.when(
+        (F.size("supp_at_max") == 1)
+        & (F.col("l_suppkey") == F.element_at(F.col("supp_at_max"), 1)),
+        F.col("max_d_rest"),
+    ).otherwise(F.col("max_d"))
+    cand = staged.filter(
+        (F.col("n_supp") >= 2) & (F.col("l_shipdate") >= max_other)
     )
     supp = t.supplier.filter(F.col("s_nationkey").isin(0, 2)).select(
         "s_suppkey", "s_name")

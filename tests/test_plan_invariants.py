@@ -114,11 +114,23 @@ def test_q8_star_join_broadcasts_dims(spark):
     assert "CartesianProduct" not in p
 
 
-def test_q21_self_joins_are_semi_and_anti(spark):
+def test_q21_single_fact_exchange(spark):
+    # r12: the EXISTS/NOT EXISTS legs are four chained window expressions
+    # over one l_orderkey partitioning — lineitem must be exchanged ONCE
+    # (the only other exchange is the final tiny groupBy(s_name)), with
+    # no self-join legs left in the plan
     p = plan_of(spark, "q21_waiting_supplier")
-    assert "LeftSemi" in p
-    assert "LeftAnti" in p
+    assert "LeftSemi" not in p
+    assert "LeftAnti" not in p
+    assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+    assert p.count("Window") >= 3
+    import re
+
+    # hashpartitioning exchanges: one for the window (l_orderkey), one for
+    # the final aggregate (s_name) — broadcast exchanges excluded
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_shuffles <= 2, p
 
 
 def test_q13_left_join_keeps_zero_order_customers(spark):
