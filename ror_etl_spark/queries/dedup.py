@@ -998,8 +998,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docarr.select(
         "doc_id", F.size("ss").alias("nt"), F.explode("ss").alias("sh")
     )
-    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = toks.join(dfreq, "sh").withColumn(
+    # r12 (guide §2.4): document frequency as ONE window count over the
+    # sh partitioning — toks are doc-distinct, so count-per-sh IS df. The
+    # former groupBy(sh) + join-back-by-sh shape shuffled the token
+    # stream twice for the same key (the partial-agg subtree is not
+    # canonically equal to the probe side, so AQE cannot reuse the
+    # exchange between them).
+    ranked = toks.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
