@@ -744,26 +744,42 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 (guide §2.4): the per-doc kept-fingerprint count used to ride a
     # SECOND full-stream window (shuffle everything by doc_id) before the
-    # pair join re-shuffled by fp. Instead: checkpoint the capped stream
-    # once — it now has THREE consumers (both self-join sides and the
-    # per-doc count aggregate), and without the checkpoint Catalyst plans
-    # each consumer as a fresh scan→UDF→window subtree (measured: the
-    # fingerprint ArrowEvalPython stage ran 3×, +14% wall) — then
-    # aggregate pairs off it and attach the per-doc counts, a
-    # map-side-combined aggregate one row per doc, to the far smaller
-    # aggregated pair frame. Same jac arithmetic; the doc_id window's
-    # data-sized shuffle is gone and the fingerprint stage runs once.
-    capped = (
+    # pair join re-shuffled by fp. Instead: after the df window caps hot
+    # fingerprints at 50 docs, collapse each fingerprint to its sorted
+    # doc list with a groupBy ON THE SAME fp KEY (no new exchange — the
+    # window already established that partitioning) and generate the
+    # co-occurrence pairs as an array-combination expression inside the
+    # group: the fp self-join and its shuffle disappear entirely, and
+    # the checkpoint (the frame has two consumers — pair stream and
+    # per-doc counts; un-checkpointed, Catalyst plans each as a fresh
+    # scan→UDF→window subtree) stores one slim row per fingerprint
+    # instead of the exploded stream. Group size ≤ 50 bounds the
+    # quadratic pair expansion per group. Same jac arithmetic.
+    groups = (
         fps.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("df") <= 50)
-        .select("doc_id", "fp")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .localCheckpoint(eager=False)
     )
-    nf = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
-    a, b = capped.alias("a"), capped.alias("b")
+    nf = (
+        groups.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    ds = F.col("ds")
+    combos = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        groups.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     nfa = nf.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("nfa"))
