@@ -199,15 +199,17 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas. The oracle predicts every decoded value
     from the generation rule — a decoder bug (filter math, channel
     layout, dimension parse) breaks the hash."""
-    from ror_etl_spark.sources.multimodal import decode_stats, png_media_from_documents
+    from ror_etl_spark.sources.multimodal import png_decode_stats_from_documents
 
     from ror_etl_spark.operators.util import spread
 
     # PNG encode+decode is CPU-bound Python work per row — fan the
-    # single-file scan out before mapInPandas (14s -> ~1s at sf0.1)
+    # single-file scan out before mapInPandas (14s -> ~1s at sf0.1).
+    # r12: fixture + decode fused into ONE mapInPandas (guide §4) — the
+    # generated PNG bytes no longer round-trip JVM→Python→JVM between
+    # the encode and decode operators.
     d = spread(Tables(spark, sf_dir).documents)
-    media = png_media_from_documents(d)
-    stats = decode_stats(media)
+    stats = png_decode_stats_from_documents(d)
     return stats.select(
         "media_id",
         "fmt",

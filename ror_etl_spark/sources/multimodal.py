@@ -430,33 +430,40 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     Built in mapInPandas (Arrow-batched) because PNG encoding is
     imperative byte work — the fixture path, not a hot path."""
 
-    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w = len(text) % 64 + 1
-                h = len(text) % 48 + 1
-                c = 1 if doc_id % 2 == 0 else 3
-                content = png_encode(
-                    w, h, c, lambda y, d=doc_id: (d + y) % 256, int(doc_id % 3)
-                )
-                rows.append(
-                    {
-                        "media_id": doc_id,
-                        "content": content,
-                        "meta": {
-                            "kind": "image",
-                            "width": w,
-                            "height": h,
-                            "sample_rate": None,
-                            "duration_ms": None,
-                            "n_frames": 1,
-                        },
-                    }
-                )
-            yield pd.DataFrame(rows)
+    return docs.select("doc_id", "text").mapInPandas(
+        _png_media_batches, schema=MEDIA_SCHEMA
+    )
 
-    return docs.select("doc_id", "text").mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+def _png_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-batch PNG fixture kernel shared by ``png_media_from_documents``
+    and the fused fixture+decode path."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w = len(text) % 64 + 1
+            h = len(text) % 48 + 1
+            c = 1 if doc_id % 2 == 0 else 3
+            content = png_encode(
+                w, h, c, lambda y, d=doc_id: (d + y) % 256, int(doc_id % 3)
+            )
+            rows.append(
+                {
+                    "media_id": doc_id,
+                    "content": content,
+                    "meta": {
+                        "kind": "image",
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                        "n_frames": 1,
+                    },
+                }
+            )
+        yield pd.DataFrame(rows)
 
 
 def apng_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -518,33 +525,55 @@ DECODE_STATS_SCHEMA = T.StructType(
 )
 
 
+def _decode_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-batch decode-stats kernel shared by ``decode_stats`` and the
+    fused fixture+decode path."""
+    for pdf in batches:
+        rows = []
+        for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            data = bytes(content)
+            meta = decode_image_meta(data)
+            px = png_decode(data) if meta["fmt"] == "png" else None
+            rows.append(
+                {
+                    "media_id": media_id,
+                    "fmt": meta["fmt"],
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "channels": meta["channels"],
+                    "bit_depth": meta["bit_depth"],
+                    "n_pixels": meta["width"] * meta["height"],
+                    "mean_px": float(px.mean()) if px is not None else None,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """Per-image decoded statistics via the pure-Python codec: header
     fields from the byte parse and mean pixel value from the full decode
     (inflate + unfilter) — the real-decode path, Arrow-batched."""
 
-    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                data = bytes(content)
-                meta = decode_image_meta(data)
-                px = png_decode(data) if meta["fmt"] == "png" else None
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "fmt": meta["fmt"],
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "channels": meta["channels"],
-                        "bit_depth": meta["bit_depth"],
-                        "n_pixels": meta["width"] * meta["height"],
-                        "mean_px": float(px.mean()) if px is not None else None,
-                    }
-                )
-            yield pd.DataFrame(rows)
+    return media.mapInPandas(_decode_stats_batches, schema=DECODE_STATS_SCHEMA)
 
-    return media.mapInPandas(batch_fn, schema=DECODE_STATS_SCHEMA)
+
+def png_decode_stats_from_documents(docs: DataFrame) -> DataFrame:
+    """Fused fixture+decode: ``decode_stats(png_media_from_documents(docs))``
+    composed inside ONE mapInPandas, so the generated PNG bytes never make
+    the JVM→Python→JVM round trip between the two operators (guide §4:
+    two chained Python-eval nodes each pay a full Arrow serialization of
+    the binary column; composing the batch kernels halves the crossings).
+    Byte-for-byte the same per-batch work — both stages' kernels are the
+    shared module-level functions."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_stats_batches(_png_media_batches(batches))
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=DECODE_STATS_SCHEMA
+    )
 
 
 def resize_nearest(media: DataFrame, width: int, height: int) -> DataFrame:
