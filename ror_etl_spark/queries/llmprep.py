@@ -60,13 +60,14 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.col("text"), " ")
     # word_ngrams, not transform(sequence, i -> slice(t, ...)): the indexed
     # lambda re-split the text once per position (see word_ngrams docstring)
-    grams = (
-        d.filter(F.size(t) >= _NGRAM_N)
-        .select(
-            "doc_id",
-            F.explode(word_ngrams(t, _NGRAM_N)).alias("phrase"),
-        )
-        .distinct()
+    # r12 (guide §2.4): distinct-per-doc is a WITHIN-doc property — dedupe
+    # the gram array map-side with array_distinct before exploding,
+    # instead of a global (doc_id, phrase) distinct that shuffled the
+    # whole gram stream once just to drop within-doc repeats. Each doc
+    # still votes exactly once per phrase; one data-sized exchange gone.
+    grams = d.filter(F.size(t) >= _NGRAM_N).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(t, _NGRAM_N))).alias("phrase"),
     )
     return (
         grams.groupBy("phrase")
@@ -301,13 +302,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.col("text"), " ")
     # word_ngrams (slice/zip_with), not the indexed transform lambda — the
     # latter re-split the text once per position (word_ngrams docstring)
-    grams = (
-        d.filter(F.size(t) >= _DECON_N)
-        .select(
-            "doc_id",
-            F.explode(word_ngrams(t, _DECON_N)).alias("g"),
-        )
-        .distinct()
+    # r12 (guide §2.4): within-doc gram dedupe moves map-side
+    # (array_distinct before explode) — the global (doc_id, g) distinct
+    # shuffled the whole gram stream once for a per-doc property. The
+    # count after the broadcast semi-join is unchanged: rows are already
+    # one per (doc, distinct gram).
+    grams = d.filter(F.size(t) >= _DECON_N).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(t, _DECON_N))).alias("g"),
     )
     eval_grams = (
         grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("g").distinct()
