@@ -69,6 +69,48 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return out
 
 
+def sorted_runs(st: Column) -> Column:
+    """Run-length encoding of a SORTED array column, as
+    array<struct<s:int, c:int>>: ``s`` the 0-based index where each run of
+    equal adjacent elements starts, ``c`` its length. This is the map-side
+    replacement for ``explode → groupBy(doc_id, token)``: within-row
+    frequency questions (top count, entropy, per-doc term counts) become
+    array arithmetic inside whole-stage codegen, and the data-sized
+    exchange of the exploded stream disappears.
+
+    ``st`` MUST be a bound column (project the sorted array in its own
+    select first): a higher-order lambda re-evaluates every outer
+    EXPRESSION it references once per element (the ``word_ngrams``
+    lesson), so an inline ``array_sort(split(...))`` here would re-sort
+    per element, while an attribute reference is a free read.
+
+    Boundary detection uses 0-based ``get`` (out-of-bounds returns null,
+    so index 0 never probes ``st[-1]``'s error path) and null-safe
+    inequality, which also run-groups genuine null elements the way
+    ``array_sort`` groups them. Ends are the boundary list shifted left
+    with ``size`` appended; lengths are the pairwise difference."""
+    n = F.size(st)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0)) | ~F.get(st, i).eqNullSafe(F.get(st, i - 1)),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n),
+    )
+    runs = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), (e - s).alias("c"))
+    )
+    return F.when(n >= 1, runs).otherwise(
+        F.array().cast("array<struct<s:int,c:int>>")
+    )
+
+
+def run_counts(runs: Column) -> Column:
+    """Just the run lengths of a ``sorted_runs`` result, as array<int>."""
+    return F.transform(runs, lambda r: r["c"])
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """Cheap LLM-token estimate: count word-piece-ish units — runs of
     letters, runs of digits, or single punctuation — via regex extraction.

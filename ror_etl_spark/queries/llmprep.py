@@ -105,22 +105,28 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition rule: the share of the single most frequent
     bigram. Machine-generated / low-quality text repeats phrases; a top
-    bigram covering ≥5% of all bigrams flags the doc. Two map-side-
-    combined aggregations keyed by doc_id — no joins, no UDFs."""
-    from ror_etl_spark.functions.text import word_ngrams
+    bigram covering ≥5% of all bigrams flags the doc.
+
+    The question is entirely WITHIN-document, so no bigram ever leaves
+    its row: sort the doc's bigram array and take the longest run
+    (``sorted_runs``) — the former explode → groupBy(doc_id, bigram) →
+    groupBy(doc_id) pair shuffled the whole bigram stream twice to
+    compute a per-row scalar. Zero exchanges now; everything is codegen'd
+    array arithmetic."""
+    from ror_etl_spark.functions.text import run_counts, sorted_runs, word_ngrams
 
     d = spread(Tables(spark, sf_dir).documents)
     t = F.split(F.col("text"), " ")
     # word_ngrams, not transform(sequence, i -> element_at(t, ...)): the
     # indexed lambda re-split the text twice per position (word_ngrams
     # docstring); the joined strings are identical
-    bi = d.filter(F.size(t) >= 2).select(
-        "doc_id",
-        F.explode(word_ngrams(t, 2)).alias("bigram"),
+    bg = d.filter(F.size(t) >= 2).select(
+        "doc_id", F.array_sort(word_ngrams(t, 2)).alias("bg")
     )
-    cnt = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    top = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_c")
+    top = bg.select(
+        "doc_id",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.array_max(run_counts(sorted_runs(F.col("bg")))).alias("top_c"),
     )
     share = F.col("top_c") / F.col("n_bigrams")
     return top.select(
@@ -153,26 +159,34 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution Shannon entropy per document — a cheap
     perplexity proxy: near-zero entropy means degenerate repetition,
     unusually high means random token soup; both are filtered in
-    pretraining pipelines. Everything is codegen'd aggregation arithmetic;
-    the entropy sum is over ≤vocabulary-size terms so fp order can't move
-    the 4-dp rounding."""
+    pretraining pipelines. Everything is codegen'd array arithmetic on the
+    doc's own row — no shuffle; the entropy sum is over ≤vocabulary-size
+    terms so fp order can't move the 4-dp rounding."""
+    from ror_etl_spark.functions.text import run_counts, sorted_runs
+
     d = spread(Tables(spark, sf_dir).documents)
-    cnt = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # within-document frequencies: sorted-array run lengths map-side
+    # (sorted_runs docstring) — the former explode → groupBy(doc_id, tok)
+    # → window-over-doc_id chain shuffled the token stream twice (plus a
+    # third doc_id exchange for the window) for a per-row answer. The
+    # entropy fold adds the identical -(c/n)·log2(c/n) terms, just in
+    # sorted-token order; the sum is over ≤vocabulary-size terms so fp
+    # order can't move the 4-dp rounding (same argument as before).
+    st = d.select("doc_id", F.array_sort(F.split("text", " ")).alias("st"))
+    cs = st.select(
+        "doc_id",
+        F.size("st").cast("double").alias("n"),
+        run_counts(sorted_runs(F.col("st"))).alias("cs"),
     )
-    w = Window.partitionBy("doc_id")
-    p = F.col("c") / F.sum("c").over(w)
-    return (
-        cnt.withColumn("term", -p * F.log2(p))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("term"), 4).alias("token_entropy"),
-            F.count(F.lit(1)).alias("n_unique"),
-        )
-        .orderBy("doc_id")
+    n = F.col("n")
+    entropy = F.aggregate(
+        "cs", F.lit(0.0), lambda acc, c: acc - (c / n) * F.log2(c / n)
     )
+    return cs.select(
+        "doc_id",
+        F.round(entropy, 4).alias("token_entropy"),
+        F.size("cs").cast("long").alias("n_unique"),
+    ).orderBy("doc_id")
 
 
 @query(

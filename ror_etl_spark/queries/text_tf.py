@@ -22,13 +22,32 @@ from ror_etl_spark.queries.util import r6
     """,
 )
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term/document frequency via explode → groupBy (the shape
-    every index build starts with; one shuffle keyed by token)."""
-    d = Tables(spark, sf_dir).documents
+    """Corpus term/document frequency (the shape every index build starts
+    with). Per-doc term counts are computed map-side from the sorted token
+    array (``sorted_runs``), so the one token-keyed exchange carries
+    (tok, c) pairs — already distinct per doc — and both aggregates get
+    map-side partials: tf = sum(c), df = count(rows). The former
+    ``count_distinct(doc_id)`` two-phase plan shuffled the full exploded
+    (tok, doc_id) stream instead."""
+    from ror_etl_spark.functions.text import sorted_runs
+    from ror_etl_spark.operators.util import spread
+
+    d = spread(Tables(spark, sf_dir).documents)
+    st = d.select(F.array_sort(F.split("text", " ")).alias("st"))
+    tc = st.select("st", sorted_runs(F.col("st")).alias("rs"))
+    pairs = tc.select(
+        F.explode(
+            F.transform(
+                "rs",
+                lambda r: F.struct(
+                    F.get(F.col("st"), r["s"]).alias("tok"), r["c"].alias("c")
+                ),
+            )
+        ).alias("p")
+    ).select("p.tok", "p.c")
     return (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("tf"), F.count_distinct("doc_id").alias("df"))
+        pairs.groupBy("tok")
+        .agg(F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("tf"), "tok")
         .limit(20)
     )
@@ -57,19 +76,35 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top TF-IDF term per document: explode → tf per (doc,term) → df per
-    term (broadcast) → score → per-doc argmax window."""
+    """Top TF-IDF term per document: tf per (doc,term) → df per term
+    (broadcast) → score → per-doc argmax window.
+
+    df is counted from per-doc-DISTINCT tokens (``array_distinct`` before
+    the explode): each (doc, tok) then appears exactly once, so a plain
+    map-side-combined count replaces ``count_distinct`` — whose two-phase
+    plan shuffled the full (tok, doc_id) token stream — and only (tok,
+    partial-count) rows cross the one remaining exchange. n_docs is a
+    lazy broadcast single-row aggregate, not a driver-side ``count()``,
+    so construction triggers no Spark job."""
     d = Tables(spark, sf_dir).documents
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = tokens.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tokens.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; at scale use a broadcast single-row agg
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) + 1e-9, 6).alias(
-            "tfidf"
-        ),
+    df = (
+        d.select(F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) + 1e-9, 6
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (
@@ -131,29 +166,36 @@ def text_feature_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer's capacity planning needs (nnz, max bucket collision count,
     L1/L2 norms).
 
-    Scale shape: one token explode → ONE map-side-combined (doc,
-    bucket) count → per-doc aggregate; bucket ids are md5-derived so
-    the oracle builds the identical vectors. Only integer counts cross
-    the boundary; the single float (L2) is an epsilon-rounded sqrt of
-    an exact integer."""
-    from ror_etl_spark.functions.text import tokens
+    Scale shape: the whole sparse vector lives inside its own row, so no
+    token or bucket ever shuffles — the bucket-id array sorts map-side
+    and collision counts are its run lengths (``sorted_runs``); the
+    former explode → groupBy(doc_id, bucket) → groupBy(doc_id) pair paid
+    two data-sized exchanges for per-row statistics. Bucket ids are
+    md5-derived so the oracle builds the identical vectors; the single
+    float (L2) is an epsilon-rounded sqrt of an exact integer sum."""
+    from ror_etl_spark.functions.text import run_counts, sorted_runs, tokens
     from ror_etl_spark.operators.util import spread
 
     d = spread(Tables(spark, sf_dir).documents)
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long") % 256
+    bucket_of = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % 256
     )
-    b = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("c")
+    bs = d.select(
+        "doc_id",
+        F.array_sort(F.transform(tokens(F.col("text")), bucket_of)).alias("bs"),
     )
-    return (
-        b.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("nnz"),
-            F.max("c").alias("max_count"),
-            F.sum("c").alias("l1"),
-            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))) + 1e-9, 4).alias("l2"),
-        )
-        .orderBy("doc_id")
+    cs = bs.select(
+        "doc_id",
+        F.size("bs").cast("long").alias("l1"),
+        run_counts(sorted_runs(F.col("bs"))).alias("cs"),
     )
+    sumsq = F.aggregate(
+        "cs", F.lit(0).cast("long"), lambda a, c: a + c.cast("long") * c
+    )
+    return cs.select(
+        "doc_id",
+        F.size("cs").cast("long").alias("nnz"),
+        F.array_max("cs").cast("long").alias("max_count"),
+        "l1",
+        F.round(F.sqrt(sumsq) + 1e-9, 4).alias("l2"),
+    ).orderBy("doc_id")
