@@ -281,22 +281,26 @@ def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         out="pos",
     ).select("doc_id", "pos")
-    n = ranked.count()
+    # n as a LAZY broadcast single-row aggregate of the base table (rank
+    # preserves row count) — the former eager ``ranked.count()`` executed
+    # the whole global_rank range shuffle an extra time at construction
     h52 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
     ).cast("long")
-    anchors = ranked.select(
-        "doc_id", "pos", (h52 % F.lit(n - _NEG_K) + 1).alias("base")
+    nd = docs.agg(F.count(F.lit(1)).alias("__n"))
+    anchors = ranked.crossJoin(F.broadcast(nd)).select(
+        "doc_id", "pos", "__n", (h52 % (F.col("__n") - _NEG_K) + 1).alias("base")
     )
     fan = anchors.select(
         "doc_id",
         "pos",
         "base",
+        "__n",
         F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
     ).select(
         "doc_id",
         "j",
-        ((F.col("pos") + F.col("base") + F.col("j")) % n).alias("neg_pos"),
+        ((F.col("pos") + F.col("base") + F.col("j")) % F.col("__n")).alias("neg_pos"),
     )
     neg = ranked.select(F.col("pos").alias("neg_pos"), F.col("doc_id").alias("neg_doc_id"))
     out = fan.join(neg, "neg_pos").select(

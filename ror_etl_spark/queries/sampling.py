@@ -282,8 +282,11 @@ def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-free: value -> rank / (n-1).
 
     The rank is the distributed global_rank over the (value, key) total
-    order; n comes from the same frame (one bounded scalar). The
-    single division is identically shaped on both engines and rounded
+    order; n is a LAZY broadcast single-row aggregate of the base table
+    (rank preserves row count), crossJoined into the projection — the
+    former eager ``ranked.count()`` executed the whole range shuffle a
+    second time at DataFrame-construction time just to read one scalar.
+    The single division is identically shaped on both engines and rounded
     with the epsilon shift. At 100 TB this is one range shuffle — the
     same cost as sorting the feature column once."""
     from ror_etl_spark.operators.util import global_rank
@@ -292,11 +295,13 @@ def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(
         c.select("c_custkey", "c_acctbal"), "c_acctbal", "c_custkey", out="pos"
     )
-    n = ranked.count()
-    out = ranked.select(
+    nd = c.agg(F.count(F.lit(1)).alias("__n"))
+    out = ranked.crossJoin(F.broadcast(nd)).select(
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.round(F.col("pos").cast("double") / F.lit(n - 1) + 1e-9, 6).alias("q"),
+        F.round(
+            F.col("pos").cast("double") / (F.col("__n") - 1) + 1e-9, 6
+        ).alias("q"),
     )
     return ordered(out, "c_custkey")
 
