@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # rank-filter pushdown (WindowGroupLimit) stops at limits above
+        # 1000 by default; the KMV sketch keeps the bottom k=2048 hashes
+        # per day, and the partial (map-side) group limit is what caps
+        # each scan partition's contribution BEFORE the day exchange —
+        # at 100 TB that's the difference between shuffling every
+        # distinct (day, hash) pair and shuffling ≤k·partitions rows.
+        # 4096 covers every registered top-k with headroom; semantics
+        # are untouched (the filter result is identical, it just runs
+        # earlier), so the vanilla-session oracle path is unaffected.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
