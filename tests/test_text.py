@@ -226,3 +226,44 @@ def test_explode_over_arrow_kernel_evaluates_once(spark):
     g = d.select("doc_id", F.explode(fp(normalize_text(F.col("text")))).alias("fp"))
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_sorted_runs_run_length_encoding(spark):
+    """sorted_runs is the map-side replacement for explode → groupBy
+    per-row frequency questions (r12): pin its RLE output on the edges —
+    single element, all-equal, all-distinct, the [''] empty-split shape,
+    and null elements (array_sort groups nulls; eqNullSafe must
+    run-group them, not split per element)."""
+    from ror_etl_spark.functions.text import run_counts, sorted_runs
+
+    cases = [
+        (1, ["b", "a", "b", "a", "b"]),   # mixed → a:2, b:3 after sort
+        (2, ["x"]),                        # single element
+        (3, ["t", "t", "t"]),              # one run
+        (4, ["c", "b", "a"]),              # all distinct
+        (5, [""]),                         # split('') shape
+        (6, ["a", None, "a", None]),       # nulls group into one run
+    ]
+    df = spark.createDataFrame(cases, "id int, arr array<string>")
+    out = {
+        r["id"]: (r["toks"], r["cs"])
+        for r in df.select(
+            "id",
+            F.array_sort("arr").alias("st"),
+        )
+        .select(
+            "id",
+            F.transform(
+                sorted_runs(F.col("st")), lambda x: F.get(F.col("st"), x["s"])
+            ).alias("toks"),
+            run_counts(sorted_runs(F.col("st"))).alias("cs"),
+        )
+        .collect()
+    }
+    assert out[1] == (["a", "b"], [2, 3])
+    assert out[2] == (["x"], [1])
+    assert out[3] == (["t"], [3])
+    assert out[4] == (["a", "b", "c"], [1, 1, 1])
+    assert out[5] == ([""], [1])
+    # array_sort puts nulls last; the two nulls form ONE run of 2
+    assert out[6] == (["a", None], [2, 2])
