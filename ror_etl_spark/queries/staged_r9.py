@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -159,6 +160,55 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _theil_sen_median_udf():
+    """Arrow kernel computing the exact median of all pairwise slopes of
+    ONE row holding the collected daily series — the r12 optimization-
+    round rewrite of the theta self-join + JVM ``percentile`` aggregate.
+
+    Why this is safe at any scale: the daily frame is CALENDAR-bounded
+    (~2.4k rows for 7 years regardless of fact-table size — the same
+    bounded-aggregate argument as ``_pr_trajectory_udf``); the heavy,
+    data-sized work (the orders date aggregate) stays fully distributed,
+    and only the bounded (day_idx, rev) list crosses into the kernel.
+    The old plan generated the ~2.9M-pair slope stream with a
+    BroadcastNestedLoopJoin and fed it to ``percentile``, whose exact
+    implementation builds an OpenHashMap of every distinct double and
+    sorts it in one final reducer — 8.7 of the query's 9.2 s at sf0.1
+    (r12 measurement, OPTIMIZATION_r12.md).
+
+    Exactness: slopes are the same IEEE float64 divisions on the rev
+    values the distributed aggregate produced; the median reproduces
+    ``Percentile.getPercentile`` literally — position = 0.5·(n−1),
+    result = (hi−pos)·s[lo] + (pos−lo)·s[hi] — verified bit-identical
+    to the JVM aggregate at all three test SFs before the swap."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<slope: double, n_pairs: bigint>>")
+    def med(ds: pd.Series) -> pd.Series:
+        out = []
+        for series in ds:
+            idx = np.array([r["day_idx"] for r in series], dtype=np.int64)
+            rev = np.array([r["rev"] for r in series], dtype=np.float64)
+            order = np.argsort(idx)
+            idx, rev = idx[order], rev[order]
+            i, j = np.triu_indices(len(idx), k=1)
+            s = np.sort((rev[j] - rev[i]) / (idx[j] - idx[i]))
+            n = len(s)
+            pos = 0.5 * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            m = s[lo] if lo == hi else (hi - pos) * s[lo] + (pos - lo) * s[hi]
+            out.append([{"slope": float(m), "n_pairs": n}])
+        return pd.Series(out)
+
+    # asNondeterministic: stops Catalyst duplicating the Arrow eval (same
+    # reason as the pagerank/similarity kernels).
+    return med.asNondeterministic()
+
+
+
 @staged(
     "theil_sen_daily_revenue",
     oracle="""
@@ -188,10 +238,11 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass so the second median sees identical inputs on both engines.
 
     Scale shape: the corpus-sized work is one date-keyed aggregate; the
-    pairwise self-join is over the CALENDAR-bounded daily frame (~2.4k
-    days → ~3M slope pairs at 7 years, flat in data volume), and both
-    medians interpolate over sorted bounded frames (exact percentile,
-    not a sketch — the estimator's definition)."""
+    pairwise slope median runs in one bounded Arrow kernel over the
+    CALENDAR-bounded daily list (~2.4k days → ~3M slope pairs at 7
+    years, flat in data volume — see ``_theil_sen_median_udf``), and the
+    intercept median interpolates over the same bounded daily frame
+    (exact percentile, not a sketch — the estimator's definition)."""
     o = Tables(spark, sf_dir).orders
     daily = (
         o.groupBy(F.col("o_orderdate").alias("dt"))
@@ -203,16 +254,13 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev",
         )
     )
-    a, b = daily.alias("a"), daily.alias("b")
-    slopes = a.join(b, F.col("b.day_idx") > F.col("a.day_idx")).select(
-        (
-            (F.col("b.rev") - F.col("a.rev"))
-            / (F.col("b.day_idx") - F.col("a.day_idx"))
-        ).alias("slope")
-    )
-    sl = slopes.agg(
-        F.round(F.expr("percentile(slope, 0.5)") + 1e-9, 4).alias("slope"),
-        F.count(F.lit(1)).alias("n_pairs"),
+    med = _theil_sen_median_udf()
+    one = daily.agg(
+        F.collect_list(F.struct("day_idx", "rev")).alias("ds")
+    ).select(F.element_at(med(F.col("ds")), 1).alias("m"))
+    sl = one.select(
+        F.round(F.col("m.slope") + 1e-9, 4).alias("slope"),
+        F.col("m.n_pairs").alias("n_pairs"),
     )
     return (
         daily.crossJoin(F.broadcast(sl))

@@ -92,3 +92,40 @@ def test_hll_intersection_sketch_laws(spark):
     assert r["est_a"] > 0 and r["est_b"] > 0
     assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-6
     assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-6
+
+
+def test_theil_sen_kernel_matches_jvm_percentile(spark):
+    """The bounded Arrow kernel (r12 optimization round) must reproduce
+    the JVM ``percentile(slope, 0.5)`` aggregate it replaced bit-for-bit
+    — same pairwise slopes, same (hi-pos)·lo + (pos-lo)·hi interpolation
+    — on both parities of the pair count (even: 4 days -> 6 pairs; odd:
+    5 days -> 10 pairs is even too, so use 3 days -> 3 pairs)."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.queries.staged_r9 import _theil_sen_median_udf
+
+    med = _theil_sen_median_udf()
+    for days in [
+        [(10, 5.0), (11, 9.5), (13, 2.25), (20, 7.125)],  # 6 pairs (even)
+        [(1, 3.0), (4, -2.5), (6, 11.0)],  # 3 pairs (odd)
+    ]:
+        daily = spark.createDataFrame(days, "day_idx: long, rev: double")
+        got = (
+            daily.agg(F.collect_list(F.struct("day_idx", "rev")).alias("ds"))
+            .select(F.element_at(med(F.col("ds")), 1).alias("m"))
+            .select("m.slope", "m.n_pairs")
+            .collect()[0]
+        )
+        a, b = daily.alias("a"), daily.alias("b")
+        slopes = a.join(b, F.col("b.day_idx") > F.col("a.day_idx")).select(
+            (
+                (F.col("b.rev") - F.col("a.rev"))
+                / (F.col("b.day_idx") - F.col("a.day_idx"))
+            ).alias("slope")
+        )
+        want = slopes.agg(
+            F.expr("percentile(slope, 0.5)").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        assert got["n_pairs"] == want["n"]
+        assert got["slope"] == want["m"]  # exact, no epsilon
