@@ -677,11 +677,15 @@ def keep_best_per_key(
     )
 
 
-def _doc_grams(df: DataFrame, k: int, text_col: str, id_col: str, positional: bool):
-    """(doc_id, [pos,] g) rows of per-document k-gram md5 hexes over the
-    normalized text, via the rank-cache Arrow kernels. Lazily
-    checkpointed: every consumer (hot-gram aggregate, both join sides)
-    reuses one kernel execution."""
+def _doc_gram_arrays(
+    df: DataFrame, k: int, text_col: str, id_col: str, positional: bool
+) -> DataFrame:
+    """(doc_id, gs) — one row per document holding its k-gram md5-hex
+    ARRAY (position-ordered when ``positional``, the distinct set
+    otherwise), via the rank-cache Arrow kernels. Not checkpointed:
+    single-consumer callers pay nothing; multi-consumer callers
+    checkpoint the frame themselves (the array row is the slimmest
+    thing to materialize — one row per document, not one per gram)."""
     from ror_etl_spark.functions.text import (
         gram_hash_seq_udf,
         normalize_text,
@@ -690,19 +694,40 @@ def _doc_grams(df: DataFrame, k: int, text_col: str, id_col: str, positional: bo
     from ror_etl_spark.operators.util import spread
 
     d = spread(df)
+    kernel = gram_hash_seq_udf(k=k) if positional else winnow_fp_set_udf(k=k, w=1)
+    # asNondeterministic (guide §4.4): a downstream explode infers a
+    # size(gs) > 0 filter, and Catalyst evaluates a deterministic UDF
+    # once BELOW that pushed filter and again in the projection above —
+    # every document paid the gram kernel twice (seen in the r12 plan
+    # dump of dedup_hot_gram_report: two ArrowEvalPython nodes). Scoped
+    # here so the shared kernel factories keep their plans elsewhere.
+    return d.select(
+        F.col(id_col).alias("doc_id"),
+        kernel.asNondeterministic()(normalize_text(F.col(text_col))).alias("gs"),
+    )
+
+
+def _doc_grams(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    positional: bool,
+    checkpoint: bool = True,
+):
+    """(doc_id, [pos,] g) rows of per-document k-gram md5 hexes over the
+    normalized text, via the rank-cache Arrow kernels. Lazily
+    checkpointed by default so multiple consumers reuse one kernel
+    execution; pass ``checkpoint=False`` when the stream has exactly one
+    consumer (the materialization would be pure overhead)."""
+    arr = _doc_gram_arrays(df, k, text_col, id_col, positional)
     if positional:
-        seq = gram_hash_seq_udf(k=k)
-        g = d.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(seq(normalize_text(F.col(text_col)))).alias("pos0", "g"),
+        g = arr.select(
+            "doc_id", F.posexplode("gs").alias("pos0", "g")
         ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
     else:
-        gram_set = winnow_fp_set_udf(k=k, w=1)
-        g = d.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(gram_set(normalize_text(F.col(text_col)))).alias("g"),
-        )
-    return g.localCheckpoint(eager=False)
+        g = arr.select("doc_id", F.explode("gs").alias("g"))
+    return g.localCheckpoint(eager=False) if checkpoint else g
 
 
 def _hot_grams(g: DataFrame, cap: int, input_distinct: bool = True) -> DataFrame:
@@ -741,13 +766,36 @@ def exact_substring_pairs(
     ``hot_gram_report``). Sound and complete for the ≥-k-substring
     relation on the kept grams: a common substring of length ≥ k
     contains an aligned k-gram and a shared k-gram IS such a
-    substring."""
-    g = _doc_grams(df, k, text_col, id_col, positional=False)
+    substring.
+
+    Plan shape (r12 optimization round): the gram stream crosses ONE
+    g-keyed exchange — each gram's (≤ cap, by the hot-gram ceiling)
+    sorted doc list is collected and the co-occurring pairs come from an
+    array-combination expression inside the group (the winnow-pairs
+    precedent), replacing the stream self-join that shuffled (or, under
+    AQE's local size estimate, broadcast) the full gram stream twice and
+    planned the hot-gram aggregate once per join side. The set kernel
+    already emits per-doc-distinct grams, so the hot-gram document
+    frequencies partial-aggregate map-side off the same checkpointed
+    array frame."""
+    arr = _doc_gram_arrays(df, k, text_col, id_col, positional=False)
+    arr = arr.localCheckpoint(eager=False)  # two consumers: hot + stream
+    g = arr.select("doc_id", F.explode("gs").alias("g"))
     kept = g.join(_hot_grams(g, cap), "g", "left_anti")
-    a, b = kept.alias("a"), kept.alias("b")
+    occ = kept.groupBy("g").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    ds = F.col("ds")
+    combos = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        occ.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
@@ -768,19 +816,56 @@ def exact_substring_spans(
     m + k - 1; runs are found with one gaps-and-islands window per
     (pair, diagonal). Hot grams (df > cap) are excluded first, so a
     boilerplate region splits/shortens spans — disclosed, like the
-    winnow stop-gram cap."""
+    winnow stop-gram cap.
+
+    Plan shape (r12 optimization round): the positional gram stream
+    crosses ONE g-keyed exchange — each kept gram's occurrence list
+    (sorted by (doc_id, pos); ≤ cap documents by the hot-gram ceiling)
+    is collected and the cross-document aligned pairs come from an
+    array-combination expression inside the group, replacing the stream
+    self-join (two stream shuffles at scale; a full-stream broadcast
+    build under AQE's local estimate) and its per-side replan of the
+    hot-gram aggregate. Hot-gram document frequencies come map-side from
+    ``array_distinct`` on the checkpointed per-doc gram array — the
+    (doc_id, g) distinct that used to shuffle the full stream is gone."""
     from pyspark.sql.window import Window
 
-    pg = _doc_grams(df, k, text_col, id_col, positional=True)
-    kept = pg.join(_hot_grams(pg, cap, input_distinct=False), "g", "left_anti")
-    a, b = kept.alias("a"), kept.alias("b")
-    m = a.join(
-        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.col("a.pos").alias("pos_a"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    arr = _doc_gram_arrays(df, k, text_col, id_col, positional=True)
+    arr = arr.localCheckpoint(eager=False)  # two consumers: hot + stream
+    hot = (
+        arr.select(F.explode(F.array_distinct("gs")).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("g")
+    )
+    pg = arr.select("doc_id", F.posexplode("gs").alias("pos0", "g")).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g"
+    )
+    kept = pg.join(hot, "g", "left_anti")
+    occ = kept.groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("os")
+    )
+    os_ = F.col("os")
+    combos = F.flatten(
+        F.transform(
+            os_,
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(os_, i + 2, F.size(os_)),
+                    lambda y: y["doc_id"] != x["doc_id"],
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    x["pos"].alias("pos_a"),
+                    (x["pos"] - y["pos"]).alias("diag"),
+                ),
+            ),
+        )
+    )
+    m = occ.select(F.explode(combos).alias("p")).select(
+        "p.id_a", "p.id_b", "p.pos_a", "p.diag"
     )
     run = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     return (
@@ -808,8 +893,11 @@ def hot_gram_report(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(gram_md5, n_docs): the grams the exact-substring family diverted
-    — its alert-don't-fail disclosure channel."""
-    g = _doc_grams(df, k, text_col, id_col, positional=False)
+    — its alert-don't-fail disclosure channel. Single consumer, so the
+    stream is not checkpointed (r12: the materialization was pure
+    overhead); the per-doc-distinct set kernel makes the groupBy's
+    map-side partials the document frequency directly."""
+    g = _doc_grams(df, k, text_col, id_col, positional=False, checkpoint=False)
     return (
         g.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -953,10 +1041,13 @@ def decontaminate_substring_cut(
     fan-out is output-sized, not quadratic in the corpus."""
     from pyspark.sql.window import Window
 
-    bg = _doc_grams(bench, k, text_col, id_col, positional=True).select(
-        F.col("doc_id").alias("bench_id"), F.col("pos").alias("pos_a"), "g"
-    )
-    cg = _doc_grams(corpus, k, text_col, id_col, positional=True)
+    # both gram streams have exactly one consumer (the broadcast join),
+    # so neither is checkpointed (r12: materializing the corpus-side
+    # positional stream to local blocks was pure overhead)
+    bg = _doc_grams(
+        bench, k, text_col, id_col, positional=True, checkpoint=False
+    ).select(F.col("doc_id").alias("bench_id"), F.col("pos").alias("pos_a"), "g")
+    cg = _doc_grams(corpus, k, text_col, id_col, positional=True, checkpoint=False)
     m = cg.join(F.broadcast(bg), "g").select(
         "doc_id",
         "bench_id",
