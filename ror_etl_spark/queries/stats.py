@@ -47,6 +47,33 @@ def _poisson_case_sql(u: str) -> str:
     return f"CASE {branches} ELSE 5 END"
 
 
+def _hex_boundary(t: float) -> str:
+    """Smallest 52-bit integer h with h / 2^52 >= t, as the 13-char
+    lowercase hex string md5 substrings compare against (r12
+    optimization round). Because _SCALE is a power of two the division
+    h / _SCALE is EXACT for every h < 2^52, so `u < t` over the derived
+    double u is equivalent to `h < boundary` over the integer — and a
+    fixed-width lowercase hex string orders lexicographically exactly
+    as its numeric value, so the comparison runs directly on the md5
+    substring with no conv()/division (which together cost as much as
+    the md5 itself on the 4.8M-row bootstrap fan-out)."""
+    lo, hi = 0, 1 << 52
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if mid / _SCALE >= t:
+            hi = mid
+        else:
+            lo = mid + 1
+    return format(lo, "013x")
+
+
+def _poisson_case_hex_sql(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < '{_hex_boundary(float(t))}' THEN {w}" for t, w in _P_THRESH
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
 @query(
     "bootstrap_mean_ci_revenue",
     oracle=f"""
@@ -84,32 +111,32 @@ def bootstrap_mean_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     B running sums before the exchange). The CI bounds are
     percentile_disc over the B replicate means — actual values, no
     interpolation. This is the bootstrap that works at 100 TB: one scan,
-    B×n_partitions partial states, no resampling join."""
+    B×n_partitions partial states, no resampling join.
+
+    r12 optimization round: the Poisson weight comes from comparing the
+    13-char md5 hex substring directly against precomputed hex
+    boundaries (``_hex_boundary``) — per-row w values identical to the
+    conv(hex)/2^52 < t formulation (pinned by
+    test_bootstrap_hex_case_matches_u_case), with the conv() and the
+    division gone from the 4.8M-row fan-out."""
     o = Tables(spark, sf_dir).orders
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(_SCALE)
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        13,
     )
     fan = o.select(
         F.col("o_totalprice").alias("x"),
         F.col("o_orderkey"),
         F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
-    ).select("b", "x", u.alias("u"))
-    w = fan.select("b", "x", F.expr(_poisson_case_sql("u")).alias("w"))
+    ).select("b", "x", h.alias("h"))
+    w = fan.select("b", "x", F.expr(_poisson_case_hex_sql("h")).alias("w"))
     reps = w.groupBy("b").agg(
         (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
     )

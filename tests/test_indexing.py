@@ -332,3 +332,34 @@ def test_bloom_fpr_close_to_load_factor_prediction(spark):
         / got["n_probes"]
     )
     assert abs(got["fpr_measured"] - got["fpr_expected"]) < 5 * sigma + 1e-3
+
+
+def test_bootstrap_hex_case_matches_u_case(spark):
+    """The r12 hex-string Poisson CASE must agree with the u-based CASE
+    it replaced on every boundary's neighbours (where a rounding slip
+    would flip the weight) and on the domain endpoints."""
+    from pyspark.sql import functions as F
+
+    from ror_etl_spark.queries.stats import (
+        _P_THRESH,
+        _SCALE,
+        _hex_boundary,
+        _poisson_case_hex_sql,
+        _poisson_case_sql,
+    )
+
+    hs = []
+    for t, _ in _P_THRESH:
+        b = int(_hex_boundary(float(t)), 16)
+        hs += [max(b - 1, 0), b, min(b + 1, (1 << 52) - 1)]
+    hs += [0, (1 << 52) - 1, 0x123456789ABCD]
+    df = spark.createDataFrame(
+        [(format(h, "013x"), float(h) / _SCALE) for h in hs], "h: string, u: double"
+    )
+    rows = df.select(
+        "h",
+        F.expr(_poisson_case_sql("u")).alias("wu"),
+        F.expr(_poisson_case_hex_sql("h")).alias("wh"),
+    ).collect()
+    for r in rows:
+        assert r["wu"] == r["wh"], r
