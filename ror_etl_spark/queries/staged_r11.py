@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -999,6 +1000,67 @@ def _hits_oracle() -> str:
     )
 
 
+def _hits_trajectory_udf():
+    """Arrow kernel replaying the full 5-iteration quantized HITS
+    trajectory on ONE row holding the sparsified edge list — the r12
+    optimization-round rewrite of the per-half-iteration join loop
+    (the ``_pr_trajectory_udf`` precedent, same safety argument).
+
+    Why this is safe at any scale: the top-K-sparsified nation trade
+    graph has at most 25·K edges and 25 nodes regardless of fact-table
+    size — the data-sized 4-way fact join, the groupBy(u, v) edge count
+    and the per-u top-K window stay fully distributed; only the bounded
+    aggregate crosses into the kernel. The old loop ran 10 half-steps of
+    2 joins + groupBy + whole-frame window + DISK_ONLY checkpoint over
+    25-row frames — pure fixed cost at every scale.
+
+    Exactness: per-half-step scores normalize by their MAX (order-free)
+    and quantize at 8 dp HALF_UP via ``Decimal(repr(x))`` — the same
+    shortest-decimal construction as the JVM's ``BigDecimal.valueOf``
+    behind ``F.round`` — with the query's literal +1e-9 added as the
+    same float64 op. Mass sums are float64 adds whose order differences
+    the 8 dp quantization absorbs, exactly as it already did between
+    Spark's partial aggregates and DuckDB's sequential sums."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q8 = Decimal("1E-8")
+
+    @pandas_udf("array<struct<id: int, hub: double, auth: double>>")
+    def traj(es: pd.Series, ids: pd.Series) -> pd.Series:
+        def r8(x: float) -> float:
+            return float(Decimal(repr(float(x))).quantize(q8, ROUND_HALF_UP))
+
+        out = []
+        for edge_list, node_ids in zip(es, ids):
+            n = len(node_ids)
+            pos = {nid: i for i, nid in enumerate(node_ids)}
+            hub = [1.0] * n
+            auth = [0.0] * n
+            for _ in range(_HITS_ITERS):
+                x = np.zeros(n)
+                for e in edge_list:
+                    x[pos[e["v"]]] += hub[pos[e["u"]]] * e["w"]
+                mx = x.max() if n else 0.0
+                auth = [r8(v / mx + 1e-9) for v in x]
+                x = np.zeros(n)
+                for e in edge_list:
+                    x[pos[e["u"]]] += auth[pos[e["v"]]] * e["w"]
+                mx = x.max() if n else 0.0
+                hub = [r8(v / mx + 1e-9) for v in x]
+            out.append(
+                [
+                    {"id": int(nid), "hub": hub[i], "auth": auth[i]}
+                    for i, nid in enumerate(node_ids)
+                ]
+            )
+        return pd.Series(out)
+
+    return traj.asNondeterministic()
+
+
 @staged("hits_nation_trade", oracle=_hits_oracle())
 def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities on the directed nation trade graph
@@ -1009,9 +1071,14 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation) and quantized to 8 dp, so the DuckDB oracle replays
     the trajectory CTE-for-CTE — the pagerank_nation_trade pattern.
 
-    Scale shape: per half-iteration ONE shuffle keyed by node id;
-    scores are node-sized, edges partition by the join key. The
-    fact-table edge derivation is shared with pagerank/LPA.
+    Scale shape (r12 optimization round): the data-sized work — the
+    4-way fact join, the groupBy(u, v) edge count and the per-u top-K
+    sparsification window — is fully distributed; the result is bounded
+    at |nations|·K edges AT ANY SCALE, so the 5 HITS iterations run in
+    one bounded Arrow kernel on the collected edge aggregate
+    (``_hits_trajectory_udf``) instead of 10 half-steps of 2 joins +
+    groupBy + whole-frame window + DISK_ONLY checkpoint over 25-row
+    frames (pure fixed cost at every scale — the pagerank precedent).
     r12 re-base (VERDICT r11 item 2): edges sparsified to each
     nation's top-``_HITS_TOP_K`` out-edges by shipment count — the raw
     complete near-uniform graph flattened hub/authority scores to
@@ -1035,53 +1102,34 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= _HITS_TOP_K)
         .select("u", "v", "w")
-        .localCheckpoint(eager=False)
     )
-    nodes = t.nation.select(F.col("n_nationkey").alias("id"))
-    hub = nodes.select("id", F.lit(1.0).alias("hub"))
-    auth = None
-    # normalization uses a whole-frame window max, NOT a separate
-    # aggregate + crossJoin: a second reference to the half-iteration
-    # frame doubles the uncached plan per level (2^10 blowup over 5
-    # iterations — measured as a multi-minute hang before this form);
-    # the window runs on a node-sized (25-row) frame. Each half-step is
-    # lazily checkpointed (DISK_ONLY, loop rule) to keep lineage linear.
-    wall = Window.partitionBy()
-    for _ in range(_HITS_ITERS):
-        ar = (
-            nodes.join(edges, nodes["id"] == edges["v"], "left")
-            .join(hub.withColumnRenamed("id", "hid"), F.col("hid") == edges["u"], "left")
-            .groupBy(nodes["id"])
-            .agg(F.coalesce(F.sum(F.col("hub") * F.col("w")), F.lit(0.0)).alias("x"))
-        )
-        auth = ar.select(
-            "id",
-            F.round(
-                F.col("x") / F.max("x").over(wall) + 1e-9, _HITS_ROUND
-            ).alias("auth"),
-        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-        hr = (
-            nodes.join(edges, nodes["id"] == edges["u"], "left")
-            .join(
-                auth.withColumnRenamed("id", "aid"), F.col("aid") == edges["v"], "left"
-            )
-            .groupBy(nodes["id"])
-            .agg(F.coalesce(F.sum(F.col("auth") * F.col("w")), F.lit(0.0)).alias("x"))
-        )
-        hub = hr.select(
-            "id",
-            F.round(
-                F.col("x") / F.max("x").over(wall) + 1e-9, _HITS_ROUND
-            ).alias("hub"),
-        ).localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    # one tagged union + ONE global aggregate collects both the edge list
+    # and the node-id list (collect_list skips nulls) — the BNLJ-free
+    # broadcast-of-scalar shape shared with pagerank_nation_trade
+    ed = edges.select(
+        F.struct("u", "v", "w").alias("e"),
+        F.lit(None).cast(t.nation.schema["n_nationkey"].dataType).alias("nid"),
+    )
+    nd = t.nation.select(
+        F.lit(None).cast(ed.schema["e"].dataType).alias("e"),
+        F.col("n_nationkey").alias("nid"),
+    )
+    one = ed.unionByName(nd).agg(
+        F.collect_list("e").alias("es"), F.collect_list("nid").alias("ids")
+    )
+    traj = _hits_trajectory_udf()
     return (
-        auth.join(hub.withColumnRenamed("id", "hid"), F.col("hid") == auth["id"])
+        one.select(F.explode(traj(F.col("es"), F.col("ids"))).alias("r"))
         .select(
-            auth["id"].cast("long").alias("nationkey"),
-            F.round("hub", 6).alias("hub"),
-            F.round("auth", 6).alias("authority"),
+            F.col("r.id").cast("long").alias("nationkey"),
+            F.round(F.col("r.hub"), 6).alias("hub"),
+            F.round(F.col("r.auth"), 6).alias("authority"),
         )
-        .orderBy(F.desc("authority"), F.asc("nationkey"))
+        # single partition (child of a single-row aggregate): a
+        # partition-local sort IS the global sort; a plain orderBy would
+        # range-sample and execute the Arrow kernel twice
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("authority"), F.asc("nationkey"))
     )
 
 
