@@ -2074,10 +2074,17 @@ def graph_diameter_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: reports reachable-set eccentricities (the trade graph is
     connected; a disconnected input would understate them).
 
-    Scale shape: the edge derivation is the shared fact-table join;
-    the BFS state is (nodes x nodes)-bounded — node-domain-sized both
-    ways. At billions of nodes you'd sample sources; the loop shape is
-    unchanged (k frontier expansions, each one shuffle)."""
+    Scale shape (r12 optimization round): the edge derivation is the
+    shared fact-table join and stays fully distributed; the distinct
+    undirected edge set is bounded at |nations|² at ANY scale, so the
+    multi-source BFS runs in one bounded Arrow kernel on the collected
+    edge aggregate (``operators.boundedgraph.eccentricity_udf`` —
+    integer hop arithmetic, exact) instead of {hops} rounds of join +
+    min-aggregate + DISK_ONLY checkpoint over ≤625-row frames. At
+    billions of nodes you'd sample sources and keep the distributed
+    loop; this query's graph is node-domain-bounded by construction."""
+    from ror_etl_spark.operators.boundedgraph import eccentricity_udf
+
     t = Tables(spark, sf_dir)
     und = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2090,42 +2097,21 @@ def graph_diameter_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=False)
-    nodes = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
-        .distinct()
-    )
-    dist = nodes.select(
-        F.col("n").alias("src"), F.col("n").alias("node"), F.lit(0).alias("d")
-    ).localCheckpoint(eager=False)
-    for _ in range(_DIAM_MAX_HOPS):
-        ext = (
-            dist.join(sym, dist["node"] == sym["u"])
-            .select("src", F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
-        )
-        dist = (
-            dist.unionAll(ext)
-            .groupBy("src", "node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-        )
-    ecc = dist.groupBy("src").agg(F.max("d").cast("long").alias("eccentricity"))
-    dr = ecc.agg(
-        F.max("eccentricity").alias("diameter"),
-        F.min("eccentricity").alias("radius"),
-    )
+    one = und.agg(F.collect_list(F.struct("a", "b")).alias("es"))
+    ecc = eccentricity_udf(_DIAM_MAX_HOPS)
     return (
-        ecc.crossJoin(F.broadcast(dr))
+        one.select(F.explode(ecc(F.col("es"))).alias("r"))
         .select(
-            F.col("src").cast("int").alias("n_nationkey"),
-            "eccentricity",
-            "diameter",
-            "radius",
+            F.col("r.id").cast("int").alias("n_nationkey"),
+            F.col("r.ecc").alias("eccentricity"),
+            F.col("r.diameter").alias("diameter"),
+            F.col("r.radius").alias("radius"),
         )
-        .orderBy("n_nationkey")
+        # single partition (child of a single-row aggregate): a
+        # partition-local sort IS the global sort; a plain orderBy would
+        # range-sample and execute the Arrow kernel twice
+        .coalesce(1)
+        .sortWithinPartitions("n_nationkey")
     )
 
 

@@ -1909,13 +1909,22 @@ def closeness_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node average-distance inverse — the 'which hub ships everywhere
     fastest' ranking.
 
-    Scale shape: per round ONE shuffle of (frontier ⋈ edges) keyed by
-    node — multi-source costs |sources|× state, not |sources|× rounds;
-    state is three longs per (src,node) pair, bounded by V² only on
-    this deliberately tiny analytic graph (at 100 TB you run it on the
-    k-NN-sparsified entity graph, sources = the query set, exactly the
-    landmark-BFS pattern). Rounds bounded by _CLOSE_MAX = the oracle's
-    recursion cap."""
+    Scale shape (r12 optimization round): the data-sized edge
+    derivation (fact join + groupBy(u, v) + per-u WindowGroupLimit
+    top-k) stays fully distributed; the sparsified graph is bounded at
+    |nations|·k edges at ANY scale, so the multi-source frontier loop
+    runs in one bounded Arrow kernel on the collected edge aggregate
+    (``operators.boundedgraph.closeness_udf`` — integer hop arithmetic,
+    exact, sources = the distinct-u seed) instead of _CLOSE_MAX rounds
+    of join + min-aggregate + anti-join + two DISK_ONLY checkpoints +
+    a driver isEmpty() action each over ≤625-row frames. At 100 TB you
+    run the distributed landmark-BFS loop on the k-NN-sparsified entity
+    graph (``bfs_distances_synthetic_10k`` keeps that evidence); this
+    query's graph is node-domain-bounded by construction. Rounds
+    bounded by _CLOSE_MAX = the oracle's recursion cap; the one float
+    (the closeness ratio) stays a Spark expression."""
+    from ror_etl_spark.operators.boundedgraph import closeness_udf
+
     t = Tables(spark, sf_dir)
     edges = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1934,44 +1943,30 @@ def closeness_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= _CLOSE_K)
         .select("u", "v")
-        .localCheckpoint(eager=False)
     )
-    frontier = knn.select(F.col("u").alias("src")).distinct().select(
-        "src", F.col("src").alias("node"), F.lit(0).cast("int").alias("lvl")
-    )
-    settled = frontier
-    for _ in range(_CLOSE_MAX):
-        nxt = (
-            frontier.join(knn, F.col("node") == F.col("u"))
-            .select("src", F.col("v").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-            .groupBy("src", "node")
-            .agg(F.min("lvl").alias("lvl"))
-            .join(settled.select("src", "node"), ["src", "node"], "left_anti")
-            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
+    one = knn.agg(F.collect_list(F.struct("u", "v")).alias("es"))
+    closeness = closeness_udf(_CLOSE_MAX)
+    return (
+        one.select(F.explode(closeness(F.col("es"))).alias("r"))
+        .select(
+            F.col("r.src").cast("long").alias("nationkey"),
+            F.col("r.n_reached").alias("n_reached"),
+            F.col("r.total_d").alias("total_dist"),
+            F.round(
+                F.when(
+                    F.col("r.total_d") > 0,
+                    F.col("r.n_reached").cast("double") / F.col("r.total_d"),
+                ).otherwise(0.0)
+                + 1e-9,
+                6,
+            ).alias("closeness"),
         )
-        if nxt.isEmpty():
-            break
-        settled = settled.unionByName(nxt).localCheckpoint(
-            eager=False, storageLevel=_DISK_ONLY
-        )
-        frontier = nxt
-    cc = settled.groupBy("src").agg(
-        (F.count(F.lit(1)) - 1).alias("n_reached"),
-        F.sum("lvl").alias("total_d"),
+        # single partition (child of a single-row aggregate): a
+        # partition-local sort IS the global sort; a plain orderBy would
+        # range-sample and execute the Arrow kernel twice
+        .coalesce(1)
+        .sortWithinPartitions("nationkey")
     )
-    return cc.select(
-        F.col("src").cast("long").alias("nationkey"),
-        F.col("n_reached").cast("long").alias("n_reached"),
-        F.col("total_d").cast("long").alias("total_dist"),
-        F.round(
-            F.when(
-                F.col("total_d") > 0,
-                F.col("n_reached").cast("double") / F.col("total_d"),
-            ).otherwise(0.0)
-            + 1e-9,
-            6,
-        ).alias("closeness"),
-    ).orderBy("nationkey")
 
 
 # ---------------------------------------------------------------------------
