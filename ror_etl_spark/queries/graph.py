@@ -398,7 +398,17 @@ def hierarchy_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     does, alerting rather than spinning. The oracle computes subtree
     sums closed-form from the chain structure — an independent
     formulation, so the hash gate checks the message-passing algebra
-    end to end."""
+    end to end.
+
+    r12 optimization round: the trailing data-sized ORDER BY is gone
+    (the gate hashes order-insensitively — the
+    ultimate_parent_rollup_wide precedent, driver-green every round
+    since r5). The per-round ``isEmpty()`` STAYS: besides the early
+    exit it materializes each round's packet checkpoint incrementally,
+    and an A/B without it ran 3.6 → 12.1 s — the single deferred
+    action's 9-round chained plan loses the round-by-round
+    materialization (the same lesson as the rollup's reverted
+    checkpoint-every-round experiment)."""
     edges = synthetic_edges(spark, sf_dir).localCheckpoint(eager=False)
     own = edges.select("id", (F.col("id") % 97).alias("amt"))
     totals = own.select(F.col("id").alias("node"), "amt", F.lit(1).alias("vis"))
@@ -416,11 +426,7 @@ def hierarchy_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             moved.select(F.col("cur").alias("node"), "amt", F.lit(1).alias("vis"))
         )
         packets = moved
-    return (
-        totals.groupBy(F.col("node").alias("id"))
-        .agg(
-            F.sum("vis").alias("subtree_size"),
-            F.sum("amt").alias("subtree_total"),
-        )
-        .orderBy("id")
+    return totals.groupBy(F.col("node").alias("id")).agg(
+        F.sum("vis").alias("subtree_size"),
+        F.sum("amt").alias("subtree_total"),
     )
