@@ -525,31 +525,51 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deterministic tiebreak — are exactly what runs on a real
     corpus, where c_cls,w differs by class.
 
-    Scale shape: ONE token-explode pass trains everything (the (w,
-    cls) count table, class totals, vocabulary size); scoring joins
-    the per-document DISTINCT token counts (``dtf`` — bounded by
-    vocabulary, far smaller than the raw token stream) against the
-    classes-sized broadcast and the (w, cls) table (AQE broadcasts a
-    closed vocabulary, shuffle-joins a Heaps-law one). Only (doc_id,
-    token) pairs ever move; the argmax is a per-document window over
-    |classes| rows. The argmax compares ROUNDED scores with a class-
-    name tiebreak, so summation-order ulps can't flip the winner."""
+    Scale shape (r12 optimization round): per-document token counts
+    (``dtf``) come map-side from the sorted token array
+    (``sorted_runs`` — the text_term_frequency precedent): each
+    document's rows are born in its scan partition, so no exchange
+    carries the token stream for scoring, and the one remaining
+    stream aggregate (the (w, cls) model table ``cw``) partial-
+    aggregates map-side to vocab×classes-sized partials. Class token
+    totals are the map-side sum of array sizes (no explode); the
+    vocabulary size and the scoring join both read the lazily
+    checkpointed ``cw`` (bounded by the model size) instead of
+    re-scanning the stream. The argmax is a per-document window over
+    |classes| rows and compares ROUNDED scores with a class-name
+    tiebreak, so summation-order ulps can't flip the winner."""
+    from ror_etl_spark.functions.text import sorted_runs
+
     d = spread(Tables(spark, sf_dir).documents)
-    toks = d.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
-    ).localCheckpoint(eager=False)
-    dtf = toks.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("k"))
-    clst = toks.groupBy(F.col("lang").alias("cls")).agg(
-        F.count(F.lit(1)).alias("ct")
+    dt = d.select("doc_id", "lang", tokens(F.col("text")).alias("ws"))
+    st = dt.select("doc_id", "lang", F.array_sort("ws").alias("st"))
+    rc = st.select("doc_id", "lang", "st", sorted_runs(F.col("st")).alias("rs"))
+    dtf = rc.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                "rs",
+                lambda r: F.struct(
+                    F.get(F.col("st"), r["s"]).alias("w"), r["c"].alias("k")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.w", F.col("p.k").cast("long").alias("k"))
+    clst = dt.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum(F.size("ws")).alias("ct")
     )
     nd = d.groupBy(F.col("lang").alias("cls")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     tot = d.agg(F.count(F.lit(1)).alias("n"))
-    voc = toks.agg(F.countDistinct("w").alias("v"))
-    cw = toks.groupBy("w", F.col("lang").alias("cls")).agg(
-        F.count(F.lit(1)).alias("c")
+    cw = (
+        dt.select(F.col("lang").alias("cls"), F.explode("ws").alias("w"))
+        .groupBy("w", "cls")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # two consumers: voc + the join
     )
+    voc = cw.agg(F.countDistinct("w").alias("v"))
     cls_full = (
         clst.join(nd, "cls")
         .crossJoin(F.broadcast(tot))
@@ -592,7 +612,8 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
             (F.col("cls") == F.col("lang")).alias("is_actual"),
         )
-        .orderBy("doc_id")
+        # no trailing ORDER BY: the gate hashes order-insensitively (the
+        # r12 trailing-sort precedent)
     )
 
 
