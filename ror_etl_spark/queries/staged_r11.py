@@ -1269,6 +1269,82 @@ def _modularity_oracle() -> str:
     )
 
 
+def _lpa_modularity_udf(rounds: int):
+    """Arrow kernel replaying the deterministic synchronous LPA rounds
+    AND the per-community modularity sums on ONE row holding the
+    collected sparsified pair list — the r12 optimization-round rewrite
+    of the per-round join + vote-window loop (the pagerank/HITS/bounded-
+    BFS precedent; the top-M pair frame is bounded at |nations|²/2 at
+    ANY fact-table scale, and the data-sized fact join + groupBy + top-M
+    window stay fully distributed).
+
+    Exactness: votes, strengths, internal weights and 2m are all sums
+    of LONG trade counts — exact integer arithmetic, so the argmax
+    (greatest weight, smallest label) and every emitted aggregate are
+    reproduced literally; the only floats (the Q_c expression) stay a
+    Spark projection identical to the relational form's."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "array<struct<label: int, n_nodes: bigint, dc: bigint,"
+        " win: bigint, m2: bigint>>"
+    )
+    def lpa(es: pd.Series, ids: pd.Series) -> pd.Series:
+        out = []
+        for pair_list, node_ids in zip(es, ids):
+            und = []
+            for e in pair_list:
+                und.append((e["a"], e["b"], e["w"]))
+                und.append((e["b"], e["a"], e["w"]))
+            labels = {int(n): int(n) for n in node_ids}
+            for _ in range(rounds):
+                votes: dict = {}
+                for u, v, w in und:
+                    key = votes.setdefault(u, {})
+                    key[labels[v]] = key.get(labels[v], 0) + w
+                labels = {
+                    n: (
+                        min(
+                            lv
+                            for lv, wt in votes[n].items()
+                            if wt == max(votes[n].values())
+                        )
+                        if n in votes
+                        else n
+                    )
+                    for n in labels
+                }
+            d: dict = {}
+            win: dict = {}
+            m2 = 0
+            for u, v, w in und:
+                d[u] = d.get(u, 0) + w
+                m2 += w
+                if labels[u] == labels[v]:
+                    win[labels[u]] = win.get(labels[u], 0) + w
+            agg: dict = {}
+            for n, dn in d.items():
+                lab = labels[n]
+                dc, cnt = agg.get(lab, (0, 0))
+                agg[lab] = (dc + dn, cnt + 1)
+            out.append(
+                [
+                    {
+                        "label": int(lab),
+                        "n_nodes": cnt,
+                        "dc": dc,
+                        "win": win.get(lab, 0),
+                        "m2": m2,
+                    }
+                    for lab, (dc, cnt) in agg.items()
+                ]
+            )
+        return pd.Series(out)
+
+    return lpa.asNondeterministic()
+
+
+
 @staged("modularity_lpa_communities", oracle=_modularity_oracle())
 def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman weighted modularity of the 3-round LPA partition of the
@@ -1281,68 +1357,47 @@ def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparsified ``_trade_edges`` und (top-90 pairs, degree-diverse) —
     the raw complete graph collapsed LPA to near-one community.
 
-    Scale shape: LPA is one shuffle per round (node-sized labels join
-    the edge list); the modularity pass is two label-keyed aggregates
-    of the edge list plus a broadcast scalar 2m."""
+    Scale shape (r12 optimization round): the data-sized work — the
+    fact join, the pair groupBy, the top-M window — stays fully
+    distributed; the sparsified pair list is bounded at |nations|²/2 at
+    ANY scale, so the 3 LPA rounds and the per-community modularity
+    sums run in one bounded Arrow kernel on the collected pair
+    aggregate (``_lpa_modularity_udf`` — exact integer vote/strength
+    arithmetic) instead of 3 rounds of join + vote window plus three
+    label-keyed aggregate joins over ≤80-row frames; the only floats
+    (the Q_c expression) remain this Spark projection."""
     t = Tables(spark, sf_dir)
-    _, und, _ = _trade_edges(t, top_m=_MOD_TOP_M)
-    und = und.localCheckpoint(eager=False)
+    e0, _, _ = _trade_edges(t, top_m=_MOD_TOP_M)
     nodes = t.nation.select(F.col("n_nationkey").alias("id"))
-    labels = nodes.select("id", F.col("id").alias("label"))
-    for _ in range(_MOD_LPA_ROUNDS):
-        votes = (
-            und.join(labels, und["v"] == labels["id"])
-            .groupBy(und["u"].alias("nid"), "label")
-            .agg(F.sum("w").alias("wt"))
-        )
-        pick = (
-            votes.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("nid").orderBy(F.desc("wt"), F.asc("label"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("nid", "label")
-        )
-        labels = nodes.join(pick, nodes["id"] == pick["nid"], "left").select(
-            "id", F.coalesce(pick["label"], nodes["id"]).alias("label")
-        )
-    labels = labels.localCheckpoint(eager=False)
-    m2 = und.agg(F.sum("w").cast("double").alias("m2"))
-    strength = (
-        und.groupBy(F.col("u").alias("n"))
-        .agg(F.sum("w").alias("d"))
-        .join(labels.withColumnRenamed("id", "n"), "n")
-        .groupBy("label")
-        .agg(
-            F.sum("d").cast("double").alias("dc"),
-            F.count(F.lit(1)).alias("n_nodes"),
-        )
+    ed = e0.select(
+        F.struct("a", "b", "w").alias("e"),
+        F.lit(None).cast(t.nation.schema["n_nationkey"].dataType).alias("nid"),
     )
-    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
-    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
-    internal = (
-        und.join(F.broadcast(lu), "u")
-        .join(F.broadcast(lv), "v")
-        .filter(F.col("lu") == F.col("lv"))
-        .groupBy(F.col("lu").alias("label"))
-        .agg(F.sum("w").cast("double").alias("win"))
+    nd = nodes.select(
+        F.lit(None).cast(ed.schema["e"].dataType).alias("e"),
+        F.col("id").alias("nid"),
     )
+    one = ed.unionByName(nd).agg(
+        F.collect_list("e").alias("es"), F.collect_list("nid").alias("ids")
+    )
+    lpa = _lpa_modularity_udf(_MOD_LPA_ROUNDS)
+    m2 = F.col("r.m2").cast("double")
+    dc = F.col("r.dc").cast("double")
     return (
-        strength.join(internal, "label", "left")
-        .crossJoin(F.broadcast(m2))
+        one.select(F.explode(lpa(F.col("es"), F.col("ids"))).alias("r"))
         .select(
-            F.col("label").cast("long").alias("community"),
-            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("r.label").cast("long").alias("community"),
+            F.col("r.n_nodes").alias("n_nodes"),
             F.round(
-                F.coalesce(F.col("win"), F.lit(0.0)) / F.col("m2")
-                - (F.col("dc") / F.col("m2")) * (F.col("dc") / F.col("m2"))
-                + 1e-9,
+                F.col("r.win").cast("double") / m2 - (dc / m2) * (dc / m2) + 1e-9,
                 6,
             ).alias("q_contrib"),
         )
-        .orderBy("community")
+        # single partition (child of a single-row aggregate): a
+        # partition-local sort IS the global sort; a plain orderBy would
+        # range-sample and execute the Arrow kernel twice
+        .coalesce(1)
+        .sortWithinPartitions("community")
     )
 
 
