@@ -555,6 +555,63 @@ def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     )
 
 
+def _kcore_udf(k: int, rounds: int):
+    """Arrow kernel replaying the median sparsifier and the fixed peel
+    rounds on ONE row holding the collected nation-pair edge aggregate
+    — the r12 optimization-round rewrite of the per-round semi-join +
+    degree-count loop (the bounded-graph kernel precedent; the edge
+    aggregate is bounded at |nations|² at ANY fact-table scale, and the
+    data-sized fact join + groupBy stay fully distributed).
+
+    Exactness: the median threshold replicates
+    ``Percentile.getPercentile`` literally — position = 0.5·(n−1),
+    (hi−pos)·s[lo] + (pos−lo)·s[hi] in float64, the same formula
+    verified bit-identical to the JVM aggregate for the Theil-Sen
+    kernel — and everything after the w > m filter is integer set/count
+    arithmetic."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<nationkey: bigint, core_degree: bigint>>")
+    def kcore(es: pd.Series) -> pd.Series:
+        out = []
+        for edge_list in es:
+            ws = sorted(float(e["w"]) for e in edge_list)
+            n = len(ws)
+            if n == 0:
+                out.append([])
+                continue
+            pos = 0.5 * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            m = ws[lo] if lo == hi else (hi - pos) * ws[lo] + (pos - lo) * ws[hi]
+            und = set()
+            for e in edge_list:
+                if float(e["w"]) > m:
+                    und.add((e["u"], e["v"]))
+                    und.add((e["v"], e["u"]))
+            surv = {u for u, _ in und}
+            for _ in range(rounds):
+                deg: dict = {}
+                for u, v in und:
+                    if u in surv and v in surv:
+                        deg[u] = deg.get(u, 0) + 1
+                surv = {u for u, d in deg.items() if d >= k}
+            final: dict = {}
+            for u, v in und:
+                if u in surv and v in surv:
+                    final[u] = final.get(u, 0) + 1
+            out.append(
+                [
+                    {"nationkey": int(u), "core_degree": d}
+                    for u, d in final.items()
+                ]
+            )
+        return pd.Series(out)
+
+    return kcore.asNondeterministic()
+
+
 @staged("kcore_trade_graph", oracle=_kcore_oracle())
 def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition peel (k=2) of the HEAVY nation trade graph:
@@ -566,10 +623,17 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether or not the peel converged early. Output: the surviving core
     with each node's in-core degree.
 
-    Scale shape: the corpus-sized work is the one edge aggregate; each
-    peel round is a node-set semi-join + degree count over the
-    (dimension-sized here, edge-partitioned at scale) adjacency — the
-    standard distributed k-core recipe, one shuffle per round."""
+    Scale shape (r12 optimization round): the corpus-sized work — the
+    fact join and the nation-pair edge aggregate — stays fully
+    distributed; the aggregate is bounded at |nations|² at ANY scale,
+    so the median sparsifier and the six peel rounds run in one
+    bounded Arrow kernel on the collected edge aggregate
+    (``_kcore_udf`` — exact integer peel arithmetic, median threshold
+    bit-replicating the JVM percentile) instead of six rounds of two
+    semi-joins + degree count + DISK_ONLY checkpoint over ≤25-node
+    frames. At scale with an edge-partitioned adjacency you run the
+    distributed peel loop; this query's graph is node-domain-bounded
+    by construction."""
     t = Tables(spark, sf_dir)
     edges = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -579,38 +643,16 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    med = edges.agg(F.expr("percentile(w, 0.5)").alias("m"))
-    heavy = (
-        edges.crossJoin(F.broadcast(med))
-        .filter(F.col("w") > F.col("m"))
-        .select("u", "v")
-    )
-    und = (
-        heavy.union(heavy.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    surv = und.select(F.col("u").alias("id")).distinct()
-    for _ in range(_KCORE_ROUNDS):
-        # each round consumes the survivor set twice (both endpoints):
-        # checkpoint it so the logical plan stays linear in rounds, not
-        # 2^rounds (node-set-sized frame — cheap to materialize)
-        surv = (
-            und.join(surv.withColumnRenamed("id", "u"), "u")
-            .join(surv.withColumnRenamed("id", "v"), "v")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select(F.col("u").alias("id"))
-            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-        )
+    one = edges.agg(F.collect_list(F.struct("u", "v", "w")).alias("es"))
+    kcore = _kcore_udf(_KCORE_K, _KCORE_ROUNDS)
     return (
-        und.join(surv.withColumnRenamed("id", "u"), "u")
-        .join(surv.withColumnRenamed("id", "v"), "v")
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(F.col("u").cast("long").alias("nationkey"), "core_degree")
-        .orderBy("nationkey")
+        one.select(F.explode(kcore(F.col("es"))).alias("r"))
+        .select("r.nationkey", "r.core_degree")
+        # single partition (child of a single-row aggregate): a
+        # partition-local sort IS the global sort; a plain orderBy would
+        # range-sample and execute the Arrow kernel twice
+        .coalesce(1)
+        .sortWithinPartitions("nationkey")
     )
 
 
