@@ -523,10 +523,18 @@ def jaccard_verify(
     cand_docs = docs.join(
         ids, docs[id_col] == ids["__cid"], "leftsemi"
     )
+    # sh is consumed TWICE (once per pair side). Un-materialized, Catalyst
+    # plans the whole scan → semi-join → interpreted-HOF shingle subtree
+    # once per side — two full document scans and two shingle passes per
+    # execution (r12 plan dump: nodes 2-17 and 21-36 are the same subtree
+    # twice). The frame is candidate-sized (one array row per candidate
+    # doc), so one lazy DISK_ONLY checkpoint bounds it at any corpus size
+    # and both join sides read the materialized rows (guide §2.4; same
+    # discipline as the pairs checkpoint above).
     sh = spread(cand_docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     j = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
