@@ -131,29 +131,35 @@ def ultimate_parent_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel), the order's smallest linenumber is the root. The oracle is
     the closed form min-linenumber per order.
 
-    Edge derivation is ONE shuffle: groupBy(order) + collect_set(line
-    numbers) — map-side combined, per-group state bounded at 7 ints —
-    then sort_array + an indexed transform emits (id, parent) pairs
-    per order. The naive formulation (distinct, then a lag() window)
-    shuffles the fact table twice for the same result; collapsing it
-    halved this query's pre-fixpoint cost at sf0.1."""
+    Edge derivation is ONE shuffle and pure streaming codegen (r13): one
+    l_orderkey exchange, sort by (order, linenumber), and a single lag()
+    window. Duplicate (order, linenumber) rows (the fact table has ~25%)
+    sort adjacent, so a row is the FIRST occurrence of its linenumber
+    iff lag(linenumber) differs — and for those rows that same lag value
+    IS the previous DISTINCT linenumber (null at the order's smallest →
+    coalesce to self: the root). Row-identical to the r12
+    groupBy+collect_set+sort_array+explode form (proved against the
+    same closed-form oracle at 3 SFs), but with no ObjectHashAggregate
+    (row-at-a-time, per-group set allocation on both sides of the
+    exchange) and no Generate: the r12 shape spent ~1.1 s of this
+    query's 2.9 s warm wall in those two stages (r13 event-log
+    profile). The naive distinct-then-window form shuffles twice; this
+    keeps the single exchange."""
+    from pyspark.sql.window import Window
+
     li = Tables(spark, sf_dir).lineitem
-    grouped = li.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.sort_array(F.collect_set("l_linenumber")).alias("lns")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    prev = F.lag("l_linenumber").over(w)
+    k8 = F.col("l_orderkey") * 8
+    edges = (
+        li.select("l_orderkey", "l_linenumber")
+        .withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("l_linenumber")))
+        .select(
+            (k8 + F.col("l_linenumber")).cast("long").alias("id"),
+            (k8 + F.coalesce("__prev", "l_linenumber")).cast("long").alias("parent"),
+        )
     )
-    lns = F.col("lns")
-    pairs = F.transform(
-        lns,
-        lambda x, i: F.struct(
-            (F.col("k") * 8 + x).cast("long").alias("id"),
-            # previous linenumber via 0-based F.get (null at index -1 →
-            # coalesce to self: the smallest linenumber is the root)
-            (F.col("k") * 8 + F.coalesce(F.get(lns, i - 1), x))
-            .cast("long")
-            .alias("parent"),
-        ),
-    )
-    edges = grouped.select(F.explode(pairs).alias("e")).select("e.id", "e.parent")
     result = ultimate_parent(edges, max_depth=8, check_every=4, local_threshold=0)
     # no ORDER BY: the correctness gate hashes order-insensitively, and a
     # global sort of the full mapping is pure overhead at scale
