@@ -390,8 +390,19 @@ def lsh_near_dup_pairs(
             return empty
         return pd.concat(outs, ignore_index=True)
 
-    pairs = buckets.groupBy("tbl", "bucket").applyInPandas(
-        verify, schema="id_a long, id_b long, cos double"
+    # Pin the group exchange at defaultParallelism (same key as the
+    # groupBy, so FlatMapGroupsInPandas adds no second exchange): the
+    # per-group cost of applyInPandas is pandas-frame construction +
+    # the GEMM, and AQE's byte-based coalescing packs the shuffle into a
+    # handful of tasks (5 at sf0.1 — bucket rows are narrow), serializing
+    # hundreds of group kernels onto a few cores (guide §4.3 batch
+    # sizing / §2.5: CPU-heavy post-shuffle work, not bytes, is the unit
+    # here). defaultParallelism is the cluster width at any scale.
+    nparts = corpus.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        buckets.repartition(nparts, "tbl", "bucket")
+        .groupBy("tbl", "bucket")
+        .applyInPandas(verify, schema="id_a long, id_b long, cos double")
     )
     # min over per-table raw-cos replicas of the same pair (collapses
     # last-ulp GEMM differences), THEN one Spark-side HALF_UP rounding —
