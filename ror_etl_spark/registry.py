@@ -124,6 +124,27 @@ _R12_CHANGED = [
     "modularity_lpa_communities",
 ]
 
+# Queries whose IMPLEMENTATION changed in r13 (optimization round 2 —
+# results identical, shapes changed): jaccard_verify's single shingle
+# materialization (all eight consumers), lsh_near_dup_pairs' pinned
+# verify-group exchange (three twins), and the wide rollup's lag-window
+# edge derivation. Already driver-green, but the changed paths must be
+# re-proven, so they lead the re-confirmation tier of the r13 window.
+_R13_CHANGED = [
+    "ultimate_parent_rollup_wide",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_tuned",
+    "dedup_near_clusters",
+    "dedup_funnel_keep",
+    "dedup_funnel_keep_tuned",
+    "dedup_threshold_sweep",
+    "train_test_split_leakage_safe",
+    "golden_record_survivorship",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_tuned",
+    "embedding_near_dup_pairs_prod",
+]
+
 
 def load_all() -> None:
     """Import every query module (idempotent)."""
@@ -145,6 +166,9 @@ def load_all() -> None:
     for name in _R12_CHANGED:
         if name in QUERIES:
             PRIORITY[name] = max(PRIORITY.get(name, 0), 9)
+    for name in _R13_CHANGED:
+        if name in QUERIES:
+            PRIORITY[name] = max(PRIORITY.get(name, 0), 10)
 
 
 def _past_verdicts(repo_root: str) -> dict[str, bool]:
