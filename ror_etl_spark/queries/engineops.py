@@ -638,12 +638,17 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the bitset size, 16384 — never by key count) and collects only
     those; the probe is element_at + shiftright on a 256-word literal
     array, fully inside codegen with the scan filters."""
+    from ror_etl_spark.operators.util import spread
+
     t = Tables(spark, sf_dir)
     keys = t.orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
     bitpos = _bloom_bitpos
 
+    # spread before the build-side md5 triple (single-file scan = 1-3
+    # input splits = serial hashing; see bloom_fpr_calibration)
     pos_rows = (
-        keys.select(
+        spread(keys)
+        .select(
             F.explode(
                 F.array(*[bitpos(j, F.col("o_orderkey")) for j in range(_BLOOM_K)])
             ).alias("p")
@@ -1181,6 +1186,8 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with both engines agreeing on the exact arithmetic. The build
     aggregates distinct bit positions (bounded by m, never key count);
     the probe is pure codegen; both counts are map-side."""
+    from ror_etl_spark.operators.util import spread
+
     t = Tables(spark, sf_dir).orders
     a = t.filter(F.col("o_orderstatus") == "P").select(
         F.col("o_orderkey").alias("k")
@@ -1188,20 +1195,28 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = t.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("k")
     )
+    # spread before the per-key md5 triple: the single-file scan is 1-3
+    # input splits, so the build-side hashing ran on as many tasks —
+    # 3.5 s of the query's 9.3 s at sf0.1 was this one serial stage
+    # (guide §1.2 step 2). The distinct's map-side partials bound the
+    # exchange at the bitset size regardless of fan-out.
     pos = (
-        a.select(
+        spread(a)
+        .select(
             F.explode(
                 F.array(*[_bloom_bitpos(j, F.col("k")) for j in range(_BLOOM_K)])
             ).alias("p")
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    set_bits = pos.agg(F.count(F.lit(1)).alias("set_bits"))
+    # the collect IS the set-bits count — the former separate count
+    # aggregate re-ran the whole build subtree for a number the driver
+    # already holds (len of the bounded collected rows; §5)
     bits_rows = pos.collect()
     bits = [0] * _BLOOM_BITS
     for r in bits_rows:
         bits[int(r["p"])] = 1
+    set_bits = F.lit(len(bits_rows)).cast("long")
     bloom = F.broadcast(
         spark.createDataFrame([(bits,)], "bits array<int>")
     )
@@ -1217,18 +1232,17 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_build = a.agg(F.count(F.lit(1)).alias("n_build"))
     return (
-        n_build.crossJoin(F.broadcast(set_bits))
-        .crossJoin(F.broadcast(counts))
+        n_build.crossJoin(F.broadcast(counts))
         .select(
             "n_build",
-            "set_bits",
+            set_bits.alias("set_bits"),
             "n_probes",
             "n_false_pos",
             F.round(
                 F.col("n_false_pos").cast("double") / F.col("n_probes") + 1e-9, 6
             ).alias("fpr_measured"),
             F.round(
-                F.pow(F.col("set_bits").cast("double") / _BLOOM_BITS, 3) + 1e-9, 6
+                F.pow(set_bits.cast("double") / _BLOOM_BITS, 3) + 1e-9, 6
             ).alias("fpr_expected"),
         )
     )
