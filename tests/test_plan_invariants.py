@@ -241,6 +241,36 @@ def test_jaccard_verify_computes_one_intersect_per_side(spark):
         assert "array_distinct(concat(" not in body, name
 
 
+def test_jaccard_verify_shingles_once_per_execution(spark):
+    """r13: jaccard_verify materializes the candidate-doc shingle frame
+    ONCE (lazy DISK_ONLY checkpoint) and both pair sides read it — the
+    r12 shape planned the scan → semi-join → interpreted-HOF shingle
+    subtree once per side (two document scans, two shingle passes per
+    execution). The checkpoint surfaces as RDD scans; the shingle
+    zip_with chain and the parquet scans must be GONE from the verify
+    plan."""
+    p = plan_of(spark, "dedup_minhash_lsh")
+    body = p.split("== Physical Plan ==")[1]
+    assert "zip_with" not in body, "shingle subtree re-inlined per join side"
+    assert "Scan parquet" not in body, "documents scanned inside the verify plan"
+    assert body.count("Scan ExistingRDD") >= 2
+
+
+def test_near_dup_verify_group_exchange_is_pinned(spark):
+    """r13: the (tbl, bucket) exchange feeding the applyInPandas verify
+    must be the user-pinned repartition (REPARTITION_BY_NUM), not an
+    ENSURE_REQUIREMENTS exchange AQE may coalesce to a handful of tasks
+    — the per-group pandas+GEMM cost is CPU, not bytes."""
+    import re
+
+    p = plan_of(spark, "embedding_near_dup_pairs")
+    body = p.split("== Physical Plan ==")[1]
+    m = re.search(r"hashpartitioning\(tbl#\d+, bucket#\d+L?, \d+\), (\w+)", p)
+    assert m, "no (tbl, bucket) exchange in the plan"
+    assert m.group(1) == "REPARTITION_BY_NUM", m.group(0)
+    assert "FlatMapGroupsInPandas" in body
+
+
 def test_incremental_dedup_broadcasts_small_index_via_aqe(spark):
     """dedup_incremental_new_batch carries NO broadcast hint (a hard hint
     would OOM once the corpus fingerprint index outgrows memory). Below
