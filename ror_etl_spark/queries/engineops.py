@@ -638,17 +638,14 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the bitset size, 16384 — never by key count) and collects only
     those; the probe is element_at + shiftright on a 256-word literal
     array, fully inside codegen with the scan filters."""
-    from ror_etl_spark.operators.util import spread
-
     t = Tables(spark, sf_dir)
     keys = t.orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
     bitpos = _bloom_bitpos
 
-    # spread before the build-side md5 triple (single-file scan = 1-3
-    # input splits = serial hashing; see bloom_fpr_calibration)
+    # NOT spread — see bloom_fpr_calibration: the extra exchange costs
+    # more warm than the wider hashing saves at sf0.1
     pos_rows = (
-        spread(keys)
-        .select(
+        keys.select(
             F.explode(
                 F.array(*[bitpos(j, F.col("o_orderkey")) for j in range(_BLOOM_K)])
             ).alias("p")
@@ -1186,8 +1183,6 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with both engines agreeing on the exact arithmetic. The build
     aggregates distinct bit positions (bounded by m, never key count);
     the probe is pure codegen; both counts are map-side."""
-    from ror_etl_spark.operators.util import spread
-
     t = Tables(spark, sf_dir).orders
     a = t.filter(F.col("o_orderstatus") == "P").select(
         F.col("o_orderkey").alias("k")
@@ -1195,14 +1190,12 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = t.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("k")
     )
-    # spread before the per-key md5 triple: the single-file scan is 1-3
-    # input splits, so the build-side hashing ran on as many tasks —
-    # 3.5 s of the query's 9.3 s at sf0.1 was this one serial stage
-    # (guide §1.2 step 2). The distinct's map-side partials bound the
-    # exchange at the bitset size regardless of fan-out.
+    # NOT spread: an r13 A/B measured the spread's extra round-robin
+    # exchange costing more warm (1.1 -> 1.5 s/exec) than the wider
+    # hashing saves — the serial build-side md5 is ~0.5 s warm at sf0.1
+    # and scan splits provide the parallelism at any real input size.
     pos = (
-        spread(a)
-        .select(
+        a.select(
             F.explode(
                 F.array(*[_bloom_bitpos(j, F.col("k")) for j in range(_BLOOM_K)])
             ).alias("p")
